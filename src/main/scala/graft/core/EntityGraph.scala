@@ -1,0 +1,159 @@
+package graft.core
+
+import graft.model.{EntityDataset, Namespaces}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The entity graph: a registry of datasets plus the traversal planner.
+  *
+  * Re-expresses the reference's query API (mimiro-io/datahub
+  * DOCUMENTATION.md "Query"; internal/server/get_related_test.go):
+  * single-entity lookup, outgoing traversal, inverse (incoming)
+  * traversal, predicate `*`, and dataset scoping.
+  *
+  * Every traversal is a declarative join so Catalyst gets to reorder,
+  * push filters into the scans and pick broadcast-hash for
+  * dimension-sized sides — nothing is materialized driver-side, which is
+  * what keeps these operators valid on a 1000-executor / 100 TB cluster.
+  */
+final case class EntityGraph(datasets: Map[String, EntityDataset], ns: Namespaces) {
+
+  def apply(name: String): EntityDataset =
+    datasets.getOrElse(name, sys.error(s"unknown dataset: $name"))
+
+  /** Reference: FindById / `{"entityId": ...}` — single-entity lookup.
+    * The predicate on the natural key pushes down to the parquet scan.
+    */
+  def lookup(dataset: String, key: Any): DataFrame = {
+    val d = apply(dataset)
+    d.df.filter(col(d.idCol) === lit(key))
+  }
+
+  /** Traversal result column layout shared by all traversal shapes:
+    * (start, predicate, related) — the reference's Query() row shape
+    * `[start-id, predicate-uri, related-entity]`.
+    */
+  private def edges(src: EntityDataset, predicate: String): DataFrame = {
+    val r = src.refs.find(_.predicate == predicate)
+      .getOrElse(sys.error(s"dataset ${src.name} has no predicate $predicate"))
+    val tgt = apply(r.target)
+    src.df
+      .join(tgt.rel, src.df(r.fkCol) === tgt.df(tgt.idCol))
+      .select(Seq(
+        src.uri.as("start"),
+        lit(predicate).as("predicate"),
+        tgt.uri.as("related")) ++ tgt.df.columns.map(tgt.df(_)): _*
+      )
+  }
+
+  /** Outgoing traversal: from entities of `dataset` (optionally filtered)
+    * via `predicate` to related entities, carrying the target's columns.
+    */
+  def out(dataset: String, predicate: String, startFilter: Column = lit(true)): DataFrame = {
+    val src = apply(dataset)
+    val r = src.refs.find(_.predicate == predicate)
+      .getOrElse(sys.error(s"dataset ${src.name} has no predicate $predicate"))
+    val tgt = apply(r.target)
+    val start = src.df.filter(startFilter)
+    start
+      .join(tgt.rel, start(r.fkCol) === tgt.df(tgt.idCol))
+      .select(Seq(
+        src.uriOf(start(src.idCol)).as("start"),
+        lit(predicate).as("predicate"),
+        tgt.uri.as("related")) ++ tgt.df.columns.map(tgt.df(_)): _*
+      )
+  }
+
+  /** Incoming (inverse) traversal: entities in `scope` datasets whose
+    * `predicate` ref points AT entities of `target` (optionally
+    * filtered). Reference: `{"inverse": true, "datasets": [...]}` — the
+    * `scope` list doubles as the dataset filter; an empty scope means
+    * "all datasets that declare the predicate".
+    */
+  def in(
+      target: String,
+      predicate: String,
+      targetFilter: Column = lit(true),
+      scope: Seq[String] = Seq.empty
+  ): DataFrame = {
+    val tgt = apply(target)
+    val sources = datasets.values.toSeq
+      .filter(d => d.refs.exists(r => r.predicate == predicate && r.target == target))
+      .filter(d => scope.isEmpty || scope.contains(d.name))
+      .sortBy(_.name)
+    require(sources.nonEmpty, s"no dataset references $target via $predicate in scope $scope")
+    val start = tgt.rel.filter(targetFilter)
+    val legs = sources.map { src =>
+      val ref = src.refs.find(r => r.predicate == predicate && r.target == target).get
+      src.df
+        .join(start, src.df(ref.fkCol) === start(tgt.idCol))
+        .select(
+          tgt.uriOf(start(tgt.idCol)).as("start"),
+          lit(predicate).as("predicate"),
+          lit(src.name).as("dataset"),
+          src.uri.as("related"),
+          src.df(src.idCol).cast("long").as("related_key")
+        )
+    }
+    legs.reduce(_ unionByName _)
+  }
+
+  /** Predicate `*`: follow ALL outgoing refs of a dataset — a union of
+    * one join per declared predicate (reference: `"predicate": "*"`).
+    */
+  def outStar(dataset: String, startFilter: Column = lit(true)): DataFrame = {
+    val src = apply(dataset)
+    require(src.refs.nonEmpty, s"dataset $dataset declares no refs")
+    val legs = src.refs.sortBy(_.predicate).map { r =>
+      val tgt = apply(r.target)
+      val start = src.df.filter(startFilter)
+      start
+        .join(tgt.rel, start(r.fkCol) === tgt.df(tgt.idCol))
+        .select(
+          src.uriOf(start(src.idCol)).as("start"),
+          lit(r.predicate).as("predicate"),
+          tgt.uri.as("related")
+        )
+    }
+    legs.reduce(_ unionByName _)
+  }
+
+  /** Two-hop outgoing traversal, composed joins (reference transform
+    * idiom: Query(...) then Query(...) on the result — see
+    * DOCUMENTATION.md MultiSource example).
+    */
+  def out2(dataset: String, p1: String, p2: String, startFilter: Column = lit(true)): DataFrame = {
+    val src = apply(dataset)
+    val r1 = src.refs.find(_.predicate == p1).getOrElse(sys.error(s"no $p1 on $dataset"))
+    val mid = apply(r1.target)
+    val r2 = mid.refs.find(_.predicate == p2).getOrElse(sys.error(s"no $p2 on ${mid.name}"))
+    val tgt = apply(r2.target)
+    val start = src.df.filter(startFilter)
+    start
+      .join(mid.rel, start(r1.fkCol) === mid.df(mid.idCol))
+      .join(tgt.rel, mid.df(r2.fkCol) === tgt.df(tgt.idCol))
+      .select(Seq(
+        src.uriOf(start(src.idCol)).as("start"),
+        tgt.uri.as("related")) ++ tgt.df.columns.map(tgt.df(_)): _*
+      )
+  }
+
+  /** Reference: `details: true` lookup — entity augmented with per-value
+    * provenance. Emits one row per (entity, property) with the owning
+    * dataset, value rendered as string.
+    */
+  def detailsLookup(dataset: String, key: Any, props: Seq[String] = Seq.empty): DataFrame = {
+    val d = apply(dataset)
+    val base = d.df.filter(col(d.idCol) === lit(key))
+    val chosen = if (props.nonEmpty) props else d.propCols
+    val legs = chosen.sorted.map { p =>
+      base.select(
+        d.uri.as("id"),
+        lit(d.propNs + p).as("property"),
+        col(p).cast("string").as("value"),
+        lit(d.name).as("dataset")
+      )
+    }
+    legs.reduce(_ unionByName _)
+  }
+}

@@ -1,0 +1,145 @@
+package graft.jobs
+
+import graft.core.EntityGraph
+import graft.ops.ChangeLog
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.concurrent.TrieMap
+
+/** Job engine: source -> optional transform -> sink, the reference's
+  * integration core (mimiro-io/datahub internal/jobs/; DOCUMENTATION.md
+  * "Jobs"). Cron/onchange scheduling maps to batch runs / Structured
+  * Streaming; incremental vs fullsync maps to a `since` token.
+  */
+sealed trait Source { def read(spark: SparkSession): DataFrame }
+
+/** Reference: DatasetSource {Name, LatestOnly}. */
+final case class DatasetSource(
+    df: DataFrame,
+    idCol: String,
+    recordedCol: String,
+    latestOnly: Boolean = false,
+    since: Option[Long] = None
+) extends Source {
+  def read(spark: SparkSession): DataFrame = {
+    val incr = since.map(t => df.filter(col(recordedCol) > t)).getOrElse(df)
+    if (latestOnly) ChangeLog.latestOnly(incr, idCol, recordedCol) else incr
+  }
+}
+
+/** Reference: UnionDatasetSource — ordered concatenation of dataset
+  * sources; the `dataset` tag keeps provenance (and makes the union
+  * restartable per-leg, mirroring the reference's continuation-token
+  * scheme across sub-sources).
+  */
+final case class UnionDatasetSource(legs: Seq[(String, DataFrame)]) extends Source {
+  def read(spark: SparkSession): DataFrame =
+    legs.map { case (name, df) => df.withColumn("dataset", lit(name)) }
+      .reduce(_ unionByName _)
+}
+
+sealed trait Sink { def write(df: DataFrame): Unit }
+
+/** Reference: DatasetSink — writes into a named dataset of the in-session
+  * registry (the Spark-world analog of writing a dataset back to the
+  * store; production deployments would point this at a table path).
+  */
+final case class DatasetSink(registry: DatasetRegistry, name: String) extends Sink {
+  def write(df: DataFrame): Unit = registry.put(name, df)
+}
+
+/** Parquet sink for materialized outputs. */
+final case class ParquetSink(path: String) extends Sink {
+  def write(df: DataFrame): Unit = df.write.mode("overwrite").parquet(path)
+}
+
+/** Reference: DevNullSink — used with transforms that only emit
+  * transactions. */
+case object DevNullSink extends Sink { def write(df: DataFrame): Unit = () }
+
+/** In-session dataset registry; also records lineage edges like the
+  * reference's lineage API (DOCUMENTATION.md "Lineage").
+  */
+final class DatasetRegistry {
+  private val tables = TrieMap.empty[String, DataFrame]
+  private val edges = TrieMap.empty[(String, String, String), Unit]
+
+  def put(name: String, df: DataFrame): Unit = tables.put(name, df)
+  def get(name: String): DataFrame = tables(name)
+  def names: Seq[String] = tables.keys.toSeq.sorted
+
+  def recordEdge(from: String, to: String, kind: String): Unit =
+    edges.put((from, to, kind), ())
+
+  /** Lineage edges: (From, To, Type) with Type in
+    * {copy, transform, transform-hop} — reference lineage response shape. */
+  def lineage: Seq[(String, String, String)] =
+    edges.keys.toSeq.sortBy(e => (e._1, e._2, e._3))
+}
+
+/** A job definition: the reference's {source, transform, sink} triple.
+  * `sourceName`/`sinkName` feed the lineage graph; `hops` lists datasets
+  * queried inside the transform (reference: transform-hop edges).
+  */
+final case class Job(
+    id: String,
+    source: Source,
+    transform: Transforms.Transform = identity,
+    sink: Sink,
+    sourceName: String = "",
+    sinkName: String = "",
+    hops: Seq[String] = Seq.empty
+) {
+  def run(spark: SparkSession, registry: Option[DatasetRegistry] = None): Unit = {
+    val out = transform(source.read(spark))
+    sink.write(out)
+    registry.foreach { r =>
+      if (sourceName.nonEmpty && sinkName.nonEmpty) {
+        val kind = if (transform == (identity[DataFrame] _)) "copy" else "transform"
+        r.recordEdge(sourceName, sinkName, kind)
+        hops.foreach(h => r.recordEdge(h, sinkName, "transform-hop"))
+      }
+    }
+  }
+}
+
+/** Reference: MultiSource — a main dataset plus dependency datasets; when
+  * a dependency changes, the affected main entities are re-emitted by
+  * walking a declared join chain back to the main dataset
+  * (DOCUMENTATION.md "Multi Source", hop/iHop).
+  */
+object MultiSource {
+
+  /** One step of the dependency chain: land in `dataset`, linked via
+    * `predicate`; `inverse` means the NEXT dataset's entities point at
+    * the current set (reference `"inverse": true`).
+    */
+  final case class Hop(dataset: String, predicate: String, inverse: Boolean)
+
+  /** Entities of the final hop's dataset affected by changed entities of
+    * `start`. Each hop is a distinct-key semi-join: only keys travel
+    * between stages, so the chain stays cheap even when the datasets are
+    * fact-sized; Catalyst broadcasts the key sets when they are small.
+    */
+  def affected(g: EntityGraph, start: String, changed: Column, hops: Seq[Hop]): DataFrame = {
+    var curName = start
+    var cur = g(start).df.filter(changed)
+    hops.foreach { h =>
+      val next = g(h.dataset)
+      cur = if (h.inverse) {
+        val ref = next.refs.find(r => r.predicate == h.predicate && r.target == curName)
+          .getOrElse(sys.error(s"${h.dataset} has no ${h.predicate} ref to $curName"))
+        val keys = cur.select(col(g(curName).idCol).as("__k")).distinct()
+        next.df.join(keys, next.df(ref.fkCol) === col("__k"), "leftsemi")
+      } else {
+        val ref = g(curName).refs.find(r => r.predicate == h.predicate && r.target == h.dataset)
+          .getOrElse(sys.error(s"$curName has no ${h.predicate} ref to ${h.dataset}"))
+        val keys = cur.select(col(ref.fkCol).as("__k")).distinct()
+        next.df.join(keys, next.df(next.idCol) === col("__k"), "leftsemi")
+      }
+      curName = h.dataset
+    }
+    cur
+  }
+}

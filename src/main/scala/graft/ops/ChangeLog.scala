@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-log operators over an entity version log.
+  *
+  * The reference stores every dataset as an immutable, monotonically
+  * token-ordered change log (mimiro-io/datahub internal/server/store.go;
+  * /changes?since=, LatestOnly, time-travel, deleted tombstones,
+  * compaction `deduplicate` strategy). Here a change log is any
+  * DataFrame with:
+  *   - `idCol`:       entity identity
+  *   - `recordedCol`: monotone change token (the reference's `recorded`)
+  *   - `deletedCol`:  optional tombstone flag
+  *
+  * Scale notes: `latestOnly`/`asOf` are ONE hash-aggregate shuffle via
+  * `max_by(struct)` with map-side partial aggregation — not a global
+  * window sort, which at 100 TB would shuffle-sort the entire log.
+  * `compactDedup` needs per-entity ordering, so it uses a window
+  * partitioned by entity id — the partition key carries the parallelism,
+  * there is no single-reducer global sort.
+  */
+object ChangeLog {
+
+  /** Reference: GET /datasets/{ds}/changes?since=token — incremental read.
+    * The `recorded > since` predicate pushes down to the parquet scan
+    * (min/max row-group pruning makes incremental reads cheap at scale).
+    */
+  def changesSince(log: DataFrame, recordedCol: String, since: Long, limit: Option[Int] = None): DataFrame = {
+    val inc = log.filter(col(recordedCol) > since).orderBy(col(recordedCol))
+    limit.map(inc.limit).getOrElse(inc)
+  }
+
+  /** Reference: DatasetSource LatestOnly — newest version per entity.
+    * Single shuffle: max_by over a struct of all payload columns keyed by
+    * the recorded token.
+    */
+  def latestOnly(log: DataFrame, idCol: String, recordedCol: String): DataFrame = {
+    val payload = struct(log.columns.map(col).toIndexedSeq: _*)
+    log
+      .groupBy(col(idCol).as("__id"))
+      .agg(max_by(payload, col(recordedCol)).as("__latest"))
+      .select("__latest.*")
+  }
+
+  /** Reference: time-travel — the graph state as of change-token `t`
+    * (latest version per entity among versions with recorded <= t).
+    */
+  def asOf(log: DataFrame, idCol: String, recordedCol: String, t: Long): DataFrame =
+    latestOnly(log.filter(col(recordedCol) <= t), idCol, recordedCol)
+
+  /** Reference: deleted-flag semantics — a snapshot excludes entities
+    * whose LATEST version is a tombstone, while `changes` still carries
+    * them (so downstream syncs can propagate deletes).
+    */
+  def snapshot(log: DataFrame, idCol: String, recordedCol: String, deletedCol: Column): DataFrame = {
+    val flagged = log.withColumn("__deleted", deletedCol)
+    latestOnly(flagged, idCol, recordedCol)
+      .filter(!col("__deleted"))
+      .drop("__deleted")
+  }
+
+  /** Reference: POST /compaction {"strategy": "deduplicate"} — drop
+    * successive versions of an entity whose payload is identical to the
+    * previous version, retaining timeline correctness
+    * (DOCUMENTATION.md "Compaction").
+    *
+    * @param payloadCols the columns that define version equality
+    *                    (the reference compares id, deleted, props, refs)
+    */
+  def compactDedup(log: DataFrame, idCol: String, recordedCol: String, payloadCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col(recordedCol))
+    val payload = struct(payloadCols.map(col).toIndexedSeq: _*)
+    log
+      .withColumn("__prev", lag(payload, 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= payload)
+      .drop("__prev")
+  }
+}

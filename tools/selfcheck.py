@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Dev-loop self-check: mimic the driver's t2 correctness gate.
+
+Runs DuckDB oracle SQL (from Verify's oracle_sql.json dump) against the
+same parquet tables and compares with the Spark results parquet, sorting
+columns by name and comparing values. Usage:
+    python3 tools/selfcheck.py <sfdir> <verify-outdir>
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(p)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fail = 0
+for name, sql in sorted(oracle.items()):
+    spark_dir = f"{outdir}/{name}"
+    if not os.path.isdir(spark_dir):
+        print(f"FAIL {name}: no spark output"); fail += 1; continue
+    try:
+        duck = con.sql(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error {e}"); fail += 1; continue
+    spark = pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(f"{spark_dir}/*.parquet"))])
+    duck = duck.reindex(sorted(duck.columns), axis=1).reset_index(drop=True)
+    spark = spark.reindex(sorted(spark.columns), axis=1).reset_index(drop=True)
+    if list(duck.columns) != list(spark.columns):
+        print(f"FAIL {name}: columns duck={list(duck.columns)} spark={list(spark.columns)}"); fail += 1; continue
+    if len(duck) != len(spark):
+        print(f"FAIL {name}: rows duck={len(duck)} spark={len(spark)}"); fail += 1; continue
+    # row-order-insensitive compare (sort by all columns), like a hash over sorted values
+    duck_s = duck.sort_values(by=list(duck.columns)).reset_index(drop=True)
+    spark_s = spark.sort_values(by=list(spark.columns)).reset_index(drop=True)
+    try:
+        pd.testing.assert_frame_equal(duck_s, spark_s, check_dtype=False, check_exact=True)
+        print(f"PASS {name} ({len(duck)} rows)")
+    except AssertionError as e:
+        print(f"FAIL {name}: {str(e).splitlines()[-1] if str(e) else 'diff'}")
+        bad = (duck_s != spark_s) & ~(duck_s.isna() & spark_s.isna())
+        idx = bad.any(axis=1)
+        print(duck_s[idx].head(3))
+        print(spark_s[idx].head(3))
+        fail += 1
+print(f"\n{len(oracle) - fail}/{len(oracle)} passed")
+sys.exit(1 if fail else 0)
