@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes RAW to stdout — no "[info] " prefix. The bench
+// driver parses the single JSON line Bench prints; a logger prefix makes
+// it unparseable (round-1 BENCH had "parsed": null for exactly this).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
