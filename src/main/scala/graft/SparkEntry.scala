@@ -1,8 +1,13 @@
 package graft
 
+import graft.ann.Ann
 import graft.core.{EntityGraph, Tpch}
-import graft.jobs.{MultiSource, Transforms}
-import graft.ops.ChangeLog
+import graft.dedup.Dedup
+import graft.jobs.{DatasetRegistry, DatasetSink, DatasetSource, Job, MultiSource, Transaction, Transforms, VirtualDataset}
+import graft.multimodal.Multimodal
+import graft.ops.{ChangeLog, Events}
+import graft.streaming.OnChange
+import graft.text.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -183,7 +188,144 @@ object SparkEntry {
         .map(n => g(n).df.agg(count(lit(1)).as("n_rows")).select(lit(n).as("dataset"), col("n_rows")))
         .reduce(_ unionByName _)
         .orderBy("dataset")
-    })
+    }),
+
+    // ===== analytics (cont.) ============================================
+    "q3_top_orders" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("revenue"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+    }),
+
+    "q5_region_volume" -> ((s, dir) => {
+      val r = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+      val n = broadcast(t(s, dir, "nation"))
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+      val sup = broadcast(t(s, dir, "supplier"))
+      r.join(n, col("n_regionkey") === col("r_regionkey"))
+        .join(c, col("c_nationkey") === col("n_nationkey"))
+        .join(o, col("o_custkey") === col("c_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("s_suppkey") === col("l_suppkey") && col("s_nationkey") === col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    "e1_window_agg" -> ((s, dir) =>
+      Events.tumblingAgg(events(s, dir), "ts", "1 hour", "event_type")
+        .orderBy("window_start", "event_type")),
+
+    "e2_sessionize" -> ((s, dir) =>
+      Events.sessionize(events(s, dir), "ts", "user_id", "2 hours")
+        .orderBy("user_id", "session_start_us")),
+
+    // ===== dedup =========================================================
+    "d1_exact_dedup" -> ((s, dir) => {
+      // two overlapping ingest sources -> exact content-hash dedup
+      val docs = t(s, dir, "documents")
+      Dedup.exact(docs.unionByName(docs), "text", "doc_id")
+        .withColumn("kept_id", col("kept_id").cast("long"))
+        .orderBy("content_hash")
+    }),
+
+    "d2_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(t(s, dir, "documents"), "text", "doc_id", 3, 0.8)
+        .orderBy("a", "b")),
+
+    "d3_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(t(s, dir, "documents"), "text", "doc_id", 3,
+          numHashes = 128, bandRows = 2, threshold = 0.8)
+        .orderBy("a", "b")),
+
+    "d4_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxDist = 3)
+        .orderBy("a", "b")),
+
+    "d5_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id", 0.4)
+        .orderBy("a", "b")),
+
+    // ===== similarity search ============================================
+    "s1_ann_bruteforce" -> ((s, dir) =>
+      Ann.bruteForceTopK(t(s, dir, "embeddings"), "embedding", "vec_id",
+          col("id") < 10, k = 5)
+        .orderBy("query_id", "rnk")),
+
+    "s2_ann_lsh" -> ((s, dir) =>
+      Ann.lshTopK(t(s, dir, "embeddings"), "embedding", "vec_id", dims = 64,
+          queryFilter = col("id") < 10, k = 5)
+        .orderBy("query_id", "rnk")),
+
+    // ===== text analysis ================================================
+    "x1_langid" -> ((s, dir) =>
+      TextAnalysis.langId(t(s, dir, "documents"), "text", "doc_id").orderBy("doc_id")),
+
+    "x2_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(t(s, dir, "documents"), "text", "doc_id").orderBy("doc_id")),
+
+    "x3_token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(t(s, dir, "documents"), "text", "doc_id").orderBy("doc_id")),
+
+    "x4_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(t(s, dir, "documents"), "text", "doc_id").orderBy("doc_id")),
+
+    // ===== multimodal ===================================================
+    "m1_multimodal_meta" -> ((s, dir) =>
+      Multimodal.features(s, t(s, dir, "documents")).orderBy("doc_id")),
+
+    // ===== jobs (cont.) =================================================
+    "j4_txn_multi_write" -> ((s, dir) => {
+      val reg = new DatasetRegistry
+      Transaction(Seq(
+        "big_orders" -> t(s, dir, "orders").filter(col("o_totalprice") > 200000),
+        "hi_value_customers" -> t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+      )).commit(reg)
+      // read BACK from the registry: proves the commit published all legs
+      reg.names
+        .map(n => reg.get(n).agg(count(lit(1)).as("n_rows")).select(lit(n).as("dataset"), col("n_rows")))
+        .reduce(_ unionByName _)
+        .orderBy("dataset")
+    }),
+
+    "j5_lineage" -> ((s, dir) => {
+      val reg = new DatasetRegistry
+      val g = Tpch.graph(s, dir)
+      Job("copy_customers",
+        DatasetSource(g("customer").df, "c_custkey", "c_custkey"),
+        sink = DatasetSink(reg, "customers_copy"),
+        sourceName = "customer", sinkName = "customers_copy").run(s, Some(reg))
+      Job("big_orders",
+        DatasetSource(g("orders").df, "o_orderkey", "o_orderkey"),
+        Transforms.setProperty("is_big", col("o_totalprice") > 100000),
+        DatasetSink(reg, "big_orders"),
+        sourceName = "orders", sinkName = "big_orders", hops = Seq("customer")).run(s, Some(reg))
+      import s.implicits._
+      reg.lineage.toDF("src", "dst", "kind").orderBy("src", "dst", "kind")
+    }),
+
+    "j7_virtual_dataset" -> ((s, dir) => {
+      val vd = VirtualDataset("bucket", sp => sp.range(0, 10).select(col("id").as("bucket_id")))
+      t(s, dir, "orders")
+        .join(broadcast(vd.read(s)), pmod(col("o_orderkey"), lit(10)) === col("bucket_id"))
+        .groupBy("bucket_id")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("bucket_id")
+    }),
+
+    "j8_onchange_stream" -> ((s, dir) =>
+      OnChange.aggregateEvents(s, s"$dir/events.parquet").orderBy("event_type"))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -331,6 +473,178 @@ object SparkEntry {
         | UNION ALL SELECT 'part', count(*) FROM part
         | UNION ALL SELECT 'region', count(*) FROM region
         | UNION ALL SELECT 'supplier', count(*) FROM supplier
-        |) ORDER BY dataset""".stripMargin
+        |) ORDER BY dataset""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT l_orderkey, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | strftime(o_orderdate, '%Y-%m-%d') AS o_date
+        |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_volume" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        | JOIN customer ON c_nationkey = n_nationkey
+        | JOIN orders ON o_custkey = c_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        | JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "e1_window_agg" ->
+      """SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP))::BIGINT AS window_start,
+        | event_type, count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e2_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS tus, value FROM events),
+        |d AS (SELECT user_id, tus, value,
+        |        CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w >= 7200000000 THEN 1 ELSE 0 END AS ns
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+        |g AS (SELECT user_id, tus, value,
+        |        sum(ns) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM d)
+        |SELECT user_id, min(tus) AS session_start_us, count(*) AS n_events, round(sum(value),2) AS sum_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+
+    "d1_exact_dedup" ->
+      """WITH u AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+        |SELECT md5(text) AS content_hash, min(doc_id) AS kept_id, count(*) AS n_copies
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d2_ngram_jaccard" -> ngramJaccardSql,
+
+    "d3_minhash_lsh" -> ngramJaccardSql,
+
+    "d5_embedding_neardup" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        |ORDER BY a, b""".stripMargin,
+
+    "s1_ann_bruteforce" ->
+      """WITH s AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |         list_cosine_similarity(x.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS sim
+        |  FROM embeddings q JOIN embeddings x ON q.vec_id < 10 AND x.vec_id <> q.vec_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM s)
+        |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rnk
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "x1_langid" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','ein','nicht'], x))) AS score_de,
+        |    len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS score_en,
+        |    len(list_filter(ws, x -> list_contains(['el','la','de','que','y','un','en'], x))) AS score_es,
+        |    len(list_filter(ws, x -> list_contains(['le','la','de','et','un','dans','est'], x))) AS score_fr,
+        |    len(list_filter(ws, x -> list_contains(['de','le','shi','bu','wo','you','zai'], x))) AS score_zh
+        |  FROM w)
+        |SELECT doc_id,
+        |  CASE WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+        |       WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+        |       WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+        |       WHEN score_fr >= score_zh THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang,
+        |  score_de, score_en, score_es, score_fr, score_zh
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "x2_quality_score" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    length(text)::BIGINT AS n_chars_c,
+        |    len(ws)::BIGINT AS n_words,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::BIGINT AS n_punct,
+        |    len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is'], x)))::BIGINT AS n_stop,
+        |    (list_sum(list_transform(ws, x -> length(x)::BIGINT)))::BIGINT AS word_chars
+        |  FROM w)
+        |SELECT doc_id, n_chars_c, n_words,
+        |  (word_chars * 100 // greatest(n_words, 1)) / 100.0 AS avg_word_len,
+        |  (n_punct * 10000 // greatest(n_chars_c, 1)) / 10000.0 AS punct_ratio,
+        |  (n_stop * 10000 // greatest(n_words, 1)) / 10000.0 AS stop_ratio,
+        |  (least(n_words, 100) * 50 + (n_stop * 3000 // greatest(n_words, 1))
+        |   + 2000 - (n_punct * 2000 // greatest(n_chars_c, 1))) / 10000.0 AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "x3_token_count" ->
+      """SELECT doc_id,
+        | length(text)::BIGINT AS n_chars_c,
+        | len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens,
+        | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))::BIGINT AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x4_fingerprint" ->
+      """SELECT doc_id, md5(text) AS content_md5,
+        | list_reduce(
+        |   list_prepend(0::BIGINT, list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))::BIGINT)),
+        |   (a, b) -> (a*31 + b) % 1000000007) AS rolling_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m1_multimodal_meta" ->
+      """SELECT doc_id, length(text)::BIGINT AS n_bytes,
+        | (list_sum(list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))::BIGINT)) % 997)::BIGINT AS checksum,
+        | ((length(text) + 15) // 16)::BIGINT AS n_frames,
+        | ascii(substr(text, 1, 1))::BIGINT AS first_byte
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "j4_txn_multi_write" ->
+      """SELECT * FROM (
+        | SELECT 'big_orders' AS dataset, count(*) AS n_rows FROM orders WHERE o_totalprice > 200000
+        | UNION ALL
+        | SELECT 'hi_value_customers', count(*) FROM customer WHERE c_acctbal > 5000
+        |) ORDER BY dataset""".stripMargin,
+
+    "j5_lineage" ->
+      """SELECT * FROM (VALUES
+        | ('customer', 'big_orders', 'transform-hop'),
+        | ('customer', 'customers_copy', 'copy'),
+        | ('orders', 'big_orders', 'transform')) t(src, dst, kind)
+        |ORDER BY src, dst, kind""".stripMargin,
+
+    "j7_virtual_dataset" ->
+      """SELECT b.bucket_id, count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM (SELECT unnest(range(0,10)) AS bucket_id) b
+        | JOIN orders ON o_orderkey % 10 = b.bucket_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "j8_onchange_stream" ->
+      """SELECT event_type, count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
+
+  /** Exact word-3-gram Jaccard pairs at threshold 0.8 — the oracle for
+    * BOTH d2 (inverted-index exact join) and d3 (MinHash-LSH candidates +
+    * exact verify): at this threshold LSH recall is ≈ 1, so both must
+    * produce the identical pair set. */
+  private val ngramJaccardSql: String =
+    """WITH words AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), w -> w <> '') AS ws
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(ws[t.i:t.i+2], ' ') AS s
+      |  FROM words, unnest(range(1, len(ws)-1)) AS t(i)),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      |pr AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+      |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT a, b, round(inter / (sa.sz + sb.sz - inter), 3) AS jac
+      |FROM pr JOIN sz sa ON pr.a = sa.doc_id JOIN sz sb ON pr.b = sb.doc_id
+      |WHERE inter / (sa.sz + sb.sz - inter) >= 0.8 ORDER BY a, b""".stripMargin
 }

@@ -1,0 +1,89 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * `bruteForceTopK` is the exact baseline: broadcast the (small) query
+  * set against the full corpus — a k×n map-side scan, no shuffle of the
+  * corpus — then a two-phase top-k (per-salt partial top-k, then final)
+  * so no single reducer ever sees a whole query's candidate list. That
+  * is the 1000-executor-safe shape: with millions of corpus rows per
+  * query, phase 1 cuts the shuffle to salt·k rows per query.
+  *
+  * `lshTopK` is the scale path: L random-hyperplane sketch tables of
+  * `bits` bits each; only bucket-mates are scored. Hyperplanes are
+  * deterministic ±1 vectors derived from a hash — no stored model, every
+  * executor recomputes them for free inside codegen.
+  */
+object Ann {
+
+  private[ann] def normed(emb: DataFrame, vecCol: String, idCol: String): DataFrame =
+    emb.select(col(idCol).as("id"), transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+
+  private def cosine(xv: Column, yv: Column, xn: Column, yn: Column): Column =
+    aggregate(zip_with(xv, yv, (p, q) => p * q), lit(0.0), (a, x) => a + x) / (xn * yn)
+
+  /** Exact cosine top-k for each query vector (queries = `queryFilter`
+    * rows of the corpus, self excluded). Deterministic tie-break on
+    * neighbor id. */
+  def bruteForceTopK(emb: DataFrame, vecCol: String, idCol: String,
+                     queryFilter: Column, k: Int, salts: Int = 32): DataFrame = {
+    val e = normed(emb, vecCol, idCol)
+    val q = e.filter(queryFilter)
+    val scored = e.as("x").join(broadcast(q.as("y")), col("x.id") =!= col("y.id"))
+      .select(col("y.id").as("query_id"), col("x.id").as("neighbor_id"),
+        cosine(col("x.v"), col("y.v"), col("x.norm"), col("y.norm")).as("sim"))
+    topKPerQuery(scored, k, salts)
+  }
+
+  /** Two-phase distributed top-k: phase 1 keeps k per (query, salt)
+    * partition slice, phase 2 finalizes over salts·k rows per query. */
+  private[ann] def topKPerQuery(scored: DataFrame, k: Int, salts: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(salts)))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val w2 = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= k).drop("__r1")
+      .withColumn("rnk", row_number().over(w2)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"), col("rnk"))
+  }
+
+  /** Deterministic ±1 hyperplane component for (table t, bit p, dim d):
+    * a cheap integer hash keeps planes identical on every executor. */
+  private def planeSign(t: Int, p: Int, d: Int): Double = {
+    var h = t * 1000003 + p * 7919 + d * 104729 + 0x9e3779b9
+    h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13; h *= 0xc2b2ae35; h ^= h >>> 16
+    if ((h & 1) == 0) 1.0 else -1.0
+  }
+
+  /** Sketch column: for table `t`, an integer whose bit p is
+    * sign(v · plane_{t,p}). Built as a literal-signs fold — pure codegen. */
+  private def sketch(v: Column, dims: Int, t: Int, bits: Int): Column =
+    (0 until bits).map { p =>
+      val signs = array((0 until dims).map(d => lit(planeSign(t, p, d))): _*)
+      val proj = aggregate(zip_with(v, signs, (x, s) => x * s), lit(0.0), (a, x) => a + x)
+      when(proj > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: candidates = same (table, sketch) bucket in any of
+    * the L tables; exact cosine only on candidates; two-phase top-k. */
+  def lshTopK(emb: DataFrame, vecCol: String, idCol: String, dims: Int,
+              queryFilter: Column, k: Int, tables: Int = 8, bits: Int = 4): DataFrame = {
+    val e = normed(emb, vecCol, idCol)
+    val buckets = e.select(col("id"), col("v"), col("norm"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), sketch(col("v"), dims, t, bits).as("sk"))): _*)).as("b"))
+      .select(col("id"), col("v"), col("norm"), col("b.t").as("t"), col("b.sk").as("sk"))
+    val qb = buckets.filter(queryFilter)
+    val cand = buckets.as("x").join(broadcast(qb.as("y")),
+        col("x.t") === col("y.t") && col("x.sk") === col("y.sk") && col("x.id") =!= col("y.id"))
+      .select(col("y.id").as("query_id"), col("x.id").as("neighbor_id"),
+        cosine(col("x.v"), col("y.v"), col("x.norm"), col("y.norm")).as("sim"))
+      .distinct()
+    topKPerQuery(cand, k, salts = 32)
+  }
+}

@@ -1,0 +1,161 @@
+package graft.dedup
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication family for training-data pipelines.
+  *
+  * Scale design (100 TB): every variant avoids the O(n²) all-pairs trap —
+  * pair candidates are generated ONLY inside shared-key buckets
+  * (content hash / shingle inverted index / LSH band buckets / SimHash
+  * chunks), then verified exactly. All joins are equi-joins on those
+  * bucket keys, so Spark shuffles by bucket and never materializes the
+  * cross product. Everything is native functions (xxhash64, bit ops,
+  * higher-order array ops) — zero UDFs, full codegen.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the smallest id, count
+    * copies. One hash-aggregate shuffle (map-side partial agg). */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
+
+  /** Word n-gram shingle set per document: (id, shingle) distinct rows.
+    * The exploded layout IS the inverted index — grouping by shingle
+    * gives the posting list. */
+  def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    docs
+      .withColumn("__ws", TextAnalysis.words(col(textCol)))
+      .withColumn("__sh",
+        when(size(col("__ws")) < n, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(col("__ws")) - n),
+            i => concat_ws(" ", slice(col("__ws"), i + lit(1), lit(n))))))
+      .select(col(idCol).as("id"), explode(col("__sh")).as("s"))
+      .distinct()
+
+  /** Exact n-gram Jaccard similarity join via the inverted index:
+    * pairs sharing ≥1 shingle, |A∩B| counted by grouping the index
+    * self-join, Jaccard from per-doc set sizes. Only bucket-mates are
+    * ever paired — the fundamental trick that scales.
+    */
+  def ngramJaccard(docs: DataFrame, textCol: String, idCol: String, n: Int, threshold: Double): DataFrame = {
+    val sh = shingles(docs, textCol, idCol, n).cache()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("x").join(sh.as("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast("double") /
+      (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")
+    inter
+      .join(sizes.as("sa"), col("a") === col("sa.id"))
+      .join(sizes.as("sb"), col("b") === col("sb.id"))
+      .filter(jac >= threshold)
+      .select(col("a"), col("b"), round(jac, 3).as("jac"))
+  }
+
+  /** MinHash signatures (k hash functions = xxhash64 with k salts) +
+    * LSH banding: docs agreeing on any band are candidates; candidates
+    * are then verified with EXACT Jaccard. Banding (b bands × r rows)
+    * makes the candidate probability 1-(1-s^r)^b — with r=2, b=k/2 the
+    * recall at s ≥ 0.8 is ≈ 1 while distant pairs stay un-paired, so the
+    * join volume stays linear-ish at scale.
+    */
+  def minhashLsh(docs: DataFrame, textCol: String, idCol: String, n: Int,
+                 numHashes: Int, bandRows: Int, threshold: Double): DataFrame = {
+    require(numHashes % bandRows == 0, "numHashes must divide into bands")
+    val numBands = numHashes / bandRows
+    val sh = shingles(docs, textCol, idCol, n).cache()
+
+    // signature: one hash-agg pass, k mins computed map-side in parallel
+    val sigCols = (0 until numHashes).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i"))
+    val sig = sh.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+
+    // band key = hash of the band's signature rows; explode to (band, key)
+    val bandStructs = array((0 until numBands).map { b =>
+      val rows = (0 until bandRows).map(r => col(s"h${b * bandRows + r}"))
+      struct(lit(b).as("band"), xxhash64(rows :+ lit(b): _*).as("bkey"))
+    }: _*)
+    val buckets = sig.select(col("id"), explode(bandStructs).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+
+    // exact verification restricted to candidates (semi-joins keep the
+    // shingle shuffle limited to candidate docs)
+    val candDocs = cand.select(col("a").as("id")).union(cand.select(col("b").as("id"))).distinct()
+    val shC = sh.join(candDocs, Seq("id"), "leftsemi")
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = shC.as("x").join(shC.as("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(cand, Seq("a", "b"), "leftsemi")
+    val jac = col("inter").cast("double") /
+      (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")
+    inter
+      .join(sizes.as("sa"), col("a") === col("sa.id"))
+      .join(sizes.as("sb"), col("b") === col("sb.id"))
+      .filter(jac >= threshold)
+      .select(col("a"), col("b"), round(jac, 3).as("jac"))
+  }
+
+  /** 64-bit SimHash fingerprint per doc: bit j of the fingerprint is the
+    * sign of Σ_tokens ±count (sign = bit j of xxhash64(token)). Computed
+    * as 64 parallel conditional sums in ONE hash aggregate. */
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val wc = docs
+      .withColumn("__w", explode(TextAnalysis.words(col(textCol))))
+      .groupBy(col(idCol).as("id"), col("__w").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"b$j")
+    }
+    val sums = wc.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    // disjoint bit patterns: arithmetic + equals bitwise OR
+    val fp = (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist (≤ 3 keeps
+    * the 4×16-bit-chunk pigeonhole EXACT: any pair within distance 3
+    * agrees on at least one chunk, so chunk-bucket candidates lose
+    * nothing). */
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String, maxDist: Int): DataFrame = {
+    require(maxDist <= 3, "4-chunk pigeonhole is exact only for maxDist <= 3")
+    val fps = simhash(docs, textCol, idCol)
+    val chunks = fps.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"), shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("ck"))): _*)).as("ch"))
+      .select(col("id"), col("simhash"), col("ch.c").as("c"), col("ch.ck").as("ck"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.ck") === col("y.ck") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Embedding cosine near-dup pairs (exact). The small-side is
+    * broadcast, the dot product is a codegen'd fold over zipped arrays in
+    * double precision. At 100 TB the LSH/IVF path (graft.ann) generates
+    * candidates first; this exact kernel then verifies them. */
+  def embeddingNearDup(emb: DataFrame, vecCol: String, idCol: String, threshold: Double): DataFrame = {
+    val e = emb.select(
+        col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    val dot = aggregate(zip_with(col("x.v"), col("y.v"), (p, q) => p * q), lit(0.0), (a, x) => a + x)
+    val sim = dot / (col("x.norm") * col("y.norm"))
+    e.as("x").join(broadcast(e.as("y")), col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"), sim.as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
+  }
+}

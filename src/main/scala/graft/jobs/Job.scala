@@ -85,7 +85,7 @@ final class DatasetRegistry {
 final case class Job(
     id: String,
     source: Source,
-    transform: Transforms.Transform = identity,
+    transform: Transforms.Transform = Transforms.noop,
     sink: Sink,
     sourceName: String = "",
     sinkName: String = "",
@@ -96,7 +96,7 @@ final case class Job(
     sink.write(out)
     registry.foreach { r =>
       if (sourceName.nonEmpty && sinkName.nonEmpty) {
-        val kind = if (transform == (identity[DataFrame] _)) "copy" else "transform"
+        val kind = if (transform eq Transforms.noop) "copy" else "transform"
         r.recordEdge(sourceName, sinkName, kind)
         hops.foreach(h => r.recordEdge(h, sinkName, "transform-hop"))
       }

@@ -18,6 +18,11 @@ object Transforms {
 
   type Transform = DataFrame => DataFrame
 
+  /** The identity transform. A stable reference — `Job` classifies a
+    * leg as "copy" vs "transform" by eq-comparison against this value
+    * (an eta-expanded `identity _` would never compare equal). */
+  val noop: Transform = df => df
+
   /** Reference: RenameProperty(e, fromNs, from, toNs, to). */
   def renameProperty(from: String, to: String): Transform =
     _.withColumnRenamed(from, to)

@@ -1,0 +1,63 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: media payloads as opaque `binary` columns with a
+  * typed metadata struct, processed by a per-partition typed pipeline.
+  *
+  * The decode step is a STUB (image/audio codecs are not in this
+  * container): `decodeStub` stands in for e.g. a JPEG decode and is a
+  * deterministic byte-level computation, so the full Spark plumbing —
+  * binary column, partition-wise batch iteration, typed output schema —
+  * is real and verified end-to-end. A production build swaps ONLY the
+  * body of `decodeStub` for the codec call; the distributed shape
+  * (map-only `mapPartitions` over binary payloads, no shuffle, no
+  * driver involvement) is exactly what runs at 100 TB.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata (the reference keeps
+    * arbitrary props next to entity ids the same way). */
+  final case class Media(doc_id: Long, payload: Array[Byte], meta_source: String, meta_len: Long)
+
+  /** Features a decoder would emit: size, a deterministic checksum, and
+    * frame-sample stats (every `stride`-th byte = "frame"). */
+  final case class MediaFeatures(doc_id: Long, n_bytes: Long, checksum: Long, n_frames: Long, first_byte: Long)
+
+  val FrameStride = 16
+
+  /** decode STUB — byte-level stand-in for a real image/audio decode. */
+  def decodeStub(m: Media): MediaFeatures = {
+    val bytes = m.payload
+    var checksum = 0L
+    var i = 0
+    while (i < bytes.length) { checksum = (checksum + (bytes(i) & 0xffL)) % 997L; i += 1 }
+    val nFrames = (bytes.length + FrameStride - 1) / FrameStride
+    MediaFeatures(m.doc_id, bytes.length.toLong, checksum, nFrames.toLong,
+      if (bytes.nonEmpty) (bytes(0) & 0xffL) else -1L)
+  }
+
+  /** Documents → media table: payload = UTF-8 bytes standing in for an
+    * encoded image; metadata stays a typed column. */
+  def mediaFromDocs(docs: DataFrame): Dataset[Media] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      col("doc_id").cast("long").as("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      col("source").as("meta_source"),
+      length(col("text")).cast("long").as("meta_len")).as[Media]
+  }
+
+  /** The typed feature-extraction pipeline: batch-shaped partition-wise
+    * processing (the Scala analog of `mapInPandas` batches). */
+  def extractFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(decodeStub))
+  }
+
+  def features(spark: SparkSession, docs: DataFrame): DataFrame =
+    extractFeatures(mediaFromDocs(docs)).toDF()
+}

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-time analytics over the change/event stream.
+  *
+  * The reference exposes arbitrary aggregation over a dataset's change
+  * stream through its javascript-query endpoint (mimiro-io/datahub
+  * DOCUMENTATION.md "Javascript Query"); in Spark these become native
+  * event-time window aggregations, which also run unchanged as
+  * Structured Streaming queries (same operators, streaming source).
+  *
+  * Scale notes: both shapes are single-shuffle hash aggregations keyed by
+  * (window, group) / (user, session) — partial aggregation happens
+  * map-side, and no global sort is required.
+  */
+object Events {
+
+  /** The event log's TIMESTAMP(NANOS) column read as a nanosecond long
+    * (legacy nanosAsLong), converted to a proper microsecond timestamp
+    * for Spark's event-time operators. Integer floor-division keeps the
+    * conversion exact. */
+  def tsFromNanos(nsColName: String): Column =
+    // integer `div`, NOT `/`: epoch-ns (~1.7e18) exceeds double's 2^53
+    // exact-integer range, so float division would corrupt timestamps
+    timestamp_micros(expr(s"`$nsColName` div 1000L"))
+
+  /** Tumbling event-time window aggregation (streaming-ready shape). */
+  def tumblingAgg(events: DataFrame, nsCol: String, windowDur: String, groupCol: String): DataFrame =
+    events
+      .withColumn("__ts", tsFromNanos(nsCol))
+      .groupBy(window(col("__ts"), windowDur).as("w"), col(groupCol))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("window_start"), col(groupCol), col("n"), col("sum_value"))
+
+  /** Session windows: events of one user belong to the same session while
+    * consecutive gaps stay under `gap` (Spark `session_window`; the
+    * streaming-native operator — identical semantics in batch). */
+  def sessionize(events: DataFrame, nsCol: String, userCol: String, gap: String): DataFrame =
+    events
+      .withColumn("__ts", tsFromNanos(nsCol))
+      .groupBy(session_window(col("__ts"), gap).as("w"), col(userCol))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col(userCol), unix_micros(col("w.start")).as("session_start_us"), col("n_events"), col("sum_value"))
+}

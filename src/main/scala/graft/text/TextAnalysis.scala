@@ -1,0 +1,106 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * Everything is built from native `org.apache.spark.sql.functions`
+  * (regexp/higher-order array ops) — no UDFs — so the whole pipeline
+  * stays inside whole-stage codegen and distributes trivially: each
+  * operator is a pure per-row projection (no shuffle at all), which is
+  * the ideal shape at 100 TB (map-only over the document scan).
+  */
+object TextAnalysis {
+
+  /** Lower-cased alnum word array. Shared normalization for all ops. */
+  def words(text: Column): Column =
+    filter(split(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " "), w => w =!= "")
+
+  // --- language ID -------------------------------------------------------
+
+  /** Tiny per-language stopword profiles (n-gram-heuristic language ID:
+    * score = stopword hits). Real deployments plug bigger profiles in —
+    * the operator shape (map-only scoring + argmax) is what matters. */
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "un", "en"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "dans", "est"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo", "you", "zai")
+  )
+
+  private def hits(ws: Column, stop: Seq[String]): Column =
+    size(filter(ws, w => w.isInCollection(stop)))
+
+  /** One row per doc: predicted language + per-language scores.
+    * Tie-break: first language in alphabetical order wins (the CASE
+    * chain below — mirrored verbatim in the SQL oracle). */
+  def langId(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val withScores = profiles.foldLeft(docs.withColumn("__ws", words(col(textCol)))) {
+      case (df, (lang, stop)) => df.withColumn(s"score_$lang", hits(col("__ws"), stop))
+    }
+    val Seq(de, en, es, fr, zh) = profiles.map { case (l, _) => col(s"score_$l") }
+    val pred = when(de >= en && de >= es && de >= fr && de >= zh, "de")
+      .when(en >= es && en >= fr && en >= zh, "en")
+      .when(es >= fr && es >= zh, "es")
+      .when(fr >= zh, "fr")
+      .otherwise("zh")
+    withScores.select(
+      col(idCol) +: pred.as("pred_lang") +: profiles.map { case (l, _) => col(s"score_$l") }: _*)
+  }
+
+  // --- quality scoring ---------------------------------------------------
+
+  /** Doc quality score from length/punctuation/stopword statistics.
+    *
+    * All ratios are FIXED-POINT: floor((a·scale) div b) / scale. Integer
+    * floor division is bit-identical on every engine, whereas round() of
+    * a float division diverges across engines exactly at half-boundary
+    * rationals (e.g. 189/40 = 4.725) — found by the DuckDB oracle. */
+  def qualityScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val en = profiles.toMap.apply("en")
+    docs
+      .withColumn("__ws", words(col(textCol)))
+      .withColumn("n_chars_c", length(col(textCol)).cast("long"))
+      .withColumn("n_words", size(col("__ws")).cast("long"))
+      .withColumn("n_punct", regexp_count(col(textCol), lit("[^A-Za-z0-9\\s]")).cast("long"))
+      .withColumn("n_stop", hits(col("__ws"), en).cast("long"))
+      .withColumn("word_chars", aggregate(col("__ws"), lit(0L), (a, w) => a + length(w)))
+      .withColumn("avg_word_len", expr("(word_chars * 100 div greatest(n_words, 1)) / 100.0D"))
+      .withColumn("punct_ratio", expr("(n_punct * 10000 div greatest(n_chars_c, 1)) / 10000.0D"))
+      .withColumn("stop_ratio", expr("(n_stop * 10000 div greatest(n_words, 1)) / 10000.0D"))
+      .withColumn("quality", expr(
+        "(least(n_words, 100) * 50 + (n_stop * 3000 div greatest(n_words, 1))" +
+          " + 2000 - (n_punct * 2000 div greatest(n_chars_c, 1))) / 10000.0D"))
+      .select(col(idCol), col("n_chars_c"), col("n_words"), col("avg_word_len"),
+        col("punct_ratio"), col("stop_ratio"), col("quality"))
+  }
+
+  // --- token counting ----------------------------------------------------
+
+  /** Whitespace tokens + a BPE-ish regex token count (letters runs /
+    * single digits / punctuation marks — the GPT-2 pre-tokenizer shape). */
+  def tokenCounts(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      length(col(textCol)).cast("long").as("n_chars_c"),
+      size(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(lower(col(textCol)), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
+        .cast("long").as("bpe_tokens"))
+
+  // --- fingerprinting ----------------------------------------------------
+
+  /** Content fingerprints: md5 (exact-dup key) + a 64-bit-safe polynomial
+    * rolling hash (base 31 mod 1e9+7 — stays in int64 on every engine). */
+  def fingerprints(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      md5(col(textCol)).as("content_md5"),
+      aggregate(
+        transform(sequence(lit(1), length(col(textCol))), i => ascii(col(textCol).substr(i, lit(1))).cast("long")),
+        lit(0L),
+        (a, x) => (a * 31L + x) % 1000000007L
+      ).as("rolling_hash"))
+}
