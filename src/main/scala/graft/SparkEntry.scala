@@ -250,7 +250,7 @@ object SparkEntry {
         .orderBy("a", "b")),
 
     "d4_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxDist = 3)
+      Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxDist = 7)
         .orderBy("a", "b")),
 
     "d5_embedding_neardup" -> ((s, dir) =>

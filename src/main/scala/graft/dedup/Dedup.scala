@@ -123,16 +123,23 @@ object Dedup {
     sums.select(col("id"), fp.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxDist (≤ 3 keeps
-    * the 4×16-bit-chunk pigeonhole EXACT: any pair within distance 3
-    * agrees on at least one chunk, so chunk-bucket candidates lose
-    * nothing). */
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist. The 64 bits
+    * are partitioned into maxDist+1 chunks — by pigeonhole, any pair
+    * within the distance agrees on at least one whole chunk, so the
+    * chunk-equality buckets are a lossless candidate generator (this is
+    * the classic Manku/Jain/Sarma web-dedup scheme). Narrower chunks
+    * (larger maxDist) trade candidate volume for radius. */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String, maxDist: Int): DataFrame = {
-    require(maxDist <= 3, "4-chunk pigeonhole is exact only for maxDist <= 3")
+    val nChunks = maxDist + 1
+    require(nChunks <= 16, "chunks narrower than 4 bits bucket everything together")
     val fps = simhash(docs, textCol, idCol)
-    val chunks = fps.select(col("id"), col("simhash"),
-      explode(array((0 until 4).map(c =>
-        struct(lit(c).as("c"), shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("ck"))): _*)).as("ch"))
+    val chunkCols = (0 until nChunks).map { c =>
+      val start = c * 64 / nChunks
+      val len = (c + 1) * 64 / nChunks - start
+      val mask = if (len == 64) -1L else (1L << len) - 1L
+      struct(lit(c).as("c"), shiftrightunsigned(col("simhash"), start).bitwiseAND(lit(mask)).as("ck"))
+    }
+    val chunks = fps.select(col("id"), col("simhash"), explode(array(chunkCols: _*)).as("ch"))
       .select(col("id"), col("simhash"), col("ch.c").as("c"), col("ch.ck").as("ck"))
     chunks.as("x").join(chunks.as("y"),
         col("x.c") === col("y.c") && col("x.ck") === col("y.ck") && col("x.id") < col("y.id"))

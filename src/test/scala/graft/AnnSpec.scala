@@ -1,0 +1,50 @@
+package graft
+
+import graft.ann.Ann
+import org.apache.spark.sql.functions._
+
+/** ANN: brute-force equals a driver-side exact top-k; the LSH variant
+  * reaches useful recall against it. */
+class AnnSpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  private def topkLocal(k: Int, nq: Int): Map[Long, Seq[Long]] = {
+    val local = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val norms = local.map { case (id, v) => id -> math.sqrt(v.map(x => x * x).sum) }.toMap
+    val byId = local.toMap
+    (0L until nq.toLong).map { q =>
+      val qv = byId(q)
+      val scored = local.filter(_._1 != q).map { case (id, v) =>
+        val dot = qv.zip(v).map { case (x, y) => x * y }.sum
+        (id, dot / (norms(q) * norms(id)))
+      }
+      q -> scored.sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSeq
+    }.toMap
+  }
+
+  test("bruteForceTopK matches the exact local top-5") {
+    val got = Ann.bruteForceTopK(emb, "embedding", "vec_id", col("id") < 5, 5)
+      .orderBy("query_id", "rnk")
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq).toMap
+    assert(got == topkLocal(5, 5))
+  }
+
+  test("lshTopK recall@5 vs brute force is well above chance") {
+    val exact = topkLocal(5, 10)
+    val lsh = Ann.lshTopK(emb, "embedding", "vec_id", 64, col("id") < 10, 5)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val hits = exact.map { case (q, nbrs) => (lsh.getOrElse(q, Set.empty) & nbrs.toSet).size }.sum
+    val recall = hits.toDouble / (5 * exact.size)
+    // 500 vectors, 5/499 random chance ≈ 0.01; LSH should be far above
+    assert(recall >= 0.3, s"LSH recall@5 too low: $recall")
+  }
+
+  test("brute force broadcasts the query side (no corpus shuffle)") {
+    val plan = planOf(Ann.bruteForceTopK(emb, "embedding", "vec_id", col("id") < 5, 5))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}

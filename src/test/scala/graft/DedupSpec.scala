@@ -1,0 +1,72 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dedup family: exact semantics on constructed dups; MinHash-LSH and
+  * SimHash validated against exact n-gram Jaccard on real documents. */
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("exact dedup collapses identical content, keeps smallest id") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val got = Dedup.exact(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L), (3L, 1L))) // (kept_id, n_copies)
+  }
+
+  test("minhash-LSH finds the same pairs as exact jaccard at threshold 0.8 (recall 1 here)") {
+    val exact = Dedup.ngramJaccard(docs, "text", "doc_id", 3, 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, "text", "doc_id", 3, 128, 2, 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-duplicate documents")
+    assert(lsh == exact, s"LSH candidates+verify must equal exact pairs; missed=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
+  test("simhash pairs cover the planted near-duplicates") {
+    val planted = Dedup.ngramJaccard(docs, "text", "doc_id", 3, 0.95)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashPairs(docs, "text", "doc_id", 7)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hamming<=7 on 64-bit simhash catches essentially-identical docs
+    assert(planted.subsetOf(sim), s"simhash missed near-identical pairs: ${planted -- sim}")
+  }
+
+  test("simhash fingerprint is insensitive to word order, sensitive to content") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"), // permutation -> same bag of words
+      (3L, "epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.simhash(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("ngram jaccard join never plans a cartesian product") {
+    val plan = planOf(Dedup.ngramJaccard(docs, "text", "doc_id", 3, 0.8))
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("embedding near-dup agrees with a driver-side exact computation") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(80).cache()
+    val got = Dedup.embeddingNearDup(emb, "embedding", "vec_id", 0.3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val expect = (for {
+      (ia, va) <- local; (ib, vb) <- local if ia < ib
+      dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      na = math.sqrt(va.map(x => x * x).sum); nb = math.sqrt(vb.map(x => x * x).sum)
+      if dot / (na * nb) >= 0.3
+    } yield (ia, ib)).toSet
+    assert(got == expect)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.core.Tpch
+import graft.ops.Events
+import org.apache.spark.sql.functions._
+
+/** Graph traversal semantics + the plan shapes that keep them valid at
+  * 100 TB: broadcast dims, pushed-down key predicates, pruned scans. */
+class GraphPlanSpec extends SparkSpec {
+
+  private lazy val g = Tpch.graph(spark, sfDir)
+
+  test("lookup pushes the key predicate into the parquet scan") {
+    val plan = planOf(g.lookup("customer", 42))
+    assert(plan.contains("PushedFilters") && plan.contains("c_custkey"), plan)
+  }
+
+  test("outgoing traversal broadcasts the dimension side") {
+    val plan = planOf(g.out("customer", Tpch.pNation))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("two-hop traversal = two broadcast joins, no shuffle exchange of the fact side") {
+    val plan = planOf(g.out2("customer", Tpch.pNation, Tpch.pRegion))
+    assert(plan.split("BroadcastHashJoin").length >= 3, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("star traversal unions one leg per declared predicate") {
+    val rows = g.outStar("lineitem", col("l_orderkey") === 1)
+      .select("predicate").distinct().collect().map(_.getString(0)).toSet
+    assert(rows == Set(Tpch.pOrder, Tpch.pPart, Tpch.pSupplier))
+  }
+
+  test("incoming traversal respects dataset scope") {
+    val both = g.in("nation", Tpch.pNation, scope = Seq("customer", "supplier"))
+      .select("dataset").distinct().collect().map(_.getString(0)).toSet
+    assert(both == Set("customer", "supplier"))
+    val one = g.in("nation", Tpch.pNation, scope = Seq("supplier"))
+      .select("dataset").distinct().collect().map(_.getString(0)).toSet
+    assert(one == Set("supplier"))
+  }
+
+  test("namespace contract/expand round-trips") {
+    val ns = Tpch.namespaces
+    val s = spark
+    import s.implicits._
+    val df = Seq(Tpch.base + "customer/42", Tpch.schemaNs + "nation").toDF("uri")
+    val got = df.select(ns.expand(ns.contract(col("uri"))).as("rt"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(Tpch.base + "customer/42", Tpch.schemaNs + "nation"))
+  }
+
+  test("sessionize groups events within the gap into one session") {
+    val s = spark
+    import s.implicits._
+    val us = 1000000L // ns per ms... values below are ns since epoch
+    def ns(sec: Long) = sec * 1000000000L
+    val ev = Seq(
+      (1L, ns(0), 1.0), (1L, ns(600), 1.0), // 10 min apart -> same session
+      (1L, ns(10000), 1.0), // ~2.8h later -> new session
+      (2L, ns(50), 1.0)
+    ).toDF("user_id", "ts", "value")
+    val sess = Events.sessionize(ev, "ts", "user_id", "30 minutes")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sess == Set((1L, 0L, 2L), (1L, 10000L * 1000000L, 1L), (2L, 50L * 1000000L, 1L)))
+  }
+
+  test("events scan prunes columns (ReadSchema only carries what is used)") {
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val plan = planOf(events.select(col("event_type")).groupBy("event_type").count())
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("event_type") && !readSchema.contains("props"), plan)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.jobs._
+import org.apache.spark.sql.functions._
+
+/** Jobs: transaction atomicity, lineage kinds, virtual datasets. */
+class JobsSpec extends SparkSpec {
+
+  test("transaction publishes all legs on success") {
+    val s = spark
+    import s.implicits._
+    val reg = new DatasetRegistry
+    val counts = Transaction(Seq(
+      "t1" -> Seq(1, 2, 3).toDF("x"),
+      "t2" -> Seq(4).toDF("y")
+    )).commit(reg).toMap
+    assert(counts == Map("t1" -> 3L, "t2" -> 1L))
+    assert(reg.names == Seq("t1", "t2"))
+  }
+
+  test("a failing leg aborts the whole transaction (registry untouched)") {
+    val s = spark
+    import s.implicits._
+    val reg = new DatasetRegistry
+    reg.put("pre", Seq(0).toDF("z"))
+    val bad = Seq(1).toDF("x").withColumn("boom", expr("assert_true(x > 100)"))
+    intercept[Throwable] {
+      Transaction(Seq("ok" -> Seq(1).toDF("x"), "bad" -> bad)).commit(reg)
+    }
+    assert(reg.names == Seq("pre"), "no transactional leg may be visible after abort")
+  }
+
+  test("lineage records copy vs transform vs transform-hop") {
+    val s = spark
+    import s.implicits._
+    val reg = new DatasetRegistry
+    val src = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+    Job("j1", DatasetSource(src, "id", "id"),
+      sink = DatasetSink(reg, "copy_out"), sourceName = "src", sinkName = "copy_out").run(s, Some(reg))
+    Job("j2", DatasetSource(src, "id", "id"),
+      Transforms.setProperty("v2", col("v") * 2),
+      DatasetSink(reg, "xform_out"), sourceName = "src", sinkName = "xform_out",
+      hops = Seq("dim")).run(s, Some(reg))
+    assert(reg.lineage == Seq(
+      ("dim", "xform_out", "transform-hop"),
+      ("src", "copy_out", "copy"),
+      ("src", "xform_out", "transform")))
+  }
+
+  test("virtual dataset composes with stored relations") {
+    val vd = VirtualDataset("seq", sp => sp.range(0, 5).select(col("id").as("k")))
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val n = orders.join(vd.read(spark), pmod(col("o_orderkey"), lit(5)) === col("k")).count()
+    assert(n == orders.count(), "every order lands in exactly one virtual bucket")
+  }
+
+  test("incremental DatasetSource honors the since token with latestOnly") {
+    val s = spark
+    import s.implicits._
+    val log = Seq(("a", 1L, "x"), ("a", 5L, "y"), ("b", 2L, "z")).toDF("id", "rec", "p")
+    val got = DatasetSource(log, "id", "rec", latestOnly = true, since = Some(2L))
+      .read(s).select("id", "p").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", "y"))) // b's only version is at/before the token
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextMultimodalSpec extends SparkSpec {
+
+  private def df1(text: String) = {
+    val s = spark
+    import s.implicits._
+    Seq((1L, text)).toDF("doc_id", "text")
+  }
+
+  test("token counts on a known string") {
+    val r = TextAnalysis.tokenCounts(df1("Hello, world! x2"), "text", "doc_id").collect()(0)
+    assert(r.getLong(1) == 16L) // chars
+    assert(r.getLong(2) == 3L) // ws tokens: Hello, | world! | x2
+    // bpe-ish: hello , world ! x 2  -> 6
+    assert(r.getLong(3) == 6L)
+  }
+
+  test("rolling hash matches a local computation") {
+    val text = "abc xyz"
+    val expect = text.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + b) % 1000000007L)
+    val r = TextAnalysis.fingerprints(df1(text), "text", "doc_id").collect()(0)
+    assert(r.getLong(2) == expect)
+  }
+
+  test("langid picks English for English text") {
+    val r = TextAnalysis.langId(df1("the cat sat on the mat and the dog is in a house of cards"), "text", "doc_id").collect()(0)
+    assert(r.getString(1) == "en")
+  }
+
+  test("quality score fields are consistent") {
+    val r = TextAnalysis.qualityScore(df1("one two three"), "text", "doc_id").collect()(0)
+    assert(r.getLong(2) == 3L) // n_words
+    assert(r.getDouble(3) == 3.66) // (3+3+5)*100 div 3 = 366 -> 3.66
+  }
+
+  test("multimodal features are deterministic byte stats over the payload") {
+    val text = "abcdefghijklmnopqr" // 18 bytes -> 2 frames at stride 16
+    val feats = Multimodal.features(spark, df1(text).withColumn("source", lit("s")))
+      .collect()(0)
+    assert(feats.getLong(1) == 18L)
+    val expectSum = text.getBytes("UTF-8").foldLeft(0L)((a, b) => (a + (b & 0xff)) % 997L)
+    assert(feats.getLong(2) == expectSum)
+    assert(feats.getLong(3) == 2L)
+    assert(feats.getLong(4) == 'a'.toLong)
+  }
+
+  test("text ops are map-only: no shuffle in the plan") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = planOf(TextAnalysis.qualityScore(docs, "text", "doc_id"))
+    assert(!plan.contains("Exchange"), "quality scoring must not shuffle:\n" + plan)
+  }
+}
