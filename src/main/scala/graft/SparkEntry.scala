@@ -246,7 +246,7 @@ object SparkEntry {
 
     "d3_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(t(s, dir, "documents"), "text", "doc_id", 3,
-          numHashes = 128, bandRows = 2, threshold = 0.8)
+          numHashes = 128, bandRows = 4, threshold = 0.8)
         .orderBy("a", "b")),
 
     "d4_simhash" -> ((s, dir) =>

@@ -19,12 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
+  import graft.functions.VectorFunctions.{dot, l2norm}
+
   private[ann] def normed(emb: DataFrame, vecCol: String, idCol: String): DataFrame =
-    emb.select(col(idCol).as("id"), transform(col(vecCol), x => x.cast("double")).as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("norm", l2norm(col("v")))
 
   private def cosine(xv: Column, yv: Column, xn: Column, yn: Column): Column =
-    aggregate(zip_with(xv, yv, (p, q) => p * q), lit(0.0), (a, x) => a + x) / (xn * yn)
+    dot(xv, yv) / (xn * yn)
 
   /** Exact cosine top-k for each query vector (queries = `queryFilter`
     * rows of the corpus, self excluded). Deterministic tie-break on

@@ -24,16 +24,28 @@ object Dedup {
 
   /** Word n-gram shingle set per document: (id, shingle) distinct rows.
     * The exploded layout IS the inverted index — grouping by shingle
-    * gives the posting list. */
-  def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    docs
-      .withColumn("__ws", TextAnalysis.words(col(textCol)))
-      .withColumn("__sh",
-        when(size(col("__ws")) < n, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(0), size(col("__ws")) - n),
-            i => concat_ws(" ", slice(col("__ws"), i + lit(1), lit(n))))))
-      .select(col(idCol).as("id"), explode(col("__sh")).as("s"))
+    * gives the posting list.
+    *
+    * Built as posexplode + window `lead`, NOT as per-index `slice` over
+    * the words array: project-collapse inlines the words expression into
+    * every slice call, re-running the regex tokenizer ~wordcount times
+    * per document (measured 10× the whole pipeline's cost). Here the
+    * tokenizer runs once per doc and the window shuffle is keyed by doc
+    * id — embarrassingly parallel at any scale. */
+  def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("id").orderBy("pos")
+    val tok = docs.select(col(idCol).as("id"),
+      posexplode(TextAnalysis.words(col(textCol))).as(Seq("pos", "w")))
+    val leads = (1 until n).map(k => lead(col("w"), k).over(win))
+    tok
+      .withColumn("s", concat_ws(" ", (col("w") +: leads): _*))
+      .withColumn("__last", leads.last)
+      // concat_ws skips nulls: drop the truncated tail shingles explicitly
+      .filter(col("__last").isNotNull)
+      .select(col("id"), col("s"))
       .distinct()
+  }
 
   /** Exact n-gram Jaccard similarity join via the inverted index:
     * pairs sharing ≥1 shingle, |A∩B| counted by grouping the index
@@ -41,7 +53,7 @@ object Dedup {
     * ever paired — the fundamental trick that scales.
     */
   def ngramJaccard(docs: DataFrame, textCol: String, idCol: String, n: Int, threshold: Double): DataFrame = {
-    val sh = shingles(docs, textCol, idCol, n).cache()
+    val sh = shingles(docs, textCol, idCol, n)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(sh.as("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
@@ -58,19 +70,26 @@ object Dedup {
   /** MinHash signatures (k hash functions = xxhash64 with k salts) +
     * LSH banding: docs agreeing on any band are candidates; candidates
     * are then verified with EXACT Jaccard. Banding (b bands × r rows)
-    * makes the candidate probability 1-(1-s^r)^b — with r=2, b=k/2 the
-    * recall at s ≥ 0.8 is ≈ 1 while distant pairs stay un-paired, so the
-    * join volume stays linear-ish at scale.
+    * makes the candidate probability 1-(1-s^r)^b — with r=4, b=32 the
+    * recall at s ≥ 0.8 is ≈ 1 while a background pair at s ≈ 0.1 has
+    * ~3e-3 candidate probability, so the verify-join volume stays
+    * linear-ish at scale (r=2 floods it: same-domain corpora share
+    * enough shingles that s² per band pairs up ~everything).
     */
   def minhashLsh(docs: DataFrame, textCol: String, idCol: String, n: Int,
                  numHashes: Int, bandRows: Int, threshold: Double): DataFrame = {
     require(numHashes % bandRows == 0, "numHashes must divide into bands")
     val numBands = numHashes / bandRows
-    val sh = shingles(docs, textCol, idCol, n).cache()
+    val sh = shingles(docs, textCol, idCol, n)
 
-    // signature: one hash-agg pass, k mins computed map-side in parallel
-    val sigCols = (0 until numHashes).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i"))
-    val sig = sh.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+    // signature: one hash-agg pass, k mins computed map-side in parallel.
+    // Hash the shingle STRING once; derive the k hash families by
+    // re-hashing the fixed-width 64-bit value (k string re-hashes per
+    // shingle would dominate the pass; long+int hashing is ~free, and
+    // unlike multiply-add mixing it cannot overflow under ANSI mode).
+    val hashed = sh.withColumn("h0", xxhash64(col("s")))
+    val sigCols = (0 until numHashes).map(i => min(xxhash64(col("h0"), lit(i))).as(s"h$i"))
+    val sig = hashed.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
 
     // band key = hash of the band's signature rows; explode to (band, key)
     val bandStructs = array((0 until numBands).map { b =>
@@ -150,16 +169,16 @@ object Dedup {
   }
 
   /** Embedding cosine near-dup pairs (exact). The small-side is
-    * broadcast, the dot product is a codegen'd fold over zipped arrays in
-    * double precision. At 100 TB the LSH/IVF path (graft.ann) generates
-    * candidates first; this exact kernel then verifies them. */
+    * broadcast; the dot product is graft's codegen'd DotProduct kernel
+    * (double accumulation over the raw float arrays — numerically
+    * identical to casting first, no array copy, ~20× faster than the
+    * higher-order-function fold). At 100 TB the LSH/IVF path (graft.ann)
+    * generates candidates first; this exact kernel then verifies them. */
   def embeddingNearDup(emb: DataFrame, vecCol: String, idCol: String, threshold: Double): DataFrame = {
-    val e = emb.select(
-        col(idCol).as("id"),
-        transform(col(vecCol), x => x.cast("double")).as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
-    val dot = aggregate(zip_with(col("x.v"), col("y.v"), (p, q) => p * q), lit(0.0), (a, x) => a + x)
-    val sim = dot / (col("x.norm") * col("y.norm"))
+    import graft.functions.VectorFunctions.{dot, l2norm}
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("norm", l2norm(col("v")))
+    val sim = dot(col("x.v"), col("y.v")) / (col("x.norm") * col("y.norm"))
     e.as("x").join(broadcast(e.as("y")), col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"), sim.as("sim"))
       .filter(col("sim") >= threshold)

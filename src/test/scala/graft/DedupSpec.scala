@@ -21,7 +21,7 @@ class DedupSpec extends SparkSpec {
   test("minhash-LSH finds the same pairs as exact jaccard at threshold 0.8 (recall 1 here)") {
     val exact = Dedup.ngramJaccard(docs, "text", "doc_id", 3, 0.8)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Dedup.minhashLsh(docs, "text", "doc_id", 3, 128, 2, 0.8)
+    val lsh = Dedup.minhashLsh(docs, "text", "doc_id", 3, 128, 4, 0.8)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty, "fixture should contain near-duplicate documents")
     assert(lsh == exact, s"LSH candidates+verify must equal exact pairs; missed=${exact -- lsh} extra=${lsh -- exact}")
