@@ -325,7 +325,41 @@ object SparkEntry {
     }),
 
     "j8_onchange_stream" -> ((s, dir) =>
-      OnChange.aggregateEvents(s, s"$dir/events.parquet").orderBy("event_type"))
+      OnChange.aggregateEvents(s, s"$dir/events.parquet").orderBy("event_type")),
+
+    "g9_paged_traversal" -> ((s, dir) => {
+      val g = Tpch.graph(s, dir)
+      g.outPaged("customer", Tpch.pNation, afterKey = Some(50L), pageSize = 20)
+        .orderBy("start_key")
+    }),
+
+    "s3_ann_ivf" -> ((s, dir) =>
+      Ann.ivfTopK(t(s, dir, "embeddings"), "embedding", "vec_id",
+          queryFilter = col("id") < 10, k = 5)
+        .orderBy("query_id", "rnk")),
+
+    "e3_stream_window" -> ((s, dir) =>
+      OnChange.windowedStream(s, s"$dir/events.parquet")
+        .orderBy("window_start", "event_type")),
+
+    "j9_backup_restore" -> ((s, dir) => {
+      val reg = new DatasetRegistry
+      reg.put("customer", t(s, dir, "customer"))
+      reg.put("orders", t(s, dir, "orders"))
+      val root = java.nio.file.Files.createTempDirectory("graft_backup_").toString
+      jobs.Backup.backup(reg, root)
+      val restored = jobs.Backup.restore(s, root)
+      restored.names
+        .map(n => restored.get(n).agg(count(lit(1)).as("n_rows")).select(lit(n).as("dataset"), col("n_rows")))
+        .reduce(_ unionByName _)
+        .orderBy("dataset")
+    }),
+
+    "j10_stream_latest" -> ((s, dir) =>
+      OnChange.streamingLatestOnly(s, s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), col("value").as("last_value"))
+        .orderBy("user_id"))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -626,7 +660,36 @@ object SparkEntry {
 
     "j8_onchange_stream" ->
       """SELECT event_type, count(*) AS n, round(sum(value),2) AS sum_value
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "g9_paged_traversal" ->
+      s"""SELECT * FROM (
+         | SELECT CAST(c_custkey AS BIGINT) AS start_key, $custUri AS start,
+         |   '${Tpch.pNation}' AS predicate, $natUri AS related
+         | FROM customer JOIN nation ON c_nationkey = n_nationkey
+         | WHERE c_custkey > 50 ORDER BY start_key LIMIT 20
+         |) ORDER BY start_key""".stripMargin,
+
+    "e3_stream_window" ->
+      """WITH b AS (
+        |  SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP))::BIGINT AS window_start,
+        |         event_type, count(*) AS n, round(sum(value),2) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT max(epoch_us(ts::TIMESTAMP)) AS mx FROM events)
+        |SELECT window_start, event_type, n, sum_value FROM b, m
+        |WHERE (window_start + 3600) * 1000 <= mx // 1000
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    "j9_backup_restore" ->
+      """SELECT * FROM (
+        | SELECT 'customer' AS dataset, count(*) AS n_rows FROM customer
+        | UNION ALL SELECT 'orders', count(*) FROM orders
+        |) ORDER BY dataset""".stripMargin,
+
+    "j10_stream_latest" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type, value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin
   )
 
   /** Exact word-3-gram Jaccard pairs at threshold 0.8 — the oracle for

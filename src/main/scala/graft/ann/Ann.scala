@@ -71,6 +71,39 @@ object Ann {
       when(proj > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
+    * into nlist cells; a query scores only the vectors of its nprobe
+    * nearest cells. Centroids here are a deterministic hash-ranked
+    * sample of the corpus (a production build would train k-means and
+    * broadcast the centroid table the same way — the operator shape is
+    * identical). Corpus-side assignment is one broadcast-join +
+    * per-id argmax; probing is a cell-keyed equi-join, so the scored
+    * candidate volume is ~corpus·nprobe/nlist — the sub-linear scale
+    * path next to `lshTopK`. */
+  def ivfTopK(emb: DataFrame, vecCol: String, idCol: String,
+              queryFilter: Column, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = normed(emb, vecCol, idCol)
+    val cent = broadcast(
+      e.orderBy(xxhash64(col("id")), col("id")).limit(nlist)
+        .select(col("id").as("cid"), col("v").as("cv"), col("norm").as("cnorm")))
+    val simToCent = cosine(col("v"), col("cv"), col("norm"), col("cnorm"))
+    val ranked = e.join(cent)
+      .withColumn("csim", simToCent)
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid"))))
+    val assign = ranked.filter(col("crn") === 1) // corpus: nearest cell only
+      .select(col("id"), col("v"), col("norm"), col("cid"))
+    val probes = ranked.filter(queryFilter && col("crn") <= nprobe) // queries: nprobe cells
+      .select(col("id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"), col("cid"))
+    val scored = assign.join(broadcast(probes),
+        assign("cid") === probes("cid") && col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine(col("v"), col("qv"), col("norm"), col("qnorm")).as("sim"))
+      .distinct()
+    topKPerQuery(scored, k, salts = 32)
+  }
+
   /** LSH-bucketed ANN: candidates = same (table, sketch) bucket in any of
     * the L tables; exact cosine only on candidates; two-phase top-k. */
   def lshTopK(emb: DataFrame, vecCol: String, idCol: String, dims: Int,

@@ -138,6 +138,37 @@ final case class EntityGraph(datasets: Map[String, EntityDataset], ns: Namespace
       )
   }
 
+  /** Paged outgoing traversal with a continuation token (reference:
+    * Query `limit` + `continuations` — every query result can be resumed
+    * from an opaque token). The token is keyset-based: "start strictly
+    * after entity key K", so resuming is a pushed-down range predicate +
+    * top-N — Spark plans TakeOrderedAndProject (per-partition top-N,
+    * merged on the driver), NOT a global sort, and the `> K` predicate
+    * prunes parquet row groups. O(page) per page at any corpus size.
+    */
+  def outPaged(
+      dataset: String,
+      predicate: String,
+      afterKey: Option[Long],
+      pageSize: Int
+  ): DataFrame = {
+    val src = apply(dataset)
+    val r = src.refs.find(_.predicate == predicate)
+      .getOrElse(sys.error(s"dataset ${src.name} has no predicate $predicate"))
+    val tgt = apply(r.target)
+    val keyFilter = afterKey.map(k => col(src.idCol) > k).getOrElse(lit(true))
+    // page the START set first (pushed range predicate + per-partition
+    // top-N), then traverse only the page — never the whole corpus
+    val page = src.df.filter(keyFilter).orderBy(col(src.idCol)).limit(pageSize)
+    page
+      .join(tgt.rel, page(r.fkCol) === tgt.df(tgt.idCol))
+      .select(
+        page(src.idCol).cast("long").as("start_key"),
+        src.uriOf(page(src.idCol)).as("start"),
+        lit(predicate).as("predicate"),
+        tgt.uri.as("related"))
+  }
+
   /** Reference: `details: true` lookup — entity augmented with per-value
     * provenance. Emits one row per (entity, property) with the owning
     * dataset, value rendered as string.

@@ -124,18 +124,18 @@ object Dedup {
 
   /** 64-bit SimHash fingerprint per doc: bit j of the fingerprint is the
     * sign of Σ_tokens ±count (sign = bit j of xxhash64(token)). Computed
-    * as 64 parallel conditional sums in ONE hash aggregate. */
+    * as 64 parallel conditional sums in ONE hash aggregate straight off
+    * the exploded tokens — Σ_distinct ±count ≡ Σ_instances ±1, so no
+    * (id, word) pre-aggregation shuffle is needed. */
   def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val wc = docs
-      .withColumn("__w", explode(TextAnalysis.words(col(textCol))))
-      .groupBy(col(idCol).as("id"), col("__w").as("w"))
-      .agg(count(lit(1)).as("cnt"))
+    val tok = docs
+      .select(col(idCol).as("id"), explode(TextAnalysis.words(col(textCol))).as("w"))
       .withColumn("h", xxhash64(col("w")))
     val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"b$j")
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, lit(1L))
+        .otherwise(lit(-1L))).as(s"b$j")
     }
-    val sums = wc.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sums = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
     // disjoint bit patterns: arithmetic + equals bitwise OR
     val fp = (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)

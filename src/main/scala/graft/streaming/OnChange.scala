@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
 
 /** The reference's `onchange` trigger (mimiro-io/datahub
   * DOCUMENTATION.md "Jobs": a job that runs whenever its source dataset
@@ -43,5 +43,73 @@ object OnChange {
       .start()
     q.awaitTermination()
     spark.table(name)
+  }
+
+  /** Watermarked tumbling-window aggregation over the change stream in
+    * APPEND mode: only windows the watermark has closed are emitted —
+    * the streaming-native shape for unbounded logs (state store holds
+    * one row per open (window, group), bounded by the watermark).
+    * With a zero-delay watermark and a full drain, the emitted set is
+    * exactly the batch windows whose end ≤ max event time — which is
+    * the oracle. */
+  def windowedStream(spark: SparkSession, eventsPath: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsPath).schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_changelog_w_")
+    dir.toFile.deleteOnExit()
+    val src = java.nio.file.Paths.get(eventsPath)
+    java.nio.file.Files.copy(src, dir.resolve(src.getFileName))
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("__ts", graft.ops.Events.tsFromNanos("ts"))
+      .withWatermark("__ts", "0 seconds")
+      .groupBy(window(col("__ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+    val name = "onchange_win_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = stream.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** One event version of one entity (user) in the change stream. */
+  final case class EventVersion(user_id: Long, event_id: Long, event_type: String, value: Double)
+
+  /** Streaming latestOnly via `mapGroupsWithState`: the reference's
+    * incremental-sync state — newest version per entity — held in
+    * Spark's streaming state store, updated per micro-batch. Custom
+    * per-key state is the escape hatch the reference implements with
+    * its sync tokens; here it is a typed KeyValueGroupedDataset op. */
+  def streamingLatestOnly(spark: SparkSession, eventsPath: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsPath).schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_changelog_s_")
+    dir.toFile.deleteOnExit()
+    val src = java.nio.file.Paths.get(eventsPath)
+    java.nio.file.Files.copy(src, dir.resolve(src.getFileName))
+    val latest = spark.readStream.schema(schema).parquet(dir.toString)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .as[EventVersion]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[EventVersion, EventVersion](GroupStateTimeout.NoTimeout) {
+        (_, versions, state) =>
+          val newest = (state.getOption.iterator ++ versions).maxBy(_.event_id)
+          state.update(newest)
+          newest
+      }
+    val name = "onchange_latest_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = latest.writeStream
+      .format("memory").queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // a multi-batch drain upserts per batch; collapse to the final state
+    graft.ops.ChangeLog.latestOnly(spark.table(name), "user_id", "event_id")
   }
 }

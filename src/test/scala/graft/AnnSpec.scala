@@ -43,6 +43,16 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH recall@5 too low: $recall")
   }
 
+  test("ivfTopK recall@5 vs brute force is well above chance") {
+    val exact = topkLocal(5, 10)
+    val ivf = Ann.ivfTopK(emb, "embedding", "vec_id", col("id") < 10, 5)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val hits = exact.map { case (q, nbrs) => (ivf.getOrElse(q, Set.empty) & nbrs.toSet).size }.sum
+    val recall = hits.toDouble / (5 * exact.size)
+    assert(recall >= 0.3, s"IVF recall@5 too low: $recall")
+  }
+
   test("brute force broadcasts the query side (no corpus shuffle)") {
     val plan = planOf(Ann.bruteForceTopK(emb, "embedding", "vec_id", col("id") < 5, 5))
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)

@@ -66,6 +66,22 @@ class GraphPlanSpec extends SparkSpec {
     assert(sess == Set((1L, 0L, 2L), (1L, 10000L * 1000000L, 1L), (2L, 50L * 1000000L, 1L)))
   }
 
+  test("paged traversal: pages partition the full traversal, keyset-resumable") {
+    val page1 = g.outPaged("customer", Tpch.pNation, None, 30)
+      .select("start_key").collect().map(_.getLong(0))
+    assert(page1.length == 30 && page1.sorted.sameElements(page1))
+    val token = page1.last
+    val page2 = g.outPaged("customer", Tpch.pNation, Some(token), 30)
+      .select("start_key").collect().map(_.getLong(0))
+    assert(page2.length == 30 && page2.head > token)
+    assert((page1.toSet & page2.toSet).isEmpty)
+  }
+
+  test("paged traversal plans a top-N, not a global sort") {
+    val plan = planOf(g.outPaged("customer", Tpch.pNation, Some(10L), 20))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("events scan prunes columns (ReadSchema only carries what is used)") {
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     val plan = planOf(events.select(col("event_type")).groupBy("event_type").count())

@@ -54,6 +54,20 @@ class JobsSpec extends SparkSpec {
     assert(n == orders.count(), "every order lands in exactly one virtual bucket")
   }
 
+  test("backup/restore round-trips the registry") {
+    val s = spark
+    import s.implicits._
+    val reg = new DatasetRegistry
+    reg.put("alpha", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    reg.put("beta", Seq(9).toDF("n"))
+    val root = java.nio.file.Files.createTempDirectory("graft_backup_spec_").toString
+    Backup.backup(reg, root)
+    val restored = Backup.restore(s, root)
+    assert(restored.names == Seq("alpha", "beta"))
+    assert(restored.get("alpha").count() == 2 && restored.get("beta").count() == 1)
+    assert(restored.get("alpha").orderBy("k").collect().map(_.getString(1)).toSeq == Seq("a", "b"))
+  }
+
   test("incremental DatasetSource honors the since token with latestOnly") {
     val s = spark
     import s.implicits._
