@@ -359,7 +359,21 @@ object SparkEntry {
       OnChange.streamingLatestOnly(s, s"$dir/events.parquet")
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("event_type").as("last_type"), col("value").as("last_value"))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    "j11_entity_roundtrip" -> ((s, dir) => {
+      // export to the reference's entity-JSON wire shape, re-import,
+      // flatten — the UDA interchange loop with no HTTP in between
+      val g = Tpch.graph(s, dir)
+      val wire = graft.sources.EntityJson.toJsonLines(
+        graft.sources.EntityJson.toEntityRows(g, "customer"))
+      val back = graft.sources.EntityJson.fromJsonLines(s, wire)
+      graft.sources.EntityJson.flatten(back, Seq(
+          (Tpch.schemaNs + "customer/c_name", "name"),
+          (Tpch.schemaNs + "customer/c_acctbal", "acctbal_s")))
+        .select(col("id"), col("name"), col("acctbal_s").cast("double").as("acctbal"))
+        .orderBy("id")
+    })
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -689,7 +703,11 @@ object SparkEntry {
     "j10_stream_latest" ->
       """SELECT user_id, event_id AS last_event_id, event_type AS last_type, value AS last_value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "j11_entity_roundtrip" ->
+      s"""SELECT $custUri AS id, c_name AS name, c_acctbal AS acctbal
+         |FROM customer ORDER BY id""".stripMargin
   )
 
   /** Exact word-3-gram Jaccard pairs at threshold 0.8 — the oracle for

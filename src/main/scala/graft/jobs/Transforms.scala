@@ -47,6 +47,21 @@ object Transforms {
   def newEntityFrom(idCol: String, ns: String, keep: Seq[String]): Transform =
     df => df.select(EntityModel.uri(ns, col(idCol)).as("id") +: keep.map(col): _*)
 
+  /** Reference: GetId/SetId — the entity id is a first-class column. */
+  def setId(ns: String, key: Column): Transform =
+    _.withColumn("id", EntityModel.uri(ns, key))
+
+  /** Reference: AsEntity(ref) — promote a reference URI column to an
+    * entity-shaped frame (id + carried columns), e.g. before FindById
+    * joins. */
+  def asEntity(refCol: String, keep: Seq[String]): Transform =
+    df => df.select(col(refCol).as("id") +: keep.map(col): _*)
+
+  /** Reference: NewEntity() — an empty entity frame with an id column,
+    * to be populated by subsequent Set ops. */
+  def newEntity(ns: String, key: Column): Transform =
+    df => df.select(EntityModel.uri(ns, key).as("id"))
+
   /** Compose a pipeline of transforms (applied left to right). */
   def pipeline(ts: Transform*): Transform = ts.reduceLeft(_ andThen _)
 }

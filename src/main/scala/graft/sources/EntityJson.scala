@@ -1,0 +1,56 @@
+package graft.sources
+
+import graft.core.EntityGraph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The reference's entity interchange shape (UDA entity JSON:
+  * `{id, recorded, deleted, props: {uri: value}, refs: {uri: uri}}` —
+  * mimiro-io/datahub DOCUMENTATION.md "Data Structures"; this is what
+  * HttpDatasetSource/Sink exchange over the wire).
+  *
+  * Spark translation: `toEntityRows` projects a native-column dataset
+  * into that nested shape (maps keyed by property/predicate URI);
+  * `toJsonLines`/`fromJsonLines` are the wire encoding; `flatten` is
+  * the import path back to native columns. All pure projections — a
+  * 100 TB export is a map-only scan, no shuffle.
+  */
+object EntityJson {
+
+  val WireSchema: StructType = StructType.fromDDL(
+    "id string, recorded bigint, deleted boolean, props map<string,string>, refs map<string,string>")
+
+  /** Project a registered dataset into the entity interchange shape. */
+  def toEntityRows(g: EntityGraph, dataset: String): DataFrame = {
+    val d = g(dataset)
+    val props = map(
+      d.propCols.flatMap(p => Seq(lit(d.propNs + p), col(p).cast("string"))): _*)
+    val refs =
+      if (d.refs.isEmpty) lit(null).cast("map<string,string>")
+      else map(d.refs.flatMap { r =>
+        val tgt = g(r.target)
+        Seq(lit(r.predicate), concat(lit(tgt.ns), col(r.fkCol).cast("string")))
+      }: _*)
+    d.df.select(
+      d.uri.as("id"),
+      lit(0L).as("recorded"),
+      lit(false).as("deleted"),
+      props.as("props"),
+      refs.as("refs"))
+  }
+
+  /** Entity rows → JSON lines (the wire format itself). */
+  def toJsonLines(entities: DataFrame): DataFrame =
+    entities.select(to_json(struct(entities.columns.map(col): _*)).as("json"))
+
+  /** Parse JSON lines back into entity rows. */
+  def fromJsonLines(spark: SparkSession, jsonDf: DataFrame): DataFrame =
+    jsonDf.select(from_json(col("json"), WireSchema).as("e")).select("e.*")
+
+  /** Flatten entity rows back to native columns (import path): each
+    * (propertyUri, columnName) becomes a column again. */
+  def flatten(entities: DataFrame, propUris: Seq[(String, String)]): DataFrame =
+    entities.select(
+      col("id") +: propUris.map { case (uri, name) => col("props").getItem(uri).as(name) }: _*)
+}

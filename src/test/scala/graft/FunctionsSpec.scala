@@ -1,0 +1,46 @@
+package graft
+
+import graft.functions.GraftExtensions
+import graft.ops.Skew
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+
+  test("dot_product is SQL-callable after extension registration and matches a local value") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .collect()(0).getDouble(0)
+    assert(got == 32.0)
+    // float arrays accumulate in double
+    val f = spark.sql(
+      "SELECT dot_product(array(cast(0.5 as float), cast(0.25 as float)), array(cast(2.0 as float), cast(4.0 as float))) AS d")
+      .collect()(0).getDouble(0)
+    assert(f == 2.0)
+  }
+
+  test("dot_product stays inside whole-stage codegen") {
+    GraftExtensions.register(spark)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val df = emb.selectExpr("dot_product(embedding, embedding) AS n2")
+    val plan = planOf(df)
+    // formatted explain marks whole-stage-codegen'd nodes with "* "
+    assert(plan.contains("* Project"), plan)
+    assert(df.agg(min("n2")).collect()(0).getDouble(0) > 0.0)
+  }
+
+  test("saltedJoin is row-identical to the plain join") {
+    val s = spark
+    import s.implicits._
+    // heavily skewed big side: 90% of rows share one key
+    val big = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong % 7, i.toLong)).toDF("k", "payload")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "c")).toDF("k", "tag")
+    val plain = big.join(small, "k").select("k", "payload", "tag")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val salted = Skew.saltedJoin(big, small, "k", col("payload"), salts = 8)
+      .select("k", "payload", "tag")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(salted == plain)
+    assert(plain.size == 900 + (1 to 1000).count(i => i > 900 && Set(1L, 2L, 3L, 4L).contains(i % 7)))
+  }
+}
