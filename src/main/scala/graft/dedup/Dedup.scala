@@ -22,30 +22,28 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingle set per document: (id, shingle) distinct rows.
-    * The exploded layout IS the inverted index — grouping by shingle
-    * gives the posting list.
+  /** Word n-gram shingle set per document: (id, shingle) rows, unique
+    * per doc. The exploded layout IS the inverted index — grouping by
+    * shingle gives the posting list.
     *
-    * Built as posexplode + window `lead`, NOT as per-index `slice` over
-    * the words array: project-collapse inlines the words expression into
-    * every slice call, re-running the regex tokenizer ~wordcount times
-    * per document (measured 10× the whole pipeline's cost). Here the
-    * tokenizer runs once per doc and the window shuffle is keyed by doc
-    * id — embarrassingly parallel at any scale. */
-  def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val win = Window.partitionBy("id").orderBy("pos")
-    val tok = docs.select(col(idCol).as("id"),
-      posexplode(TextAnalysis.words(col(textCol))).as(Seq("pos", "w")))
-    val leads = (1 until n).map(k => lead(col("w"), k).over(win))
-    tok
-      .withColumn("s", concat_ws(" ", (col("w") +: leads): _*))
-      .withColumn("__last", leads.last)
-      // concat_ws skips nulls: drop the truncated tail shingles explicitly
-      .filter(col("__last").isNotNull)
-      .select(col("id"), col("s"))
-      .distinct()
-  }
+    * Two scale-critical tricks:
+    * 1. The words array crosses an `explode(array(...))` GENERATOR
+    *    before the per-index `slice` calls. Projections cannot collapse
+    *    into a Generate, so the regex tokenizer runs once per doc —
+    *    referenced directly, project-collapse inlines it into every
+    *    slice call (~wordcount× per doc, measured 10× the whole
+    *    pipeline's cost).
+    * 2. Per-doc dedup is `array_distinct` INSIDE the row, so the
+    *    operator is completely map-only — no window, no global
+    *    distinct shuffle. */
+  def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    docs
+      // generator = optimization barrier: __ws is a materialized attribute
+      .select(col(idCol).as("id"), explode(array(TextAnalysis.words(col(textCol)))).as("__ws"))
+      .select(col("id"), explode(array_distinct(
+        when(size(col("__ws")) < n, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(col("__ws")) - n),
+            i => concat_ws(" ", slice(col("__ws"), i + lit(1), lit(n))))))).as("s"))
 
   /** Exact n-gram Jaccard similarity join via the inverted index:
     * pairs sharing ≥1 shingle, |A∩B| counted by grouping the index
