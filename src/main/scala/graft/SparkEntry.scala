@@ -143,6 +143,18 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    "c7_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val probes = ev.select(col("user_id")).distinct()
+        .select(col("user_id"), explode(array(lit(300L), lit(600L), lit(900L))).as("t"))
+      ChangeLog.asOfJoin(ev, "user_id", "event_id", Seq("event_id", "event_type", "value"),
+          probes, "user_id", "t")
+        .select(col("__id").as("user_id"), col("__t").as("t"),
+          col("event_id").as("asof_event_id"), col("event_type").as("asof_type"),
+          col("value").as("asof_value"))
+        .orderBy("user_id", "t")
+    }),
+
     "c6_changes_count" -> ((s, dir) => {
       ChangeLog.changesSince(events(s, dir), "event_id", 200)
         .groupBy("event_type")
@@ -256,6 +268,10 @@ object SparkEntry {
     "d5_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id", 0.4)
         .orderBy("a", "b")),
+
+    "d6_dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(Dedup.ngramJaccard(t(s, dir, "documents"), "text", "doc_id", 3, 0.8))
+        .orderBy("id")),
 
     // ===== similarity search ============================================
     "s1_ann_bruteforce" -> ((s, dir) =>
@@ -707,7 +723,38 @@ object SparkEntry {
 
     "j11_entity_roundtrip" ->
       s"""SELECT $custUri AS id, c_name AS name, c_acctbal AS acctbal
-         |FROM customer ORDER BY id""".stripMargin
+         |FROM customer ORDER BY id""".stripMargin,
+
+    "c7_asof_join" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |probes AS (SELECT user_id, t.t FROM u, unnest([300,600,900]::BIGINT[]) AS t(t))
+        |SELECT p.user_id, p.t, e.event_id AS asof_event_id,
+        |       e.event_type AS asof_type, e.value AS asof_value
+        |FROM probes p ASOF JOIN events e
+        |  ON p.user_id = e.user_id AND p.t >= e.event_id
+        |ORDER BY p.user_id, p.t""".stripMargin,
+
+    "d6_dedup_clusters" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[t.i:t.i+2], ' ') AS s
+        |  FROM words, unnest(range(1, len(ws)-1)) AS t(i)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a, b FROM pr JOIN sz sa ON pr.a = sa.doc_id JOIN sz sb ON pr.b = sb.doc_id
+        |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.8),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |r(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a)
+        |SELECT src AS id, least(src, min(dst)) AS cluster_id
+        |FROM r GROUP BY src ORDER BY id""".stripMargin
   )
 
   /** Exact word-3-gram Jaccard pairs at threshold 0.8 — the oracle for

@@ -166,6 +166,33 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Connected components over a near-duplicate pair graph → dedup
+    * clusters: every doc gets the smallest doc id reachable through
+    * pair edges as its cluster id (then "keep one per cluster" is a
+    * trivial group-by). Iterative min-label propagation — each round is
+    * one equi-join + hash-agg, lineage truncated per round with
+    * localCheckpoint; rounds ≈ O(log(diameter)) for near-dup graphs,
+    * whose components are tiny by construction. The driver only reads
+    * the convergence counter, never the data. */
+  def clusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(edges("a").as("id")).agg(min("label").as("nl"))
+      val next = labels.as("l").join(prop.as("p"), Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding cosine near-dup pairs (exact). The small-side is
     * broadcast; the dot product is graft's codegen'd DotProduct kernel
     * (double accumulation over the raw float arrays — numerically

@@ -62,6 +62,39 @@ object ChangeLog {
       .drop("__deleted")
   }
 
+  /** As-of join: each probe row (entity, t) picks up the entity's
+    * latest log version with recorded <= t — the join form of the
+    * reference's time-travel (every query can run "as of" any token).
+    *
+    * Spark-first formulation: no per-probe lookup, no range join —
+    * union the tagged probe rows into the log, one window pass ordered
+    * by (token, kind) per entity carries the last seen version forward
+    * into each probe row. ONE shuffle keyed by entity id, linear in
+    * |log| + |probes|, any scale. (DuckDB's native ASOF JOIN is the
+    * oracle.)
+    */
+  def asOfJoin(
+      log: DataFrame, idCol: String, recordedCol: String, payloadCols: Seq[String],
+      probes: DataFrame, probeIdCol: String, probeTimeCol: String
+  ): DataFrame = {
+    val payload = struct(payloadCols.map(col).toIndexedSeq: _*)
+    val logT = log.select(
+      col(idCol).as("__id"), col(recordedCol).cast("long").as("__t"),
+      payload.as("__v"), lit(0).as("__kind"))
+    val probeT = probes.select(
+      col(probeIdCol).as("__id"), col(probeTimeCol).cast("long").as("__t"),
+      lit(null).cast(logT.schema("__v").dataType).as("__v"), lit(1).as("__kind"))
+    // log row sorts BEFORE a probe at the same token (kind 0 < 1): the
+    // reference's asOf is inclusive of versions recorded exactly at t
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("__t"), col("__kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    logT.unionByName(probeT)
+      .withColumn("__latest", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__kind") === 1 && col("__latest").isNotNull)
+      .select(col("__id") +: col("__t") +: payloadCols.map(c => col(s"__latest.$c").as(c)): _*)
+  }
+
   /** Reference: POST /compaction {"strategy": "deduplicate"} — drop
     * successive versions of an entity whose payload is identical to the
     * previous version, retaining timeline correctness

@@ -57,6 +57,20 @@ class ChangeLogSpec extends SparkSpec {
     assert(kept == Set(("a", 1L), ("a", 3L), ("b", 2L), ("b", 6L), ("c", 2L), ("c", 7L)))
   }
 
+  test("asOfJoin picks the latest version at-or-before each probe, inclusive") {
+    val s = spark
+    import s.implicits._
+    val probes = Seq(("a", 3L), ("a", 4L), ("b", 1L), ("c", 9L), ("zz", 5L)).toDF("id", "t")
+    val got = ChangeLog.asOfJoin(log, "id", "recorded", Seq("payload"), probes, "id", "t")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("a", 3L, "v2"), // version recorded exactly at t included
+      ("a", 4L, "v2"),
+      ("c", 9L, "x1")
+      // ("b", 1L): no version <= 1 -> dropped; "zz": unknown entity -> dropped
+    ))
+  }
+
   test("latestOnly is one shuffle with map-side partial aggregation — no window sort") {
     val plan = planOf(ChangeLog.latestOnly(log, "id", "recorded"))
     // struct-valued max_by plans as SortAggregate; what matters at scale:

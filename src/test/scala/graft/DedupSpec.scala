@@ -50,6 +50,15 @@ class DedupSpec extends SparkSpec {
     assert(fp(1L) != fp(3L))
   }
 
+  test("clusters assigns min-reachable id across chained pairs") {
+    val s = spark
+    import s.implicits._
+    // components: {1,2,3} chained, {7,9}, singleton edges only
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
+    val got = Dedup.clusters(pairs).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("ngram jaccard join never plans a cartesian product") {
     val plan = planOf(Dedup.ngramJaccard(docs, "text", "doc_id", 3, 0.8))
     assert(!plan.contains("CartesianProduct"), plan)
