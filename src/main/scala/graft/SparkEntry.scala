@@ -297,6 +297,29 @@ object SparkEntry {
     "x4_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(t(s, dir, "documents"), "text", "doc_id").orderBy("doc_id")),
 
+    // ===== composite pipeline ===========================================
+    // The full training-data prep loop: language gate + quality gate +
+    // near-dup removal (keep the smaller doc id of each pair), then
+    // per-source corpus statistics. Every stage is one of the operators
+    // above — this query exists to prove they compose.
+    "p1_training_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lang = TextAnalysis.langId(docs, "text", "doc_id").select(col("doc_id"), col("pred_lang"))
+      val qual = TextAnalysis.qualityScore(docs, "text", "doc_id").select(col("doc_id"), col("quality"))
+      val toks = TextAnalysis.tokenCounts(docs, "text", "doc_id").select(col("doc_id"), col("ws_tokens"))
+      val dupDrop = Dedup.ngramJaccard(docs, "text", "doc_id", 3, 0.8)
+        .select(col("b").as("doc_id")).distinct()
+      docs
+        .join(lang, "doc_id").join(qual, "doc_id").join(toks, "doc_id")
+        .join(dupDrop, Seq("doc_id"), "left_anti")
+        .filter(col("pred_lang") === "en" && col("quality") >= 0.40)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ws_tokens").as("total_tokens"),
+          round(sum("quality"), 2).as("sum_quality"))
+        .orderBy("source")
+    }),
+
     // ===== multimodal ===================================================
     "m1_multimodal_meta" -> ((s, dir) =>
       Multimodal.features(s, t(s, dir, "documents")).orderBy("doc_id")),
@@ -724,6 +747,52 @@ object SparkEntry {
     "j11_entity_roundtrip" ->
       s"""SELECT $custUri AS id, c_name AS name, c_acctbal AS acctbal
          |FROM customer ORDER BY id""".stripMargin,
+
+    "p1_training_corpus" ->
+      """WITH w AS (
+        |  SELECT doc_id, text, source,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |lang AS (
+        |  SELECT doc_id,
+        |    len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','ein','nicht'], x))) AS de,
+        |    len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS en,
+        |    len(list_filter(ws, x -> list_contains(['el','la','de','que','y','un','en'], x))) AS es,
+        |    len(list_filter(ws, x -> list_contains(['le','la','de','et','un','dans','est'], x))) AS fr,
+        |    len(list_filter(ws, x -> list_contains(['de','le','shi','bu','wo','you','zai'], x))) AS zh
+        |  FROM w),
+        |pred AS (
+        |  SELECT doc_id,
+        |    CASE WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+        |         WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+        |         WHEN es >= fr AND es >= zh THEN 'es'
+        |         WHEN fr >= zh THEN 'fr' ELSE 'zh' END AS pred_lang
+        |  FROM lang),
+        |q AS (
+        |  SELECT doc_id,
+        |    (least(len(ws), 100) * 50
+        |     + (len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is'], x)))::BIGINT * 3000 // greatest(len(ws)::BIGINT, 1))
+        |     + 2000
+        |     - (len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::BIGINT * 2000 // greatest(length(text)::BIGINT, 1))) / 10000.0 AS quality
+        |  FROM w),
+        |tk AS (SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[t.i:t.i+2], ' ') AS s
+        |  FROM w, unnest(range(1, len(ws)-1)) AS t(i)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |dup AS (
+        |  SELECT DISTINCT b AS doc_id
+        |  FROM pr JOIN sz sa ON pr.a = sa.doc_id JOIN sz sb ON pr.b = sb.doc_id
+        |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.8)
+        |SELECT d.source, count(*) AS n_docs, sum(tk.ws_tokens)::BIGINT AS total_tokens,
+        |       round(sum(q.quality), 2) AS sum_quality
+        |FROM documents d
+        | JOIN pred USING (doc_id) JOIN q USING (doc_id) JOIN tk USING (doc_id)
+        |WHERE pred.pred_lang = 'en' AND q.quality >= 0.40
+        |  AND doc_id NOT IN (SELECT doc_id FROM dup)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     "c7_asof_join" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
