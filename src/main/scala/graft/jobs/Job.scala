@@ -28,6 +28,18 @@ final case class DatasetSource(
   }
 }
 
+/** A source that reads a named dataset from the registry AT RUN TIME —
+  * how chained jobs see their upstream job's sink (the reference wires
+  * this through the store; here the registry is the store). */
+final case class RegistrySource(registry: DatasetRegistry, name: String) extends Source {
+  def read(spark: SparkSession): DataFrame = registry.get(name)
+}
+
+/** A source computed by a function (test doubles, virtual feeds). */
+final case class FunctionSource(fn: SparkSession => DataFrame) extends Source {
+  def read(spark: SparkSession): DataFrame = fn(spark)
+}
+
 /** Reference: UnionDatasetSource — ordered concatenation of dataset
   * sources; the `dataset` tag keeps provenance (and makes the union
   * restartable per-leg, mirroring the reference's continuation-token

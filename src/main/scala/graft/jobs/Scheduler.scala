@@ -1,0 +1,59 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+
+/** Job runner/scheduler semantics (reference: internal/jobs/runner.go,
+  * scheduler.go — cron/onchange triggers, retries, and the implicit
+  * dependency order of jobs whose sources are other jobs' sinks).
+  *
+  * Spark translation: cron wall-clock scheduling belongs to the
+  * cluster's orchestrator; what the LIBRARY owns is deterministic
+  * dependency-ordered execution of a job set — a topological sort over
+  * sourceName/hops → sinkName edges — plus per-job retry. Used for
+  * fullsync cascades: run everything downstream of a changed dataset
+  * in one call. */
+object Scheduler {
+
+  /** Run `jobSet` in topological dependency order (Kahn's algorithm,
+    * ties broken by job id for determinism). Returns the execution
+    * order. Throws on dependency cycles. */
+  def runAll(
+      spark: SparkSession,
+      registry: DatasetRegistry,
+      jobSet: Seq[Job],
+      maxRetries: Int = 0
+  ): Seq[String] = {
+    // j2 depends on j1 iff j1's sink feeds j2's source or a hop
+    def deps(j: Job): Seq[String] =
+      jobSet.filter(o => o.id != j.id &&
+        (o.sinkName == j.sourceName || j.hops.contains(o.sinkName))).map(_.id)
+    val remaining = scala.collection.mutable.Set(jobSet.map(_.id): _*)
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (remaining.nonEmpty) {
+      val ready = jobSet
+        .filter(j => remaining(j.id) && deps(j).forall(d => !remaining(d)))
+        .map(_.id).sorted
+      if (ready.isEmpty)
+        sys.error(s"dependency cycle among jobs: ${remaining.toSeq.sorted.mkString(", ")}")
+      ready.foreach { id =>
+        val job = jobSet.find(_.id == id).get
+        runWithRetry(spark, registry, job, maxRetries)
+        remaining -= id
+        order += id
+      }
+    }
+    order.toSeq
+  }
+
+  /** Reference: runner.go retries a failed job run. */
+  def runWithRetry(spark: SparkSession, registry: DatasetRegistry, job: Job, maxRetries: Int): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try { job.run(spark, Some(registry)); done = true }
+      catch {
+        case _: Throwable if attempt < maxRetries => attempt += 1
+      }
+    }
+  }
+}

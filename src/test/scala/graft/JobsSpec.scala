@@ -54,6 +54,56 @@ class JobsSpec extends SparkSpec {
     assert(n == orders.count(), "every order lands in exactly one virtual bucket")
   }
 
+  test("scheduler runs jobs in dependency order regardless of declaration order") {
+    val s = spark
+    import s.implicits._
+    val reg = new DatasetRegistry
+    val base = Seq((1L, 5.0), (2L, 50.0)).toDF("id", "v")
+    reg.put("base", base)
+    // declared INTENTIONALLY out of order: j_final reads j_mid's sink
+    val jFinal = Job("j_final",
+      RegistrySource(reg, "mid"),
+      Transforms.setProperty("v3", col("v2") * 3),
+      DatasetSink(reg, "final"), sourceName = "mid", sinkName = "final")
+    val jMid = Job("j_mid",
+      RegistrySource(reg, "base"),
+      Transforms.setProperty("v2", col("v") * 2),
+      DatasetSink(reg, "mid"), sourceName = "base", sinkName = "mid")
+    val order = Scheduler.runAll(s, reg, Seq(jFinal, jMid))
+    assert(order == Seq("j_mid", "j_final"))
+    assert(reg.get("final").agg(org.apache.spark.sql.functions.sum("v3")).collect()(0).getDouble(0) == (5.0 + 50.0) * 6)
+  }
+
+  test("scheduler detects dependency cycles") {
+    val s = spark
+    import s.implicits._
+    val reg = new DatasetRegistry
+    val df = Seq(1).toDF("x")
+    val a = Job("a", FunctionSource(_ => df),
+      sink = DatasetSink(reg, "out_a"), sourceName = "out_b", sinkName = "out_a")
+    val b = Job("b", FunctionSource(_ => df),
+      sink = DatasetSink(reg, "out_b"), sourceName = "out_a", sinkName = "out_b")
+    val e = intercept[RuntimeException](Scheduler.runAll(s, reg, Seq(a, b)))
+    assert(e.getMessage.contains("cycle"))
+  }
+
+  test("runWithRetry retries a transiently failing job") {
+    val s = spark
+    import s.implicits._
+    val reg = new DatasetRegistry
+    var attempts = 0
+    val flaky = FunctionSource { _ =>
+      attempts += 1
+      if (attempts < 3) sys.error("transient")
+      Seq(42).toDF("x")
+    }
+    Scheduler.runWithRetry(s, reg,
+      Job("flaky", flaky, sink = DatasetSink(reg, "out"), sourceName = "src", sinkName = "out"),
+      maxRetries = 5)
+    assert(attempts == 3)
+    assert(reg.get("out").count() == 1)
+  }
+
   test("backup/restore round-trips the registry") {
     val s = spark
     import s.implicits._
