@@ -110,6 +110,19 @@ object SparkEntry {
         .orderBy("property")
     }),
 
+    "g10_merge_partials" -> ((s, dir) => {
+      // two datasets sharing the customer id space, each holding a
+      // property subset (reference: partial entities across datasets)
+      val cust = t(s, dir, "customer")
+      val primary = cust.select(col("c_custkey").as("key"), col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+      val contact = cust.filter(pmod(col("c_custkey"), lit(2)) === 0)
+        .select(col("c_custkey").as("key"), col("c_mktsegment").as("segment"))
+      graft.core.Partials.merge(Seq(primary, contact), "key")
+        .select(concat(lit(tpchBase + "customer/"), col("key")).as("id"),
+          col("name"), col("acctbal"), col("segment"))
+        .orderBy("id")
+    }),
+
     // ===== change log / temporal ========================================
     "c1_changes_since" -> ((s, dir) => {
       ChangeLog.changesSince(events(s, dir), "event_id", 500)
@@ -161,6 +174,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
         .orderBy("event_type")
     }),
+
+    "c8_props_extract" -> ((s, dir) =>
+      // semi-structured props payload (the reference keeps arbitrary
+      // props per entity): parse JSON, aggregate the extracted field
+      events(s, dir)
+        .withColumn("k", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").cast("long").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")),
 
     // ===== jobs ==========================================================
     "j1_union_source" -> ((s, dir) => {
@@ -296,6 +319,9 @@ object SparkEntry {
 
     "x4_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(t(s, dir, "documents"), "text", "doc_id").orderBy("doc_id")),
+
+    "x5_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(t(s, dir, "documents"), "text", "doc_id").orderBy("doc_id")),
 
     // ===== composite pipeline ===========================================
     // The full training-data prep loop: language gate + quality gate +
@@ -802,6 +828,42 @@ object SparkEntry {
         |FROM probes p ASOF JOIN events e
         |  ON p.user_id = e.user_id AND p.t >= e.event_id
         |ORDER BY p.user_id, p.t""".stripMargin,
+
+    "g10_merge_partials" ->
+      s"""SELECT $custUri AS id, c_name AS name, c_acctbal AS acctbal,
+         | CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment END AS segment
+         |FROM customer ORDER BY id""".stripMargin,
+
+    "c8_props_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | sum(json_extract(props, '$.k')::INT)::BIGINT AS sum_k,
+        | min(json_extract(props, '$.k')::INT) AS min_k,
+        | max(json_extract(props, '$.k')::INT) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x5_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    [array_to_string(ws[i:i+2], ' ') for i in range(1, greatest(len(ws)-1, 1))] AS tri,
+        |    [array_to_string(ws[i:i+1], ' ') for i in range(1, greatest(len(ws), 1))] AS bi
+        |  FROM w),
+        |tri AS (
+        |  SELECT doc_id, len(tri)::BIGINT AS n_3grams, len(list_distinct(tri))::BIGINT AS n_distinct_3grams
+        |  FROM g),
+        |bic AS (
+        |  SELECT doc_id, b.g AS gram, count(*) AS cnt
+        |  FROM g, unnest(bi) AS b(g) GROUP BY 1, 2),
+        |bia AS (
+        |  SELECT doc_id, max(cnt)::BIGINT AS top_cnt, sum(cnt)::BIGINT AS n_2grams
+        |  FROM bic GROUP BY 1)
+        |SELECT t.doc_id, t.n_3grams, t.n_distinct_3grams,
+        |  ((t.n_3grams - t.n_distinct_3grams) * 10000 // greatest(t.n_3grams, 1)) / 10000.0 AS dup3_frac,
+        |  coalesce((b.top_cnt * 10000 // greatest(b.n_2grams, 1)) / 10000.0, 0.0) AS top_bigram_share
+        |FROM tri t LEFT JOIN bia b USING (doc_id) ORDER BY t.doc_id""".stripMargin,
 
     "d6_dedup_clusters" ->
       """WITH RECURSIVE words AS (

@@ -90,6 +90,36 @@ object TextAnalysis {
       size(regexp_extract_all(lower(col(textCol)), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
         .cast("long").as("bpe_tokens"))
 
+  // --- repetition (Gopher/C4-style quality rules) ------------------------
+
+  /** Within-document repetition statistics — the classic
+    * training-corpus repetition filters: fraction of duplicated
+    * word-3-grams and the share of the single most frequent bigram.
+    * The 3-gram part is fully map-only (per-row array ops behind a
+    * generator barrier); the bigram mode needs one hash-agg shuffle
+    * keyed by (doc, bigram). Ratios are fixed-point (oracle-exact). */
+  def repetition(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    def grams(n: Int) =
+      when(size(col("__ws")) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(col("__ws")) - n),
+          i => concat_ws(" ", slice(col("__ws"), i + lit(1), lit(n)))))
+    val base = docs.select(col(idCol).as("id"),
+      explode(array(words(col(textCol)))).as("__ws"))
+    val tri = base.select(col("id"),
+      size(grams(3)).cast("long").as("n_3grams"),
+      size(array_distinct(grams(3))).cast("long").as("n_distinct_3grams"))
+      .withColumn("dup3_frac",
+        expr("((n_3grams - n_distinct_3grams) * 10000 div greatest(n_3grams, 1)) / 10000.0D"))
+    val bi = base.select(col("id"), explode(grams(2)).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("id").agg(max("cnt").as("top_cnt"), sum("cnt").as("n_2grams"))
+      .withColumn("top_bigram_share",
+        expr("(top_cnt * 10000 div greatest(n_2grams, 1)) / 10000.0D"))
+    tri.join(bi, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_3grams"), col("n_distinct_3grams"),
+        col("dup3_frac"), coalesce(col("top_bigram_share"), lit(0.0)).as("top_bigram_share"))
+  }
+
   // --- fingerprinting ----------------------------------------------------
 
   /** Content fingerprints: md5 (exact-dup key) + a 64-bit-safe polynomial

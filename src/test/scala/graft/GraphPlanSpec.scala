@@ -82,6 +82,35 @@ class GraphPlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("mergePartials coalesces by precedence and keeps right-only entities") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, "n1", "x"), (2L, "n2", "y")).toDF("key", "name", "only_a")
+    val b = Seq((2L, "OVERRIDE", "z"), (3L, "n3", "w")).toDF("key", "name", "only_b")
+    val got = graft.core.Partials.merge(Seq(a, b), "key")
+      .orderBy("key")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, "n1", "x", null), // left-only entity
+      (2L, "n2", "y", "z"), // shared: FIRST dataset's name wins
+      (3L, "n3", null, "w") // right-only entity still appears
+    ))
+  }
+
+  test("repetition scores a repetitive doc higher than a diverse one") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val r = graft.text.TextAnalysis.repetition(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(r(0).getDouble(3) > 0.7) // dup3_frac of the spam doc
+    assert(r(1).getDouble(3) == 0.0)
+    assert(r(0).getDouble(4) > r(1).getDouble(4)) // top bigram share
+  }
+
   test("events scan prunes columns (ReadSchema only carries what is used)") {
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     val plan = planOf(events.select(col("event_type")).groupBy("event_type").count())
