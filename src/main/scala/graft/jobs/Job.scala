@@ -81,6 +81,12 @@ final class DatasetRegistry {
   def get(name: String): DataFrame = tables(name)
   def names: Seq[String] = tables.keys.toSeq.sorted
 
+  /** Reference: AssertDataset (DOCUMENTATION.md "Transforms") — ensure a
+    * sink dataset exists before a transaction writes to it; an existing
+    * dataset is left untouched. */
+  def assertDataset(name: String, empty: => DataFrame): Unit =
+    if (!tables.contains(name)) tables.put(name, empty)
+
   def recordEdge(from: String, to: String, kind: String): Unit =
     edges.put((from, to, kind), ())
 
