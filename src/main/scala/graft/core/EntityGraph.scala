@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
 /** The entity graph: a registry of datasets plus the traversal planner.
   *
   * Re-expresses the reference's query API (mimiro-io/datahub
-  * DOCUMENTATION.md "Query"; internal/server/get_related_test.go):
+  * DOCUMENTATION.md "Query"; internal/server/store.go:870
+  * `GetManyRelatedEntities`, store.go:1079 `GetRelatedAtTime` paging;
+  * internal/server/get_related_test.go):
   * single-entity lookup, outgoing traversal, inverse (incoming)
   * traversal, predicate `*`, and dataset scoping.
   *

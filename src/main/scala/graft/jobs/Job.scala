@@ -14,7 +14,8 @@ import scala.collection.concurrent.TrieMap
   */
 sealed trait Source { def read(spark: SparkSession): DataFrame }
 
-/** Reference: DatasetSource {Name, LatestOnly}. */
+/** Reference: DatasetSource {Name, LatestOnly}
+  * (internal/jobs/source/dataset_source.go:27, LatestOnly at :32). */
 final case class DatasetSource(
     df: DataFrame,
     idCol: String,
@@ -125,7 +126,8 @@ final case class Job(
 /** Reference: MultiSource — a main dataset plus dependency datasets; when
   * a dependency changes, the affected main entities are re-emitted by
   * walking a declared join chain back to the main dataset
-  * (DOCUMENTATION.md "Multi Source", hop/iHop).
+  * (internal/jobs/source/multi_source.go:47 `MultiSource{DatasetName,
+  * Dependencies}`; DOCUMENTATION.md "Multi Source", hop/iHop).
   */
 object MultiSource {
 

@@ -3,8 +3,9 @@ package graft.jobs
 import org.apache.spark.sql.DataFrame
 
 /** Atomic multi-dataset write — the reference's transform `transactions`
-  * (mimiro-io/datahub DOCUMENTATION.md "Transactions": one transform can
-  * emit entities into several datasets; either all writes land or none).
+  * (mimiro-io/datahub internal/jobs/transform.go:250 NewTransaction /
+  * ExecuteTransaction; internal/server/dataset.go:265
+  * StoreEntitiesWithTransaction: all writes land or none).
   *
   * Spark translation: every leg is materialized (validated) BEFORE any
   * leg becomes visible in the registry — a failing leg aborts the whole

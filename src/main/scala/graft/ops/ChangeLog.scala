@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
 /** Change-log operators over an entity version log.
   *
   * The reference stores every dataset as an immutable, monotonically
-  * token-ordered change log (mimiro-io/datahub internal/server/store.go;
-  * /changes?since=, LatestOnly, time-travel, deleted tombstones,
-  * compaction `deduplicate` strategy). Here a change log is any
+  * token-ordered change log (mimiro-io/datahub
+  * internal/server/dataset.go:1005 `GetChanges(since, count,
+  * latestOnly)`; internal/server/store.go:999
+  * `GetManyRelatedEntitiesAtTime`; compaction `deduplicate` strategy:
+  * internal/service/dataset/compact_stategy_deduplicate.go). Here a change log is any
   * DataFrame with:
   *   - `idCol`:       entity identity
   *   - `recordedCol`: monotone change token (the reference's `recorded`)

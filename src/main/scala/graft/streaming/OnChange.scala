@@ -84,15 +84,22 @@ object OnChange {
     * Spark's streaming state store, updated per micro-batch. Custom
     * per-key state is the escape hatch the reference implements with
     * its sync tokens; here it is a typed KeyValueGroupedDataset op. */
-  def streamingLatestOnly(spark: SparkSession, eventsPath: String): DataFrame = {
+  def streamingLatestOnly(spark: SparkSession, eventsPath: String, batches: Int = 1): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsPath).schema
     val dir = java.nio.file.Files.createTempDirectory("graft_changelog_s_")
     dir.toFile.deleteOnExit()
     val src = java.nio.file.Paths.get(eventsPath)
-    java.nio.file.Files.copy(src, dir.resolve(src.getFileName))
-    val latest = spark.readStream.schema(schema).parquet(dir.toString)
+    // `batches` > 1 stages the log as several files processed one per
+    // micro-batch (maxFilesPerTrigger=1): the per-key state then lives
+    // ACROSS batches — the real incremental-sync shape. Re-delivering
+    // the same changes is also exactly what an at-least-once change
+    // feed does; latestOnly state must absorb it idempotently.
+    (1 to batches).foreach(i => java.nio.file.Files.copy(src, dir.resolve(s"batch_$i.parquet")))
+    val latest = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
       .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
       .as[EventVersion]
       .groupByKey(_.user_id)
