@@ -11,8 +11,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * the standard way a library ships Catalyst extensions to a cluster.
   * `register` does the same for an already-running session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
+    ext.injectFunction(GraftExtensions.polyHashDescriptor)
+  }
 }
 
 object GraftExtensions {
@@ -26,8 +28,17 @@ object GraftExtensions {
     }
   )
 
+  private val polyHashDescriptor = (
+    new FunctionIdentifier("poly_hash"),
+    new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "poly_hash(s) takes exactly 1 argument")
+      PolyHash(children.head)
+    }
+  )
+
   /** Register graft functions on a live session (tests, notebooks). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product",
       children => {
@@ -35,4 +46,12 @@ object GraftExtensions {
         DotProduct(children.head, children(1))
       },
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_hash",
+      children => {
+        require(children.size == 1, "poly_hash(s) takes exactly 1 argument")
+        PolyHash(children.head)
+      },
+      "scala_udf")
+  }
 }

@@ -123,14 +123,12 @@ object TextAnalysis {
   // --- fingerprinting ----------------------------------------------------
 
   /** Content fingerprints: md5 (exact-dup key) + a 64-bit-safe polynomial
-    * rolling hash (base 31 mod 1e9+7 — stays in int64 on every engine). */
+    * rolling hash (base 31 mod 1e9+7 — stays in int64 on every engine),
+    * computed by graft's codegen'd PolyHash kernel (tight byte loop, no
+    * per-character allocation). */
   def fingerprints(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(
       col(idCol),
       md5(col(textCol)).as("content_md5"),
-      aggregate(
-        transform(sequence(lit(1), length(col(textCol))), i => ascii(col(textCol).substr(i, lit(1))).cast("long")),
-        lit(0L),
-        (a, x) => (a * 31L + x) % 1000000007L
-      ).as("rolling_hash"))
+      graft.functions.PolyHash.polyHash(col(textCol)).as("rolling_hash"))
 }

@@ -29,6 +29,15 @@ class FunctionsSpec extends SparkSpec {
     assert(df.agg(min("n2")).collect()(0).getDouble(0) > 0.0)
   }
 
+  test("poly_hash matches the byte-fold model and is SQL-callable") {
+    GraftExtensions.register(spark)
+    val text = "the quick brown fox 123!"
+    val expect = text.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+    val got = spark.sql(s"SELECT poly_hash('$text') AS h").collect()(0).getLong(0)
+    assert(got == expect)
+    assert(spark.sql("SELECT poly_hash('') AS h").collect()(0).getLong(0) == 0L)
+  }
+
   test("saltedJoin is row-identical to the plain join") {
     val s = spark
     import s.implicits._
