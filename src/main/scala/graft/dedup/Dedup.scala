@@ -45,6 +45,40 @@ object Dedup {
           .otherwise(transform(sequence(lit(0), size(col("__ws")) - n),
             i => concat_ws(" ", slice(col("__ws"), i + lit(1), lit(n))))))).as("s"))
 
+  /** Materialize the shingle inverted index as a BUCKETED table:
+    * bucketed+sorted by shingle, so every downstream self-join /
+    * posting-list grouping on `s` is co-partitioned and co-sorted —
+    * Spark plans a shuffle-free (and sort-free) sort-merge join. This is
+    * the 100 TB shape: build the index once per corpus snapshot, run
+    * the whole dedup family against it. Returns the registered table
+    * name. */
+  def buildShingleIndex(docs: DataFrame, textCol: String, idCol: String, n: Int,
+                        table: String, buckets: Int = 32): String = {
+    shingles(docs, textCol, idCol, n)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "s").sortBy("s")
+      .saveAsTable(table)
+    table
+  }
+
+  /** ngramJaccard against a pre-built bucketed index (see
+    * buildShingleIndex): identical result, but the s=s self-join reads
+    * co-bucketed files — no Exchange in the plan. */
+  def ngramJaccardIndexed(spark: org.apache.spark.sql.SparkSession, table: String, threshold: Double): DataFrame = {
+    val sh = spark.table(table)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("x").join(sh.as("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast("double") /
+      (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")
+    inter
+      .join(sizes.as("sa"), col("a") === col("sa.id"))
+      .join(sizes.as("sb"), col("b") === col("sb.id"))
+      .filter(jac >= threshold)
+      .select(col("a"), col("b"), round(jac, 3).as("jac"))
+  }
+
   /** Exact n-gram Jaccard similarity join via the inverted index:
     * pairs sharing ≥1 shingle, |A∩B| counted by grouping the index
     * self-join, Jaccard from per-doc set sizes. Only bucket-mates are

@@ -59,6 +59,26 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("bucketed shingle index: same pairs, shuffle-free self-join") {
+    val table = "shingle_idx_spec"
+    Dedup.buildShingleIndex(docs, "text", "doc_id", 3, table, buckets = 8)
+    val indexed = Dedup.ngramJaccardIndexed(spark, table, 0.8)
+    val direct = Dedup.ngramJaccard(docs, "text", "doc_id", 3, 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = indexed.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == direct)
+    // the at-scale condition: the index is too big to broadcast — the
+    // s=s self-join must then ride the buckets (sort-merge, NO Exchange
+    // partitioned by the shingle column)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = planOf(Dedup.ngramJaccardIndexed(spark, table, 0.8))
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("hashpartitioning(s#"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("ngram jaccard join never plans a cartesian product") {
     val plan = planOf(Dedup.ngramJaccard(docs, "text", "doc_id", 3, 0.8))
     assert(!plan.contains("CartesianProduct"), plan)

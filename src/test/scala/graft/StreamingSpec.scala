@@ -20,6 +20,54 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("watermark drops late data across micro-batches (append mode)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    def ns(min: Long) = min * 60L * 1000000000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_late_").toString
+    // batch 1: events up to minute 115 -> watermark becomes 105
+    Seq((1L, ns(10)), (2L, ns(20)), (3L, ns(70)), (4L, ns(115)))
+      .toDF("event_id", "ts").coalesce(1).write.parquet(s"$dir/b1")
+    // batch 2: a LATE event at minute 30 (< watermark 105) + on-time at 150
+    Seq((5L, ns(30)), (6L, ns(150)))
+      .toDF("event_id", "ts").coalesce(1).write.parquet(s"$dir/b2")
+    val stage = java.nio.file.Files.createTempDirectory("graft_late_stage_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_late_ckpt_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_late_out_").toString
+    def copyOne(sub: String, name: String): Unit = {
+      val f = new java.io.File(s"$dir/$sub").listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath, stage.resolve(name))
+    }
+    val schema = s.read.parquet(s"$dir/b1").schema
+    // two separate runs over a SHARED checkpoint: batch 2 arrives after
+    // a restart, so the watermark state must survive the restart too
+    def drainOnce(): Unit = {
+      val q = s.readStream.schema(schema).parquet(stage.toString)
+        .withColumn("__ts", graft.ops.Events.tsFromNanos("ts"))
+        .withWatermark("__ts", "10 minutes")
+        .groupBy(window(col("__ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("w.start")).as("ws"), col("n"))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    copyOne("b1", "batch1.parquet")
+    drainOnce()
+    copyOne("b2", "batch2.parquet")
+    drainOnce()
+    val got = s.read.parquet(outDir).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // window [0,60): ONLY the 2 batch-1 events — the late minute-30
+    // event from batch 2 arrived behind the watermark and must be gone.
+    assert(got.get(0L).contains(2L), s"got $got")
+    // window [60,120): closed once batch 2 advanced the watermark
+    assert(got.get(3600L).contains(2L), s"got $got")
+    // the window holding the minute-150 event never closed -> absent
+    assert(!got.contains(7200L), s"got $got")
+  }
+
   test("streamed incremental agg equals batch agg") {
     val path = s"$sfDir/events.parquet"
     val streamed = OnChange.aggregateEvents(spark, path)
