@@ -60,4 +60,30 @@ object Multimodal {
 
   def features(spark: SparkSession, docs: DataFrame): DataFrame =
     extractFeatures(mediaFromDocs(docs)).toDF()
+
+  /** One decoded "frame": sampled position + byte value + a windowed
+    * stat over the following stride (a stand-in for per-frame features
+    * like pixel means or audio chunk energy). */
+  final case class Frame(idx: Int, offset: Long, value: Long, window_sum: Long)
+
+  final case class MediaFrames(doc_id: Long, n_frames: Long, frames: Seq[Frame])
+
+  /** Frame-level extraction with a NESTED output column
+    * (array<struct>) — the schema shape real per-frame features
+    * (embeddings, pixel stats) come back in. Map-only like the scalar
+    * path; downstream ops explode or index the array lazily. */
+  def extractFrames(media: Dataset[Media]): Dataset[MediaFrames] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val bytes = m.payload
+      val frames = bytes.indices.by(FrameStride).zipWithIndex.map { case (off, i) =>
+        var sum = 0L
+        var j = off
+        while (j < math.min(off + FrameStride, bytes.length)) { sum += bytes(j) & 0xffL; j += 1 }
+        Frame(i, off.toLong, bytes(off) & 0xffL, sum)
+      }
+      MediaFrames(m.doc_id, frames.length.toLong, frames)
+    })
+  }
 }

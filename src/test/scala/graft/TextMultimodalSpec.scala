@@ -49,6 +49,24 @@ class TextMultimodalSpec extends SparkSpec {
     assert(feats.getLong(4) == 'a'.toLong)
   }
 
+  test("frame extraction emits a nested array<struct> with consistent stats") {
+    val text = "abcdefghijklmnopqrstuvwxyz0123456789" // 36 bytes -> 3 frames
+    val ds = Multimodal.extractFrames(
+      Multimodal.mediaFromDocs(df1(text).withColumn("source", lit("s"))))
+    // nested schema shape survives the typed pipeline
+    val frameField = ds.schema("frames").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    assert(frameField.elementType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    val row = ds.collect()(0)
+    assert(row.n_frames == 3L)
+    assert(row.frames.map(_.offset) == Seq(0L, 16L, 32L))
+    assert(row.frames.head.value == 'a'.toLong)
+    val expectSum = text.getBytes("UTF-8").take(16).map(_ & 0xff).sum.toLong
+    assert(row.frames.head.window_sum == expectSum)
+    // nested column explodes into per-frame rows downstream
+    val n = ds.toDF().select(explode(col("frames"))).count()
+    assert(n == 3L)
+  }
+
   test("text ops are map-only: no shuffle in the plan") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = planOf(TextAnalysis.qualityScore(docs, "text", "doc_id"))
