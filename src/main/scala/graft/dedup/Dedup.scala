@@ -231,6 +231,17 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Apply a dedup decision: keep each cluster's canonical doc (the
+    * smallest id = the cluster label) and every unpaired doc. The final
+    * step of the near-dup pipeline: pairs → components → one survivor
+    * per component. One anti-join against the (small) non-canonical id
+    * set — broadcast at any corpus size since it is bounded by the
+    * number of duplicated docs, not the corpus. */
+  def keepCanonical(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val drop = clusters(pairs).filter(col("id") =!= col("cluster_id")).select(col("id"))
+    docs.join(broadcast(drop), docs(idCol) === drop("id"), "left_anti")
+  }
+
   /** Embedding cosine near-dup pairs (exact). The small-side is
     * broadcast; the dot product is graft's codegen'd DotProduct kernel
     * (double accumulation over the raw float arrays — numerically

@@ -50,6 +50,16 @@ class DedupSpec extends SparkSpec {
     assert(fp(1L) != fp(3L))
   }
 
+  test("keepCanonical keeps one doc per cluster plus all unpaired docs") {
+    val s = spark
+    import s.implicits._
+    val allDocs = Seq(1L, 2L, 3L, 7L, 9L, 100L).toDF("doc_id").withColumn("payload", col("doc_id") * 10)
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
+    val kept = Dedup.keepCanonical(allDocs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 7L, 100L)) // cluster canonicals + untouched doc
+  }
+
   test("clusters assigns min-reachable id across chained pairs") {
     val s = spark
     import s.implicits._
