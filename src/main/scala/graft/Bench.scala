@@ -29,7 +29,11 @@ object Bench {
     val results = names.map { n =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
+      catch {
+        case e: Throwable =>
+          // a failed query must not masquerade as a fast one
+          System.err.println(s"[bench] $n FAILED: ${e.getMessage}")
+      }
       n -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
