@@ -273,6 +273,10 @@ object SparkEntry {
       Events.tumblingAgg(events(s, dir), "ts", "1 hour", "event_type")
         .orderBy("window_start", "event_type")),
 
+    "e4_sliding_window" -> ((s, dir) =>
+      Events.slidingAgg(events(s, dir), "ts", "2 hours", "1 hour", "event_type")
+        .orderBy("window_start", "event_type")),
+
     "e2_sessionize" -> ((s, dir) =>
       Events.sessionize(events(s, dir), "ts", "user_id", "2 hours")
         .orderBy("user_id", "session_start_us")),
@@ -333,6 +337,10 @@ object SparkEntry {
 
     "x5_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(t(s, dir, "documents"), "text", "doc_id").orderBy("doc_id")),
+
+    "x6_keywords" -> ((s, dir) =>
+      TextAnalysis.keywords(t(s, dir, "documents"), "text", "doc_id", 3)
+        .orderBy("doc_id", "rnk")),
 
     // ===== composite pipeline ===========================================
     // The full training-data prep loop: language gate + quality gate +
@@ -630,6 +638,37 @@ object SparkEntry {
       """SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP))::BIGINT AS window_start,
         | event_type, count(*) AS n, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e4_sliding_window" ->
+      """WITH b AS (
+        |  SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP))::BIGINT AS h, event_type, value
+        |  FROM events),
+        |cover AS (
+        |  SELECT h - 3600 AS window_start, event_type, value FROM b
+        |  UNION ALL
+        |  SELECT h AS window_start, event_type, value FROM b)
+        |SELECT window_start, event_type, count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM cover GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x6_keywords" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |wc AS (
+        |  SELECT doc_id, t.w AS w, count(*) AS tf
+        |  FROM w, unnest(ws) AS t(w) GROUP BY 1, 2),
+        |df_ AS (SELECT w, count(*) AS df FROM wc GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT wc.doc_id, wc.w, wc.tf, df_.df, wc.tf * (n.n // df_.df) AS score
+        |  FROM wc JOIN df_ USING (w), n),
+        |r AS (
+        |  SELECT doc_id, w, tf, df, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, w AS term, tf, df, score, rnk
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
     "e2_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS tus, value FROM events),

@@ -34,6 +34,16 @@ object Events {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .select(unix_timestamp(col("w.start")).as("window_start"), col(groupCol), col("n"), col("sum_value"))
 
+  /** Sliding event-time windows (duration > slide ⇒ each event lands in
+    * duration/slide overlapping windows). Spark's `window` generates the
+    * covering windows per row — still a single hash-agg shuffle. */
+  def slidingAgg(events: DataFrame, nsCol: String, windowDur: String, slide: String, groupCol: String): DataFrame =
+    events
+      .withColumn("__ts", tsFromNanos(nsCol))
+      .groupBy(window(col("__ts"), windowDur, slide).as("w"), col(groupCol))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("window_start"), col(groupCol), col("n"), col("sum_value"))
+
   /** Session windows: events of one user belong to the same session while
     * consecutive gaps stay under `gap` (Spark `session_window`; the
     * streaming-native operator — identical semantics in batch). */

@@ -120,6 +120,29 @@ object TextAnalysis {
         col("dup3_frac"), coalesce(col("top_bigram_share"), lit(0.0)).as("top_bigram_share"))
   }
 
+  // --- keyword extraction ------------------------------------------------
+
+  /** Top-k characteristic terms per document, TF-IDF-shaped but with an
+    * INTEGER idf weight (`N div df`) so the scores are engine-exact
+    * (log-based idf differs in the last ulp across math libraries,
+    * which an exact oracle cannot tolerate). Shapes: one (doc, word)
+    * count aggregate, one small doc-frequency aggregate joined back
+    * (broadcast — it is vocabulary-sized), one two-level top-k. */
+  def keywords(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count() // corpus size: one driver-side scalar, computed once
+    val wc = docs
+      .select(col(idCol).as("id"), explode(words(col(textCol))).as("w"))
+      .groupBy("id", "w").agg(count(lit(1)).as("tf"))
+    val df_ = wc.groupBy("w").agg(count(lit(1)).as("df"))
+    val scored = wc.join(broadcast(df_), "w")
+      .withColumn("score", col("tf") * expr(s"${n}L div df"))
+    val win = Window.partitionBy("id").orderBy(col("score").desc, col("w"))
+    scored.withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= k)
+      .select(col("id").as(idCol), col("w").as("term"), col("tf"), col("df"), col("score"), col("rnk"))
+  }
+
   // --- fingerprinting ----------------------------------------------------
 
   /** Content fingerprints: md5 (exact-dup key) + a 64-bit-safe polynomial
