@@ -38,6 +38,13 @@ class FunctionsSpec extends SparkSpec {
     assert(spark.sql("SELECT poly_hash('') AS h").collect()(0).getLong(0) == 0L)
   }
 
+  test("Graft facade: session has functions registered, graph traverses") {
+    val s = Graft.session() // getOrCreate: reuses the test session, registers functions
+    assert(s.sql("SELECT dot_product(array(1.0D), array(2.0D))").collect()(0).getDouble(0) == 2.0)
+    val g = Graft.graph(s, sfDir)
+    assert(g.out("customer", graft.core.Tpch.pNation).count() > 0)
+  }
+
   test("saltedJoin is row-identical to the plain join") {
     val s = spark
     import s.implicits._

@@ -51,6 +51,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("asOfJoin agrees with a brute-force local model on random logs") {
+    val s = spark
+    import s.implicits._
+    val verGen = for {
+      id <- Gen.oneOf("a", "b", "c", "d")
+      t <- Gen.chooseNum(0L, 50L)
+      p <- Gen.alphaStr.map(_.take(4))
+    } yield (id, t, p)
+    val probeGen = for {
+      id <- Gen.oneOf("a", "b", "c", "d", "zz")
+      t <- Gen.chooseNum(0L, 60L)
+    } yield (id, t)
+    forAllSeeded(Gen.zip(Gen.listOfN(30, verGen), Gen.listOfN(10, probeGen))) {
+      case (versionsRaw, probesRaw) =>
+        // de-dup (id, t) collisions: the log's recorded token is unique per id
+        val versions = versionsRaw.groupBy(v => (v._1, v._2)).map(_._2.head).toSeq
+        val probes = probesRaw.distinct
+        val log = versions.toDF("id", "recorded", "payload")
+        val probesDf = probes.toDF("id", "t")
+        val got = ChangeLog.asOfJoin(log, "id", "recorded", Seq("payload"), probesDf, "id", "t")
+          .collect().map(r => ((r.getString(0), r.getLong(1)), r.getString(2))).toMap
+        val expect = probes.flatMap { case (id, t) =>
+          val candidates = versions.filter(v => v._1 == id && v._2 <= t)
+          if (candidates.isEmpty) None
+          else Some((id, t) -> candidates.maxBy(_._2)._3)
+        }.toMap
+        assert(got == expect)
+    }
+  }
+
+  test("sessionize agrees with a brute-force local model on random event times") {
+    val s = spark
+    import s.implicits._
+    val evGen = for {
+      u <- Gen.oneOf(1L, 2L, 3L)
+      min <- Gen.chooseNum(0L, 600L) // minutes over 10h
+    } yield (u, min)
+    forAllSeeded(Gen.listOfN(40, evGen)) { evsRaw =>
+      val evs = evsRaw.distinct
+      val df = evs.map { case (u, min) => (u, min * 60L * 1000000000L, 1.0) }
+        .toDF("user_id", "ts", "value")
+      val got = graft.ops.Events.sessionize(df, "ts", "user_id", "30 minutes")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // local model: sort per user, split where gap >= 30 min
+      val expect = evs.groupBy(_._1).flatMap { case (u, es) =>
+        val times = es.map(_._2).sorted
+        val sessions = times.foldLeft(List.empty[List[Long]]) {
+          case (Nil, t) => List(List(t))
+          case (cur :: done, t) if t - cur.head < 30 => (t :: cur) :: done
+          case (acc, t) => List(t) :: acc
+        }
+        sessions.map(sess => (u, sess.last * 60L * 1000000L, sess.length.toLong))
+      }.toSet
+      assert(got == expect, s"events: ${evs.sorted}")
+    }
+  }
+
   test("compactDedup is idempotent and preserves latestOnly") {
     val s = spark
     import s.implicits._
