@@ -110,6 +110,13 @@ object SparkEntry {
         .orderBy("property")
     }),
 
+    "g11_reachability" -> ((s, dir) => {
+      val g = Tpch.graph(s, dir)
+      val start = g("customer").df.filter(col("c_custkey") < 5)
+        .select(g("customer").uri.as("uri"))
+      g.reachable(start, maxHops = 2).orderBy("uri")
+    }),
+
     "g10_merge_partials" -> ((s, dir) => {
       // two datasets sharing the customer id space, each holding a
       // property subset (reference: partial entities across datasets)
@@ -884,6 +891,18 @@ object SparkEntry {
         |FROM probes p ASOF JOIN events e
         |  ON p.user_id = e.user_id AND p.t >= e.event_id
         |ORDER BY p.user_id, p.t""".stripMargin,
+
+    "g11_reachability" ->
+      s"""WITH RECURSIVE r(uri, depth) AS (
+         |  SELECT $custUri, 0 FROM customer WHERE c_custkey < 5
+         |  UNION ALL
+         |  SELECT e.dst, r.depth + 1 FROM r JOIN (
+         |    SELECT $custUri AS src, $natUri AS dst FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |    UNION ALL
+         |    SELECT $natUri, '${tpchBase}region/' || r_regionkey FROM nation JOIN region ON n_regionkey = r_regionkey
+         |  ) e ON e.src = r.uri
+         |  WHERE r.depth < 2)
+         |SELECT uri, min(depth)::INT AS depth FROM r GROUP BY uri ORDER BY uri""".stripMargin,
 
     "g10_merge_partials" ->
       s"""SELECT $custUri AS id, c_name AS name, c_acctbal AS acctbal,

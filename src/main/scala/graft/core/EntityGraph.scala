@@ -171,6 +171,41 @@ final case class EntityGraph(datasets: Map[String, EntityDataset], ns: Namespace
         tgt.uri.as("related"))
   }
 
+  /** The full entity-to-entity edge list: one (src, dst) URI pair per
+    * declared ref of every dataset — the materialized adjacency view
+    * BFS-style operators run over. */
+  def allEdges: DataFrame =
+    datasets.values.toSeq.sortBy(_.name).flatMap { d =>
+      d.refs.sortBy(_.predicate).map { r =>
+        val tgt = apply(r.target)
+        d.df.select(d.uri.as("src"), tgt.uriOf(col(r.fkCol)).as("dst"))
+      }
+    }.reduce(_ unionByName _)
+
+  /** Variable-depth reachability: all entities within `maxHops` of the
+    * start set following ANY outgoing ref, with their minimum depth —
+    * the unbounded-traversal companion to the fixed-predicate queries.
+    * Frontier expansion: each hop is one equi-join + anti-join against
+    * the visited set, lineage truncated per hop (localCheckpoint), only
+    * NEW nodes join the next frontier — so the work per hop is
+    * O(frontier edges), not O(total reached), and the driver never sees
+    * row data. */
+  def reachable(startUris: DataFrame, maxHops: Int): DataFrame = {
+    val edges = allEdges
+    var reached = startUris.select(col("uri"), lit(0).as("depth")).localCheckpoint()
+    var frontier = reached
+    for (k <- 1 to maxHops) {
+      val next = edges.join(frontier, edges("src") === frontier("uri"))
+        .select(col("dst").as("uri"), lit(k).as("depth"))
+        .distinct()
+        .join(reached.select("uri"), Seq("uri"), "left_anti")
+        .localCheckpoint()
+      reached = reached.unionByName(next).localCheckpoint()
+      frontier = next
+    }
+    reached
+  }
+
   /** Reference: `details: true` lookup — entity augmented with per-value
     * provenance. Emits one row per (entity, property) with the owning
     * dataset, value rendered as string.
