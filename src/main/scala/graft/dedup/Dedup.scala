@@ -155,19 +155,27 @@ object Dedup {
   }
 
   /** 64-bit SimHash fingerprint per doc: bit j of the fingerprint is the
-    * sign of Σ_tokens ±count (sign = bit j of xxhash64(token)). Computed
+    * sign of Σ_tokens ±count (sign = bit j of the token hash). Computed
     * as 64 parallel conditional sums in ONE hash aggregate straight off
     * the exploded tokens — Σ_distinct ±count ≡ Σ_instances ±1, so no
-    * (id, word) pre-aggregation shuffle is needed. */
+    * (id, word) pre-aggregation shuffle is needed.
+    *
+    * The 64 hash bits come from the first 16 hex chars of md5(token),
+    * read as 4×16-bit words — md5 is the one hash every engine computes
+    * identically, which makes the whole fingerprint (and therefore the
+    * Hamming pair set) DuckDB-oracle-checkable. */
   def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tok = docs
       .select(col(idCol).as("id"), explode(TextAnalysis.words(col(textCol))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
+      .withColumn("m", md5(col("w")))
+    val withParts = (0 until 4).foldLeft(tok) { (df, p) =>
+      df.withColumn(s"p$p", conv(substring(col("m"), 1 + 4 * p, 4), 16, 10).cast("long"))
+    }
     val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, lit(1L))
+      sum(when(shiftright(col(s"p${j / 16}"), j % 16).bitwiseAND(lit(1L)) === 1L, lit(1L))
         .otherwise(lit(-1L))).as(s"b$j")
     }
-    val sums = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sums = withParts.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
     // disjoint bit patterns: arithmetic + equals bitwise OR
     val fp = (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
