@@ -56,7 +56,7 @@ object Ann {
 
   /** Deterministic ±1 hyperplane component for (table t, bit p, dim d):
     * a cheap integer hash keeps planes identical on every executor. */
-  private def planeSign(t: Int, p: Int, d: Int): Double = {
+  private[graft] def planeSign(t: Int, p: Int, d: Int): Double = {
     var h = t * 1000003 + p * 7919 + d * 104729 + 0x9e3779b9
     h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13; h *= 0xc2b2ae35; h ^= h >>> 16
     if ((h & 1) == 0) 1.0 else -1.0
@@ -64,7 +64,7 @@ object Ann {
 
   /** Sketch column: for table `t`, an integer whose bit p is
     * sign(v · plane_{t,p}). Built as a literal-signs fold — pure codegen. */
-  private def sketch(v: Column, dims: Int, t: Int, bits: Int): Column =
+  private[graft] def sketch(v: Column, dims: Int, t: Int, bits: Int): Column =
     (0 until bits).map { p =>
       val signs = array((0 until dims).map(d => lit(planeSign(t, p, d))): _*)
       val proj = aggregate(zip_with(v, signs, (x, s) => x * s), lit(0.0), (a, x) => a + x)
@@ -73,36 +73,108 @@ object Ann {
 
   /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
     * into nlist cells; a query scores only the vectors of its nprobe
-    * nearest cells. Centroids here are a deterministic hash-ranked
-    * sample of the corpus (a production build would train k-means and
-    * broadcast the centroid table the same way — the operator shape is
-    * identical). Corpus-side assignment is one broadcast-join +
-    * per-id argmax; probing is a cell-keyed equi-join, so the scored
-    * candidate volume is ~corpus·nprobe/nlist — the sub-linear scale
-    * path next to `lshTopK`. */
+    * nearest cells. Centroids here are a deterministic md5-ranked sample
+    * of the corpus (a production build would train k-means and broadcast
+    * the centroid table the same way — the operator shape is identical;
+    * md5 rather than xxhash64 so the DuckDB oracle can reproduce the
+    * choice).
+    *
+    * Cell assignment is MAP-ONLY: the nlist centroids are collapsed to a
+    * one-row array and broadcast, and every row computes all nlist
+    * similarities in a single projection (sorted struct array → argmax =
+    * element 0, probes = elements 0..nprobe-1). Zero Exchange before
+    * candidate scoring — the previous shape (corpus×centroid join + a
+    * per-id window argmax) shuffled the corpus nlist× for what is a
+    * per-row computation. Probing is then a cell-keyed equi-join against
+    * the broadcast probe set, so the scored candidate volume is
+    * ~corpus·nprobe/nlist — the sub-linear scale path next to `lshTopK`. */
   def ivfTopK(emb: DataFrame, vecCol: String, idCol: String,
               queryFilter: Column, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = normed(emb, vecCol, idCol)
-    val cent = broadcast(
-      e.orderBy(xxhash64(col("id")), col("id")).limit(nlist)
-        .select(col("id").as("cid"), col("v").as("cv"), col("norm").as("cnorm")))
-    val simToCent = cosine(col("v"), col("cv"), col("norm"), col("cnorm"))
-    val ranked = e.join(cent)
-      .withColumn("csim", simToCent)
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid"))))
-    val assign = ranked.filter(col("crn") === 1) // corpus: nearest cell only
-      .select(col("id"), col("v"), col("norm"), col("cid"))
-    val probes = ranked.filter(queryFilter && col("crn") <= nprobe) // queries: nprobe cells
-      .select(col("id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"), col("cid"))
+    val cent = e.orderBy(md5(concat(lit("cent:"), col("id"))), col("id")).limit(nlist)
+      .agg(collect_list(struct(col("id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))).as("cents"))
+    // negated sim sorts ascending = best cell first; cid breaks ties low
+    val sortedCells = array_sort(transform(col("cents"), c =>
+      struct((-cosine(col("v"), c.getField("cv"), col("norm"), c.getField("cnorm"))).as("negsim"),
+        c.getField("cid").as("cid"))))
+    val withCells = e.join(broadcast(cent)) // 1-row side: stays a map-side projection
+      .withColumn("cells", sortedCells)
+    val assign = withCells // corpus: nearest cell only
+      .select(col("id"), col("v"), col("norm"), col("cells").getItem(0).getField("cid").as("cid"))
+    val probes = withCells.filter(queryFilter) // queries: nprobe cells
+      .select(col("id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"),
+        explode(transform(slice(col("cells"), 1, nprobe), c => c.getField("cid"))).as("cid"))
     val scored = assign.join(broadcast(probes),
         assign("cid") === probes("cid") && col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         cosine(col("v"), col("qv"), col("norm"), col("qnorm")).as("sim"))
-      .distinct()
     topKPerQuery(scored, k, salts = 32)
   }
+
+  /** DuckDB SQL reproducing `lshTopK` END-TO-END: the hyperplanes are
+    * deterministic, so their ±1 signs are emitted as literal arrays and
+    * the sketches, buckets, candidate set and exact-cosine top-k are all
+    * recomputed engine-independently. Numerics are exact on both sides:
+    * float elements promote to double losslessly, the projections are
+    * sequential ±x sums, and sign/ordering comparisons see identical
+    * doubles. */
+  def lshOracleSql(dims: Int, k: Int, tables: Int = 8, bits: Int = 4,
+                   queryPred: String = "q.id < 10"): String = {
+    val tableSelects = (0 until tables).map { t =>
+      val bitTerms = (0 until bits).map { p =>
+        val signs = (0 until dims).map(d => if (planeSign(t, p, d) > 0) "1" else "-1").mkString(",")
+        s"(CASE WHEN list_inner_product(v, [$signs]::DOUBLE[]) > 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT id, $t AS t, $bitTerms AS sk FROM n"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       |b AS (
+       |  $tableSelects),
+       |cand AS (
+       |  SELECT DISTINCT q.id AS query_id, x.id AS neighbor_id
+       |  FROM b x JOIN b q ON x.t = q.t AND x.sk = q.sk AND x.id <> q.id
+       |  WHERE $queryPred),
+       |sc AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         list_inner_product(x.v, q.v) / (x.nrm * q.nrm) AS sim
+       |  FROM cand c JOIN n x ON x.id = c.neighbor_id JOIN n q ON q.id = c.query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+       |  FROM sc)
+       |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rnk
+       |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** DuckDB SQL reproducing `ivfTopK` end-to-end (md5-ranked centroid
+    * choice, per-row argmax assignment, nprobe probing, exact top-k). */
+  def ivfOracleSql(k: Int, nlist: Int = 16, nprobe: Int = 4,
+                   queryPred: String = "id < 10"): String =
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       |cent AS (SELECT id AS cid, v AS cv, nrm AS cnorm FROM n
+       |         ORDER BY md5('cent:' || id), id LIMIT $nlist),
+       |sims AS (
+       |  SELECT n.id, n.v, n.nrm, cent.cid,
+       |         list_inner_product(n.v, cent.cv) / (n.nrm * cent.cnorm) AS csim
+       |  FROM n, cent),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS crn
+       |  FROM sims),
+       |assign AS (SELECT id, v, nrm, cid FROM ranked WHERE crn = 1),
+       |probes AS (SELECT id AS query_id, v AS qv, nrm AS qnorm, cid
+       |           FROM ranked WHERE $queryPred AND crn <= $nprobe),
+       |sc AS (
+       |  SELECT p.query_id, a.id AS neighbor_id,
+       |         list_inner_product(a.v, p.qv) / (a.nrm * p.qnorm) AS sim
+       |  FROM assign a JOIN probes p ON a.cid = p.cid AND a.id <> p.query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+       |  FROM sc)
+       |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rnk
+       |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
 
   /** LSH-bucketed ANN: candidates = same (table, sketch) bucket in any of
     * the L tables; exact cosine only on candidates; two-phase top-k. */

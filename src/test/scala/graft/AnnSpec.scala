@@ -57,4 +57,13 @@ class AnnSpec extends SparkSpec {
     val plan = planOf(Ann.bruteForceTopK(emb, "embedding", "vec_id", col("id") < 5, 5))
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("ivf cell assignment is map-only (no corpus shuffle before scoring)") {
+    val plan = planOf(Ann.ivfTopK(emb, "embedding", "vec_id", col("id") < 10, 5))
+    // the round-2 shape amplified the corpus nlist× through a
+    // `row_number over (partition by id)` window — that shuffle keyed by
+    // the corpus id must be gone; the only remaining exchanges belong to
+    // the two-phase top-k (keyed by query_id) and the 1-row centroid agg
+    assert(!plan.contains("hashpartitioning(id#"), plan)
+  }
 }
