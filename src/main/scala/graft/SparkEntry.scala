@@ -313,9 +313,21 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxDist = 10)
         .orderBy("a", "b")),
 
-    "d5_embedding_neardup" -> ((s, dir) =>
-      Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id", 0.4)
-        .orderBy("a", "b")),
+    "d5_embedding_neardup" -> ((s, dir) => {
+      // plant near-duplicates: a perturbed copy of every vector
+      // (id+10000, first component +0.1 on unit-norm vectors → cosine
+      // ≈ 0.995) so near-dup detection runs on a corpus that actually
+      // contains near-dups. The construction is engine-exact: double
+      // add, one IEEE round back to float — DuckDB reproduces it
+      // bit-for-bit. Default path = LSH candidates → DotProduct verify
+      // (no all-pairs join); the exact all-pairs oracle checks recall=1.
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val perturbed = e.select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, (x.cast("double") + lit(0.1d)).cast("float")).otherwise(x)).as("embedding"))
+      Dedup.embeddingNearDup(e.unionByName(perturbed), "embedding", "vec_id", 0.9, dims = 64)
+        .orderBy("a", "b")
+    }),
 
     "d6_dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(Dedup.ngramJaccard(t(s, dir, "documents"), "text", "doc_id", 3, 0.8))
@@ -728,11 +740,18 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT a, b, hamming FROM ham WHERE hamming <= 10 ORDER BY a, b""".stripMargin,
 
+    // exact all-pairs ground truth: the Spark side runs LSH candidates →
+    // exact verify, so a hash match here proves candidate recall = 1
     "d5_embedding_neardup" ->
-      """SELECT a.vec_id AS a, b.vec_id AS b,
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (SELECT vec_id + 10000 AS vec_id,
+        |        [CASE WHEN i = 1 THEN ((embedding[i]::DOUBLE + 0.1)::FLOAT) ELSE embedding[i] END
+        |         for i in range(1, len(embedding)+1)] AS embedding FROM e),
+        |u AS (SELECT * FROM e UNION ALL SELECT * FROM p)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
         | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
         |ORDER BY a, b""".stripMargin,
 
     "s1_ann_bruteforce" ->

@@ -97,9 +97,30 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("embedding near-dup agrees with a driver-side exact computation") {
+  test("embedding near-dup LSH default path = exact path on planted near-dups, no all-pairs join") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
+    val perturbed = e.select((col("vec_id") + 10000).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, (x.cast("double") + lit(0.1d)).cast("float")).otherwise(x)).as("embedding"))
+    val u = e.unionByName(perturbed).cache()
+    val lsh = Dedup.embeddingNearDup(u, "embedding", "vec_id", 0.9, dims = 64)
+    val exact = Dedup.embeddingNearDupExact(u, "embedding", "vec_id", 0.9)
+    val gotLsh = lsh.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotExact = exact.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotExact.size >= 500, "fixture construction should plant 500 near-dup pairs")
+    assert(gotLsh == gotExact,
+      s"LSH candidates must have recall 1 here; missed=${gotExact -- gotLsh} extra=${gotLsh -- gotExact}")
+    // the scale condition: the shipped default must pair bucket-mates
+    // only — never an all-pairs BroadcastNestedLoopJoin over the corpus
+    val plan = planOf(lsh)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    u.unpersist()
+  }
+
+  test("exact embedding near-dup kernel agrees with a driver-side exact computation") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(80).cache()
-    val got = Dedup.embeddingNearDup(emb, "embedding", "vec_id", 0.3)
+    val got = Dedup.embeddingNearDupExact(emb, "embedding", "vec_id", 0.3)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val local = emb.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
