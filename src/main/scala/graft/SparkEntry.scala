@@ -5,7 +5,7 @@ import graft.core.{EntityGraph, Tpch}
 import graft.dedup.Dedup
 import graft.jobs.{DatasetRegistry, DatasetSink, DatasetSource, Job, MultiSource, Transaction, Transforms, VirtualDataset}
 import graft.multimodal.Multimodal
-import graft.ops.{ChangeLog, Events}
+import graft.ops.{ChangeLog, Events, TimeTravel}
 import graft.streaming.OnChange
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -117,6 +117,37 @@ object SparkEntry {
       g.reachable(start, maxHops = 2).orderBy("uri")
     }),
 
+    "g12_traversal_at_time" -> ((s, dir) =>
+      // time-aware inverse traversal over a VERSIONED entity log
+      // (store.go:999 GetManyRelatedEntitiesAtTime): the events table is
+      // the version log — entity = user, token = event_id, ref = the
+      // event_type node, tombstone = an 'error' version. As of token 700
+      // each user's latest version wins; tombstoned refs are suppressed.
+      TimeTravel.inAtTime(events(s, dir), "user_id", "event_id",
+          deleted = col("event_type") === "error", fkCol = "event_type", t = 700,
+          srcNs = "http://graft.io/events/user/",
+          predicate = Tpch.schemaNs + "did",
+          tgtNs = "http://graft.io/events/type/")
+        .orderBy("start", "related_key")),
+
+    "g13_array_refs" -> ((s, dir) => {
+      // multi-valued refs (entity.go: refs: URI | [URI]): a dataset whose
+      // FK column is an ARRAY of order keys; traversal explodes map-side
+      val orders = t(s, dir, "orders")
+      val bundles = orders.filter(col("o_orderkey") <= 320)
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("order_refs"))
+      val g = Tpch.graph(s, dir)
+      val withBundles = EntityGraph(
+        g.datasets + ("customer_bundles" -> graft.model.EntityDataset(
+          "customer_bundles", bundles, "o_custkey", tpchBase + "customer/",
+          refs = Seq(graft.model.Ref(Tpch.pOrder, "order_refs", "orders", array = true)))),
+        g.ns)
+      withBundles.out("customer_bundles", Tpch.pOrder)
+        .select(col("start"), col("predicate"), col("related"), col("o_totalprice"))
+        .orderBy("start", "related")
+    }),
+
     "g10_merge_partials" -> ((s, dir) => {
       // two datasets sharing the customer id space, each holding a
       // property subset (reference: partial entities across datasets)
@@ -191,6 +222,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("k").cast("long").as("sum_k"),
           min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type")),
+
+    "c9_retention_gc" -> ((s, dir) =>
+      // GC/retention (garbagecollector.go): drop versions older than
+      // token 9000, keep each entity's latest at-or-before-9000 version
+      ChangeLog.retain(events(s, dir), "user_id", "event_id", 9000)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy("user_id", "event_id")),
+
+    "j12_fullsync_deletes" -> ((s, dir) => {
+      // CompleteFullSync (dataset.go:158): the sync batch = entities seen
+      // in the last change window; previously-live entities absent from
+      // it get tombstoned at token 10001. Output = the post-sync
+      // snapshot, which must hide exactly the tombstoned entities.
+      val ev = events(s, dir)
+      val log = ev.withColumn("deleted", col("event_type") === "error")
+      val batch = ev.filter(col("event_id") > 9900).select("user_id")
+      val post = jobs.FullSync.completeFullSync(
+        log, "user_id", "event_id", "deleted", batch, "user_id", 10001L)
+      ChangeLog.snapshot(post, "user_id", "event_id", col("deleted"))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"))
+        .orderBy("user_id")
+    }),
 
     // ===== jobs ==========================================================
     "j1_union_source" -> ((s, dir) => {
@@ -467,6 +521,24 @@ object SparkEntry {
           col("event_type").as("last_type"), col("value").as("last_value"))
         .orderBy("user_id")),
 
+    "j13_wire_source_sink" -> ((s, dir) => {
+      // the reference's HTTP transport, minus the network: sink a dataset
+      // to the entity-JSON wire format at a path, run an import Job whose
+      // source reads that path, land it in the registry, flatten back
+      val g = Tpch.graph(s, dir)
+      val wireDir = java.nio.file.Files.createTempDirectory("graft_wire_").toString
+      jobs.WireDatasetSink(wireDir).write(graft.sources.EntityJson.toEntityRows(g, "supplier"))
+      val reg = new DatasetRegistry
+      Job("import_suppliers", jobs.WireDatasetSource(wireDir),
+        sink = DatasetSink(reg, "suppliers_in"),
+        sourceName = "wire:suppliers", sinkName = "suppliers_in").run(s, Some(reg))
+      graft.sources.EntityJson.flatten(reg.get("suppliers_in"), Seq(
+          (Tpch.schemaNs + "supplier/s_name", "name"),
+          (Tpch.schemaNs + "supplier/s_acctbal", "acctbal_s")))
+        .select(col("id"), col("name"), col("acctbal_s").cast("double").as("acctbal"))
+        .orderBy("id")
+    }),
+
     "j11_entity_roundtrip" -> ((s, dir) => {
       // export to the reference's entity-JSON wire shape, re-import,
       // flatten — the UDA interchange loop with no HTTP in between
@@ -569,6 +641,50 @@ object SparkEntry {
     "c1_changes_since" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
         |FROM events WHERE event_id > 500 ORDER BY event_id""".stripMargin,
+
+    "g12_traversal_at_time" ->
+      s"""WITH s AS (
+         |  SELECT user_id, event_id, event_type,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+         |  FROM events WHERE event_id <= 700)
+         |SELECT 'http://graft.io/events/type/' || event_type AS start,
+         |       '${Tpch.schemaNs}did' AS predicate,
+         |       'http://graft.io/events/user/' || user_id AS related,
+         |       user_id AS related_key
+         |FROM s WHERE rn = 1 AND event_type <> 'error'
+         |ORDER BY start, related_key""".stripMargin,
+
+    "g13_array_refs" ->
+      s"""WITH b AS (
+         |  SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS refs
+         |  FROM orders WHERE o_orderkey <= 320 GROUP BY o_custkey)
+         |SELECT '${tpchBase}customer/' || b.o_custkey AS start,
+         |       '${Tpch.pOrder}' AS predicate,
+         |       '${tpchBase}orders/' || r.k AS related,
+         |       o.o_totalprice
+         |FROM b, unnest(b.refs) AS r(k) JOIN orders o ON o.o_orderkey = r.k
+         |ORDER BY start, related""".stripMargin,
+
+    "c9_retention_gc" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_id <= 9000)
+        |WHERE rn = 1
+        |UNION ALL
+        |SELECT user_id, event_id, event_type, value FROM events WHERE event_id > 9000
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "j12_fullsync_deletes" ->
+      """WITH latest AS (
+        |  SELECT user_id, event_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events),
+        |live AS (SELECT user_id, event_id, event_type FROM latest WHERE rn = 1 AND event_type <> 'error'),
+        |batch AS (SELECT DISTINCT user_id FROM events WHERE event_id > 9900)
+        |SELECT user_id, event_id AS last_event_id, event_type AS last_type
+        |FROM live WHERE user_id IN (SELECT user_id FROM batch)
+        |ORDER BY user_id""".stripMargin,
 
     "c2_latest_only" ->
       """SELECT user_id, event_id AS last_event_id, event_type AS last_type, value AS last_value
@@ -890,6 +1006,10 @@ object SparkEntry {
     "j11_entity_roundtrip" ->
       s"""SELECT $custUri AS id, c_name AS name, c_acctbal AS acctbal
          |FROM customer ORDER BY id""".stripMargin,
+
+    "j13_wire_source_sink" ->
+      s"""SELECT $suppUri AS id, s_name AS name, s_acctbal AS acctbal
+         |FROM supplier ORDER BY id""".stripMargin,
 
     "p1_training_corpus" ->
       """WITH w AS (

@@ -31,22 +31,16 @@ final case class EntityGraph(datasets: Map[String, EntityDataset], ns: Namespace
     d.df.filter(col(d.idCol) === lit(key))
   }
 
-  /** Traversal result column layout shared by all traversal shapes:
-    * (start, predicate, related) — the reference's Query() row shape
-    * `[start-id, predicate-uri, related-entity]`.
-    */
-  private def edges(src: EntityDataset, predicate: String): DataFrame = {
-    val r = src.refs.find(_.predicate == predicate)
-      .getOrElse(sys.error(s"dataset ${src.name} has no predicate $predicate"))
-    val tgt = apply(r.target)
-    src.df
-      .join(tgt.rel, src.df(r.fkCol) === tgt.df(tgt.idCol))
-      .select(Seq(
-        src.uri.as("start"),
-        lit(predicate).as("predicate"),
-        tgt.uri.as("related")) ++ tgt.df.columns.map(tgt.df(_)): _*
-      )
-  }
+  /** (entity key, single ref value) pairs for one declared ref of `df`.
+    * Array-valued refs (reference: `refs: URI | [URI]`,
+    * internal/server/entity.go) explode to one row per element —
+    * map-side, BEFORE any join shuffle, so the downstream equi-join sees
+    * plain scalar keys either way; scalar refs pass through untouched
+    * (no Generate node in the plan). */
+  private def refPairs(df: DataFrame, idCol: String, r: graft.model.Ref,
+                       idAs: String, fkAs: String): DataFrame =
+    if (r.array) df.select(col(idCol).as(idAs), explode(col(r.fkCol)).as(fkAs))
+    else df.select(col(idCol).as(idAs), col(r.fkCol).as(fkAs))
 
   /** Outgoing traversal: from entities of `dataset` (optionally filtered)
     * via `predicate` to related entities, carrying the target's columns.
@@ -56,11 +50,11 @@ final case class EntityGraph(datasets: Map[String, EntityDataset], ns: Namespace
     val r = src.refs.find(_.predicate == predicate)
       .getOrElse(sys.error(s"dataset ${src.name} has no predicate $predicate"))
     val tgt = apply(r.target)
-    val start = src.df.filter(startFilter)
-    start
-      .join(tgt.rel, start(r.fkCol) === tgt.df(tgt.idCol))
+    val pairs = refPairs(src.df.filter(startFilter), src.idCol, r, "__sid", "__fk")
+    pairs
+      .join(tgt.rel, pairs("__fk") === tgt.df(tgt.idCol))
       .select(Seq(
-        src.uriOf(start(src.idCol)).as("start"),
+        src.uriOf(col("__sid")).as("start"),
         lit(predicate).as("predicate"),
         tgt.uri.as("related")) ++ tgt.df.columns.map(tgt.df(_)): _*
       )
@@ -87,14 +81,15 @@ final case class EntityGraph(datasets: Map[String, EntityDataset], ns: Namespace
     val start = tgt.rel.filter(targetFilter)
     val legs = sources.map { src =>
       val ref = src.refs.find(r => r.predicate == predicate && r.target == target).get
-      src.df
-        .join(start, src.df(ref.fkCol) === start(tgt.idCol))
+      val pairs = refPairs(src.df, src.idCol, ref, "__sid", "__fk")
+      pairs
+        .join(start, pairs("__fk") === start(tgt.idCol))
         .select(
           tgt.uriOf(start(tgt.idCol)).as("start"),
           lit(predicate).as("predicate"),
           lit(src.name).as("dataset"),
-          src.uri.as("related"),
-          src.df(src.idCol).cast("long").as("related_key")
+          src.uriOf(col("__sid")).as("related"),
+          col("__sid").cast("long").as("related_key")
         )
     }
     legs.reduce(_ unionByName _)
@@ -108,11 +103,11 @@ final case class EntityGraph(datasets: Map[String, EntityDataset], ns: Namespace
     require(src.refs.nonEmpty, s"dataset $dataset declares no refs")
     val legs = src.refs.sortBy(_.predicate).map { r =>
       val tgt = apply(r.target)
-      val start = src.df.filter(startFilter)
-      start
-        .join(tgt.rel, start(r.fkCol) === tgt.df(tgt.idCol))
+      val pairs = refPairs(src.df.filter(startFilter), src.idCol, r, "__sid", "__fk")
+      pairs
+        .join(tgt.rel, pairs("__fk") === tgt.df(tgt.idCol))
         .select(
-          src.uriOf(start(src.idCol)).as("start"),
+          src.uriOf(col("__sid")).as("start"),
           lit(r.predicate).as("predicate"),
           tgt.uri.as("related")
         )
@@ -130,12 +125,14 @@ final case class EntityGraph(datasets: Map[String, EntityDataset], ns: Namespace
     val mid = apply(r1.target)
     val r2 = mid.refs.find(_.predicate == p2).getOrElse(sys.error(s"no $p2 on ${mid.name}"))
     val tgt = apply(r2.target)
-    val start = src.df.filter(startFilter)
-    start
-      .join(mid.rel, start(r1.fkCol) === mid.df(mid.idCol))
-      .join(tgt.rel, mid.df(r2.fkCol) === tgt.df(tgt.idCol))
+    val hop1 = refPairs(src.df.filter(startFilter), src.idCol, r1, "__sid", "__fk1")
+    val hop2raw = refPairs(mid.df, mid.idCol, r2, "__mid", "__fk2")
+    val hop2 = if (mid.small) broadcast(hop2raw) else hop2raw
+    hop1
+      .join(hop2, hop1("__fk1") === hop2("__mid"))
+      .join(tgt.rel, hop2("__fk2") === tgt.df(tgt.idCol))
       .select(Seq(
-        src.uriOf(start(src.idCol)).as("start"),
+        src.uriOf(col("__sid")).as("start"),
         tgt.uri.as("related")) ++ tgt.df.columns.map(tgt.df(_)): _*
       )
   }
@@ -162,11 +159,12 @@ final case class EntityGraph(datasets: Map[String, EntityDataset], ns: Namespace
     // page the START set first (pushed range predicate + per-partition
     // top-N), then traverse only the page — never the whole corpus
     val page = src.df.filter(keyFilter).orderBy(col(src.idCol)).limit(pageSize)
-    page
-      .join(tgt.rel, page(r.fkCol) === tgt.df(tgt.idCol))
+    val pairs = refPairs(page, src.idCol, r, "__sid", "__fk")
+    pairs
+      .join(tgt.rel, pairs("__fk") === tgt.df(tgt.idCol))
       .select(
-        page(src.idCol).cast("long").as("start_key"),
-        src.uriOf(page(src.idCol)).as("start"),
+        col("__sid").cast("long").as("start_key"),
+        src.uriOf(col("__sid")).as("start"),
         lit(predicate).as("predicate"),
         tgt.uri.as("related"))
   }
@@ -178,7 +176,8 @@ final case class EntityGraph(datasets: Map[String, EntityDataset], ns: Namespace
     datasets.values.toSeq.sortBy(_.name).flatMap { d =>
       d.refs.sortBy(_.predicate).map { r =>
         val tgt = apply(r.target)
-        d.df.select(d.uri.as("src"), tgt.uriOf(col(r.fkCol)).as("dst"))
+        refPairs(d.df, d.idCol, r, "__sid", "__fk")
+          .select(d.uriOf(col("__sid")).as("src"), tgt.uriOf(col("__fk")).as("dst"))
       }
     }.reduce(_ unionByName _)
 
@@ -186,21 +185,22 @@ final case class EntityGraph(datasets: Map[String, EntityDataset], ns: Namespace
     * start set following ANY outgoing ref, with their minimum depth —
     * the unbounded-traversal companion to the fixed-predicate queries.
     * Frontier expansion: each hop is one equi-join + anti-join against
-    * the visited set, lineage truncated per hop (localCheckpoint), only
+    * the visited set, lineage truncated per hop (Checkpoints.truncate: localCheckpoint,
+    * or reliable checkpoints via the graft.checkpointDir conf), only
     * NEW nodes join the next frontier — so the work per hop is
     * O(frontier edges), not O(total reached), and the driver never sees
     * row data. */
   def reachable(startUris: DataFrame, maxHops: Int): DataFrame = {
     val edges = allEdges
-    var reached = startUris.select(col("uri"), lit(0).as("depth")).localCheckpoint()
+    var reached = startUris.select(col("uri"), lit(0).as("depth")).transform(Checkpoints.truncate)
     var frontier = reached
     for (k <- 1 to maxHops) {
       val next = edges.join(frontier, edges("src") === frontier("uri"))
         .select(col("dst").as("uri"), lit(k).as("depth"))
         .distinct()
         .join(reached.select("uri"), Seq("uri"), "left_anti")
-        .localCheckpoint()
-      reached = reached.unionByName(next).localCheckpoint()
+        .transform(Checkpoints.truncate)
+      reached = reached.unionByName(next).transform(Checkpoints.truncate)
       frontier = next
     }
     reached

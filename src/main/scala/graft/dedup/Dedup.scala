@@ -61,11 +61,31 @@ object Dedup {
     table
   }
 
+  /** Drop shingles whose document frequency exceeds `maxDf` — the
+    * classic stop-shingle cap. A shingle appearing in f docs contributes
+    * f²/2 rows to the s=s self-join, so ONE boilerplate phrase shared by
+    * 10⁶ docs makes the join quadratic on that key; the cap turns the
+    * worst posting list into at most maxDf²/2 rows. The hot set is
+    * bounded by |shingle instances|/maxDf, so the anti-join broadcasts
+    * at any corpus size. Similarity is then computed over the FILTERED
+    * shingle space: pairs whose overlap is mostly boilerplate score
+    * lower — which is the point of the trick — and genuinely
+    * near-identical docs keep their non-hot shingles and still pair up.
+    */
+  private def capDf(sh: DataFrame, maxDf: Int): DataFrame =
+    if (maxDf == Int.MaxValue) sh
+    else {
+      val hot = sh.groupBy("s").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDf).select("s")
+      sh.join(broadcast(hot), Seq("s"), "left_anti")
+    }
+
   /** ngramJaccard against a pre-built bucketed index (see
     * buildShingleIndex): identical result, but the s=s self-join reads
     * co-bucketed files — no Exchange in the plan. */
-  def ngramJaccardIndexed(spark: org.apache.spark.sql.SparkSession, table: String, threshold: Double): DataFrame = {
-    val sh = spark.table(table)
+  def ngramJaccardIndexed(spark: org.apache.spark.sql.SparkSession, table: String, threshold: Double,
+                          maxDf: Int = 10000): DataFrame = {
+    val sh = capDf(spark.table(table), maxDf)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(sh.as("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
@@ -84,8 +104,9 @@ object Dedup {
     * self-join, Jaccard from per-doc set sizes. Only bucket-mates are
     * ever paired — the fundamental trick that scales.
     */
-  def ngramJaccard(docs: DataFrame, textCol: String, idCol: String, n: Int, threshold: Double): DataFrame = {
-    val sh = shingles(docs, textCol, idCol, n)
+  def ngramJaccard(docs: DataFrame, textCol: String, idCol: String, n: Int, threshold: Double,
+                   maxDf: Int = 10000): DataFrame = {
+    val sh = capDf(shingles(docs, textCol, idCol, n), maxDf)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(sh.as("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
@@ -109,10 +130,13 @@ object Dedup {
     * enough shingles that s² per band pairs up ~everything).
     */
   def minhashLsh(docs: DataFrame, textCol: String, idCol: String, n: Int,
-                 numHashes: Int, bandRows: Int, threshold: Double): DataFrame = {
+                 numHashes: Int, bandRows: Int, threshold: Double,
+                 maxDf: Int = 10000): DataFrame = {
     require(numHashes % bandRows == 0, "numHashes must divide into bands")
     val numBands = numHashes / bandRows
-    val sh = shingles(docs, textCol, idCol, n)
+    // the df cap applies to the whole filtered shingle space (signatures
+    // AND exact verify), keeping minhashLsh ≡ ngramJaccard at equal caps
+    val sh = capDf(shingles(docs, textCol, idCol, n), maxDf)
 
     // signature: one hash-agg pass, k mins computed map-side in parallel.
     // Hash the shingle STRING once; derive the k hash families by
@@ -213,7 +237,8 @@ object Dedup {
     * pair edges as its cluster id (then "keep one per cluster" is a
     * trivial group-by). Iterative min-label propagation — each round is
     * one equi-join + hash-agg, lineage truncated per round with
-    * localCheckpoint; rounds ≈ O(log(diameter)) for near-dup graphs,
+    * Checkpoints.truncate (localCheckpoint, or reliable checkpoints on
+    * a cluster via the graft.checkpointDir session conf); rounds ≈ O(log(diameter)) for near-dup graphs,
     * whose components are tiny by construction. The driver only reads
     * the convergence counter, never the data. */
   def clusters(pairs: DataFrame): DataFrame = {
@@ -222,7 +247,7 @@ object Dedup {
     // pipeline (measured 3-5× the total cost)
     val edges = pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
+      .transform(graft.core.Checkpoints.truncate)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
     var changed = 1L
@@ -231,7 +256,7 @@ object Dedup {
         .groupBy(edges("a").as("id")).agg(min("label").as("nl"))
       val next = labels.as("l").join(prop.as("p"), Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .localCheckpoint()
+        .transform(graft.core.Checkpoints.truncate)
       changed = next.as("n").join(labels.as("o"), Seq("id"))
         .filter(col("n.label") =!= col("o.label")).count()
       labels = next

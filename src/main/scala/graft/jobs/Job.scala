@@ -52,7 +52,28 @@ final case class UnionDatasetSource(legs: Seq[(String, DataFrame)]) extends Sour
       .reduce(_ unionByName _)
 }
 
+/** Reference: HttpDatasetSource (internal/jobs/source/httpDatasetSource.go)
+  * — the reference's main integration transport: entity JSON pulled from
+  * a remote dataset endpoint. Network IO is out of scope in this build
+  * (and would hide behind this same API); the wire FORMAT and the job
+  * plumbing are real — any location Spark reads as text lines (file://,
+  * hdfs://, s3://) acts as the endpoint. A 100 TB sync is a map-only
+  * scan: the JSON codec is a pure projection, nothing shuffles. */
+final case class WireDatasetSource(path: String) extends Source {
+  def read(spark: SparkSession): DataFrame =
+    graft.sources.EntityJson.fromJsonLines(spark,
+      spark.read.text(path).select(col("value").as("json")))
+}
+
 sealed trait Sink { def write(df: DataFrame): Unit }
+
+/** Reference: HttpDatasetSink (internal/jobs/sink.go) — entity JSON
+  * pushed to a dataset endpoint; see WireDatasetSource for the
+  * no-network rationale. */
+final case class WireDatasetSink(path: String) extends Sink {
+  def write(df: DataFrame): Unit =
+    graft.sources.EntityJson.toJsonLines(df).write.mode("overwrite").text(path)
+}
 
 /** Reference: DatasetSink — writes into a named dataset of the in-session
   * registry (the Spark-world analog of writing a dataset back to the

@@ -9,20 +9,31 @@ import org.apache.spark.sql.DataFrame
   *
   * Spark translation: every leg is materialized (validated) BEFORE any
   * leg becomes visible in the registry — a failing leg aborts the whole
-  * transaction with the registry untouched. On a cluster the same
-  * staging discipline maps to writing each leg to a staging path and
-  * committing via atomic rename/metastore swap.
+  * transaction with the registry untouched. With a `stagingDir` each leg
+  * is staged as parquet and published from the staged files (the
+  * cluster-scale discipline: durable staging + metadata-only publish,
+  * the same write-then-swap the reference's StoreEntitiesWithTransaction
+  * performs inside Badger). Without one, legs are staged via cache+count
+  * — fine in-session, but CacheManager plan-matching is measured to be
+  * erratic under memory pressure (PERF.md), so at real scale pass a dir.
   */
-final case class Transaction(writes: Seq[(String, DataFrame)]) {
+final case class Transaction(writes: Seq[(String, DataFrame)], stagingDir: Option[String] = None) {
 
   /** Validate-then-publish. Returns per-dataset row counts. */
   def commit(registry: DatasetRegistry): Seq[(String, Long)] = {
     // stage: force full evaluation of every leg first (any error here
     // leaves the registry exactly as it was)
     val staged = writes.map { case (name, df) =>
-      val cached = df.cache()
-      val n = cached.count()
-      (name, cached, n)
+      stagingDir match {
+        case Some(root) =>
+          val path = s"$root/$name"
+          df.write.mode("overwrite").parquet(path)
+          val back = df.sparkSession.read.parquet(path)
+          (name, back, back.count())
+        case None =>
+          val cached = df.cache()
+          (name, cached, cached.count())
+      }
     }
     // publish: metadata-only, cannot fail partially
     staged.foreach { case (name, df, _) => registry.put(name, df) }

@@ -7,8 +7,14 @@ import org.apache.spark.sql.functions._
   * dataset that points at the id of a target dataset, labelled with a
   * predicate URI — the relational encoding of the reference's `refs` map
   * (mimiro-io/datahub DOCUMENTATION.md "Data Structures").
+  *
+  * @param array the reference model allows multi-valued refs
+  *              (`refs: {URI → URI | [URI]}`, internal/server/entity.go):
+  *              an array-valued FK column explodes to one edge per
+  *              element in every traversal (map-side, before any join
+  *              shuffle); a null/empty array means no edges.
   */
-final case class Ref(predicate: String, fkCol: String, target: String)
+final case class Ref(predicate: String, fkCol: String, target: String, array: Boolean = false)
 
 /** One registered dataset of entities.
   *

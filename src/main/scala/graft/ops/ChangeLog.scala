@@ -97,6 +97,27 @@ object ChangeLog {
       .select(col("__id") +: col("__t") +: payloadCols.map(c => col(s"__latest.$c").as(c)): _*)
   }
 
+  /** Retention / garbage collection — reference
+    * internal/server/garbagecollector.go: drop log versions older than
+    * token `t` while KEEPING each entity's latest at-or-before-t version,
+    * so every as-of query at tokens >= t (and every snapshot/latestOnly)
+    * is unchanged; only pre-t history disappears. Deleted-at-t entities
+    * keep their tombstone (it is their latest version), so deletion
+    * semantics survive GC.
+    *
+    * One window pass partitioned by entity id over the `<= t` slice
+    * (the partition key carries the parallelism — no global sort), and
+    * the `> t` slice passes through untouched with its filter pushed to
+    * the scan. */
+  def retain(log: DataFrame, idCol: String, recordedCol: String, t: Long): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col(recordedCol).desc)
+    val oldLatest = log.filter(col(recordedCol) <= t)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    oldLatest.unionByName(log.filter(col(recordedCol) > t))
+  }
+
   /** Reference: POST /compaction {"strategy": "deduplicate"} — drop
     * successive versions of an entity whose payload is identical to the
     * previous version, retaining timeline correctness

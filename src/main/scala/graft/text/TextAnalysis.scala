@@ -130,13 +130,16 @@ object TextAnalysis {
     * (broadcast — it is vocabulary-sized), one two-level top-k. */
   def keywords(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = docs.count() // corpus size: one driver-side scalar, computed once
+    // corpus size folded INTO the plan (1-row broadcast joined onto the
+    // vocabulary-sized df table) — no driver-side count(), so the
+    // operator stays a lazily-composable single DAG
+    val n = docs.agg(count(lit(1)).cast("long").as("__n"))
     val wc = docs
       .select(col(idCol).as("id"), explode(words(col(textCol))).as("w"))
       .groupBy("id", "w").agg(count(lit(1)).as("tf"))
-    val df_ = wc.groupBy("w").agg(count(lit(1)).as("df"))
+    val df_ = wc.groupBy("w").agg(count(lit(1)).as("df")).join(broadcast(n))
     val scored = wc.join(broadcast(df_), "w")
-      .withColumn("score", col("tf") * expr(s"${n}L div df"))
+      .withColumn("score", col("tf") * expr("__n div df"))
     val win = Window.partitionBy("id").orderBy(col("score").desc, col("w"))
     scored.withColumn("rnk", row_number().over(win))
       .filter(col("rnk") <= k)

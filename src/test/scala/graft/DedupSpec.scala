@@ -63,6 +63,20 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 7L, 100L)) // cluster canonicals + untouched doc
   }
 
+  test("clusters honors graft.checkpointDir (reliable checkpoints for cluster runs)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    spark.conf.set(graft.core.Checkpoints.ConfKey, dir)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+      val got = Dedup.clusters(pairs).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+      // the reliable-checkpoint artifacts actually landed on the path
+      assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir)).count() > 0)
+    } finally spark.conf.unset(graft.core.Checkpoints.ConfKey)
+  }
+
   test("clusters assigns min-reachable id across chained pairs") {
     val s = spark
     import s.implicits._
@@ -90,6 +104,25 @@ class DedupSpec extends SparkSpec {
       assert(plan.contains("SortMergeJoin"), plan)
       assert(!plan.contains("hashpartitioning(s#"), plan)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
+  test("hot-shingle df cap kills boilerplate-driven quadratic pairing, keeps real dups") {
+    val s = spark
+    import s.implicits._
+    // 60 docs all opening with the same boilerplate phrase (one shared
+    // 3-gram, df=60) + unique filler; docs 1 and 2 are true near-dups
+    val docs = (1 to 60).map { i =>
+      val filler = if (i == 2) "alpha beta gamma delta epsilon zeta" // clone of doc 1
+      else s"unique$i word$i token$i item$i thing$i part$i"
+      val body = if (i == 1) "alpha beta gamma delta epsilon zeta" else filler
+      (i.toLong, s"terms of service apply $body")
+    }.toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccard(docs, "text", "doc_id", 3, 0.01, maxDf = Int.MaxValue)
+    val capped = Dedup.ngramJaccard(docs, "text", "doc_id", 3, 0.01, maxDf = 10)
+    // without the cap the shared boilerplate pairs ~every doc with every other
+    assert(uncapped.count() > 1000, s"skew fixture should pair up quadratically, got ${uncapped.count()}")
+    val cappedPairs = capped.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedPairs == Set((1L, 2L)), s"cap should keep only the true near-dup pair: $cappedPairs")
   }
 
   test("ngram jaccard join never plans a cartesian product") {

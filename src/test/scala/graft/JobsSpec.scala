@@ -118,6 +118,32 @@ class JobsSpec extends SparkSpec {
     assert(restored.get("alpha").orderBy("k").collect().map(_.getString(1)).toSeq == Seq("a", "b"))
   }
 
+  test("transaction with stagingDir stages legs as durable parquet before publish") {
+    val s = spark
+    import s.implicits._
+    val reg = new DatasetRegistry
+    val dir = java.nio.file.Files.createTempDirectory("graft_stage_").toString
+    val counts = Transaction(Seq("a" -> s.range(5).toDF()), stagingDir = Some(dir)).commit(reg).toMap
+    assert(counts == Map("a" -> 5L))
+    assert(reg.get("a").count() == 5)
+    assert(new java.io.File(s"$dir/a").exists()) // the durable staging artifact
+  }
+
+  test("wire source/sink round-trips entity JSON through a path") {
+    val s = spark
+    import s.implicits._
+    val entities = Seq(("u/1", 0L, false, Map("p" -> "v1"), Map("r" -> "u/2")))
+      .toDF("id", "recorded", "deleted", "props", "refs")
+    val dir = java.nio.file.Files.createTempDirectory("graft_wire_spec_").toString
+    WireDatasetSink(dir).write(entities)
+    val back = WireDatasetSource(dir).read(s)
+    assert(back.count() == 1)
+    val row = back.collect()(0)
+    assert(row.getString(0) == "u/1")
+    assert(row.getMap[String, String](3) == Map("p" -> "v1"))
+    assert(row.getMap[String, String](4) == Map("r" -> "u/2"))
+  }
+
   test("incremental DatasetSource honors the since token with latestOnly") {
     val s = spark
     import s.implicits._
