@@ -63,13 +63,14 @@ object Ann {
   }
 
   /** Sketch column: for table `t`, an integer whose bit p is
-    * sign(v · plane_{t,p}). Built as a literal-signs fold — pure codegen. */
-  private[graft] def sketch(v: Column, dims: Int, t: Int, bits: Int): Column =
-    (0 until bits).map { p =>
-      val signs = array((0 until dims).map(d => lit(planeSign(t, p, d))): _*)
-      val proj = aggregate(zip_with(v, signs, (x, s) => x * s), lit(0.0), (a, x) => a + x)
-      when(proj > 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
+    * sign(v · plane_{t,p}) — one codegen'd two-level loop over all
+    * planes (graft.functions.HyperplaneSketch; the per-bit higher-order
+    * fold it replaces was the measured hot spot of the candidate pass). */
+  private[graft] def sketch(v: Column, dims: Int, t: Int, bits: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val signs = Array.tabulate(bits, dims)((p, d) => planeSign(t, p, d))
+    ColumnBridge.column(graft.functions.HyperplaneSketch(ColumnBridge.expr(v), signs))
+  }
 
   /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
     * into nlist cells; a query scores only the vectors of its nprobe

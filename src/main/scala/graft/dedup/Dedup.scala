@@ -75,8 +75,17 @@ object Dedup {
   private def capDf(sh: DataFrame, maxDf: Int): DataFrame =
     if (maxDf == Int.MaxValue) sh
     else {
-      val hot = sh.groupBy("s").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") > maxDf).select("s")
+      // materialize the hot list ONCE (it is tiny: bounded by
+      // |shingle instances|/maxDf) — operators reference the capped
+      // stream several times (signatures, sizes, both join sides), and
+      // without the checkpoint each reference would re-run the df
+      // aggregate over the full shingle stream (measured ~0.5 s × 4
+      // recomputes per query at sf0.1). This is the same
+      // stop-shingle-list-per-corpus materialization a deployment
+      // would persist next to the shingle index.
+      val hot = graft.core.Checkpoints.truncate(
+        sh.groupBy("s").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDf).select("s"))
       sh.join(broadcast(hot), Seq("s"), "left_anti")
     }
 

@@ -63,6 +63,75 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression for a random-hyperplane LSH sketch: bit p
+  * of the result is sign(v · plane_p), all `bits` planes in one pass.
+  *
+  * The declarative route (`aggregate(zip_with(v, signs, *), ...)` per
+  * bit) allocates a lambda frame per element per plane — measured ~3 s
+  * of pure sketching on a 4k×64-dim corpus with 64 planes. This
+  * generates one tight two-level loop inside whole-stage codegen. The
+  * accumulation order (dimension-ascending, double precision) is
+  * IDENTICAL to the higher-order formulation and to DuckDB's
+  * `list_inner_product`, so sketches — and therefore LSH buckets —
+  * stay engine-exact for the oracle.
+  */
+case class HyperplaneSketch(child: Expression, signs: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "hyperplane_sketch"
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(s"hyperplane_sketch needs array<float|double>, got $t")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val isF = elemIsFloat
+    var sk = 0
+    var p = 0
+    while (p < signs.length) {
+      val row = signs(p)
+      val n = math.min(row.length, v.numElements())
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        acc += (if (isF) v.getFloat(d).toDouble else v.getDouble(d)) * row(d)
+        d += 1
+      }
+      if (acc > 0) sk |= (1 << p)
+      p += 1
+    }
+    sk
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val s = ctx.addReferenceObj("signs", signs, "double[][]")
+      val get = if (elemIsFloat) "getFloat" else "getDouble"
+      val (sk, p, d, n, acc, row) = (ctx.freshName("sk"), ctx.freshName("p"),
+        ctx.freshName("d"), ctx.freshName("n"), ctx.freshName("acc"), ctx.freshName("row"))
+      s"""
+         |int $sk = 0;
+         |for (int $p = 0; $p < $s.length; $p++) {
+         |  double[] $row = $s[$p];
+         |  int $n = java.lang.Math.min($row.length, $v.numElements());
+         |  double $acc = 0.0;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    $acc += (double)$v.$get($d) * $row[$d];
+         |  }
+         |  if ($acc > 0) $sk |= (1 << $p);
+         |}
+         |${ev.value} = $sk;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** Column-level dot product over array<float>/array<double>. */
