@@ -148,6 +148,33 @@ object SparkEntry {
         .orderBy("start", "related")
     }),
 
+    "g14_paged_incoming" -> ((s, dir) => {
+      // keyset-paged INVERSE traversal: resume strictly past the
+      // (dataset, related_key) continuation token, next 15 rows
+      val g = Tpch.graph(s, dir)
+      g.inPaged("nation", Tpch.pNation, col("n_name") === "NATION_7",
+          scope = Seq("customer", "supplier"),
+          after = Some(("customer", 50L)), pageSize = 15)
+        .orderBy("dataset", "related_key")
+    }),
+
+    "j14_proxy_dataset" -> ((s, dir) => {
+      // proxy dataset (proxydataset.go): nation lives behind a "remote"
+      // wire location; its entities join local datasets in one plan
+      val g = Tpch.graph(s, dir)
+      val loc = java.nio.file.Files.createTempDirectory("graft_proxy_").toString
+      jobs.WireDatasetSink(loc).write(graft.sources.EntityJson.toEntityRows(g, "nation"))
+      val proxy = graft.sources.ProxyDataset("nation", loc)
+      val nat = proxy.flattened(s, Seq((Tpch.schemaNs + "nation/n_name", "n_name")))
+        .select(col("key").cast("int").as("n_nationkey"), col("n_name"))
+      t(s, dir, "customer")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("n_name") === "NATION_5")
+        .select(concat(lit(tpchBase + "customer/"), col("c_custkey")).as("id"),
+          col("c_name").as("name"), col("n_name"))
+        .orderBy("id")
+    }),
+
     "g10_merge_partials" -> ((s, dir) => {
       // two datasets sharing the customer id space, each holding a
       // property subset (reference: partial entities across datasets)
@@ -664,6 +691,25 @@ object SparkEntry {
          |       o.o_totalprice
          |FROM b, unnest(b.refs) AS r(k) JOIN orders o ON o.o_orderkey = r.k
          |ORDER BY start, related""".stripMargin,
+
+    "g14_paged_incoming" ->
+      s"""SELECT * FROM (
+         | SELECT * FROM (
+         |  SELECT $natUri AS start, '${Tpch.pNation}' AS predicate, 'customer' AS dataset,
+         |    $custUri AS related, CAST(c_custkey AS BIGINT) AS related_key
+         |  FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE n_name = 'NATION_7'
+         |  UNION ALL
+         |  SELECT $natUri, '${Tpch.pNation}', 'supplier',
+         |    $suppUri, CAST(s_suppkey AS BIGINT)
+         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7'
+         | ) WHERE (dataset, related_key) > ('customer', 50)
+         | ORDER BY dataset, related_key LIMIT 15
+         |) ORDER BY dataset, related_key""".stripMargin,
+
+    "j14_proxy_dataset" ->
+      s"""SELECT $custUri AS id, c_name AS name, n_name
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |WHERE n_name = 'NATION_5' ORDER BY id""".stripMargin,
 
     "c9_retention_gc" ->
       """SELECT user_id, event_id, event_type, value FROM (

@@ -169,6 +169,28 @@ final case class EntityGraph(datasets: Map[String, EntityDataset], ns: Namespace
         tgt.uri.as("related"))
   }
 
+  /** Paged INCOMING traversal with a keyset continuation — the
+    * reference pages both directions through the same continuation
+    * scheme (store.go:1079 `GetRelatedAtTime` + `RelatedFrom`); round 2
+    * only paged outgoing. The token is the (dataset, related_key) pair
+    * of the last row served: resuming filters strictly past it (struct
+    * comparison pushes to the scan) and takes the next page via
+    * per-partition top-N (TakeOrderedAndProject — no global sort). */
+  def inPaged(
+      target: String,
+      predicate: String,
+      targetFilter: Column = lit(true),
+      scope: Seq[String] = Seq.empty,
+      after: Option[(String, Long)] = None,
+      pageSize: Int = 100
+  ): DataFrame = {
+    val full = in(target, predicate, targetFilter, scope)
+    val keyF = after
+      .map { case (ds, k) => struct(col("dataset"), col("related_key")) > struct(lit(ds), lit(k)) }
+      .getOrElse(lit(true))
+    full.filter(keyF).orderBy(col("dataset"), col("related_key")).limit(pageSize)
+  }
+
   /** The full entity-to-entity edge list: one (src, dst) URI pair per
     * declared ref of every dataset — the materialized adjacency view
     * BFS-style operators run over. */

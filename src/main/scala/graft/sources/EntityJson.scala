@@ -18,8 +18,12 @@ import org.apache.spark.sql.types.StructType
   */
 object EntityJson {
 
+  /** Wire refs are normalized to URI ARRAYS: the reference's data model
+    * is `refs: {URI → URI | [URI]}` (internal/server/entity.go), and
+    * emitting the array form for both keeps the schema closed while
+    * round-tripping multi-valued refs losslessly. */
   val WireSchema: StructType = StructType.fromDDL(
-    "id string, recorded bigint, deleted boolean, props map<string,string>, refs map<string,string>")
+    "id string, recorded bigint, deleted boolean, props map<string,string>, refs map<string,array<string>>")
 
   /** Project a registered dataset into the entity interchange shape. */
   def toEntityRows(g: EntityGraph, dataset: String): DataFrame = {
@@ -27,10 +31,13 @@ object EntityJson {
     val props = map(
       d.propCols.flatMap(p => Seq(lit(d.propNs + p), col(p).cast("string"))): _*)
     val refs =
-      if (d.refs.isEmpty) lit(null).cast("map<string,string>")
+      if (d.refs.isEmpty) lit(null).cast("map<string,array<string>>")
       else map(d.refs.flatMap { r =>
         val tgt = g(r.target)
-        Seq(lit(r.predicate), concat(lit(tgt.ns), col(r.fkCol).cast("string")))
+        val uris =
+          if (r.array) transform(col(r.fkCol), fk => concat(lit(tgt.ns), fk.cast("string")))
+          else array(concat(lit(tgt.ns), col(r.fkCol).cast("string")))
+        Seq(lit(r.predicate), uris)
       }: _*)
     d.df.select(
       d.uri.as("id"),

@@ -41,6 +41,25 @@ class GraphPlanSpec extends SparkSpec {
     assert(one == Set("supplier"))
   }
 
+  test("paged incoming traversal: continuation tokens walk the full result exactly once") {
+    val full = g.in("nation", Tpch.pNation, col("n_name") === "NATION_7",
+        scope = Seq("customer", "supplier"))
+      .select("dataset", "related_key").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted
+    var token: Option[(String, Long)] = None
+    var pages = Vector.empty[(String, Long)]
+    var done = false
+    while (!done) {
+      val page = g.inPaged("nation", Tpch.pNation, col("n_name") === "NATION_7",
+          scope = Seq("customer", "supplier"), after = token, pageSize = 7)
+        .select("dataset", "related_key").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      pages ++= page
+      if (page.length < 7) done = true else token = Some(page.last)
+    }
+    assert(pages.sorted.toSeq == full.toSeq) // no gaps, no repeats
+  }
+
   test("namespace contract/expand round-trips") {
     val ns = Tpch.namespaces
     val s = spark

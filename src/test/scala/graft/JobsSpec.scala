@@ -132,7 +132,7 @@ class JobsSpec extends SparkSpec {
   test("wire source/sink round-trips entity JSON through a path") {
     val s = spark
     import s.implicits._
-    val entities = Seq(("u/1", 0L, false, Map("p" -> "v1"), Map("r" -> "u/2")))
+    val entities = Seq(("u/1", 0L, false, Map("p" -> "v1"), Map("r" -> Seq("u/2", "u/3"))))
       .toDF("id", "recorded", "deleted", "props", "refs")
     val dir = java.nio.file.Files.createTempDirectory("graft_wire_spec_").toString
     WireDatasetSink(dir).write(entities)
@@ -141,7 +141,27 @@ class JobsSpec extends SparkSpec {
     val row = back.collect()(0)
     assert(row.getString(0) == "u/1")
     assert(row.getMap[String, String](3) == Map("p" -> "v1"))
-    assert(row.getMap[String, String](4) == Map("r" -> "u/2"))
+    assert(row.getMap[String, scala.collection.Seq[String]](4)
+      .map { case (k, v) => (k, v.toList) }.toMap ==
+      Map("r" -> List("u/2", "u/3"))) // multi-valued refs round-trip
+  }
+
+  test("proxy dataset answers the dataset API from a wire location") {
+    val s = spark
+    import s.implicits._
+    val entities = Seq(
+      ("n/1", 5L, false, Map("p/name" -> "alpha"), null.asInstanceOf[Map[String, Seq[String]]]),
+      ("n/2", 9L, false, Map("p/name" -> "beta"), null.asInstanceOf[Map[String, Seq[String]]])
+    ).toDF("id", "recorded", "deleted", "props", "refs")
+    val dir = java.nio.file.Files.createTempDirectory("graft_proxy_spec_").toString
+    WireDatasetSink(dir).write(entities)
+    val proxy = graft.sources.ProxyDataset("n", dir)
+    assert(proxy.entities(s).count() == 2)
+    assert(proxy.changesSince(s, 5L).select("id").collect().map(_.getString(0)).toSeq == Seq("n/2"))
+    assert(proxy.lookup(s, "n/1").count() == 1)
+    val flat = proxy.flattened(s, Seq(("p/name", "name")))
+      .select("key", "name").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(flat == Set(("1", "alpha"), ("2", "beta")))
   }
 
   test("incremental DatasetSource honors the since token with latestOnly") {
