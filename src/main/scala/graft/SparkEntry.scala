@@ -3,7 +3,7 @@ package graft
 import graft.ann.Ann
 import graft.core.{EntityGraph, Tpch}
 import graft.dedup.Dedup
-import graft.jobs.{DatasetRegistry, DatasetSink, DatasetSource, Job, MultiSource, Transaction, Transforms, VirtualDataset}
+import graft.jobs.{DatasetRegistry, DatasetSink, DatasetSource, FunctionSource, Job, MultiSource, RegistrySource, Transaction, Transforms, VirtualDataset}
 import graft.multimodal.Multimodal
 import graft.ops.{ChangeLog, Events, TimeTravel}
 import graft.streaming.OnChange
@@ -566,6 +566,27 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "j15_failing_entities" -> ((s, dir) => {
+      // per-entity error handling (error_handler.go + reQueue.go):
+      // entities failing validation divert to a re-queue dataset; the
+      // retry job is just a second job reading the queue
+      val reg = new DatasetRegistry
+      val ev = events(s, dir).withColumn("k",
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+      Job("clean_events", FunctionSource(_ => ev),
+        sink = DatasetSink(reg, "clean_events"),
+        sourceName = "events", sinkName = "clean_events",
+        validate = col("k") < 90,
+        requeueTo = Some(DatasetSink(reg, "clean_events_requeue"))).run(s, Some(reg))
+      Job("retry_requeued", RegistrySource(reg, "clean_events_requeue"),
+        sink = DatasetSink(reg, "retried"),
+        sourceName = "clean_events_requeue", sinkName = "retried").run(s, Some(reg))
+      reg.names
+        .map(n => reg.get(n).agg(count(lit(1)).as("n_rows")).select(lit(n).as("dataset"), col("n_rows")))
+        .reduce(_ unionByName _)
+        .orderBy("dataset")
+    }),
+
     "j11_entity_roundtrip" -> ((s, dir) => {
       // export to the reference's entity-JSON wire shape, re-import,
       // flatten — the UDA interchange loop with no HTTP in between
@@ -1056,6 +1077,18 @@ object SparkEntry {
     "j13_wire_source_sink" ->
       s"""SELECT $suppUri AS id, s_name AS name, s_acctbal AS acctbal
          |FROM supplier ORDER BY id""".stripMargin,
+
+    "j15_failing_entities" ->
+      """SELECT * FROM (
+        | SELECT 'clean_events' AS dataset, count(*) AS n_rows FROM events
+        |   WHERE json_extract(props, '$.k')::INT < 90
+        | UNION ALL
+        | SELECT 'clean_events_requeue', count(*) FROM events
+        |   WHERE NOT (json_extract(props, '$.k')::INT < 90)
+        | UNION ALL
+        | SELECT 'retried', count(*) FROM events
+        |   WHERE NOT (json_extract(props, '$.k')::INT < 90)
+        |) ORDER BY dataset""".stripMargin,
 
     "p1_training_corpus" ->
       """WITH w AS (

@@ -121,6 +121,16 @@ final class DatasetRegistry {
 /** A job definition: the reference's {source, transform, sink} triple.
   * `sourceName`/`sinkName` feed the lineage graph; `hops` lists datasets
   * queried inside the transform (reference: transform-hop edges).
+  *
+  * Per-entity error handling (reference internal/jobs/error_handler.go:
+  * `LogFailingEntityHandler` logs-and-continues,
+  * `ReQueueFailingEntityHandler` diverts failing entities to a re-queue
+  * dataset that the next run retries — internal/jobs/reQueue.go): the
+  * `validate` predicate splits the ONE transformed relation into sink
+  * rows and `requeueTo` rows — two filtered writes of the same plan, no
+  * row-at-a-time error path, so at 100 TB the error channel costs one
+  * extra filtered scan, not a per-row handler. A retry is simply a job
+  * whose source reads the re-queue dataset.
   */
 final case class Job(
     id: String,
@@ -129,11 +139,14 @@ final case class Job(
     sink: Sink,
     sourceName: String = "",
     sinkName: String = "",
-    hops: Seq[String] = Seq.empty
+    hops: Seq[String] = Seq.empty,
+    validate: Column = lit(true),
+    requeueTo: Option[Sink] = None
 ) {
   def run(spark: SparkSession, registry: Option[DatasetRegistry] = None): Unit = {
     val out = transform(source.read(spark))
-    sink.write(out)
+    requeueTo.foreach(_.write(out.filter(!validate)))
+    sink.write(requeueTo.map(_ => out.filter(validate)).getOrElse(out))
     registry.foreach { r =>
       if (sourceName.nonEmpty && sinkName.nonEmpty) {
         val kind = if (transform eq Transforms.noop) "copy" else "transform"

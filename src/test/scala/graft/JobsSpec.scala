@@ -146,6 +146,23 @@ class JobsSpec extends SparkSpec {
       Map("r" -> List("u/2", "u/3"))) // multi-valued refs round-trip
   }
 
+  test("failing entities divert to the re-queue sink; a retry job drains it") {
+    val s = spark
+    import s.implicits._
+    val reg = new DatasetRegistry
+    val src = Seq((1, "ok"), (2, "bad"), (3, "ok")).toDF("k", "status")
+    Job("clean", FunctionSource(_ => src),
+      sink = DatasetSink(reg, "clean"),
+      validate = col("status") === "ok",
+      requeueTo = Some(DatasetSink(reg, "requeue"))).run(s, Some(reg))
+    assert(reg.get("clean").select("k").collect().map(_.getInt(0)).toSet == Set(1, 3))
+    assert(reg.get("requeue").select("k").collect().map(_.getInt(0)).toSet == Set(2))
+    // retry run: the queue is just another source
+    Job("retry", RegistrySource(reg, "requeue"),
+      sink = DatasetSink(reg, "retried")).run(s, Some(reg))
+    assert(reg.get("retried").count() == 1)
+  }
+
   test("proxy dataset answers the dataset API from a wire location") {
     val s = spark
     import s.implicits._
