@@ -472,6 +472,16 @@ object SparkEntry {
     "m1_multimodal_meta" -> ((s, dir) =>
       Multimodal.features(s, t(s, dir, "documents")).orderBy("doc_id")),
 
+    "m2_multimodal_resize" -> ((s, dir) => {
+      // resize (block-average downsample) -> decode features, one
+      // map-only typed pipeline; the byte semantics are exact so DuckDB
+      // recomputes the resized payload and its features from the text
+      val media = Multimodal.mediaFromDocs(t(s, dir, "documents"))
+      Multimodal.extractFeatures(Multimodal.asMedia(Multimodal.resize(media, 4))).toDF()
+        .select("doc_id", "n_bytes", "checksum", "n_frames", "first_byte")
+        .orderBy("doc_id")
+    }),
+
     // ===== jobs (cont.) =================================================
     "j4_txn_multi_write" -> ((s, dir) => {
       val reg = new DatasetRegistry
@@ -1016,6 +1026,23 @@ object SparkEntry {
         | ((length(text) + 15) // 16)::BIGINT AS n_frames,
         | ascii(substr(text, 1, 1))::BIGINT AS first_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m2_multimodal_resize" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))::BIGINT) AS bytes
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    [ list_sum(bytes[4*blk+1 : least(4*blk+4, len(bytes))])::BIGINT
+        |        // (least(4*blk+4, len(bytes)) - 4*blk)
+        |      for blk in range(0, (len(bytes)+3)//4) ] AS rb
+        |  FROM b)
+        |SELECT doc_id, len(rb)::BIGINT AS n_bytes,
+        |  (list_sum(rb) % 997)::BIGINT AS checksum,
+        |  ((len(rb)+15)//16)::BIGINT AS n_frames,
+        |  rb[1]::BIGINT AS first_byte
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "j4_txn_multi_write" ->
       """SELECT * FROM (

@@ -61,6 +61,45 @@ object Multimodal {
   def features(spark: SparkSession, docs: DataFrame): DataFrame =
     extractFeatures(mediaFromDocs(docs)).toDF()
 
+  final case class ResizedMedia(doc_id: Long, payload: Array[Byte],
+                                meta_source: String, orig_bytes: Long, new_bytes: Long)
+
+  /** Resize STUB — stand-in for an image resize / audio resample:
+    * block-average the payload by `factor` (the byte-level analog of
+    * average-pool downsampling), emitting a NEW smaller binary payload
+    * so resized media flows through the same decode/feature/frame
+    * operators. Map-only, no shuffle, payload never leaves the
+    * executor; a production build swaps only the block loop for the
+    * codec's resampler. */
+  def resize(media: Dataset[Media], factor: Int): Dataset[ResizedMedia] = {
+    require(factor >= 1, "resize factor must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val bytes = m.payload
+      val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+      var b = 0
+      while (b < out.length) {
+        val start = b * factor
+        val end = math.min(start + factor, bytes.length)
+        var sum = 0L
+        var j = start
+        while (j < end) { sum += bytes(j) & 0xffL; j += 1 }
+        out(b) = (sum / (end - start)).toByte
+        b += 1
+      }
+      ResizedMedia(m.doc_id, out, m.meta_source, bytes.length.toLong, out.length.toLong)
+    })
+  }
+
+  /** Resized media re-enters the pipeline as ordinary Media — resize →
+    * decode → features composes in one map-only plan. */
+  def asMedia(resized: Dataset[ResizedMedia]): Dataset[Media] = {
+    val spark = resized.sparkSession
+    import spark.implicits._
+    resized.map(r => Media(r.doc_id, r.payload, r.meta_source, r.new_bytes))
+  }
+
   /** One decoded "frame": sampled position + byte value + a windowed
     * stat over the following stride (a stand-in for per-frame features
     * like pixel means or audio chunk energy). */

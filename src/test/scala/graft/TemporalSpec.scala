@@ -87,6 +87,34 @@ class TemporalSpec extends SparkSpec {
       ChangeLog.changesSince(log, "recorded", 4).count())
   }
 
+  test("plan shapes: stateAt is one aggregate exchange, no Window; tombstones broadcast the batch") {
+    // stateAt (and with it g12's traversal) must ride ChangeLog.asOf's
+    // single max_by hash-aggregate — a Window over the log would
+    // shuffle-sort the entire 100 TB history instead
+    val statePlan = planOf(stateAt(log, "id", "recorded", col("deleted"), 5))
+    assert(!statePlan.contains("Window"), statePlan)
+    assert(statePlan.split("\\(\\d+\\) Exchange").length == 2, statePlan) // exactly one Exchange
+    // fullsync deletion detection: the log-side snapshot anti-joins a
+    // BROADCAST of the (bounded) batch id set — the log never reshuffles
+    val s = spark
+    import s.implicits._
+    val batch = Seq(1L).toDF("sid")
+    val stonePlan = planOf(graft.jobs.FullSync.deletionTombstones(
+      log, "id", "recorded", col("deleted"), batch, "sid", 9L))
+    assert(stonePlan.contains("BroadcastHashJoin") && stonePlan.contains("LeftAnti"), stonePlan)
+  }
+
+  test("plan shape: retention GC windows only the pre-T slice, pass-through for the rest") {
+    val plan = planOf(ChangeLog.retain(log, "id", "recorded", 4))
+    // exactly one Window pass over the <= T slice — and Spark further
+    // rewrites the rn=1 filter into a WindowGroupLimit (per-group top-1
+    // before the full sort), which is exactly the plan we want
+    assert("\\(\\d+\\) Window\\b".r.findAllIn(plan).length == 1, plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+    // the > T slice passes through as a plain filtered scan under the Union
+    assert(plan.contains("Union"), plan)
+  }
+
   test("array-valued refs explode to one edge per element, in both directions") {
     val s = spark
     import s.implicits._

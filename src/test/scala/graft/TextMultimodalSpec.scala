@@ -67,6 +67,22 @@ class TextMultimodalSpec extends SparkSpec {
     assert(n == 3L)
   }
 
+  test("resize block-averages the payload and composes with decode in one map-only plan") {
+    val text = "abcdefghijklmnopqrstuvwxyz0123456789" // 36 bytes
+    val media = Multimodal.mediaFromDocs(df1(text).withColumn("source", lit("s")))
+    val resized = Multimodal.resize(media, factor = 4)
+    val row = resized.collect()(0)
+    assert(row.orig_bytes == 36L && row.new_bytes == 9L)
+    // block 0 = mean of 'a'..'d'
+    assert((row.payload(0) & 0xff) == ('a' + 'b' + 'c' + 'd') / 4)
+    // resized media re-enters the same feature pipeline
+    val feats = Multimodal.extractFeatures(Multimodal.asMedia(resized)).collect()(0)
+    assert(feats.n_bytes == 9L)
+    // the composed resize -> decode plan stays shuffle-free
+    val plan = planOf(Multimodal.extractFeatures(Multimodal.asMedia(resized)).toDF())
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("text ops are map-only: no shuffle in the plan") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = planOf(TextAnalysis.qualityScore(docs, "text", "doc_id"))
