@@ -35,6 +35,59 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("time-aware traversal matches a brute-force model on random version logs") {
+    val s = spark
+    import s.implicits._
+    // random log: (entity 0-5, token 1-40 unique per entity, ref A-D or tombstone)
+    val verGen = Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(1L, 40L),
+      Gen.option(Gen.oneOf("A", "B", "C", "D")))
+    forAllSeeded(Gen.listOfN(30, verGen)) { raw =>
+      {
+        // one version per (entity, token): keep the first occurrence
+        val vs = raw.groupBy(v => (v._1, v._2)).map(_._2.head).toSeq
+        val df = vs.map { case (id, tok, ref) => (id, tok, ref.orNull, ref.isEmpty) }
+          .toDF("id", "recorded", "ref", "deleted")
+        for (t <- Seq(1L, 10L, 20L, 40L)) {
+          val got = graft.ops.TimeTravel
+            .outAtTime(df, "id", "recorded", col("deleted"), "ref", t, "e/", "p", "n/")
+            .select("start", "related").collect()
+            .map(r => (r.getString(0), r.getString(1))).toSet
+          // model: latest version per entity at-or-before t; tombstone -> no edge
+          val expect = vs.filter(_._2 <= t)
+            .groupBy(_._1).view
+            .mapValues(_.maxBy(_._2)._3).toMap
+            .collect { case (id, Some(ref)) => (s"e/$id", s"n/$ref") }
+            .toSet
+          assert(got == expect, s"t=$t log=$vs")
+        }
+      }
+    }
+  }
+
+  test("retention GC never changes any as-of view at tokens >= T (random logs)") {
+    val s = spark
+    import s.implicits._
+    val verGen = Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(1L, 40L),
+      Gen.option(Gen.oneOf("A", "B", "C", "D")))
+    forAllSeeded(Gen.listOfN(25, verGen), trials = 4) { raw =>
+      {
+        val vs = raw.groupBy(v => (v._1, v._2)).map(_._2.head).toSeq
+        val df = vs.map { case (id, tok, ref) => (id, tok, ref.orNull, ref.isEmpty) }
+          .toDF("id", "recorded", "ref", "deleted")
+        val retained = ChangeLog.retain(df, "id", "recorded", 20L)
+        for (t <- Seq(20L, 30L, 40L)) {
+          def view(d: org.apache.spark.sql.DataFrame) =
+            ChangeLog.asOf(d, "id", "recorded", t)
+              .select("id", "recorded", "ref", "deleted").collect().map(_.toSeq).toSet
+          assert(view(retained) == view(df), s"as-of $t diverged after GC; log=$vs")
+        }
+        val full = df.filter(col("recorded") > 20L).collect().map(_.toSeq).toSet
+        val gc = retained.filter(col("recorded") > 20L).collect().map(_.toSeq).toSet
+        assert(gc == full, "post-T changes must be untouched")
+      }
+    }
+  }
+
   test("namespace contract∘expand is identity for registered URIs") {
     val s = spark
     import s.implicits._
