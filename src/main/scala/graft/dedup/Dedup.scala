@@ -173,7 +173,10 @@ object Dedup {
     // shingle shuffle limited to candidate docs)
     val candDocs = cand.select(col("a").as("id")).union(cand.select(col("b").as("id"))).distinct()
     val shC = sh.join(candDocs, Seq("id"), "leftsemi")
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    // set sizes only matter for candidate pairs, and shC keeps ALL the
+    // shingles of every candidate doc — so aggregate the (much smaller)
+    // candidate slice instead of re-running a full shingle pass
+    val sizes = shC.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = shC.as("x").join(shC.as("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("inter"))
