@@ -369,6 +369,13 @@ object SparkEntry {
       Events.sessionize(events(s, dir), "ts", "user_id", "2 hours")
         .orderBy("user_id", "session_start_us")),
 
+    "e5_stream_sessions" -> ((s, dir) =>
+      // flatMapGroupsWithState sessionization: closed sessions only —
+      // each user's final (still-open) session stays in the state store,
+      // so the oracle is batch sessionize minus each user's last session
+      OnChange.streamingSessionize(s, s"$dir/events.parquet", gapUs = 7200000000L)
+        .orderBy("user_id", "session_start_us")),
+
     // ===== dedup =========================================================
     "d1_exact_dedup" -> ((s, dir) => {
       // two overlapping ingest sources -> exact content-hash dedup
@@ -895,6 +902,22 @@ object SparkEntry {
         |      FROM d)
         |SELECT user_id, min(tus) AS session_start_us, count(*) AS n_events, round(sum(value),2) AS sum_value
         |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+
+    "e5_stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS tus, value FROM events),
+        |d AS (SELECT user_id, tus, value,
+        |        CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w >= 7200000000 THEN 1 ELSE 0 END AS ns
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+        |g AS (SELECT user_id, tus, value,
+        |        sum(ns) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM d),
+        |sess AS (SELECT user_id, min(tus) AS session_start_us, count(*) AS n_events,
+        |                round(sum(value), 2) AS sum_value
+        |         FROM g GROUP BY user_id, sid)
+        |SELECT user_id, session_start_us, n_events, sum_value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY session_start_us DESC) AS rn
+        |  FROM sess)
+        |WHERE rn > 1 ORDER BY user_id, session_start_us""".stripMargin,
 
     "d1_exact_dedup" ->
       """WITH u AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)

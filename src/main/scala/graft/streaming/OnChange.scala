@@ -76,6 +76,63 @@ object OnChange {
     spark.table(name)
   }
 
+  final case class SessionEvent(user_id: Long, tus: Long, value: Double)
+  final case class OpenSession(start_us: Long, last_us: Long, n: Long, sum: Double)
+  final case class ClosedSession(user_id: Long, session_start_us: Long, n_events: Long, raw_sum: Double)
+
+  /** Streaming sessionization via `flatMapGroupsWithState` — custom
+    * MULTI-ROW state output (the `mapGroups` variant emits one row per
+    * key; sessions need zero-or-many). A session CLOSES when a later
+    * event of the same user arrives past the gap; closed sessions are
+    * emitted in append mode, the user's open tail session stays in the
+    * state store (it is genuinely not final until more events or a
+    * timeout arrive — exactly the reference's open-ended incremental
+    * sync posture). State per key is one OpenSession struct, bounded
+    * regardless of history length. */
+  def streamingSessionize(spark: SparkSession, eventsPath: String, gapUs: Long): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsPath).schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_changelog_sess_")
+    dir.toFile.deleteOnExit()
+    val src = java.nio.file.Paths.get(eventsPath)
+    java.nio.file.Files.copy(src, dir.resolve(src.getFileName))
+    val sessions = spark.readStream.schema(schema).parquet(dir.toString)
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("value"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid, events, state) =>
+          val sorted = events.toSeq.sortBy(_.tus)
+          var open = state.getOption
+          val closed = Seq.newBuilder[ClosedSession]
+          sorted.foreach { e =>
+            open match {
+              case Some(o) if e.tus - o.last_us < gapUs =>
+                open = Some(OpenSession(o.start_us, e.tus, o.n + 1, o.sum + e.value))
+              case Some(o) =>
+                closed += ClosedSession(uid, o.start_us, o.n, o.sum)
+                open = Some(OpenSession(e.tus, e.tus, 1, e.value))
+              case None =>
+                open = Some(OpenSession(e.tus, e.tus, 1, e.value))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+    val name = "onchange_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = sessions.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("user_id"), col("session_start_us"), col("n_events"),
+        round(col("raw_sum"), 2).as("sum_value"))
+  }
+
   /** One event version of one entity (user) in the change stream. */
   final case class EventVersion(user_id: Long, event_id: Long, event_type: String, value: Double)
 

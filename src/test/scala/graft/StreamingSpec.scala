@@ -68,6 +68,20 @@ class StreamingSpec extends SparkSpec {
     assert(!got.contains(7200L), s"got $got")
   }
 
+  test("streaming sessionize emits exactly the closed sessions of batch sessionize") {
+    val path = s"$sfDir/events.parquet"
+    val streamed = OnChange.streamingSessionize(spark, path, gapUs = 7200000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.ops.Events.sessionize(
+        spark.read.parquet(path), "ts", "user_id", "2 hours")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // closed = all batch sessions except each user's last (still open)
+    val lastStart = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val expect = batch.filter { case (u, start, _) => start != lastStart(u) }.toSet
+    assert(streamed == expect)
+    assert(streamed.nonEmpty)
+  }
+
   test("streamed incremental agg equals batch agg") {
     val path = s"$sfDir/events.parquet"
     val streamed = OnChange.aggregateEvents(spark, path)
