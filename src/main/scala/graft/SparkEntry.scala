@@ -421,6 +421,13 @@ object SparkEntry {
       Dedup.clusters(Dedup.ngramJaccard(t(s, dir, "documents"), "text", "doc_id", 3, 0.8))
         .orderBy("id")),
 
+    "d7_embedding_simjoin" -> ((s, dir) =>
+      // EXACT similarity join at a moderate threshold (LSH recall can't
+      // reach 1 down here) — block-pair replication: no broadcast of the
+      // corpus, no BNLJ, shuffle = n*blocks rows
+      Dedup.embeddingSimJoin(t(s, dir, "embeddings"), "embedding", "vec_id", 0.4)
+        .orderBy("a", "b")),
+
     // ===== similarity search ============================================
     "s1_ann_bruteforce" -> ((s, dir) =>
       Ann.bruteForceTopK(t(s, dir, "embeddings"), "embedding", "vec_id",
@@ -955,6 +962,13 @@ object SparkEntry {
         |  FROM s x JOIN s y ON x.j = y.j AND x.doc_id < y.doc_id
         |  GROUP BY 1, 2)
         |SELECT a, b, hamming FROM ham WHERE hamming <= 10 ORDER BY a, b""".stripMargin,
+
+    "d7_embedding_simjoin" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        |ORDER BY a, b""".stripMargin,
 
     // exact all-pairs ground truth: the Spark side runs LSH candidates →
     // exact verify, so a hash match here proves candidate recall = 1

@@ -248,6 +248,47 @@ object Dedup {
       .distinct()
   }
 
+  /** EXACT cosine similarity join with NO broadcast and no all-pairs
+    * node: block-pair replication. Each vector lands in block
+    * b = hash(id) mod B; every unordered block pair (i ≤ j) is one join
+    * key, and each row replicates to its B pair-keys map-side. The
+    * equi-join on the pair key then meets exactly the rows of those two
+    * blocks — Σ|Pi||Pj| covers every pair once, work is still O(n²)
+    * (exact means exact) but the shuffle is n·B rows and every executor
+    * holds only two blocks at a time. This is the moderate-threshold
+    * companion to `embeddingNearDup`: LSH candidate recall at cosine
+    * ~0.4 cannot reach 1, so the exact join is the only faithful
+    * operator there — and this shape, unlike the broadcast kernel
+    * (`embeddingNearDupExact`), survives corpora that fit no executor.
+    * B scales the plan: partitions get n/B rows; pick B ≈ n·rowBytes /
+    * targetPartitionBytes. */
+  def embeddingSimJoin(emb: DataFrame, vecCol: String, idCol: String, threshold: Double,
+                       blocks: Int = 8): DataFrame = {
+    import graft.functions.VectorFunctions.{dot, l2norm}
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("norm", l2norm(col("v")))
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
+    // pair key (i,j), i <= j: a row of block b sits on the LEFT of the
+    // keys where b is the smaller block {(b,j): j >= b} and on the
+    // RIGHT of those where it is the larger {(i,b): i <= b}. A
+    // cross-block pair then meets at exactly one key (its block pair,
+    // smaller-block row on the left); a same-block pair meets twice at
+    // the diagonal key (both orientations) — least/greatest + distinct
+    // collapse that.
+    val left = e.select(col("id"), col("v"), col("norm"),
+      explode(sequence(col("blk"), lit(blocks - 1))).as("pj"), col("blk").as("pi"))
+    val right = e.select(col("id"), col("v"), col("norm"),
+      explode(sequence(lit(0), col("blk"))).as("pi"), col("blk").as("pj"))
+    val sim = dot(col("x.v"), col("y.v")) / (col("x.norm") * col("y.norm"))
+    left.as("x").join(right.as("y"),
+        col("x.pi") === col("y.pi") && col("x.pj") === col("y.pj") && col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("a"),
+        greatest(col("x.id"), col("y.id")).as("b"), sim.as("simraw"))
+      .filter(col("simraw") >= threshold)
+      .select(col("a"), col("b"), round(col("simraw"), 4).as("sim"))
+      .distinct()
+  }
+
   /** Connected components over a near-duplicate pair graph → dedup
     * clusters: every doc gets the smallest doc id reachable through
     * pair edges as its cluster id (then "keep one per cluster" is a

@@ -151,6 +151,20 @@ class DedupSpec extends SparkSpec {
     u.unpersist()
   }
 
+  test("blocked similarity join = broadcast exact kernel, without broadcasting the corpus") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val blocked = Dedup.embeddingSimJoin(emb, "embedding", "vec_id", 0.3, blocks = 5)
+    val gotBlocked = blocked.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotExact = Dedup.embeddingNearDupExact(emb, "embedding", "vec_id", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotBlocked == gotExact,
+      s"missed=${gotExact -- gotBlocked} extra=${gotBlocked -- gotExact}")
+    assert(gotBlocked.nonEmpty)
+    val plan = planOf(blocked)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("exact embedding near-dup kernel agrees with a driver-side exact computation") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(80).cache()
     val got = Dedup.embeddingNearDupExact(emb, "embedding", "vec_id", 0.3)
