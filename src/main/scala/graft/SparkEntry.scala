@@ -611,6 +611,21 @@ object SparkEntry {
         .orderBy("dataset")
     }),
 
+    "j16_wire_context" -> ((s, dir) => {
+      // the wire payload's @context pseudo-entity with per-dataset
+      // PUBLIC namespaces (DOCUMENTATION.md "Setting public namespaces
+      // for a Dataset"): only the dataset's public prefixes are
+      // advertised, and the context line round-trips through the file
+      val g = Tpch.graph(s, dir)
+      val cust = g("customer").copy(publicNamespaces = Seq(tpchBase + "customer/", Tpch.schemaNs))
+      val g2 = EntityGraph(g.datasets + ("customer" -> cust), g.ns)
+      val wireDir = java.nio.file.Files.createTempDirectory("graft_ctx_").toString
+      graft.sources.EntityJson.toJsonLinesWithContext(g2, "customer")
+        .write.mode("overwrite").text(wireDir)
+      val payload = s.read.text(wireDir).select(col("value").as("json"))
+      graft.sources.EntityJson.readContext(s, payload).orderBy("prefix")
+    }),
+
     "j11_entity_roundtrip" -> ((s, dir) => {
       // export to the reference's entity-JSON wire shape, re-import,
       // flatten — the UDA interchange loop with no HTTP in between
@@ -1141,6 +1156,12 @@ object SparkEntry {
     "j13_wire_source_sink" ->
       s"""SELECT $suppUri AS id, s_name AS name, s_acctbal AS acctbal
          |FROM supplier ORDER BY id""".stripMargin,
+
+    "j16_wire_context" ->
+      """SELECT * FROM (VALUES
+        | ('cust', 'http://graft.io/tpch/customer/'),
+        | ('gs', 'http://graft.io/schema/')) t(prefix, namespace)
+        |ORDER BY prefix""".stripMargin,
 
     "j15_failing_entities" ->
       """SELECT * FROM (

@@ -33,6 +33,11 @@ final case class Ref(predicate: String, fkCol: String, target: String, array: Bo
   * @param propCols property columns exposed as `props` (URI = propNs + col)
   * @param propNs   URI namespace expansion for property names
   * @param small    hint: dimension-sized at any scale factor -> broadcast
+  * @param publicNamespaces reference "Setting public namespaces for a
+  *                 Dataset" (DOCUMENTATION.md, the
+  *                 core/dataset/publicNamespaces meta-property): when
+  *                 non-empty, only these namespace expansions appear in
+  *                 the dataset's wire @context; empty = all registered.
   */
 final case class EntityDataset(
     name: String,
@@ -42,7 +47,8 @@ final case class EntityDataset(
     refs: Seq[Ref] = Seq.empty,
     propCols: Seq[String] = Seq.empty,
     propNs: String = "",
-    small: Boolean = false
+    small: Boolean = false,
+    publicNamespaces: Seq[String] = Seq.empty
 ) {
 
   /** Entity URI column for a row of this dataset. */

@@ -51,9 +51,44 @@ object EntityJson {
   def toJsonLines(entities: DataFrame): DataFrame =
     entities.select(to_json(struct(entities.columns.map(col): _*)).as("json"))
 
-  /** Parse JSON lines back into entity rows. */
+  /** The reference's payloads open with a context pseudo-entity
+    * (`{"id": "@context", "namespaces": {prefix: expansion}}` —
+    * DOCUMENTATION.md "Data Structures" / "Setting public namespaces
+    * for a Dataset"): emit it as the first wire line. `publicOnly`
+    * restricts the advertised map to a dataset's public namespaces. */
+  def contextLine(spark: SparkSession, ns: graft.model.Namespaces,
+                  publicOnly: Seq[String] = Seq.empty): DataFrame = {
+    val prefixes = ns.prefixes
+      .filter { case (_, exp) => publicOnly.isEmpty || publicOnly.contains(exp) }
+    val kv = prefixes.toSeq.sortBy(_._1)
+      .map { case (p, e) => s""""$p":"$e"""" }.mkString(",")
+    import spark.implicits._
+    Seq(s"""{"id":"@context","namespaces":{$kv}}""").toDF("json")
+  }
+
+  /** Entity rows + leading @context → JSON lines, the full payload a
+    * reference dataset endpoint serves. */
+  def toJsonLinesWithContext(g: EntityGraph, dataset: String): DataFrame = {
+    val d = g(dataset)
+    contextLine(d.df.sparkSession, g.ns, d.publicNamespaces)
+      .unionByName(toJsonLines(toEntityRows(g, dataset)))
+  }
+
+  /** Parse JSON lines back into entity rows; a leading @context line is
+    * NOT an entity and is stripped (read it with `readContext`). */
   def fromJsonLines(spark: SparkSession, jsonDf: DataFrame): DataFrame =
-    jsonDf.select(from_json(col("json"), WireSchema).as("e")).select("e.*")
+    jsonDf
+      .filter(!col("json").startsWith("""{"id":"@context""""))
+      .select(from_json(col("json"), WireSchema).as("e")).select("e.*")
+
+  /** The namespace map advertised by a wire payload's @context line:
+    * (prefix, expansion) rows. */
+  def readContext(spark: SparkSession, jsonDf: DataFrame): DataFrame =
+    jsonDf
+      .filter(col("json").startsWith("""{"id":"@context""""))
+      .select(explode(from_json(col("json"),
+        StructType.fromDDL("id string, namespaces map<string,string>")).getField("namespaces"))
+        .as(Seq("prefix", "namespace")))
 
   /** Flatten entity rows back to native columns (import path): each
     * (propertyUri, columnName) becomes a column again. */

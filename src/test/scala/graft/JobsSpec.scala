@@ -163,6 +163,27 @@ class JobsSpec extends SparkSpec {
     assert(reg.get("retried").count() == 1)
   }
 
+  test("wire payload with @context: entities parse with context stripped, context restricted to public namespaces") {
+    val s = spark
+    val g = graft.core.Tpch.graph(s, sfDir)
+    val pub = Seq(graft.core.Tpch.base + "nation/", graft.core.Tpch.schemaNs)
+    val g2 = graft.core.EntityGraph(
+      g.datasets + ("nation" -> g("nation").copy(publicNamespaces = pub)), g.ns)
+    val payload = graft.sources.EntityJson.toJsonLinesWithContext(g2, "nation")
+    // context first line, restricted to the public namespaces
+    val ctx = graft.sources.EntityJson.readContext(s, payload)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(ctx.values.toSet == pub.toSet)
+    // entities parse with the context line stripped
+    val back = graft.sources.EntityJson.fromJsonLines(s, payload)
+    assert(back.count() == g("nation").df.count())
+    assert(back.filter(col("id") === "@context").count() == 0)
+    // no restriction -> the full registered map is advertised
+    val full = graft.sources.EntityJson.readContext(s,
+      graft.sources.EntityJson.toJsonLinesWithContext(g, "nation")).count()
+    assert(full == g.ns.prefixes.size)
+  }
+
   test("proxy dataset answers the dataset API from a wire location") {
     val s = spark
     import s.implicits._
