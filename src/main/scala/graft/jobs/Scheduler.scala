@@ -21,7 +21,8 @@ object Scheduler {
       spark: SparkSession,
       registry: DatasetRegistry,
       jobSet: Seq[Job],
-      maxRetries: Int = 0
+      maxRetries: Int = 0,
+      paused: Set[String] = Set.empty
   ): Seq[String] = {
     // j2 depends on j1 iff j1's sink feeds j2's source or a hop
     def deps(j: Job): Seq[String] =
@@ -36,13 +37,31 @@ object Scheduler {
       if (ready.isEmpty)
         sys.error(s"dependency cycle among jobs: ${remaining.toSeq.sorted.mkString(", ")}")
       ready.foreach { id =>
-        val job = jobSet.find(_.id == id).get
-        runWithRetry(spark, registry, job, maxRetries)
+        // reference Jobs API pause: a paused job is skipped (not run),
+        // but still counts as satisfied for dependents — they run
+        // against whatever its sink dataset currently holds
+        if (!paused(id)) {
+          val job = jobSet.find(_.id == id).get
+          runWithRetry(spark, registry, job, maxRetries)
+          order += id
+        }
         remaining -= id
-        order += id
       }
     }
     order.toSeq
+  }
+
+  private val running = scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** Single-flight guard — reference internal/jobs/raffle.go: only one
+    * run of a given job id at a time; a concurrent attempt loses the
+    * raffle and returns false instead of double-running. */
+  def runSingleFlight(spark: SparkSession, registry: DatasetRegistry, job: Job,
+                      maxRetries: Int = 0): Boolean = {
+    if (running.putIfAbsent(job.id, ()).isDefined) false
+    else
+      try { runWithRetry(spark, registry, job, maxRetries); true }
+      finally running.remove(job.id)
   }
 
   /** Reference: runner.go retries a failed job run. */

@@ -87,6 +87,40 @@ class JobsSpec extends SparkSpec {
     assert(e.getMessage.contains("cycle"))
   }
 
+  test("paused jobs are skipped; dependents run against the existing sink state") {
+    val s = spark
+    import s.implicits._
+    val reg = new DatasetRegistry
+    reg.put("base", Seq((1L, 5.0)).toDF("id", "v"))
+    reg.put("mid", Seq((1L, 5.0, 999.0)).toDF("id", "v", "v2")) // stale state from a prior run
+    val jMid = Job("j_mid", RegistrySource(reg, "base"),
+      Transforms.setProperty("v2", col("v") * 2),
+      DatasetSink(reg, "mid"), sourceName = "base", sinkName = "mid")
+    val jFinal = Job("j_final", RegistrySource(reg, "mid"),
+      Transforms.setProperty("v3", col("v2") * 3),
+      DatasetSink(reg, "final"), sourceName = "mid", sinkName = "final")
+    val order = Scheduler.runAll(s, reg, Seq(jFinal, jMid), paused = Set("j_mid"))
+    assert(order == Seq("j_final")) // paused job not run...
+    assert(reg.get("final").collect()(0).getDouble(3) == 999.0 * 3) // ...stale mid consumed
+  }
+
+  test("single-flight: a concurrent run of the same job id loses the raffle") {
+    val s = spark
+    import s.implicits._
+    val reg = new DatasetRegistry
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val slow = FunctionSource { _ => started.countDown(); gate.await(); Seq(1).toDF("x") }
+    val job = Job("only_once", slow, sink = DatasetSink(reg, "out"), sourceName = "s", sinkName = "out")
+    val first = new Thread(() => Scheduler.runSingleFlight(s, reg, job))
+    first.start()
+    started.await()
+    assert(!Scheduler.runSingleFlight(s, reg, job)) // loses while first holds the slot
+    gate.countDown()
+    first.join()
+    assert(Scheduler.runSingleFlight(s, reg, job)) // free again after completion
+  }
+
   test("runWithRetry retries a transiently failing job") {
     val s = spark
     import s.implicits._
