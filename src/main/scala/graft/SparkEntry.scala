@@ -421,6 +421,17 @@ object SparkEntry {
       Dedup.clusters(Dedup.ngramJaccard(t(s, dir, "documents"), "text", "doc_id", 3, 0.8))
         .orderBy("id")),
 
+    "d8_dedup_delta" -> ((s, dir) => {
+      // incremental ingest: the standing corpus (doc_id < 400) is
+      // indexed once; the new batch dedups against the index + itself —
+      // corpus × corpus never re-runs
+      val docs = t(s, dir, "documents")
+      val table = "shingle_idx_delta"
+      Dedup.buildShingleIndex(docs.filter(col("doc_id") < 400), "text", "doc_id", 3, table, buckets = 16)
+      Dedup.ngramJaccardDelta(s, docs.filter(col("doc_id") >= 400), "text", "doc_id", 3, 0.8, table)
+        .orderBy("a", "b")
+    }),
+
     "d7_embedding_simjoin" -> ((s, dir) =>
       // EXACT similarity join at a moderate threshold (LSH recall can't
       // reach 1 down here) — block-pair replication: no broadcast of the
@@ -977,6 +988,24 @@ object SparkEntry {
         |  FROM s x JOIN s y ON x.j = y.j AND x.doc_id < y.doc_id
         |  GROUP BY 1, 2)
         |SELECT a, b, hamming FROM ham WHERE hamming <= 10 ORDER BY a, b""".stripMargin,
+
+    // full-recompute ground truth restricted to pairs touching the new
+    // batch — identical values prove the incremental path loses nothing
+    "d8_dedup_delta" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[t.i:t.i+2], ' ') AS s
+        |  FROM words, unnest(range(1, len(ws)-1)) AS t(i)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a, b, round(inter / (sa.sz + sb.sz - inter), 3) AS jac
+        |FROM pr JOIN sz sa ON pr.a = sa.doc_id JOIN sz sb ON pr.b = sb.doc_id
+        |WHERE inter / (sa.sz + sb.sz - inter) >= 0.8 AND (a >= 400 OR b >= 400)
+        |ORDER BY a, b""".stripMargin,
 
     "d7_embedding_simjoin" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,

@@ -108,6 +108,45 @@ object Dedup {
       .select(col("a"), col("b"), round(jac, 3).as("jac"))
   }
 
+  /** INCREMENTAL dedup — the operational 100 TB pattern: a new ingest
+    * batch dedups against the standing corpus WITHOUT re-scanning it.
+    * Pairs are (new × corpus) via the pre-built bucketed shingle index
+    * (`buildShingleIndex`; the join on `s` rides the buckets) plus
+    * (new × new) from the batch itself; corpus × corpus never runs —
+    * the standing corpus was already deduped when it was ingested.
+    * Per-pair Jaccard is identical to the full recompute: new-doc set
+    * sizes from the batch, corpus sizes from the index. */
+  def ngramJaccardDelta(spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
+                        textCol: String, idCol: String, n: Int, threshold: Double,
+                        indexTable: String): DataFrame = {
+    val newSh = shingles(newDocs, textCol, idCol, n)
+    val corpusSh = spark.table(indexTable)
+    // two pair streams, joined separately so the corpus leg keeps its
+    // bucketed layout (a union first would force the corpus through a
+    // fresh Exchange): new×new self-join, and new×corpus riding the
+    // index buckets (or a broadcast of the batch — either way the
+    // corpus never reshuffles)
+    val newPairs = newSh.as("x").join(newSh.as("y"),
+        col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+    val crossPairs = newSh.as("x").join(corpusSh.as("y"),
+        col("x.s") === col("y.s") && col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("a"),
+        greatest(col("x.id"), col("y.id")).as("b"))
+    val inter = newPairs.unionByName(crossPairs)
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = newSh.groupBy("id").agg(count(lit(1)).as("sz"))
+      .unionByName(corpusSh.groupBy("id").agg(count(lit(1)).as("sz")))
+    val jac = col("inter").cast("double") /
+      (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")
+    inter
+      .join(sizes.as("sa"), col("a") === col("sa.id"))
+      .join(sizes.as("sb"), col("b") === col("sb.id"))
+      .filter(jac >= threshold)
+      .select(col("a"), col("b"), round(jac, 3).as("jac"))
+  }
+
   /** Exact n-gram Jaccard similarity join via the inverted index:
     * pairs sharing ≥1 shingle, |A∩B| counted by grouping the index
     * self-join, Jaccard from per-doc set sizes. Only bucket-mates are

@@ -86,6 +86,20 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("incremental dedup delta = full recompute restricted to new-batch pairs") {
+    val table = "shingle_idx_delta_spec"
+    val corpus = docs.filter(col("doc_id") < 350)
+    val batch = docs.filter(col("doc_id") >= 350)
+    Dedup.buildShingleIndex(corpus, "text", "doc_id", 3, table, buckets = 8)
+    val delta = Dedup.ngramJaccardDelta(spark, batch, "text", "doc_id", 3, 0.8, table)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.ngramJaccard(docs, "text", "doc_id", 3, 0.8, maxDf = Int.MaxValue)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a >= 350 || b >= 350 }.toSet
+    assert(delta == full, s"missed=${full -- delta} extra=${delta -- full}")
+    assert(delta.nonEmpty, "fixture should have near-dups touching the batch")
+  }
+
   test("bucketed shingle index: same pairs, shuffle-free self-join") {
     val table = "shingle_idx_spec"
     Dedup.buildShingleIndex(docs, "text", "doc_id", 3, table, buckets = 8)
