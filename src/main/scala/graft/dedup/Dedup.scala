@@ -54,6 +54,14 @@ object Dedup {
     * name. */
   def buildShingleIndex(docs: DataFrame, textCol: String, idCol: String, n: Int,
                         table: String, buckets: Int = 32): String = {
+    val spark = docs.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // a leftover warehouse location from a PREVIOUS session is unknown
+    // to this catalog, and saveAsTable then refuses the name — clear it
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     shingles(docs, textCol, idCol, n)
       .write.mode("overwrite")
       .bucketBy(buckets, "s").sortBy("s")
