@@ -445,6 +445,16 @@ object SparkEntry {
           col("id") < 10, k = 5)
         .orderBy("query_id", "rnk")),
 
+    "s4_ann_indexed" -> ((s, dir) => {
+      // ANN against the standing sketch index (deployment shape):
+      // result must equal s2's recompute-everything path, so it shares
+      // s2's end-to-end oracle
+      val table = "ann_idx_s4"
+      Ann.buildAnnIndex(t(s, dir, "embeddings"), "embedding", "vec_id", dims = 64, table)
+      Ann.lshTopKIndexed(s, table, queryFilter = col("id") < 10, k = 5)
+        .orderBy("query_id", "rnk")
+    }),
+
     "s2_ann_lsh" -> ((s, dir) =>
       Ann.lshTopK(t(s, dir, "embeddings"), "embedding", "vec_id", dims = 64,
           queryFilter = col("id") < 10, k = 5)
@@ -1041,6 +1051,8 @@ object SparkEntry {
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     "s2_ann_lsh" -> Ann.lshOracleSql(dims = 64, k = 5),
+
+    "s4_ann_indexed" -> Ann.lshOracleSql(dims = 64, k = 5),
 
     "s3_ann_ivf" -> Ann.ivfOracleSql(k = 5),
 

@@ -177,6 +177,49 @@ object Ann {
        |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rnk
        |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
 
+  /** Materialize the LSH sketch index as a BUCKETED table keyed by the
+    * (table, sketch) bucket — the ANN deployment shape mirroring
+    * `Dedup.buildShingleIndex`: build once per corpus snapshot, then
+    * every probe batch equi-joins the buckets with no corpus reshuffle
+    * (the vectors and norms ride along, so probing touches no other
+    * table). Sketches are deterministic, so the index needs no model
+    * artifact — rebuild equals reuse. */
+  def buildAnnIndex(emb: DataFrame, vecCol: String, idCol: String, dims: Int,
+                    table: String, tables: Int = 8, bits: Int = 4,
+                    buckets: Int = 32): String = {
+    val spark = emb.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    val e = normed(emb, vecCol, idCol)
+    e.select(col("id"), col("v"), col("norm"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), sketch(col("v"), dims, t, bits).as("sk"))): _*)).as("b"))
+      .select(col("id"), col("v"), col("norm"), col("b.t").as("t"), col("b.sk").as("sk"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "t", "sk").sortBy("t", "sk")
+      .saveAsTable(table)
+    table
+  }
+
+  /** `lshTopK` against a pre-built sketch index: identical result (the
+    * probe side recomputes its sketches with the same deterministic
+    * planes), but the corpus side is a bucketed scan — no sketch
+    * recompute, no Exchange of the corpus. */
+  def lshTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+                     queryFilter: Column, k: Int): DataFrame = {
+    val buckets = spark.table(table)
+    val qb = buckets.filter(queryFilter)
+    val cand = buckets.as("x").join(broadcast(qb.as("y")),
+        col("x.t") === col("y.t") && col("x.sk") === col("y.sk") && col("x.id") =!= col("y.id"))
+      .select(col("y.id").as("query_id"), col("x.id").as("neighbor_id"),
+        cosine(col("x.v"), col("y.v"), col("x.norm"), col("y.norm")).as("sim"))
+      .distinct()
+    topKPerQuery(cand, k, salts = 32)
+  }
+
   /** LSH-bucketed ANN: candidates = same (table, sketch) bucket in any of
     * the L tables; exact cosine only on candidates; two-phase top-k. */
   def lshTopK(emb: DataFrame, vecCol: String, idCol: String, dims: Int,

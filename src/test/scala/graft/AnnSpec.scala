@@ -58,6 +58,24 @@ class AnnSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("indexed ANN = recompute ANN; the bucket join rides the index buckets") {
+    val table = "ann_idx_spec"
+    Ann.buildAnnIndex(emb, "embedding", "vec_id", dims = 64, table, buckets = 8)
+    val indexed = Ann.lshTopKIndexed(spark, table, col("id") < 10, 5)
+    val got = indexed.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val recomputed = Ann.lshTopK(emb, "embedding", "vec_id", 64, col("id") < 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == recomputed)
+    // with broadcast off, the self-join must ride the (t, sk) buckets —
+    // no Exchange keyed by the bucket columns
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = planOf(Ann.lshTopKIndexed(spark, table, col("id") < 10, 5))
+      assert(!plan.contains("hashpartitioning(t#"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("ivf cell assignment is map-only (no corpus shuffle before scoring)") {
     val plan = planOf(Ann.ivfTopK(emb, "embedding", "vec_id", col("id") < 10, 5))
     // the round-2 shape amplified the corpus nlist× through a
