@@ -1,5 +1,6 @@
 package graft
 
+import graft.dedup.Dedup
 import graft.ops.ChangeLog
 import graft.text.TextAnalysis
 import org.apache.spark.sql.functions._
@@ -84,6 +85,32 @@ class PropertySpec extends SparkSpec {
         val full = df.filter(col("recorded") > 20L).collect().map(_.toSeq).toSet
         val gc = retained.filter(col("recorded") > 20L).collect().map(_.toSeq).toSet
         assert(gc == full, "post-T changes must be untouched")
+      }
+    }
+  }
+
+  test("ngram jaccard matches brute force on random corpora (incl. short/empty docs)") {
+    val s = spark
+    import s.implicits._
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val doc = Gen.chooseNum(0, 8).flatMap(len => Gen.listOfN(len, word).map(_.mkString(" ")))
+    forAllSeeded(Gen.listOfN(10, doc), trials = 4) { texts =>
+      {
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val got = Dedup.ngramJaccard(df, "text", "doc_id", 3, 0.2, maxDf = Int.MaxValue)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        def sh(t: String): Set[String] = {
+          val ws = t.split(" ").filter(_.nonEmpty)
+          (0 to ws.length - 3).map(i => ws.slice(i, i + 3).mkString(" ")).toSet
+        }
+        val expect = (for {
+          (ta, a) <- texts.zipWithIndex; (tb, b) <- texts.zipWithIndex if a < b
+          sa = sh(ta); sb = sh(tb)
+          inter = (sa & sb).size if inter > 0
+          jac = inter.toDouble / (sa ++ sb).size if jac >= 0.2
+        } yield (a.toLong, b.toLong,
+          BigDecimal(jac).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+        assert(got == expect, s"texts=$texts")
       }
     }
   }
