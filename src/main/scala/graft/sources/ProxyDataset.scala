@@ -29,9 +29,9 @@ final case class ProxyDataset(name: String, location: String) {
     entities(spark).filter(col("id") === uri)
 
   /** The proxied entities as native columns, ready to register in an
-    * EntityGraph next to local datasets: `keyPattern` recovers the
-    * natural key from the entity URI, `propUris` maps property URIs
-    * back to column names. */
+    * EntityGraph next to local datasets: the natural key is recovered
+    * from the URI's last path segment into `keyCol`, and `propUris`
+    * maps property URIs back to column names. */
   def flattened(spark: SparkSession, propUris: Seq[(String, String)],
                 keyCol: String = "key"): DataFrame =
     EntityJson.flatten(entities(spark), propUris)
