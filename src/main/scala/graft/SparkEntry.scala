@@ -570,6 +570,15 @@ object SparkEntry {
           queryFilter = col("id") < 10, k = 5)
         .orderBy("query_id", "rnk")),
 
+    "s5_ivf_indexed" -> ((s, dir) => {
+      // IVF against the standing inverted file — shares s3's oracle
+      // (identical output by construction)
+      val table = "ivf_idx_s5"
+      Ann.buildIvfIndex(t(s, dir, "embeddings"), "embedding", "vec_id", table)
+      Ann.ivfTopKIndexed(s, table, queryFilter = col("id") < 10, k = 5)
+        .orderBy("query_id", "rnk")
+    }),
+
     "e3_stream_window" -> ((s, dir) =>
       OnChange.windowedStream(s, s"$dir/events.parquet")
         .orderBy("window_start", "event_type")),
@@ -1055,6 +1064,8 @@ object SparkEntry {
     "s4_ann_indexed" -> Ann.lshOracleSql(dims = 64, k = 5),
 
     "s3_ann_ivf" -> Ann.ivfOracleSql(k = 5),
+
+    "s5_ivf_indexed" -> Ann.ivfOracleSql(k = 5),
 
     "x1_langid" ->
       """WITH w AS (

@@ -220,6 +220,56 @@ object Ann {
     topKPerQuery(cand, k, salts = 32)
   }
 
+  /** Materialize the IVF inverted file: every corpus vector stored in
+    * its nearest cell, bucketed by `cid` — probing a cell is then a
+    * bucketed scan. The md5-ranked centroid choice is recomputed
+    * deterministically at probe time (`ivfTopKIndexed`), so like the
+    * LSH index there is no separate model artifact. */
+  def buildIvfIndex(emb: DataFrame, vecCol: String, idCol: String,
+                    table: String, nlist: Int = 16, buckets: Int = 16): String = {
+    val spark = emb.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    val e = normed(emb, vecCol, idCol)
+    val cent = e.orderBy(md5(concat(lit("cent:"), col("id"))), col("id")).limit(nlist)
+      .agg(collect_list(struct(col("id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))).as("cents"))
+    val sortedCells = array_sort(transform(col("cents"), c =>
+      struct((-cosine(col("v"), c.getField("cv"), col("norm"), c.getField("cnorm"))).as("negsim"),
+        c.getField("cid").as("cid"))))
+    e.join(broadcast(cent))
+      .withColumn("cid", sortedCells.getItem(0).getField("cid"))
+      .select("id", "v", "norm", "cid")
+      .write.mode("overwrite")
+      .bucketBy(buckets, "cid").sortBy("cid")
+      .saveAsTable(table)
+    table
+  }
+
+  /** `ivfTopK` against the pre-built inverted file: probes compute their
+    * nprobe cells map-side (same broadcast-centroid projection) and
+    * equi-join the bucketed cells — the corpus is neither re-assigned
+    * nor reshuffled. Output is identical to `ivfTopK`. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+                     queryFilter: Column, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val assign = spark.table(table)
+    val cent = assign.orderBy(md5(concat(lit("cent:"), col("id"))), col("id")).limit(nlist)
+      .agg(collect_list(struct(col("id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))).as("cents"))
+    val sortedCells = array_sort(transform(col("cents"), c =>
+      struct((-cosine(col("v"), c.getField("cv"), col("norm"), c.getField("cnorm"))).as("negsim"),
+        c.getField("cid").as("cid"))))
+    val probes = assign.drop("cid").filter(queryFilter).join(broadcast(cent))
+      .select(col("id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"),
+        explode(transform(slice(sortedCells, 1, nprobe), c => c.getField("cid"))).as("cid"))
+    val scored = assign.join(broadcast(probes),
+        assign("cid") === probes("cid") && col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine(col("v"), col("qv"), col("norm"), col("qnorm")).as("sim"))
+    topKPerQuery(scored, k, salts = 32)
+  }
+
   /** LSH-bucketed ANN: candidates = same (table, sketch) bucket in any of
     * the L tables; exact cosine only on candidates; two-phase top-k. */
   def lshTopK(emb: DataFrame, vecCol: String, idCol: String, dims: Int,

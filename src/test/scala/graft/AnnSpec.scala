@@ -76,6 +76,16 @@ class AnnSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("indexed IVF = recompute IVF (inverted file reused, corpus not re-assigned)") {
+    val table = "ivf_idx_spec"
+    Ann.buildIvfIndex(emb, "embedding", "vec_id", table, buckets = 8)
+    val got = Ann.ivfTopKIndexed(spark, table, col("id") < 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val recomputed = Ann.ivfTopK(emb, "embedding", "vec_id", col("id") < 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == recomputed)
+  }
+
   test("ivf cell assignment is map-only (no corpus shuffle before scoring)") {
     val plan = planOf(Ann.ivfTopK(emb, "embedding", "vec_id", col("id") < 10, 5))
     // the round-2 shape amplified the corpus nlist× through a
