@@ -257,17 +257,20 @@ object Dedup {
     * identically, which makes the whole fingerprint (and therefore the
     * Hamming pair set) DuckDB-oracle-checkable. */
   def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    // one codegen'd digest-bytes expression per token instead of a hex
+    // render + 4 conv(substring(...)) string parses — same 64 bits (the
+    // DuckDB oracle parses the hex and matches bit-for-bit)
+    val lane = ColumnBridge.column(
+      graft.functions.Md5Lane64(ColumnBridge.expr(col("w"))))
     val tok = docs
       .select(col(idCol).as("id"), explode(TextAnalysis.words(col(textCol))).as("w"))
-      .withColumn("m", md5(col("w")))
-    val withParts = (0 until 4).foldLeft(tok) { (df, p) =>
-      df.withColumn(s"p$p", conv(substring(col("m"), 1 + 4 * p, 4), 16, 10).cast("long"))
-    }
+      .withColumn("lane", lane)
     val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col(s"p${j / 16}"), j % 16).bitwiseAND(lit(1L)) === 1L, lit(1L))
+      sum(when(shiftright(col("lane"), j).bitwiseAND(lit(1L)) === 1L, lit(1L))
         .otherwise(lit(-1L))).as(s"b$j")
     }
-    val sums = withParts.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sums = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
     // disjoint bit patterns: arithmetic + equals bitwise OR
     val fp = (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)

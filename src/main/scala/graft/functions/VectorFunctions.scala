@@ -132,6 +132,51 @@ case class HyperplaneSketch(child: Expression, signs: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** The 64-bit SimHash token lane, straight from the md5 digest bytes:
+  * bit j of the result = bit (j mod 16) of the 16-bit word formed by
+  * digest bytes (2·⌊j/16⌋, 2·⌊j/16⌋+1) big-endian — EXACTLY the value
+  * the portable formulation reads back out of
+  * `conv(substring(md5(w), 1+4p, 4), 16, 10)`, so the DuckDB oracle
+  * (which parses the hex) sees identical bits. Skipping the hex
+  * render + 4 string parses per token is the point: this runs once
+  * per token instance in the SimHash aggregation's hot loop. */
+case class Md5Lane64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "md5_lane64"
+
+  private def laneOf(bytes: Array[Byte]): Long = {
+    val digest = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    var lane = 0L
+    var p = 0
+    while (p < 4) {
+      val word = ((digest(2 * p) & 0xff) << 8) | (digest(2 * p + 1) & 0xff)
+      var j = 0
+      while (j < 16) {
+        if (((word >> j) & 1) == 1) lane |= (1L << (16 * p + j))
+        j += 1
+      }
+      p += 1
+    }
+    lane
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    laneOf(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("md5lane", this, classOf[Md5Lane64].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = (long) $self.evalBytes($v.getBytes());")
+  }
+
+  /** codegen entry point */
+  def evalBytes(bytes: Array[Byte]): Long = laneOf(bytes)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** Column-level dot product over array<float>/array<double>. */
