@@ -517,6 +517,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "m3_multimodal_ann" -> ((s, dir) => {
+      // the full multimodal loop in ONE plan: binary payload → embed
+      // stub → exact cosine top-k (graft.ann) — media similarity search
+      // with every stage map-only until the ANN join
+      val emb = Multimodal.embed(Multimodal.mediaFromDocs(t(s, dir, "documents"))).toDF()
+      Ann.bruteForceTopK(emb, "embedding", "doc_id", col("id") < 5, k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
     // ===== jobs (cont.) =================================================
     "j4_txn_multi_write" -> ((s, dir) => {
       val reg = new DatasetRegistry
@@ -1147,6 +1156,28 @@ object SparkEntry {
         |  ((len(rb)+15)//16)::BIGINT AS n_frames,
         |  rb[1]::BIGINT AS first_byte
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "m3_multimodal_ann" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))::BIGINT) AS bytes
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |    [ coalesce(list_sum(bytes[16*d+1 : least(16*d+16, len(bytes))]), 0)::DOUBLE
+        |      for d in range(0, 16) ] AS v
+        |  FROM b),
+        |n AS (SELECT doc_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        |sc AS (
+        |  SELECT q.doc_id AS query_id, x.doc_id AS neighbor_id,
+        |         list_inner_product(x.v, q.v) / (x.nrm * q.nrm) AS sim
+        |  FROM n q JOIN n x ON q.doc_id < 5 AND x.doc_id <> q.doc_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rnk
+        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
     "j4_txn_multi_write" ->
       """SELECT * FROM (

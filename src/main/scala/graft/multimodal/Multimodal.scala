@@ -100,6 +100,34 @@ object Multimodal {
     resized.map(r => Media(r.doc_id, r.payload, r.meta_source, r.new_bytes))
   }
 
+  final case class MediaEmbedding(doc_id: Long, embedding: Array[Float])
+
+  /** Embed STUB — stand-in for an image/audio embedding model: dims
+    * frame-window byte sums as floats (exact: sums stay far below
+    * 2^24), zero-padded. Deterministic and SQL-recomputable, so the
+    * full binary → embed → ANN pipeline is oracle-checkable; a
+    * production build swaps only this body for the model call. The
+    * shape is the thing: one map-only typed pass emits the
+    * `Array[Float]` column every `graft.ann` operator consumes. */
+  def embed(media: Dataset[Media], dims: Int = 16): Dataset[MediaEmbedding] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val bytes = m.payload
+      val emb = new Array[Float](dims)
+      var d = 0
+      while (d < dims) {
+        val start = d * FrameStride
+        var sum = 0L
+        var j = start
+        while (j < math.min(start + FrameStride, bytes.length)) { sum += bytes(j) & 0xffL; j += 1 }
+        emb(d) = sum.toFloat
+        d += 1
+      }
+      MediaEmbedding(m.doc_id, emb)
+    })
+  }
+
   /** One decoded "frame": sampled position + byte value + a windowed
     * stat over the following stride (a stand-in for per-frame features
     * like pixel means or audio chunk energy). */

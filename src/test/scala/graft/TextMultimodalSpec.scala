@@ -83,6 +83,21 @@ class TextMultimodalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("embed stub emits frame-sum embeddings that feed the ANN operators") {
+    val text = "abcdefghijklmnopqrstuvwxyz0123456789" // 36 bytes -> 3 nonzero dims
+    val emb = Multimodal.embed(
+      Multimodal.mediaFromDocs(df1(text).withColumn("source", lit("s")))).collect()(0)
+    assert(emb.embedding.length == 16)
+    val expect0 = text.getBytes("UTF-8").take(16).map(_ & 0xff).sum.toFloat
+    assert(emb.embedding(0) == expect0)
+    assert(emb.embedding.drop(3).forall(_ == 0f)) // past the payload: zero-padded
+    // the embedding column plugs straight into graft.ann
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val embDf = Multimodal.embed(Multimodal.mediaFromDocs(docs)).toDF()
+    val topk = graft.ann.Ann.bruteForceTopK(embDf, "embedding", "doc_id", col("id") < 3, k = 2)
+    assert(topk.count() == 6)
+  }
+
   test("text ops are map-only: no shuffle in the plan") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = planOf(TextAnalysis.qualityScore(docs, "text", "doc_id"))
