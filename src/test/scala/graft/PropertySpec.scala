@@ -115,6 +115,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("simhash fingerprint matches the md5 reference model on random texts") {
+    val s = spark
+    import s.implicits._
+    val word = Gen.oneOf("data", "spark", "hash", "join", "scan", "row", "key", "value")
+    val doc = Gen.chooseNum(1, 12).flatMap(len => Gen.listOfN(len, word).map(_.mkString(" ")))
+    def model(text: String): Long = {
+      val sums = new Array[Long](64)
+      text.split(" ").filter(_.nonEmpty).foreach { w =>
+        // the PORTABLE definition: first 16 hex chars of md5, read as
+        // 4x16-bit big-endian words — what the DuckDB oracle parses
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(w.getBytes("UTF-8")).take(8).map(b => f"${b & 0xff}%02x").mkString
+        val parts = (0 until 4).map(p => java.lang.Long.parseLong(hex.substring(4 * p, 4 * p + 4), 16))
+        for (j <- 0 until 64) sums(j) += (if (((parts(j / 16) >> (j % 16)) & 1L) == 1L) 1L else -1L)
+      }
+      (0 until 64).map(j => if (sums(j) > 0) 1L << j else 0L).reduce(_ | _)
+    }
+    forAllSeeded(Gen.listOfN(8, doc), trials = 4) { texts =>
+      {
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val got = Dedup.simhash(df, "text", "doc_id")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val expect = texts.zipWithIndex.map { case (t, i) => i.toLong -> model(t) }.toMap
+        assert(got == expect, s"texts=$texts")
+      }
+    }
+  }
+
+  test("block-pair similarity join covers every pair exactly once (random blocks)") {
+    val s = spark
+    import s.implicits._
+    val vecGen = Gen.listOfN(4, Gen.chooseNum(-5, 5).map(_.toFloat))
+    forAllSeeded(Gen.listOfN(12, vecGen), trials = 4) { vecs =>
+      {
+        // ids chosen sparse so block assignment (xxhash of id) varies
+        val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong * 17 + 3, v) }.toDF("vec_id", "embedding")
+        for (blocks <- Seq(1, 3, 8)) {
+          val got = Dedup.embeddingSimJoin(df, "embedding", "vec_id", -2.0, blocks)
+            .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          // threshold -2 keeps every finite-sim pair: coverage must be ALL pairs
+          val ids = (0 until vecs.length).map(_.toLong * 17 + 3)
+          val all = (for { a <- ids; b <- ids if a < b } yield (a, b)).toSet
+          assert(got == all, s"blocks=$blocks missed=${all -- got} extra=${got -- all}")
+        }
+      }
+    }
+  }
+
   test("namespace contract∘expand is identity for registered URIs") {
     val s = spark
     import s.implicits._
