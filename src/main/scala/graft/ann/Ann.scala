@@ -188,11 +188,7 @@ object Ann {
                     table: String, tables: Int = 8, bits: Int = 4,
                     buckets: Int = 32): String = {
     val spark = emb.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    graft.core.Tables.drop(spark, table)
     val e = normed(emb, vecCol, idCol)
     e.select(col("id"), col("v"), col("norm"),
         explode(array((0 until tables).map(t =>
@@ -222,20 +218,20 @@ object Ann {
 
   /** Materialize the IVF inverted file: every corpus vector stored in
     * its nearest cell, bucketed by `cid` — probing a cell is then a
-    * bucketed scan. The md5-ranked centroid choice is recomputed
-    * deterministically at probe time (`ivfTopKIndexed`), so like the
-    * LSH index there is no separate model artifact. */
+    * bucketed scan. The chosen centroids (md5-ranked sample collapsed to
+    * one array row) are persisted as the `<table>_cent` COMPANION table:
+    * a constant-sized artifact read by every probe batch, so probing
+    * never rescans the inverted file to re-derive what the build already
+    * computed (a 16-row metadata table, not a model). */
   def buildIvfIndex(emb: DataFrame, vecCol: String, idCol: String,
                     table: String, nlist: Int = 16, buckets: Int = 16): String = {
     val spark = emb.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    Seq(table, s"${table}_cent").foreach(graft.core.Tables.drop(spark, _))
     val e = normed(emb, vecCol, idCol)
-    val cent = e.orderBy(md5(concat(lit("cent:"), col("id"))), col("id")).limit(nlist)
+    e.orderBy(md5(concat(lit("cent:"), col("id"))), col("id")).limit(nlist)
       .agg(collect_list(struct(col("id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))).as("cents"))
+      .write.mode("overwrite").saveAsTable(s"${table}_cent")
+    val cent = spark.table(s"${table}_cent")
     val sortedCells = array_sort(transform(col("cents"), c =>
       struct((-cosine(col("v"), c.getField("cv"), col("norm"), c.getField("cnorm"))).as("negsim"),
         c.getField("cid").as("cid"))))
@@ -249,14 +245,14 @@ object Ann {
   }
 
   /** `ivfTopK` against the pre-built inverted file: probes compute their
-    * nprobe cells map-side (same broadcast-centroid projection) and
-    * equi-join the bucketed cells — the corpus is neither re-assigned
-    * nor reshuffled. Output is identical to `ivfTopK`. */
+    * nprobe cells map-side against the broadcast `<table>_cent`
+    * companion (constant-sized read — no full-index scan to re-derive
+    * centroids) and equi-join the bucketed cells — the corpus is neither
+    * re-assigned nor reshuffled. Output is identical to `ivfTopK`. */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
-                     queryFilter: Column, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+                     queryFilter: Column, k: Int, nprobe: Int = 4): DataFrame = {
     val assign = spark.table(table)
-    val cent = assign.orderBy(md5(concat(lit("cent:"), col("id"))), col("id")).limit(nlist)
-      .agg(collect_list(struct(col("id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))).as("cents"))
+    val cent = spark.table(s"${table}_cent")
     val sortedCells = array_sort(transform(col("cents"), c =>
       struct((-cosine(col("v"), c.getField("cv"), col("norm"), c.getField("cnorm"))).as("negsim"),
         c.getField("cid").as("cid"))))

@@ -51,21 +51,31 @@ object Dedup {
     * Spark plans a shuffle-free (and sort-free) sort-merge join. This is
     * the 100 TB shape: build the index once per corpus snapshot, run
     * the whole dedup family against it. Returns the registered table
-    * name. */
+    * name.
+    *
+    * Besides the index itself, two COMPANION tables are written — the
+    * metadata a deployment persists next to the index so incremental
+    * consumers never re-aggregate the standing corpus:
+    *  - `<table>_hot`   — the corpus stop-shingle list (df > maxDf at
+    *    build time); the index rows are already capped by it.
+    *  - `<table>_sizes` — per-doc shingle-set sizes over the capped
+    *    stream (one bucketed index scan at build; read forever by
+    *    `ngramJaccardDelta` instead of a per-batch full-index
+    *    aggregate). */
   def buildShingleIndex(docs: DataFrame, textCol: String, idCol: String, n: Int,
-                        table: String, buckets: Int = 32): String = {
+                        table: String, buckets: Int = 32, maxDf: Int = 10000): String = {
     val spark = docs.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    // a leftover warehouse location from a PREVIOUS session is unknown
-    // to this catalog, and saveAsTable then refuses the name — clear it
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-    shingles(docs, textCol, idCol, n)
+    Seq(table, s"${table}_hot", s"${table}_sizes").foreach(graft.core.Tables.drop(spark, _))
+    val sh0 = shingles(docs, textCol, idCol, n)
+    sh0.groupBy("s").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select("s")
+      .write.mode("overwrite").saveAsTable(s"${table}_hot")
+    sh0.join(broadcast(spark.table(s"${table}_hot")), Seq("s"), "left_anti")
       .write.mode("overwrite")
       .bucketBy(buckets, "s").sortBy("s")
       .saveAsTable(table)
+    spark.table(table).groupBy("id").agg(count(lit(1)).as("sz"))
+      .write.mode("overwrite").saveAsTable(s"${table}_sizes")
     table
   }
 
@@ -122,13 +132,43 @@ object Dedup {
     * (`buildShingleIndex`; the join on `s` rides the buckets) plus
     * (new × new) from the batch itself; corpus × corpus never runs —
     * the standing corpus was already deduped when it was ingested.
-    * Per-pair Jaccard is identical to the full recompute: new-doc set
-    * sizes from the batch, corpus sizes from the index. */
+    * Corpus set sizes come from the `<indexTable>_sizes` companion, so
+    * NO leg aggregates or rescans the standing index — the only index
+    * read is the bucket-riding pair join itself.
+    *
+    * Cap semantics: the batch applies the index's persisted corpus
+    * stop-shingle list (`<indexTable>_hot`) PLUS a batch-local df cap;
+    * batch-hot shingles leave both join sides. Deviation from a full
+    * recompute at the combined cap (documented, conservative): standing
+    * docs keep a batch-hot shingle in their set-size denominator (sizes
+    * are as-of-build), so scores can only come out lower, never
+    * inflated. When nothing crosses the cap — the common case — the
+    * per-pair Jaccard is identical to the full recompute.
+    *
+    * Re-ingest: a batch id already present in the index supersedes its
+    * standing rows (the old version leaves the pair join and the size
+    * table), matching what a rebuild with the batch's version would
+    * produce. */
   def ngramJaccardDelta(spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
                         textCol: String, idCol: String, n: Int, threshold: Double,
-                        indexTable: String): DataFrame = {
-    val newSh = shingles(newDocs, textCol, idCol, n)
+                        indexTable: String, maxDf: Int = 10000): DataFrame = {
+    val sh0 = shingles(newDocs, textCol, idCol, n)
+    // batch-local hot list: tiny (bounded by |batch shingles|/maxDf),
+    // materialized once — referenced by both cap anti-joins
+    val batchHot = graft.core.Checkpoints.truncate(
+      sh0.groupBy("s").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDf).select("s"))
+    // the capped batch stream feeds four legs (both self-join sides, the
+    // cross join, the batch sizes) — materialize once, not 4 tokenizer runs
+    val newSh = graft.core.Checkpoints.truncate(
+      sh0.join(broadcast(spark.table(s"${indexTable}_hot").unionByName(batchHot)),
+        Seq("s"), "left_anti"))
+    val batchIds = newDocs.select(col(idCol).as("id")).distinct()
+    // both anti-joins broadcast → map-side; the index keeps its bucketed
+    // layout into the s=s join
     val corpusSh = spark.table(indexTable)
+      .join(broadcast(batchIds), Seq("id"), "left_anti")
+      .join(broadcast(batchHot), Seq("s"), "left_anti")
     // two pair streams, joined separately so the corpus leg keeps its
     // bucketed layout (a union first would force the corpus through a
     // fresh Exchange): new×new self-join, and new×corpus riding the
@@ -144,8 +184,13 @@ object Dedup {
     val inter = newPairs.unionByName(crossPairs)
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("inter"))
+    // corpus sizes from the build-time companion — the full-index
+    // per-batch aggregate this replaces was the operator's one
+    // residual corpus scan
+    val corpusSizes = spark.table(s"${indexTable}_sizes")
+      .join(broadcast(batchIds), Seq("id"), "left_anti")
     val sizes = newSh.groupBy("id").agg(count(lit(1)).as("sz"))
-      .unionByName(corpusSh.groupBy("id").agg(count(lit(1)).as("sz")))
+      .unionByName(corpusSizes)
     val jac = col("inter").cast("double") /
       (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")
     inter

@@ -86,6 +86,20 @@ class AnnSpec extends SparkSpec {
     assert(got == recomputed)
   }
 
+  test("indexed IVF probe reads the centroid companion, never rescans the inverted file") {
+    val table = "ivf_idx_plan_spec"
+    Ann.buildIvfIndex(emb, "embedding", "vec_id", table, buckets = 8)
+    val plan = planOf(Ann.ivfTopKIndexed(spark, table, col("id") < 10, 5))
+    def scans(t: String) = plan.sliding(s"Scan parquet spark_catalog.default.$t\n".length)
+      .count(_ == s"Scan parquet spark_catalog.default.$t\n")
+    // exactly two inverted-file scans (cell candidates + the probe rows)
+    // plus the constant-sized centroid companion; the build-time centroid
+    // choice is NOT re-derived with a full-index TakeOrdered per batch
+    assert(scans(table) == 2, s"inverted file scanned ${scans(table)}×:\n$plan")
+    assert(scans(s"${table}_cent") >= 1, s"centroids must come from the companion table:\n$plan")
+    assert(!plan.contains("TakeOrdered"), s"probe plan re-derives centroids:\n$plan")
+  }
+
   test("ivf cell assignment is map-only (no corpus shuffle before scoring)") {
     val plan = planOf(Ann.ivfTopK(emb, "embedding", "vec_id", col("id") < 10, 5))
     // the round-2 shape amplified the corpus nlist× through a

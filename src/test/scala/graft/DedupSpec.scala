@@ -100,6 +100,65 @@ class DedupSpec extends SparkSpec {
     assert(delta.nonEmpty, "fixture should have near-dups touching the batch")
   }
 
+  test("dedup delta never rescans the standing index: sizes come from the companion table") {
+    val table = "shingle_idx_delta_plan_spec"
+    Dedup.buildShingleIndex(docs.filter(col("doc_id") < 350), "text", "doc_id", 3, table, buckets = 8)
+    val plan = planOf(Dedup.ngramJaccardDelta(
+      spark, docs.filter(col("doc_id") >= 350), "text", "doc_id", 3, 0.8, table))
+    def scans(t: String) = plan.sliding(s"Scan parquet spark_catalog.default.$t\n".length)
+      .count(_ == s"Scan parquet spark_catalog.default.$t\n")
+    // the ONLY index read is the bucket-riding pair join; per-doc sizes
+    // ride the build-time companion — no per-batch full-index aggregate
+    assert(scans(table) == 1, s"index scanned ${scans(table)}× (pairs leg only expected):\n$plan")
+    // (the metadata-sized companion is read once per size-join leg)
+    assert(scans(s"${table}_sizes") >= 1, s"corpus sizes must come from the companion table:\n$plan")
+  }
+
+  test("dedup delta re-ingest: a batch id already in the index is superseded, not doubled") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "aa bb cc dd ee ff"),
+      (2L, "xx yy zz ww vv uu tt"), // old version of doc 2 — 5 shingles, unrelated content
+      (3L, "mm nn oo pp qq rr")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (2L, "aa bb cc dd ee gg"), // re-ingest: new version is a near-dup of doc 1
+      (10L, "mm nn oo pp qq ss")
+    ).toDF("doc_id", "text")
+    val table = "shingle_idx_reingest_spec"
+    Dedup.buildShingleIndex(corpus, "text", "doc_id", 3, table, buckets = 4)
+    val got = Dedup.ngramJaccardDelta(spark, batch, "text", "doc_id", 3, 0.5, table)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the batch version wins everywhere: pair (1,2) scores with the NEW
+    // doc-2 size (4 shingles, jac 3/5) — a duplicated size row from the
+    // standing version (5 shingles) would emit a second (1,2) at 0.5
+    assert(got == Set((1L, 2L, 0.6), (3L, 10L, 0.6)), got.toString)
+  }
+
+  test("dedup delta applies the persisted corpus stop list and a batch-local df cap") {
+    val s = spark
+    import s.implicits._
+    // corpus: 30 docs sharing one boilerplate opener (df=30 > maxDf=10)
+    val corpus = (1 to 30).map(i =>
+      (i.toLong, s"terms of service apply unique$i word$i token$i")).toDF("doc_id", "text")
+    val table = "shingle_idx_cap_spec"
+    Dedup.buildShingleIndex(corpus, "text", "doc_id", 3, table, buckets = 4, maxDf = 10)
+    // batch: 25 docs with their own boilerplate (batch-local df=25 > 10)
+    // + one true near-dup pair (101, 102)
+    val batch = ((101 to 125).map { i =>
+      val body = if (i <= 102) "alpha beta gamma delta epsilon zeta"
+      else s"only$i this$i doc$i has$i these$i words$i"
+      (i.toLong, s"all rights reserved $body")
+    }).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardDelta(spark, batch, "text", "doc_id", 3, 0.3, table, maxDf = 10)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both boilerplate phrases are capped out (corpus one via the
+    // persisted stop list, batch one via the batch-local cap), so only
+    // the genuine near-dup pair survives
+    assert(got == Set((101L, 102L)), got.toString)
+  }
+
   test("bucketed shingle index: same pairs, shuffle-free self-join") {
     val table = "shingle_idx_spec"
     Dedup.buildShingleIndex(docs, "text", "doc_id", 3, table, buckets = 8)
