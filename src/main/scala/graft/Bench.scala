@@ -20,7 +20,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_ONLY=d3_minhash_lsh,d2_ngram_jaccard → profile a subset
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // warmup: execute everything once (errors surface in the timed pass)
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
@@ -36,10 +39,14 @@ object Bench {
       }
       n -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // millisecond precision keeps the line SHORT: the driver's tail
+    // capture truncated the r3 line (full-precision doubles × 71 queries
+    // overflowed it, BENCH_r03.json parsed:null)
+    def ms(v: Double): String = (math.rint(v * 1000) / 1000).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // ONE parseable line on stdout (build.sbt forwards forked stdout raw)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -265,15 +265,24 @@ object Dedup {
     val buckets = sig.select(col("id"), explode(bandStructs).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
 
-    val cand = buckets.as("x").join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
-      .distinct()
+    // candidate pairs are TINY (bounded by true-near-dup volume) but the
+    // plan above them is the whole signature pass — materialize, or every
+    // downstream reference (candDocs, the verify semi-join, the final
+    // leftsemi) re-runs the 128-hash aggregate (measured: the d3 query
+    // evaluated the signature pass ~10× through the unmaterialized DAG,
+    // doubling its bench time)
+    val cand = graft.core.Checkpoints.truncate(
+      buckets.as("x").join(buckets.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("a"), col("y.id").as("b"))
+        .distinct())
 
     // exact verification restricted to candidates (semi-joins keep the
-    // shingle shuffle limited to candidate docs)
+    // shingle shuffle limited to candidate docs); also tiny (shingles of
+    // candidate docs only) yet referenced by both self-join sides and
+    // the size aggregate — materialize once
     val candDocs = cand.select(col("a").as("id")).union(cand.select(col("b").as("id"))).distinct()
-    val shC = sh.join(candDocs, Seq("id"), "leftsemi")
+    val shC = graft.core.Checkpoints.truncate(sh.join(candDocs, Seq("id"), "leftsemi"))
     // set sizes only matter for candidate pairs, and shC keeps ALL the
     // shingles of every candidate doc — so aggregate the (much smaller)
     // candidate slice instead of re-running a full shingle pass
