@@ -1249,13 +1249,13 @@ object SparkEntry {
     "j15_failing_entities" ->
       """SELECT * FROM (
         | SELECT 'clean_events' AS dataset, count(*) AS n_rows FROM events
-        |   WHERE json_extract(props, '$.k')::INT < 90
+        |   WHERE coalesce(json_extract(props, '$.k')::INT < 90, FALSE)
         | UNION ALL
         | SELECT 'clean_events_requeue', count(*) FROM events
-        |   WHERE NOT (json_extract(props, '$.k')::INT < 90)
+        |   WHERE NOT coalesce(json_extract(props, '$.k')::INT < 90, FALSE)
         | UNION ALL
         | SELECT 'retried', count(*) FROM events
-        |   WHERE NOT (json_extract(props, '$.k')::INT < 90)
+        |   WHERE NOT coalesce(json_extract(props, '$.k')::INT < 90, FALSE)
         |) ORDER BY dataset""".stripMargin,
 
     "p1_training_corpus" ->

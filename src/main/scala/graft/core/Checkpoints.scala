@@ -10,17 +10,33 @@ import org.apache.spark.sql.DataFrame
   * kills the job. Setting `graft.checkpointDir` on the session switches
   * every iterative operator to RELIABLE checkpoints on that (HDFS/S3)
   * path, so an executor loss costs a recompute of one round, not the
-  * job. */
+  * job.
+  *
+  * Storage hygiene on the reliable path: each `truncate` writes one RDD
+  * directory under the configured path, and superseded rounds are only
+  * reclaimed when the driver GCs the RDD — which cleans the files IF
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (a STARTUP
+  * conf; set it on the SparkSession builder, it cannot be flipped at
+  * runtime). Long-lived clusters should enable it, or periodically
+  * clear the checkpoint path between jobs. */
 object Checkpoints {
 
   val ConfKey = "graft.checkpointDir"
+
+  // last dir this object installed — re-install when the session conf
+  // changes mid-session instead of silently keeping the stale path
+  private var installed: Option[String] = None
 
   def truncate(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(ConfKey) match {
       case Some(dir) =>
-        if (spark.sparkContext.getCheckpointDir.isEmpty)
-          spark.sparkContext.setCheckpointDir(dir)
+        synchronized {
+          if (!installed.contains(dir) || spark.sparkContext.getCheckpointDir.isEmpty) {
+            spark.sparkContext.setCheckpointDir(dir)
+            installed = Some(dir)
+          }
+        }
         df.checkpoint()
       case None => df.localCheckpoint()
     }

@@ -145,8 +145,14 @@ final case class Job(
 ) {
   def run(spark: SparkSession, registry: Option[DatasetRegistry] = None): Unit = {
     val out = transform(source.read(spark))
-    requeueTo.foreach(_.write(out.filter(!validate)))
-    sink.write(requeueTo.map(_ => out.filter(validate)).getOrElse(out))
+    // NULL counts as FAILING: an entity whose validation predicate can't
+    // even evaluate (e.g. a JSON extract on malformed props) must land in
+    // the re-queue, not vanish — sink ∪ requeue always equals the
+    // transformed relation (reference ReQueueFailingEntityHandler exists
+    // precisely to capture such entities)
+    val fail = !coalesce(validate, lit(false))
+    requeueTo.foreach(_.write(out.filter(fail)))
+    sink.write(requeueTo.map(_ => out.filter(!fail)).getOrElse(out))
     registry.foreach { r =>
       if (sourceName.nonEmpty && sinkName.nonEmpty) {
         val kind = if (transform eq Transforms.noop) "copy" else "transform"

@@ -9,24 +9,33 @@ import org.apache.spark.sql.DataFrame
   *
   * Spark translation: every leg is materialized (validated) BEFORE any
   * leg becomes visible in the registry — a failing leg aborts the whole
-  * transaction with the registry untouched. With a `stagingDir` each leg
-  * is staged as parquet and published from the staged files (the
-  * cluster-scale discipline: durable staging + metadata-only publish,
-  * the same write-then-swap the reference's StoreEntitiesWithTransaction
-  * performs inside Badger). Without one, legs are staged via cache+count
-  * — fine in-session, but CacheManager plan-matching is measured to be
-  * erratic under memory pressure (PERF.md), so at real scale pass a dir.
+  * transaction with the registry untouched. Each leg is staged as
+  * parquet and published from the staged files (the cluster-scale
+  * discipline: durable staging + metadata-only publish, the same
+  * write-then-swap the reference's StoreEntitiesWithTransaction performs
+  * inside Badger). The DEFAULT staging location is a generated temp dir
+  * — right for local/single-node runs; on a cluster pass a shared
+  * `stagingDir` (HDFS/S3) so executors and any restarted driver see the
+  * staged files. `cacheStaging = true` opts into the in-memory
+  * cache+count path instead — fine in-session, but CacheManager
+  * plan-matching is measured to be erratic under memory pressure
+  * (PERF.md), so it is no longer the default.
   */
-final case class Transaction(writes: Seq[(String, DataFrame)], stagingDir: Option[String] = None) {
+final case class Transaction(writes: Seq[(String, DataFrame)], stagingDir: Option[String] = None,
+                             cacheStaging: Boolean = false) {
 
   /** Validate-then-publish. Returns per-dataset row counts. */
   def commit(registry: DatasetRegistry): Seq[(String, Long)] = {
+    val root =
+      if (cacheStaging) None
+      else stagingDir.orElse(
+        Some(java.nio.file.Files.createTempDirectory("graft_txn_").toString))
     // stage: force full evaluation of every leg first (any error here
     // leaves the registry exactly as it was)
     val staged = writes.map { case (name, df) =>
-      stagingDir match {
-        case Some(root) =>
-          val path = s"$root/$name"
+      root match {
+        case Some(r) =>
+          val path = s"$r/$name"
           df.write.mode("overwrite").parquet(path)
           val back = df.sparkSession.read.parquet(path)
           (name, back, back.count())

@@ -74,21 +74,28 @@ object EntityJson {
       .unionByName(toJsonLines(toEntityRows(g, dataset)))
   }
 
-  /** Parse JSON lines back into entity rows; a leading @context line is
-    * NOT an entity and is stripped (read it with `readContext`). */
+  /** Parse JSON lines back into entity rows; a @context line is NOT an
+    * entity and is dropped (read it with `readContext`). The strip keys
+    * on the PARSED id, not a raw-string prefix, so pretty-printed or
+    * key-reordered payloads from other producers (the wire format does
+    * not forbid either) can't leak a garbage context row into the
+    * entity stream. Null-safe: a malformed line (null id) stays, as
+    * before, an entity row for the error channel to catch. */
   def fromJsonLines(spark: SparkSession, jsonDf: DataFrame): DataFrame =
     jsonDf
-      .filter(!col("json").startsWith("""{"id":"@context""""))
       .select(from_json(col("json"), WireSchema).as("e")).select("e.*")
+      .filter(!(col("id") <=> "@context"))
 
   /** The namespace map advertised by a wire payload's @context line:
-    * (prefix, expansion) rows. */
-  def readContext(spark: SparkSession, jsonDf: DataFrame): DataFrame =
+    * (prefix, expansion) rows. Symmetric with `fromJsonLines`: selects
+    * on the parsed id. */
+  def readContext(spark: SparkSession, jsonDf: DataFrame): DataFrame = {
+    val ctx = from_json(col("json"),
+      StructType.fromDDL("id string, namespaces map<string,string>"))
     jsonDf
-      .filter(col("json").startsWith("""{"id":"@context""""))
-      .select(explode(from_json(col("json"),
-        StructType.fromDDL("id string, namespaces map<string,string>")).getField("namespaces"))
-        .as(Seq("prefix", "namespace")))
+      .filter(ctx.getField("id") === "@context")
+      .select(explode(ctx.getField("namespaces")).as(Seq("prefix", "namespace")))
+  }
 
   /** Flatten entity rows back to native columns (import path): each
     * (propertyUri, columnName) becomes a column again. */

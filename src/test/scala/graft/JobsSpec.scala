@@ -197,6 +197,49 @@ class JobsSpec extends SparkSpec {
     assert(reg.get("retried").count() == 1)
   }
 
+  test("a NULL validation verdict re-queues the entity instead of dropping it") {
+    val s = spark
+    import s.implicits._
+    val reg = new DatasetRegistry
+    // props of row 2 is malformed JSON → the extract is NULL → the
+    // predicate can't evaluate; such rows must land in the re-queue, not
+    // vanish (sink ∪ requeue == transformed relation)
+    val src = Seq((1, """{"q": 5}"""), (2, "not json"), (3, """{"q": 99}""")).toDF("k", "props")
+    Job("clean", FunctionSource(_ => src),
+      sink = DatasetSink(reg, "clean"),
+      validate = from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("q INT")).getField("q") < 50,
+      requeueTo = Some(DatasetSink(reg, "requeue"))).run(s, Some(reg))
+    assert(reg.get("clean").select("k").collect().map(_.getInt(0)).toSet == Set(1))
+    assert(reg.get("requeue").select("k").collect().map(_.getInt(0)).toSet == Set(2, 3))
+  }
+
+  test("transaction stages via parquet by default (cache path is opt-in)") {
+    val s = spark
+    import s.implicits._
+    val reg = new DatasetRegistry
+    Transaction(Seq("a" -> Seq(1, 2).toDF("x"))).commit(reg)
+    // the published dataset is backed by staged files, not a live plan
+    // pinned to the erratic CacheManager
+    assert(planOf(reg.get("a")).contains("Scan parquet"), planOf(reg.get("a")))
+  }
+
+  test("context strip keys on the parsed id, not raw-line serialization details") {
+    val s = spark
+    import s.implicits._
+    // key order differs and whitespace varies — the wire format forbids neither
+    val payload = Seq(
+      """{"namespaces": {"p": "http://x/"}, "id": "@context"}""",
+      """{"id":"e/1","recorded":1,"deleted":false,"props":{"p/a":"v"},"refs":null}"""
+    ).toDF("json")
+    val back = graft.sources.EntityJson.fromJsonLines(s, payload)
+    assert(back.count() == 1)
+    assert(back.select("id").collect().map(_.getString(0)).toSeq == Seq("e/1"))
+    val ctx = graft.sources.EntityJson.readContext(s, payload)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(ctx == Map("p" -> "http://x/"))
+  }
+
   test("wire payload with @context: entities parse with context stripped, context restricted to public namespaces") {
     val s = spark
     val g = graft.core.Tpch.graph(s, sfDir)
