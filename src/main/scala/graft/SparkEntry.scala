@@ -306,9 +306,15 @@ object SparkEntry {
     }),
 
     "j6_stats" -> ((s, dir) => {
+      // /statistics analog: row counts + storage bytes per dataset; the
+      // bytes come from parquet footers (Statistics.parquetDataBytes) —
+      // a metadata walk, not a data scan — and match DuckDB's
+      // parquet_metadata sum exactly
       val g = Tpch.graph(s, dir)
       g.datasets.keys.toSeq.sorted
-        .map(n => g(n).df.agg(count(lit(1)).as("n_rows")).select(lit(n).as("dataset"), col("n_rows")))
+        .map(n => g(n).df.agg(count(lit(1)).as("n_rows"))
+          .select(lit(n).as("dataset"), col("n_rows"),
+            lit(graft.jobs.Statistics.parquetDataBytes(s, s"$dir/$n.parquet")).as("bytes")))
         .reduce(_ unionByName _)
         .orderBy("dataset")
     }),
@@ -686,6 +692,25 @@ object SparkEntry {
   private val suppUri = s"'${tpchBase}supplier/' || s_suppkey"
   private val natUri = s"'${tpchBase}nation/' || n_nationkey"
 
+  /** j6's bytes statistic recomputes the parquet-footer compressed sizes
+    * engine-independently, which needs the table PATHS — the one oracle
+    * that is sf-dir-dependent. The static `oracleSql` carries the
+    * driver's correctness dir; `Verify` dumps `oracleSqlFor(sfDir)` so
+    * the json always matches the dir it was produced against. */
+  private def j6OracleSql(dir: String): String =
+    Seq("customer", "lineitem", "nation", "orders", "part", "region", "supplier")
+      .map { n =>
+        s"""SELECT '$n' AS dataset, count(*) AS n_rows,
+           | (SELECT sum(total_compressed_size)::BIGINT
+           |  FROM parquet_metadata('$dir/$n.parquet')) AS bytes FROM $n""".stripMargin
+      }
+      .mkString("SELECT * FROM (", "\nUNION ALL ", ") ORDER BY dataset")
+
+  /** The oracle map with every sf-dir-dependent entry interpolated for
+    * `dir` (see `j6OracleSql`); identical to `oracleSql` elsewhere. */
+  def oracleSqlFor(dir: String): Map[String, String] =
+    oracleSql + ("j6_stats" -> j6OracleSql(dir))
+
   def oracleSql: Map[String, String] = Map(
 
     "q1_pricing_summary" ->
@@ -879,16 +904,7 @@ object SparkEntry {
          | '${Tpch.schemaNs}size/' || p_size AS size_class
          |FROM part ORDER BY id""".stripMargin,
 
-    "j6_stats" ->
-      """SELECT * FROM (
-        | SELECT 'customer' AS dataset, count(*) AS n_rows FROM customer
-        | UNION ALL SELECT 'lineitem', count(*) FROM lineitem
-        | UNION ALL SELECT 'nation', count(*) FROM nation
-        | UNION ALL SELECT 'orders', count(*) FROM orders
-        | UNION ALL SELECT 'part', count(*) FROM part
-        | UNION ALL SELECT 'region', count(*) FROM region
-        | UNION ALL SELECT 'supplier', count(*) FROM supplier
-        |) ORDER BY dataset""".stripMargin,
+    "j6_stats" -> j6OracleSql("/root/testdata/sf0.01"),
 
     "q3_top_orders" ->
       """SELECT l_orderkey, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,

@@ -1,0 +1,120 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+
+import java.time.LocalDateTime
+import scala.collection.concurrent.TrieMap
+
+/** Standard 5-field cron expression (minute hour day-of-month month
+  * day-of-week) — the reference schedules jobs with these
+  * (mimiro-io/datahub internal/jobs/scheduler.go:50 `TriggerTypeCron`,
+  * :560 `cron.ParseStandard`). Supports `*`, values, ranges `a-b`,
+  * slash-step expressions (every n, over `*` or a range), and comma
+  * lists; day-of-week 0-7 with both
+  * 0 and 7 = Sunday. POSIX day-OR rule: when BOTH day fields are
+  * restricted (neither is `*`), a time matches if either field matches.
+  * Matching is minute-granular — the tick cadence of the trigger loop. */
+final case class Cron(minutes: Set[Int], hours: Set[Int], dom: Set[Int],
+                      months: Set[Int], dow: Set[Int],
+                      domStar: Boolean, dowStar: Boolean) {
+
+  def matches(t: LocalDateTime): Boolean = {
+    val dayOk = (domStar, dowStar) match {
+      case (true, true)   => true
+      case (true, false)  => dow(t.getDayOfWeek.getValue % 7)
+      case (false, true)  => dom(t.getDayOfMonth)
+      case (false, false) => dom(t.getDayOfMonth) || dow(t.getDayOfWeek.getValue % 7)
+    }
+    minutes(t.getMinute) && hours(t.getHour) && months(t.getMonthValue) && dayOk
+  }
+
+  /** First matching minute strictly after `t` (bounded scan; a valid
+    * expression always fires within 4 years). */
+  def nextAfter(t: LocalDateTime): LocalDateTime = {
+    var c = t.withSecond(0).withNano(0).plusMinutes(1)
+    val limit = t.plusYears(4)
+    while (!matches(c)) {
+      c = c.plusMinutes(1)
+      if (c.isAfter(limit)) sys.error(s"cron expression never matches: $this")
+    }
+    c
+  }
+}
+
+object Cron {
+
+  def parse(spec: String): Cron = {
+    val fs = spec.trim.split("\\s+")
+    require(fs.length == 5, s"cron spec needs 5 fields (min hour dom month dow): '$spec'")
+
+    def field(f: String, lo: Int, hi: Int, normalize: Int => Int): Set[Int] =
+      f.split(",").iterator.flatMap { part =>
+        val (range, step) = part.split("/") match {
+          case Array(r)    => (r, 1)
+          case Array(r, s) => (r, s.toInt)
+          case _           => sys.error(s"bad cron field '$part' in '$spec'")
+        }
+        require(step >= 1, s"bad cron step in '$part'")
+        val (a, b) = range match {
+          case "*"                  => (lo, hi)
+          case r if r.contains("-") => val Array(x, y) = r.split("-", 2); (x.toInt, y.toInt)
+          case r if step > 1        => (r.toInt, hi) // vixie: "n/step" = n..max by step
+          case r                    => (r.toInt, r.toInt)
+        }
+        require(a >= lo && b <= hi && a <= b,
+          s"cron field '$part' out of range [$lo,$hi] in '$spec'")
+        (a to b by step).map(normalize)
+      }.toSet
+
+    Cron(
+      minutes = field(fs(0), 0, 59, identity),
+      hours   = field(fs(1), 0, 23, identity),
+      dom     = field(fs(2), 1, 31, identity),
+      months  = field(fs(3), 1, 12, identity),
+      dow     = field(fs(4), 0, 7, _ % 7), // 7 = Sunday = 0
+      domStar = fs(2) == "*",
+      dowStar = fs(4) == "*")
+  }
+}
+
+/** A cron-triggered job with INCREMENTAL continuation state: each firing
+  * rebuilds the job from the stored since-token and advances the token
+  * afterwards, so a tick processes exactly the changes recorded since
+  * the previous firing (the reference's per-job sync state —
+  * scheduler.go runs each registered job on its cron trigger, and
+  * incremental sources resume from their continuation token).
+  *
+  * `makeJob` receives the current token (None on the first firing =
+  * fullsync-equivalent initial run); `nextToken` is evaluated AFTER a
+  * successful run and usually returns the source log's max recorded
+  * value — a parquet-footer-level aggregate, not a data scan. A None
+  * from `nextToken` keeps the previous token (empty tick). */
+final case class CronJob(
+    id: String,
+    cron: Cron,
+    makeJob: Option[Long] => Job,
+    nextToken: () => Option[Long])
+
+/** The trigger loop. `tick(now)` is the unit of scheduling: run every
+  * job whose cron matches the minute of `now`, in id order, with per-job
+  * retry — the wall-clock loop that CALLS tick belongs to the cluster's
+  * orchestrator (or a Structured Streaming trigger), not the library;
+  * driving tick explicitly also makes schedules simulatable in specs.
+  * Token state lives here, keyed by job id, exactly one advance per
+  * successful firing. */
+final class CronScheduler(jobs: Seq[CronJob], maxRetries: Int = 0) {
+
+  private val tokens = TrieMap.empty[String, Long]
+
+  /** The stored continuation token for a job (None before first run). */
+  def token(id: String): Option[Long] = tokens.get(id)
+
+  /** Run all jobs due at `now`; returns the ids that ran. */
+  def tick(spark: SparkSession, registry: DatasetRegistry,
+           now: LocalDateTime): Seq[String] =
+    jobs.filter(_.cron.matches(now)).sortBy(_.id).map { cj =>
+      Scheduler.runWithRetry(spark, registry, cj.makeJob(tokens.get(cj.id)), maxRetries)
+      cj.nextToken().foreach(t => tokens.put(cj.id, t))
+      cj.id
+    }
+}

@@ -1,0 +1,43 @@
+package graft.jobs
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.SparkSession
+
+import scala.jdk.CollectionConverters._
+
+/** Dataset statistics beyond row counts — the reference's /statistics
+  * API reports per-dataset storage breakdowns
+  * (mimiro-io/datahub internal/server/statistics.go:14 GetStatistics,
+  * :23 GetStatisticsForDs). */
+object Statistics {
+
+  /** Compressed data bytes of a parquet dataset (single file or a
+    * directory of part files): the sum of column-chunk compressed sizes
+    * over all row groups. FOOTER metadata only — no data pages are
+    * read — and byte-identical to DuckDB's
+    * `sum(total_compressed_size) FROM parquet_metadata(...)`, which
+    * keeps the statistic oracle-checkable across engines.
+    *
+    * Runs driver-side over the file listing: O(#files) footer reads,
+    * the same metadata walk the reference does over Badger keyspace
+    * sizes. For object stores with very large file counts, wrap the
+    * path list in `spark.parallelize(paths).map(...)` — the per-file
+    * computation below is already self-contained. */
+  def parquetDataBytes(spark: SparkSession, path: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      else Array(p)
+    files.map { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try r.getFooter.getBlocks.asScala.iterator
+        .flatMap(_.getColumns.asScala).map(_.getTotalSize).sum
+      finally r.close()
+    }.sum
+  }
+}

@@ -240,6 +240,72 @@ class JobsSpec extends SparkSpec {
     assert(ctx == Map("p" -> "http://x/"))
   }
 
+  test("cron parse + match: steps, ranges, lists, day-OR rule, sunday aliases") {
+    import java.time.LocalDateTime
+    val every15 = Cron.parse("*/15 * * * *")
+    assert(every15.matches(LocalDateTime.of(2026, 8, 12, 9, 30)))
+    assert(!every15.matches(LocalDateTime.of(2026, 8, 12, 9, 31)))
+    val nightly = Cron.parse("30 2 * * 1-5")
+    assert(nightly.matches(LocalDateTime.of(2026, 8, 12, 2, 30))) // a Wednesday
+    assert(!nightly.matches(LocalDateTime.of(2026, 8, 16, 2, 30))) // a Sunday
+    // POSIX day-OR: both day fields restricted → either may match
+    val dayOr = Cron.parse("0 0 13 * 0")
+    assert(dayOr.matches(LocalDateTime.of(2026, 8, 13, 0, 0))) // dom=13 (a Thursday)
+    assert(dayOr.matches(LocalDateTime.of(2026, 8, 16, 0, 0))) // dow=Sunday, dom=16
+    assert(!dayOr.matches(LocalDateTime.of(2026, 8, 14, 0, 0)))
+    // 7 = 0 = Sunday
+    assert(Cron.parse("0 0 * * 7").matches(LocalDateTime.of(2026, 8, 16, 0, 0)))
+    // nextAfter walks to the next firing minute
+    assert(every15.nextAfter(LocalDateTime.of(2026, 8, 12, 9, 31)) ==
+      LocalDateTime.of(2026, 8, 12, 9, 45))
+    assert(Cron.parse("0 3 1 * *").nextAfter(LocalDateTime.of(2026, 8, 12, 9, 0)) ==
+      LocalDateTime.of(2026, 9, 1, 3, 0))
+  }
+
+  test("cron scheduler: two ticks advance the since-token; incremental job resumes from it") {
+    import java.time.LocalDateTime
+    val s = spark
+    import s.implicits._
+    val reg = new DatasetRegistry
+    reg.put("src", Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "recorded"))
+    reg.put("out", Seq.empty[(Long, Long)].toDF("id", "recorded"))
+    val cj = CronJob("sync_src", Cron.parse("*/5 * * * *"),
+      makeJob = since => Job("sync_src",
+        DatasetSource(reg.get("src"), "id", "recorded", since = since),
+        // append-to-sink: the incremental runs accumulate
+        transform = df => reg.get("out").unionByName(df),
+        sink = DatasetSink(reg, "out")),
+      nextToken = () => {
+        val m = reg.get("src").agg(max("recorded")).head()
+        if (m.isNullAt(0)) None else Some(m.getLong(0))
+      })
+    val sched = new CronScheduler(Seq(cj))
+
+    // tick at a non-matching minute runs nothing
+    assert(sched.tick(s, reg, LocalDateTime.of(2026, 8, 12, 9, 3)).isEmpty)
+    assert(sched.token("sync_src").isEmpty)
+
+    // first firing: no token → full read; token advances to max recorded
+    assert(sched.tick(s, reg, LocalDateTime.of(2026, 8, 12, 9, 5)) == Seq("sync_src"))
+    assert(sched.token("sync_src").contains(30L))
+    assert(reg.get("out").count() == 3)
+
+    // new changes land between ticks
+    reg.put("src", reg.get("src").unionByName(Seq((4L, 40L), (2L, 45L)).toDF("id", "recorded")))
+
+    // second firing: only recorded > 30 is processed (no re-emission)
+    assert(sched.tick(s, reg, LocalDateTime.of(2026, 8, 12, 9, 10)) == Seq("sync_src"))
+    assert(sched.token("sync_src").contains(45L))
+    val out = reg.get("out").select("id", "recorded").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (2L, 45L)))
+
+    // an empty tick (no new changes) keeps the token
+    assert(sched.tick(s, reg, LocalDateTime.of(2026, 8, 12, 9, 15)) == Seq("sync_src"))
+    assert(sched.token("sync_src").contains(45L))
+    assert(reg.get("out").count() == 5)
+  }
+
   test("wire payload with @context: entities parse with context stripped, context restricted to public namespaces") {
     val s = spark
     val g = graft.core.Tpch.graph(s, sfDir)
