@@ -273,6 +273,26 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "j17_stream_fullsync" -> ((s, dir) => {
+      // fullsync as a STREAMING job (job.go:99 isFullSync): the same
+      // sync payload as j12, but arriving as chunk files drained through
+      // a checkpointed stream before CompleteFullSync tombstones the
+      // absentees — output must equal the batch fullsync (j12's oracle)
+      val ev = events(s, dir)
+      val log = ev.withColumn("deleted", col("event_type") === "error")
+      val chunks = java.nio.file.Files.createTempDirectory("graft_fs_chunks_").toString
+      ev.filter(col("event_id") > 9900).select("user_id")
+        .repartition(4).write.mode("overwrite").parquet(chunks)
+      val staging = java.nio.file.Files.createTempDirectory("graft_fs_staging_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_fs_ckpt_").toString
+      val post = OnChange.streamingFullSync(s, log, "user_id", "event_id", "deleted",
+        chunks, "user_id", staging, ckpt, 10001L)
+      ChangeLog.snapshot(post, "user_id", "event_id", col("deleted"))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"))
+        .orderBy("user_id")
+    }),
+
     // ===== jobs ==========================================================
     "j1_union_source" -> ((s, dir) => {
       val g = Tpch.graph(s, dir)
@@ -846,6 +866,19 @@ object SparkEntry {
         |ORDER BY user_id, event_id""".stripMargin,
 
     "j12_fullsync_deletes" ->
+      """WITH latest AS (
+        |  SELECT user_id, event_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events),
+        |live AS (SELECT user_id, event_id, event_type FROM latest WHERE rn = 1 AND event_type <> 'error'),
+        |batch AS (SELECT DISTINCT user_id FROM events WHERE event_id > 9900)
+        |SELECT user_id, event_id AS last_event_id, event_type AS last_type
+        |FROM live WHERE user_id IN (SELECT user_id FROM batch)
+        |ORDER BY user_id""".stripMargin,
+
+    // identical ground truth to j12: the streaming drain must not change
+    // what the completed fullsync tombstones
+    "j17_stream_fullsync" ->
       """WITH latest AS (
         |  SELECT user_id, event_id, event_type,
         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn

@@ -133,6 +133,43 @@ object OnChange {
         round(col("raw_sum"), 2).as("sum_value"))
   }
 
+  /** Streaming fullsync — the reference's fullsync JOB MODE
+    * (internal/jobs/job.go:99 isFullSync) composed with the streaming
+    * source: the complete entity set arrives as a STREAM of chunk files;
+    * the drain stages the seen id set durably (file sink + checkpoint =
+    * exactly-once across restarts); when the drain completes,
+    * CompleteFullSync (internal/server/dataset.go:158) appends deletion
+    * tombstones for previously-live entities the sync never mentioned.
+    *
+    * Restart semantics: a killed-and-resumed sync re-runs with the SAME
+    * stagingDir + checkpointDir — already-staged chunks are skipped by
+    * the checkpoint (no duplicate staging), newly-arrived chunks are
+    * drained, and the tombstone step sees the accumulated id set. The
+    * 100 TB shape: chunks land map-only in the staging sink (no
+    * shuffle), and the completion anti-join broadcasts the distinct
+    * sync-id set against the latest-live snapshot's single aggregate. */
+  def streamingFullSync(spark: SparkSession, log: DataFrame, idCol: String,
+                        recordedCol: String, deletedCol: String,
+                        chunksDir: String, batchIdCol: String,
+                        stagingDir: String, checkpointDir: String,
+                        t: Long): DataFrame = {
+    val schema = spark.read.parquet(chunksDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(chunksDir)
+      .select(col(batchIdCol))
+      .writeStream
+      .format("parquet")
+      .option("path", stagingDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batch = spark.read.parquet(stagingDir)
+    graft.jobs.FullSync.completeFullSync(
+      log, idCol, recordedCol, deletedCol, batch, batchIdCol, t)
+  }
+
   /** One event version of one entity (user) in the change stream. */
   final case class EventVersion(user_id: Long, event_id: Long, event_type: String, value: Double)
 

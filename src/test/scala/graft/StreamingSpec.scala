@@ -82,6 +82,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming fullsync resumes from the checkpoint: no re-staging, tombstones see the full id set") {
+    val s = spark
+    import s.implicits._
+    // log: users 1..6, one version each; user 5 already tombstoned
+    val log = Seq(
+      (1L, 1L, false), (2L, 2L, false), (3L, 3L, false),
+      (4L, 4L, false), (5L, 5L, true), (6L, 6L, false)
+    ).toDF("id", "recorded", "deleted")
+    val chunks = java.nio.file.Files.createTempDirectory("graft_fsync_chunks_").toString
+    val staging = java.nio.file.Files.createTempDirectory("graft_fsync_staging_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fsync_ckpt_").toString
+    // chunk files must be FLAT files in the streamed directory
+    def addChunk(ids: Seq[Long], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fsync_tmp_").toString
+      ids.toDF("id").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(chunks, name))
+    }
+    // first delivery: chunk 1 arrives, sync is interrupted after the drain
+    addChunk(Seq(1L, 2L), "c1.parquet")
+    OnChange.streamingFullSync(s, log, "id", "recorded", "deleted",
+      chunks, "id", staging, ckpt, 100L)
+    // resume: the remaining chunk lands; SAME staging + checkpoint
+    addChunk(Seq(3L), "c2.parquet")
+    val post = OnChange.streamingFullSync(s, log, "id", "recorded", "deleted",
+      chunks, "id", staging, ckpt, 100L)
+    // exactly-once staging: chunk 1 was NOT re-read on resume
+    assert(s.read.parquet(staging).count() == 3)
+    // completed sync tombstones exactly the live absentees (4 and 6)
+    val stones = post.filter(col("recorded") === 100L)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    assert(stones == Set((4L, true), (6L, true)))
+    // and the post-sync snapshot holds exactly the synced ids
+    val snap = graft.ops.ChangeLog.snapshot(post, "id", "recorded", col("deleted"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(snap == Set(1L, 2L, 3L))
+  }
+
   test("streamed incremental agg equals batch agg") {
     val path = s"$sfDir/events.parquet"
     val streamed = OnChange.aggregateEvents(spark, path)
