@@ -1121,9 +1121,9 @@ object SparkEntry {
 
     "s4_ann_indexed" -> Ann.lshOracleSql(dims = 64, k = 5),
 
-    "s3_ann_ivf" -> Ann.ivfOracleSql(k = 5),
+    "s3_ann_ivf" -> Ann.ivfKmeansOracleSql(k = 5),
 
-    "s5_ivf_indexed" -> Ann.ivfOracleSql(k = 5),
+    "s5_ivf_indexed" -> Ann.ivfKmeansOracleSql(k = 5),
 
     "x1_langid" ->
       """WITH w AS (

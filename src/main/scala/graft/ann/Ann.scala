@@ -72,13 +72,83 @@ object Ann {
     ColumnBridge.column(graft.functions.HyperplaneSketch(ColumnBridge.expr(v), signs))
   }
 
+  /** 2^20 — the integer fixed-point scale the k-means trainer runs on.
+    * `floor(x·2^20)` per coordinate: integer SUMS are order-independent
+    * (so training is deterministic across partitionings, runs, and
+    * engines — floating sums are not), `floor` rounds identically
+    * everywhere (`round` half-breaks differ between engines), and cosine
+    * routing is scale-invariant so the scale never needs unwinding. */
+  private val FixedScale = 1048576.0d
+
+  private def fixed(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * lit(FixedScale)).cast("long"))
+  private def fixedD(f: Column): Column = transform(f, _.cast("double"))
+
+  /** Lloyd-trained IVF centroids (k-means behind the SAME broadcast
+    * shape as cell assignment): each round is one map-only argmax over
+    * the broadcast centroid array plus one (cell, dim) integer-sum
+    * aggregate; the seed is the deterministic md5-ranked corpus sample,
+    * an empty cell keeps its previous centroid, `rounds = 0` returns
+    * the seed (the plain sampled quantizer). Returns the one-row
+    * centroid array `(cid, cv, cnorm)` that `ivfTopK`/`buildIvfIndex`
+    * broadcast — cv holds the int-valued fixed-point coordinates as
+    * doubles, which is what lets the DuckDB oracle re-derive the
+    * trained centroids exactly (`ivfKmeansOracleSql`).
+    *
+    * Scale note: the per-round (cell, dim) aggregate shuffles
+    * n·dims tiny rows — fine for a training pass, but at extreme corpus
+    * sizes train on a sample (`emb.sample(...)`); the router only needs
+    * the cluster structure, not every row. */
+  def trainCentroids(emb: DataFrame, vecCol: String, idCol: String,
+                     nlist: Int = 16, rounds: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = normed(emb, vecCol, idCol)
+    val pts = e.select(col("id"), col("v"), col("norm"), fixed(col("v")).as("f"))
+    val seed = pts
+      .withColumn("__r", md5(concat(lit("cent:"), col("id"))))
+      .orderBy(col("__r"), col("id")).limit(nlist)
+      .withColumn("cid", (row_number().over(Window.orderBy(col("__r"), col("id"))) - 1).cast("long"))
+      .select(col("cid"), col("f"))
+    var cents = seed
+    for (_ <- 1 to rounds) {
+      val centArr = cents.agg(collect_list(struct(col("cid"),
+        fixedD(col("f")).as("cv"),
+        sqrt(dot(fixedD(col("f")), fixedD(col("f")))).as("cnorm"))).as("cents"))
+      val best = array_sort(transform(col("cents"), c =>
+        struct((-cosine(col("v"), c.getField("cv"), col("norm"), c.getField("cnorm"))).as("negsim"),
+          c.getField("cid").as("cid")))).getItem(0).getField("cid")
+      val assigned = pts.join(broadcast(centArr)).select(col("f"), best.as("cid"))
+      val newCents = assigned
+        .select(col("cid"), posexplode(col("f")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim").agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("dim"),
+          expr("sx div cnt").as("q")))), s => s.getField("q")).as("f"))
+      // tiny (nlist rows) — truncate so the per-round plan doesn't nest
+      cents = graft.core.Checkpoints.truncate(
+        cents.as("p").join(newCents.as("nn"), Seq("cid"), "left")
+          .select(col("cid"), coalesce(col("nn.f"), col("p.f")).as("f")))
+    }
+    cents.agg(collect_list(struct(col("cid"),
+      fixedD(col("f")).as("cv"),
+      sqrt(dot(fixedD(col("f")), fixedD(col("f")))).as("cnorm"))).as("cents"))
+  }
+
+  /** The plain md5-ranked sampled quantizer as a one-row centroid array
+    * (the rounds=0 / no-training fallback, kept for comparison). */
+  def sampleCentroids(emb: DataFrame, vecCol: String, idCol: String, nlist: Int = 16): DataFrame = {
+    val e = normed(emb, vecCol, idCol)
+    e.orderBy(md5(concat(lit("cent:"), col("id"))), col("id")).limit(nlist)
+      .agg(collect_list(struct(col("id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))).as("cents"))
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
     * into nlist cells; a query scores only the vectors of its nprobe
-    * nearest cells. Centroids here are a deterministic md5-ranked sample
-    * of the corpus (a production build would train k-means and broadcast
-    * the centroid table the same way — the operator shape is identical;
-    * md5 rather than xxhash64 so the DuckDB oracle can reproduce the
-    * choice).
+    * nearest cells. Centroids are Lloyd-TRAINED (`trainCentroids`,
+    * `rounds` iterations over the deterministic md5-ranked seed; pass
+    * `rounds = 0` for the plain sampled quantizer) — trained centroids
+    * hold recall-per-nprobe as the corpus grows where a static sample
+    * degrades.
     *
     * Cell assignment is MAP-ONLY: the nlist centroids are collapsed to a
     * one-row array and broadcast, and every row computes all nlist
@@ -90,10 +160,12 @@ object Ann {
     * the broadcast probe set, so the scored candidate volume is
     * ~corpus·nprobe/nlist — the sub-linear scale path next to `lshTopK`. */
   def ivfTopK(emb: DataFrame, vecCol: String, idCol: String,
-              queryFilter: Column, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              queryFilter: Column, k: Int, nlist: Int = 16, nprobe: Int = 4,
+              rounds: Int = 2): DataFrame = {
     val e = normed(emb, vecCol, idCol)
-    val cent = e.orderBy(md5(concat(lit("cent:"), col("id"))), col("id")).limit(nlist)
-      .agg(collect_list(struct(col("id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))).as("cents"))
+    val cent =
+      if (rounds > 0) trainCentroids(emb, vecCol, idCol, nlist, rounds)
+      else sampleCentroids(emb, vecCol, idCol, nlist)
     // negated sim sorts ascending = best cell first; cid breaks ties low
     val sortedCells = array_sort(transform(col("cents"), c =>
       struct((-cosine(col("v"), c.getField("cv"), col("norm"), c.getField("cnorm"))).as("negsim"),
@@ -148,24 +220,54 @@ object Ann {
        |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
-  /** DuckDB SQL reproducing `ivfTopK` end-to-end (md5-ranked centroid
-    * choice, per-row argmax assignment, nprobe probing, exact top-k). */
-  def ivfOracleSql(k: Int, nlist: Int = 16, nprobe: Int = 4,
-                   queryPred: String = "id < 10"): String =
+  /** DuckDB SQL reproducing the TRAINED `ivfTopK` end-to-end: the
+    * fixed-point seed, every unrolled Lloyd round (argmax assignment +
+    * integer-exact `(cell, dim)` averaging with truncating division,
+    * empty cells keeping their centroid), the final per-row argmax
+    * assignment, nprobe probing, and the exact top-k. Engine-exact
+    * because training arithmetic is integer (order-independent sums,
+    * `floor`, `//` ≡ Spark `div`) and every cosine consumes identical
+    * doubles sequentially on both engines. */
+  def ivfKmeansOracleSql(k: Int, nlist: Int = 16, nprobe: Int = 4, rounds: Int = 2,
+                         queryPred: String = "id < 10"): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"c${r - 1}"
+      s"""cdn$r AS (SELECT cid, cfd, sqrt(list_inner_product(cfd, cfd)) AS cfn
+         |          FROM (SELECT cid, [x::DOUBLE FOR x IN f] AS cfd FROM $prev)),
+         |sims$r AS (
+         |  SELECT p.id, p.f, c.cid,
+         |         list_inner_product(p.v, c.cfd) / (p.nrm * c.cfn) AS csim
+         |  FROM pn p, cdn$r c),
+         |asg$r AS (
+         |  SELECT id, f, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn
+         |    FROM sims$r) WHERE rn = 1),
+         |sums$r AS (
+         |  SELECT cid, t.i AS i, sum(f[t.i])::BIGINT AS sx, count(*) AS cnt
+         |  FROM asg$r, unnest(range(1, len(f) + 1)) AS t(i) GROUP BY cid, t.i),
+         |nw$r AS (SELECT cid, list(sx // cnt ORDER BY i) AS f FROM sums$r GROUP BY cid),
+         |c$r AS (SELECT p.cid, coalesce(nw.f, p.f) AS f FROM $prev p LEFT JOIN nw$r nw USING (cid))"""
+        .stripMargin
+    }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
-       |cent AS (SELECT id AS cid, v AS cv, nrm AS cnorm FROM n
-       |         ORDER BY md5('cent:' || id), id LIMIT $nlist),
-       |sims AS (
-       |  SELECT n.id, n.v, n.nrm, cent.cid,
-       |         list_inner_product(n.v, cent.cv) / (n.nrm * cent.cnorm) AS csim
-       |  FROM n, cent),
-       |ranked AS (
+       |fx AS (SELECT id, [floor(x * ${FixedScale})::BIGINT FOR x IN v] AS f FROM e),
+       |pn AS (SELECT n.id, n.v, n.nrm, fx.f FROM n JOIN fx USING (id)),
+       |c0 AS (SELECT row_number() OVER (ORDER BY md5('cent:' || id), id) - 1 AS cid, f
+       |       FROM (SELECT id, f FROM fx ORDER BY md5('cent:' || id), id LIMIT $nlist)),
+       |$roundCtes,
+       |cdnF AS (SELECT cid, cfd, sqrt(list_inner_product(cfd, cfd)) AS cfn
+       |         FROM (SELECT cid, [x::DOUBLE FOR x IN f] AS cfd FROM c$rounds)),
+       |simsF AS (
+       |  SELECT n.id, n.v, n.nrm, c.cid,
+       |         list_inner_product(n.v, c.cfd) / (n.nrm * c.cfn) AS csim
+       |  FROM n, cdnF c),
+       |rankedF AS (
        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS crn
-       |  FROM sims),
-       |assign AS (SELECT id, v, nrm, cid FROM ranked WHERE crn = 1),
+       |  FROM simsF),
+       |assign AS (SELECT id, v, nrm, cid FROM rankedF WHERE crn = 1),
        |probes AS (SELECT id AS query_id, v AS qv, nrm AS qnorm, cid
-       |           FROM ranked WHERE $queryPred AND crn <= $nprobe),
+       |           FROM rankedF WHERE $queryPred AND crn <= $nprobe),
        |sc AS (
        |  SELECT p.query_id, a.id AS neighbor_id,
        |         list_inner_product(a.v, p.qv) / (a.nrm * p.qnorm) AS sim
@@ -176,6 +278,7 @@ object Ann {
        |  FROM sc)
        |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rnk
        |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** Materialize the LSH sketch index as a BUCKETED table keyed by the
     * (table, sketch) bucket — the ANN deployment shape mirroring
@@ -224,12 +327,13 @@ object Ann {
     * never rescans the inverted file to re-derive what the build already
     * computed (a 16-row metadata table, not a model). */
   def buildIvfIndex(emb: DataFrame, vecCol: String, idCol: String,
-                    table: String, nlist: Int = 16, buckets: Int = 16): String = {
+                    table: String, nlist: Int = 16, buckets: Int = 16,
+                    rounds: Int = 2): String = {
     val spark = emb.sparkSession
     Seq(table, s"${table}_cent").foreach(graft.core.Tables.drop(spark, _))
     val e = normed(emb, vecCol, idCol)
-    e.orderBy(md5(concat(lit("cent:"), col("id"))), col("id")).limit(nlist)
-      .agg(collect_list(struct(col("id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))).as("cents"))
+    (if (rounds > 0) trainCentroids(emb, vecCol, idCol, nlist, rounds)
+     else sampleCentroids(emb, vecCol, idCol, nlist))
       .write.mode("overwrite").saveAsTable(s"${table}_cent")
     val cent = spark.table(s"${table}_cent")
     val sortedCells = array_sort(transform(col("cents"), c =>

@@ -32,12 +32,19 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    // element accessors per SIDE — a float×double mix (e.g. raw vectors
+    // against trained double centroids) must not read float storage as
+    // doubles; this interpreted path serves higher-order-function
+    // lambdas, where codegen never runs
+    val lf = elemIsFloat(left)
+    val rf = elemIsFloat(right)
     var s = 0.0
     var i = 0
-    if (elemIsFloat(left) && elemIsFloat(right)) {
-      while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
-    } else {
-      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
     }
     s
   }

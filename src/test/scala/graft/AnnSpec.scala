@@ -86,6 +86,35 @@ class AnnSpec extends SparkSpec {
     assert(got == recomputed)
   }
 
+  test("k-means-trained centroids beat the md5 sample at equal nprobe on a clustered corpus") {
+    val s = spark
+    import s.implicits._
+    // deterministic clustered fixture: 8 tight gaussian clusters — the
+    // regime where a static sampled quantizer splits clusters across
+    // sample-cells (losing neighbors at small nprobe) while Lloyd rounds
+    // pull one centroid onto each cluster mean
+    val rnd = new scala.util.Random(42)
+    val dims = 16
+    val centers = Array.fill(8)(Array.fill(dims)(rnd.nextGaussian()))
+    val rows = (0 until 320).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.toSeq.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val truth = Ann.bruteForceTopK(emb, "embedding", "vec_id", col("id") < 10, 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(rounds: Int): Double = {
+      val got = Ann.ivfTopK(emb, "embedding", "vec_id", col("id") < 10, 5,
+          nlist = 8, nprobe = 1, rounds = rounds)
+        .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val sampled = recallOf(0)
+    val trained = recallOf(3)
+    assert(trained > sampled, s"trained=$trained sampled=$sampled")
+    assert(trained >= 0.8, s"trained recall too low: $trained")
+  }
+
   test("indexed IVF probe reads the centroid companion, never rescans the inverted file") {
     val table = "ivf_idx_plan_spec"
     Ann.buildIvfIndex(emb, "embedding", "vec_id", table, buckets = 8)

@@ -19,6 +19,24 @@ class FunctionsSpec extends SparkSpec {
     assert(f == 2.0)
   }
 
+  test("dot_product float×double mix: interpreted (lambda) path equals codegen path") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.VectorFunctions.dot
+    // raw float vectors against double centroids is exactly the trained-IVF
+    // shape; the interpreted eval (used inside higher-order-function
+    // lambdas, where codegen never runs) must read each side with its own
+    // element type — reading float storage as doubles produced garbage
+    val df = Seq((Seq(1.5f, -2.25f, 3f), Seq(2.0d, 0.5d, -1.25d))).toDF("a", "b")
+    val expected = 1.5 * 2.0 + (-2.25 * 0.5) + 3 * (-1.25)
+    val codegen = df.select(dot(col("a"), col("b")).as("d")).head().getDouble(0)
+    val interpreted = df
+      .select(transform(array(col("b")), bb => dot(col("a"), bb)).getItem(0).as("d"))
+      .head().getDouble(0)
+    assert(codegen == expected, s"codegen: $codegen")
+    assert(interpreted == expected, s"interpreted: $interpreted")
+  }
+
   test("dot_product stays inside whole-stage codegen") {
     GraftExtensions.register(spark)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
