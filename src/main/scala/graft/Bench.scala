@@ -29,7 +29,16 @@ object Bench {
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
+    // drop the previous query's pinned blocks (localCheckpoint RDDs stay
+    // in the BlockManager until the driver GCs them) — without this the
+    // 72-query run accumulates dead blocks and later queries pay the
+    // memory pressure of every earlier one
+    def release(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sharedState.cacheManager.clearCache()
+    }
     val results = names.map { n =>
+      release()
       val t0 = System.nanoTime()
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch {

@@ -66,7 +66,10 @@ object Dedup {
                         table: String, buckets: Int = 32, maxDf: Int = 10000): String = {
     val spark = docs.sparkSession
     Seq(table, s"${table}_hot", s"${table}_sizes").foreach(graft.core.Tables.drop(spark, _))
-    val sh0 = shingles(docs, textCol, idCol, n)
+    // one tokenizer pass feeds both the df aggregate and the index write
+    // (set graft.checkpointDir so the materialization is reliable — and
+    // spills to the FS — when the corpus outgrows executor storage)
+    val sh0 = graft.core.Checkpoints.truncate(shingles(docs, textCol, idCol, n))
     sh0.groupBy("s").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDf).select("s")
       .write.mode("overwrite").saveAsTable(s"${table}_hot")
@@ -90,17 +93,18 @@ object Dedup {
     * lower — which is the point of the trick — and genuinely
     * near-identical docs keep their non-hot shingles and still pair up.
     */
+  /** Apply the df cap to an ALREADY-MATERIALIZED shingle stream (pass
+    * the tokenizer output through `Checkpoints.truncate` first): the hot
+    * list is materialized once (tiny: bounded by |shingle instances| /
+    * maxDf — the stop-shingle-list-per-corpus artifact a deployment
+    * persists next to the index), and the capped result is a cheap
+    * broadcast anti-join VIEW over the materialized stream — downstream
+    * operators reference it several times (signatures, sizes, both join
+    * sides) without re-running the tokenizer or a second
+    * materialization. */
   private def capDf(sh: DataFrame, maxDf: Int): DataFrame =
     if (maxDf == Int.MaxValue) sh
     else {
-      // materialize the hot list ONCE (it is tiny: bounded by
-      // |shingle instances|/maxDf) — operators reference the capped
-      // stream several times (signatures, sizes, both join sides), and
-      // without the checkpoint each reference would re-run the df
-      // aggregate over the full shingle stream (measured ~0.5 s × 4
-      // recomputes per query at sf0.1). This is the same
-      // stop-shingle-list-per-corpus materialization a deployment
-      // would persist next to the shingle index.
       val hot = graft.core.Checkpoints.truncate(
         sh.groupBy("s").agg(count(lit(1)).as("__df"))
           .filter(col("__df") > maxDf).select("s"))
@@ -152,17 +156,19 @@ object Dedup {
   def ngramJaccardDelta(spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
                         textCol: String, idCol: String, n: Int, threshold: Double,
                         indexTable: String, maxDf: Int = 10000): DataFrame = {
-    val sh0 = shingles(newDocs, textCol, idCol, n)
+    // tokenize the batch ONCE; everything below (hot aggregate, both
+    // self-join sides, the cross join, the batch sizes) re-reads the
+    // materialized stream instead of re-running the tokenizer
+    val sh0 = graft.core.Checkpoints.truncate(shingles(newDocs, textCol, idCol, n))
     // batch-local hot list: tiny (bounded by |batch shingles|/maxDf),
     // materialized once — referenced by both cap anti-joins
     val batchHot = graft.core.Checkpoints.truncate(
       sh0.groupBy("s").agg(count(lit(1)).as("__df"))
         .filter(col("__df") > maxDf).select("s"))
-    // the capped batch stream feeds four legs (both self-join sides, the
-    // cross join, the batch sizes) — materialize once, not 4 tokenizer runs
-    val newSh = graft.core.Checkpoints.truncate(
-      sh0.join(broadcast(spark.table(s"${indexTable}_hot").unionByName(batchHot)),
-        Seq("s"), "left_anti"))
+    // the capped batch stream: a cheap broadcast anti-join view over sh0
+    val newSh = sh0.join(
+      broadcast(spark.table(s"${indexTable}_hot").unionByName(batchHot)),
+      Seq("s"), "left_anti")
     val batchIds = newDocs.select(col(idCol).as("id")).distinct()
     // both anti-joins broadcast → map-side; the index keeps its bucketed
     // layout into the s=s join
@@ -207,13 +213,13 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, textCol: String, idCol: String, n: Int, threshold: Double,
                    maxDf: Int = 10000): DataFrame = {
-    // materialize the (capped) shingle stream once per query: sizes and
-    // both self-join sides re-read it instead of re-tokenizing
-    // (measured ~35% off d2/d3 at sf0.1) — the transient analog of the
-    // persistent bucketed index, and reliable-checkpoint-able on a
-    // cluster via graft.checkpointDir
-    val sh = graft.core.Checkpoints.truncate(
-      capDf(shingles(docs, textCol, idCol, n), maxDf))
+    // materialize the shingle stream ONCE per query (the tokenizer is
+    // the expensive pass — measured ~35% off d2/d3 at sf0.1): sizes and
+    // both self-join sides re-read it through capDf's cheap anti-join
+    // view — the transient analog of the persistent bucketed index, and
+    // reliable-checkpoint-able on a cluster via graft.checkpointDir
+    val sh = capDf(graft.core.Checkpoints.truncate(
+      shingles(docs, textCol, idCol, n)), maxDf)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(sh.as("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
@@ -243,10 +249,10 @@ object Dedup {
     val numBands = numHashes / bandRows
     // the df cap applies to the whole filtered shingle space (signatures
     // AND exact verify), keeping minhashLsh ≡ ngramJaccard at equal
-    // caps; materialized once — the signature pass and both verify
-    // sides re-read it (see ngramJaccard)
-    val sh = graft.core.Checkpoints.truncate(
-      capDf(shingles(docs, textCol, idCol, n), maxDf))
+    // caps; the stream is materialized once — the signature pass and
+    // both verify sides re-read it (see ngramJaccard)
+    val sh = capDf(graft.core.Checkpoints.truncate(
+      shingles(docs, textCol, idCol, n)), maxDf)
 
     // signature: one hash-agg pass, k mins computed map-side in parallel.
     // Hash the shingle STRING once; derive the k hash families by
