@@ -240,6 +240,25 @@ class JobsSpec extends SparkSpec {
     assert(ctx == Map("p" -> "http://x/"))
   }
 
+  test("content store: upsert/get/list/delete with history and as-of reads") {
+    val s = spark
+    val reg = new DatasetRegistry
+    val cs = new ContentStore(s, reg)
+    cs.upsert("mapping-a", """{"fields": 1}""", t = 1L)
+    cs.upsert("mapping-b", """{"fields": 2}""", t = 2L)
+    cs.upsert("mapping-a", """{"fields": 3}""", t = 3L) // update wins
+    assert(cs.get("mapping-a").contains("""{"fields": 3}"""))
+    assert(cs.list().collect().map(_.getString(0)).toSet == Set("mapping-a", "mapping-b"))
+    cs.delete("mapping-b", t = 4L)
+    assert(cs.get("mapping-b").isEmpty)
+    assert(cs.list().collect().map(_.getString(0)).toSet == Set("mapping-a"))
+    // config time travel: the state as of token 2
+    val old = cs.asOf(2L).collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(old == Map("mapping-a" -> """{"fields": 1}""", "mapping-b" -> """{"fields": 2}"""))
+    // content is an ordinary dataset: it rides backup like everything else
+    assert(reg.names.contains("core.content"))
+  }
+
   test("cron parse + match: steps, ranges, lists, day-OR rule, sunday aliases") {
     import java.time.LocalDateTime
     val every15 = Cron.parse("*/15 * * * *")
