@@ -486,6 +486,14 @@ object SparkEntry {
           queryFilter = col("id") < 10, k = 5)
         .orderBy("query_id", "rnk")),
 
+    "s7_ann_pq" -> ((s, dir) =>
+      // product-quantized ANN: per-subspace k-means codebooks, corpus
+      // stored as m codes (32× compression), full-precision queries
+      // score reconstructions (ADC) — train/encode/score in one plan
+      graft.ann.Pq.pqTopK(t(s, dir, "embeddings"), "embedding", "vec_id",
+          queryFilter = col("id") < 10, k = 5)
+        .orderBy("query_id", "rnk")),
+
     // ===== text analysis ================================================
     "x1_langid" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents"), "text", "doc_id").orderBy("doc_id")),
@@ -1122,6 +1130,8 @@ object SparkEntry {
     "s4_ann_indexed" -> Ann.lshOracleSql(dims = 64, k = 5),
 
     "s3_ann_ivf" -> Ann.ivfKmeansOracleSql(k = 5),
+
+    "s7_ann_pq" -> graft.ann.Pq.oracleSql(k = 5),
 
     "s5_ivf_indexed" -> Ann.ivfKmeansOracleSql(k = 5),
 

@@ -1,0 +1,204 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding search — the 100 TB
+  * compression path: a D-dim vector becomes m sub-codes (one byte each
+  * at ksub ≤ 256), a 32× storage cut at D=64/m=8 against float32, and
+  * queries score the compressed corpus without ever decompressing it to
+  * floats on disk (ADC — here expressed as reconstruction cosine, which
+  * is algebraically the same sum). No reference analog (LLM-pipeline
+  * mandate, like the rest of graft.ann); the natural composition at
+  * extreme scale is IVF cells routing + PQ codes inside each cell.
+  *
+  * Engine-exact by the same discipline as `Ann.trainCentroids`: vectors
+  * are L2-normalized then snapped to integer fixed point
+  * (floor(u·2^20)), per-subspace codebooks are k-means-trained with
+  * integer-exact averaging, and every distance/score consumes identical
+  * int-valued doubles sequentially on both engines — so the DuckDB
+  * oracle (`oracleSql`) re-derives codebooks, codes, reconstructions
+  * and the final top-k from scratch.
+  *
+  * Shapes: training/encoding are broadcast equi-joins on the subspace
+  * id (the codebook table is m·ksub rows) followed by one map-side
+  * min_by — no corpus-keyed shuffle; the only wide exchanges group by
+  * (id, sub) to pick winners and by id to reassemble codes, both on
+  * rows of a few bytes. */
+object Pq {
+
+  import graft.functions.VectorFunctions.dot
+
+  private def fixedD(f: Column): Column = transform(f, _.cast("double"))
+
+  /** floor((x / |v|) · 2^20) per coordinate: the fixed-point image of
+    * the UNIT vector (PQ on unit vectors makes L2 codebooks cosine-
+    * faithful). */
+  private def unitFixed(v: Column, norm: Column): Column =
+    transform(v, x => floor(x.cast("double") / norm * lit(1048576.0d)).cast("long"))
+
+  /** Exact squared L2 between int-valued double arrays, written as
+    * |x|² − 2·x·c + |c|² so both engines evaluate the identical exact
+    * expression (all terms are exact integers in double range). */
+  private def l2sq(x: Column, c: Column): Column =
+    dot(x, x) - lit(2.0d) * dot(x, c) + dot(c, c)
+
+  /** (id, sub, x) sub-vector rows of the fixed unit vectors. */
+  private def subRows(e: DataFrame, m: Int, dsub: Int): DataFrame =
+    e.select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        unitFixed(col("v"), col("norm")).as("fu"))
+      .select(col("id"), col("sub"), slice(col("fu"), col("sub") * dsub + 1, lit(dsub)).as("x"))
+
+  /** Nearest codeword per (row, subspace) under the given codebooks:
+    * broadcast join on `sub`, exact-L2 min_by with code tie-break. */
+  private def assign(su: DataFrame, books: DataFrame): DataFrame =
+    su.join(broadcast(books), Seq("sub"))
+      .select(col("id"), col("sub"), col("x"), col("code"),
+        l2sq(fixedD(col("x")), fixedD(col("cw"))).as("d2"))
+      .groupBy("id", "sub")
+      .agg(min_by(struct(col("code"), col("x")), struct(col("d2"), col("code"))).as("a"))
+      .select(col("id"), col("sub"), col("a.code").as("code"), col("a.x").as("x"))
+
+  /** Per-subspace k-means codebooks: (sub, code, cw array<long>) —
+    * m·ksub rows. Seeded by the md5-ranked corpus sample (each seed
+    * row's subvectors seed the same code index in every subspace);
+    * `rounds` Lloyd iterations with integer-exact averaging; empty
+    * codes keep their previous codeword. */
+  def trainCodebooks(emb: DataFrame, vecCol: String, idCol: String,
+                     m: Int = 8, ksub: Int = 16, rounds: Int = 1): DataFrame = {
+    val e = Ann.normed(emb, vecCol, idCol)
+    val dims = emb.select(size(col(vecCol))).head().getInt(0)
+    require(dims % m == 0, s"dims $dims must split into $m subspaces")
+    val dsub = dims / m
+    val su = graft.core.Checkpoints.truncate(subRows(e, m, dsub))
+    import org.apache.spark.sql.expressions.Window
+    val ord = e.select(col("id"))
+      .withColumn("__r", md5(concat(lit("cent:"), col("id"))))
+      .orderBy(col("__r"), col("id")).limit(ksub)
+      .withColumn("code", (row_number().over(Window.orderBy(col("__r"), col("id"))) - 1).cast("long"))
+      .select(col("id"), col("code"))
+    var books = su.join(broadcast(ord), Seq("id"))
+      .select(col("sub"), col("code"), col("x").as("cw"))
+    for (_ <- 1 to rounds) {
+      val upd = assign(su, books)
+        .select(col("sub"), col("code"), posexplode(col("x")).as(Seq("dim", "xi")))
+        .groupBy("sub", "code", "dim").agg(sum("xi").as("sx"), count(lit(1)).as("cnt"))
+        .groupBy("sub", "code")
+        .agg(transform(array_sort(collect_list(struct(col("dim"),
+          expr("sx div cnt").as("q")))), s => s.getField("q")).as("nf"))
+      books = graft.core.Checkpoints.truncate(
+        books.as("p").join(upd.as("u"), Seq("sub", "code"), "left")
+          .select(col("sub"), col("code"), coalesce(col("u.nf"), col("p.cw")).as("cw")))
+    }
+    books
+  }
+
+  /** PQ codes per document: (id, codes array<long> of length m) — the
+    * compressed representation a deployment stores (m bytes/vector at
+    * ksub ≤ 256). */
+  def encode(emb: DataFrame, vecCol: String, idCol: String, books: DataFrame,
+             m: Int = 8): DataFrame = {
+    val e = Ann.normed(emb, vecCol, idCol)
+    val dims = emb.select(size(col(vecCol))).head().getInt(0)
+    assign(subRows(e, m, dims / m), books)
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+  }
+
+  /** Reconstructed unit vectors from codes: (id, rv array<double>,
+    * rnorm) — the ADC scoring side. */
+  private def reconstruct(codes: DataFrame, books: DataFrame, m: Int): DataFrame =
+    codes.select(col("id"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(books), Seq("sub", "code"))
+      .groupBy("id")
+      .agg(flatten(transform(array_sort(collect_list(struct(col("sub"), fixedD(col("cw")).as("cd")))),
+        s => s.getField("cd"))).as("rv"))
+      .withColumn("rnorm", sqrt(dot(col("rv"), col("rv"))))
+
+  /** PQ ANN top-k, the production two-stage shape: the COMPRESSED
+    * corpus is scanned with ADC (reconstruction cosine — quantization
+    * collapses near-identical vectors, so ADC alone cannot order within
+    * a tight cluster), a per-query SHORTLIST survives, and only the
+    * shortlist's full vectors are fetched for the exact rerank. At
+    * 100 TB the first stage touches m-byte codes; full vectors are read
+    * for queries·shortlist rows only. */
+  def pqTopK(emb: DataFrame, vecCol: String, idCol: String,
+             queryFilter: Column, k: Int, m: Int = 8, ksub: Int = 16,
+             rounds: Int = 1, shortlist: Int = 50): DataFrame = {
+    val e = Ann.normed(emb, vecCol, idCol)
+    val books = trainCodebooks(emb, vecCol, idCol, m, ksub, rounds)
+    val codes = encode(emb, vecCol, idCol, books, m)
+    val recon = reconstruct(codes, books, m)
+    val q = e.filter(queryFilter)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val approx = recon.join(broadcast(q), col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (dot(col("qv"), col("rv")) / (col("qnorm") * col("rnorm"))).as("sim"))
+    val short = Ann.topKPerQuery(approx, shortlist, salts = 32)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact rerank: the shortlist (queries·shortlist rows) broadcasts
+    // against the corpus — only these rows ever read full vectors
+    val exact = broadcast(short)
+      .join(e, col("neighbor_id") === col("id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qnorm") * col("norm"))).as("sim"))
+    Ann.topKPerQuery(exact, k, salts = 32)
+  }
+
+  /** DuckDB SQL re-deriving the ENTIRE PQ pipeline from scratch —
+    * fixed-point unit vectors, the md5 seed, every unrolled Lloyd
+    * round per subspace, encoding, reconstruction, and the exact
+    * top-k. */
+  def oracleSql(k: Int, m: Int = 8, dsub: Int = 8, ksub: Int = 16, rounds: Int = 1,
+                shortlist: Int = 50, queryPred: String = "q.id < 10"): String = {
+    def l2 = "(list_inner_product(s.xd, s.xd) - 2*list_inner_product(s.xd, b.cd) + list_inner_product(b.cd, b.cd))"
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"b${r - 1}"
+      s"""bd$r AS (SELECT sub, code, cw, [c::DOUBLE FOR c IN cw] AS cd FROM $prev),
+         |asg$r AS (SELECT id, sub, x, code FROM (
+         |    SELECT s.id, s.sub, s.x, b.code,
+         |           row_number() OVER (PARTITION BY s.id, s.sub ORDER BY $l2, b.code) AS rn
+         |    FROM sud s JOIN bd$r b USING (sub)) WHERE rn = 1),
+         |sums$r AS (SELECT sub, code, t.i AS i, sum(x[t.i])::BIGINT AS sx, count(*) AS cnt
+         |           FROM asg$r, unnest(range(1, $dsub + 1)) AS t(i) GROUP BY sub, code, t.i),
+         |nw$r AS (SELECT sub, code, list(sx // cnt ORDER BY i) AS cw FROM sums$r GROUP BY sub, code),
+         |b$r AS (SELECT p.sub, p.code, coalesce(nw.cw, p.cw) AS cw
+         |        FROM $prev p LEFT JOIN nw$r nw USING (sub, code))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       |fu AS (SELECT id, [floor(x / nrm * 1048576.0)::BIGINT FOR x IN v] AS f FROM n),
+       |su AS (SELECT id, s.s AS sub, f[s.s*$dsub+1 : s.s*$dsub+$dsub] AS x
+       |       FROM fu, unnest(range(0, $m)) AS s(s)),
+       |sud AS (SELECT id, sub, x, [xx::DOUBLE FOR xx IN x] AS xd FROM su),
+       |ord AS (SELECT id, row_number() OVER (ORDER BY md5('cent:' || id), id) - 1 AS code
+       |        FROM (SELECT id FROM fu ORDER BY md5('cent:' || id), id LIMIT $ksub)),
+       |b0 AS (SELECT su.sub, ord.code, su.x AS cw FROM ord JOIN su USING (id)),
+       |$roundCtes,
+       |bdF AS (SELECT sub, code, cw, [c::DOUBLE FOR c IN cw] AS cd FROM b$rounds),
+       |enc AS (SELECT id, sub, code FROM (
+       |    SELECT s.id, s.sub, b.code,
+       |           row_number() OVER (PARTITION BY s.id, s.sub ORDER BY $l2, b.code) AS rn
+       |    FROM sud s JOIN bdF b USING (sub)) WHERE rn = 1),
+       |recon AS (SELECT enc.id, flatten(list(b.cd ORDER BY enc.sub)) AS rv
+       |          FROM enc JOIN bdF b ON enc.sub = b.sub AND enc.code = b.code GROUP BY enc.id),
+       |rcn AS (SELECT id, rv, sqrt(list_inner_product(rv, rv)) AS rnorm FROM recon),
+       |sc AS (SELECT q.id AS query_id, x.id AS neighbor_id,
+       |              list_inner_product(q.v, x.rv) / (q.nrm * x.rnorm) AS sim
+       |       FROM n q JOIN rcn x ON x.id <> q.id WHERE $queryPred),
+       |shortl AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS srn
+       |    FROM sc) WHERE srn <= $shortlist),
+       |ex AS (SELECT s.query_id, s.neighbor_id,
+       |              list_inner_product(q.v, x.v) / (q.nrm * x.nrm) AS sim
+       |       FROM shortl s JOIN n q ON q.id = s.query_id JOIN n x ON x.id = s.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+       |      FROM ex)
+       |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rnk
+       |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+}

@@ -346,6 +346,9 @@ object Dedup {
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String, maxDist: Int): DataFrame = {
     val nChunks = maxDist + 1
     require(nChunks <= 16, "chunks narrower than 4 bits bucket everything together")
+    // one row per doc; both self-join sides are the SAME subplan, so
+    // ReuseExchange computes the 64-lane aggregate once — measured: an
+    // explicit checkpoint here is cost-neutral and only adds block churn
     val fps = simhash(docs, textCol, idCol)
     val chunkCols = (0 until nChunks).map { c =>
       val start = c * 64 / nChunks

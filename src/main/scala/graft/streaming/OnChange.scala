@@ -90,14 +90,27 @@ object OnChange {
     * sync posture). State per key is one OpenSession struct, bounded
     * regardless of history length. */
   def streamingSessionize(spark: SparkSession, eventsPath: String, gapUs: Long): DataFrame = {
-    import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(eventsPath).schema
     val dir = java.nio.file.Files.createTempDirectory("graft_changelog_sess_")
     dir.toFile.deleteOnExit()
     val src = java.nio.file.Paths.get(eventsPath)
     java.nio.file.Files.copy(src, dir.resolve(src.getFileName))
-    val sessions = spark.readStream.schema(schema).parquet(dir.toString)
+    streamingSessionizeDir(spark, dir.toString, gapUs)
+  }
+
+  /** `streamingSessionize` over a PREPARED change-log directory, one
+    * micro-batch per file (`maxFilesPerTrigger=1`) — the shape for
+    * asserting that per-user session state MERGES correctly across
+    * micro-batch boundaries (a session spanning several chunk files
+    * must close exactly once, with the full event count). Files must
+    * arrive in event-time order (the reference's change log appends in
+    * token order, so this is the contract, not an assumption). */
+  def streamingSessionizeDir(spark: SparkSession, dir: String, gapUs: Long): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dir).schema
+    val sessions = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
       .select(col("user_id"), expr("ts div 1000").as("tus"), col("value"))
       .as[SessionEvent]
       .groupByKey(_.user_id)

@@ -129,6 +129,39 @@ class AnnSpec extends SparkSpec {
     assert(!plan.contains("TakeOrdered"), s"probe plan re-derives centroids:\n$plan")
   }
 
+  test("PQ: codes compress to m small ints; reconstruction top-k recall is well above chance") {
+    import graft.ann.Pq
+    val books = Pq.trainCodebooks(emb, "embedding", "vec_id", m = 8, ksub = 16, rounds = 1)
+    val codes = Pq.encode(emb, "embedding", "vec_id", books, m = 8)
+    val sample = codes.limit(50).collect()
+    assert(sample.nonEmpty)
+    sample.foreach { r =>
+      val cs = r.getSeq[Long](1)
+      assert(cs.length == 8, s"expected 8 sub-codes, got ${cs.length}")
+      assert(cs.forall(c => c >= 0 && c < 16), s"codes out of range: $cs")
+    }
+    // recall on a CLUSTERED corpus, where top-k membership is signal,
+    // not noise — PQ approximates the scores themselves, so on
+    // near-uniform random similarities top-5 membership is inherently
+    // unstable (measured ~0.22 on the random fixture at any codebook
+    // size, vs ~0.01 chance); on clustered data reconstruction must
+    // retrieve cluster-mates
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian()))
+    val clustered = (0 until 320).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.toSeq.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val truth = Ann.bruteForceTopK(clustered, "embedding", "vec_id", col("id") < 10, 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Pq.pqTopK(clustered, "embedding", "vec_id", col("id") < 10, 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & pq).size.toDouble / truth.size
+    assert(recall >= 0.5, s"PQ recall@5 too low on clustered corpus: $recall")
+  }
+
   test("ivf cell assignment is map-only (no corpus shuffle before scoring)") {
     val plan = planOf(Ann.ivfTopK(emb, "embedding", "vec_id", col("id") < 10, 5))
     // the round-2 shape amplified the corpus nlist× through a

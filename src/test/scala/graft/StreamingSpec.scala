@@ -120,6 +120,37 @@ class StreamingSpec extends SparkSpec {
     assert(snap == Set(1L, 2L, 3L))
   }
 
+  test("streaming sessionize merges per-user state across micro-batch boundaries") {
+    val s = spark
+    import s.implicits._
+    def us(min: Long) = min * 60L * 1000000L
+    def ns(min: Long) = us(min) * 1000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_mb_").toString
+    def chunk(name: String, order: Int, rows: Seq[(Long, Long, Double)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sess_tmp_").toString
+      rows.toDF("user_id", "ts", "value").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(dir, name)
+      java.nio.file.Files.copy(part.toPath, dest)
+      // pin mtimes so the file source drains chunks in change-log order
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + order * 10000L))
+    }
+    chunk("a.parquet", 0, Seq((1L, ns(0), 1.0), (1L, ns(10), 2.0), (2L, ns(0), 5.0)))
+    chunk("b.parquet", 1, Seq((1L, ns(20), 3.0), (2L, ns(100), 6.0)))
+    chunk("c.parquet", 2, Seq((1L, ns(70), 4.0), (2L, ns(200), 7.0)))
+    val got = OnChange.streamingSessionizeDir(s, dir, gapUs = us(30))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // user 1's first session spans chunks a and b (open state carried
+    // across the micro-batch boundary), then closes exactly once — with
+    // the merged event count — when chunk c's minute-70 event arrives;
+    // each user's open tail stays in the state store (not emitted)
+    assert(got == Set(
+      (1L, us(0), 3L, 6.0),
+      (2L, us(0), 1L, 5.0),
+      (2L, us(100), 1L, 6.0)), got.toString)
+  }
+
   test("streamed incremental agg equals batch agg") {
     val path = s"$sfDir/events.parquet"
     val streamed = OnChange.aggregateEvents(spark, path)
