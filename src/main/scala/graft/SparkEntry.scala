@@ -458,6 +458,16 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    "d9_contamination" -> ((s, dir) => {
+      // decontamination: per eval doc, the fraction of its 3-grams that
+      // appear anywhere in the training split — high containment = the
+      // doc leaked into training data
+      val docs = t(s, dir, "documents")
+      Dedup.contamination(docs.filter(col("doc_id") < 400),
+          docs.filter(col("doc_id") >= 400), "text", "doc_id", 3)
+        .orderBy("id")
+    }),
+
     "d7_embedding_simjoin" -> ((s, dir) =>
       // EXACT similarity join at a moderate threshold (LSH recall can't
       // reach 1 down here) — block-pair replication: no broadcast of the
@@ -1091,6 +1101,22 @@ object SparkEntry {
         |FROM pr JOIN sz sa ON pr.a = sa.doc_id JOIN sz sb ON pr.b = sb.doc_id
         |WHERE inter / (sa.sz + sb.sz - inter) >= 0.8 AND (a >= 400 OR b >= 400)
         |ORDER BY a, b""".stripMargin,
+
+    "d9_contamination" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[t.i:t.i+2], ' ') AS s
+        |  FROM words, unnest(range(1, len(ws)-1)) AS t(i)),
+        |tr AS (SELECT DISTINCT s FROM sh WHERE doc_id < 400),
+        |ev AS (SELECT doc_id, s FROM sh WHERE doc_id >= 400),
+        |per AS (SELECT e.doc_id AS id, count(*) AS n_shingles, count(t.s) AS n_hit
+        |        FROM ev e LEFT JOIN tr t ON e.s = t.s GROUP BY 1)
+        |SELECT id, n_shingles, n_hit,
+        |       (n_hit * 1000 // n_shingles) / 1000.0 AS containment
+        |FROM per ORDER BY id""".stripMargin,
 
     "d7_embedding_simjoin" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,

@@ -306,6 +306,42 @@ object Dedup {
       .select(col("a"), col("b"), round(jac, 3).as("jac"))
   }
 
+  /** Train/eval CONTAMINATION check — the decontamination step of a
+    * training-data pipeline (no reference analog; LLM-pipeline mandate):
+    * for each eval document, the fraction of its word n-grams that
+    * appear anywhere in the training corpus. High containment = the
+    * eval doc (or most of it) leaked into training data.
+    *
+    * Scale shape: the training side collapses to its DISTINCT n-gram
+    * set (one hash aggregate — or zero work when the standing bucketed
+    * shingle index exists, see `contaminationIndexed`), and the check is
+    * a shingle equi-join — eval docs are tiny next to the corpus, so the
+    * join is effectively an index probe, never an all-pairs pass.
+    * Containment is fixed-point (hit·1000 div total) so the ratio is
+    * engine-exact (see SURVEY §5). */
+  def contamination(train: DataFrame, evalDocs: DataFrame, textCol: String, idCol: String,
+                    n: Int): DataFrame =
+    contaminationOf(shingles(train, textCol, idCol, n).select("s").distinct(),
+      evalDocs, textCol, idCol, n)
+
+  /** `contamination` against a pre-built bucketed shingle index: the
+    * training n-gram set is the index's distinct shingle column — no
+    * training-corpus re-tokenization at all. */
+  def contaminationIndexed(spark: org.apache.spark.sql.SparkSession, indexTable: String,
+                           evalDocs: DataFrame, textCol: String, idCol: String,
+                           n: Int): DataFrame =
+    contaminationOf(spark.table(indexTable).select("s").distinct(),
+      evalDocs, textCol, idCol, n)
+
+  private def contaminationOf(trainSh: DataFrame, evalDocs: DataFrame,
+                              textCol: String, idCol: String, n: Int): DataFrame =
+    shingles(evalDocs, textCol, idCol, n)
+      .join(trainSh.withColumn("__hit", lit(1)), Seq("s"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_hit"))
+      .select(col("id"), col("n_shingles"), col("n_hit"),
+        (expr("n_hit * 1000 div n_shingles") / lit(1000.0d)).as("containment"))
+
   /** 64-bit SimHash fingerprint per doc: bit j of the fingerprint is the
     * sign of Σ_tokens ±count (sign = bit j of the token hash). Computed
     * as 64 parallel conditional sums in ONE hash aggregate straight off

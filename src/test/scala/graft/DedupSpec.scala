@@ -159,6 +159,29 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((101L, 102L)), got.toString)
   }
 
+  test("contamination: exact copy scores 1.0, disjoint scores 0.0, partial in between") {
+    val s = spark
+    import s.implicits._
+    val train = Seq(
+      (1L, "aa bb cc dd ee"),
+      (2L, "ff gg hh ii jj")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (10L, "aa bb cc dd ee"),  // verbatim leak: all 3 trigrams in train
+      (11L, "aa bb cc zz yy"),  // 1 of 3 trigrams in train
+      (12L, "mm nn oo pp qq")   // clean
+    ).toDF("doc_id", "text")
+    val got = Dedup.contamination(train, eval_, "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == Set((10L, 3L, 3L, 1.0), (11L, 3L, 1L, 0.333), (12L, 3L, 0L, 0.0)), got.toString)
+    // indexed variant rides the standing shingle index — same numbers
+    val table = "shingle_idx_contam_spec"
+    Dedup.buildShingleIndex(train, "text", "doc_id", 3, table, buckets = 4)
+    val idx = Dedup.contaminationIndexed(spark, table, eval_, "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(idx == got)
+  }
+
   test("bucketed shingle index: same pairs, shuffle-free self-join") {
     val table = "shingle_idx_spec"
     Dedup.buildShingleIndex(docs, "text", "doc_id", 3, table, buckets = 8)
