@@ -70,7 +70,9 @@ object Pq {
     val dims = emb.select(size(col(vecCol))).head().getInt(0)
     require(dims % m == 0, s"dims $dims must split into $m subspaces")
     val dsub = dims / m
-    val su = graft.core.Checkpoints.truncate(subRows(e, m, dsub))
+    // n·m tiny rows, a pure projection off the vector scan — cheaper to
+    // recompute per round than to materialize
+    val su = subRows(e, m, dsub)
     import org.apache.spark.sql.expressions.Window
     val ord = e.select(col("id"))
       .withColumn("__r", md5(concat(lit("cent:"), col("id"))))

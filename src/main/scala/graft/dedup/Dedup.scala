@@ -321,26 +321,37 @@ object Dedup {
     * engine-exact (see SURVEY §5). */
   def contamination(train: DataFrame, evalDocs: DataFrame, textCol: String, idCol: String,
                     n: Int): DataFrame =
-    contaminationOf(shingles(train, textCol, idCol, n).select("s").distinct(),
+    contaminationOf(shingles(train, textCol, idCol, n).select("s"),
       evalDocs, textCol, idCol, n)
 
   /** `contamination` against a pre-built bucketed shingle index: the
-    * training n-gram set is the index's distinct shingle column — no
+    * training n-gram stream is the index's shingle column — no
     * training-corpus re-tokenization at all. */
   def contaminationIndexed(spark: org.apache.spark.sql.SparkSession, indexTable: String,
                            evalDocs: DataFrame, textCol: String, idCol: String,
                            n: Int): DataFrame =
-    contaminationOf(spark.table(indexTable).select("s").distinct(),
+    contaminationOf(spark.table(indexTable).select("s"),
       evalDocs, textCol, idCol, n)
 
   private def contaminationOf(trainSh: DataFrame, evalDocs: DataFrame,
-                              textCol: String, idCol: String, n: Int): DataFrame =
-    shingles(evalDocs, textCol, idCol, n)
-      .join(trainSh.withColumn("__hit", lit(1)), Seq("s"), "left")
+                              textCol: String, idCol: String, n: Int): DataFrame = {
+    // the train side is the 100 TB side; the eval set is tiny. Both
+    // passes broadcast EVAL-derived sets, so the training corpus is
+    // scanned exactly once, map-only, and never shuffled or built into
+    // a join hash table: (1) the train shingles that occur in eval at
+    // all (bounded by |eval shingles|), (2) the per-eval-doc hit count
+    // against that small set
+    val evalSh = graft.core.Checkpoints.truncate(shingles(evalDocs, textCol, idCol, n))
+    val hitS = trainSh
+      .join(broadcast(evalSh.select("s").distinct()), Seq("s"), "leftsemi")
+      .distinct()
+    evalSh
+      .join(broadcast(hitS.withColumn("__hit", lit(1))), Seq("s"), "left")
       .groupBy("id")
       .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_hit"))
       .select(col("id"), col("n_shingles"), col("n_hit"),
         (expr("n_hit * 1000 div n_shingles") / lit(1000.0d)).as("containment"))
+  }
 
   /** 64-bit SimHash fingerprint per doc: bit j of the fingerprint is the
     * sign of Σ_tokens ±count (sign = bit j of the token hash). Computed

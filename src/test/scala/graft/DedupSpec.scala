@@ -180,6 +180,15 @@ class DedupSpec extends SparkSpec {
     val idx = Dedup.contaminationIndexed(spark, table, eval_, "text", "doc_id", 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(idx == got)
+    // 100 TB shape: the training index is scanned ONCE, map-only, into a
+    // broadcast semi-join against the (tiny) eval shingle set — never
+    // shuffled, never the build side of a hash join
+    val plan = planOf(Dedup.contaminationIndexed(spark, table, eval_, "text", "doc_id", 3))
+    def scans(t: String) = plan.sliding(s"Scan parquet spark_catalog.default.$t\n".length)
+      .count(_ == s"Scan parquet spark_catalog.default.$t\n")
+    assert(scans(table) == 1, s"train index scanned ${scans(table)}×:\n$plan")
+    assert(plan.contains("BroadcastHashJoin LeftSemi"), plan)
+    assert(!plan.contains("hashpartitioning(s#") || !plan.contains("SortMergeJoin"), plan)
   }
 
   test("bucketed shingle index: same pairs, shuffle-free self-join") {
