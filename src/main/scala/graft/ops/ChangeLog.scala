@@ -35,6 +35,29 @@ object ChangeLog {
     limit.map(inc.limit).getOrElse(inc)
   }
 
+  /** Persist a change log PARTITIONED by coarse token buckets
+    * (`recorded div bucketSize` → one directory per bucket). At 100 TB
+    * this is the storage layout `/changes?since=` needs: an incremental
+    * read prunes whole partition DIRECTORIES at planning time (the
+    * listing never touches old buckets), on top of the row-group min/max
+    * pruning inside the current bucket. Append-mode works because new
+    * tokens only ever land in the newest buckets. */
+  def writePartitionedLog(log: DataFrame, recordedCol: String, path: String,
+                          bucketSize: Long, mode: String = "overwrite"): Unit =
+    log.withColumn("__rbucket", expr(s"$recordedCol div $bucketSize"))
+      .write.mode(mode).partitionBy("__rbucket").parquet(path)
+
+  /** Incremental read over a partitioned log (`writePartitionedLog`):
+    * the bucket predicate prunes partitions, the token predicate prunes
+    * row groups within the boundary bucket. Identical rows to
+    * `changesSince` on the unpartitioned log. */
+  def readChangesSince(spark: org.apache.spark.sql.SparkSession, path: String,
+                       recordedCol: String, since: Long, bucketSize: Long): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("__rbucket") >= since / bucketSize && col(recordedCol) > since)
+      .drop("__rbucket")
+      .orderBy(col(recordedCol))
+
   /** Reference: DatasetSource LatestOnly — newest version per entity.
     * Single shuffle: max_by over a struct of all payload columns keyed by
     * the recorded token.

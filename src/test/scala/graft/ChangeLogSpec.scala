@@ -81,4 +81,27 @@ class ChangeLogSpec extends SparkSpec {
     assert(plan.contains("partial_max_by"), plan)
     assert(!plan.contains("Window"), "latestOnly must not use a window sort:\n" + plan)
   }
+
+  test("partitioned log: incremental read prunes whole token buckets at planning time") {
+    val s = spark
+    import s.implicits._
+    val big = (1L to 1000L).map(t => (s"e${t % 50}", t, s"v$t")).toDF("id", "recorded", "payload")
+    val dir = java.nio.file.Files.createTempDirectory("graft_partlog_").toString
+    ChangeLog.writePartitionedLog(big, "recorded", dir, bucketSize = 100L)
+    val inc = ChangeLog.readChangesSince(spark, dir, "recorded", since = 850L, bucketSize = 100L)
+    // row parity with the unpartitioned path
+    val expected = ChangeLog.changesSince(big, "recorded", 850L)
+      .select("id", "recorded", "payload").collect().map(_.toSeq).toSet
+    assert(inc.select("id", "recorded", "payload").collect().map(_.toSeq).toSet == expected)
+    assert(inc.count() == 150)
+    // the scan must prune partitions: PartitionFilters carries the bucket
+    // predicate, and only buckets 8 and 9 of the 11 survive the listing
+    val plan = planOf(inc)
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("__rbucket"), plan)
+    val pruned = inc.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.selectedPartitions.partitionCount
+    }
+    if (pruned.nonEmpty) assert(pruned.head == 2, s"expected 2 surviving buckets, got $pruned")
+  }
 }
