@@ -458,6 +458,32 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    "d10_stream_dedup" -> ((s, dir) => {
+      // streaming incremental dedup: the batch stream dedups against the
+      // standing index and is absorbed into it batch by batch — the
+      // union of per-batch pairs must equal the one-shot delta (d8's
+      // oracle), with cross-batch pairs surfacing exactly once
+      val docs = t(s, dir, "documents")
+      val table = "shingle_idx_stream"
+      Dedup.buildShingleIndex(docs.filter(col("doc_id") < 400), "text", "doc_id", 3, table, buckets = 16)
+      val chunks = java.nio.file.Files.createTempDirectory("graft_dd_chunks_").toString
+      Seq((400L, 450L, "a"), (450L, Long.MaxValue, "b")).zipWithIndex.foreach {
+        case ((lo, hi, name), i) =>
+          val tmp = java.nio.file.Files.createTempDirectory("graft_dd_tmp_").toString
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+          val dest = java.nio.file.Paths.get(chunks, s"$name.parquet")
+          java.nio.file.Files.copy(part.toPath, dest)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+      }
+      val pairs = java.nio.file.Files.createTempDirectory("graft_dd_pairs_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_dd_ckpt_").toString
+      OnChange.streamingDedupDelta(s, chunks, "text", "doc_id", 3, 0.8, table, pairs, ckpt)
+      s.read.parquet(pairs).select("a", "b", "jac").orderBy("a", "b")
+    }),
+
     "d9_contamination" -> ((s, dir) => {
       // decontamination: per eval doc, the fraction of its 3-grams that
       // appear anywhere in the training split — high containment = the
@@ -1083,6 +1109,24 @@ object SparkEntry {
         |  FROM s x JOIN s y ON x.j = y.j AND x.doc_id < y.doc_id
         |  GROUP BY 1, 2)
         |SELECT a, b, hamming FROM ham WHERE hamming <= 10 ORDER BY a, b""".stripMargin,
+
+    // same ground truth as d8: the streamed per-batch outputs must union
+    // to exactly the one-shot delta over the whole stream region
+    "d10_stream_dedup" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[t.i:t.i+2], ' ') AS s
+        |  FROM words, unnest(range(1, len(ws)-1)) AS t(i)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a, b, round(inter / (sa.sz + sb.sz - inter), 3) AS jac
+        |FROM pr JOIN sz sa ON pr.a = sa.doc_id JOIN sz sb ON pr.b = sb.doc_id
+        |WHERE inter / (sa.sz + sb.sz - inter) >= 0.8 AND (a >= 400 OR b >= 400)
+        |ORDER BY a, b""".stripMargin,
 
     // full-recompute ground truth restricted to pairs touching the new
     // batch — identical values prove the incremental path loses nothing

@@ -206,6 +206,35 @@ object Dedup {
       .select(col("a"), col("b"), round(jac, 3).as("jac"))
   }
 
+  /** Absorb a NEW-ID batch into the standing shingle index: its
+    * stop-list-capped shingles append into the bucketed index (same
+    * bucket spec, so probes keep riding the buckets) and its per-doc set
+    * sizes append into the `_sizes` companion — after which
+    * `ngramJaccardDelta` for LATER batches pairs against this batch
+    * like any other corpus member. Append-only ingest: a re-ingested id
+    * needs an index rebuild (compaction), exactly like the reference's
+    * log compaction; the stop list stays as-of-build until a rebuild
+    * refreshes it. */
+  def absorbIntoShingleIndex(spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+                             textCol: String, idCol: String, n: Int, table: String): Unit = {
+    val capped = shingles(batch, textCol, idCol, n)
+      .join(broadcast(spark.table(s"${table}_hot")), Seq("s"), "left_anti")
+      .transform(graft.core.Checkpoints.truncate)
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(32)
+    // the anti-join puts the join key first — restore the index's
+    // canonical column order before appending
+    capped.select("id", "s")
+      .write.mode("append").bucketBy(buckets, "s").sortBy("s").saveAsTable(table)
+    capped.groupBy("id").agg(count(lit(1)).as("sz"))
+      .write.mode("append").saveAsTable(s"${table}_sizes")
+    // drop any cached file listing so the caller's next read (possibly
+    // through a different session clone) sees the appended files
+    spark.catalog.refreshTable(table)
+    spark.catalog.refreshTable(s"${table}_sizes")
+  }
+
   /** Exact n-gram Jaccard similarity join via the inverted index:
     * pairs sharing ≥1 shingle, |A∩B| counted by grouping the index
     * self-join, Jaccard from per-doc set sizes. Only bucket-mates are

@@ -183,6 +183,55 @@ object OnChange {
       log, idCol, recordedCol, deletedCol, batch, batchIdCol, t)
   }
 
+  /** STREAMING incremental dedup — the full operational ingest loop
+    * composed from the standing-index machinery: each micro-batch of
+    * new documents (one chunk file per batch) dedups against the
+    * standing shingle index with `Dedup.ngramJaccardDelta` (batch ×
+    * corpus rides the index buckets; corpus × corpus never runs), its
+    * pairs append to `pairsPath` tagged with the batch id, and the
+    * batch is then ABSORBED into the index — so a later batch pairs
+    * against every earlier one without any rescan. The union of all
+    * batch outputs equals the one-shot delta of the whole stream (each
+    * cross-batch pair surfaces exactly once, in the later doc's batch).
+    *
+    * `foreachBatch` + the checkpoint give at-least-once batch replay;
+    * the absorb step is append-only, so an operator replaying a batch
+    * after a crash between the two writes should dedup `pairsPath` by
+    * (a, b) — the reference's incremental sync makes the same
+    * at-least-once trade on its continuation tokens. */
+  def streamingDedupDelta(spark: SparkSession, docsDir: String, textCol: String,
+                          idCol: String, n: Int, threshold: Double, indexTable: String,
+                          pairsPath: String, checkpointDir: String,
+                          maxDf: Int = 10000): Unit = {
+    val schema = spark.read.parquet(docsDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // everything runs on the BATCH's session (the stream's session
+        // clone): a table appended through one session is stale in the
+        // cached file listing of another, and the next batch must see
+        // this batch's absorb
+        val bs = batch.sparkSession
+        graft.dedup.Dedup
+          .ngramJaccardDelta(bs, batch, textCol, idCol, n, threshold, indexTable, maxDf)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(pairsPath)
+        graft.dedup.Dedup.absorbIntoShingleIndex(bs, batch, textCol, idCol, n, indexTable)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the appends ran through the stream's session clone; refresh the
+    // CALLER's view of the index so post-drain reads see the absorbed
+    // batches
+    spark.catalog.refreshTable(indexTable)
+    spark.catalog.refreshTable(s"${indexTable}_sizes")
+  }
+
   /** One event version of one entity (user) in the change stream. */
   final case class EventVersion(user_id: Long, event_id: Long, event_type: String, value: Double)
 

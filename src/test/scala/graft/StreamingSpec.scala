@@ -151,6 +151,50 @@ class StreamingSpec extends SparkSpec {
       (2L, us(100), 1L, 6.0)), got.toString)
   }
 
+  test("streaming dedup: batches absorb into the index; cross-batch pairs surface exactly once") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "aa bb cc dd ee ff"),
+      (2L, "xx yy zz ww vv uu")
+    ).toDF("doc_id", "text")
+    // batch 1 brings a corpus near-dup; batch 2 brings a near-dup of a
+    // BATCH-1 doc — detectable only because batch 1 was absorbed
+    val b1 = Seq((10L, "aa bb cc dd ee gg"), (11L, "mm nn oo pp qq rr")).toDF("doc_id", "text")
+    val b2 = Seq((20L, "mm nn oo pp qq ss")).toDF("doc_id", "text")
+    val table = "shingle_idx_streamspec"
+    graft.dedup.Dedup.buildShingleIndex(corpus, "text", "doc_id", 3, table, buckets = 4)
+    val chunks = java.nio.file.Files.createTempDirectory("graft_sdd_chunks_").toString
+    def chunk(df: org.apache.spark.sql.DataFrame, name: String, order: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sdd_tmp_").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(chunks, name)
+      java.nio.file.Files.copy(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + order * 10000L))
+    }
+    chunk(b1, "a.parquet", 0)
+    chunk(b2, "b.parquet", 1)
+    val pairs = java.nio.file.Files.createTempDirectory("graft_sdd_pairs_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sdd_ckpt_").toString
+    OnChange.streamingDedupDelta(s, chunks, "text", "doc_id", 3, 0.5, table, pairs, ckpt)
+    val got = s.read.parquet(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // (1,10) in batch 0 (vs corpus); (11,20) in batch 1 (vs ABSORBED b1)
+    assert(got == Set((1L, 10L, 0L), (11L, 20L, 1L)), got.toString)
+    // the absorbed index equals a from-scratch rebuild over corpus∪b1∪b2
+    val rebuilt = "shingle_idx_streamspec_rebuilt"
+    graft.dedup.Dedup.buildShingleIndex(corpus.unionByName(b1).unionByName(b2),
+      "text", "doc_id", 3, rebuilt, buckets = 4)
+    def rows(t: String) = s.table(t)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("s"))).toSet
+    assert(rows(table) == rows(rebuilt))
+    def sizes(t: String) = s.table(s"${t}_sizes")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("sz"))).toSet
+    assert(sizes(table) == sizes(rebuilt))
+  }
+
   test("streamed incremental agg equals batch agg") {
     val path = s"$sfDir/events.parquet"
     val streamed = OnChange.aggregateEvents(spark, path)
