@@ -463,11 +463,14 @@ object SparkEntry {
       // standing index and is absorbed into it batch by batch — the
       // union of per-batch pairs must equal the one-shot delta (d8's
       // oracle), with cross-batch pairs surfacing exactly once
+      // streamed region = docs [400, 600): batches stay small next to
+      // the corpus (the operational regime) at every SF
       val docs = t(s, dir, "documents")
       val table = "shingle_idx_stream"
-      Dedup.buildShingleIndex(docs.filter(col("doc_id") < 400), "text", "doc_id", 3, table, buckets = 16)
+      Dedup.buildShingleIndex(docs.filter(col("doc_id") < 400 || col("doc_id") >= 600),
+        "text", "doc_id", 3, table, buckets = 16)
       val chunks = java.nio.file.Files.createTempDirectory("graft_dd_chunks_").toString
-      Seq((400L, 450L, "a"), (450L, Long.MaxValue, "b")).zipWithIndex.foreach {
+      Seq((400L, 500L, "a"), (500L, 600L, "b")).zipWithIndex.foreach {
         case ((lo, hi, name), i) =>
           val tmp = java.nio.file.Files.createTempDirectory("graft_dd_tmp_").toString
           docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
@@ -1125,7 +1128,8 @@ object SparkEntry {
         |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT a, b, round(inter / (sa.sz + sb.sz - inter), 3) AS jac
         |FROM pr JOIN sz sa ON pr.a = sa.doc_id JOIN sz sb ON pr.b = sb.doc_id
-        |WHERE inter / (sa.sz + sb.sz - inter) >= 0.8 AND (a >= 400 OR b >= 400)
+        |WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
+        |  AND ((a >= 400 AND a < 600) OR (b >= 400 AND b < 600))
         |ORDER BY a, b""".stripMargin,
 
     // full-recompute ground truth restricted to pairs touching the new
