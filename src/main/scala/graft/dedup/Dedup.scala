@@ -211,10 +211,10 @@ object Dedup {
     * bucket spec, so probes keep riding the buckets) and its per-doc set
     * sizes append into the `_sizes` companion — after which
     * `ngramJaccardDelta` for LATER batches pairs against this batch
-    * like any other corpus member. Append-only ingest: a re-ingested id
-    * needs an index rebuild (compaction), exactly like the reference's
-    * log compaction; the stop list stays as-of-build until a rebuild
-    * refreshes it. */
+    * like any other corpus member. Append-only: to RE-ingest an id,
+    * first `compactShingleIndex` its old version out, then absorb —
+    * exactly the reference's compact-then-append log discipline; the
+    * stop list stays as-of-build until a full rebuild refreshes it. */
   def absorbIntoShingleIndex(spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
                              textCol: String, idCol: String, n: Int, table: String): Unit = {
     val capped = shingles(batch, textCol, idCol, n)
@@ -233,6 +233,33 @@ object Dedup {
     // through a different session clone) sees the appended files
     spark.catalog.refreshTable(table)
     spark.catalog.refreshTable(s"${table}_sizes")
+  }
+
+  /** Compact the standing shingle index by REMOVING the given ids — the
+    * supersede step of a re-ingest (absorb is append-only; compact the
+    * old version out, then absorb the new one). The corpus is NOT
+    * re-tokenized: the existing index rows are filtered through a
+    * broadcast anti-join and rewritten under the same bucket spec into
+    * a swap table that atomically takes the index's name (mirrors the
+    * reference's log compaction, which also rewrites rather than
+    * deletes in place). The `_hot` stop list stays as-of-build. */
+  def compactShingleIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                          ids: DataFrame): Unit = {
+    val drop = broadcast(ids.select(col(ids.columns.head).as("id")).distinct())
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(32)
+    val tmp = table + "__compact"
+    Seq(tmp, s"${tmp}_sizes").foreach(graft.core.Tables.drop(spark, _))
+    spark.table(table).join(drop, Seq("id"), "left_anti")
+      .select("id", "s")
+      .write.bucketBy(buckets, "s").sortBy("s").saveAsTable(tmp)
+    spark.table(s"${table}_sizes").join(drop, Seq("id"), "left_anti")
+      .write.saveAsTable(s"${tmp}_sizes")
+    graft.core.Tables.drop(spark, table)
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    graft.core.Tables.drop(spark, s"${table}_sizes")
+    spark.sql(s"ALTER TABLE `${tmp}_sizes` RENAME TO `${table}_sizes`")
   }
 
   /** Exact n-gram Jaccard similarity join via the inverted index:

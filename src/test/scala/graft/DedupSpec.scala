@@ -191,6 +191,32 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning(s#") || !plan.contains("SortMergeJoin"), plan)
   }
 
+  test("re-ingest = compact + absorb: the index equals a from-scratch rebuild") {
+    val s = spark
+    import s.implicits._
+    val v1 = Seq((1L, "aa bb cc dd ee"), (2L, "ff gg hh ii jj"), (3L, "kk ll mm nn oo")).toDF("doc_id", "text")
+    val doc2v2 = Seq((2L, "pp qq rr ss tt")).toDF("doc_id", "text")
+    val table = "shingle_idx_compact_spec"
+    Dedup.buildShingleIndex(v1, "text", "doc_id", 3, table, buckets = 4)
+    // supersede doc 2's standing rows, then absorb its new version
+    Dedup.compactShingleIndex(spark, table, Seq(2L).toDF("id"))
+    Dedup.absorbIntoShingleIndex(spark, doc2v2, "text", "doc_id", 3, table)
+    val rebuilt = "shingle_idx_compact_rebuilt"
+    Dedup.buildShingleIndex(
+      v1.filter(col("doc_id") =!= 2L).unionByName(doc2v2), "text", "doc_id", 3, rebuilt, buckets = 4)
+    def rows(t: String) = s.table(t)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("s"))).toSet
+    def sizes(t: String) = s.table(s"${t}_sizes")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("sz"))).toSet
+    assert(rows(table) == rows(rebuilt))
+    assert(sizes(table) == sizes(rebuilt))
+    // and the compacted index still answers queries with its bucket spec
+    val delta = Dedup.ngramJaccardDelta(spark,
+        Seq((20L, "pp qq rr ss uu")).toDF("doc_id", "text"), "text", "doc_id", 3, 0.4, table)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(delta == Set((2L, 20L)), delta.toString) // pairs with the NEW doc-2 content
+  }
+
   test("bucketed shingle index: same pairs, shuffle-free self-join") {
     val table = "shingle_idx_spec"
     Dedup.buildShingleIndex(docs, "text", "doc_id", 3, table, buckets = 8)
