@@ -65,7 +65,8 @@ object Dedup {
   def buildShingleIndex(docs: DataFrame, textCol: String, idCol: String, n: Int,
                         table: String, buckets: Int = 32, maxDf: Int = 10000): String = {
     val spark = docs.sparkSession
-    Seq(table, s"${table}_hot", s"${table}_sizes").foreach(graft.core.Tables.drop(spark, _))
+    Seq(table, s"${table}_hot", s"${table}_sizes", s"${table}_batches")
+      .foreach(graft.core.Tables.drop(spark, _))
     // one tokenizer pass feeds both the df aggregate and the index write
     // (set graft.checkpointDir so the materialization is reliable — and
     // spills to the FS — when the corpus outgrows executor storage)

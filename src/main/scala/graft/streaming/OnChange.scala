@@ -194,11 +194,15 @@ object OnChange {
     * batch outputs equals the one-shot delta of the whole stream (each
     * cross-batch pair surfaces exactly once, in the later doc's batch).
     *
-    * `foreachBatch` + the checkpoint give at-least-once batch replay;
-    * the absorb step is append-only, so an operator replaying a batch
-    * after a crash between the two writes should dedup `pairsPath` by
-    * (a, b) — the reference's incremental sync makes the same
-    * at-least-once trade on its continuation tokens. */
+    * Replay semantics under `foreachBatch`'s at-least-once contract:
+    * pairs land in a PER-BATCH directory with overwrite, so a replayed
+    * batch rewrites its own output (idempotent); the absorb is guarded
+    * by a `<indexTable>_batches` marker table written after it, so a
+    * replay of a fully-processed batch skips the append entirely. The
+    * residual window (crash between absorb and marker) double-absorbs
+    * one batch — the same bounded at-least-once trade the reference
+    * makes on its continuation tokens; `compactShingleIndex` with the
+    * batch's ids repairs it. */
   def streamingDedupDelta(spark: SparkSession, docsDir: String, textCol: String,
                           idCol: String, n: Int, threshold: Double, indexTable: String,
                           pairsPath: String, checkpointDir: String,
@@ -214,11 +218,16 @@ object OnChange {
         // cached file listing of another, and the next batch must see
         // this batch's absorb
         val bs = batch.sparkSession
-        graft.dedup.Dedup
-          .ngramJaccardDelta(bs, batch, textCol, idCol, n, threshold, indexTable, maxDf)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(pairsPath)
-        graft.dedup.Dedup.absorbIntoShingleIndex(bs, batch, textCol, idCol, n, indexTable)
+        import bs.implicits._
+        val markers = s"${indexTable}_batches"
+        if (!bs.catalog.tableExists(markers) ||
+            bs.table(markers).filter(col("batch_id") === batchId).isEmpty) {
+          graft.dedup.Dedup
+            .ngramJaccardDelta(bs, batch, textCol, idCol, n, threshold, indexTable, maxDf)
+            .write.mode("overwrite").parquet(s"$pairsPath/batch_id=$batchId")
+          graft.dedup.Dedup.absorbIntoShingleIndex(bs, batch, textCol, idCol, n, indexTable)
+          Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(markers)
+        }
         ()
       }
       .option("checkpointLocation", checkpointDir)

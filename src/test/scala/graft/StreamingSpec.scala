@@ -179,10 +179,16 @@ class StreamingSpec extends SparkSpec {
     val pairs = java.nio.file.Files.createTempDirectory("graft_sdd_pairs_").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_sdd_ckpt_").toString
     OnChange.streamingDedupDelta(s, chunks, "text", "doc_id", 3, 0.5, table, pairs, ckpt)
-    val got = s.read.parquet(pairs)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    def readPairs() = s.read.parquet(pairs)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Number]("batch_id").longValue())).toSet
     // (1,10) in batch 0 (vs corpus); (11,20) in batch 1 (vs ABSORBED b1)
-    assert(got == Set((1L, 10L, 0L), (11L, 20L, 1L)), got.toString)
+    assert(readPairs() == Set((1L, 10L, 0L), (11L, 20L, 1L)), readPairs().toString)
+    // replaying the whole drain (fresh checkpoint, same marker table) is
+    // IDEMPOTENT: processed batches are skipped, nothing double-absorbs
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_sdd_ckpt2_").toString
+    OnChange.streamingDedupDelta(s, chunks, "text", "doc_id", 3, 0.5, table, pairs, ckpt2)
+    assert(readPairs() == Set((1L, 10L, 0L), (11L, 20L, 1L)), readPairs().toString)
     // the absorbed index equals a from-scratch rebuild over corpus∪b1∪b2
     val rebuilt = "shingle_idx_streamspec_rebuilt"
     graft.dedup.Dedup.buildShingleIndex(corpus.unionByName(b1).unionByName(b2),
