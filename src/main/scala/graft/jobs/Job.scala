@@ -181,7 +181,10 @@ object MultiSource {
     * `start`. Each hop is a distinct-key semi-join: only keys travel
     * between stages, so the chain stays cheap even when the datasets are
     * fact-sized; Catalyst broadcasts the key sets when they are small.
-    */
+    * Array-valued refs (`Ref(array = true)`, the reference's
+    * `refs: URI | [URI]`) explode MAP-SIDE to scalar keys before the
+    * semi-join, same as every traversal (EntityGraph.refPairs) — the
+    * join itself stays a plain equi-join either way. */
   def affected(g: EntityGraph, start: String, changed: Column, hops: Seq[Hop]): DataFrame = {
     var curName = start
     var cur = g(start).df.filter(changed)
@@ -191,11 +194,23 @@ object MultiSource {
         val ref = next.refs.find(r => r.predicate == h.predicate && r.target == curName)
           .getOrElse(sys.error(s"${h.dataset} has no ${h.predicate} ref to $curName"))
         val keys = cur.select(col(g(curName).idCol).as("__k")).distinct()
-        next.df.join(keys, next.df(ref.fkCol) === col("__k"), "leftsemi")
+        if (ref.array) {
+          // exploded (entity, fk) pairs semi-join the changed keys; the
+          // surviving ENTITY keys (deduped — one match suffices) then
+          // semi-join the dataset, so row multiplicity never leaks
+          val matched = next.df
+            .select(next.df(next.idCol).as("__m"), explode(next.df(ref.fkCol)).as("__fk"))
+            .join(keys, col("__fk") === col("__k"), "leftsemi")
+            .select("__m").distinct()
+          next.df.join(matched, next.df(next.idCol) === col("__m"), "leftsemi")
+        } else
+          next.df.join(keys, next.df(ref.fkCol) === col("__k"), "leftsemi")
       } else {
         val ref = g(curName).refs.find(r => r.predicate == h.predicate && r.target == h.dataset)
           .getOrElse(sys.error(s"$curName has no ${h.predicate} ref to ${h.dataset}"))
-        val keys = cur.select(col(ref.fkCol).as("__k")).distinct()
+        val keys =
+          if (ref.array) cur.select(explode(col(ref.fkCol)).as("__k")).distinct()
+          else cur.select(col(ref.fkCol).as("__k")).distinct()
         next.df.join(keys, next.df(next.idCol) === col("__k"), "leftsemi")
       }
       curName = h.dataset

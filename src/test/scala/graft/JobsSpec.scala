@@ -240,6 +240,34 @@ class JobsSpec extends SparkSpec {
     assert(ctx == Map("p" -> "http://x/"))
   }
 
+  test("multi-source dependency tracking follows array-valued refs in both directions") {
+    val s = spark
+    import s.implicits._
+    import graft.core.EntityGraph
+    import graft.model.{EntityDataset, Namespaces, Ref}
+    // orders reference MULTIPLE parts (array ref); part 200 changes
+    val orders = Seq((1L, Seq(100L, 200L)), (2L, Seq(100L)), (3L, Seq(200L, 300L)))
+      .toDF("oid", "parts")
+    val parts = Seq((100L, "a"), (200L, "b"), (300L, "c")).toDF("pid", "pname")
+    val g = EntityGraph(Map(
+      "orders" -> EntityDataset("orders", orders, "oid", "o/",
+        refs = Seq(Ref("uses", "parts", "part", array = true))),
+      "part" -> EntityDataset("part", parts, "pid", "p/", small = true)
+    ), Namespaces(Map.empty))
+    // inverse hop: changed part → orders referencing it (each order once,
+    // even when several of its parts changed)
+    val aff = MultiSource.affected(g, "part", col("pid").isin(200L, 300L),
+        Seq(MultiSource.Hop("orders", "uses", inverse = true)))
+      .select("oid").collect().map(_.getLong(0))
+    assert(aff.sorted.toSeq == Seq(1L, 3L), aff.mkString(","))
+    assert(aff.length == 2, "an order must not duplicate per matching array element")
+    // forward hop: changed orders → the parts they use
+    val fwd = MultiSource.affected(g, "orders", col("oid") === 1L,
+        Seq(MultiSource.Hop("part", "uses", inverse = false)))
+      .select("pid").collect().map(_.getLong(0)).toSet
+    assert(fwd == Set(100L, 200L))
+  }
+
   test("content store: upsert/get/list/delete with history and as-of reads") {
     val s = spark
     val reg = new DatasetRegistry
