@@ -109,12 +109,26 @@ final class CronScheduler(jobs: Seq[CronJob], maxRetries: Int = 0) {
   /** The stored continuation token for a job (None before first run). */
   def token(id: String): Option[Long] = tokens.get(id)
 
-  /** Run all jobs due at `now`; returns the ids that ran. */
+  /** Run all jobs due at `now` with PER-JOB failure isolation — a job
+    * that exhausts its retries is recorded as failed and the remaining
+    * due jobs still run this minute (the reference scheduler isolates
+    * per-job panics the same way; one broken job must not starve the
+    * rest of the schedule). The token only advances on success. */
+  def tickOutcomes(spark: SparkSession, registry: DatasetRegistry,
+                   now: LocalDateTime): Seq[(String, Option[Throwable])] =
+    jobs.filter(_.cron.matches(now)).sortBy(_.id).map { cj =>
+      try {
+        Scheduler.runWithRetry(spark, registry, cj.makeJob(tokens.get(cj.id)), maxRetries)
+        cj.nextToken().foreach(t => tokens.put(cj.id, t))
+        cj.id -> None
+      } catch {
+        case scala.util.control.NonFatal(e) => cj.id -> Some(e)
+      }
+    }
+
+  /** Run all jobs due at `now`; returns the ids that ran successfully
+    * (failures are isolated per job — see `tickOutcomes`). */
   def tick(spark: SparkSession, registry: DatasetRegistry,
            now: LocalDateTime): Seq[String] =
-    jobs.filter(_.cron.matches(now)).sortBy(_.id).map { cj =>
-      Scheduler.runWithRetry(spark, registry, cj.makeJob(tokens.get(cj.id)), maxRetries)
-      cj.nextToken().foreach(t => tokens.put(cj.id, t))
-      cj.id
-    }
+    tickOutcomes(spark, registry, now).collect { case (id, None) => id }
 }

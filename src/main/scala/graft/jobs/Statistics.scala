@@ -29,10 +29,18 @@ object Statistics {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
+    // recurse: partitioned layouts (writePartitionedLog's __rbucket=N
+    // dirs) keep their part files in subdirectories
     val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet"))
-      else Array(p)
+      if (fs.getFileStatus(p).isDirectory) {
+        val it = fs.listFiles(p, true)
+        val buf = Array.newBuilder[Path]
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f.getPath
+        }
+        buf.result()
+      } else Array(p)
     files.map { f =>
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
       try r.getFooter.getBlocks.asScala.iterator
