@@ -29,9 +29,16 @@ object ChangeLog {
   /** Reference: GET /datasets/{ds}/changes?since=token — incremental read.
     * The `recorded > since` predicate pushes down to the parquet scan
     * (min/max row-group pruning makes incremental reads cheap at scale).
-    */
-  def changesSince(log: DataFrame, recordedCol: String, since: Long, limit: Option[Int] = None): DataFrame = {
-    val inc = log.filter(col(recordedCol) > since).orderBy(col(recordedCol))
+    *
+    * `sorted = false` skips the global token sort — SET-semantics
+    * consumers (dependency tracking, fullsync staging, anything ending
+    * in its own aggregate/join) don't need the ordering, and at scale
+    * the sort is a full range-partition Exchange of the slice. A `limit`
+    * forces the sort regardless: deterministic pagination is ordering. */
+  def changesSince(log: DataFrame, recordedCol: String, since: Long, limit: Option[Int] = None,
+                   sorted: Boolean = true): DataFrame = {
+    val slice = log.filter(col(recordedCol) > since)
+    val inc = if (sorted || limit.isDefined) slice.orderBy(col(recordedCol)) else slice
     limit.map(inc.limit).getOrElse(inc)
   }
 

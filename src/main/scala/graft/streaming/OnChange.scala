@@ -202,7 +202,18 @@ object OnChange {
     * residual window (crash between absorb and marker) double-absorbs
     * one batch — the same bounded at-least-once trade the reference
     * makes on its continuation tokens; `compactShingleIndex` with the
-    * batch's ids repairs it. */
+    * batch's ids repairs it.
+    *
+    * Re-emitted ids: a batch may carry an id already in the index (an
+    * update — `ngramJaccardDelta` itself scores it with supersede
+    * semantics). Before the absorb, any overlap between the batch's ids
+    * and the `<indexTable>_sizes` companion is compacted OUT of the
+    * index, so the absorb never appends a second copy of a doc's
+    * shingles (which would silently corrupt every later batch's pair
+    * joins and Jaccard denominators). The overlap probe is one map-only
+    * scan of the single-column `_sizes` companion against the broadcast
+    * batch-id set; the compact itself — a bucketed anti-join rewrite —
+    * only runs when an overlap actually exists. */
   def streamingDedupDelta(spark: SparkSession, docsDir: String, textCol: String,
                           idCol: String, n: Int, threshold: Double, indexTable: String,
                           pairsPath: String, checkpointDir: String,
@@ -225,6 +236,14 @@ object OnChange {
           graft.dedup.Dedup
             .ngramJaccardDelta(bs, batch, textCol, idCol, n, threshold, indexTable, maxDf)
             .write.mode("overwrite").parquet(s"$pairsPath/batch_id=$batchId")
+          // supersede before absorb: ids this batch re-emits leave the
+          // standing index first, so the append below cannot double
+          // their shingles/sizes (absorb itself is append-only)
+          val batchIds = batch.select(col(idCol).as("id")).distinct()
+          val overlap = bs.table(s"${indexTable}_sizes")
+            .join(broadcast(batchIds), Seq("id"), "leftsemi")
+          if (!overlap.isEmpty)
+            graft.dedup.Dedup.compactShingleIndex(bs, indexTable, overlap)
           graft.dedup.Dedup.absorbIntoShingleIndex(bs, batch, textCol, idCol, n, indexTable)
           Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(markers)
         }

@@ -392,6 +392,68 @@ class JobsSpec extends SparkSpec {
     assert(flat == Set(("1", "alpha"), ("2", "beta")))
   }
 
+  test("transaction staging policy: local temp only on local masters, shared or fail-fast on clusters") {
+    // local master: a fresh writable temp dir
+    val local = Transaction.resolveStaging("local[4]", None)
+    assert(new java.io.File(local).isDirectory)
+    // non-local master + graft.checkpointDir: derive a shared path under it
+    val derived = Transaction.resolveStaging("spark://host:7077", Some("/shared/ckpt"))
+    assert(derived.startsWith("/shared/ckpt/graft_txn_"), derived)
+    // non-local master, no shared location: fail fast, never driver-local
+    val e = intercept[IllegalArgumentException] {
+      Transaction.resolveStaging("spark://host:7077", None)
+    }
+    assert(e.getMessage.contains("stagingDir"), e.getMessage)
+  }
+
+  test("cron tick isolates a failing job: the other due job runs, the failed token stays") {
+    import java.time.LocalDateTime
+    val s = spark
+    import s.implicits._
+    val reg = new DatasetRegistry
+    reg.put("src", Seq((1L, 10L)).toDF("id", "recorded"))
+    val boom = CronJob("a_broken", Cron.parse("* * * * *"),
+      makeJob = _ => Job("a_broken",
+        FunctionSource(_ => sys.error("permanently failing source")),
+        sink = DatasetSink(reg, "never")),
+      nextToken = () => Some(99L))
+    val ok = CronJob("b_ok", Cron.parse("* * * * *"),
+      makeJob = _ => Job("b_ok",
+        DatasetSource(reg.get("src"), "id", "recorded"),
+        sink = DatasetSink(reg, "out")),
+      nextToken = () => Some(10L))
+    val sched = new CronScheduler(Seq(boom, ok))
+    val outcomes = sched.tickOutcomes(s, reg, LocalDateTime.of(2026, 8, 12, 9, 0))
+    // the broken job (sorted first) did not starve the healthy one
+    assert(outcomes.map(_._1) == Seq("a_broken", "b_ok"))
+    assert(outcomes(0)._2.isDefined && outcomes(1)._2.isEmpty, outcomes.toString)
+    assert(reg.get("out").count() == 1)
+    // the failed job's token did NOT advance; the healthy one's did
+    assert(sched.token("a_broken").isEmpty)
+    assert(sched.token("b_ok").contains(10L))
+    // tick() reports only the successful ids
+    assert(sched.tick(s, reg, LocalDateTime.of(2026, 8, 12, 9, 1)) == Seq("b_ok"))
+  }
+
+  test("parquetDataBytes recurses into a partitioned layout") {
+    val s = spark
+    import s.implicits._
+    val log = (1L to 100L).map(i => (i, i)).toDF("id", "recorded")
+    val dir = java.nio.file.Files.createTempDirectory("graft_statpart_").toString
+    graft.ops.ChangeLog.writePartitionedLog(log, "recorded", dir, bucketSize = 25L)
+    // partitioned layout: part files live under __rbucket=N subdirs
+    assert(new java.io.File(dir).listFiles().exists(f =>
+      f.isDirectory && f.getName.startsWith("__rbucket=")))
+    val partitioned = Statistics.parquetDataBytes(s, dir)
+    // same rows written flat: the recursive sum must match the flat sum
+    // to within encoding noise — and must not be the empty-listing 0
+    val flat = java.nio.file.Files.createTempDirectory("graft_statflat_").toString + "/f"
+    log.write.parquet(flat)
+    val flatBytes = Statistics.parquetDataBytes(s, flat)
+    assert(partitioned > 0, "partitioned layout must not report 0 bytes")
+    assert(flatBytes > 0)
+  }
+
   test("incremental DatasetSource honors the since token with latestOnly") {
     val s = spark
     import s.implicits._

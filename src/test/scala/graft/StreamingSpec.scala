@@ -201,6 +201,62 @@ class StreamingSpec extends SparkSpec {
     assert(sizes(table) == sizes(rebuilt))
   }
 
+  test("streaming dedup absorbs a re-emitted id by superseding, not doubling") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "aa bb cc dd ee ff"),
+      (2L, "xx yy zz ww vv uu")
+    ).toDF("doc_id", "text")
+    // batch 1 RE-EMITS doc 1 with new text (an update); batch 2 brings a
+    // near-dup of the UPDATED version — its score is only correct if the
+    // absorb superseded doc 1's old shingles instead of appending a
+    // second copy (which would double its Jaccard denominator)
+    val b1 = Seq((1L, "mm nn oo pp qq rr")).toDF("doc_id", "text")
+    val b2 = Seq((20L, "mm nn oo pp qq ss")).toDF("doc_id", "text")
+    val table = "shingle_idx_reemit"
+    graft.dedup.Dedup.buildShingleIndex(corpus, "text", "doc_id", 3, table, buckets = 4)
+    val chunks = java.nio.file.Files.createTempDirectory("graft_sre_chunks_").toString
+    def chunk(df: org.apache.spark.sql.DataFrame, name: String, order: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sre_tmp_").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(chunks, name)
+      java.nio.file.Files.copy(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + order * 10000L))
+    }
+    chunk(b1, "a.parquet", 0)
+    chunk(b2, "b.parquet", 1)
+    val pairs = java.nio.file.Files.createTempDirectory("graft_sre_pairs_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sre_ckpt_").toString
+    OnChange.streamingDedupDelta(s, chunks, "text", "doc_id", 3, 0.5, table, pairs, ckpt)
+    // batch 2's pair against the updated doc 1 scores exactly what a
+    // from-scratch index over {updated 1, 2} would give
+    val got = s.read.parquet(pairs)
+      .select("a", "b", "jac")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val rebuilt = "shingle_idx_reemit_rebuilt"
+    graft.dedup.Dedup.buildShingleIndex(
+      corpus.filter(col("doc_id") =!= 1L).unionByName(b1), "text", "doc_id", 3, rebuilt, buckets = 4)
+    val expect = graft.dedup.Dedup.ngramJaccardDelta(s, b2, "text", "doc_id", 3, 0.5, rebuilt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect, s"got $got expect $expect")
+    assert(got.contains((1L, 20L, 0.6)), got.toString)
+    // the absorbed index and sizes equal the rebuild with the UPDATED
+    // doc 1 — one copy of its shingles, denominators intact
+    val fullRebuilt = "shingle_idx_reemit_full"
+    graft.dedup.Dedup.buildShingleIndex(
+      corpus.filter(col("doc_id") =!= 1L).unionByName(b1).unionByName(b2),
+      "text", "doc_id", 3, fullRebuilt, buckets = 4)
+    def rows(t: String) = s.table(t)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("s"))).toSet
+    def sizes(t: String) = s.table(s"${t}_sizes")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("sz"))).toSet
+    assert(rows(table) == rows(fullRebuilt))
+    assert(sizes(table) == sizes(fullRebuilt))
+  }
+
   test("streamed incremental agg equals batch agg") {
     val path = s"$sfDir/events.parquet"
     val streamed = OnChange.aggregateEvents(spark, path)
