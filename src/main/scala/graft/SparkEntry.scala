@@ -423,7 +423,9 @@ object SparkEntry {
     "d4_simhash" -> ((s, dir) =>
       // maxDist 10: SimHash proximity is probabilistic, and the planted
       // jaccard>=0.95 pairs in the fixtures reach Hamming 9 — 10 keeps a
-      // margin while chunks stay >=5 bits (11 chunks over 64 bits)
+      // margin; candidates come from C(12,2) chunk-PAIR buckets with
+      // ~11-bit keys (lossless by pigeonhole), so bucket occupancy stays
+      // flat as the corpus grows
       Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxDist = 10)
         .orderBy("a", "b")),
 
@@ -530,8 +532,20 @@ object SparkEntry {
       // stored as m codes (32× compression), full-precision queries
       // score reconstructions (ADC) — train/encode/score in one plan
       graft.ann.Pq.pqTopK(t(s, dir, "embeddings"), "embedding", "vec_id",
-          queryFilter = col("id") < 10, k = 5)
+          queryFilter = col("id") < 10, k = 5, dims = 64)
         .orderBy("query_id", "rnk")),
+
+    "s8_ann_pq_indexed" -> ((s, dir) => {
+      // PQ against the STANDING index (deployment shape): codes +
+      // codebook companion are built once; the probe ADC-scans stored
+      // codes and reranks the shortlist — identical output to s7, so it
+      // shares s7's from-scratch oracle
+      val table = "pq_idx_s8"
+      graft.ann.Pq.buildPqIndex(t(s, dir, "embeddings"), "embedding", "vec_id", table, dims = 64)
+      graft.ann.Pq.pqTopKIndexed(s, table, t(s, dir, "embeddings"), "embedding", "vec_id",
+          queryFilter = col("id") < 10, k = 5)
+        .orderBy("query_id", "rnk")
+    }),
 
     // ===== text analysis ================================================
     "x1_langid" -> ((s, dir) =>
@@ -1206,6 +1220,10 @@ object SparkEntry {
     "s3_ann_ivf" -> Ann.ivfKmeansOracleSql(k = 5),
 
     "s7_ann_pq" -> graft.ann.Pq.oracleSql(k = 5),
+
+    // identical output to s7 by construction (deterministic train +
+    // encode); the oracle re-derives everything from scratch either way
+    "s8_ann_pq_indexed" -> graft.ann.Pq.oracleSql(k = 5),
 
     "s5_ivf_indexed" -> Ann.ivfKmeansOracleSql(k = 5),
 

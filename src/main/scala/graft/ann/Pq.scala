@@ -65,11 +65,11 @@ object Pq {
     * `rounds` Lloyd iterations with integer-exact averaging; empty
     * codes keep their previous codeword. */
   def trainCodebooks(emb: DataFrame, vecCol: String, idCol: String,
-                     m: Int = 8, ksub: Int = 16, rounds: Int = 1): DataFrame = {
+                     m: Int = 8, ksub: Int = 16, rounds: Int = 1, dims: Int = 0): DataFrame = {
     val e = Ann.normed(emb, vecCol, idCol)
-    val dims = emb.select(size(col(vecCol))).head().getInt(0)
-    require(dims % m == 0, s"dims $dims must split into $m subspaces")
-    val dsub = dims / m
+    val d = if (dims > 0) dims else emb.select(size(col(vecCol))).head().getInt(0)
+    require(d % m == 0, s"dims $d must split into $m subspaces")
+    val dsub = d / m
     // n·m tiny rows, a pure projection off the vector scan — cheaper to
     // recompute per round than to materialize
     val su = subRows(e, m, dsub)
@@ -99,24 +99,49 @@ object Pq {
     * compressed representation a deployment stores (m bytes/vector at
     * ksub ≤ 256). */
   def encode(emb: DataFrame, vecCol: String, idCol: String, books: DataFrame,
-             m: Int = 8): DataFrame = {
+             m: Int = 8, dims: Int = 0): DataFrame = {
     val e = Ann.normed(emb, vecCol, idCol)
-    val dims = emb.select(size(col(vecCol))).head().getInt(0)
-    assign(subRows(e, m, dims / m), books)
+    val d = if (dims > 0) dims else emb.select(size(col(vecCol))).head().getInt(0)
+    assign(subRows(e, m, d / m), books)
       .groupBy("id")
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
         s => s.getField("code")).as("codes"))
   }
 
-  /** Reconstructed unit vectors from codes: (id, rv array<double>,
-    * rnorm) — the ADC scoring side. */
-  private def reconstruct(codes: DataFrame, books: DataFrame, m: Int): DataFrame =
-    codes.select(col("id"), posexplode(col("codes")).as(Seq("sub", "code")))
-      .join(broadcast(books), Seq("sub", "code"))
-      .groupBy("id")
-      .agg(flatten(transform(array_sort(collect_list(struct(col("sub"), fixedD(col("cw")).as("cd")))),
-        s => s.getField("cd"))).as("rv"))
+  /** The m·ksub codebook collapsed to ONE lookup-array row (element
+    * sub·ksub + code + 1 = that codeword's int-valued double
+    * coordinates): broadcast it and ADC reconstruction becomes m array
+    * lookups per row — completely map-side, no corpus shuffle. */
+  private def booksArray(books: DataFrame, ksub: Int): DataFrame =
+    books.agg(transform(array_sort(collect_list(struct(
+        (col("sub") * ksub + col("code")).as("idx"), fixedD(col("cw")).as("cd")))),
+      s => s.getField("cd")).as("barr"))
+
+  /** ADC scores of every corpus code row against the broadcast query
+    * set: rv is rebuilt per row from the broadcast codebook array (m
+    * lookups + one flatten), rnorm is exact (int-valued squares sum
+    * exactly in double), and the cosine consumes the same sequential
+    * doubles as a from-scratch reconstruction — MAP-ONLY over the codes
+    * table; the only shuffles downstream are the two-phase top-k's. */
+  private def adcScores(codes: DataFrame, books: DataFrame, q: DataFrame, ksub: Int): DataFrame =
+    codes.join(broadcast(booksArray(books, ksub)))
+      .withColumn("rv", flatten(transform(col("codes"), (code, sub) =>
+        element_at(col("barr"), (sub * ksub + code + lit(1)).cast("int")))))
       .withColumn("rnorm", sqrt(dot(col("rv"), col("rv"))))
+      .join(broadcast(q), col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (dot(col("qv"), col("rv")) / (col("qnorm") * col("rnorm"))).as("sim"))
+
+  /** Exact rerank of a (query, neighbor) shortlist: only these rows —
+    * queries·shortlist of them — ever read full-precision vectors. */
+  private def rerank(short: DataFrame, e: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    val exact = broadcast(short)
+      .join(e, col("neighbor_id") === col("id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qnorm") * col("norm"))).as("sim"))
+    Ann.topKPerQuery(exact, k, salts = 32)
+  }
 
   /** PQ ANN top-k, the production two-stage shape: the COMPRESSED
     * corpus is scanned with ADC (reconstruction cosine — quantization
@@ -127,26 +152,56 @@ object Pq {
     * for queries·shortlist rows only. */
   def pqTopK(emb: DataFrame, vecCol: String, idCol: String,
              queryFilter: Column, k: Int, m: Int = 8, ksub: Int = 16,
-             rounds: Int = 1, shortlist: Int = 50): DataFrame = {
+             rounds: Int = 1, shortlist: Int = 50, dims: Int = 0): DataFrame = {
     val e = Ann.normed(emb, vecCol, idCol)
-    val books = trainCodebooks(emb, vecCol, idCol, m, ksub, rounds)
-    val codes = encode(emb, vecCol, idCol, books, m)
-    val recon = reconstruct(codes, books, m)
+    val books = trainCodebooks(emb, vecCol, idCol, m, ksub, rounds, dims)
+    val codes = encode(emb, vecCol, idCol, books, m, dims)
     val q = e.filter(queryFilter)
       .select(col("id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
-    val approx = recon.join(broadcast(q), col("id") =!= col("query_id"))
-      .select(col("query_id"), col("id").as("neighbor_id"),
-        (dot(col("qv"), col("rv")) / (col("qnorm") * col("rnorm"))).as("sim"))
+    val short = Ann.topKPerQuery(adcScores(codes, books, q, ksub), shortlist, salts = 32)
+      .select(col("query_id"), col("neighbor_id"))
+    rerank(short, e, q, k)
+  }
+
+  /** Materialize the PQ index — the deployment split `pqTopK` fuses
+    * inline: the corpus is trained + encoded ONCE per snapshot, and
+    * every later probe batch ADC-scans the stored codes. Written
+    * artifacts: `<table>` = the codes (id, codes array<long> of length
+    * m — m bytes a row at ksub ≤ 256, the 32× compressed corpus) and
+    * `<table>_books` = the m·ksub codebook companion (a constant-sized
+    * metadata table read by every probe, same discipline as
+    * `buildIvfIndex`'s `_cent`). */
+  def buildPqIndex(emb: DataFrame, vecCol: String, idCol: String, table: String,
+                   m: Int = 8, ksub: Int = 16, rounds: Int = 1, dims: Int = 0): String = {
+    val spark = emb.sparkSession
+    Seq(table, s"${table}_books").foreach(graft.core.Tables.drop(spark, _))
+    trainCodebooks(emb, vecCol, idCol, m, ksub, rounds, dims)
+      .write.mode("overwrite").saveAsTable(s"${table}_books")
+    encode(emb, vecCol, idCol, spark.table(s"${table}_books"), m, dims)
+      .write.mode("overwrite").saveAsTable(table)
+    table
+  }
+
+  /** `pqTopK` against the pre-built PQ index: the ADC stage reads ONLY
+    * the stored codes (map-side reconstruction off the broadcast
+    * `<table>_books` companion); `emb` is touched exactly twice — the
+    * query vectors (a filter-pruned scan) and the shortlist's exact
+    * rerank. No codebook re-training, no corpus re-encode, no
+    * full-vector scan before the rerank. Output is identical to
+    * `pqTopK` with the build's parameters (training and encoding are
+    * deterministic). `ksub` must match the build — it indexes the
+    * codebook lookup array. */
+  def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+                    emb: DataFrame, vecCol: String, idCol: String,
+                    queryFilter: Column, k: Int, ksub: Int = 16,
+                    shortlist: Int = 50): DataFrame = {
+    val e = Ann.normed(emb, vecCol, idCol)
+    val q = e.filter(queryFilter)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val approx = adcScores(spark.table(table), spark.table(s"${table}_books"), q, ksub)
     val short = Ann.topKPerQuery(approx, shortlist, salts = 32)
       .select(col("query_id"), col("neighbor_id"))
-    // exact rerank: the shortlist (queries·shortlist rows) broadcasts
-    // against the corpus — only these rows ever read full vectors
-    val exact = broadcast(short)
-      .join(e, col("neighbor_id") === col("id"))
-      .join(broadcast(q), Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qv"), col("v")) / (col("qnorm") * col("norm"))).as("sim"))
-    Ann.topKPerQuery(exact, k, salts = 32)
+    rerank(short, e, q, k)
   }
 
   /** DuckDB SQL re-deriving the ENTIRE PQ pipeline from scratch —

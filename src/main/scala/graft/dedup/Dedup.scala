@@ -441,37 +441,63 @@ object Dedup {
     sums.select(col("id"), fp.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxDist. The 64 bits
-    * are partitioned into maxDist+1 chunks — by pigeonhole, any pair
-    * within the distance agrees on at least one whole chunk, so the
-    * chunk-equality buckets are a lossless candidate generator (this is
-    * the classic Manku/Jain/Sarma web-dedup scheme). Narrower chunks
-    * (larger maxDist) trade candidate volume for radius. */
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, via
+    * TWO-LEVEL chunk-pair candidate buckets (the Manku/Jain/Sarma
+    * multi-block scheme): the 64 bits split into k = maxDist + 2
+    * chunks, and candidates are keyed on each of the C(k,2) unordered
+    * chunk PAIRS. Pigeonhole bound: d ≤ maxDist = k − 2 differing bits
+    * touch at most d chunks, leaving ≥ 2 chunks intact — so every
+    * within-radius pair agrees on at least one whole (chunk i, chunk j)
+    * key and the generator is lossless.
+    *
+    * Why pairs, not single chunks: with single-chunk keys the bucket
+    * key is only 64/(maxDist+1) bits (≈2^5.8 values at maxDist = 10),
+    * so bucket occupancy — and candidate pairs, quadratically — grows
+    * linearly with corpus size. Pair keys carry ~2·64/k bits (≈2^10.7
+    * at maxDist = 10) across C(k,2) tables: ~200× the key cardinality
+    * for 6× the replication, and the same ~log-corpus headroom lever
+    * as the LSH paths (narrower radius → wider keys). */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String, maxDist: Int): DataFrame = {
-    val nChunks = maxDist + 1
-    require(nChunks <= 16, "chunks narrower than 4 bits bucket everything together")
-    // one row per doc; both self-join sides are the SAME subplan, so
-    // ReuseExchange computes the 64-lane aggregate once — measured: an
-    // explicit checkpoint here is cost-neutral and only adds block churn
     val fps = simhash(docs, textCol, idCol)
-    val chunkCols = (0 until nChunks).map { c =>
-      val start = c * 64 / nChunks
-      val len = (c + 1) * 64 / nChunks - start
-      val mask = if (len == 64) -1L else (1L << len) - 1L
-      struct(lit(c).as("c"), shiftrightunsigned(col("simhash"), start).bitwiseAND(lit(mask)).as("ck"))
-    }
-    val chunks = fps.select(col("id"), col("simhash"), explode(array(chunkCols: _*)).as("ch"))
-      .select(col("id"), col("simhash"), col("ch.c").as("c"), col("ch.ck").as("ck"))
+    val cand = simhashCandidates(fps, maxDist)
     // filter BEFORE distinct: the Hamming cut happens map-side inside the
     // bucket join's output projection, so the dedup Exchange carries only
     // surviving pairs (~0.5% of candidates here), not the full candidate
     // stream
-    chunks.as("x").join(chunks.as("y"),
-        col("x.c") === col("y.c") && col("x.ck") === col("y.ck") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+    cand
       .filter(col("hamming") <= maxDist)
       .distinct()
+  }
+
+  /** The candidate stage of `simhashPairs`, pre-Hamming-filter (exposed
+    * for candidate-volume assertions): (a, b, hamming) rows, one per
+    * agreeing chunk-pair bucket. Input is a `simhash` output
+    * (id, simhash). */
+  private[graft] def simhashCandidates(fps: DataFrame, maxDist: Int): DataFrame = {
+    val k = maxDist + 2
+    require(k <= 16, "chunks narrower than 4 bits bucket everything together")
+    def chunk(c: Int): Column = {
+      val start = c * 64 / k
+      val len = (c + 1) * 64 / k - start
+      val mask = if (len == 64) -1L else (1L << len) - 1L
+      shiftrightunsigned(col("simhash"), start).bitwiseAND(lit(mask))
+    }
+    // one row per doc; both self-join sides are the SAME subplan, so
+    // ReuseExchange computes the 64-lane aggregate once — measured: an
+    // explicit checkpoint here is cost-neutral and only adds block churn
+    // one fused 64-bit bucket key per (table, chunk i, chunk j) — a
+    // single long join key instead of three columns through the
+    // Exchange. A hash collision between distinct keys only ADDS a
+    // candidate pair, which the exact Hamming filter removes; true
+    // within-radius pairs always share a real key, so losslessness
+    // is untouched
+    val pairCols = for { i <- 0 until k; j <- (i + 1) until k } yield
+      xxhash64(lit(i * k + j), chunk(i), chunk(j))
+    val chunks = fps.select(col("id"), col("simhash"), explode(array(pairCols: _*)).as("bk"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
   }
 
   /** EXACT cosine similarity join with NO broadcast and no all-pairs

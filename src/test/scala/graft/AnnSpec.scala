@@ -162,6 +162,27 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"PQ recall@5 too low on clustered corpus: $recall")
   }
 
+  test("standing PQ index: probe ADC-scans stored codes only — no re-train, no re-encode") {
+    import graft.ann.Pq
+    val table = "pq_idx_spec"
+    Pq.buildPqIndex(emb, "embedding", "vec_id", table, dims = 64)
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val got = keys(Pq.pqTopKIndexed(spark, table, emb, "embedding", "vec_id", col("id") < 10, 5))
+    val inline = keys(Pq.pqTopK(emb, "embedding", "vec_id", col("id") < 10, 5, dims = 64))
+    assert(got == inline, "indexed probe must equal the inline train+encode path")
+    val plan = planOf(Pq.pqTopKIndexed(spark, table, emb, "embedding", "vec_id", col("id") < 10, 5))
+    def scans(t: String) = plan.sliding(s"Scan parquet spark_catalog.default.$t\n".length)
+      .count(_ == s"Scan parquet spark_catalog.default.$t\n")
+    // ONE codes scan (the ADC stage) + the codebook companion; training
+    // (per-(id,sub) min_by winner picks) and encoding (subspace
+    // posexplode) must be absent from the probe plan entirely
+    assert(scans(table) == 1, s"codes scanned ${scans(table)}×:\n$plan")
+    assert(scans(s"${table}_books") >= 1, s"codebooks must come from the companion:\n$plan")
+    assert(!plan.contains("min_by"), s"probe plan re-encodes the corpus:\n$plan")
+    assert(!plan.contains("posexplode"), s"probe plan re-derives subspace rows:\n$plan")
+  }
+
   test("ivf cell assignment is map-only (no corpus shuffle before scoring)") {
     val plan = planOf(Ann.ivfTopK(emb, "embedding", "vec_id", col("id") < 10, 5))
     // the round-2 shape amplified the corpus nlist× through a

@@ -39,6 +39,51 @@ class DedupSpec extends SparkSpec {
     assert(planted.subsetOf(sim), s"simhash missed near-identical pairs: ${planted -- sim}")
   }
 
+  test("simhash chunk-pair candidates are lossless within the radius and far sparser than single-chunk buckets") {
+    val s = spark
+    import s.implicits._
+    // skewed fixture: boilerplate-heavy docs (shared template, small
+    // variations) — the regime where fingerprints cluster and coarse
+    // buckets flood with candidates
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the plain and"
+    val fixture = (0 until 200).map { i =>
+      (i.toLong, s"$base variant$i token${i % 7} extra${i % 3} tail${i % 13} run${i % 29}")
+    }.toDF("doc_id", "text")
+    val maxDist = 10
+    // ground truth: exact all-pairs Hamming over the fingerprints
+    val fps = Dedup.simhash(fixture, "text", "doc_id")
+    val local = fps.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      (a, fa) <- local; (b, fb) <- local if a < b
+      if java.lang.Long.bitCount(fa ^ fb) <= maxDist
+    } yield (a, b)).toSet
+    val got = Dedup.simhashPairs(fixture, "text", "doc_id", maxDist)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth, s"missed=${truth -- got} extra=${got -- truth}")
+    // candidate volume on a DIVERSE corpus (no true near-dups — the
+    // regime that dominates at 100 TB): unrelated docs collide in
+    // ~5.8-bit single-chunk buckets linearly with corpus size, while
+    // ~11-bit pair keys keep occupancy flat — the pair-key generator
+    // must produce far fewer spurious candidate rows
+    val diverse = (0 until 400).map { i =>
+      (i.toLong, (0 until 30).map(j => s"w${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val dfps = Dedup.simhash(diverse, "text", "doc_id")
+    val pairCand = Dedup.simhashCandidates(dfps, maxDist).count()
+    val nC = maxDist + 1
+    val singleChunks = dfps.select(col("id"), explode(array((0 until nC).map { c =>
+      val start = c * 64 / nC
+      val len = (c + 1) * 64 / nC - start
+      val mask = if (len == 64) -1L else (1L << len) - 1L
+      struct(lit(c).as("c"),
+        shiftrightunsigned(col("simhash"), start).bitwiseAND(lit(mask)).as("ck"))
+    }: _*)).as("ch")).select(col("id"), col("ch.c").as("c"), col("ch.ck").as("ck"))
+    val singleCand = singleChunks.as("x").join(singleChunks.as("y"),
+      col("x.c") === col("y.c") && col("x.ck") === col("y.ck") && col("x.id") < col("y.id")).count()
+    assert(pairCand < singleCand,
+      s"pair-key candidates ($pairCand) should undercut single-chunk ($singleCand)")
+  }
+
   test("simhash fingerprint is insensitive to word order, sensitive to content") {
     val s = spark
     import s.implicits._
