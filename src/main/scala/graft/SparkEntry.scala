@@ -535,6 +535,18 @@ object SparkEntry {
           queryFilter = col("id") < 10, k = 5, dims = 64)
         .orderBy("query_id", "rnk")),
 
+    "s9_ivfpq_indexed" -> ((s, dir) => {
+      // IVF×PQ: the billion-vector layout — trained cells route the
+      // probe, PQ codes inside each cell carry the ADC scan, full
+      // vectors only surface for the shortlist rerank
+      val table = "ivfpq_idx_s9"
+      graft.ann.IvfPq.buildIvfPqIndex(t(s, dir, "embeddings"), "embedding", "vec_id",
+        table, dims = 64)
+      graft.ann.IvfPq.ivfPqTopKIndexed(s, table, t(s, dir, "embeddings"), "embedding", "vec_id",
+          queryFilter = col("id") < 10, k = 5)
+        .orderBy("query_id", "rnk")
+    }),
+
     "s8_ann_pq_indexed" -> ((s, dir) => {
       // PQ against the STANDING index (deployment shape): codes +
       // codebook companion are built once; the probe ADC-scans stored
@@ -1224,6 +1236,8 @@ object SparkEntry {
     // identical output to s7 by construction (deterministic train +
     // encode); the oracle re-derives everything from scratch either way
     "s8_ann_pq_indexed" -> graft.ann.Pq.oracleSql(k = 5),
+
+    "s9_ivfpq_indexed" -> graft.ann.IvfPq.oracleSql(k = 5),
 
     "s5_ivf_indexed" -> Ann.ivfKmeansOracleSql(k = 5),
 

@@ -25,8 +25,16 @@ object Ann {
     emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("norm", l2norm(col("v")))
 
-  private def cosine(xv: Column, yv: Column, xn: Column, yn: Column): Column =
+  private[ann] def cosine(xv: Column, yv: Column, xn: Column, yn: Column): Column =
     dot(xv, yv) / (xn * yn)
+
+  /** Cells of the broadcast centroid array ranked best-first for the
+    * current row's (v, norm): negated cosine sorts ascending, cid
+    * breaks ties low. Element 0 = the row's cell; elements 0..nprobe-1
+    * = its probe set. */
+  private[ann] def sortedCells: Column = array_sort(transform(col("cents"), c =>
+    struct((-cosine(col("v"), c.getField("cv"), col("norm"), c.getField("cnorm"))).as("negsim"),
+      c.getField("cid").as("cid"))))
 
   /** Exact cosine top-k for each query vector (queries = `queryFilter`
     * rows of the corpus, self excluded). Deterministic tie-break on
@@ -167,9 +175,6 @@ object Ann {
       if (rounds > 0) trainCentroids(emb, vecCol, idCol, nlist, rounds)
       else sampleCentroids(emb, vecCol, idCol, nlist)
     // negated sim sorts ascending = best cell first; cid breaks ties low
-    val sortedCells = array_sort(transform(col("cents"), c =>
-      struct((-cosine(col("v"), c.getField("cv"), col("norm"), c.getField("cnorm"))).as("negsim"),
-        c.getField("cid").as("cid"))))
     val withCells = e.join(broadcast(cent)) // 1-row side: stays a map-side projection
       .withColumn("cells", sortedCells)
     val assign = withCells // corpus: nearest cell only
@@ -291,7 +296,8 @@ object Ann {
                     table: String, tables: Int = 8, bits: Int = 4,
                     buckets: Int = 32): String = {
     val spark = emb.sparkSession
-    graft.core.Tables.drop(spark, table)
+    import spark.implicits._
+    Seq(table, s"${table}_meta").foreach(graft.core.Tables.drop(spark, _))
     val e = normed(emb, vecCol, idCol)
     e.select(col("id"), col("v"), col("norm"),
         explode(array((0 until tables).map(t =>
@@ -300,8 +306,46 @@ object Ann {
       .write.mode("overwrite")
       .bucketBy(buckets, "t", "sk").sortBy("t", "sk")
       .saveAsTable(table)
+    // one-row parameter companion: makes the index self-describing so
+    // absorb re-derives the SAME deterministic sketches (the planes
+    // themselves need no storage — they recompute from the hash)
+    Seq((tables, bits, dims)).toDF("tables", "bits", "dims")
+      .write.mode("overwrite").saveAsTable(s"${table}_meta")
     table
   }
+
+  /** Absorb a batch of NEW vectors into the standing sketch index: the
+    * batch's sketches (same deterministic planes, parameters from the
+    * `<table>_meta` companion) append under the index's bucket spec, so
+    * probes keep riding the (t, sk) buckets. Append-only — to re-ingest
+    * an id, `compactAnnIndex` its old version out first (the
+    * compact-then-append discipline of `Dedup.absorbIntoShingleIndex`).
+    * Because sketches are deterministic, build(corpus) ≡
+    * build(corpus∖batch) + absorb(batch) exactly. */
+  def absorbIntoAnnIndex(spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+                         vecCol: String, idCol: String, table: String): Unit = {
+    val m = spark.table(s"${table}_meta").head()
+    val (tables, bits, dims) = (m.getInt(0), m.getInt(1), m.getInt(2))
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(32)
+    val e = normed(batch, vecCol, idCol)
+    e.select(col("id"), col("v"), col("norm"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), sketch(col("v"), dims, t, bits).as("sk"))): _*)).as("b"))
+      .select(col("id"), col("v"), col("norm"), col("b.t").as("t"), col("b.sk").as("sk"))
+      .write.mode("append").bucketBy(buckets, "t", "sk").sortBy("t", "sk")
+      .saveAsTable(table)
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Remove the given ids from the standing sketch index — the
+    * supersede step of a re-ingest (anti-join rewrite + atomic rename;
+    * `graft.core.Tables.compactById`). `_meta` is parameters, not data,
+    * so it survives untouched. */
+  def compactAnnIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                      ids: DataFrame): Unit =
+    graft.core.Tables.compactById(spark, table, ids)
 
   /** `lshTopK` against a pre-built sketch index: identical result (the
     * probe side recomputes its sketches with the same deterministic
@@ -336,9 +380,6 @@ object Ann {
      else sampleCentroids(emb, vecCol, idCol, nlist))
       .write.mode("overwrite").saveAsTable(s"${table}_cent")
     val cent = spark.table(s"${table}_cent")
-    val sortedCells = array_sort(transform(col("cents"), c =>
-      struct((-cosine(col("v"), c.getField("cv"), col("norm"), c.getField("cnorm"))).as("negsim"),
-        c.getField("cid").as("cid"))))
     e.join(broadcast(cent))
       .withColumn("cid", sortedCells.getItem(0).getField("cid"))
       .select("id", "v", "norm", "cid")
@@ -347,6 +388,35 @@ object Ann {
       .saveAsTable(table)
     table
   }
+
+  /** Absorb a batch of NEW vectors into the standing inverted file:
+    * each batch vector routes to its nearest cell under the FROZEN
+    * `<table>_cent` quantizer (the standard IVF add — the coarse
+    * structure is as-of-build; re-train by rebuilding) and appends
+    * under the cid bucket spec. Append-only: to re-ingest an id,
+    * `compactIvfIndex` its old version out first. With the quantizer
+    * frozen, compact(ids) + absorb(ids' new versions) reproduces
+    * exactly what a build at the same centroids would store. */
+  def absorbIntoIvfIndex(spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+                         vecCol: String, idCol: String, table: String): Unit = {
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(16)
+    val cent = spark.table(s"${table}_cent")
+    normed(batch, vecCol, idCol).join(broadcast(cent))
+      .withColumn("cid", sortedCells.getItem(0).getField("cid"))
+      .select("id", "v", "norm", "cid")
+      .write.mode("append").bucketBy(buckets, "cid").sortBy("cid")
+      .saveAsTable(table)
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Remove the given ids from the standing inverted file (anti-join
+    * rewrite + atomic rename). The `<table>_cent` quantizer companion
+    * is as-of-build metadata and stays untouched. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                      ids: DataFrame): Unit =
+    graft.core.Tables.compactById(spark, table, ids)
 
   /** `ivfTopK` against the pre-built inverted file: probes compute their
     * nprobe cells map-side against the broadcast `<table>_cent`
@@ -357,9 +427,6 @@ object Ann {
                      queryFilter: Column, k: Int, nprobe: Int = 4): DataFrame = {
     val assign = spark.table(table)
     val cent = spark.table(s"${table}_cent")
-    val sortedCells = array_sort(transform(col("cents"), c =>
-      struct((-cosine(col("v"), c.getField("cv"), col("norm"), c.getField("cnorm"))).as("negsim"),
-        c.getField("cid").as("cid"))))
     val probes = assign.drop("cid").filter(queryFilter).join(broadcast(cent))
       .select(col("id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"),
         explode(transform(slice(sortedCells, 1, nprobe), c => c.getField("cid"))).as("cid"))

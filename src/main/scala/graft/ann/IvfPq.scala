@@ -1,0 +1,180 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF×PQ — the billion-vector index layout (no reference analog;
+  * LLM-pipeline mandate): a coarse IVF quantizer routes vectors into
+  * nlist cells (`Ann.trainCentroids`, the s3/s5 machinery) and each
+  * cell stores its members as PQ CODES (`Pq`, the s7/s8 machinery)
+  * instead of full vectors — so the inverted file holds m bytes per
+  * vector, a probe ADC-scans only its nprobe cells' codes, and full
+  * vectors are read for the shortlist rerank alone. At 100 TB of
+  * float32 embeddings the index is ~3 TB of codes, a probe touches
+  * ~nprobe/nlist of it, and no stage ever scans the raw corpus.
+  *
+  * Engine-exact by construction: both trainings are the integer
+  * fixed-point Lloyd iterations the s3/s7 oracles already re-derive,
+  * and the composed `oracleSql` chains both derivations (prefixed
+  * CTEs) into the routed ADC + rerank. */
+object IvfPq {
+
+  import graft.functions.VectorFunctions.dot
+
+  /** Materialize the IVF×PQ index. Written artifacts:
+    *  - `<table>`        — (id, cid, codes): the inverted file, PQ
+    *    codes bucketed by cell id (probes ride the buckets);
+    *  - `<table>_cent`   — the one-row trained-centroid array (the
+    *    router, broadcast by every probe);
+    *  - `<table>_books`  — the m·ksub PQ codebook (the ADC decoder,
+    *    broadcast by every probe).
+    * Codebooks are GLOBAL (trained corpus-wide, not per cell): ADC
+    * scores stay comparable across probed cells and the decode
+    * companion stays constant-sized. */
+  def buildIvfPqIndex(emb: DataFrame, vecCol: String, idCol: String, table: String,
+                      nlist: Int = 16, ivfRounds: Int = 2, m: Int = 8, ksub: Int = 16,
+                      pqRounds: Int = 1, dims: Int = 0, buckets: Int = 16): String = {
+    val spark = emb.sparkSession
+    Seq(table, s"${table}_cent", s"${table}_books")
+      .foreach(graft.core.Tables.drop(spark, _))
+    Ann.trainCentroids(emb, vecCol, idCol, nlist, ivfRounds)
+      .write.mode("overwrite").saveAsTable(s"${table}_cent")
+    Pq.trainCodebooks(emb, vecCol, idCol, m, ksub, pqRounds, dims)
+      .write.mode("overwrite").saveAsTable(s"${table}_books")
+    val codes = Pq.encode(emb, vecCol, idCol, spark.table(s"${table}_books"), m, dims)
+    val assign = Ann.normed(emb, vecCol, idCol)
+      .join(broadcast(spark.table(s"${table}_cent")))
+      .withColumn("cid", Ann.sortedCells.getItem(0).getField("cid"))
+      .select("id", "cid")
+    assign.join(codes, Seq("id"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "cid").sortBy("cid")
+      .saveAsTable(table)
+    table
+  }
+
+  /** Probe the IVF×PQ index: queries rank cells map-side against the
+    * broadcast `<table>_cent` router; the nprobe candidate cells come
+    * out of the bucketed inverted file as a cid equi-join (the corpus
+    * never reshuffles); candidates are ADC-scored map-side off the
+    * broadcast `<table>_books` decoder (reconstruction happens per
+    * CANDIDATE row, after the cell cut — unprobed cells never decode);
+    * and only the per-query shortlist reads full vectors for the exact
+    * rerank. `ksub` must match the build. */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+                       emb: DataFrame, vecCol: String, idCol: String,
+                       queryFilter: Column, k: Int, nprobe: Int = 4,
+                       ksub: Int = 16, shortlist: Int = 50): DataFrame = {
+    val e = Ann.normed(emb, vecCol, idCol)
+    val cent = spark.table(s"${table}_cent")
+    val probes = e.filter(queryFilter).join(broadcast(cent))
+      .select(col("id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"),
+        explode(transform(slice(Ann.sortedCells, 1, nprobe), c => c.getField("cid"))).as("cid"))
+    val codes = spark.table(table)
+    val cand = codes.join(broadcast(probes),
+      codes("cid") === probes("cid") && col("id") =!= col("query_id"))
+    val scored = Pq.adcAugment(cand, spark.table(s"${table}_books"), ksub)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (dot(col("qv"), col("rv")) / (col("qnorm") * col("rnorm"))).as("sim"))
+    val short = Ann.topKPerQuery(scored, shortlist, salts = 32)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = e.filter(queryFilter)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    Pq.rerank(short, e, q, k)
+  }
+
+  /** DuckDB SQL re-deriving the WHOLE IVF×PQ pipeline from scratch:
+    * the IVF chain (`Ann.ivfKmeansOracleSql`'s CTEs, prefixed `i`)
+    * trains the router and assigns cells + probe sets; the PQ chain
+    * (`Pq.oracleSql`'s CTEs, prefixed `p`) trains codebooks, encodes,
+    * and reconstructs; the composition ADC-scores candidates routed
+    * through shared cells and reranks the shortlist exactly. */
+  def oracleSql(k: Int, nlist: Int = 16, nprobe: Int = 4, ivfRounds: Int = 2,
+                m: Int = 8, dsub: Int = 8, ksub: Int = 16, pqRounds: Int = 1,
+                shortlist: Int = 50, queryPred: String = "id < 10"): String = {
+    val ivfRoundCtes = (1 to ivfRounds).map { r =>
+      val prev = s"ic${r - 1}"
+      s"""icdn$r AS (SELECT cid, cfd, sqrt(list_inner_product(cfd, cfd)) AS cfn
+         |           FROM (SELECT cid, [x::DOUBLE FOR x IN f] AS cfd FROM $prev)),
+         |isims$r AS (
+         |  SELECT p.id, p.f, c.cid,
+         |         list_inner_product(p.v, c.cfd) / (p.nrm * c.cfn) AS csim
+         |  FROM ipn p, icdn$r c),
+         |iasg$r AS (
+         |  SELECT id, f, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn
+         |    FROM isims$r) WHERE rn = 1),
+         |isums$r AS (
+         |  SELECT cid, t.i AS i, sum(f[t.i])::BIGINT AS sx, count(*) AS cnt
+         |  FROM iasg$r, unnest(range(1, len(f) + 1)) AS t(i) GROUP BY cid, t.i),
+         |inw$r AS (SELECT cid, list(sx // cnt ORDER BY i) AS f FROM isums$r GROUP BY cid),
+         |ic$r AS (SELECT p.cid, coalesce(nw.f, p.f) AS f FROM $prev p LEFT JOIN inw$r nw USING (cid))"""
+        .stripMargin
+    }.mkString(",\n")
+    def l2 = "(list_inner_product(s.xd, s.xd) - 2*list_inner_product(s.xd, b.cd) + list_inner_product(b.cd, b.cd))"
+    val pqRoundCtes = (1 to pqRounds).map { r =>
+      val prev = s"pb${r - 1}"
+      s"""pbd$r AS (SELECT sub, code, cw, [c::DOUBLE FOR c IN cw] AS cd FROM $prev),
+         |pasg$r AS (SELECT id, sub, x, code FROM (
+         |    SELECT s.id, s.sub, s.x, b.code,
+         |           row_number() OVER (PARTITION BY s.id, s.sub ORDER BY $l2, b.code) AS rn
+         |    FROM psud s JOIN pbd$r b USING (sub)) WHERE rn = 1),
+         |psums$r AS (SELECT sub, code, t.i AS i, sum(x[t.i])::BIGINT AS sx, count(*) AS cnt
+         |            FROM pasg$r, unnest(range(1, $dsub + 1)) AS t(i) GROUP BY sub, code, t.i),
+         |pnw$r AS (SELECT sub, code, list(sx // cnt ORDER BY i) AS cw FROM psums$r GROUP BY sub, code),
+         |pb$r AS (SELECT p.sub, p.code, coalesce(nw.cw, p.cw) AS cw
+         |         FROM $prev p LEFT JOIN pnw$r nw USING (sub, code))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       |ifx AS (SELECT id, [floor(x * 1048576.0)::BIGINT FOR x IN v] AS f FROM e),
+       |ipn AS (SELECT n.id, n.v, n.nrm, ifx.f FROM n JOIN ifx USING (id)),
+       |ic0 AS (SELECT row_number() OVER (ORDER BY md5('cent:' || id), id) - 1 AS cid, f
+       |        FROM (SELECT id, f FROM ifx ORDER BY md5('cent:' || id), id LIMIT $nlist)),
+       |$ivfRoundCtes,
+       |icdnF AS (SELECT cid, cfd, sqrt(list_inner_product(cfd, cfd)) AS cfn
+       |          FROM (SELECT cid, [x::DOUBLE FOR x IN f] AS cfd FROM ic$ivfRounds)),
+       |isimsF AS (
+       |  SELECT n.id, n.v, n.nrm, c.cid,
+       |         list_inner_product(n.v, c.cfd) / (n.nrm * c.cfn) AS csim
+       |  FROM n, icdnF c),
+       |irankedF AS (
+       |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS crn
+       |  FROM isimsF),
+       |iassign AS (SELECT id, cid FROM irankedF WHERE crn = 1),
+       |iprobes AS (SELECT id AS query_id, v AS qv, nrm AS qnorm, cid
+       |            FROM irankedF WHERE $queryPred AND crn <= $nprobe),
+       |pfu AS (SELECT id, [floor(x / nrm * 1048576.0)::BIGINT FOR x IN v] AS f FROM n),
+       |psu AS (SELECT id, s.s AS sub, f[s.s*$dsub+1 : s.s*$dsub+$dsub] AS x
+       |        FROM pfu, unnest(range(0, $m)) AS s(s)),
+       |psud AS (SELECT id, sub, x, [xx::DOUBLE FOR xx IN x] AS xd FROM psu),
+       |pord AS (SELECT id, row_number() OVER (ORDER BY md5('cent:' || id), id) - 1 AS code
+       |         FROM (SELECT id FROM pfu ORDER BY md5('cent:' || id), id LIMIT $ksub)),
+       |pb0 AS (SELECT psu.sub, pord.code, psu.x AS cw FROM pord JOIN psu USING (id)),
+       |$pqRoundCtes,
+       |pbdF AS (SELECT sub, code, cw, [c::DOUBLE FOR c IN cw] AS cd FROM pb$pqRounds),
+       |penc AS (SELECT id, sub, code FROM (
+       |    SELECT s.id, s.sub, b.code,
+       |           row_number() OVER (PARTITION BY s.id, s.sub ORDER BY $l2, b.code) AS rn
+       |    FROM psud s JOIN pbdF b USING (sub)) WHERE rn = 1),
+       |precon AS (SELECT penc.id, flatten(list(b.cd ORDER BY penc.sub)) AS rv
+       |           FROM penc JOIN pbdF b ON penc.sub = b.sub AND penc.code = b.code GROUP BY penc.id),
+       |prcn AS (SELECT id, rv, sqrt(list_inner_product(rv, rv)) AS rnorm FROM precon),
+       |sc AS (SELECT p.query_id, a.id AS neighbor_id,
+       |              list_inner_product(p.qv, x.rv) / (p.qnorm * x.rnorm) AS sim
+       |       FROM iassign a JOIN iprobes p ON a.cid = p.cid AND a.id <> p.query_id
+       |       JOIN prcn x ON x.id = a.id),
+       |shortl AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS srn
+       |    FROM sc) WHERE srn <= $shortlist),
+       |ex AS (SELECT s.query_id, s.neighbor_id,
+       |              list_inner_product(q.v, x.v) / (q.nrm * x.nrm) AS sim
+       |       FROM shortl s JOIN n q ON q.id = s.query_id JOIN n x ON x.id = s.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+       |      FROM ex)
+       |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rnk
+       |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+}

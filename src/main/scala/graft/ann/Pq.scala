@@ -123,18 +123,24 @@ object Pq {
     * exactly in double), and the cosine consumes the same sequential
     * doubles as a from-scratch reconstruction — MAP-ONLY over the codes
     * table; the only shuffles downstream are the two-phase top-k's. */
-  private def adcScores(codes: DataFrame, books: DataFrame, q: DataFrame, ksub: Int): DataFrame =
+  /** Adds (rv, rnorm) — the reconstructed unit vector and its norm —
+    * to any DataFrame carrying a `codes` column, map-side off the
+    * broadcast codebook lookup array. */
+  private[ann] def adcAugment(codes: DataFrame, books: DataFrame, ksub: Int): DataFrame =
     codes.join(broadcast(booksArray(books, ksub)))
       .withColumn("rv", flatten(transform(col("codes"), (code, sub) =>
         element_at(col("barr"), (sub * ksub + code + lit(1)).cast("int")))))
       .withColumn("rnorm", sqrt(dot(col("rv"), col("rv"))))
+
+  private def adcScores(codes: DataFrame, books: DataFrame, q: DataFrame, ksub: Int): DataFrame =
+    adcAugment(codes, books, ksub)
       .join(broadcast(q), col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         (dot(col("qv"), col("rv")) / (col("qnorm") * col("rnorm"))).as("sim"))
 
   /** Exact rerank of a (query, neighbor) shortlist: only these rows —
     * queries·shortlist of them — ever read full-precision vectors. */
-  private def rerank(short: DataFrame, e: DataFrame, q: DataFrame, k: Int): DataFrame = {
+  private[ann] def rerank(short: DataFrame, e: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val exact = broadcast(short)
       .join(e, col("neighbor_id") === col("id"))
       .join(broadcast(q), Seq("query_id"))

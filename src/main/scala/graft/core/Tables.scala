@@ -16,4 +16,39 @@ object Tables {
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
   }
+
+  /** Compact a standing index table by REMOVING the given ids — the
+    * supersede step shared by every graft index family (shingle, LSH
+    * sketch, IVF inverted file, PQ codes). The table is NOT recomputed:
+    * its existing rows are filtered through a broadcast anti-join on
+    * `id` and rewritten UNDER THE TABLE'S OWN bucket/sort spec (read
+    * from the catalog) into a swap table that atomically takes the
+    * index's name — the same rewrite-not-delete-in-place discipline as
+    * the reference's log compaction. Companions keyed by id are
+    * compacted by calling this on them too. */
+  def compactById(spark: SparkSession, table: String,
+                  ids: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val drop = broadcast(ids.select(col(ids.columns.head).as("id")).distinct())
+    val bucketSpec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec
+    val cols = spark.table(table).columns
+    val tmp = table + "__compact"
+    Tables.drop(spark, tmp)
+    val writer = spark.table(table).join(drop, Seq("id"), "left_anti")
+      .select(cols.map(col).toIndexedSeq: _*) // anti-join fronts the key; restore order
+      .write
+    bucketSpec match {
+      case Some(bs) =>
+        val b = writer.bucketBy(bs.numBuckets,
+          bs.bucketColumnNames.head, bs.bucketColumnNames.tail: _*)
+        (if (bs.sortColumnNames.nonEmpty)
+           b.sortBy(bs.sortColumnNames.head, bs.sortColumnNames.tail: _*)
+         else b).saveAsTable(tmp)
+      case None => writer.saveAsTable(tmp)
+    }
+    Tables.drop(spark, table)
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+  }
 }

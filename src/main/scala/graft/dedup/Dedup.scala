@@ -246,21 +246,8 @@ object Dedup {
     * deletes in place). The `_hot` stop list stays as-of-build. */
   def compactShingleIndex(spark: org.apache.spark.sql.SparkSession, table: String,
                           ids: DataFrame): Unit = {
-    val drop = broadcast(ids.select(col(ids.columns.head).as("id")).distinct())
-    val buckets = spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .bucketSpec.map(_.numBuckets).getOrElse(32)
-    val tmp = table + "__compact"
-    Seq(tmp, s"${tmp}_sizes").foreach(graft.core.Tables.drop(spark, _))
-    spark.table(table).join(drop, Seq("id"), "left_anti")
-      .select("id", "s")
-      .write.bucketBy(buckets, "s").sortBy("s").saveAsTable(tmp)
-    spark.table(s"${table}_sizes").join(drop, Seq("id"), "left_anti")
-      .write.saveAsTable(s"${tmp}_sizes")
-    graft.core.Tables.drop(spark, table)
-    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
-    graft.core.Tables.drop(spark, s"${table}_sizes")
-    spark.sql(s"ALTER TABLE `${tmp}_sizes` RENAME TO `${table}_sizes`")
+    graft.core.Tables.compactById(spark, table, ids)
+    graft.core.Tables.compactById(spark, s"${table}_sizes", ids)
   }
 
   /** Exact n-gram Jaccard similarity join via the inverted index:

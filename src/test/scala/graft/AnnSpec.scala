@@ -162,6 +162,46 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"PQ recall@5 too low on clustered corpus: $recall")
   }
 
+  test("sketch index compact + absorb ≡ rebuild (vector re-ingest loop)") {
+    val table = "ann_idx_absorb_spec"
+    def probe(t: String) = Ann.lshTopKIndexed(spark, t, col("id") < 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // build on the corpus MINUS a batch, then absorb the batch: sketches
+    // are deterministic, so the result must equal the full build exactly
+    val batch = emb.filter(col("vec_id") >= 480)
+    Ann.buildAnnIndex(emb.filter(col("vec_id") < 480), "embedding", "vec_id", 64, table, buckets = 8)
+    Ann.absorbIntoAnnIndex(spark, batch, "embedding", "vec_id", table)
+    val full = "ann_idx_absorb_full"
+    Ann.buildAnnIndex(emb, "embedding", "vec_id", 64, full, buckets = 8)
+    assert(probe(table) == probe(full), "absorb must reproduce the full build")
+    // supersede loop: compact the batch back out — probes now equal the
+    // pre-absorb index
+    Ann.compactAnnIndex(spark, table, batch.select(col("vec_id").as("id")))
+    val minus = "ann_idx_absorb_minus"
+    Ann.buildAnnIndex(emb.filter(col("vec_id") < 480), "embedding", "vec_id", 64, minus, buckets = 8)
+    assert(probe(table) == probe(minus), "compact must remove exactly the batch")
+  }
+
+  test("inverted file compact + absorb under the frozen quantizer ≡ the original build") {
+    val table = "ivf_idx_absorb_spec"
+    def probe() = Ann.ivfTopKIndexed(spark, table, col("id") < 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    Ann.buildIvfIndex(emb, "embedding", "vec_id", table, buckets = 8)
+    val before = probe()
+    def rows() = spark.table(table).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet // (id, cid)
+    val beforeRows = rows()
+    // re-ingest round trip: compact a slice out, absorb the same vectors
+    // back — cell routing under the frozen _cent is deterministic, so
+    // the inverted file (and every probe) must come back identical
+    val slice = emb.filter(col("vec_id") % 5 === 0)
+    Ann.compactIvfIndex(spark, table, slice.select(col("vec_id").as("id")))
+    assert(rows() != beforeRows, "compact must actually remove the slice")
+    Ann.absorbIntoIvfIndex(spark, slice, "embedding", "vec_id", table)
+    assert(rows() == beforeRows)
+    assert(probe() == before)
+  }
+
   test("standing PQ index: probe ADC-scans stored codes only — no re-train, no re-encode") {
     import graft.ann.Pq
     val table = "pq_idx_spec"
@@ -181,6 +221,39 @@ class AnnSpec extends SparkSpec {
     assert(scans(s"${table}_books") >= 1, s"codebooks must come from the companion:\n$plan")
     assert(!plan.contains("min_by"), s"probe plan re-encodes the corpus:\n$plan")
     assert(!plan.contains("posexplode"), s"probe plan re-derives subspace rows:\n$plan")
+  }
+
+  test("IVF×PQ: routed ADC recall vs brute force; probe decodes probed cells only") {
+    import graft.ann.IvfPq
+    val s = spark
+    import s.implicits._
+    // clustered corpus (the regime where cell routing + coarse codes
+    // must retrieve cluster-mates; see the PQ recall spec)
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian()))
+    val clustered = (0 until 320).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.toSeq.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val truth = Ann.bruteForceTopK(clustered, "embedding", "vec_id", col("id") < 10, 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val table = "ivfpq_idx_spec"
+    IvfPq.buildIvfPqIndex(clustered, "embedding", "vec_id", table, dims = 64)
+    val got = IvfPq.ivfPqTopKIndexed(spark, table, clustered, "embedding", "vec_id",
+        col("id") < 10, 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.5, s"IVF×PQ recall@5 too low on clustered corpus: $recall")
+    // probe plan: one inverted-file scan, decode off the codebook
+    // companion, route off the centroid companion — no re-train
+    // (min_by) and no re-encode (posexplode) anywhere
+    val plan = planOf(IvfPq.ivfPqTopKIndexed(spark, table, clustered, "embedding", "vec_id",
+      col("id") < 10, 5))
+    def scans(t: String) = plan.sliding(s"Scan parquet spark_catalog.default.$t\n".length)
+      .count(_ == s"Scan parquet spark_catalog.default.$t\n")
+    assert(scans(table) == 1, s"inverted file scanned ${scans(table)}×:\n$plan")
+    assert(scans(s"${table}_books") >= 1 && scans(s"${table}_cent") >= 1, plan)
+    assert(!plan.contains("min_by") && !plan.contains("posexplode"), plan)
   }
 
   test("ivf cell assignment is map-only (no corpus shuffle before scoring)") {
