@@ -25,19 +25,27 @@ object Checkpoints {
 
   // last dir this object installed — re-install when the session conf
   // changes mid-session instead of silently keeping the stale path
+  // (SparkContext stores a UUID-qualified subpath, so the raw conf
+  // value must be tracked here to detect changes)
   private var installed: Option[String] = None
 
   def truncate(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(ConfKey) match {
       case Some(dir) =>
+        // the checkpoint dir is SparkContext-GLOBAL while the conf is
+        // per-session-clone: hold the lock across install AND
+        // checkpoint() so two clones configured with DIFFERENT dirs
+        // cannot interleave and land checkpoints under each other's
+        // path. Reliable checkpoints are rare, coarse operations — the
+        // serialization cost is irrelevant next to the job itself.
         synchronized {
           if (!installed.contains(dir) || spark.sparkContext.getCheckpointDir.isEmpty) {
             spark.sparkContext.setCheckpointDir(dir)
             installed = Some(dir)
           }
+          df.checkpoint()
         }
-        df.checkpoint()
       case None => df.localCheckpoint()
     }
   }

@@ -27,16 +27,22 @@ object Tables {
     * the reference's log compaction. Companions keyed by id are
     * compacted by calling this on them too. */
   def compactById(spark: SparkSession, table: String,
-                  ids: org.apache.spark.sql.DataFrame): Unit = {
+                  ids: org.apache.spark.sql.DataFrame): Unit =
+    compactByKey(spark, table, ids, "id")
+
+  /** `compactById` for an arbitrary key column (the hot-list refresh
+    * drops rows by SHINGLE, not by doc id). */
+  def compactByKey(spark: SparkSession, table: String,
+                   keys: org.apache.spark.sql.DataFrame, keyCol: String): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    val drop = broadcast(ids.select(col(ids.columns.head).as("id")).distinct())
+    val drop = broadcast(keys.select(col(keys.columns.head).as(keyCol)).distinct())
     val bucketSpec = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec
     val cols = spark.table(table).columns
     val tmp = table + "__compact"
     Tables.drop(spark, tmp)
-    val writer = spark.table(table).join(drop, Seq("id"), "left_anti")
+    val writer = spark.table(table).join(drop, Seq(keyCol), "left_anti")
       .select(cols.map(col).toIndexedSeq: _*) // anti-join fronts the key; restore order
       .write
     bucketSpec match {

@@ -65,7 +65,7 @@ object Dedup {
   def buildShingleIndex(docs: DataFrame, textCol: String, idCol: String, n: Int,
                         table: String, buckets: Int = 32, maxDf: Int = 10000): String = {
     val spark = docs.sparkSession
-    Seq(table, s"${table}_hot", s"${table}_sizes", s"${table}_batches")
+    Seq(table, s"${table}_hot", s"${table}_sizes", s"${table}_batches", s"${table}_absorbed")
       .foreach(graft.core.Tables.drop(spark, _))
     // one tokenizer pass feeds both the df aggregate and the index write
     // (set graft.checkpointDir so the materialization is reliable — and
@@ -214,10 +214,14 @@ object Dedup {
     * `ngramJaccardDelta` for LATER batches pairs against this batch
     * like any other corpus member. Append-only: to RE-ingest an id,
     * first `compactShingleIndex` its old version out, then absorb —
-    * exactly the reference's compact-then-append log discipline; the
-    * stop list stays as-of-build until a full rebuild refreshes it. */
+    * exactly the reference's compact-then-append log discipline. The
+    * stop list stays as-of-build between refreshes; the absorbed-row
+    * ledger (`<table>_absorbed`) drives `maybeRefreshHotList`, which
+    * re-caps boilerplate that became hot through absorbed batches
+    * without a rebuild. */
   def absorbIntoShingleIndex(spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
                              textCol: String, idCol: String, n: Int, table: String): Unit = {
+    import spark.implicits._
     val capped = shingles(batch, textCol, idCol, n)
       .join(broadcast(spark.table(s"${table}_hot")), Seq("s"), "left_anti")
       .transform(graft.core.Checkpoints.truncate)
@@ -230,10 +234,63 @@ object Dedup {
       .write.mode("append").bucketBy(buckets, "s").sortBy("s").saveAsTable(table)
     capped.groupBy("id").agg(count(lit(1)).as("sz"))
       .write.mode("append").saveAsTable(s"${table}_sizes")
+    // drift ledger: absorbed shingle-row volume since the last hot-list
+    // refresh (or build) — `maybeRefreshHotList` reads its sum
+    Seq(capped.count()).toDF("n_rows")
+      .write.mode("append").saveAsTable(s"${table}_absorbed")
     // drop any cached file listing so the caller's next read (possibly
     // through a different session clone) sees the appended files
     spark.catalog.refreshTable(table)
     spark.catalog.refreshTable(s"${table}_sizes")
+  }
+
+  /** Re-derive the stop-shingle list from the CURRENT index — the
+    * drift valve for long-running ingest: `absorbIntoShingleIndex`
+    * caps batches only by the as-of-build `_hot`, so boilerplate that
+    * becomes frequent ONLY through absorbed batches is never capped
+    * until this runs. Because every surviving instance of such a
+    * shingle is an index row, df over the index equals df over the
+    * combined corpus — so (old `_hot`) ∪ (index df > maxDf) is EXACTLY
+    * the hot set a full rebuild at the same cap would compute, and
+    * after the newly-hot rows are compacted out (bucketed anti-join
+    * rewrite, `Tables.compactByKey`) and `_sizes` is recomputed from
+    * the rewritten index, every artifact equals that rebuild's. One
+    * index-wide aggregate + one rewrite — no re-tokenization. */
+  def refreshHotList(spark: org.apache.spark.sql.SparkSession, table: String,
+                     maxDf: Int = 10000): Unit = {
+    val newHot = graft.core.Checkpoints.truncate(
+      spark.table(table).groupBy("s").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDf).select("s"))
+    if (!newHot.isEmpty) {
+      newHot.write.mode("append").saveAsTable(s"${table}_hot")
+      graft.core.Tables.compactByKey(spark, table, newHot, "s")
+      val tmp = s"${table}_sizes__refresh"
+      graft.core.Tables.drop(spark, tmp)
+      spark.table(table).groupBy("id").agg(count(lit(1)).as("sz"))
+        .write.saveAsTable(tmp)
+      graft.core.Tables.drop(spark, s"${table}_sizes")
+      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `${table}_sizes`")
+    }
+    graft.core.Tables.drop(spark, s"${table}_absorbed") // ledger reset
+    spark.catalog.refreshTable(table)
+    spark.catalog.refreshTable(s"${table}_sizes")
+  }
+
+  /** Run `refreshHotList` when the absorbed-row ledger has crossed
+    * `refreshRows` — the cadence hook a deployment calls after each
+    * absorb (or per streaming batch). Returns whether it refreshed.
+    * The ledger read is a sum over one tiny table (one row per absorb
+    * since the last refresh). */
+  def maybeRefreshHotList(spark: org.apache.spark.sql.SparkSession, table: String,
+                          maxDf: Int = 10000, refreshRows: Long = 10000000L): Boolean = {
+    val absorbed =
+      if (!spark.catalog.tableExists(s"${table}_absorbed")) 0L
+      else {
+        val r = spark.table(s"${table}_absorbed").agg(sum("n_rows")).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+    if (absorbed >= refreshRows) { refreshHotList(spark, table, maxDf); true }
+    else false
   }
 
   /** Compact the standing shingle index by REMOVING the given ids — the

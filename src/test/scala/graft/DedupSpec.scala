@@ -98,6 +98,50 @@ class DedupSpec extends SparkSpec {
     assert(fp(1L) != fp(3L))
   }
 
+  test("hot-list refresh caps boilerplate introduced by absorbed batches; refreshed index ≡ rebuild") {
+    val s = spark
+    import s.implicits._
+    // build-time corpus: diverse docs, nothing hot at maxDf=3
+    val corpus = (0L until 6L).map(i => (i, s"c${i}a c${i}b c${i}c c${i}d c${i}e")).toDF("doc_id", "text")
+    val table = "shingle_idx_hotdrift"
+    Dedup.buildShingleIndex(corpus, "text", "doc_id", 3, table, buckets = 4, maxDf = 3)
+    assert(s.table(s"${table}_hot").isEmpty)
+    // absorbed batches share a boilerplate phrase — its shingles cross
+    // maxDf only across the absorbed stream, so the as-of-build hot
+    // list never caps them
+    val batches = (10L until 16L).map(i => (i, s"spam ham eggs x$i y$i")).toDF("doc_id", "text")
+    (10L until 16L).foreach { i =>
+      Dedup.absorbIntoShingleIndex(s, batches.filter(col("doc_id") === i), "text", "doc_id", 3, table)
+    }
+    val hotShingle = "spam ham eggs" // df = 6 > maxDf = 3 across the absorbed stream
+    assert(s.table(table).filter(col("s") === hotShingle).count() == 6,
+      "pre-refresh: the drifted boilerplate sits uncapped in the index")
+    // threshold not reached -> no refresh; reached -> refresh runs
+    assert(!Dedup.maybeRefreshHotList(s, table, maxDf = 3, refreshRows = 1000000L))
+    assert(Dedup.maybeRefreshHotList(s, table, maxDf = 3, refreshRows = 1L))
+    assert(s.table(table).filter(col("s") === hotShingle).count() == 0)
+    assert(s.table(s"${table}_hot").filter(col("s") === hotShingle).count() == 1)
+    // the refreshed artifacts equal a from-scratch rebuild at the same cap
+    val rebuilt = "shingle_idx_hotdrift_rebuilt"
+    Dedup.buildShingleIndex(corpus.unionByName(batches), "text", "doc_id", 3, rebuilt,
+      buckets = 4, maxDf = 3)
+    def rows(t: String) = s.table(t)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("s"))).toSet
+    def sizes(t: String) = s.table(s"${t}_sizes")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("sz"))).toSet
+    def hot(t: String) = s.table(s"${t}_hot").collect().map(_.getString(0)).toSet
+    assert(rows(table) == rows(rebuilt))
+    assert(sizes(table) == sizes(rebuilt))
+    assert(hot(table) == hot(rebuilt))
+    // and a later delta sees identical scores through either index
+    val next = Seq((20L, "spam ham eggs x10 y10")).toDF("doc_id", "text")
+    def delta(t: String) = Dedup.ngramJaccardDelta(s, next, "text", "doc_id", 3, 0.1, t, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(delta(table) == delta(rebuilt))
+    // the ledger reset: another immediate refresh is a no-op
+    assert(!Dedup.maybeRefreshHotList(s, table, maxDf = 3, refreshRows = 1L))
+  }
+
   test("keepCanonical keeps one doc per cluster plus all unpaired docs") {
     val s = spark
     import s.implicits._
