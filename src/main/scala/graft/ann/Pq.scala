@@ -100,12 +100,20 @@ object Pq {
     * ksub ≤ 256). */
   def encode(emb: DataFrame, vecCol: String, idCol: String, books: DataFrame,
              m: Int = 8, dims: Int = 0): DataFrame = {
-    val e = Ann.normed(emb, vecCol, idCol)
-    val d = if (dims > 0) dims else emb.select(size(col(vecCol))).head().getInt(0)
-    assign(subRows(e, m, d / m), books)
-      .groupBy("id")
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
-        s => s.getField("code")).as("codes"))
+    // the codebook is metadata-sized (m·ksub rows) — collect it once
+    // and fuse the whole encode into the codegen'd per-row PqEncode
+    // kernel: corpus encoding becomes ONE map-only pass with zero
+    // Exchanges (the declarative subspace-explode + broadcast-join +
+    // two-aggregation route paid two corpus-keyed shuffles; engine
+    // exactness is argued at graft.functions.PqEncode)
+    val rows = books.select(col("sub").cast("int"), col("code").cast("int"), col("cw")).collect()
+    val ksub = rows.iterator.map(_.getInt(1)).max + 1
+    val tbl = new Array[Array[Long]](m * ksub)
+    rows.foreach { r => tbl(r.getInt(0) * ksub + r.getInt(1)) = r.getSeq[Long](2).toArray }
+    import org.apache.spark.sql.graft.ColumnBridge
+    emb.select(col(idCol).as("id"),
+      ColumnBridge.column(graft.functions.PqEncode(
+        ColumnBridge.expr(col(vecCol)), tbl, m, ksub)).as("codes"))
   }
 
   /** The m·ksub codebook collapsed to ONE lookup-array row (element

@@ -184,6 +184,83 @@ case class Md5Lane64(child: Expression)
     copy(child = newChild)
 }
 
+/** Native PQ encoder: raw vector → m sub-codes in ONE per-row pass —
+  * norm, fixed-point unit projection, and the per-subspace argmin over
+  * the (driver-collected, metadata-sized) codebook all fused, so corpus
+  * encoding is map-only with NO subspace explode, broadcast join, or
+  * (id, sub)/(id) aggregation shuffles (the declarative route paid two
+  * corpus-keyed Exchanges).
+  *
+  * Engine-exact vs the DuckDB oracle: every quantity is an INTEGER in
+  * exact double range — fu = floor(x/‖v‖·2^20) reproduces `unitFixed`
+  * including evaluation order; Σ(fu−cw)² in long equals the oracle's
+  * double ‖x‖²−2x·c+‖c‖² algebraically (all terms ≤ 2^45, exact in
+  * both arithmetics); ties break to the lowest code, matching the
+  * oracle's `ORDER BY l2, code`. */
+case class PqEncode(child: Expression, books: Array[Array[Long]], m: Int, ksub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(s"pq_encode needs array<float|double>, got $t")
+  }
+
+  /** codegen + interpreted entry point */
+  def evalArray(v: ArrayData): ArrayData = {
+    val isF = elemIsFloat
+    val n = v.numElements()
+    var s = 0.0
+    var d = 0
+    while (d < n) {
+      val x = if (isF) v.getFloat(d).toDouble else v.getDouble(d)
+      s += x * x; d += 1
+    }
+    val norm = math.sqrt(s)
+    val fu = new Array[Long](n)
+    d = 0
+    while (d < n) {
+      val x = if (isF) v.getFloat(d).toDouble else v.getDouble(d)
+      fu(d) = math.floor(x / norm * 1048576.0).toLong; d += 1
+    }
+    val dsub = n / m
+    val codes = new Array[Long](m)
+    var sub = 0
+    while (sub < m) {
+      var bestCode = -1L
+      var bestD2 = Long.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val cw = books(sub * ksub + c)
+        if (cw != null) {
+          var d2 = 0L
+          var j = 0
+          while (j < dsub) { val diff = fu(sub * dsub + j) - cw(j); d2 += diff * diff; j += 1 }
+          if (d2 < bestD2) { bestD2 = d2; bestCode = c } // ascending c: ties keep lowest
+        }
+        c += 1
+      }
+      codes(sub) = bestCode
+      sub += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override def nullSafeEval(a: Any): Any = evalArray(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqEncode", this, classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev,
+      v => s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.evalArray($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** Column-level dot product over array<float>/array<double>. */
