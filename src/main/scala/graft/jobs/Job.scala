@@ -41,6 +41,26 @@ final case class FunctionSource(fn: SparkSession => DataFrame) extends Source {
   def read(spark: SparkSession): DataFrame = fn(spark)
 }
 
+/** Reference: SampleSource (internal/jobs/source/sample_source.go:25) —
+  * generates `numberOfEntities` synthetic entities under the
+  * `http://data.samplesource.org/` namespace, resuming from the
+  * incremental `since` offset token (the reference's continuation is
+  * the end index). `spark.range` partitions the generation, so a
+  * billion sample entities is a map-only distributed job, not a
+  * driver loop. */
+final case class SampleSource(numberOfEntities: Long, since: Option[Long] = None) extends Source {
+  def read(spark: SparkSession): DataFrame = {
+    val start = math.min(since.getOrElse(0L), numberOfEntities)
+    spark.range(start, numberOfEntities)
+      .select(concat(lit(s"${SampleSource.Namespace}e-"), col("id")).as("id"),
+        col("id").as("recorded"), lit(false).as("deleted"))
+  }
+  /** The continuation token a completed read advances to. */
+  def nextToken: Long = numberOfEntities
+}
+
+object SampleSource { val Namespace = "http://data.samplesource.org/" }
+
 /** Reference: UnionDatasetSource — ordered concatenation of dataset
   * sources; the `dataset` tag keeps provenance (and makes the union
   * restartable per-leg, mirroring the reference's continuation-token
@@ -144,6 +164,12 @@ final case class Job(
     requeueTo: Option[Sink] = None
 ) {
   def run(spark: SparkSession, registry: Option[DatasetRegistry] = None): Unit = {
+    Metrics.timing(s"job.$id")
+    try runInner(spark, registry)
+    finally Metrics.timing(s"job.$id", send = true)
+  }
+
+  private def runInner(spark: SparkSession, registry: Option[DatasetRegistry]): Unit = {
     val out = transform(source.read(spark))
     // NULL counts as FAILING: an entity whose validation predicate can't
     // even evaluate (e.g. a JSON extract on malformed props) must land in

@@ -454,6 +454,44 @@ class JobsSpec extends SparkSpec {
     assert(flatBytes > 0)
   }
 
+  test("sample source generates the namespaced entity range and resumes from the since token") {
+    val full = SampleSource(5L).read(spark)
+    assert(full.count() == 5)
+    assert(full.select("id").orderBy("recorded").collect().map(_.getString(0)).head ==
+      "http://data.samplesource.org/e-0")
+    // incremental resume: the continuation token is the end index
+    val resumed = SampleSource(5L, since = Some(3L)).read(spark)
+    assert(resumed.select("id").collect().map(_.getString(0)).toSet ==
+      Set("http://data.samplesource.org/e-3", "http://data.samplesource.org/e-4"))
+    // past-the-end token = empty tick
+    assert(SampleSource(5L, since = Some(5L)).read(spark).isEmpty)
+    assert(SampleSource(5L).nextToken == 5L)
+  }
+
+  test("Timing/Log hooks: explicit start/send pairs record; every job run is timed") {
+    val s = spark
+    import s.implicits._
+    Metrics.clear()
+    // the reference's transform-authoring pattern: hooks called inside
+    // the transform closure
+    val reg = new DatasetRegistry
+    Job("timed_job", FunctionSource(_ => Seq(1).toDF("x")),
+      transform = df => {
+        Metrics.timing("xform.section")
+        val out = df.withColumn("y", col("x") * 2)
+        Metrics.timing("xform.section", send = true)
+        Metrics.log("built plan for timed_job") // dev-loop Log hook
+        out
+      },
+      sink = DatasetSink(reg, "out")).run(s, Some(reg))
+    assert(Metrics.timings("xform.section").size == 1)
+    assert(Metrics.timings("job.timed_job").size == 1)
+    assert(Metrics.timings("job.timed_job").head > 0)
+    // send without a pending start is a tolerated no-op
+    Metrics.timing("never.started", send = true)
+    assert(Metrics.timings("never.started").isEmpty)
+  }
+
   test("incremental DatasetSource honors the since token with latestOnly") {
     val s = spark
     import s.implicits._
