@@ -83,6 +83,39 @@ object IvfPq {
     Pq.rerank(short, e, q, k)
   }
 
+  /** Absorb a batch of NEW vectors into the standing IVF×PQ index:
+    * the batch is ENCODED under the frozen `<table>_books` codebook
+    * (one map-only `PqEncode` pass) and ROUTED under the frozen
+    * `<table>_cent` quantizer, then appended under the cid bucket spec
+    * — the coarse structure and the codebooks are as-of-build, exactly
+    * how a faiss IVF-PQ `add` behaves; re-train by rebuilding.
+    * Append-only: to re-ingest an id, `compactIvfPqIndex` first. With
+    * both artifacts frozen, compact + absorb round-trips the index
+    * bit-for-bit. */
+  def absorbIntoIvfPqIndex(spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+                           vecCol: String, idCol: String, table: String): Unit = {
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(16)
+    // m = 0: encode derives the subspace count from the codebook itself
+    val codes = Pq.encode(batch, vecCol, idCol, spark.table(s"${table}_books"), m = 0)
+    val assign = Ann.normed(batch, vecCol, idCol)
+      .join(broadcast(spark.table(s"${table}_cent")))
+      .withColumn("cid", Ann.sortedCells.getItem(0).getField("cid"))
+      .select("id", "cid")
+    assign.join(codes, Seq("id"))
+      .write.mode("append").bucketBy(buckets, "cid").sortBy("cid")
+      .saveAsTable(table)
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Remove the given ids from the standing IVF×PQ index (anti-join
+    * rewrite + atomic rename; the `_cent`/`_books` companions are
+    * as-of-build metadata and stay untouched). */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                        ids: DataFrame): Unit =
+    graft.core.Tables.compactById(spark, table, ids)
+
   /** DuckDB SQL re-deriving the WHOLE IVF×PQ pipeline from scratch:
     * the IVF chain (`Ann.ivfKmeansOracleSql`'s CTEs, prefixed `i`)
     * trains the router and assigns cells + probe sets; the PQ chain

@@ -107,13 +107,14 @@ object Pq {
     // two-aggregation route paid two corpus-keyed shuffles; engine
     // exactness is argued at graft.functions.PqEncode)
     val rows = books.select(col("sub").cast("int"), col("code").cast("int"), col("cw")).collect()
+    val mEff = if (m > 0) m else rows.iterator.map(_.getInt(0)).max + 1
     val ksub = rows.iterator.map(_.getInt(1)).max + 1
-    val tbl = new Array[Array[Long]](m * ksub)
+    val tbl = new Array[Array[Long]](mEff * ksub)
     rows.foreach { r => tbl(r.getInt(0) * ksub + r.getInt(1)) = r.getSeq[Long](2).toArray }
     import org.apache.spark.sql.graft.ColumnBridge
     emb.select(col(idCol).as("id"),
       ColumnBridge.column(graft.functions.PqEncode(
-        ColumnBridge.expr(col(vecCol)), tbl, m, ksub)).as("codes"))
+        ColumnBridge.expr(col(vecCol)), tbl, mEff, ksub)).as("codes"))
   }
 
   /** The m·ksub codebook collapsed to ONE lookup-array row (element

@@ -256,6 +256,23 @@ class AnnSpec extends SparkSpec {
     assert(!plan.contains("min_by") && !plan.contains("posexplode"), plan)
   }
 
+  test("IVF×PQ compact + absorb under frozen quantizer/codebooks round-trips the index") {
+    import graft.ann.IvfPq
+    val table = "ivfpq_idx_absorb_spec"
+    IvfPq.buildIvfPqIndex(emb, "embedding", "vec_id", table)
+    def rows() = spark.table(table).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    def probe() = IvfPq.ivfPqTopKIndexed(spark, table, emb, "embedding", "vec_id", col("id") < 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val (beforeRows, beforeProbe) = (rows(), probe())
+    val slice = emb.filter(col("vec_id") % 7 === 0)
+    IvfPq.compactIvfPqIndex(spark, table, slice.select(col("vec_id").as("id")))
+    assert(rows() != beforeRows, "compact must actually remove the slice")
+    IvfPq.absorbIntoIvfPqIndex(spark, slice, "embedding", "vec_id", table)
+    assert(rows() == beforeRows, "frozen-artifact re-encode + re-route must restore every row")
+    assert(probe() == beforeProbe)
+  }
+
   test("ivf cell assignment is map-only (no corpus shuffle before scoring)") {
     val plan = planOf(Ann.ivfTopK(emb, "embedding", "vec_id", col("id") < 10, 5))
     // the round-2 shape amplified the corpus nlist× through a
