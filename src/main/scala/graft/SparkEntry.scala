@@ -489,6 +489,36 @@ object SparkEntry {
       s.read.parquet(pairs).select("a", "b", "jac").orderBy("a", "b")
     }),
 
+    "d11_stream_embed_dedup" -> ((s, dir) => {
+      // streaming embedding dedup: perturbed near-dup copies of
+      // vec_id < 100 arrive as two micro-batches, dedup against the
+      // standing sketch index (batch × corpus rides the buckets), and
+      // absorb — the union of per-batch pairs must equal the one-shot
+      // exact pair set involving streamed ids (recall 1 at 0.9, as d5)
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val perturbed = e.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, (x.cast("double") + lit(0.1d)).cast("float")).otherwise(x)).as("embedding"))
+      val table = "ann_idx_stream_d11"
+      Ann.buildAnnIndex(e, "embedding", "vec_id", dims = 64, table, tables = 8, bits = 8, buckets = 16)
+      val chunks = java.nio.file.Files.createTempDirectory("graft_vd_chunks_").toString
+      Seq((0L, 50L, "a"), (50L, 100L, "b")).zipWithIndex.foreach { case ((lo, hi, name), i) =>
+        val tmp = java.nio.file.Files.createTempDirectory("graft_vd_tmp_").toString
+        perturbed.filter(col("vec_id") >= 10000 + lo && col("vec_id") < 10000 + hi)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+        val dest = java.nio.file.Paths.get(chunks, s"$name.parquet")
+        java.nio.file.Files.copy(part.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+      }
+      val pairs = java.nio.file.Files.createTempDirectory("graft_vd_pairs_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_vd_ckpt_").toString
+      OnChange.streamingVectorDedup(s, chunks, "embedding", "vec_id", table, 0.9, pairs, ckpt)
+      s.read.parquet(pairs).select("a", "b", "sim").orderBy("a", "b")
+    }),
+
     "d9_contamination" -> ((s, dir) => {
       // decontamination: per eval doc, the fraction of its 3-grams that
       // appear anywhere in the training split — high containment = the
@@ -1211,6 +1241,23 @@ object SparkEntry {
         | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
         |FROM u a JOIN u b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
+        |ORDER BY a, b""".stripMargin,
+
+    // the one-shot exact pair set involving at least one streamed id
+    // (a < b and streamed ids are the +10000 range, so "b >= 10000"
+    // covers every such pair); cross-batch + batch×corpus + batch-local
+    // pairs each surface exactly once across the per-batch outputs
+    "d11_stream_embed_dedup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (SELECT vec_id + 10000 AS vec_id,
+        |        [CASE WHEN i = 1 THEN ((embedding[i]::DOUBLE + 0.1)::FLOAT) ELSE embedding[i] END
+        |         for i in range(1, len(embedding)+1)] AS embedding FROM e WHERE vec_id < 100),
+        |u AS (SELECT * FROM e UNION ALL SELECT * FROM p)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
+        |  AND b.vec_id >= 10000
         |ORDER BY a, b""".stripMargin,
 
     "s1_ann_bruteforce" ->

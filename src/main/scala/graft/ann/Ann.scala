@@ -297,7 +297,8 @@ object Ann {
                     buckets: Int = 32): String = {
     val spark = emb.sparkSession
     import spark.implicits._
-    Seq(table, s"${table}_meta").foreach(graft.core.Tables.drop(spark, _))
+    Seq(table, s"${table}_meta", s"${table}_batches")
+      .foreach(graft.core.Tables.drop(spark, _))
     val e = normed(emb, vecCol, idCol)
     e.select(col("id"), col("v"), col("norm"),
         explode(array((0 until tables).map(t =>
@@ -374,7 +375,8 @@ object Ann {
                     table: String, nlist: Int = 16, buckets: Int = 16,
                     rounds: Int = 2): String = {
     val spark = emb.sparkSession
-    Seq(table, s"${table}_cent").foreach(graft.core.Tables.drop(spark, _))
+    Seq(table, s"${table}_cent", s"${table}_batches")
+      .foreach(graft.core.Tables.drop(spark, _))
     val e = normed(emb, vecCol, idCol)
     (if (rounds > 0) trainCentroids(emb, vecCol, idCol, nlist, rounds)
      else sampleCentroids(emb, vecCol, idCol, nlist))

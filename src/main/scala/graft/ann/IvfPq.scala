@@ -35,7 +35,7 @@ object IvfPq {
                       nlist: Int = 16, ivfRounds: Int = 2, m: Int = 8, ksub: Int = 16,
                       pqRounds: Int = 1, dims: Int = 0, buckets: Int = 16): String = {
     val spark = emb.sparkSession
-    Seq(table, s"${table}_cent", s"${table}_books")
+    Seq(table, s"${table}_cent", s"${table}_books", s"${table}_batches")
       .foreach(graft.core.Tables.drop(spark, _))
     Ann.trainCentroids(emb, vecCol, idCol, nlist, ivfRounds)
       .write.mode("overwrite").saveAsTable(s"${table}_cent")

@@ -126,15 +126,12 @@ object Pq {
         (col("sub") * ksub + col("code")).as("idx"), fixedD(col("cw")).as("cd")))),
       s => s.getField("cd")).as("barr"))
 
-  /** ADC scores of every corpus code row against the broadcast query
-    * set: rv is rebuilt per row from the broadcast codebook array (m
-    * lookups + one flatten), rnorm is exact (int-valued squares sum
-    * exactly in double), and the cosine consumes the same sequential
-    * doubles as a from-scratch reconstruction — MAP-ONLY over the codes
-    * table; the only shuffles downstream are the two-phase top-k's. */
   /** Adds (rv, rnorm) — the reconstructed unit vector and its norm —
     * to any DataFrame carrying a `codes` column, map-side off the
-    * broadcast codebook lookup array. */
+    * broadcast codebook lookup array: m lookups + one flatten per row,
+    * rnorm exact (int-valued squares sum exactly in double), and the
+    * downstream cosine consumes the same sequential doubles as a
+    * from-scratch reconstruction. MAP-ONLY over the codes side. */
   private[ann] def adcAugment(codes: DataFrame, books: DataFrame, ksub: Int): DataFrame =
     codes.join(broadcast(booksArray(books, ksub)))
       .withColumn("rv", flatten(transform(col("codes"), (code, sub) =>
@@ -189,7 +186,8 @@ object Pq {
   def buildPqIndex(emb: DataFrame, vecCol: String, idCol: String, table: String,
                    m: Int = 8, ksub: Int = 16, rounds: Int = 1, dims: Int = 0): String = {
     val spark = emb.sparkSession
-    Seq(table, s"${table}_books").foreach(graft.core.Tables.drop(spark, _))
+    Seq(table, s"${table}_books", s"${table}_batches")
+      .foreach(graft.core.Tables.drop(spark, _))
     trainCodebooks(emb, vecCol, idCol, m, ksub, rounds, dims)
       .write.mode("overwrite").saveAsTable(s"${table}_books")
     encode(emb, vecCol, idCol, spark.table(s"${table}_books"), m, dims)

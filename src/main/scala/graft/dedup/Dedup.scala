@@ -666,6 +666,44 @@ object Dedup {
       .distinct()
   }
 
+  /** INCREMENTAL embedding near-dup — `ngramJaccardDelta`'s pattern
+    * for vectors: a new embedding batch dedups against the STANDING
+    * sketch index (`Ann.buildAnnIndex`) without re-sketching or
+    * re-scanning the corpus — candidates are (new × corpus) through
+    * the bucketed (t, sk) equi-join plus (new × new) from the batch
+    * itself; corpus × corpus never runs. Batch sketches re-derive from
+    * the `_meta` companion's parameters (planes are deterministic).
+    * Supersede semantics: ids the batch re-emits leave the corpus side
+    * before pairing. Every candidate is verified EXACTLY with the
+    * codegen'd DotProduct kernel, map-side out of the join. */
+  def embeddingNearDupDelta(spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+                            vecCol: String, idCol: String, indexTable: String,
+                            threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.{dot, l2norm}
+    val meta = spark.table(s"${indexTable}_meta").head()
+    val (tables, bits, dims) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val e = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("norm", l2norm(col("v")))
+    val nb = e.select(col("id"), col("v"), col("norm"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), graft.ann.Ann.sketch(col("v"), dims, t, bits).as("sk"))): _*)).as("b"))
+      .select(col("id"), col("v"), col("norm"), col("b.t").as("t"), col("b.sk").as("sk"))
+    val batchIds = batch.select(col(idCol).as("id")).distinct()
+    val corpus = spark.table(indexTable).join(broadcast(batchIds), Seq("id"), "left_anti")
+    val sim = dot(col("x.v"), col("y.v")) / (col("x.norm") * col("y.norm"))
+    val newPairs = nb.as("x").join(nb.as("y"),
+        col("x.t") === col("y.t") && col("x.sk") === col("y.sk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"), sim.as("simraw"))
+    val crossPairs = nb.as("x").join(corpus.as("y"),
+        col("x.t") === col("y.t") && col("x.sk") === col("y.sk") && col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("a"),
+        greatest(col("x.id"), col("y.id")).as("b"), sim.as("simraw"))
+    newPairs.unionByName(crossPairs)
+      .filter(col("simraw") >= threshold)
+      .select(col("a"), col("b"), round(col("simraw"), 4).as("sim"))
+      .distinct()
+  }
+
   /** Embedding cosine near-dup pairs (exact all-pairs). The small-side
     * is broadcast; the dot product is graft's codegen'd DotProduct
     * kernel (double accumulation over the raw float arrays — numerically

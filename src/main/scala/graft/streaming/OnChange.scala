@@ -260,6 +260,51 @@ object OnChange {
     spark.catalog.refreshTable(s"${indexTable}_sizes")
   }
 
+  /** STREAMING incremental embedding dedup — `streamingDedupDelta`'s
+    * operational loop for VECTORS: each micro-batch of new embeddings
+    * dedups against the standing sketch index
+    * (`Dedup.embeddingNearDupDelta`: batch × corpus through the
+    * bucketed (t, sk) join, corpus × corpus never runs), appends its
+    * pairs per-batch, and is absorbed (`Ann.absorbIntoAnnIndex`) so
+    * later batches pair against earlier ones without a rescan. Same
+    * replay contract as the text loop: per-batch overwrite + a
+    * `<indexTable>_batches` marker guarding the absorb; re-emitted ids
+    * are compacted out before absorbing (supersede, never double). */
+  def streamingVectorDedup(spark: SparkSession, embDir: String, vecCol: String,
+                           idCol: String, indexTable: String, threshold: Double,
+                           pairsPath: String, checkpointDir: String): Unit = {
+    val schema = spark.read.parquet(embDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(embDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bs = batch.sparkSession
+        import bs.implicits._
+        val markers = s"${indexTable}_batches"
+        if (!bs.catalog.tableExists(markers) ||
+            bs.table(markers).filter(col("batch_id") === batchId).isEmpty) {
+          graft.dedup.Dedup
+            .embeddingNearDupDelta(bs, batch, vecCol, idCol, indexTable, threshold)
+            .write.mode("overwrite").parquet(s"$pairsPath/batch_id=$batchId")
+          val batchIds = batch.select(col(idCol).as("id")).distinct()
+          val overlap = bs.table(indexTable)
+            .join(broadcast(batchIds), Seq("id"), "leftsemi")
+            .select("id").distinct()
+          if (!overlap.isEmpty)
+            graft.ann.Ann.compactAnnIndex(bs, indexTable, overlap)
+          graft.ann.Ann.absorbIntoAnnIndex(bs, batch, vecCol, idCol, indexTable)
+          Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(markers)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.catalog.refreshTable(indexTable)
+  }
+
   /** One event version of one entity (user) in the change stream. */
   final case class EventVersion(user_id: Long, event_id: Long, event_type: String, value: Double)
 

@@ -257,6 +257,55 @@ class StreamingSpec extends SparkSpec {
     assert(sizes(table) == sizes(fullRebuilt))
   }
 
+  test("streaming vector dedup: batches absorb into the sketch index; replay is idempotent") {
+    val s = spark
+    import s.implicits._
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(64)(r.nextGaussian().toFloat)
+    }
+    def near(v: Seq[Float]): Seq[Float] = v.updated(0, (v.head.toDouble + 0.1).toFloat)
+    val corpus = Seq((1L, vec(1)), (2L, vec(2))).toDF("vec_id", "embedding")
+    // batch 1 brings a near-dup of corpus vector 1 and a fresh vector;
+    // batch 2 brings a near-dup of BATCH 1's fresh vector — detectable
+    // only because batch 1 was absorbed
+    val b1 = Seq((10L, near(vec(1))), (11L, vec(3))).toDF("vec_id", "embedding")
+    val b2 = Seq((20L, near(vec(3)))).toDF("vec_id", "embedding")
+    val table = "ann_idx_vstreamspec"
+    graft.ann.Ann.buildAnnIndex(corpus, "embedding", "vec_id", 64, table, bits = 8, buckets = 4)
+    val chunks = java.nio.file.Files.createTempDirectory("graft_vsd_chunks_").toString
+    def chunk(df: org.apache.spark.sql.DataFrame, name: String, order: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_vsd_tmp_").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(chunks, name)
+      java.nio.file.Files.copy(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + order * 10000L))
+    }
+    chunk(b1, "a.parquet", 0)
+    chunk(b2, "b.parquet", 1)
+    val pairs = java.nio.file.Files.createTempDirectory("graft_vsd_pairs_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_vsd_ckpt_").toString
+    OnChange.streamingVectorDedup(s, chunks, "embedding", "vec_id", table, 0.9, pairs, ckpt)
+    def readPairs() = s.read.parquet(pairs)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Number]("batch_id").longValue())).toSet
+    // (1,10) vs corpus in batch 0; (11,20) vs the ABSORBED batch 1
+    assert(readPairs() == Set((1L, 10L, 0L), (11L, 20L, 1L)), readPairs().toString)
+    // replay with a fresh checkpoint: markers skip both batches
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_vsd_ckpt2_").toString
+    OnChange.streamingVectorDedup(s, chunks, "embedding", "vec_id", table, 0.9, pairs, ckpt2)
+    assert(readPairs() == Set((1L, 10L, 0L), (11L, 20L, 1L)), readPairs().toString)
+    // absorbed index equals a from-scratch build over corpus∪b1∪b2
+    val rebuilt = "ann_idx_vstreamspec_rebuilt"
+    graft.ann.Ann.buildAnnIndex(corpus.unionByName(b1).unionByName(b2),
+      "embedding", "vec_id", 64, rebuilt, bits = 8, buckets = 4)
+    def rows(t: String) = s.table(t)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("t"), r.getAs[Int]("sk"))).toSet
+    assert(rows(table) == rows(rebuilt))
+  }
+
   test("streamed incremental agg equals batch agg") {
     val path = s"$sfDir/events.parquet"
     val streamed = OnChange.aggregateEvents(spark, path)
