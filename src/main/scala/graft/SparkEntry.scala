@@ -529,6 +529,15 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "d12_semantic_dedup" -> ((s, dir) =>
+      // SemDeDup: k-means cells route the near-dup scan — pairs are
+      // only generated inside a cluster, so the corpus shuffles once on
+      // cid instead of the d7 all-pairs kernel; drop rule = smaller-id
+      // representative wins at >= 0.4 cosine
+      graft.ann.SemDedup.semanticDedup(t(s, dir, "embeddings"), "embedding", "vec_id",
+          nlist = 16, rounds = 2, threshold = 0.4)
+        .orderBy("id")),
+
     "d7_embedding_simjoin" -> ((s, dir) =>
       // EXACT similarity join at a moderate threshold (LSH recall can't
       // reach 1 down here) — block-pair replication: no broadcast of the
@@ -1277,6 +1286,9 @@ object SparkEntry {
     "s4_ann_indexed" -> Ann.lshOracleSql(dims = 64, k = 5),
 
     "s3_ann_ivf" -> Ann.ivfKmeansOracleSql(k = 5),
+
+    "d12_semantic_dedup" ->
+      graft.ann.SemDedup.oracleSql(nlist = 16, rounds = 2, threshold = 0.4),
 
     "s7_ann_pq" -> graft.ann.Pq.oracleSql(k = 5),
 

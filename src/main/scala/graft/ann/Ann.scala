@@ -234,7 +234,26 @@ object Ann {
     * `floor`, `//` ≡ Spark `div`) and every cosine consumes identical
     * doubles sequentially on both engines. */
   def ivfKmeansOracleSql(k: Int, nlist: Int = 16, nprobe: Int = 4, rounds: Int = 2,
-                         queryPred: String = "id < 10"): String = {
+                         queryPred: String = "id < 10"): String =
+    s"""WITH ${kmeansAssignCtes(nlist, rounds)},
+       |probes AS (SELECT id AS query_id, v AS qv, nrm AS qnorm, cid
+       |           FROM rankedF WHERE $queryPred AND crn <= $nprobe),
+       |sc AS (
+       |  SELECT p.query_id, a.id AS neighbor_id,
+       |         list_inner_product(a.v, p.qv) / (a.nrm * p.qnorm) AS sim
+       |  FROM assign a JOIN probes p ON a.cid = p.cid AND a.id <> p.query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+       |  FROM sc)
+       |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rnk
+       |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+
+  /** The k-means derivation CTE chain shared by `ivfKmeansOracleSql` and
+    * `SemDedup.oracleSql`: seed, unrolled Lloyd rounds, and the final
+    * per-row argmax — ending in `rankedF` (all (id, cid) similarities
+    * ranked) and `assign` (each id's nearest cell). */
+  private[ann] def kmeansAssignCtes(nlist: Int, rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       val prev = s"c${r - 1}"
       s"""cdn$r AS (SELECT cid, cfd, sqrt(list_inner_product(cfd, cfd)) AS cfn
@@ -254,7 +273,7 @@ object Ann {
          |c$r AS (SELECT p.cid, coalesce(nw.f, p.f) AS f FROM $prev p LEFT JOIN nw$r nw USING (cid))"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
        |fx AS (SELECT id, [floor(x * ${FixedScale})::BIGINT FOR x IN v] AS f FROM e),
        |pn AS (SELECT n.id, n.v, n.nrm, fx.f FROM n JOIN fx USING (id)),
@@ -270,19 +289,7 @@ object Ann {
        |rankedF AS (
        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS crn
        |  FROM simsF),
-       |assign AS (SELECT id, v, nrm, cid FROM rankedF WHERE crn = 1),
-       |probes AS (SELECT id AS query_id, v AS qv, nrm AS qnorm, cid
-       |           FROM rankedF WHERE $queryPred AND crn <= $nprobe),
-       |sc AS (
-       |  SELECT p.query_id, a.id AS neighbor_id,
-       |         list_inner_product(a.v, p.qv) / (a.nrm * p.qnorm) AS sim
-       |  FROM assign a JOIN probes p ON a.cid = p.cid AND a.id <> p.query_id),
-       |r AS (
-       |  SELECT query_id, neighbor_id, sim,
-       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
-       |  FROM sc)
-       |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rnk
-       |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+       |assign AS (SELECT id, v, nrm, cid FROM rankedF WHERE crn = 1)""".stripMargin
   }
 
   /** Materialize the LSH sketch index as a BUCKETED table keyed by the

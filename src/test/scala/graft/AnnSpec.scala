@@ -281,4 +281,38 @@ class AnnSpec extends SparkSpec {
     // the two-phase top-k (keyed by query_id) and the 1-row centroid agg
     assert(!plan.contains("hashpartitioning(id#"), plan)
   }
+
+  test("semantic dedup drops the planted duplicate, keeps the min-id representative") {
+    import graft.ann.SemDedup
+    // an exact copy of vector 0 under a larger id must land in the same
+    // cell (identical argmax, same tie-break) and be the dropped side
+    val dup = emb.filter(col("vec_id") === 0).withColumn("vec_id", lit(10000L))
+    val out = SemDedup.semanticDedup(emb.unionByName(dup), "embedding", "vec_id",
+        threshold = 0.99)
+      .select("id", "keep").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(10000L) == 0, "planted duplicate must be dropped")
+    assert(out(0L) == 1, "the min-id representative must be kept")
+  }
+
+  test("semantic dedup is sound (every drop has a smaller-id exact witness) and cluster-local") {
+    import graft.ann.SemDedup
+    val out = SemDedup.semanticDedup(emb, "embedding", "vec_id", threshold = 0.4)
+    val dropped = out.filter(col("keep") === 0).select("id").collect().map(_.getLong(0)).toSet
+    // exact all-pairs ground truth at the same threshold: a dropped id
+    // must be the larger side of SOME >= 0.4 pair (cluster-local
+    // candidates are a subset of the exact pair set)
+    val witnesses = graft.dedup.Dedup.embeddingSimJoin(emb, "embedding", "vec_id", 0.4)
+      .select("b").collect().map(_.getLong(0)).toSet
+    assert(dropped.subsetOf(witnesses), s"unsound drops: ${dropped -- witnesses}")
+    // the pair pass must be a cid-keyed equi-join, never an all-pairs
+    // product: the only conditionless joins allowed are the 1-row
+    // centroid-array attaches (BNLJ by construction — the map-side
+    // projection shape ivfTopK uses), one per roster branch (pair-join
+    // sides + output roster), each printed twice by the formatted plan
+    val plan = planOf(out)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 6, plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan)
+  }
 }
