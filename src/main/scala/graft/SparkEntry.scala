@@ -529,6 +529,12 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "d13_boilerplate" -> ((s, dir) =>
+      // cross-doc boilerplate spans: 3-grams occurring in >= 3 docs;
+      // per-doc ratio of shared spans (template/mirror detector)
+      Dedup.boilerplate(t(s, dir, "documents"), "text", "doc_id", 3, 3)
+        .orderBy("id")),
+
     "d12_semantic_dedup" -> ((s, dir) =>
       // SemDeDup: k-means cells route the near-dup scan — pairs are
       // only generated inside a cluster, so the corpus shuffles once on
@@ -617,6 +623,28 @@ object SparkEntry {
     "x6_keywords" -> ((s, dir) =>
       TextAnalysis.keywords(t(s, dir, "documents"), "text", "doc_id", 3)
         .orderBy("doc_id", "rnk")),
+
+    "x7_pii_scrub" -> ((s, dir) => {
+      // the corpus is synthetic word salad, so PII is PLANTED
+      // deterministically (the d5 idiom: identical construction in the
+      // oracle) and then scrubbed by the map-only redaction pass
+      val planted = t(s, dir, "documents").withColumn("text", concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" reach me at user"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" call 555-867-5309")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" from host 10.1.2."), col("doc_id") % 256)).otherwise(lit(""))))
+      TextAnalysis.piiScrub(planted, "text", "doc_id").orderBy("doc_id")
+    }),
+
+    "p2_weighted_sample" -> ((s, dir) =>
+      // training-mix sampling: downweight the dominant language,
+      // lightly trim fr, pass the rest — decided per row by the
+      // deterministic md5 hash, so the sampled corpus is reproducible
+      TextAnalysis.weightedSample(t(s, dir, "documents"), "doc_id", "lang",
+          rates = Map("en" -> 0.35, "fr" -> 0.8))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
 
     // ===== composite pipeline ===========================================
     // The full training-data prep loop: language gate + quality gate +
@@ -1094,6 +1122,31 @@ object SparkEntry {
         |SELECT window_start, event_type, count(*) AS n, round(sum(value),2) AS sum_value
         |FROM cover GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "p2_weighted_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ('0x' || substr(md5('samp:' || doc_id), 1, 8))::BIGINT <
+         |  CASE lang WHEN 'en' THEN ${TextAnalysis.sampleThreshold(0.35)}
+         |            WHEN 'fr' THEN ${TextAnalysis.sampleThreshold(0.8)}
+         |            ELSE ${TextAnalysis.sampleThreshold(1.0)} END
+         |ORDER BY doc_id""".stripMargin,
+
+    "x7_pii_scrub" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 7 = 0 THEN ' reach me at user' || doc_id || '@example.com' ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END
+         |    || CASE WHEN doc_id % 3 = 0 THEN ' from host 10.1.2.' || (doc_id % 256) ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '${TextAnalysis.EmailRe}'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(text, '${TextAnalysis.IpRe}'))::BIGINT AS n_ips,
+         |  len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}'))::BIGINT AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.IpRe}', '<IP>', 'g'),
+         |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g')) AS scrubbed_md5
+         |FROM aug ORDER BY doc_id""".stripMargin,
+
     "x6_keywords" ->
       """WITH w AS (
         |  SELECT doc_id,
@@ -1289,6 +1342,23 @@ object SparkEntry {
 
     "d12_semantic_dedup" ->
       graft.ann.SemDedup.oracleSql(nlist = 16, rounds = 2, threshold = 0.4),
+
+    "d13_boilerplate" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[t.i:t.i+2], ' ') AS s
+        |  FROM words, unnest(range(1, len(ws)-1)) AS t(i)),
+        |df_ AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+        |per AS (
+        |  SELECT sh.doc_id AS id, count(*) AS n_shingles,
+        |         count(CASE WHEN df_.df >= 3 THEN 1 END) AS n_boiler
+        |  FROM sh JOIN df_ USING (s) GROUP BY 1)
+        |SELECT id, n_shingles, n_boiler,
+        |       (n_boiler * 1000 // n_shingles) / 1000.0 AS boiler_ratio
+        |FROM per ORDER BY id""".stripMargin,
 
     "s7_ann_pq" -> graft.ann.Pq.oracleSql(k = 5),
 

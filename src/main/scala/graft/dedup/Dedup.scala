@@ -454,6 +454,32 @@ object Dedup {
         (expr("n_hit * 1000 div n_shingles") / lit(1000.0d)).as("containment"))
   }
 
+  /** Cross-doc boilerplate detection (the template/nav-chrome pass of a
+    * C4-style cleaning pipeline): an n-gram is BOILERPLATE when it
+    * occurs in ≥ `minDocs` distinct documents; each doc reports how
+    * much of it is made of such shared spans. High-ratio docs are
+    * templates/mirrors — the complement of x5's intra-doc repetition
+    * and d9's cross-corpus containment.
+    *
+    * Shape: one tokenize pass (materialized once, like ngramJaccard),
+    * one df aggregate keyed by shingle (map-side partial), one
+    * shingle-keyed join back, one per-doc aggregate — all shuffles on
+    * high-cardinality keys, no driver-side set, no broadcast of
+    * anything corpus-sized. This is also the USER-FACING face of the
+    * `_hot` stop-list machinery the standing index maintains
+    * internally (buildShingleIndex/refreshHotList). */
+  def boilerplate(docs: DataFrame, textCol: String, idCol: String,
+                  n: Int, minDocs: Int): DataFrame = {
+    val sh = graft.core.Checkpoints.truncate(shingles(docs, textCol, idCol, n))
+    val boiler = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+    sh.join(boiler.select(col("s"), lit(1).as("__b")), Seq("s"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("__b")).as("n_boiler"))
+      .select(col("id"), col("n_shingles"), col("n_boiler"),
+        (expr("n_boiler * 1000 div n_shingles") / lit(1000.0d)).as("boiler_ratio"))
+  }
+
   /** 64-bit SimHash fingerprint per doc: bit j of the fingerprint is the
     * sign of Σ_tokens ±count (sign = bit j of the token hash). Computed
     * as 64 parallel conditional sums in ONE hash aggregate straight off

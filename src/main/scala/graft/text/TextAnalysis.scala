@@ -157,4 +157,66 @@ object TextAnalysis {
       col(idCol),
       md5(col(textCol)).as("content_md5"),
       graft.functions.PolyHash.polyHash(col(textCol)).as("rolling_hash"))
+
+  // --- PII scrubbing -----------------------------------------------------
+
+  /** PII patterns shared verbatim by the Spark path and the DuckDB
+    * oracle: RE2-compatible (no backrefs/lookaround), so Java regex and
+    * DuckDB find identical matches. Scrub order is fixed (email → IP →
+    * phone) — emails are scrubbed first so their digit runs can't be
+    * re-matched by the narrower numeric patterns. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Redact emails/IPv4s/phone numbers from a text column — the
+    * pre-training privacy pass. Pure per-row projection (three codegen
+    * regexp_replace chained + three regexp_count), zero shuffle: the
+    * 100 TB shape is one map-only pass over the corpus scan. Output:
+    * match counts per category + md5 of the scrubbed text (callers
+    * wanting the text itself use `piiScrubText`). */
+  def piiScrub(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(IpRe)).cast("long").as("n_ips"),
+      regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phones"),
+      md5(piiScrubText(col(textCol))).as("scrubbed_md5"))
+
+  /** The scrubbed text column itself (for pipelines that re-emit docs). */
+  def piiScrubText(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(EmailRe), lit("<EMAIL>")),
+        lit(IpRe), lit("<IP>")),
+      lit(PhoneRe), lit("<PHONE>"))
+
+  // --- weighted corpus sampling ------------------------------------------
+
+  /** `rate` as an exact integer threshold against the 32-bit uniform
+    * hash (`u < threshold` ⇔ keep with probability `rate`) — integer
+    * compares keep the decision bit-identical across engines and runs. */
+  def sampleThreshold(rate: Double): Long = (rate * 4294967296.0d).toLong
+
+  /** Deterministic per-row uniform in [0, 2^32): the first 8 hex digits
+    * of `md5(seed ':' id)`. Pure projection — reproducible on any
+    * engine, any partitioning, any run. */
+  def sampleHash(id: Column, seed: String): Column =
+    conv(substring(md5(concat(lit(seed + ":"), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Weighted corpus sampling / mixing: keep each row with a per-group
+    * probability (`rates`, e.g. per-language quotas — the training-mix
+    * knob), decided by the deterministic hash above. Map-only, zero
+    * shuffle, no RNG state: the 100 TB shape is a codegen'd filter over
+    * the scan, and re-running the pipeline reproduces the exact same
+    * corpus (the property seeded `sample()` loses on re-partitioning). */
+  def weightedSample(docs: DataFrame, idCol: String, groupCol: String,
+                     rates: Map[String, Double], default: Double = 1.0,
+                     seed: String = "samp"): DataFrame = {
+    val thr = rates.foldLeft(lit(sampleThreshold(default))) { case (acc, (k, r)) =>
+      when(col(groupCol) === k, lit(sampleThreshold(r))).otherwise(acc)
+    }
+    docs.filter(sampleHash(col(idCol), seed) < thr)
+  }
 }

@@ -399,4 +399,21 @@ class DedupSpec extends SparkSpec {
     } yield (ia, ib)).toSet
     assert(got == expect)
   }
+
+  test("boilerplate: shared spans counted per doc, unique content scores zero") {
+    import spark.implicits._
+    // "x y z" lives in 3 docs (boilerplate at minDocs=3); everything
+    // else is unique to its doc
+    val docs = Seq(
+      (1L, "x y z a b c"),  // 4 trigrams, 1 boiler
+      (2L, "x y z d e f"),
+      (3L, "p x y z q r"),
+      (4L, "u v w m n o")   // nothing shared
+    ).toDF("doc_id", "text")
+    val out = Dedup.boilerplate(docs, "text", "doc_id", 3, 3)
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 1L, 1L, 0L), out.mkString(","))
+    assert(out(0).getLong(1) == 4 && out(0).getDouble(3) == 0.25)
+    assert(out(3).getDouble(3) == 0.0)
+  }
 }

@@ -103,4 +103,42 @@ class TextMultimodalSpec extends SparkSpec {
     val plan = planOf(TextAnalysis.qualityScore(docs, "text", "doc_id"))
     assert(!plan.contains("Exchange"), "quality scoring must not shuffle:\n" + plan)
   }
+
+  test("pii scrub redacts emails, ips and phones; counts match; map-only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail jo.doe@corp.example.org then 10.0.0.7 or call 555-123-4567 x2 a@b.io"),
+      (2L, "no pii here just words"),
+      (3L, "dots 1.2.3.4 and 987-654-3210")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs, "text", "doc_id").orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 2 && out(0).getLong(2) == 1 && out(0).getLong(3) == 1)
+    assert(out(1).getLong(1) == 0 && out(1).getLong(2) == 0 && out(1).getLong(3) == 0)
+    assert(out(2).getLong(2) == 1 && out(2).getLong(3) == 1)
+    val scrubbed = docs.select(TextAnalysis.piiScrubText(col("text")).as("s"))
+      .orderBy(col("s")).collect().map(_.getString(0))
+    assert(scrubbed.exists(_ == "mail <EMAIL> then <IP> or call <PHONE> x2 <EMAIL>"), scrubbed.mkString("|"))
+    assert(scrubbed.exists(_ == "dots <IP> and <PHONE>"))
+    val plan = planOf(TextAnalysis.piiScrub(docs, "text", "doc_id"))
+    assert(!plan.contains("Exchange"), "pii scrub must not shuffle:\n" + plan)
+  }
+
+  test("weighted sampling: deterministic, rate-accurate, map-only") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val rates = Map("en" -> 0.35, "fr" -> 0.8)
+    val kept = TextAnalysis.weightedSample(docs, "doc_id", "lang", rates)
+    val a = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = TextAnalysis.weightedSample(docs, "doc_id", "lang", rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "sampling must be reproducible run-to-run")
+    // empirical rate on the downsampled group: binomial sd at n≈200,
+    // p=.35 is ~.034 — a ±0.15 band is a >4-sigma sanity check
+    val en = docs.filter(col("lang") === "en").count().toDouble
+    val enKept = kept.filter(col("lang") === "en").count().toDouble
+    assert(math.abs(enKept / en - 0.35) < 0.15, s"en rate ${enKept / en}")
+    // untouched groups pass through whole
+    val de = docs.filter(col("lang") === "de").count()
+    assert(kept.filter(col("lang") === "de").count() == de)
+    val plan = planOf(kept)
+    assert(!plan.contains("Exchange"), "sampling must not shuffle:\n" + plan)
+  }
 }
