@@ -535,6 +535,23 @@ object SparkEntry {
       Dedup.boilerplate(t(s, dir, "documents"), "text", "doc_id", 3, 3)
         .orderBy("id")),
 
+    "d14_semantic_delta" -> ((s, dir) => {
+      // incremental semantic dedup: the standing inverted file carries
+      // the frozen quantizer; a batch of NEW vectors (perturbed copies
+      // of ids < 100, the d5 construction) routes to its cells and
+      // pairs only against cell members + itself — corpus × corpus
+      // never runs, nothing re-trains
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val batch = e.filter(col("vec_id") < 100).select(
+        (col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, (x.cast("double") + lit(0.1d)).cast("float")).otherwise(x)).as("embedding"))
+      val table = "ivf_idx_d14"
+      Ann.buildIvfIndex(e, "embedding", "vec_id", table)
+      graft.ann.SemDedup.semanticDedupDelta(s, batch, "embedding", "vec_id", table, 0.9)
+        .orderBy("a", "b")
+    }),
+
     "d12_semantic_dedup" -> ((s, dir) =>
       // SemDeDup: k-means cells route the near-dup scan — pairs are
       // only generated inside a cluster, so the corpus shuffles once on
@@ -1342,6 +1359,9 @@ object SparkEntry {
 
     "d12_semantic_dedup" ->
       graft.ann.SemDedup.oracleSql(nlist = 16, rounds = 2, threshold = 0.4),
+
+    "d14_semantic_delta" ->
+      graft.ann.SemDedup.deltaOracleSql(nlist = 16, rounds = 2, threshold = 0.9),
 
     "d13_boilerplate" ->
       """WITH words AS (

@@ -251,9 +251,12 @@ object Ann {
 
   /** The k-means derivation CTE chain shared by `ivfKmeansOracleSql` and
     * `SemDedup.oracleSql`: seed, unrolled Lloyd rounds, and the final
-    * per-row argmax — ending in `rankedF` (all (id, cid) similarities
-    * ranked) and `assign` (each id's nearest cell). */
-  private[ann] def kmeansAssignCtes(nlist: Int, rounds: Int): String = {
+    * per-row argmax — ending in `cdnF` (final centroids), `rankedF`
+    * (all (id, cid) similarities ranked) and `assign` (each id's
+    * nearest cell). `srcPred` restricts the training/assignment corpus
+    * (the delta oracles train on the standing corpus only). */
+  private[ann] def kmeansAssignCtes(nlist: Int, rounds: Int,
+                                    srcPred: String = "TRUE"): String = {
     val roundCtes = (1 to rounds).map { r =>
       val prev = s"c${r - 1}"
       s"""cdn$r AS (SELECT cid, cfd, sqrt(list_inner_product(cfd, cfd)) AS cfn
@@ -273,7 +276,7 @@ object Ann {
          |c$r AS (SELECT p.cid, coalesce(nw.f, p.f) AS f FROM $prev p LEFT JOIN nw$r nw USING (cid))"""
         .stripMargin
     }.mkString(",\n")
-    s"""e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE $srcPred),
        |n AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
        |fx AS (SELECT id, [floor(x * ${FixedScale})::BIGINT FOR x IN v] AS f FROM e),
        |pn AS (SELECT n.id, n.v, n.nrm, fx.f FROM n JOIN fx USING (id)),

@@ -66,4 +66,70 @@ object SemDedup {
        |  WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= $threshold)
        |SELECT a.id, a.cid, CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS keep
        |FROM assign a LEFT JOIN drp d ON a.id = d.id ORDER BY a.id""".stripMargin
+
+  /** INCREMENTAL semantic dedup — d8/d11's ingest discipline for the
+    * k-means-cell family: a new batch routes to cells under the
+    * STANDING inverted file's FROZEN `_cent` quantizer
+    * (`Ann.buildIvfIndex`; the coarse structure is as-of-build, same
+    * contract as `absorbIntoIvfIndex`) and pairs only against the
+    * members of its own cells (batch × corpus rides the bucketed cid
+    * join) plus the batch itself. Corpus × corpus never runs; no
+    * re-training, no corpus re-assignment. Supersede semantics: ids
+    * the batch re-emits leave the corpus side before pairing. Output
+    * is `(a, b, sim)` pairs ≥ threshold, a < b — feed `clusters`/
+    * `keepCanonical`, then `absorbIntoIvfIndex` the survivors. */
+  def semanticDedupDelta(spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+                         vecCol: String, idCol: String, indexTable: String,
+                         threshold: Double): DataFrame = {
+    val cent = spark.table(s"${indexTable}_cent")
+    val nb = Ann.normed(batch, vecCol, idCol).join(broadcast(cent))
+      .withColumn("cid", Ann.sortedCells.getItem(0).getField("cid"))
+      .select(col("id"), col("v"), col("norm"), col("cid"))
+    val batchIds = batch.select(col(idCol).as("id")).distinct()
+    val corpus = spark.table(indexTable).join(broadcast(batchIds), Seq("id"), "left_anti")
+    val sim = Ann.cosine(col("x.v"), col("y.v"), col("x.norm"), col("y.norm"))
+    val newPairs = nb.as("x").join(nb.as("y"),
+        col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"), sim.as("simraw"))
+    val crossPairs = nb.as("x").join(corpus.as("y"),
+        col("x.cid") === col("y.cid") && col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("a"),
+        greatest(col("x.id"), col("y.id")).as("b"), sim.as("simraw"))
+    newPairs.unionByName(crossPairs)
+      .filter(col("simraw") >= threshold)
+      .select(col("a"), col("b"), round(col("simraw"), 4).as("sim"))
+  }
+
+  /** DuckDB SQL re-deriving `semanticDedupDelta` under the d5/d11
+    * planted-batch construction: k-means trained on the standing
+    * corpus (the full embeddings table — the batch is NEW ids), the
+    * batch (perturbed copies of `vec_id < batchN`, ids +10000) routed
+    * through the FINAL centroids (`cdnF`), then batch × batch and
+    * batch × corpus cell-local pairs. */
+  def deltaOracleSql(nlist: Int = 16, rounds: Int = 2, threshold: Double = 0.9,
+                     batchN: Int = 100): String =
+    s"""WITH ${Ann.kmeansAssignCtes(nlist, rounds)},
+       |bat0 AS (
+       |  SELECT vec_id + 10000 AS id,
+       |    [CASE WHEN i = 1 THEN ((embedding[i]::DOUBLE + 0.1)::FLOAT) ELSE embedding[i] END
+       |     for i in range(1, len(embedding)+1)] AS fv
+       |  FROM embeddings WHERE vec_id < $batchN),
+       |bat AS (SELECT id, fv::DOUBLE[] AS v,
+       |               sqrt(list_inner_product(fv::DOUBLE[], fv::DOUBLE[])) AS nrm FROM bat0),
+       |basgr AS (
+       |  SELECT b.id, b.v, b.nrm, c.cid,
+       |         row_number() OVER (PARTITION BY b.id
+       |           ORDER BY list_inner_product(b.v, c.cfd) / (b.nrm * c.cfn) DESC, c.cid) AS rn
+       |  FROM bat b, cdnF c),
+       |basg AS (SELECT id, v, nrm, cid FROM basgr WHERE rn = 1),
+       |bb AS (
+       |  SELECT x.id AS a, y.id AS b,
+       |         list_inner_product(x.v, y.v) / (x.nrm * y.nrm) AS s
+       |  FROM basg x JOIN basg y ON x.cid = y.cid AND x.id < y.id),
+       |bc AS (
+       |  SELECT least(x.id, y.id) AS a, greatest(x.id, y.id) AS b,
+       |         list_inner_product(x.v, y.v) / (x.nrm * y.nrm) AS s
+       |  FROM basg x JOIN assign y ON x.cid = y.cid AND x.id <> y.id),
+       |u AS (SELECT * FROM bb UNION ALL SELECT * FROM bc)
+       |SELECT a, b, round(s, 4) AS sim FROM u WHERE s >= $threshold ORDER BY a, b""".stripMargin
 }

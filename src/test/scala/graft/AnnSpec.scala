@@ -294,6 +294,31 @@ class AnnSpec extends SparkSpec {
     assert(out(0L) == 1, "the min-id representative must be kept")
   }
 
+  test("semantic dedup delta ≡ cell-local pairs of the absorbed index (frozen quantizer)") {
+    import graft.ann.SemDedup
+    import graft.functions.VectorFunctions.dot
+    val table = "ivf_idx_semdelta_spec"
+    val corpus = emb.filter(col("vec_id") >= 50)
+    val batch = emb.filter(col("vec_id") < 50)
+    Ann.buildIvfIndex(corpus, "embedding", "vec_id", table)
+    val delta = SemDedup.semanticDedupDelta(spark, batch, "embedding", "vec_id", table, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(delta.nonEmpty, "threshold 0.3 must surface natural pairs")
+    // ground truth: absorb the batch under the SAME frozen quantizer,
+    // then every cell-local >= 0.3 pair of the combined index that
+    // touches a batch id — the delta must equal it exactly
+    Ann.absorbIntoIvfIndex(spark, batch, "embedding", "vec_id", table)
+    val idx = spark.table(table)
+    val sim = dot(col("x.v"), col("y.v")) / (col("x.norm") * col("y.norm"))
+    val expect = idx.as("x").join(idx.as("y"),
+        col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))
+      .filter(sim >= 0.3 && (col("x.id") < 50 || col("y.id") < 50))
+      .select(col("x.id"), col("y.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(delta == expect,
+      s"missing=${expect -- delta} extra=${delta -- expect}")
+  }
+
   test("semantic dedup is sound (every drop has a smaller-id exact witness) and cluster-local") {
     import graft.ann.SemDedup
     val out = SemDedup.semanticDedup(emb, "embedding", "vec_id", threshold = 0.4)
