@@ -609,6 +609,19 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "s10_filtered_ann" -> ((s, dir) => {
+      // FILTERED vector search (hybrid metadata+vector retrieval): the
+      // label column is stored INLINE in the inverted file, so the
+      // attribute predicate is a map-side filter on the bucketed scan
+      // (pre-filtering — the top-k ranks only qualifying neighbors)
+      val table = "ivf_idx_s10"
+      Ann.buildIvfIndex(t(s, dir, "embeddings"), "embedding", "vec_id", table,
+        keep = Seq("label"))
+      Ann.ivfTopKIndexed(s, table, queryFilter = col("id") < 10, k = 5,
+          neighborPred = col("label") === 1)
+        .orderBy("query_id", "rnk")
+    }),
+
     "s8_ann_pq_indexed" -> ((s, dir) => {
       // PQ against the STANDING index (deployment shape): codes +
       // codebook companion are built once; the probe ADC-scans stored
@@ -1359,6 +1372,8 @@ object SparkEntry {
 
     "d12_semantic_dedup" ->
       graft.ann.SemDedup.oracleSql(nlist = 16, rounds = 2, threshold = 0.4),
+
+    "s10_filtered_ann" -> Ann.ivfKmeansOracleSql(k = 5, neighborPred = "label = 1"),
 
     "d14_semantic_delta" ->
       graft.ann.SemDedup.deltaOracleSql(nlist = 16, rounds = 2, threshold = 0.9),

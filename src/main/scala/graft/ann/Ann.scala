@@ -234,20 +234,24 @@ object Ann {
     * `floor`, `//` ≡ Spark `div`) and every cosine consumes identical
     * doubles sequentially on both engines. */
   def ivfKmeansOracleSql(k: Int, nlist: Int = 16, nprobe: Int = 4, rounds: Int = 2,
-                         queryPred: String = "id < 10"): String =
+                         queryPred: String = "id < 10",
+                         neighborPred: String = "TRUE"): String = {
+    val nfilter = if (neighborPred == "TRUE") ""
+      else s"\n  WHERE a.id IN (SELECT vec_id FROM embeddings WHERE $neighborPred)"
     s"""WITH ${kmeansAssignCtes(nlist, rounds)},
        |probes AS (SELECT id AS query_id, v AS qv, nrm AS qnorm, cid
        |           FROM rankedF WHERE $queryPred AND crn <= $nprobe),
        |sc AS (
        |  SELECT p.query_id, a.id AS neighbor_id,
        |         list_inner_product(a.v, p.qv) / (a.nrm * p.qnorm) AS sim
-       |  FROM assign a JOIN probes p ON a.cid = p.cid AND a.id <> p.query_id),
+       |  FROM assign a JOIN probes p ON a.cid = p.cid AND a.id <> p.query_id$nfilter),
        |r AS (
        |  SELECT query_id, neighbor_id, sim,
        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
        |  FROM sc)
        |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rnk
        |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** The k-means derivation CTE chain shared by `ivfKmeansOracleSql` and
     * `SemDedup.oracleSql`: seed, unrolled Lloyd rounds, and the final
@@ -383,18 +387,22 @@ object Ann {
     * computed (a 16-row metadata table, not a model). */
   def buildIvfIndex(emb: DataFrame, vecCol: String, idCol: String,
                     table: String, nlist: Int = 16, buckets: Int = 16,
-                    rounds: Int = 2): String = {
+                    rounds: Int = 2, keep: Seq[String] = Nil): String = {
     val spark = emb.sparkSession
     Seq(table, s"${table}_cent", s"${table}_batches")
       .foreach(graft.core.Tables.drop(spark, _))
-    val e = normed(emb, vecCol, idCol)
+    // `keep`: filterable metadata stored INLINE with the vectors (the
+    // filtered-search layout) — a probe-time attribute predicate is
+    // then a map-side filter on the bucketed scan, not a join
+    val e = emb.select(col(idCol).as("id") +: col(vecCol).as("v") +: keep.map(col): _*)
+      .withColumn("norm", l2norm(col("v")))
     (if (rounds > 0) trainCentroids(emb, vecCol, idCol, nlist, rounds)
      else sampleCentroids(emb, vecCol, idCol, nlist))
       .write.mode("overwrite").saveAsTable(s"${table}_cent")
     val cent = spark.table(s"${table}_cent")
     e.join(broadcast(cent))
       .withColumn("cid", sortedCells.getItem(0).getField("cid"))
-      .select("id", "v", "norm", "cid")
+      .select((Seq("id", "v", "norm", "cid") ++ keep).map(col): _*)
       .write.mode("overwrite")
       .bucketBy(buckets, "cid").sortBy("cid")
       .saveAsTable(table)
@@ -434,16 +442,26 @@ object Ann {
     * nprobe cells map-side against the broadcast `<table>_cent`
     * companion (constant-sized read — no full-index scan to re-derive
     * centroids) and equi-join the bucketed cells — the corpus is neither
-    * re-assigned nor reshuffled. Output is identical to `ivfTopK`. */
+    * re-assigned nor reshuffled. Output is identical to `ivfTopK`.
+    *
+    * `neighborPred` is FILTERED vector search (hybrid metadata+vector
+    * retrieval): a predicate over the index row — typically a `keep`
+    * metadata column stored inline by `buildIvfIndex` — applied to the
+    * candidate side BEFORE scoring, as a map-side filter on the
+    * bucketed scan (pre-filtering; no join, no post-hoc k starvation:
+    * the top-k ranks only qualifying neighbors). Queries are NOT
+    * subject to it. */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
-                     queryFilter: Column, k: Int, nprobe: Int = 4): DataFrame = {
+                     queryFilter: Column, k: Int, nprobe: Int = 4,
+                     neighborPred: Column = lit(true)): DataFrame = {
     val assign = spark.table(table)
     val cent = spark.table(s"${table}_cent")
     val probes = assign.drop("cid").filter(queryFilter).join(broadcast(cent))
       .select(col("id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"),
         explode(transform(slice(sortedCells, 1, nprobe), c => c.getField("cid"))).as("cid"))
-    val scored = assign.join(broadcast(probes),
-        assign("cid") === probes("cid") && col("id") =!= col("query_id"))
+    val cand = assign.filter(neighborPred)
+    val scored = cand.join(broadcast(probes),
+        cand("cid") === probes("cid") && col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         cosine(col("v"), col("qv"), col("norm"), col("qnorm")).as("sim"))
     topKPerQuery(scored, k, salts = 32)

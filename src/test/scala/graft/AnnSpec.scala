@@ -282,6 +282,36 @@ class AnnSpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning(id#"), plan)
   }
 
+  test("filtered ANN: only qualifying neighbors, ranking = post-filtered unfiltered ranking") {
+    val table = "ivf_idx_filter_spec"
+    Ann.buildIvfIndex(emb, "embedding", "vec_id", table, keep = Seq("label"))
+    val got = Ann.ivfTopKIndexed(spark, table, col("id") < 10, k = 5,
+      neighborPred = col("label") === 1)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = got.collect()
+    assert(rows.nonEmpty && rows.forall(r => labels(r.getLong(1)) == 1),
+      "every returned neighbor must satisfy the predicate")
+    // pre-filtering ≡ exhaustive-k unfiltered ranking post-filtered to
+    // the predicate then cut to k (no candidate starvation)
+    val all = Ann.ivfTopKIndexed(spark, table, col("id") < 10, k = 100000).collect()
+    val expect = all.groupBy(_.getLong(0)).view.mapValues(
+      _.sortBy(_.getInt(3)).filter(r => labels(r.getLong(1)) == 1).take(5)
+        .map(_.getLong(1)).toSeq).toMap
+    val gotBy = rows.groupBy(_.getLong(0)).view.mapValues(
+      _.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq).toMap
+    assert(gotBy == expect)
+    // the predicate is a map-side filter on the bucketed scan — it must
+    // not add an Exchange over the unfiltered probe plan (fresh plans
+    // on both sides: an executed DataFrame prints the AQE-final plan,
+    // which double-counts)
+    val exch = "Exchange".r
+    val base = exch.findAllIn(planOf(Ann.ivfTopKIndexed(spark, table, col("id") < 10, 5))).size
+    val filt = exch.findAllIn(planOf(Ann.ivfTopKIndexed(spark, table, col("id") < 10, 5,
+      neighborPred = col("label") === 1))).size
+    assert(filt <= base, s"filtered probe added shuffles: $filt vs $base")
+  }
+
   test("semantic dedup drops the planted duplicate, keeps the min-id representative") {
     import graft.ann.SemDedup
     // an exact copy of vector 0 under a larger id must land in the same
