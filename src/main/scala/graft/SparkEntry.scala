@@ -676,6 +676,31 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
+    "p3_clean_pipeline" -> ((s, dir) => {
+      // the round-6 cleaning loop composed end-to-end: plant PII (x7's
+      // construction) → scrub → boilerplate gate (scrub artifacts
+      // become shared spans and are counted as such) → weighted
+      // training-mix sample → per-(lang, source) corpus stats
+      val docs = t(s, dir, "documents")
+      val planted = docs.withColumn("text", concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" reach me at user"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" call 555-867-5309")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" from host 10.1.2."), col("doc_id") % 256)).otherwise(lit(""))))
+      val scrubbed = planted.withColumn("text", TextAnalysis.piiScrubText(col("text")))
+      val keep = Dedup.boilerplate(scrubbed, "text", "doc_id", 3, 3)
+        .filter(col("boiler_ratio") <= 0.5).select(col("id").as("doc_id"))
+      val sampled = TextAnalysis.weightedSample(scrubbed.join(keep, "doc_id"),
+        "doc_id", "lang", rates = Map("en" -> 0.35, "fr" -> 0.8))
+      val toks = TextAnalysis.tokenCounts(sampled, "text", "doc_id")
+        .select(col("doc_id"), col("ws_tokens"))
+      sampled.join(toks, "doc_id")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("ws_tokens").cast("long").as("total_tokens"))
+        .orderBy("lang", "source")
+    }),
+
     // ===== composite pipeline ===========================================
     // The full training-data prep loop: language gate + quality gate +
     // near-dup removal (keep the smaller doc id of each pair), then
@@ -1151,6 +1176,43 @@ object SparkEntry {
         |  SELECT h AS window_start, event_type, value FROM b)
         |SELECT window_start, event_type, count(*) AS n, round(sum(value),2) AS sum_value
         |FROM cover GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "p3_clean_pipeline" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, lang, source, text
+         |    || CASE WHEN doc_id % 7 = 0 THEN ' reach me at user' || doc_id || '@example.com' ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END
+         |    || CASE WHEN doc_id % 3 = 0 THEN ' from host 10.1.2.' || (doc_id % 256) ELSE '' END AS text
+         |  FROM documents),
+         |scr AS (
+         |  SELECT doc_id, lang, source,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |      '${TextAnalysis.IpRe}', '<IP>', 'g'),
+         |      '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS text
+         |  FROM aug),
+         |words AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), w -> w <> '') AS ws
+         |  FROM scr),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, array_to_string(ws[t.i:t.i+2], ' ') AS s
+         |  FROM words, unnest(range(1, len(ws)-1)) AS t(i)),
+         |df_ AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+         |per AS (
+         |  SELECT sh.doc_id AS id, count(*) AS n_shingles,
+         |         count(CASE WHEN df_.df >= 3 THEN 1 END) AS n_boiler
+         |  FROM sh JOIN df_ USING (s) GROUP BY 1),
+         |keepb AS (SELECT id FROM per WHERE (n_boiler * 1000 // n_shingles) / 1000.0 <= 0.5),
+         |samp AS (
+         |  SELECT s.* FROM scr s JOIN keepb k ON s.doc_id = k.id
+         |  WHERE ('0x' || substr(md5('samp:' || s.doc_id), 1, 8))::BIGINT <
+         |    CASE s.lang WHEN 'en' THEN ${TextAnalysis.sampleThreshold(0.35)}
+         |                WHEN 'fr' THEN ${TextAnalysis.sampleThreshold(0.8)}
+         |                ELSE ${TextAnalysis.sampleThreshold(1.0)} END)
+         |SELECT lang, source, count(*) AS n_docs,
+         |       sum(len(regexp_extract_all(text, '\\S+')))::BIGINT AS total_tokens
+         |FROM samp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "p2_weighted_sample" ->
       s"""SELECT doc_id, lang, source FROM documents
