@@ -164,7 +164,11 @@ object TextAnalysis {
     * oracle: RE2-compatible (no backrefs/lookaround), so Java regex and
     * DuckDB find identical matches. Scrub order is fixed (email → IP →
     * phone) — emails are scrubbed first so their digit runs can't be
-    * re-matched by the narrower numeric patterns. */
+    * re-matched by the narrower numeric patterns. `\b` is ASCII-safe
+    * here (all pattern edges are ASCII alnum); on non-ASCII corpora
+    * Java's Unicode-aware boundary could diverge from RE2's ASCII one,
+    * so cross-engine checking there should replace `\b` with explicit
+    * character classes. */
   val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"

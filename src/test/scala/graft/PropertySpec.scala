@@ -260,4 +260,51 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("pii scrub is idempotent and removes every match on random pii-laced texts") {
+    val s = spark
+    import s.implicits._
+    val piiGen: Gen[String] = for {
+      base <- asciiText
+      user <- Gen.alphaLowerStr.suchThat(_.nonEmpty)
+      n1 <- Gen.choose(100, 999); n2 <- Gen.choose(100, 999); n3 <- Gen.choose(1000, 9999)
+      oct <- Gen.choose(0, 255)
+      pieces <- Gen.someOf(Seq(
+        s" $user@mail.example.org", s" $n1-$n2-$n3", s" 10.0.$oct.$oct"))
+    } yield base + pieces.mkString
+    forAllSeeded(Gen.listOfN(10, piiGen)) { texts =>
+      {
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val once = df.select(col("doc_id"), TextAnalysis.piiScrubText(col("text")).as("text"))
+        val twice = once.select(col("doc_id"), TextAnalysis.piiScrubText(col("text")).as("text"))
+        val get = (d: org.apache.spark.sql.DataFrame) =>
+          d.orderBy("doc_id").collect().map(_.getString(1)).toSeq
+        assert(get(once) == get(twice), "scrubbing must be idempotent")
+        // nothing PII-shaped survives a scrub
+        val counts = TextAnalysis.piiScrub(once, "text", "doc_id")
+          .agg(sum("n_emails"), sum("n_ips"), sum("n_phones")).collect()(0)
+        assert((0 to 2).forall(counts.getLong(_) == 0L), counts.toString)
+      }
+    }
+  }
+
+  test("sample hash is a 32-bit uniform: in range, deterministic, id-keyed") {
+    val s = spark
+    import s.implicits._
+    forAllSeeded(Gen.listOfN(50, Gen.choose(0L, Long.MaxValue / 2))) { ids =>
+      {
+        val df = ids.distinct.toDF("id")
+        val u = df.select(col("id"), TextAnalysis.sampleHash(col("id"), "samp").as("u"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(u.values.forall(v => v >= 0L && v < 4294967296L))
+        val u2 = df.select(col("id"), TextAnalysis.sampleHash(col("id"), "samp").as("u"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(u == u2)
+        // a different seed decorrelates (not all equal unless trivial)
+        val u3 = df.select(TextAnalysis.sampleHash(col("id"), "other").as("u"))
+          .collect().map(_.getLong(0)).toSet
+        if (ids.distinct.size > 3) assert(u3 != u.values.toSet)
+      }
+    }
+  }
 }
