@@ -609,6 +609,19 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "s11_filtered_ivfpq" -> ((s, dir) => {
+      // filtered search on the billion-vector layout: the label rides
+      // the codes table; non-qualifying codes are cut map-side BEFORE
+      // the ADC stage, so they are never decoded and cannot starve the
+      // shortlist or the final k
+      val table = "ivfpq_idx_s11"
+      graft.ann.IvfPq.buildIvfPqIndex(t(s, dir, "embeddings"), "embedding", "vec_id",
+        table, dims = 64, keep = Seq("label"))
+      graft.ann.IvfPq.ivfPqTopKIndexed(s, table, t(s, dir, "embeddings"), "embedding", "vec_id",
+          queryFilter = col("id") < 10, k = 5, neighborPred = col("label") === 1)
+        .orderBy("query_id", "rnk")
+    }),
+
     "s10_filtered_ann" -> ((s, dir) => {
       // FILTERED vector search (hybrid metadata+vector retrieval): the
       // label column is stored INLINE in the inverted file, so the
@@ -1436,6 +1449,8 @@ object SparkEntry {
       graft.ann.SemDedup.oracleSql(nlist = 16, rounds = 2, threshold = 0.4),
 
     "s10_filtered_ann" -> Ann.ivfKmeansOracleSql(k = 5, neighborPred = "label = 1"),
+
+    "s11_filtered_ivfpq" -> graft.ann.IvfPq.oracleSql(k = 5, neighborPred = "label = 1"),
 
     "d14_semantic_delta" ->
       graft.ann.SemDedup.deltaOracleSql(nlist = 16, rounds = 2, threshold = 0.9),

@@ -33,7 +33,8 @@ object IvfPq {
     * companion stays constant-sized. */
   def buildIvfPqIndex(emb: DataFrame, vecCol: String, idCol: String, table: String,
                       nlist: Int = 16, ivfRounds: Int = 2, m: Int = 8, ksub: Int = 16,
-                      pqRounds: Int = 1, dims: Int = 0, buckets: Int = 16): String = {
+                      pqRounds: Int = 1, dims: Int = 0, buckets: Int = 16,
+                      keep: Seq[String] = Nil): String = {
     val spark = emb.sparkSession
     Seq(table, s"${table}_cent", s"${table}_books", s"${table}_batches")
       .foreach(graft.core.Tables.drop(spark, _))
@@ -42,11 +43,16 @@ object IvfPq {
     Pq.trainCodebooks(emb, vecCol, idCol, m, ksub, pqRounds, dims)
       .write.mode("overwrite").saveAsTable(s"${table}_books")
     val codes = Pq.encode(emb, vecCol, idCol, spark.table(s"${table}_books"), m, dims)
+    // `keep`: filterable metadata stored inline with the codes (same
+    // filtered-search layout as Ann.buildIvfIndex)
     val assign = Ann.normed(emb, vecCol, idCol)
       .join(broadcast(spark.table(s"${table}_cent")))
       .withColumn("cid", Ann.sortedCells.getItem(0).getField("cid"))
       .select("id", "cid")
-    assign.join(codes, Seq("id"))
+    val withMeta =
+      if (keep.isEmpty) assign
+      else assign.join(emb.select(col(idCol).as("id") +: keep.map(col): _*), Seq("id"))
+    withMeta.join(codes, Seq("id"))
       .write.mode("overwrite")
       .bucketBy(buckets, "cid").sortBy("cid")
       .saveAsTable(table)
@@ -60,17 +66,23 @@ object IvfPq {
     * broadcast `<table>_books` decoder (reconstruction happens per
     * CANDIDATE row, after the cell cut — unprobed cells never decode);
     * and only the per-query shortlist reads full vectors for the exact
-    * rerank. `ksub` must match the build. */
+    * rerank. `ksub` must match the build.
+    *
+    * `neighborPred` = filtered search over `keep` metadata stored
+    * inline at build: a map-side filter on the bucketed codes scan,
+    * applied BEFORE the ADC stage — non-qualifying codes are never
+    * decoded and cannot starve the shortlist or the final k. */
   def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
                        emb: DataFrame, vecCol: String, idCol: String,
                        queryFilter: Column, k: Int, nprobe: Int = 4,
-                       ksub: Int = 16, shortlist: Int = 50): DataFrame = {
+                       ksub: Int = 16, shortlist: Int = 50,
+                       neighborPred: Column = lit(true)): DataFrame = {
     val e = Ann.normed(emb, vecCol, idCol)
     val cent = spark.table(s"${table}_cent")
     val probes = e.filter(queryFilter).join(broadcast(cent))
       .select(col("id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"),
         explode(transform(slice(Ann.sortedCells, 1, nprobe), c => c.getField("cid"))).as("cid"))
-    val codes = spark.table(table)
+    val codes = spark.table(table).filter(neighborPred)
     val cand = codes.join(broadcast(probes),
       codes("cid") === probes("cid") && col("id") =!= col("query_id"))
     val scored = Pq.adcAugment(cand, spark.table(s"${table}_books"), ksub)
@@ -103,7 +115,15 @@ object IvfPq {
       .join(broadcast(spark.table(s"${table}_cent")))
       .withColumn("cid", Ann.sortedCells.getItem(0).getField("cid"))
       .select("id", "cid")
-    assign.join(codes, Seq("id"))
+    // keep-metadata columns (filtered-search layout) are derived from
+    // the table's own schema, so absorb works against any build
+    val tableCols = spark.table(table).columns.toSeq
+    val keep = tableCols.filterNot(Set("id", "cid", "codes"))
+    val withMeta =
+      if (keep.isEmpty) assign
+      else assign.join(batch.select(col(idCol).as("id") +: keep.map(col): _*), Seq("id"))
+    withMeta.join(codes, Seq("id"))
+      .select(tableCols.map(col): _*)
       .write.mode("append").bucketBy(buckets, "cid").sortBy("cid")
       .saveAsTable(table)
     spark.catalog.refreshTable(table)
@@ -124,7 +144,10 @@ object IvfPq {
     * through shared cells and reranks the shortlist exactly. */
   def oracleSql(k: Int, nlist: Int = 16, nprobe: Int = 4, ivfRounds: Int = 2,
                 m: Int = 8, dsub: Int = 8, ksub: Int = 16, pqRounds: Int = 1,
-                shortlist: Int = 50, queryPred: String = "id < 10"): String = {
+                shortlist: Int = 50, queryPred: String = "id < 10",
+                neighborPred: String = "TRUE"): String = {
+    val nfilter = if (neighborPred == "TRUE") ""
+      else s"\n       WHERE a.id IN (SELECT vec_id FROM embeddings WHERE $neighborPred)"
     val ivfRoundCtes = (1 to ivfRounds).map { r =>
       val prev = s"ic${r - 1}"
       s"""icdn$r AS (SELECT cid, cfd, sqrt(list_inner_product(cfd, cfd)) AS cfn
@@ -196,7 +219,7 @@ object IvfPq {
        |sc AS (SELECT p.query_id, a.id AS neighbor_id,
        |              list_inner_product(p.qv, x.rv) / (p.qnorm * x.rnorm) AS sim
        |       FROM iassign a JOIN iprobes p ON a.cid = p.cid AND a.id <> p.query_id
-       |       JOIN prcn x ON x.id = a.id),
+       |       JOIN prcn x ON x.id = a.id$nfilter),
        |shortl AS (SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id,
        |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS srn

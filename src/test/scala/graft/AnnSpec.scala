@@ -273,6 +273,28 @@ class AnnSpec extends SparkSpec {
     assert(probe() == beforeProbe)
   }
 
+  test("filtered IVF×PQ: only qualifying neighbors; keep-metadata survives compact+absorb") {
+    import graft.ann.IvfPq
+    val table = "ivfpq_idx_filter_spec"
+    IvfPq.buildIvfPqIndex(emb, "embedding", "vec_id", table, keep = Seq("label"))
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = IvfPq.ivfPqTopKIndexed(spark, table, emb, "embedding", "vec_id",
+      col("id") < 10, 5, neighborPred = col("label") === 1).collect()
+    assert(got.nonEmpty && got.forall(r => labels(r.getLong(1)) == 1),
+      "every returned neighbor must satisfy the predicate")
+    // the metadata column must ride compact + absorb unchanged (absorb
+    // derives the keep columns from the table's own schema)
+    def rows() = spark.table(table).select("id", "cid", "label", "codes").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getSeq[Long](3))).toSet
+    val before = rows()
+    val slice = emb.filter(col("vec_id") % 5 === 0)
+    IvfPq.compactIvfPqIndex(spark, table, slice.select(col("vec_id").as("id")))
+    assert(rows() != before)
+    IvfPq.absorbIntoIvfPqIndex(spark, slice, "embedding", "vec_id", table)
+    assert(rows() == before, "metadata-carrying absorb must restore every row")
+  }
+
   test("ivf cell assignment is map-only (no corpus shuffle before scoring)") {
     val plan = planOf(Ann.ivfTopK(emb, "embedding", "vec_id", col("id") < 10, 5))
     // the round-2 shape amplified the corpus nlist× through a
