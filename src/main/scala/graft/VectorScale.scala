@@ -52,9 +52,13 @@ object VectorScale {
           when(i === 0, (v.cast("double") + 0.01d).cast("float")).otherwise(v))
           .as("embedding"))
       val nlist = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+      // cap k-means training at ~20k deterministically-sampled vectors:
+      // the router needs the cluster structure, not every row
+      val trainFrac = math.min(1.0, 20000.0 / n)
       val table = s"vscale_idx_$x"
       var t0 = System.nanoTime()
-      graft.ann.Ann.buildIvfIndex(corpus, "embedding", "vec_id", table, nlist = nlist)
+      graft.ann.Ann.buildIvfIndex(corpus, "embedding", "vec_id", table,
+        nlist = nlist, trainFrac = trainFrac)
       val buildS = (System.nanoTime() - t0) / 1e9
       t0 = System.nanoTime()
       val pairs = graft.ann.SemDedup

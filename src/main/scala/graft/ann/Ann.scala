@@ -105,12 +105,21 @@ object Ann {
     *
     * Scale note: the per-round (cell, dim) aggregate shuffles
     * n·dims tiny rows — fine for a training pass, but at extreme corpus
-    * sizes train on a sample (`emb.sample(...)`); the router only needs
-    * the cluster structure, not every row. */
+    * sizes pass `sampleFrac < 1`: training (seed + Lloyd rounds) then
+    * runs on a DETERMINISTIC md5-thresholded subset — a map-only
+    * filter, no sort, reproducible on any engine/partitioning — while
+    * assignment still covers every row. The router only needs the
+    * cluster structure, not every row. */
   def trainCentroids(emb: DataFrame, vecCol: String, idCol: String,
-                     nlist: Int = 16, rounds: Int = 2): DataFrame = {
+                     nlist: Int = 16, rounds: Int = 2,
+                     sampleFrac: Double = 1.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = normed(emb, vecCol, idCol)
+    val base =
+      if (sampleFrac >= 1.0) emb
+      else emb.filter(
+        graft.text.TextAnalysis.sampleHash(col(idCol), "trainsample") <
+          lit(graft.text.TextAnalysis.sampleThreshold(sampleFrac)))
+    val e = normed(base, vecCol, idCol)
     val pts = e.select(col("id"), col("v"), col("norm"), fixed(col("v")).as("f"))
     val seed = pts
       .withColumn("__r", md5(concat(lit("cent:"), col("id"))))
@@ -387,7 +396,8 @@ object Ann {
     * computed (a 16-row metadata table, not a model). */
   def buildIvfIndex(emb: DataFrame, vecCol: String, idCol: String,
                     table: String, nlist: Int = 16, buckets: Int = 16,
-                    rounds: Int = 2, keep: Seq[String] = Nil): String = {
+                    rounds: Int = 2, keep: Seq[String] = Nil,
+                    trainFrac: Double = 1.0): String = {
     val spark = emb.sparkSession
     Seq(table, s"${table}_cent", s"${table}_batches")
       .foreach(graft.core.Tables.drop(spark, _))
@@ -396,7 +406,7 @@ object Ann {
     // then a map-side filter on the bucketed scan, not a join
     val e = emb.select(col(idCol).as("id") +: col(vecCol).as("v") +: keep.map(col): _*)
       .withColumn("norm", l2norm(col("v")))
-    (if (rounds > 0) trainCentroids(emb, vecCol, idCol, nlist, rounds)
+    (if (rounds > 0) trainCentroids(emb, vecCol, idCol, nlist, rounds, trainFrac)
      else sampleCentroids(emb, vecCol, idCol, nlist))
       .write.mode("overwrite").saveAsTable(s"${table}_cent")
     val cent = spark.table(s"${table}_cent")

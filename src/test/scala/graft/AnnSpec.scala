@@ -304,6 +304,22 @@ class AnnSpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning(id#"), plan)
   }
 
+  test("sample-trained centroids are deterministic and keep indexed recall above chance") {
+    val c1 = Ann.trainCentroids(emb, "embedding", "vec_id", sampleFrac = 0.5).collect()
+    val c2 = Ann.trainCentroids(emb, "embedding", "vec_id", sampleFrac = 0.5).collect()
+    assert(c1.map(_.toString).toSeq == c2.map(_.toString).toSeq,
+      "md5-thresholded training sample must be reproducible")
+    val table = "ivf_idx_sampletrain_spec"
+    Ann.buildIvfIndex(emb, "embedding", "vec_id", table, trainFrac = 0.5)
+    val exact = topkLocal(5, 10)
+    val ivf = Ann.ivfTopKIndexed(spark, table, col("id") < 10, 5)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val hits = exact.map { case (q, nbrs) => (ivf.getOrElse(q, Set.empty) & nbrs.toSet).size }.sum
+    val recall = hits.toDouble / (5 * exact.size)
+    assert(recall >= 0.3, s"sample-trained IVF recall@5 too low: $recall")
+  }
+
   test("filtered ANN: only qualifying neighbors, ranking = post-filtered unfiltered ranking") {
     val table = "ivf_idx_filter_spec"
     Ann.buildIvfIndex(emb, "embedding", "vec_id", table, keep = Seq("label"))
