@@ -689,6 +689,16 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
+    "p4_sharded_export" -> ((s, dir) => {
+      // last mile: hash-sharded corpus export + manifest; the shard
+      // assignment is the deterministic md5 uniform, so the manifest
+      // is engine-recomputable (bytes are parquet-specific and spec-
+      // checked instead)
+      val out = java.nio.file.Files.createTempDirectory("graft_export_").toString
+      graft.jobs.Export.shardedExport(t(s, dir, "documents"), "doc_id", out, 8)
+        .select(col("shard"), col("n_rows")).orderBy("shard")
+    }),
+
     "p3_clean_pipeline" -> ((s, dir) => {
       // the round-6 cleaning loop composed end-to-end: plant PII (x7's
       // construction) → scrub → boilerplate gate (scrub artifacts
@@ -1189,6 +1199,11 @@ object SparkEntry {
         |  SELECT h AS window_start, event_type, value FROM b)
         |SELECT window_start, event_type, count(*) AS n, round(sum(value),2) AS sum_value
         |FROM cover GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "p4_sharded_export" ->
+      """SELECT ('0x' || substr(md5('shard:' || doc_id), 1, 8))::BIGINT % 8 AS shard,
+        |       count(*) AS n_rows
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "p3_clean_pipeline" ->
       s"""WITH aug AS (

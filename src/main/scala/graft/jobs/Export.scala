@@ -1,0 +1,51 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sharded corpus export — the last mile of the training-data
+  * pipeline: write a cleaned corpus as a fixed number of shard
+  * directories a data loader can map workers onto, plus a manifest.
+  *
+  * Shard assignment is the DETERMINISTIC md5 uniform
+  * (`TextAnalysis.sampleHash % shards`), not `spark_partition_id` or
+  * round-robin: re-running the export on any cluster size, partition
+  * layout or engine lands every row in the same shard, so incremental
+  * re-exports and cross-engine verification are exact. The write is
+  * one `partitionBy(__shard)` pass — rows stream map-only into their
+  * shard directory; no global sort, no repartition barrier (pass
+  * `coalesceFiles = true` to shuffle once on the shard key and get
+  * one file per shard for file-count-sensitive loaders). */
+object Export {
+
+  /** Write `df` under `dir` as `__shard=N/...` parquet and return the
+    * per-shard manifest `(shard, n_rows, n_bytes)` read back from the
+    * written files (footer-only byte counts via `Statistics`). */
+  def shardedExport(df: DataFrame, idCol: String, dir: String, shards: Int,
+                    coalesceFiles: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val withShard = df.withColumn("__shard",
+      pmod(graft.text.TextAnalysis.sampleHash(col(idCol), "shard"), lit(shards.toLong)))
+    val writeDf = if (coalesceFiles) withShard.repartition(shards, col("__shard")) else withShard
+    writeDf.write.mode("overwrite").partitionBy("__shard").parquet(dir)
+    manifest(spark, dir)
+  }
+
+  /** The manifest of an exported directory: one row per shard with its
+    * row count and data bytes (parquet footers only — no data read). */
+  def manifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val written = spark.read.parquet(dir)
+    val counts = written.groupBy(col("__shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_rows"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__shard="))
+      .map { s =>
+        val shard = s.getPath.getName.stripPrefix("__shard=").toLong
+        shard -> Statistics.parquetDataBytes(spark, s.getPath.toString)
+      }.toSeq.toDF("shard", "n_bytes")
+    counts.join(bytes, Seq("shard")).orderBy("shard")
+  }
+}

@@ -500,4 +500,36 @@ class JobsSpec extends SparkSpec {
       .read(s).select("id", "p").collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == Set(("a", "y"))) // b's only version is at/before the token
   }
+
+  test("sharded export: deterministic, complete, manifest-consistent, coalescible") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val total = docs.count()
+    def tmp() = java.nio.file.Files.createTempDirectory("graft_export_spec_").toString
+    val dir1 = tmp()
+    val m1 = Export.shardedExport(docs, "doc_id", dir1, 8).collect()
+    // manifest: 8 shards, rows sum to the corpus, bytes from footers
+    assert(m1.length == 8 && m1.map(_.getLong(1)).sum == total)
+    assert(m1.forall(_.getLong(2) > 0))
+    // completeness: every doc id exactly once across the shard dirs
+    val back = spark.read.parquet(dir1)
+    assert(back.count() == total && back.select("doc_id").distinct().count() == total)
+    // determinism: a second export assigns every id to the same shard
+    val dir2 = tmp()
+    Export.shardedExport(docs, "doc_id", dir2, 8)
+    val asg = (d: String) => spark.read.parquet(d).select("doc_id", "__shard")
+      .collect().map(r => r.getLong(0) -> r.get(1).toString).toMap
+    assert(asg(dir1) == asg(dir2))
+    // coalesced: hash partitioning BY the shard value → 1 file per shard dir
+    val dir3 = tmp()
+    Export.shardedExport(docs, "doc_id", dir3, 8, coalesceFiles = true)
+    val fs = new org.apache.hadoop.fs.Path(dir3)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir3))
+      .filter(_.getPath.getName.startsWith("__shard=")).foreach { d =>
+        val files = fs.listStatus(d.getPath).count(_.getPath.getName.endsWith(".parquet"))
+        assert(files == 1, s"${d.getPath.getName} has $files files")
+      }
+    assert(spark.read.parquet(dir3).count() == total)
+  }
 }
