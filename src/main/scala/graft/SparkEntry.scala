@@ -552,6 +552,16 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    "d15_semantic_indexed" -> ((s, dir) => {
+      // d12 against the standing inverted file (deployment shape):
+      // same trained quantizer → identical output, so it shares d12's
+      // oracle; the bucketed cid self-join runs shuffle-free
+      val table = "ivf_idx_d15"
+      Ann.buildIvfIndex(t(s, dir, "embeddings"), "embedding", "vec_id", table)
+      graft.ann.SemDedup.semanticDedupIndexed(s, table, 0.4)
+        .orderBy("id")
+    }),
+
     "d12_semantic_dedup" -> ((s, dir) =>
       // SemDeDup: k-means cells route the near-dup scan — pairs are
       // only generated inside a cluster, so the corpus shuffles once on
@@ -1466,6 +1476,9 @@ object SparkEntry {
     "s10_filtered_ann" -> Ann.ivfKmeansOracleSql(k = 5, neighborPred = "label = 1"),
 
     "s11_filtered_ivfpq" -> graft.ann.IvfPq.oracleSql(k = 5, neighborPred = "label = 1"),
+
+    "d15_semantic_indexed" ->
+      graft.ann.SemDedup.oracleSql(nlist = 16, rounds = 2, threshold = 0.4),
 
     "d14_semantic_delta" ->
       graft.ann.SemDedup.deltaOracleSql(nlist = 16, rounds = 2, threshold = 0.9),

@@ -67,6 +67,26 @@ object SemDedup {
        |SELECT a.id, a.cid, CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS keep
        |FROM assign a LEFT JOIN drp d ON a.id = d.id ORDER BY a.id""".stripMargin
 
+  /** `semanticDedup` against the STANDING inverted file
+    * (`Ann.buildIvfIndex` — same trained quantizer, so the output is
+    * identical to the recompute path at equal build parameters): no
+    * re-training, no re-assignment, and because the index is BUCKETED
+    * by cid the intra-cell self-join is co-partitioned and co-sorted —
+    * Spark plans it with ZERO Exchange under the pair join. This is
+    * the deployment shape: build once per corpus snapshot, run the
+    * dedup roster (and d14 deltas) against it. */
+  def semanticDedupIndexed(spark: org.apache.spark.sql.SparkSession,
+                           indexTable: String, threshold: Double): DataFrame = {
+    val assign = spark.table(indexTable)
+    val dropped = assign.as("a").join(assign.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") > col("b.id"))
+      .filter(Ann.cosine(col("a.v"), col("b.v"), col("a.norm"), col("b.norm")) >= threshold)
+      .select(col("a.id").as("id")).distinct()
+    assign.join(dropped.withColumn("__d", lit(1)), Seq("id"), "left")
+      .select(col("id"), col("cid"),
+        when(col("__d").isNull, lit(1)).otherwise(lit(0)).as("keep"))
+  }
+
   /** INCREMENTAL semantic dedup — d8/d11's ingest discipline for the
     * k-means-cell family: a new batch routes to cells under the
     * STANDING inverted file's FROZEN `_cent` quantizer

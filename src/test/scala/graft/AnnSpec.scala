@@ -387,6 +387,26 @@ class AnnSpec extends SparkSpec {
       s"missing=${expect -- delta} extra=${delta -- expect}")
   }
 
+  test("indexed semantic dedup ≡ recompute; the cell self-join rides the index buckets") {
+    import graft.ann.SemDedup
+    val table = "ivf_idx_semidx_spec"
+    Ann.buildIvfIndex(emb, "embedding", "vec_id", table)
+    val get = (d: org.apache.spark.sql.DataFrame) =>
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(get(SemDedup.semanticDedupIndexed(spark, table, 0.4)) ==
+      get(SemDedup.semanticDedup(emb, "embedding", "vec_id", threshold = 0.4)))
+    // the at-scale condition: with broadcast off, the cid self-join
+    // must ride the index buckets — sort-merge with NO Exchange
+    // partitioned by cid
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = planOf(SemDedup.semanticDedupIndexed(spark, table, 0.4))
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("hashpartitioning(cid#"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("semantic dedup is sound (every drop has a smaller-id exact witness) and cluster-local") {
     import graft.ann.SemDedup
     val out = SemDedup.semanticDedup(emb, "embedding", "vec_id", threshold = 0.4)
