@@ -345,9 +345,12 @@ class AnnSpec extends SparkSpec {
     // which double-counts)
     val exch = "Exchange".r
     val base = exch.findAllIn(planOf(Ann.ivfTopKIndexed(spark, table, col("id") < 10, 5))).size
-    val filt = exch.findAllIn(planOf(Ann.ivfTopKIndexed(spark, table, col("id") < 10, 5,
-      neighborPred = col("label") === 1))).size
+    val filtPlan = planOf(Ann.ivfTopKIndexed(spark, table, col("id") < 10, 5,
+      neighborPred = col("label") === 1))
+    val filt = exch.findAllIn(filtPlan).size
     assert(filt <= base, s"filtered probe added shuffles: $filt vs $base")
+    // ...and the predicate reaches the parquet scan itself
+    assert(filtPlan.contains("EqualTo(label,1)"), filtPlan)
   }
 
   test("semantic dedup drops the planted duplicate, keeps the min-id representative") {
