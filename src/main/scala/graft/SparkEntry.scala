@@ -34,6 +34,32 @@ object SparkEntry {
 
   private val tpchBase = Tpch.base
 
+  /** Deterministic PII planting shared by the x7/p3 queries — MUST stay
+    * in lockstep with `plantPiiSql` (the oracle-side construction). */
+  private def plantPii(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" reach me at user"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit(" call 555-867-5309")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" from host 10.1.2."), col("doc_id") % 256)).otherwise(lit(""))))
+
+  /** `plantPii` as a SQL expression over `documents`' (doc_id, text).
+    * Single-line ON PURPOSE: a multi-line fragment interpolated into a
+    * stripMargin template would lose one `|` of every leading `||`. */
+  private val plantPiiSql: String =
+    "text" +
+      " || CASE WHEN doc_id % 7 = 0 THEN ' reach me at user' || doc_id || '@example.com' ELSE '' END" +
+      " || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END" +
+      " || CASE WHEN doc_id % 3 = 0 THEN ' from host 10.1.2.' || (doc_id % 256) ELSE '' END"
+
+  /** `TextAnalysis.piiScrubText` as a SQL expression over `c`. */
+  private def scrubSql(c: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($c, " +
+      s"'${TextAnalysis.EmailRe}', '<EMAIL>', 'g'), " +
+      s"'${TextAnalysis.IpRe}', '<IP>', 'g'), " +
+      s"'${TextAnalysis.PhoneRe}', '<PHONE>', 'g')"
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -542,10 +568,7 @@ object SparkEntry {
       // pairs only against cell members + itself — corpus × corpus
       // never runs, nothing re-trains
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val batch = e.filter(col("vec_id") < 100).select(
-        (col("vec_id") + 10000).as("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          when(i === 0, (x.cast("double") + lit(0.1d)).cast("float")).otherwise(x)).as("embedding"))
+      val batch = graft.ann.SemDedup.perturbedBatch(e, "embedding", "vec_id")
       val table = "ivf_idx_d14"
       Ann.buildIvfIndex(e, "embedding", "vec_id", table)
       graft.ann.SemDedup.semanticDedupDelta(s, batch, "embedding", "vec_id", table, 0.9)
@@ -677,18 +700,12 @@ object SparkEntry {
       TextAnalysis.keywords(t(s, dir, "documents"), "text", "doc_id", 3)
         .orderBy("doc_id", "rnk")),
 
-    "x7_pii_scrub" -> ((s, dir) => {
+    "x7_pii_scrub" -> ((s, dir) =>
       // the corpus is synthetic word salad, so PII is PLANTED
       // deterministically (the d5 idiom: identical construction in the
       // oracle) and then scrubbed by the map-only redaction pass
-      val planted = t(s, dir, "documents").withColumn("text", concat(col("text"),
-        when(col("doc_id") % 7 === 0,
-          concat(lit(" reach me at user"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
-        when(col("doc_id") % 5 === 0, lit(" call 555-867-5309")).otherwise(lit("")),
-        when(col("doc_id") % 3 === 0,
-          concat(lit(" from host 10.1.2."), col("doc_id") % 256)).otherwise(lit(""))))
-      TextAnalysis.piiScrub(planted, "text", "doc_id").orderBy("doc_id")
-    }),
+      TextAnalysis.piiScrub(plantPii(t(s, dir, "documents")), "text", "doc_id")
+        .orderBy("doc_id")),
 
     "p2_weighted_sample" -> ((s, dir) =>
       // training-mix sampling: downweight the dominant language,
@@ -703,8 +720,10 @@ object SparkEntry {
       // last mile: hash-sharded corpus export + manifest; the shard
       // assignment is the deterministic md5 uniform, so the manifest
       // is engine-recomputable (bytes are parquet-specific and spec-
-      // checked instead)
-      val out = java.nio.file.Files.createTempDirectory("graft_export_").toString
+      // checked instead). Fixed path + overwrite: repeated bench
+      // passes rewrite one copy instead of accumulating temp dirs
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_export_p4").getAbsolutePath
       graft.jobs.Export.shardedExport(t(s, dir, "documents"), "doc_id", out, 8)
         .select(col("shard"), col("n_rows")).orderBy("shard")
     }),
@@ -715,13 +734,8 @@ object SparkEntry {
       // become shared spans and are counted as such) → weighted
       // training-mix sample → per-(lang, source) corpus stats
       val docs = t(s, dir, "documents")
-      val planted = docs.withColumn("text", concat(col("text"),
-        when(col("doc_id") % 7 === 0,
-          concat(lit(" reach me at user"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
-        when(col("doc_id") % 5 === 0, lit(" call 555-867-5309")).otherwise(lit("")),
-        when(col("doc_id") % 3 === 0,
-          concat(lit(" from host 10.1.2."), col("doc_id") % 256)).otherwise(lit(""))))
-      val scrubbed = planted.withColumn("text", TextAnalysis.piiScrubText(col("text")))
+      val scrubbed = plantPii(docs)
+        .withColumn("text", TextAnalysis.piiScrubText(col("text")))
       val keep = Dedup.boilerplate(scrubbed, "text", "doc_id", 3, 3)
         .filter(col("boiler_ratio") <= 0.5).select(col("id").as("doc_id"))
       val sampled = TextAnalysis.weightedSample(scrubbed.join(keep, "doc_id"),
@@ -1217,17 +1231,11 @@ object SparkEntry {
 
     "p3_clean_pipeline" ->
       s"""WITH aug AS (
-         |  SELECT doc_id, lang, source, text
-         |    || CASE WHEN doc_id % 7 = 0 THEN ' reach me at user' || doc_id || '@example.com' ELSE '' END
-         |    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END
-         |    || CASE WHEN doc_id % 3 = 0 THEN ' from host 10.1.2.' || (doc_id % 256) ELSE '' END AS text
+         |  SELECT doc_id, lang, source, $plantPiiSql AS text
          |  FROM documents),
          |scr AS (
          |  SELECT doc_id, lang, source,
-         |    regexp_replace(regexp_replace(regexp_replace(text,
-         |      '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
-         |      '${TextAnalysis.IpRe}', '<IP>', 'g'),
-         |      '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS text
+         |    ${scrubSql("text")} AS text
          |  FROM aug),
          |words AS (
          |  SELECT doc_id,
@@ -1262,19 +1270,13 @@ object SparkEntry {
 
     "x7_pii_scrub" ->
       s"""WITH aug AS (
-         |  SELECT doc_id, text
-         |    || CASE WHEN doc_id % 7 = 0 THEN ' reach me at user' || doc_id || '@example.com' ELSE '' END
-         |    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END
-         |    || CASE WHEN doc_id % 3 = 0 THEN ' from host 10.1.2.' || (doc_id % 256) ELSE '' END AS text
+         |  SELECT doc_id, $plantPiiSql AS text
          |  FROM documents)
          |SELECT doc_id,
          |  len(regexp_extract_all(text, '${TextAnalysis.EmailRe}'))::BIGINT AS n_emails,
          |  len(regexp_extract_all(text, '${TextAnalysis.IpRe}'))::BIGINT AS n_ips,
          |  len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}'))::BIGINT AS n_phones,
-         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
-         |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
-         |    '${TextAnalysis.IpRe}', '<IP>', 'g'),
-         |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g')) AS scrubbed_md5
+         |  md5(${scrubSql("text")}) AS scrubbed_md5
          |FROM aug ORDER BY doc_id""".stripMargin,
 
     "x6_keywords" ->

@@ -30,10 +30,7 @@ object SteadyState {
     graft.ann.Ann.buildIvfIndex(emb, "embedding", "vec_id", "ss_ivf", keep = Seq("label"))
     graft.dedup.Dedup.buildShingleIndex(docs.filter(col("doc_id") < 4500),
       "text", "doc_id", 3, "ss_shingle", buckets = 16)
-    val vbatch = emb.filter(col("vec_id") < 100).select(
-      (col("vec_id") + 10000).as("vec_id"),
-      transform(col("embedding"), (x, i) =>
-        when(i === 0, (x.cast("double") + lit(0.1d)).cast("float")).otherwise(x)).as("embedding"))
+    val vbatch = graft.ann.SemDedup.perturbedBatch(emb, "embedding", "vec_id")
 
     val probes: Seq[(String, () => Long)] = Seq(
       "s8 PQ probe (10 q)" ->

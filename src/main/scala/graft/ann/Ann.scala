@@ -266,10 +266,8 @@ object Ann {
     * `SemDedup.oracleSql`: seed, unrolled Lloyd rounds, and the final
     * per-row argmax — ending in `cdnF` (final centroids), `rankedF`
     * (all (id, cid) similarities ranked) and `assign` (each id's
-    * nearest cell). `srcPred` restricts the training/assignment corpus
-    * (the delta oracles train on the standing corpus only). */
-  private[ann] def kmeansAssignCtes(nlist: Int, rounds: Int,
-                                    srcPred: String = "TRUE"): String = {
+    * nearest cell). */
+  private[ann] def kmeansAssignCtes(nlist: Int, rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       val prev = s"c${r - 1}"
       s"""cdn$r AS (SELECT cid, cfd, sqrt(list_inner_product(cfd, cfd)) AS cfn
@@ -289,7 +287,7 @@ object Ann {
          |c$r AS (SELECT p.cid, coalesce(nw.f, p.f) AS f FROM $prev p LEFT JOIN nw$r nw USING (cid))"""
         .stripMargin
     }.mkString(",\n")
-    s"""e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE $srcPred),
+    s"""e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
        |fx AS (SELECT id, [floor(x * ${FixedScale})::BIGINT FOR x IN v] AS f FROM e),
        |pn AS (SELECT n.id, n.v, n.nrm, fx.f FROM n JOIN fx USING (id)),
@@ -433,9 +431,17 @@ object Ann {
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec.map(_.numBuckets).getOrElse(16)
     val cent = spark.table(s"${table}_cent")
-    normed(batch, vecCol, idCol).join(broadcast(cent))
+    // keep-metadata columns (filtered-search layout) come from the
+    // table's own schema, so absorb works against any build
+    val tableCols = spark.table(table).columns.toSeq
+    val keep = tableCols.filterNot(Set("id", "v", "norm", "cid"))
+    val assigned = normed(batch, vecCol, idCol).join(broadcast(cent))
       .withColumn("cid", sortedCells.getItem(0).getField("cid"))
       .select("id", "v", "norm", "cid")
+    val withMeta =
+      if (keep.isEmpty) assigned
+      else assigned.join(batch.select(col(idCol).as("id") +: keep.map(col): _*), Seq("id"))
+    withMeta.select(tableCols.map(col): _*)
       .write.mode("append").bucketBy(buckets, "cid").sortBy("cid")
       .saveAsTable(table)
     spark.catalog.refreshTable(table)

@@ -43,9 +43,13 @@ object SemDedup {
     // each re-run the Lloyd rounds
     val cent = graft.core.Checkpoints.truncate(
       Ann.trainCentroids(emb, vecCol, idCol, nlist, rounds))
-    val assign = e.join(broadcast(cent)) // map-side: nearest cell per row
-      .withColumn("cid", Ann.sortedCells.getItem(0).getField("cid"))
-      .select(col("id"), col("v"), col("norm"), col("cid"))
+    // the assignment is consumed three times (both pair-join sides +
+    // the output roster) — truncate it too, or the corpus scan and the
+    // O(n·nlist·dims) argmax projection run 3× per job
+    val assign = graft.core.Checkpoints.truncate(
+      e.join(broadcast(cent)) // map-side: nearest cell per row
+        .withColumn("cid", Ann.sortedCells.getItem(0).getField("cid"))
+        .select(col("id"), col("v"), col("norm"), col("cid")))
     val dropped = assign.as("a").join(assign.as("b"), // cluster-local pairs only
         col("a.cid") === col("b.cid") && col("a.id") > col("b.id"))
       .filter(Ann.cosine(col("a.v"), col("b.v"), col("a.norm"), col("b.norm")) >= threshold)
@@ -119,6 +123,19 @@ object SemDedup {
       .filter(col("simraw") >= threshold)
       .select(col("a"), col("b"), round(col("simraw"), 4).as("sim"))
   }
+
+  /** The planted delta batch used by the d14 query, `SteadyState` and
+    * `deltaOracleSql`'s `bat0` CTE — perturbed copies of the first `n`
+    * corpus vectors under fresh ids (+`offset`), component 0 shifted
+    * by +0.1 (double add, one IEEE round back to float: engine-exact,
+    * the d5 construction). One definition so the measured workload can
+    * never drift from the verified one. */
+  def perturbedBatch(emb: DataFrame, vecCol: String, idCol: String,
+                     n: Int = 100, offset: Long = 10000L): DataFrame =
+    emb.filter(col(idCol) < n).select(
+      (col(idCol) + offset).as(idCol),
+      transform(col(vecCol), (x, i) =>
+        when(i === 0, (x.cast("double") + lit(0.1d)).cast("float")).otherwise(x)).as(vecCol))
 
   /** DuckDB SQL re-deriving `semanticDedupDelta` under the d5/d11
     * planted-batch construction: k-means trained on the standing

@@ -28,12 +28,15 @@ object Export {
       pmod(graft.text.TextAnalysis.sampleHash(col(idCol), "shard"), lit(shards.toLong)))
     val writeDf = if (coalesceFiles) withShard.repartition(shards, col("__shard")) else withShard
     writeDf.write.mode("overwrite").partitionBy("__shard").parquet(dir)
-    manifest(spark, dir)
+    manifest(spark, dir, shards)
   }
 
   /** The manifest of an exported directory: one row per shard with its
-    * row count and data bytes (parquet footers only — no data read). */
-  def manifest(spark: SparkSession, dir: String): DataFrame = {
+    * row count and data bytes (parquet footers only — no data read).
+    * Pass `shards` to get a FULL roster — hash buckets that received
+    * zero rows write no partition directory, but a loader mapping
+    * workers onto the advertised shard count needs their (0, 0) rows. */
+  def manifest(spark: SparkSession, dir: String, shards: Int = 0): DataFrame = {
     import spark.implicits._
     val written = spark.read.parquet(dir)
     val counts = written.groupBy(col("__shard").cast("long").as("shard"))
@@ -46,6 +49,14 @@ object Export {
         val shard = s.getPath.getName.stripPrefix("__shard=").toLong
         shard -> Statistics.parquetDataBytes(spark, s.getPath.toString)
       }.toSeq.toDF("shard", "n_bytes")
-    counts.join(bytes, Seq("shard")).orderBy("shard")
+    val present = counts.join(bytes, Seq("shard"))
+    val full =
+      if (shards <= 0) present
+      else spark.range(shards).select(col("id").as("shard"))
+        .join(present, Seq("shard"), "left")
+        .select(col("shard"),
+          coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+          coalesce(col("n_bytes"), lit(0L)).as("n_bytes"))
+    full.orderBy("shard")
   }
 }

@@ -304,6 +304,19 @@ class AnnSpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning(id#"), plan)
   }
 
+  test("keep-metadata IVF index survives compact + absorb (schema-derived columns)") {
+    val table = "ivf_idx_meta_absorb_spec"
+    Ann.buildIvfIndex(emb, "embedding", "vec_id", table, keep = Seq("label"))
+    def rows() = spark.table(table).select("id", "cid", "label").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val before = rows()
+    val slice = emb.filter(col("vec_id") % 5 === 0)
+    Ann.compactIvfIndex(spark, table, slice.select(col("vec_id").as("id")))
+    assert(rows() != before, "compact must actually remove the slice")
+    Ann.absorbIntoIvfIndex(spark, slice, "embedding", "vec_id", table)
+    assert(rows() == before, "metadata-carrying absorb must restore every row")
+  }
+
   test("sample-trained centroids are deterministic and keep indexed recall above chance") {
     val c1 = Ann.trainCentroids(emb, "embedding", "vec_id", sampleFrac = 0.5).collect()
     val c2 = Ann.trainCentroids(emb, "embedding", "vec_id", sampleFrac = 0.5).collect()

@@ -531,5 +531,12 @@ class JobsSpec extends SparkSpec {
         assert(files == 1, s"${d.getPath.getName} has $files files")
       }
     assert(spark.read.parquet(dir3).count() == total)
+    // full roster: hash buckets that received zero rows still get a
+    // (0, 0) manifest row — loaders map workers onto the advertised
+    // shard count
+    val dir4 = tmp()
+    val m4 = Export.shardedExport(docs.limit(10), "doc_id", dir4, 64).collect()
+    assert(m4.length == 64 && m4.map(_.getLong(1)).sum == 10)
+    assert(m4.count(_.getLong(1) == 0) > 0, "tiny corpus must leave empty shards")
   }
 }
