@@ -41,20 +41,24 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       spark.sharedState.cacheManager.clearCache()
     }
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
     val results = names.map { n =>
       val times = (1 to passes).map { _ =>
         release()
         val t0 = System.nanoTime()
-        try SparkEntry.queries(n)(spark, sfDir).count()
-        catch {
-          case e: Throwable =>
-            // a failed query must not masquerade as a fast one
-            System.err.println(s"[bench] $n FAILED: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { SparkEntry.queries(n)(spark, sfDir).count(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $n FAILED: ${e.getMessage}")
+              false
+          }
+        // a failed pass must not masquerade as a fast one: its
+        // time-to-failure is excluded from the min
+        if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
       }
-      n -> times.min
+      // every pass failed → report -1, unmistakably not a timing
+      n -> (if (times.min == Double.MaxValue) -1.0 else times.min)
     }
     // millisecond precision keeps the line SHORT: the driver's tail
     // capture truncated the r3 line (full-precision doubles × 71 queries

@@ -306,6 +306,17 @@ object Ann {
        |assign AS (SELECT id, v, nrm, cid FROM rankedF WHERE crn = 1)""".stripMargin
   }
 
+  /** One sketch row per (vector, table): the (id, v, norm, t, sk)
+    * stream every sketch-index consumer shares — build, absorb and the
+    * incremental delta MUST derive bit-identical sketches for the
+    * index/absorb/probe contract to hold, so there is exactly one
+    * definition of the projection. */
+  private[graft] def sketchRows(e: DataFrame, dims: Int, tables: Int, bits: Int): DataFrame =
+    e.select(col("id"), col("v"), col("norm"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), sketch(col("v"), dims, t, bits).as("sk"))): _*)).as("b"))
+      .select(col("id"), col("v"), col("norm"), col("b.t").as("t"), col("b.sk").as("sk"))
+
   /** Materialize the LSH sketch index as a BUCKETED table keyed by the
     * (table, sketch) bucket — the ANN deployment shape mirroring
     * `Dedup.buildShingleIndex`: build once per corpus snapshot, then
@@ -320,11 +331,7 @@ object Ann {
     import spark.implicits._
     Seq(table, s"${table}_meta", s"${table}_batches")
       .foreach(graft.core.Tables.drop(spark, _))
-    val e = normed(emb, vecCol, idCol)
-    e.select(col("id"), col("v"), col("norm"),
-        explode(array((0 until tables).map(t =>
-          struct(lit(t).as("t"), sketch(col("v"), dims, t, bits).as("sk"))): _*)).as("b"))
-      .select(col("id"), col("v"), col("norm"), col("b.t").as("t"), col("b.sk").as("sk"))
+    sketchRows(normed(emb, vecCol, idCol), dims, tables, bits)
       .write.mode("overwrite")
       .bucketBy(buckets, "t", "sk").sortBy("t", "sk")
       .saveAsTable(table)
@@ -351,11 +358,7 @@ object Ann {
     val buckets = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec.map(_.numBuckets).getOrElse(32)
-    val e = normed(batch, vecCol, idCol)
-    e.select(col("id"), col("v"), col("norm"),
-        explode(array((0 until tables).map(t =>
-          struct(lit(t).as("t"), sketch(col("v"), dims, t, bits).as("sk"))): _*)).as("b"))
-      .select(col("id"), col("v"), col("norm"), col("b.t").as("t"), col("b.sk").as("sk"))
+    sketchRows(normed(batch, vecCol, idCol), dims, tables, bits)
       .write.mode("append").bucketBy(buckets, "t", "sk").sortBy("t", "sk")
       .saveAsTable(table)
     spark.catalog.refreshTable(table)
@@ -487,11 +490,7 @@ object Ann {
     * the L tables; exact cosine only on candidates; two-phase top-k. */
   def lshTopK(emb: DataFrame, vecCol: String, idCol: String, dims: Int,
               queryFilter: Column, k: Int, tables: Int = 8, bits: Int = 4): DataFrame = {
-    val e = normed(emb, vecCol, idCol)
-    val buckets = e.select(col("id"), col("v"), col("norm"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), sketch(col("v"), dims, t, bits).as("sk"))): _*)).as("b"))
-      .select(col("id"), col("v"), col("norm"), col("b.t").as("t"), col("b.sk").as("sk"))
+    val buckets = sketchRows(normed(emb, vecCol, idCol), dims, tables, bits)
     val qb = buckets.filter(queryFilter)
     val cand = buckets.as("x").join(broadcast(qb.as("y")),
         col("x.t") === col("y.t") && col("x.sk") === col("y.sk") && col("x.id") =!= col("y.id"))

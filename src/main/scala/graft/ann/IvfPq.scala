@@ -42,7 +42,7 @@ object IvfPq {
       .write.mode("overwrite").saveAsTable(s"${table}_cent")
     Pq.trainCodebooks(emb, vecCol, idCol, m, ksub, pqRounds, dims)
       .write.mode("overwrite").saveAsTable(s"${table}_books")
-    val codes = Pq.encode(emb, vecCol, idCol, spark.table(s"${table}_books"), m, dims)
+    val codes = Pq.encode(emb, vecCol, idCol, spark.table(s"${table}_books"), m)
     // `keep`: filterable metadata stored inline with the codes (same
     // filtered-search layout as Ann.buildIvfIndex)
     val assign = Ann.normed(emb, vecCol, idCol)
@@ -66,7 +66,8 @@ object IvfPq {
     * broadcast `<table>_books` decoder (reconstruction happens per
     * CANDIDATE row, after the cell cut — unprobed cells never decode);
     * and only the per-query shortlist reads full vectors for the exact
-    * rerank. `ksub` must match the build.
+    * rerank. The decode is SELF-DESCRIBING (arithmetic derived from
+    * the `_books` companion — no build parameter to keep in sync).
     *
     * `neighborPred` = filtered search over `keep` metadata stored
     * inline at build: a map-side filter on the bucketed codes scan,
@@ -75,7 +76,7 @@ object IvfPq {
   def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
                        emb: DataFrame, vecCol: String, idCol: String,
                        queryFilter: Column, k: Int, nprobe: Int = 4,
-                       ksub: Int = 16, shortlist: Int = 50,
+                       shortlist: Int = 50,
                        neighborPred: Column = lit(true)): DataFrame = {
     val e = Ann.normed(emb, vecCol, idCol)
     val cent = spark.table(s"${table}_cent")
@@ -85,7 +86,7 @@ object IvfPq {
     val codes = spark.table(table).filter(neighborPred)
     val cand = codes.join(broadcast(probes),
       codes("cid") === probes("cid") && col("id") =!= col("query_id"))
-    val scored = Pq.adcAugment(cand, spark.table(s"${table}_books"), ksub)
+    val scored = Pq.adcAugment(cand, spark.table(s"${table}_books"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         (dot(col("qv"), col("rv")) / (col("qnorm") * col("rnorm"))).as("sim"))
     val short = Ann.topKPerQuery(scored, shortlist, salts = 32)

@@ -99,7 +99,7 @@ object Pq {
     * compressed representation a deployment stores (m bytes/vector at
     * ksub ≤ 256). */
   def encode(emb: DataFrame, vecCol: String, idCol: String, books: DataFrame,
-             m: Int = 8, dims: Int = 0): DataFrame = {
+             m: Int = 8): DataFrame = {
     // the codebook is metadata-sized (m·ksub rows) — collect it once
     // and fuse the whole encode into the codegen'd per-row PqEncode
     // kernel: corpus encoding becomes ONE map-only pass with zero
@@ -117,6 +117,14 @@ object Pq {
         ColumnBridge.expr(col(vecCol)), tbl, mEff, ksub)).as("codes"))
   }
 
+  /** The codebook's own ksub (max code + 1) — probes are
+    * SELF-DESCRIBING: deriving the lookup arithmetic from `_books`
+    * itself means a build/probe parameter mismatch (or a codebook
+    * seeded with fewer than ksub codes on a tiny corpus) can never
+    * silently misalign the decode. Metadata-sized read. */
+  private def ksubOf(books: DataFrame): Int =
+    books.agg(max(col("code").cast("int"))).head().getInt(0) + 1
+
   /** The m·ksub codebook collapsed to ONE lookup-array row (element
     * sub·ksub + code + 1 = that codeword's int-valued double
     * coordinates): broadcast it and ADC reconstruction becomes m array
@@ -132,14 +140,16 @@ object Pq {
     * rnorm exact (int-valued squares sum exactly in double), and the
     * downstream cosine consumes the same sequential doubles as a
     * from-scratch reconstruction. MAP-ONLY over the codes side. */
-  private[ann] def adcAugment(codes: DataFrame, books: DataFrame, ksub: Int): DataFrame =
+  private[ann] def adcAugment(codes: DataFrame, books: DataFrame): DataFrame = {
+    val ksub = ksubOf(books)
     codes.join(broadcast(booksArray(books, ksub)))
       .withColumn("rv", flatten(transform(col("codes"), (code, sub) =>
         element_at(col("barr"), (sub * ksub + code + lit(1)).cast("int")))))
       .withColumn("rnorm", sqrt(dot(col("rv"), col("rv"))))
+  }
 
-  private def adcScores(codes: DataFrame, books: DataFrame, q: DataFrame, ksub: Int): DataFrame =
-    adcAugment(codes, books, ksub)
+  private def adcScores(codes: DataFrame, books: DataFrame, q: DataFrame): DataFrame =
+    adcAugment(codes, books)
       .join(broadcast(q), col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         (dot(col("qv"), col("rv")) / (col("qnorm") * col("rnorm"))).as("sim"))
@@ -167,10 +177,10 @@ object Pq {
              rounds: Int = 1, shortlist: Int = 50, dims: Int = 0): DataFrame = {
     val e = Ann.normed(emb, vecCol, idCol)
     val books = trainCodebooks(emb, vecCol, idCol, m, ksub, rounds, dims)
-    val codes = encode(emb, vecCol, idCol, books, m, dims)
+    val codes = encode(emb, vecCol, idCol, books, m)
     val q = e.filter(queryFilter)
       .select(col("id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
-    val short = Ann.topKPerQuery(adcScores(codes, books, q, ksub), shortlist, salts = 32)
+    val short = Ann.topKPerQuery(adcScores(codes, books, q), shortlist, salts = 32)
       .select(col("query_id"), col("neighbor_id"))
     rerank(short, e, q, k)
   }
@@ -190,7 +200,7 @@ object Pq {
       .foreach(graft.core.Tables.drop(spark, _))
     trainCodebooks(emb, vecCol, idCol, m, ksub, rounds, dims)
       .write.mode("overwrite").saveAsTable(s"${table}_books")
-    encode(emb, vecCol, idCol, spark.table(s"${table}_books"), m, dims)
+    encode(emb, vecCol, idCol, spark.table(s"${table}_books"), m)
       .write.mode("overwrite").saveAsTable(table)
     table
   }
@@ -202,16 +212,17 @@ object Pq {
     * rerank. No codebook re-training, no corpus re-encode, no
     * full-vector scan before the rerank. Output is identical to
     * `pqTopK` with the build's parameters (training and encoding are
-    * deterministic). `ksub` must match the build — it indexes the
-    * codebook lookup array. */
+    * deterministic). The probe is SELF-DESCRIBING: the decode
+    * arithmetic derives from the `_books` companion itself, so there
+    * is no build parameter to keep in sync. */
   def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
                     emb: DataFrame, vecCol: String, idCol: String,
-                    queryFilter: Column, k: Int, ksub: Int = 16,
+                    queryFilter: Column, k: Int,
                     shortlist: Int = 50): DataFrame = {
     val e = Ann.normed(emb, vecCol, idCol)
     val q = e.filter(queryFilter)
       .select(col("id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
-    val approx = adcScores(spark.table(table), spark.table(s"${table}_books"), q, ksub)
+    val approx = adcScores(spark.table(table), spark.table(s"${table}_books"), q)
     val short = Ann.topKPerQuery(approx, shortlist, salts = 32)
       .select(col("query_id"), col("neighbor_id"))
     rerank(short, e, q, k)

@@ -28,23 +28,38 @@ object Checkpoints {
   // (SparkContext stores a UUID-qualified subpath, so the raw conf
   // value must be tracked here to detect changes)
   private var installed: Option[String] = None
+  private val rwLock = new java.util.concurrent.locks.ReentrantReadWriteLock()
 
   def truncate(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(ConfKey) match {
       case Some(dir) =>
         // the checkpoint dir is SparkContext-GLOBAL while the conf is
-        // per-session-clone: hold the lock across install AND
-        // checkpoint() so two clones configured with DIFFERENT dirs
+        // per-session-clone: an install must exclude every in-flight
+        // checkpoint so two clones configured with DIFFERENT dirs
         // cannot interleave and land checkpoints under each other's
-        // path. Reliable checkpoints are rare, coarse operations — the
-        // serialization cost is irrelevant next to the job itself.
-        synchronized {
-          if (!installed.contains(dir) || spark.sparkContext.getCheckpointDir.isEmpty) {
-            spark.sparkContext.setCheckpointDir(dir)
-            installed = Some(dir)
-          }
-          df.checkpoint()
+        // path. A read-write lock keeps the common case concurrent —
+        // callers whose dir is already installed (e.g. two streams
+        // sharing one configured dir) checkpoint under the shared READ
+        // lock in parallel; only a (re)install takes the write lock.
+        val rl = rwLock.readLock()
+        rl.lock()
+        val fast =
+          try {
+            if (installed.contains(dir) && spark.sparkContext.getCheckpointDir.nonEmpty)
+              Some(df.checkpoint())
+            else None
+          } finally rl.unlock()
+        fast.getOrElse {
+          val wl = rwLock.writeLock()
+          wl.lock()
+          try {
+            if (!installed.contains(dir) || spark.sparkContext.getCheckpointDir.isEmpty) {
+              spark.sparkContext.setCheckpointDir(dir)
+              installed = Some(dir)
+            }
+            df.checkpoint()
+          } finally wl.unlock()
         }
       case None => df.localCheckpoint()
     }

@@ -677,10 +677,7 @@ object Dedup {
     import graft.functions.VectorFunctions.{dot, l2norm}
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("norm", l2norm(col("v")))
-    val buckets = e.select(col("id"), col("v"), col("norm"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), graft.ann.Ann.sketch(col("v"), dims, t, bits).as("sk"))): _*)).as("b"))
-      .select(col("id"), col("v"), col("norm"), col("b.t").as("t"), col("b.sk").as("sk"))
+    val buckets = graft.ann.Ann.sketchRows(e, dims, tables, bits)
     val sim = dot(col("x.v"), col("y.v")) / (col("x.norm") * col("y.norm"))
     // verify map-side right out of the bucket join; only surviving pairs
     // (already >= threshold) ride the final distinct's shuffle
@@ -710,10 +707,7 @@ object Dedup {
     val (tables, bits, dims) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     val e = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("norm", l2norm(col("v")))
-    val nb = e.select(col("id"), col("v"), col("norm"),
-        explode(array((0 until tables).map(t =>
-          struct(lit(t).as("t"), graft.ann.Ann.sketch(col("v"), dims, t, bits).as("sk"))): _*)).as("b"))
-      .select(col("id"), col("v"), col("norm"), col("b.t").as("t"), col("b.sk").as("sk"))
+    val nb = graft.ann.Ann.sketchRows(e, dims, tables, bits)
     val batchIds = batch.select(col(idCol).as("id")).distinct()
     val corpus = spark.table(indexTable).join(broadcast(batchIds), Seq("id"), "left_anti")
     val sim = dot(col("x.v"), col("y.v")) / (col("x.norm") * col("y.norm"))

@@ -66,10 +66,20 @@ object Transaction {
     * masters REQUIRE a shared filesystem: the path derives from
     * `graft.checkpointDir` (already the session's shared-durable-storage
     * contract for reliable checkpoints) or the commit fails fast. */
+  // ONE shutdown hook draining a list: a hook per commit would pin a
+  // Thread (and keep its dir alive) for every transaction of a
+  // long-lived driver
+  private val stagedDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private lazy val cleanupHook: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    var f = stagedDirs.poll()
+    while (f != null) { deleteRecursively(f); f = stagedDirs.poll() }
+  }))
+
   private[graft] def resolveStaging(master: String, checkpointDir: Option[String]): String =
     if (master.startsWith("local")) {
       val dir = java.nio.file.Files.createTempDirectory("graft_txn_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(dir.toFile)))
+      cleanupHook
+      stagedDirs.add(dir.toFile)
       dir.toString
     } else checkpointDir match {
       case Some(cp) =>

@@ -288,9 +288,14 @@ object OnChange {
             .embeddingNearDupDelta(bs, batch, vecCol, idCol, indexTable, threshold)
             .write.mode("overwrite").parquet(s"$pairsPath/batch_id=$batchId")
           val batchIds = batch.select(col(idCol).as("id")).distinct()
-          val overlap = bs.table(indexTable)
+          // overlap probe on the t = 0 slice only: the index holds one
+          // row per (vector, table), so the slice is one row per vector
+          // — the `_sizes`-sized probe of the text loop, not a scan of
+          // the tables×-replicated index. No distinct: the existence
+          // check doesn't need it, and compact dedups its key side.
+          val overlap = bs.table(indexTable).filter(col("t") === 0)
             .join(broadcast(batchIds), Seq("id"), "leftsemi")
-            .select("id").distinct()
+            .select("id")
           if (!overlap.isEmpty)
             graft.ann.Ann.compactAnnIndex(bs, indexTable, overlap)
           graft.ann.Ann.absorbIntoAnnIndex(bs, batch, vecCol, idCol, indexTable)
