@@ -144,6 +144,11 @@ final case class EntityGraph(datasets: Map[String, EntityDataset], ns: Namespace
     * top-N — Spark plans TakeOrderedAndProject (per-partition top-N,
     * merged on the driver), NOT a global sort, and the `> K` predicate
     * prunes parquet row groups. O(page) per page at any corpus size.
+    *
+    * Keyset contract (also `inPaged`): entity keys must be NUMERIC —
+    * under ANSI mode a string key (e.g. lineitem's composite
+    * "orderkey-linenumber") fails the cast loudly at execution; give
+    * such datasets a numeric surrogate column for paged traversal.
     */
   def outPaged(
       dataset: String,
@@ -199,6 +204,10 @@ final case class EntityGraph(datasets: Map[String, EntityDataset], ns: Namespace
       d.refs.sortBy(_.predicate).map { r =>
         val tgt = apply(r.target)
         refPairs(d.df, d.idCol, r, "__sid", "__fk")
+          // a null FK concat()s to a null dst URI, and null keys never
+          // anti-join away — without this filter `reachable` would
+          // re-emit a spurious null node at every hop
+          .filter(col("__fk").isNotNull)
           .select(d.uriOf(col("__sid")).as("src"), tgt.uriOf(col("__fk")).as("dst"))
       }
     }.reduce(_ unionByName _)

@@ -20,8 +20,13 @@ object Backup {
 
   def restore(spark: SparkSession, root: String): DatasetRegistry = {
     val reg = new DatasetRegistry
-    val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory).map(_.getName).sorted
+    // Hadoop FS listing, not java.io.File: a backup root on HDFS/S3
+    // would otherwise list as null and restore an EMPTY registry
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (fs.exists(p)) fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).sorted
+      else Array.empty[String]
     dirs.foreach(n => reg.put(n, spark.read.parquet(s"$root/$n")))
     reg
   }

@@ -118,8 +118,13 @@ final class CronScheduler(jobs: Seq[CronJob], maxRetries: Int = 0) {
                    now: LocalDateTime): Seq[(String, Option[Throwable])] =
     jobs.filter(_.cron.matches(now)).sortBy(_.id).map { cj =>
       try {
+        // capture the next token BEFORE the run: rows appended while
+        // the job executes stay past the stored token and surface next
+        // tick (at-least-once; latestOnly sinks dedup) — reading it
+        // after the run would skip that window's appends forever
+        val next = cj.nextToken()
         Scheduler.runWithRetry(spark, registry, cj.makeJob(tokens.get(cj.id)), maxRetries)
-        cj.nextToken().foreach(t => tokens.put(cj.id, t))
+        next.foreach(t => tokens.put(cj.id, t))
         cj.id -> None
       } catch {
         case scala.util.control.NonFatal(e) => cj.id -> Some(e)

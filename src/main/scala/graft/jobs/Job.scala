@@ -170,7 +170,12 @@ final case class Job(
   }
 
   private def runInner(spark: SparkSession, registry: Option[DatasetRegistry]): Unit = {
-    val out = transform(source.read(spark))
+    val out0 = transform(source.read(spark))
+    // with a re-queue configured the relation is written TWICE (fail
+    // side + pass side): pin it first, or a nondeterministic transform
+    // / a source mutating between the two actions re-evaluates per
+    // write and rows can land in both outputs or neither
+    val out = if (requeueTo.isDefined) graft.core.Checkpoints.truncate(out0) else out0
     // NULL counts as FAILING: an entity whose validation predicate can't
     // even evaluate (e.g. a JSON extract on malformed props) must land in
     // the re-queue, not vanish — sink ∪ requeue always equals the

@@ -24,9 +24,12 @@ object Scheduler {
       maxRetries: Int = 0,
       paused: Set[String] = Set.empty
   ): Seq[String] = {
-    // j2 depends on j1 iff j1's sink feeds j2's source or a hop
+    // j2 depends on j1 iff j1's sink feeds j2's source or a hop —
+    // and only NAMED sinks form edges: jobs left at the default ""
+    // would otherwise all mutually "depend" on each other ("" == "")
+    // and abort as a phantom cycle
     def deps(j: Job): Seq[String] =
-      jobSet.filter(o => o.id != j.id &&
+      jobSet.filter(o => o.id != j.id && o.sinkName.nonEmpty &&
         (o.sinkName == j.sourceName || j.hops.contains(o.sinkName))).map(_.id)
     val remaining = scala.collection.mutable.Set(jobSet.map(_.id): _*)
     val order = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -64,14 +67,16 @@ object Scheduler {
       finally running.remove(job.id)
   }
 
-  /** Reference: runner.go retries a failed job run. */
+  /** Reference: runner.go retries a failed job run. Only NonFatal
+    * failures retry — an OOM or an interrupt must propagate, not
+    * re-run on a broken JVM (`tickOutcomes` follows the same rule). */
   def runWithRetry(spark: SparkSession, registry: DatasetRegistry, job: Job, maxRetries: Int): Unit = {
     var attempt = 0
     var done = false
     while (!done) {
       try { job.run(spark, Some(registry)); done = true }
       catch {
-        case _: Throwable if attempt < maxRetries => attempt += 1
+        case scala.util.control.NonFatal(_) if attempt < maxRetries => attempt += 1
       }
     }
   }

@@ -21,7 +21,14 @@ object OnChange {
   /** Incremental aggregation over the event change log, drained with
     * Trigger.AvailableNow into an in-memory sink. The result must equal
     * the batch aggregation over the same files — that equivalence is the
-    * oracle. */
+    * oracle.
+    *
+    * Session-conf note (all OnChange entry points): the
+    * `nanosAsLong` legacy conf is set for the SESSION — streaming
+    * schema resolution consults it on restarts, so it is deliberately
+    * not restored; callers reading other TIMESTAMP(NANOS) parquet in
+    * the same session see those columns as longs too (use a cloned
+    * session to isolate). */
   def aggregateEvents(spark: SparkSession, eventsPath: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsPath).schema
