@@ -40,10 +40,8 @@ object Dedup {
     docs
       // generator = optimization barrier: __ws is a materialized attribute
       .select(col(idCol).as("id"), explode(array(TextAnalysis.words(col(textCol)))).as("__ws"))
-      .select(col("id"), explode(array_distinct(
-        when(size(col("__ws")) < n, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(0), size(col("__ws")) - n),
-            i => concat_ws(" ", slice(col("__ws"), i + lit(1), lit(n))))))).as("s"))
+      .select(col("id"),
+        explode(array_distinct(TextAnalysis.ngrams(col("__ws"), n))).as("s"))
 
   /** Materialize the shingle inverted index as a BUCKETED table:
     * bucketed+sorted by shingle, so every downstream self-join /
@@ -114,14 +112,33 @@ object Dedup {
 
   /** ngramJaccard against a pre-built bucketed index (see
     * buildShingleIndex): identical result, but the s=s self-join reads
-    * co-bucketed files — no Exchange in the plan. */
+    * co-bucketed files — no Exchange in the plan. Cap semantics: the
+    * index rows already carry the BUILD-time df cap, and per-doc sizes
+    * come from the persisted `_sizes` companion — no corpus-scale
+    * re-aggregation per query. Pass `maxDf` only to TIGHTEN the cap at
+    * query time (that path re-derives the residual hot set and sizes
+    * from the capped stream). */
   def ngramJaccardIndexed(spark: org.apache.spark.sql.SparkSession, table: String, threshold: Double,
-                          maxDf: Int = 10000): DataFrame = {
+                          maxDf: Int = Int.MaxValue): DataFrame = {
     val sh = capDf(spark.table(table), maxDf)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("x").join(sh.as("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+    val sizes =
+      if (maxDf == Int.MaxValue) spark.table(s"${table}_sizes")
+      else sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    jaccardScore(pairIntersections(sh), sizes, threshold)
+  }
+
+  /** (a, b, inter) per candidate pair from a (id, s) shingle stream —
+    * the s = s self-join every jaccard variant shares. */
+  private def pairIntersections(sh: DataFrame): DataFrame =
+    sh.as("x").join(sh.as("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("inter"))
+
+  /** The jaccard scoring tail shared by every variant: join set sizes,
+    * threshold, round — ONE definition so precision/threshold semantics
+    * cannot drift between the recompute/indexed/delta/LSH paths. */
+  private[dedup] def jaccardScore(inter: DataFrame, sizes: DataFrame,
+                                  threshold: Double): DataFrame = {
     val jac = col("inter").cast("double") /
       (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")
     inter
@@ -198,13 +215,7 @@ object Dedup {
       .join(broadcast(batchIds), Seq("id"), "left_anti")
     val sizes = newSh.groupBy("id").agg(count(lit(1)).as("sz"))
       .unionByName(corpusSizes)
-    val jac = col("inter").cast("double") /
-      (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")
-    inter
-      .join(sizes.as("sa"), col("a") === col("sa.id"))
-      .join(sizes.as("sb"), col("b") === col("sb.id"))
-      .filter(jac >= threshold)
-      .select(col("a"), col("b"), round(jac, 3).as("jac"))
+    jaccardScore(inter, sizes, threshold)
   }
 
   /** Absorb a NEW-ID batch into the standing shingle index: its
@@ -322,16 +333,7 @@ object Dedup {
     val sh = capDf(graft.core.Checkpoints.truncate(
       shingles(docs, textCol, idCol, n)), maxDf)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("x").join(sh.as("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
-      .agg(count(lit(1)).as("inter"))
-    val jac = col("inter").cast("double") /
-      (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")
-    inter
-      .join(sizes.as("sa"), col("a") === col("sa.id"))
-      .join(sizes.as("sb"), col("b") === col("sb.id"))
-      .filter(jac >= threshold)
-      .select(col("a"), col("b"), round(jac, 3).as("jac"))
+    jaccardScore(pairIntersections(sh), sizes, threshold)
   }
 
   /** MinHash signatures (k hash functions = xxhash64 with k salts) +
@@ -398,13 +400,7 @@ object Dedup {
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("inter"))
       .join(cand, Seq("a", "b"), "leftsemi")
-    val jac = col("inter").cast("double") /
-      (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")
-    inter
-      .join(sizes.as("sa"), col("a") === col("sa.id"))
-      .join(sizes.as("sb"), col("b") === col("sb.id"))
-      .filter(jac >= threshold)
-      .select(col("a"), col("b"), round(jac, 3).as("jac"))
+    jaccardScore(inter, sizes, threshold)
   }
 
   /** Train/eval CONTAMINATION check — the decontamination step of a

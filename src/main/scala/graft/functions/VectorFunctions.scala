@@ -85,6 +85,11 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 case class HyperplaneSketch(child: Expression, signs: Array[Array[Double]])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
+  // the sketch packs one bit per plane into an Int: bits >= 32 would
+  // silently wrap `1 << p` and corrupt every bucket key
+  require(signs.length >= 1 && signs.length <= 31,
+    s"hyperplane_sketch supports 1..31 bits, got ${signs.length}")
+
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def prettyName: String = "hyperplane_sketch"
 
@@ -220,6 +225,9 @@ case class PqEncode(child: Expression, books: Array[Array[Long]], m: Int, ksub: 
       s += x * x; d += 1
     }
     val norm = math.sqrt(s)
+    if (norm == 0.0) throw new IllegalArgumentException(
+      "pq_encode: zero-norm vector cannot be encoded (x/||v|| is undefined) — " +
+        "filter dead/all-zero embeddings before PQ indexing")
     val fu = new Array[Long](n)
     d = 0
     while (d < n) {

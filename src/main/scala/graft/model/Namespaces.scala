@@ -26,7 +26,10 @@ final case class Namespaces(prefixes: Map[String, String]) {
     prefixOf(expansion) match {
       case Some(p) => (p, this)
       case None =>
-        val p = s"ns${prefixes.size}"
+        // skip generated names a user already registered — ns<size>
+        // could collide and silently rebind their prefix
+        val p = Iterator.from(prefixes.size).map(i => s"ns$i")
+          .find(!prefixes.contains(_)).get
         (p, Namespaces(prefixes + (p -> expansion)))
     }
 

@@ -32,13 +32,20 @@ object EntityJson {
       d.propCols.flatMap(p => Seq(lit(d.propNs + p), col(p).cast("string"))): _*)
     val refs =
       if (d.refs.isEmpty) lit(null).cast("map<string,array<string>>")
-      else map(d.refs.flatMap { r =>
+      // null FKs carry no edge: a null element would otherwise concat
+      // to a null URI and export as "refs":{"p":[null]} — a phantom
+      // reference on the wire (allEdges filters the same way)
+      else map_filter(map(d.refs.flatMap { r =>
         val tgt = g(r.target)
         val uris =
-          if (r.array) transform(col(r.fkCol), fk => concat(lit(tgt.ns), fk.cast("string")))
-          else array(concat(lit(tgt.ns), col(r.fkCol).cast("string")))
+          if (r.array) filter(
+            transform(col(r.fkCol), fk => concat(lit(tgt.ns), fk.cast("string"))),
+            u => u.isNotNull)
+          else when(col(r.fkCol).isNotNull,
+            array(concat(lit(tgt.ns), col(r.fkCol).cast("string"))))
+            .otherwise(array().cast("array<string>"))
         Seq(lit(r.predicate), uris)
-      }: _*)
+      }: _*), (_, v) => size(v) > 0)
     d.df.select(
       d.uri.as("id"),
       lit(0L).as("recorded"),
@@ -60,10 +67,14 @@ object EntityJson {
                   publicOnly: Seq[String] = Seq.empty): DataFrame = {
     val prefixes = ns.prefixes
       .filter { case (_, exp) => publicOnly.isEmpty || publicOnly.contains(exp) }
-    val kv = prefixes.toSeq.sortBy(_._1)
-      .map { case (p, e) => s""""$p":"$e"""" }.mkString(",")
-    import spark.implicits._
-    Seq(s"""{"id":"@context","namespaces":{$kv}}""").toDF("json")
+    // to_json, not string interpolation: a quote/backslash in a prefix
+    // or expansion must be escaped or the wire line is invalid JSON
+    val m =
+      if (prefixes.isEmpty) typedLit(Map.empty[String, String])
+      else map(prefixes.toSeq.sortBy(_._1)
+        .flatMap { case (p, e) => Seq(lit(p), lit(e)) }: _*)
+    spark.range(1).select(
+      to_json(struct(lit("@context").as("id"), m.as("namespaces"))).as("json"))
   }
 
   /** Entity rows + leading @context → JSON lines, the full payload a
@@ -74,17 +85,40 @@ object EntityJson {
       .unionByName(toJsonLines(toEntityRows(g, dataset)))
   }
 
+  /** The reference's other legal ref form: `refs: {URI → URI}` (scalar,
+    * internal/server/entity.go `URI | [URI]`). */
+  private val ScalarRefSchema: StructType = StructType.fromDDL(
+    "id string, recorded bigint, deleted boolean, props map<string,string>, refs map<string,string>")
+
   /** Parse JSON lines back into entity rows; a @context line is NOT an
     * entity and is dropped (read it with `readContext`). The strip keys
     * on the PARSED id, not a raw-string prefix, so pretty-printed or
     * key-reordered payloads from other producers (the wire format does
     * not forbid either) can't leak a garbage context row into the
-    * entity stream. Null-safe: a malformed line (null id) stays, as
-    * before, an entity row for the error channel to catch. */
-  def fromJsonLines(spark: SparkSession, jsonDf: DataFrame): DataFrame =
+    * entity stream.
+    *
+    * Both legal wire ref forms parse: the array form (what graft
+    * emits) and the reference's scalar form — PERMISSIVE parsing nulls
+    * the mismatched `refs` field under the array schema, and the
+    * scalar schema's parse fills it back in, normalized to one-element
+    * arrays. (A line MIXING scalar and array ref values loses refs;
+    * the reference emits homogeneous payloads.) Null-safe: a line
+    * malformed under both schemas stays, as before, a null-id entity
+    * row for the error channel to catch. */
+  def fromJsonLines(spark: SparkSession, jsonDf: DataFrame): DataFrame = {
+    val a = from_json(col("json"), WireSchema)
+    val scalarRefs = from_json(col("json"), ScalarRefSchema).getField("refs")
     jsonDf
-      .select(from_json(col("json"), WireSchema).as("e")).select("e.*")
+      .select(struct(
+        a.getField("id").as("id"),
+        a.getField("recorded").as("recorded"),
+        a.getField("deleted").as("deleted"),
+        a.getField("props").as("props"),
+        coalesce(a.getField("refs"),
+          transform_values(scalarRefs, (_, v) => array(v))).as("refs")).as("e"))
+      .select("e.*")
       .filter(!(col("id") <=> "@context"))
+  }
 
   /** The namespace map advertised by a wire payload's @context line:
     * (prefix, expansion) rows. Symmetric with `fromJsonLines`: selects

@@ -18,6 +18,14 @@ object TextAnalysis {
   def words(text: Column): Column =
     filter(split(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " "), w => w =!= "")
 
+  /** Word n-gram array from a words array (empty when shorter than n) —
+    * the ONE construction `Dedup.shingles` and `repetition` both use;
+    * their outputs must tokenize identically for the oracles to hold. */
+  def ngrams(ws: Column, n: Int): Column =
+    when(size(ws) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + lit(1), lit(n)))))
+
   // --- language ID -------------------------------------------------------
 
   /** Tiny per-language stopword profiles (n-gram-heuristic language ID:
@@ -99,10 +107,7 @@ object TextAnalysis {
     * generator barrier); the bigram mode needs one hash-agg shuffle
     * keyed by (doc, bigram). Ratios are fixed-point (oracle-exact). */
   def repetition(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    def grams(n: Int) =
-      when(size(col("__ws")) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), size(col("__ws")) - n),
-          i => concat_ws(" ", slice(col("__ws"), i + lit(1), lit(n)))))
+    def grams(n: Int) = ngrams(col("__ws"), n)
     val base = docs.select(col(idCol).as("id"),
       explode(array(words(col(textCol)))).as("__ws"))
     val tri = base.select(col("id"),

@@ -240,6 +240,39 @@ class JobsSpec extends SparkSpec {
     assert(ctx == Map("p" -> "http://x/"))
   }
 
+  test("wire parse accepts the reference's scalar ref form; export drops null-FK edges") {
+    val s = spark
+    import s.implicits._
+    // scalar refs ({URI: URI}) are legal reference wire format — the
+    // line must parse, refs normalized to one-element arrays
+    val payload = Seq(
+      """{"id":"e/1","recorded":1,"deleted":false,"props":{"p/a":"v"},"refs":{"pred":"http://t/9"}}""",
+      """{"id":"e/2","recorded":1,"deleted":false,"props":{"p/a":"w"},"refs":{"pred":["http://t/7"]}}"""
+    ).toDF("json")
+    val back = graft.sources.EntityJson.fromJsonLines(s, payload)
+      .collect().map(r => r.getString(0) -> r.getMap[String, Seq[String]](4).toMap).toMap
+    assert(back("e/1") == Map("pred" -> Seq("http://t/9")), back.toString)
+    assert(back("e/2") == Map("pred" -> Seq("http://t/7")))
+    // a quote in a namespace expansion must not produce invalid JSON
+    val ns = graft.model.Namespaces(Map("q" -> """http://x/"quoted"/"""))
+    val ctxLine = graft.sources.EntityJson.contextLine(s, ns)
+    val ctx = graft.sources.EntityJson.readContext(s, ctxLine)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(ctx == Map("q" -> """http://x/"quoted"/"""))
+    // export: a null FK exports NO edge, not "refs":{"p":[null]}
+    val g = graft.core.Tpch.graph(s, sfDir)
+    val nation = g("nation")
+    val withNull = nation.df.withColumn("n_regionkey",
+      when(col("n_nationkey") === 0, lit(null)).otherwise(col("n_regionkey")))
+    val g2 = graft.core.EntityGraph(
+      g.datasets + ("nation" -> nation.copy(df = withNull)), g.ns)
+    val rows = graft.sources.EntityJson.toEntityRows(g2, "nation")
+      .filter(col("id").endsWith("/0"))
+      .select("refs").collect()
+    assert(rows.length == 1 && rows(0).getMap[String, Seq[String]](0).isEmpty,
+      rows.mkString(","))
+  }
+
   test("multi-source dependency tracking follows array-valued refs in both directions") {
     val s = spark
     import s.implicits._
