@@ -65,7 +65,9 @@ object Bench {
     // overflowed it, BENCH_r03.json parsed:null)
     def ms(v: Double): String = (math.rint(v * 1000) / 1000).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failure sentinels (-1) stay visible per-query but must not
+    // deflate the headline total into a phantom speedup
+    val total = results.map(_._2).filter(_ >= 0).sum
     // ONE parseable line on stdout (build.sbt forwards forked stdout raw)
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

@@ -46,11 +46,10 @@ object VectorScale {
       // fixed batch: perturbed copies of the first 100 corpus vectors
       // under fresh ids — each has exactly one ≥0.9 neighbor at every
       // multiplier, so `pairs` staying constant certifies correctness
-      val batch = corpus.filter(col("vec_id") < 100).select(
-        (col("vec_id") + 990000000L).as("vec_id"),
-        transform(col("embedding"), (v, i) =>
-          when(i === 0, (v.cast("double") + 0.01d).cast("float")).otherwise(v))
-          .as("embedding"))
+      // (the canonical construction; small eps keeps unit-norm-less
+      // synthetic vectors inside the 0.9 band)
+      val batch = graft.ann.SemDedup.perturbedBatch(corpus, "embedding", "vec_id",
+        offset = 990000000L, eps = 0.01d)
       val nlist = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
       // cap k-means training at ~20k deterministically-sampled vectors:
       // the router needs the cluster structure, not every row

@@ -80,8 +80,13 @@ object IvfPq {
                        neighborPred: Column = lit(true)): DataFrame = {
     val e = Ann.normed(emb, vecCol, idCol)
     val cent = spark.table(s"${table}_cent")
-    val probes = e.filter(queryFilter).join(broadcast(cent))
-      .select(col("id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"),
+    // ONE filter-pruned scan extracts the query set; cell ranking and
+    // the rerank both derive from it
+    val q = e.filter(queryFilter)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val probes = q.withColumnRenamed("qv", "v").withColumnRenamed("qnorm", "norm")
+      .join(broadcast(cent))
+      .select(col("query_id"), col("v").as("qv"), col("norm").as("qnorm"),
         explode(transform(slice(Ann.sortedCells, 1, nprobe), c => c.getField("cid"))).as("cid"))
     val codes = spark.table(table).filter(neighborPred)
     val cand = codes.join(broadcast(probes),
@@ -91,8 +96,6 @@ object IvfPq {
         (dot(col("qv"), col("rv")) / (col("qnorm") * col("rnorm"))).as("sim"))
     val short = Ann.topKPerQuery(scored, shortlist, salts = 32)
       .select(col("query_id"), col("neighbor_id"))
-    val q = e.filter(queryFilter)
-      .select(col("id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     Pq.rerank(short, e, q, k)
   }
 

@@ -131,11 +131,12 @@ object SemDedup {
     * the d5 construction). One definition so the measured workload can
     * never drift from the verified one. */
   def perturbedBatch(emb: DataFrame, vecCol: String, idCol: String,
-                     n: Int = 100, offset: Long = 10000L): DataFrame =
+                     n: Int = 100, offset: Long = 10000L,
+                     eps: Double = 0.1d): DataFrame =
     emb.filter(col(idCol) < n).select(
       (col(idCol) + offset).as(idCol),
       transform(col(vecCol), (x, i) =>
-        when(i === 0, (x.cast("double") + lit(0.1d)).cast("float")).otherwise(x)).as(vecCol))
+        when(i === 0, (x.cast("double") + lit(eps)).cast("float")).otherwise(x)).as(vecCol))
 
   /** DuckDB SQL re-deriving `semanticDedupDelta` under the d5/d11
     * planted-batch construction: k-means trained on the standing

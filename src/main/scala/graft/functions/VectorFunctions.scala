@@ -235,6 +235,16 @@ case class PqEncode(child: Expression, books: Array[Array[Long]], m: Int, ksub: 
       fu(d) = math.floor(x / norm * 1048576.0).toLong; d += 1
     }
     val dsub = n / m
+    // the vector must tile the codebook exactly: a dimension mismatch
+    // would otherwise compare truncated codewords (or read past them)
+    // and append silently wrong codes to a standing index
+    val cwWidth = {
+      var i = 0; var w = -1
+      while (w < 0 && i < books.length) { if (books(i) != null) w = books(i).length; i += 1 }
+      w
+    }
+    if (n % m != 0 || dsub != cwWidth) throw new IllegalArgumentException(
+      s"pq_encode: vector dims $n do not tile m=$m subspaces of codeword width $cwWidth")
     val codes = new Array[Long](m)
     var sub = 0
     while (sub < m) {
