@@ -60,6 +60,24 @@ object SparkEntry {
       s"'${TextAnalysis.IpRe}', '<IP>', 'g'), " +
       s"'${TextAnalysis.PhoneRe}', '<PHONE>', 'g')"
 
+  /** Deterministic duplicated-span planting shared by the d16 query and
+    * its oracle: a fixed 22-token sentence appended to every 10th doc,
+    * so the corpus provably contains ≥ k-token exact duplicate spans at
+    * every SF (the d5/x7 planting idiom). All-lowercase alnum — the
+    * tokenizer passes it through verbatim. */
+  private val DupSpan =
+    "the quick brown fox jumps over the lazy dog while seven wizards " +
+      "brew strong coffee near the old stone bridge at dawn"
+
+  private def plantSpan(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      when(col("doc_id") % 10 === 0, lit(" " + DupSpan)).otherwise(lit(""))))
+
+  /** `plantSpan` as a SQL expression over `documents` (single-line — see
+    * `plantPiiSql` for why). */
+  private val plantSpanSql: String =
+    s"text || CASE WHEN doc_id % 10 = 0 THEN ' $DupSpan' ELSE '' END"
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -560,6 +578,15 @@ object SparkEntry {
       // per-doc ratio of shared spans (template/mirror detector)
       Dedup.boilerplate(t(s, dir, "documents"), "text", "doc_id", 3, 3)
         .orderBy("id")),
+
+    "d16_substring_dedup" -> ((s, dir) =>
+      // exact substring dedup (Lee et al. 2021): maximal >= 15-token
+      // spans occurring more than once anywhere in the corpus, as
+      // (doc, span_start, span_len); a fixed 22-token sentence is
+      // planted on every 10th doc so duplicated spans provably exist
+      // at every SF, on top of whatever the corpus shares naturally
+      Dedup.substringSpans(plantSpan(t(s, dir, "documents")), "text", "doc_id", 15)
+        .orderBy("id", "span_start")),
 
     "d14_semantic_delta" -> ((s, dir) => {
       // incremental semantic dedup: the standing inverted file carries
@@ -1501,6 +1528,31 @@ object SparkEntry {
         |SELECT id, n_shingles, n_boiler,
         |       (n_boiler * 1000 // n_shingles) / 1000.0 AS boiler_ratio
         |FROM per ORDER BY id""".stripMargin,
+
+    // from-scratch recompute of the whole substring-dedup chain:
+    // positional 15-grams keyed by md5 (both engines hash identically),
+    // occurrence count >= 2, gaps-and-islands maximal-span merge
+    "d16_substring_dedup" ->
+      s"""WITH d0 AS (SELECT doc_id, $plantSpanSql AS text FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+        |  FROM d0),
+        |g AS (
+        |  SELECT doc_id, t.i - 1 AS pos, md5(array_to_string(ws[t.i:t.i+14], ' ')) AS gh
+        |  FROM w, unnest(range(1, len(ws)-13)) AS t(i)),
+        |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN lag(pos) OVER win IS NULL OR pos - lag(pos) OVER win > 15 THEN 1 ELSE 0 END AS ns
+        |  FROM m WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |sp AS (
+        |  SELECT doc_id, pos,
+        |         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM isl)
+        |SELECT doc_id AS id, min(pos) AS span_start, max(pos) + 15 - min(pos) AS span_len
+        |FROM sp GROUP BY doc_id, sid ORDER BY id, span_start""".stripMargin,
 
     "s7_ann_pq" -> graft.ann.Pq.oracleSql(k = 5),
 

@@ -566,6 +566,89 @@ object Dedup {
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
   }
 
+  /** EXACT SUBSTRING dedup — the Lee et al. 2021 family ("Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 —
+    * public paper, no code consulted): find every MAXIMAL span of ≥ k
+    * tokens that occurs more than once anywhere in the corpus. This is
+    * the span-level complement of the doc-level set-similarity family
+    * (d2/d3 score whole documents; d13 flags short shared n-grams) —
+    * real pipelines run both, because two long documents sharing one
+    * 200-token quote are not near-duplicates yet that quote should
+    * train once.
+    *
+    * Distributed shape (no suffix array needed for a FIXED minimum
+    * span length): tokenize once, emit every positional k-token gram
+    * keyed by md5(gram) — md5 because both engines compute it
+    * identically AND it is 128 bits, so the grouping key is
+    * collision-sound without a verify stage (xxhash64 would need one);
+    * count occurrences per gram (one map-side-combined hash aggregate);
+    * grams occurring ≥ 2× anywhere are duplicated; join the (small)
+    * duplicated-gram set back (both sides keyed by the hash — a plain
+    * equi-join, never a broadcast of anything corpus-sized); merge each
+    * doc's duplicated gram positions into maximal spans with one
+    * gaps-and-islands window per doc (positions p, p' belong to one
+    * span when p' − p ≤ k — overlapping or exactly adjacent gram
+    * windows chain). Every shuffle is keyed by gram hash or doc id —
+    * high-cardinality keys, linear volume (one row per token), which is
+    * the 100 TB shape.
+    *
+    * Output: (id, span_start, span_len) per maximal duplicated span,
+    * token-indexed over `TextAnalysis.words` (0-based). Spans cover
+    * ALL occurrences — the policy of the released ExactSubstr tool:
+    * feed `scrubSpans` to excise them (a doc whose text is entirely
+    * duplicated elsewhere scrubs to empty, which is the point). */
+  def substringSpans(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // generator barrier (see `shingles`): the tokenizer runs once per
+    // doc, not once per gram; materialized once — the df aggregate and
+    // the join-back both re-read the gram stream
+    val g = graft.core.Checkpoints.truncate(docs
+      .select(col(idCol).as("id"), explode(array(TextAnalysis.words(col(textCol)))).as("__ws"))
+      .select(col("id"), posexplode(TextAnalysis.ngrams(col("__ws"), k)).as(Seq("pos", "g")))
+      .select(col("id"), col("pos").cast("long").as("pos"), md5(col("g")).as("gh")))
+    // occurrence count, not distinct-doc count: a span repeated inside
+    // ONE doc is exactly as duplicated as one shared across docs
+    val dup = g.groupBy("gh").agg(count(lit(1)).as("__n")).filter(col("__n") >= 2).select("gh")
+    val marked = g.join(dup, Seq("gh"), "leftsemi").select("id", "pos")
+    val w = Window.partitionBy("id").orderBy("pos")
+    marked
+      .withColumn("__ns", when(lag("pos", 1).over(w).isNull ||
+        col("pos") - lag("pos", 1).over(w) > k, 1).otherwise(0))
+      .withColumn("__sid", sum("__ns")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("__sid"))
+      .agg(min("pos").as("span_start"),
+        (max(col("pos")) + lit(k.toLong) - min(col("pos"))).as("span_len"))
+      .select(col("id"), col("span_start"), col("span_len"))
+  }
+
+  /** Re-emit documents with their duplicated spans EXCISED — the x7
+    * re-emitter idiom at token level: tokens covered by any span leave
+    * the text, the rest re-join on single spaces (output is over the
+    * normalized `TextAnalysis.words` stream, like every token-indexed
+    * operator here). Map-only except one doc-keyed join against the
+    * (duplicated-docs-sized) span roster; per-doc span arrays are
+    * bounded by doc length, so the `exists` probe inside the filter is
+    * a per-row loop, never a shuffle. Output: id, original token
+    * count, kept token count, scrubbed text. */
+  def scrubSpans(docs: DataFrame, spans: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val sp = spans.groupBy(col("id"))
+      .agg(collect_list(struct(col("span_start"), col("span_len"))).as("__spans"))
+    val empty = array().cast("array<struct<span_start:bigint,span_len:bigint>>")
+    docs.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(sp, Seq("id"), "left")
+      .withColumn("__spans", coalesce(col("__spans"), empty))
+      .withColumn("__ws", TextAnalysis.words(col("__text")))
+      .withColumn("__keep", filter(col("__ws"), (_, i) =>
+        !exists(col("__spans"), s =>
+          i.cast("long") >= s.getField("span_start") &&
+            i.cast("long") < s.getField("span_start") + s.getField("span_len"))))
+      .select(col("id"),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        size(col("__keep")).cast("long").as("n_kept"),
+        concat_ws(" ", col("__keep")).as("scrubbed"))
+  }
+
   /** EXACT cosine similarity join with NO broadcast and no all-pairs
     * node: block-pair replication. Each vector lands in block
     * b = hash(id) mod B; every unordered block pair (i ≤ j) is one join

@@ -416,4 +416,47 @@ class DedupSpec extends SparkSpec {
     assert(out(0).getLong(1) == 4 && out(0).getDouble(3) == 0.25)
     assert(out(3).getDouble(3) == 0.0)
   }
+
+  test("substring dedup: planted spans found, maximal merge, scrub excises exactly them") {
+    import spark.implicits._
+    // shared span S = 6 tokens; k = 4, so S contributes 3 overlapping
+    // duplicated 4-grams per occurrence that must merge to ONE maximal
+    // span of length 6
+    val S = "aa bb cc dd ee ff"
+    val docs = Seq(
+      (1L, s"one two three $S four five six seven"), // S at tokens 3..8
+      (2L, s"$S eight nine ten eleven twelve"),      // S at tokens 0..5
+      (3L, "unique words only nothing shared here at all ok"),
+      (4L, s"start $S middle gap gap gap gap $S end") // intra-doc repeat: 1..6 and 12..17
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs, "text", "doc_id", 4)
+    val got = spans.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 3L, 6L), (2L, 0L, 6L), (4L, 1L, 6L), (4L, 12L, 6L)),
+      s"got $got")
+    // scrub: every span occurrence leaves; untouched docs pass through
+    val scrubbed = Dedup.scrubSpans(docs, spans, "text", "doc_id")
+      .orderBy("id").collect()
+    assert(scrubbed.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((13L, 7L), (11L, 5L), (9L, 9L), (19L, 7L)))
+    assert(scrubbed(0).getString(3) == "one two three four five six seven")
+    assert(scrubbed(2).getString(3) == "unique words only nothing shared here at all ok")
+    assert(scrubbed(3).getString(3) == "start middle gap gap gap gap end")
+  }
+
+  test("substring dedup: adjacent duplicated windows chain into one span, distinct spans stay apart") {
+    import spark.implicits._
+    // 8 duplicated tokens = two exactly-adjacent 4-gram windows (pos 0
+    // and pos 4 both duplicated, gap 4 = k → one island of length 8);
+    // doc 3 shares a DIFFERENT 4-token run far away from it
+    val long = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val docs = Seq(
+      (1L, s"$long x1 x2 x3 b1 b2 b3 b4"),
+      (2L, s"y1 $long y2 y3"),
+      (3L, s"z1 z2 z3 z4 z5 z6 z7 z8 z9 b1 b2 b3 b4")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringSpans(docs, "text", "doc_id", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 0L, 8L), (1L, 11L, 4L), (2L, 1L, 8L), (3L, 9L, 4L)),
+      s"got $got")
+  }
 }
