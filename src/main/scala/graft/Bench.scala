@@ -70,6 +70,16 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     // ONE parseable line on stdout (build.sbt forwards forked stdout raw)
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // second line: steady-state probe timings (indexes built untimed,
+    // probes min-of-3) — the per-query deployment cost of the
+    // index-family queries, whose Bench figures above deliberately
+    // price the inline build. SPARK_GRAFT_STEADY=0 skips.
+    if (sys.env.getOrElse("SPARK_GRAFT_STEADY", "1") != "0" && only.isEmpty) {
+      release()
+      val ss = SteadyState.measure(spark, sfDir)
+      val ssq = ss.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+      println(s"""{"metric":"steady_state","value":${ms(ss.map(_._2).sum)},"unit":"sec","queries":$ssq,"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }

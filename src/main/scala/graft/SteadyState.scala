@@ -11,6 +11,61 @@ import org.apache.spark.sql.functions._
   *
   * `runMain graft.SteadyState [sfDir]` */
 object SteadyState {
+
+  /** Build every standing index (untimed) and return the named probe
+    * thunks — the per-query/per-batch deployment cost. Keys are the
+    * related SparkEntry query names so rounds compare machine-readably
+    * (`Bench` emits them as the `steady_state` JSON line). */
+  def probeSet(spark: SparkSession, sfDir: String): Seq[(String, () => Long)] = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // the shingle index holds most docs; the delta batch is the tail
+    // (the operational regime: batch ≪ corpus). The 4500 cut is
+    // sf0.1-shaped; at other SFs take the last ~10% of ids.
+    val nDocs = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val cut = nDocs - math.max(1L, nDocs / 10)
+
+    graft.ann.Pq.buildPqIndex(emb, "embedding", "vec_id", "ss_pq", dims = 64)
+    graft.ann.IvfPq.buildIvfPqIndex(emb, "embedding", "vec_id", "ss_ivfpq",
+      dims = 64, keep = Seq("label"))
+    graft.ann.Ann.buildIvfIndex(emb, "embedding", "vec_id", "ss_ivf", keep = Seq("label"))
+    graft.dedup.Dedup.buildShingleIndex(docs.filter(col("doc_id") < cut),
+      "text", "doc_id", 3, "ss_shingle", buckets = 16)
+    val vbatch = graft.ann.SemDedup.perturbedBatch(emb, "embedding", "vec_id")
+
+    Seq(
+      "s8_pq_probe" ->
+        (() => graft.ann.Pq.pqTopKIndexed(spark, "ss_pq", emb, "embedding", "vec_id",
+          col("id") < 10, 5).count()),
+      "s9_ivfpq_probe" ->
+        (() => graft.ann.IvfPq.ivfPqTopKIndexed(spark, "ss_ivfpq", emb, "embedding", "vec_id",
+          col("id") < 10, 5).count()),
+      "s10_filtered_probe" ->
+        (() => graft.ann.Ann.ivfTopKIndexed(spark, "ss_ivf", col("id") < 10, 5,
+          neighborPred = col("label") === 1).count()),
+      "s11_filtered_ivfpq_probe" ->
+        (() => graft.ann.IvfPq.ivfPqTopKIndexed(spark, "ss_ivfpq", emb, "embedding", "vec_id",
+          col("id") < 10, 5, neighborPred = col("label") === 1).count()),
+      "d14_semantic_delta" ->
+        (() => graft.ann.SemDedup.semanticDedupDelta(spark, vbatch, "embedding", "vec_id",
+          "ss_ivf", 0.9).count()),
+      "d15_semantic_roster" ->
+        (() => graft.ann.SemDedup.semanticDedupIndexed(spark, "ss_ivf", 0.4).count()),
+      "d8_jaccard_delta" ->
+        (() => graft.dedup.Dedup.ngramJaccardDelta(spark,
+          docs.filter(col("doc_id") >= cut), "text", "doc_id", 3, 0.8, "ss_shingle").count())
+    )
+  }
+
+  /** Min-of-`passes` probe seconds after one warmup each. */
+  def measure(spark: SparkSession, sfDir: String, passes: Int = 3): Seq[(String, Double)] =
+    probeSet(spark, sfDir).map { case (name, f) =>
+      f() // warmup
+      name -> (1 to passes).map { _ =>
+        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
@@ -21,45 +76,8 @@ object SteadyState {
         java.nio.file.Files.createTempDirectory("graft_steady_wh_").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-
-    graft.ann.Pq.buildPqIndex(emb, "embedding", "vec_id", "ss_pq", dims = 64)
-    graft.ann.IvfPq.buildIvfPqIndex(emb, "embedding", "vec_id", "ss_ivfpq",
-      dims = 64, keep = Seq("label"))
-    graft.ann.Ann.buildIvfIndex(emb, "embedding", "vec_id", "ss_ivf", keep = Seq("label"))
-    graft.dedup.Dedup.buildShingleIndex(docs.filter(col("doc_id") < 4500),
-      "text", "doc_id", 3, "ss_shingle", buckets = 16)
-    val vbatch = graft.ann.SemDedup.perturbedBatch(emb, "embedding", "vec_id")
-
-    val probes: Seq[(String, () => Long)] = Seq(
-      "s8 PQ probe (10 q)" ->
-        (() => graft.ann.Pq.pqTopKIndexed(spark, "ss_pq", emb, "embedding", "vec_id",
-          col("id") < 10, 5).count()),
-      "s9 IVFxPQ probe (10 q)" ->
-        (() => graft.ann.IvfPq.ivfPqTopKIndexed(spark, "ss_ivfpq", emb, "embedding", "vec_id",
-          col("id") < 10, 5).count()),
-      "s10 filtered IVF probe" ->
-        (() => graft.ann.Ann.ivfTopKIndexed(spark, "ss_ivf", col("id") < 10, 5,
-          neighborPred = col("label") === 1).count()),
-      "s11 filtered IVFxPQ probe" ->
-        (() => graft.ann.IvfPq.ivfPqTopKIndexed(spark, "ss_ivfpq", emb, "embedding", "vec_id",
-          col("id") < 10, 5, neighborPred = col("label") === 1).count()),
-      "d14 semantic delta (100 vecs)" ->
-        (() => graft.ann.SemDedup.semanticDedupDelta(spark, vbatch, "embedding", "vec_id",
-          "ss_ivf", 0.9).count()),
-      "d15 semantic roster" ->
-        (() => graft.ann.SemDedup.semanticDedupIndexed(spark, "ss_ivf", 0.4).count()),
-      "d8 jaccard delta (500 docs)" ->
-        (() => graft.dedup.Dedup.ngramJaccardDelta(spark,
-          docs.filter(col("doc_id") >= 4500), "text", "doc_id", 3, 0.8, "ss_shingle").count())
-    )
-    probes.foreach { case (name, f) =>
-      f() // warmup
-      val t = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
-      }.min
-      println(f"[steady] $name%-32s ${t}%6.2f s")
+    measure(spark, sfDir).foreach { case (name, t) =>
+      println(f"[steady] $name%-28s ${t}%6.2f s")
     }
     spark.stop()
   }

@@ -43,11 +43,18 @@ object Pq {
   private def l2sq(x: Column, c: Column): Column =
     dot(x, x) - lit(2.0d) * dot(x, c) + dot(c, c)
 
-  /** (id, sub, x) sub-vector rows of the fixed unit vectors. */
-  private def subRows(e: DataFrame, m: Int, dsub: Int): DataFrame =
+  /** (id, sub, x) sub-vector rows of the fixed unit vectors. `dims = 0`
+    * derives the subspace width PER ROW from the vector itself
+    * (`size(fu) div m` — a codegen'd int op), so no caller ever needs a
+    * driver-side dims probe before training. */
+  private def subRows(e: DataFrame, m: Int, dims: Int): DataFrame = {
+    val dsub: Column =
+      if (dims > 0) lit(dims / m)
+      else floor(size(col("fu")) / lit(m)).cast("int")
     e.select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
         unitFixed(col("v"), col("norm")).as("fu"))
-      .select(col("id"), col("sub"), slice(col("fu"), col("sub") * dsub + 1, lit(dsub)).as("x"))
+      .select(col("id"), col("sub"), slice(col("fu"), col("sub") * dsub + 1, dsub).as("x"))
+  }
 
   /** Nearest codeword per (row, subspace) under the given codebooks:
     * broadcast join on `sub`, exact-L2 min_by with code tie-break. */
@@ -67,12 +74,12 @@ object Pq {
   def trainCodebooks(emb: DataFrame, vecCol: String, idCol: String,
                      m: Int = 8, ksub: Int = 16, rounds: Int = 1, dims: Int = 0): DataFrame = {
     val e = Ann.normed(emb, vecCol, idCol)
-    val d = if (dims > 0) dims else emb.select(size(col(vecCol))).head().getInt(0)
-    require(d % m == 0, s"dims $d must split into $m subspaces")
-    val dsub = d / m
+    // dims = 0 is fine: subRows derives the subspace width per row, so
+    // no job fires before the training's first real stage
+    if (dims > 0) require(dims % m == 0, s"dims $dims must split into $m subspaces")
     // n·m tiny rows, a pure projection off the vector scan — cheaper to
     // recompute per round than to materialize
-    val su = subRows(e, m, dsub)
+    val su = subRows(e, m, dims)
     import org.apache.spark.sql.expressions.Window
     val ord = e.select(col("id"))
       .withColumn("__r", md5(concat(lit("cent:"), col("id"))))

@@ -35,20 +35,43 @@ object Export {
     * row count and data bytes (parquet footers only — no data read).
     * Pass `shards` to get a FULL roster — hash buckets that received
     * zero rows write no partition directory, but a loader mapping
-    * workers onto the advertised shard count needs their (0, 0) rows. */
+    * workers onto the advertised shard count needs their (0, 0) rows.
+    *
+    * Footer reads are DISTRIBUTED: the driver only lists file names
+    * (the same metadata walk query planning does anyway); the
+    * per-file footer I/O — the part that serializes painfully at tens
+    * of thousands of shards — runs as a `mapPartitions` over the file
+    * list, with the Hadoop conf rebuilt per task from its (tiny,
+    * serializable) key-value entries. */
   def manifest(spark: SparkSession, dir: String, shards: Int = 0): DataFrame = {
     import spark.implicits._
     val written = spark.read.parquet(dir)
     val counts = written.groupBy(col("__shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_rows"))
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val shardFiles: Seq[(Long, String)] = fs
+      .listStatus(new org.apache.hadoop.fs.Path(dir))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("__shard="))
-      .map { s =>
+      .toSeq.flatMap { s =>
         val shard = s.getPath.getName.stripPrefix("__shard=").toLong
-        shard -> Statistics.parquetDataBytes(spark, s.getPath.toString)
-      }.toSeq.toDF("shard", "n_bytes")
+        Statistics.listParquetFiles(conf, s.getPath.toString).map(shard -> _)
+      }
+    // Configuration is not serializable; its entries are
+    val confKV: Seq[(String, String)] = {
+      import scala.jdk.CollectionConverters._
+      conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toSeq
+    }
+    val bytes = spark.createDataset(shardFiles)
+      .mapPartitions { it =>
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        confKV.foreach { case (k, v) => c.set(k, v) }
+        it.map { case (shard, f) =>
+          (shard, Statistics.footerDataBytes(c, new org.apache.hadoop.fs.Path(f)))
+        }
+      }
+      .toDF("shard", "fb")
+      .groupBy("shard").agg(sum("fb").as("n_bytes"))
     val present = counts.join(bytes, Seq("shard"))
     val full =
       if (shards <= 0) present

@@ -27,25 +27,35 @@ object Statistics {
     * computation below is already self-contained. */
   def parquetDataBytes(spark: SparkSession, path: String): Long = {
     val conf = spark.sessionState.newHadoopConf()
+    listParquetFiles(conf, path).map(f => footerDataBytes(conf, new Path(f))).sum
+  }
+
+  /** All part files under `path` (or `path` itself when it is a file).
+    * Recursive: partitioned layouts (writePartitionedLog's __rbucket=N
+    * dirs) keep their part files in subdirectories. */
+  private[jobs] def listParquetFiles(conf: org.apache.hadoop.conf.Configuration,
+                                     path: String): Seq[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    // recurse: partitioned layouts (writePartitionedLog's __rbucket=N
-    // dirs) keep their part files in subdirectories
-    val files =
-      if (fs.getFileStatus(p).isDirectory) {
-        val it = fs.listFiles(p, true)
-        val buf = Array.newBuilder[Path]
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f.getPath
-        }
-        buf.result()
-      } else Array(p)
-    files.map { f =>
-      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
-      try r.getFooter.getBlocks.asScala.iterator
-        .flatMap(_.getColumns.asScala).map(_.getTotalSize).sum
-      finally r.close()
-    }.sum
+    if (fs.getFileStatus(p).isDirectory) {
+      val it = fs.listFiles(p, true)
+      val buf = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f.getPath.toString
+      }
+      buf.result()
+    } else Seq(path)
+  }
+
+  /** Footer-only compressed data bytes of ONE parquet file —
+    * self-contained per-file work, so callers with very large file
+    * counts distribute it over executors (`Export.manifest` does). */
+  private[jobs] def footerDataBytes(conf: org.apache.hadoop.conf.Configuration,
+                                    f: Path): Long = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+    try r.getFooter.getBlocks.asScala.iterator
+      .flatMap(_.getColumns.asScala).map(_.getTotalSize).sum
+    finally r.close()
   }
 }

@@ -572,4 +572,28 @@ class JobsSpec extends SparkSpec {
     assert(m4.length == 64 && m4.map(_.getLong(1)).sum == 10)
     assert(m4.count(_.getLong(1) == 0) > 0, "tiny corpus must leave empty shards")
   }
+
+  test("sharded export: many-shard manifest byte sums equal the driver-side footer walk") {
+    // the distributed footer pass (mapPartitions over the file list)
+    // must agree byte-for-byte with Statistics.parquetDataBytes run
+    // per shard directory on the driver
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_export_many_").toString
+    val m = Export.shardedExport(docs, "doc_id", dir, 96).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m.size == 96)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.startsWith("__shard=")).foreach { d =>
+        val shard = d.getPath.getName.stripPrefix("__shard=").toLong
+        val expect = Statistics.parquetDataBytes(spark, d.getPath.toString)
+        assert(m(shard)._2 == expect, s"shard $shard: ${m(shard)._2} != $expect")
+      }
+    // absent dirs (zero-row buckets) report (0, 0)
+    val present = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.startsWith("__shard=")).map(
+        _.getPath.getName.stripPrefix("__shard=").toLong).toSet
+    (0L until 96L).filterNot(present).foreach(sh => assert(m(sh) == ((0L, 0L))))
+  }
 }
