@@ -602,6 +602,35 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    "d17_stream_semantic" -> ((s, dir) => {
+      // streaming semantic ingest: d14's delta through the OnChange
+      // loop — the perturbed batch (d5 construction, ids +10000)
+      // arrives as two micro-batches; each routes under the frozen
+      // quantizer, pairs against its cells, and is absorbed, so the
+      // second batch pairs against the first through the index alone;
+      // the union of per-batch pairs must equal the one-shot delta
+      // (d14's oracle)
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val batch = graft.ann.SemDedup.perturbedBatch(e, "embedding", "vec_id")
+      val table = "ivf_idx_d17"
+      Ann.buildIvfIndex(e, "embedding", "vec_id", table)
+      val chunks = java.nio.file.Files.createTempDirectory("graft_sd_chunks_").toString
+      Seq((0L, 50L, "a"), (50L, 100L, "b")).zipWithIndex.foreach { case ((lo, hi, name), i) =>
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sd_tmp_").toString
+        batch.filter(col("vec_id") >= 10000 + lo && col("vec_id") < 10000 + hi)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+        val dest = java.nio.file.Paths.get(chunks, s"$name.parquet")
+        java.nio.file.Files.copy(part.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+      }
+      val pairs = java.nio.file.Files.createTempDirectory("graft_sd_pairs_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_sd_ckpt_").toString
+      OnChange.streamingSemanticDedup(s, chunks, "embedding", "vec_id", table, 0.9, pairs, ckpt)
+      s.read.parquet(pairs).select("a", "b", "sim").orderBy("a", "b")
+    }),
+
     "d15_semantic_indexed" -> ((s, dir) => {
       // d12 against the standing inverted file (deployment shape):
       // same trained quantizer → identical output, so it shares d12's
@@ -1510,6 +1539,11 @@ object SparkEntry {
       graft.ann.SemDedup.oracleSql(nlist = 16, rounds = 2, threshold = 0.4),
 
     "d14_semantic_delta" ->
+      graft.ann.SemDedup.deltaOracleSql(nlist = 16, rounds = 2, threshold = 0.9),
+
+    // same ground truth as d14: the streamed per-batch outputs union to
+    // exactly the one-shot semantic delta over the whole batch region
+    "d17_stream_semantic" ->
       graft.ann.SemDedup.deltaOracleSql(nlist = 16, rounds = 2, threshold = 0.9),
 
     "d13_boilerplate" ->

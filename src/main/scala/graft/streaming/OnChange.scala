@@ -317,6 +317,59 @@ object OnChange {
     spark.catalog.refreshTable(indexTable)
   }
 
+  /** STREAMING incremental SEMANTIC dedup — the d10/d11 operational
+    * loop for the k-means-cell family, closing the streaming story for
+    * all three index layouts: each micro-batch of new embeddings
+    * routes to cells under the standing inverted file's FROZEN `_cent`
+    * quantizer (`SemDedup.semanticDedupDelta`: batch × corpus rides
+    * the bucketed cid join; corpus × corpus never runs, nothing
+    * re-trains), appends its pairs per-batch, and is absorbed
+    * (`Ann.absorbIntoIvfIndex` — the standard IVF add) so later
+    * batches pair against earlier ones through the index alone. Same
+    * replay contract as the other two loops: per-batch overwrite + a
+    * `<indexTable>_batches` marker guarding the absorb; re-emitted ids
+    * are compacted out before absorbing (supersede, never double). The
+    * union of per-batch pair sets equals the one-shot delta over the
+    * whole stream (cross-batch pairs surface exactly once, in the
+    * later vector's batch — the absorbed rows carry v/norm/cid, so the
+    * cross pair scores bit-identically to a batch × batch pair). */
+  def streamingSemanticDedup(spark: SparkSession, embDir: String, vecCol: String,
+                             idCol: String, indexTable: String, threshold: Double,
+                             pairsPath: String, checkpointDir: String): Unit = {
+    val schema = spark.read.parquet(embDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(embDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bs = batch.sparkSession
+        import bs.implicits._
+        val markers = s"${indexTable}_batches"
+        if (!bs.catalog.tableExists(markers) ||
+            bs.table(markers).filter(col("batch_id") === batchId).isEmpty) {
+          graft.ann.SemDedup
+            .semanticDedupDelta(bs, batch, vecCol, idCol, indexTable, threshold)
+            .write.mode("overwrite").parquet(s"$pairsPath/batch_id=$batchId")
+          // the inverted file holds ONE row per vector — the overlap
+          // probe is a map-only scan against the broadcast batch ids
+          val batchIds = batch.select(col(idCol).as("id")).distinct()
+          val overlap = bs.table(indexTable)
+            .join(broadcast(batchIds), Seq("id"), "leftsemi")
+            .select("id")
+          if (!overlap.isEmpty)
+            graft.ann.Ann.compactIvfIndex(bs, indexTable, overlap)
+          graft.ann.Ann.absorbIntoIvfIndex(bs, batch, vecCol, idCol, indexTable)
+          Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(markers)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.catalog.refreshTable(indexTable)
+  }
+
   /** One event version of one entity (user) in the change stream. */
   final case class EventVersion(user_id: Long, event_id: Long, event_type: String, value: Double)
 

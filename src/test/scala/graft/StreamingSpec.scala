@@ -306,6 +306,67 @@ class StreamingSpec extends SparkSpec {
     assert(rows(table) == rows(rebuilt))
   }
 
+  test("streaming semantic dedup: batches absorb into the inverted file; replay is idempotent") {
+    val s = spark
+    import s.implicits._
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(64)(r.nextGaussian().toFloat)
+    }
+    def near(v: Seq[Float]): Seq[Float] = v.updated(0, (v.head.toDouble + 0.1).toFloat)
+    val corpus = Seq((1L, vec(1)), (2L, vec(2))).toDF("vec_id", "embedding")
+    // batch 1: a near-dup of corpus vector 1 + a fresh vector; batch 2:
+    // a near-dup of BATCH 1's fresh vector — detectable only because
+    // batch 1 was absorbed into the inverted file
+    val b1 = Seq((10L, near(vec(1))), (11L, vec(3))).toDF("vec_id", "embedding")
+    val b2 = Seq((20L, near(vec(3)))).toDF("vec_id", "embedding")
+    val table = "ivf_idx_sstreamspec"
+    graft.ann.Ann.buildIvfIndex(corpus, "embedding", "vec_id", table, nlist = 2, buckets = 4)
+    val chunks = java.nio.file.Files.createTempDirectory("graft_ssd_chunks_").toString
+    def chunk(df: org.apache.spark.sql.DataFrame, name: String, order: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ssd_tmp_").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(chunks, name)
+      java.nio.file.Files.copy(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + order * 10000L))
+    }
+    chunk(b1, "a.parquet", 0)
+    chunk(b2, "b.parquet", 1)
+    val pairs = java.nio.file.Files.createTempDirectory("graft_ssd_pairs_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssd_ckpt_").toString
+    OnChange.streamingSemanticDedup(s, chunks, "embedding", "vec_id", table, 0.9, pairs, ckpt)
+    def readPairs() = s.read.parquet(pairs)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Number]("batch_id").longValue())).toSet
+    // (1,10) vs corpus in batch 0; (11,20) vs the ABSORBED batch 1
+    assert(readPairs() == Set((1L, 10L, 0L), (11L, 20L, 1L)), readPairs().toString)
+    // replay with a fresh checkpoint: markers skip both batches
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_ssd_ckpt2_").toString
+    OnChange.streamingSemanticDedup(s, chunks, "embedding", "vec_id", table, 0.9, pairs, ckpt2)
+    assert(readPairs() == Set((1L, 10L, 0L), (11L, 20L, 1L)), readPairs().toString)
+    // the absorbed inverted file equals compact+absorb under the SAME
+    // frozen quantizer: every id present exactly once, batch rows
+    // routed to the same cells the delta computed
+    val idx = s.table(table).collect().map(r => r.getAs[Long]("id")).toSeq.sorted
+    assert(idx == Seq(1L, 2L, 10L, 11L, 20L))
+    // frozen-quantizer routing recomputed driver-side from `_cent`
+    val cents = s.table(s"${table}_cent").head().getSeq[org.apache.spark.sql.Row](0)
+      .map(c => (c.getLong(0), c.getSeq[Double](1), c.getDouble(2)))
+    def route(v: Seq[Float]): Long = {
+      val vd = v.map(_.toDouble)
+      val n = math.sqrt(vd.map(x => x * x).sum)
+      cents.map { case (cid, cv, cn) =>
+        (-vd.zip(cv).map { case (a, b) => a * b }.sum / (n * cn), cid)
+      }.min._2
+    }
+    val expect = Map(10L -> route(near(vec(1))), 11L -> route(vec(3)), 20L -> route(near(vec(3))))
+    s.table(table).filter(col("id") >= 10).collect().foreach { r =>
+      assert(r.getAs[Long]("cid") == expect(r.getAs[Long]("id")))
+    }
+  }
+
   test("streamed incremental agg equals batch agg") {
     val path = s"$sfDir/events.parquet"
     val streamed = OnChange.aggregateEvents(spark, path)
