@@ -763,6 +763,15 @@ object SparkEntry {
       TextAnalysis.piiScrub(plantPii(t(s, dir, "documents")), "text", "doc_id")
         .orderBy("doc_id")),
 
+    "x8_bpe_tokens" -> ((s, dir) =>
+      // vocab-driven token counting: the REAL BPE merge loop (x3's
+      // regex count is the heuristic fallback) under the checked-in
+      // corpus-trained merges table, fused into one codegen'd map-only
+      // kernel — the number mixture/budget accounting downstream uses
+      graft.text.Bpe.tokenCounts(t(s, dir, "documents"), "text", "doc_id",
+          graft.text.Bpe.DefaultMerges)
+        .orderBy("doc_id")),
+
     "p2_weighted_sample" -> ((s, dir) =>
       // training-mix sampling: downweight the dominant language,
       // lightly trim fr, pass the rest — decided per row by the
@@ -1334,6 +1343,22 @@ object SparkEntry {
          |  len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}'))::BIGINT AS n_phones,
          |  md5(${scrubSql("text")}) AS scrubbed_md5
          |FROM aug ORDER BY doc_id""".stripMargin,
+
+    // the merge chain (one replace per merge, rank order) re-applies
+    // the EXACT sweep semantics of the BpeCount kernel — see
+    // Bpe.mergeChainSql; token count = count of '(' wrappers
+    "x8_bpe_tokens" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |t AS (SELECT doc_id, t.w AS wd FROM w, unnest(ws) AS t(w)),
+         |enc AS (SELECT doc_id, ${graft.text.Bpe.mergeChainSql("wd", graft.text.Bpe.DefaultMerges)} AS s FROM t),
+         |per AS (
+         |  SELECT doc_id, sum(length(s) - length(replace(s, '(', '')))::BIGINT AS bpe
+         |  FROM enc GROUP BY doc_id)
+         |SELECT w.doc_id, len(w.ws)::BIGINT AS n_words, coalesce(per.bpe, 0)::BIGINT AS bpe_tokens
+         |FROM w LEFT JOIN per ON w.doc_id = per.doc_id ORDER BY w.doc_id""".stripMargin,
 
     "x6_keywords" ->
       """WITH w AS (

@@ -77,6 +77,96 @@ class FunctionsSpec extends SparkSpec {
     assert(g.out("customer", graft.core.Tpch.pNation).count() > 0)
   }
 
+  test("BPE train learns the textbook merges on the classic fixture") {
+    val s = spark
+    import s.implicits._
+    // Sennrich's running example shape: 'low' dominates, so (l,o) wins
+    // round 1 on the lexicographic tie with (o,w), then (lo,w), then
+    // (low,e) via lower/lowest; every remaining pair is unique → stop
+    val docs = Seq((1L, "low lower lowest low low")).toDF("doc_id", "text")
+    val merges = graft.text.Bpe.train(docs, "text", numMerges = 10)
+    assert(merges == Seq(("l", "o"), ("lo", "w"), ("low", "e")))
+  }
+
+  test("BPE count kernel matches hand tokenization and a local merge-loop reference") {
+    val s = spark
+    import s.implicits._
+    val merges = Seq(("l", "o"), ("lo", "w"), ("low", "e"))
+    // low = [low]; lowest = [lowe, s, t]; slow = [s, low]; xyz = chars
+    val docs = Seq((1L, "low lowest"), (2L, "slow xyz"), (3L, "")).toDF("doc_id", "text")
+    val got = graft.text.Bpe.tokenCounts(docs, "text", "doc_id", merges)
+      .orderBy("doc_id").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((2L, 4L), (2L, 5L), (0L, 0L)), got.toString)
+    // local reference: rank-order sweep, left-to-right non-overlapping
+    def ref(w: String, ms: Seq[(String, String)]): Int = {
+      var cur = w.map(_.toString).toList
+      ms.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ListBuffer[String]()
+        cur.foreach { sym =>
+          if (out.nonEmpty && out.last == a && sym == b) out(out.size - 1) = a + b
+          else out += sym
+        }
+        cur = out.toList
+      }
+      cur.size
+    }
+    // random words over the trained default vocab, both paths agree
+    val rnd = new scala.util.Random(7)
+    val words = (1 to 50).map(_ => (1 to (3 + rnd.nextInt(12)))
+      .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    val dm = graft.text.Bpe.DefaultMerges
+    val fixture = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val kernel = graft.text.Bpe.tokenCounts(fixture, "text", "doc_id", dm)
+      .orderBy("doc_id").collect().map(_.getLong(2)).toSeq
+    assert(kernel == words.map(w => ref(w, dm).toLong))
+  }
+
+  test("BPE rank-order sweep equals the classic lowest-rank-pair-first merge loop") {
+    // the oracle-shared sweep must agree with the textbook priority
+    // loop on the checked-in vocab (equivalence holds for any merges
+    // table produced by BPE training — see BpeCount's scaladoc)
+    def sweep(w: String, ms: Seq[(String, String)]): List[String] = {
+      var cur = w.map(_.toString).toList
+      ms.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ListBuffer[String]()
+        cur.foreach { sym =>
+          if (out.nonEmpty && out.last == a && sym == b) out(out.size - 1) = a + b
+          else out += sym
+        }
+        cur = out.toList
+      }
+      cur
+    }
+    def priority(w: String, ms: Seq[(String, String)]): List[String] = {
+      val rank = ms.zipWithIndex.toMap
+      var cur = w.map(_.toString).toList
+      var go = true
+      while (go && cur.size > 1) {
+        val best = cur.zip(cur.tail).flatMap(p => rank.get(p).map(_ -> p)).sortBy(_._1).headOption
+        best match {
+          case None => go = false
+          case Some((_, (a, b))) =>
+            val out = scala.collection.mutable.ListBuffer[String]()
+            cur.foreach { sym =>
+              if (out.nonEmpty && out.last == a && sym == b) out(out.size - 1) = a + b
+              else out += sym
+            }
+            cur = out.toList
+        }
+      }
+      cur
+    }
+    val dm = graft.text.Bpe.DefaultMerges
+    val rnd = new scala.util.Random(13)
+    val corpusWords = Seq("customer", "vector", "table", "lowest", "value", "key",
+      "aggregate", "joining", "hashed", "batch", "scanner", "filtered")
+    val randomWords = (1 to 100).map(_ => (1 to (2 + rnd.nextInt(14)))
+      .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    (corpusWords ++ randomWords).foreach { w =>
+      assert(sweep(w, dm) == priority(w, dm), s"diverged on '$w'")
+    }
+  }
+
   test("saltedJoin is row-identical to the plain join") {
     val s = spark
     import s.implicits._
