@@ -161,6 +161,33 @@ object SparkEntry {
       g.reachable(start, maxHops = 2).orderBy("uri")
     }),
 
+    "g15_traversal_agg" -> ((s, dir) => {
+      // traversal AGGREGATION (the "javascript query" pattern): per
+      // start lineitem, stats over everything within 2 hops — counts
+      // per depth plus a weighted sum over numeric properties of the
+      // reached entities (order totalprice / part retailprice /
+      // supplier acctbal; nodes without a weight count as 0)
+      val g = Tpch.graph(s, dir)
+      val li = g("lineitem")
+      val start = li.df.filter(col("l_orderkey") < 100).select(li.uri.as("uri"))
+      val reached = g.reachableFrom(start, maxHops = 2).filter(col("depth") > 0)
+      val weights = Seq(
+        ("orders", col("o_totalprice")),
+        ("part", col("p_retailprice")),
+        ("supplier", col("s_acctbal")))
+        .map { case (n, c) =>
+          val d = g(n)
+          d.df.select(d.uri.as("uri"), c.cast("double").as("weight"))
+        }.reduce(_ unionByName _)
+      reached.join(weights, Seq("uri"), "left")
+        .groupBy(col("root"))
+        .agg(count(lit(1)).as("n_reached"),
+          sum(when(col("depth") === 1, 1L).otherwise(0L)).as("n_depth1"),
+          sum(when(col("depth") === 2, 1L).otherwise(0L)).as("n_depth2"),
+          round(sum(coalesce(col("weight"), lit(0.0d))), 2).as("sum_weight"))
+        .orderBy("root")
+    }),
+
     "g12_traversal_at_time" -> ((s, dir) =>
       // time-aware inverse traversal over a VERSIONED entity log
       // (store.go:999 GetManyRelatedEntitiesAtTime): the events table is
@@ -1859,6 +1886,46 @@ object SparkEntry {
         |FROM probes p ASOF JOIN events e
         |  ON p.user_id = e.user_id AND p.t >= e.event_id
         |ORDER BY p.user_id, p.t""".stripMargin,
+
+    // per-root recursive traversal + weighted aggregation: all declared
+    // edge legs (the allEdges union), min depth per (root, uri)
+    "g15_traversal_agg" ->
+      s"""WITH RECURSIVE e AS (
+         |    SELECT $custUri AS src, $natUri AS dst FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |  UNION ALL
+         |    SELECT '${tpchBase}lineitem/' || l_orderkey || '-' || l_linenumber, '${tpchBase}orders/' || o_orderkey
+         |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  UNION ALL
+         |    SELECT '${tpchBase}lineitem/' || l_orderkey || '-' || l_linenumber, '${tpchBase}part/' || p_partkey
+         |    FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  UNION ALL
+         |    SELECT '${tpchBase}lineitem/' || l_orderkey || '-' || l_linenumber, $suppUri
+         |    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |  UNION ALL
+         |    SELECT $natUri, '${tpchBase}region/' || r_regionkey FROM nation JOIN region ON n_regionkey = r_regionkey
+         |  UNION ALL
+         |    SELECT '${tpchBase}orders/' || o_orderkey, $custUri FROM orders JOIN customer ON o_custkey = c_custkey
+         |  UNION ALL
+         |    SELECT $suppUri, $natUri FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+         |r(root, uri, depth) AS (
+         |  SELECT '${tpchBase}lineitem/' || l_orderkey || '-' || l_linenumber,
+         |         '${tpchBase}lineitem/' || l_orderkey || '-' || l_linenumber, 0
+         |  FROM lineitem WHERE l_orderkey < 100
+         |  UNION ALL
+         |  SELECT r.root, e.dst, r.depth + 1 FROM r JOIN e ON e.src = r.uri WHERE r.depth < 2),
+         |m AS (SELECT root, uri, min(depth) AS depth FROM r GROUP BY 1, 2),
+         |w AS (
+         |    SELECT '${tpchBase}orders/' || o_orderkey AS uri, o_totalprice AS weight FROM orders
+         |  UNION ALL
+         |    SELECT '${tpchBase}part/' || p_partkey, p_retailprice FROM part
+         |  UNION ALL
+         |    SELECT $suppUri, s_acctbal FROM supplier)
+         |SELECT root, count(*)::BIGINT AS n_reached,
+         |       sum(CASE WHEN depth = 1 THEN 1 ELSE 0 END)::BIGINT AS n_depth1,
+         |       sum(CASE WHEN depth = 2 THEN 1 ELSE 0 END)::BIGINT AS n_depth2,
+         |       round(sum(coalesce(weight, 0.0)), 2) AS sum_weight
+         |FROM m LEFT JOIN w USING (uri)
+         |WHERE depth > 0 GROUP BY root ORDER BY root""".stripMargin,
 
     "g11_reachability" ->
       s"""WITH RECURSIVE r(uri, depth) AS (

@@ -241,6 +241,38 @@ final case class EntityGraph(datasets: Map[String, EntityDataset], ns: Namespace
     reached
   }
 
+  /** Per-ROOT variable-depth reachability — the traversal-aggregation
+    * primitive behind the reference's "javascript query" pattern
+    * (aggregate over everything reachable from each start entity):
+    * multi-source BFS where every frontier row carries its ORIGIN, so
+    * one pass answers "per start node, what is within k hops" for the
+    * whole start set. Output (root, uri, depth) with the MINIMUM depth
+    * per (root, uri).
+    *
+    * Scale shape: identical to `reachable` — each hop is one edge
+    * equi-join + anti-join against the per-root visited set, frontier
+    * lineage truncated per hop — except keys are (root, uri) pairs, so
+    * work per hop is O(Σ per-root frontier edges) and the shuffle key
+    * cardinality GROWS with the start set (no hot single key). The
+    * driver never sees row data. */
+  def reachableFrom(startUris: DataFrame, maxHops: Int): DataFrame = {
+    val edges = allEdges
+    var frontier = startUris
+      .select(col("uri").as("root"), col("uri"), lit(0).as("depth"))
+      .transform(Checkpoints.truncate)
+    var reached = frontier
+    for (k <- 1 to maxHops) {
+      val next = edges.join(frontier, edges("src") === frontier("uri"))
+        .select(col("root"), col("dst").as("uri"), lit(k).as("depth"))
+        .distinct()
+        .join(reached.select("root", "uri"), Seq("root", "uri"), "left_anti")
+        .transform(Checkpoints.truncate)
+      reached = reached.unionByName(next)
+      frontier = next
+    }
+    reached
+  }
+
   /** Reference: `details: true` lookup — entity augmented with per-value
     * provenance. Emits one row per (entity, property) with the owning
     * dataset, value rendered as string.

@@ -130,6 +130,36 @@ class GraphPlanSpec extends SparkSpec {
     assert(r(0).getDouble(4) > r(1).getDouble(4)) // top bigram share
   }
 
+  test("reachableFrom tracks per-root minimum depth over a diamond") {
+    val s = spark
+    import s.implicits._
+    import graft.model.{EntityDataset, Ref}
+    // diamond: a -> b -> c, and a -> c directly; plus a second root d -> c.
+    // c must report depth 1 for root a (the direct edge wins the min)
+    // and depth 1 for root d; b's reach is just c.
+    val top = Seq((1L, 10L, 20L), (4L, -1L, 20L)).toDF("key", "mid_ref", "leaf_ref")
+      .withColumn("mid_ref", when(col("mid_ref") < 0, org.apache.spark.sql.functions.lit(null)).otherwise(col("mid_ref")))
+    val mid = Seq((10L, 20L)).toDF("key", "leaf_ref")
+    val leaf = Seq(Tuple1(20L)).toDF("key")
+    val ns = "http://graft.io/spec/"
+    val g2 = graft.core.EntityGraph(Map(
+      "top" -> EntityDataset("top", top, "key", ns + "top/",
+        refs = Seq(Ref(ns + "mid", "mid_ref", "mid"), Ref(ns + "leaf", "leaf_ref", "leaf"))),
+      "mid" -> EntityDataset("mid", mid, "key", ns + "mid/",
+        refs = Seq(Ref(ns + "leaf", "leaf_ref", "leaf"))),
+      "leaf" -> EntityDataset("leaf", leaf, "key", ns + "leaf/")),
+      Tpch.namespaces)
+    val start = Seq(ns + "top/1", ns + "top/4").toDF("uri")
+    val got = g2.reachableFrom(start, maxHops = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set(
+      (ns + "top/1", ns + "top/1", 0),
+      (ns + "top/1", ns + "mid/10", 1),
+      (ns + "top/1", ns + "leaf/20", 1), // min of direct (1) and via mid (2)
+      (ns + "top/4", ns + "top/4", 0),
+      (ns + "top/4", ns + "leaf/20", 1)), got.toString)
+  }
+
   test("events scan prunes columns (ReadSchema only carries what is used)") {
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     val plan = planOf(events.select(col("event_type")).groupBy("event_type").count())
