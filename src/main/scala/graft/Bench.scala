@@ -20,6 +20,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // single-file testdata only splits at row-group boundaries; big
+      // SF dirs (tools/scalegen.py) need smaller splits to use every
+      // core on the scan stage (default left alone for the driver)
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAXPART", "134217728"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -828,7 +828,13 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val scrubbed = plantPii(docs)
         .withColumn("text", TextAnalysis.piiScrubText(col("text")))
-      val keep = Dedup.boilerplate(scrubbed, "text", "doc_id", 3, 3)
+      // scale-aware boilerplate cut: "shared by many docs" must mean a
+      // FRACTION of the corpus, not an absolute 3, or the gate
+      // saturates as a fixed-vocabulary corpus grows (at 5k+ synthetic
+      // docs every 3-gram lands in >= 3 docs). max(3, 0.2%) keeps the
+      // sf0.01 gate exactly as before
+      val minDocs = math.max(3L, docs.count() * 2 / 1000).toInt
+      val keep = Dedup.boilerplate(scrubbed, "text", "doc_id", 3, minDocs)
         .filter(col("boiler_ratio") <= 0.5).select(col("id").as("doc_id"))
       val sampled = TextAnalysis.weightedSample(scrubbed.join(keep, "doc_id"),
         "doc_id", "lang", rates = Map("en" -> 0.35, "fr" -> 0.8))
@@ -1339,7 +1345,7 @@ object SparkEntry {
          |df_ AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
          |per AS (
          |  SELECT sh.doc_id AS id, count(*) AS n_shingles,
-         |         count(CASE WHEN df_.df >= 3 THEN 1 END) AS n_boiler
+         |         count(CASE WHEN df_.df >= greatest(3, (SELECT count(*) * 2 // 1000 FROM documents)) THEN 1 END) AS n_boiler
          |  FROM sh JOIN df_ USING (s) GROUP BY 1),
          |keepb AS (SELECT id FROM per WHERE (n_boiler * 1000 // n_shingles) / 1000.0 <= 0.5),
          |samp AS (

@@ -17,14 +17,37 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+# SELFCHECK_TIMEOUT_S: per-oracle DuckDB budget (big-SF dev runs, where
+# a few deliberately-quadratic oracles cost more than the engine under
+# test) — timeouts report SKIP, not FAIL. SELFCHECK_ONLY: name filter.
+timeout_s = float(os.environ.get("SELFCHECK_TIMEOUT_S", "0"))
+only = set(filter(None, os.environ.get("SELFCHECK_ONLY", "").split(",")))
 fail = 0
+skipped = []
 for name, sql in sorted(oracle.items()):
+    if only and name not in only:
+        continue
     spark_dir = f"{outdir}/{name}"
     if not os.path.isdir(spark_dir):
         print(f"FAIL {name}: no spark output"); fail += 1; continue
     try:
-        duck = con.sql(sql).df()
+        if timeout_s > 0:
+            import threading
+            timer = threading.Timer(timeout_s, con.interrupt)
+            timer.start()
+            try:
+                duck = con.sql(sql).df()
+            finally:
+                timer.cancel()
+        else:
+            duck = con.sql(sql).df()
+    except KeyboardInterrupt:
+        print(f"SKIP {name}: oracle exceeded {timeout_s}s (DuckDB side, not engine)")
+        skipped.append(name); continue
     except Exception as e:
+        if "INTERRUPT" in str(e).upper():
+            print(f"SKIP {name}: oracle exceeded {timeout_s}s (DuckDB side, not engine)")
+            skipped.append(name); continue
         print(f"FAIL {name}: oracle error {e}"); fail += 1; continue
     spark = pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(f"{spark_dir}/*.parquet"))])
     duck = duck.reindex(sorted(duck.columns), axis=1).reset_index(drop=True)
@@ -46,5 +69,7 @@ for name, sql in sorted(oracle.items()):
         print(duck_s[idx].head(3))
         print(spark_s[idx].head(3))
         fail += 1
-print(f"\n{len(oracle) - fail}/{len(oracle)} passed")
+total = len(only) if only else len(oracle)
+note = f" ({len(skipped)} oracle-timeout skips: {','.join(skipped)})" if skipped else ""
+print(f"\n{total - fail - len(skipped)}/{total} passed{note}")
 sys.exit(1 if fail else 0)
