@@ -80,10 +80,16 @@ object Bench {
     // index-family queries, whose Bench figures above deliberately
     // price the inline build. SPARK_GRAFT_STEADY=0 skips.
     if (sys.env.getOrElse("SPARK_GRAFT_STEADY", "1") != "0" && only.isEmpty) {
-      release()
-      val ss = SteadyState.measure(spark, sfDir)
-      val ssq = ss.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
-      println(s"""{"metric":"steady_state","value":${ms(ss.map(_._2).sum)},"unit":"sec","queries":$ssq,"sf":"$sfDir"}""")
+      // a steady-state failure must not discard the timed section above
+      // (every other stage in this file isolates per-query errors too)
+      try {
+        release()
+        val ss = SteadyState.measure(spark, sfDir)
+        val ssq = ss.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+        println(s"""{"metric":"steady_state","value":${ms(ss.map(_._2).sum)},"unit":"sec","queries":$ssq,"sf":"$sfDir"}""")
+      } catch {
+        case e: Throwable => System.err.println(s"[bench] steady_state FAILED: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

@@ -78,6 +78,28 @@ object SparkEntry {
   private val plantSpanSql: String =
     s"text || CASE WHEN doc_id % 10 = 0 THEN ' $DupSpan' ELSE '' END"
 
+  /** Stages each `[lo, hi)` slice of `df` (on `idCol`) as one parquet
+    * file `<name>.parquet` in a fresh chunks dir with STRICTLY
+    * INCREASING mtimes — the replay contract every streaming query
+    * (d10/d11/d17) relies on: FileStreamSource orders micro-batches by
+    * mtime, so each slice arrives as its own batch, in `ranges` order.
+    * Returns the chunks dir to pass as the stream source path. */
+  private[graft] def stageMicroBatches(df: DataFrame, idCol: String,
+      ranges: Seq[(Long, Long, String)], prefix: String): String = {
+    val chunks = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_chunks_").toString
+    ranges.zipWithIndex.foreach { case ((lo, hi, name), i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_tmp_").toString
+      df.filter(col(idCol) >= lo && col(idCol) < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(chunks, s"$name.parquet")
+      java.nio.file.Files.copy(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+    }
+    chunks
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -542,18 +564,8 @@ object SparkEntry {
       val table = "shingle_idx_stream"
       Dedup.buildShingleIndex(docs.filter(col("doc_id") < 400 || col("doc_id") >= 600),
         "text", "doc_id", 3, table, buckets = 16)
-      val chunks = java.nio.file.Files.createTempDirectory("graft_dd_chunks_").toString
-      Seq((400L, 500L, "a"), (500L, 600L, "b")).zipWithIndex.foreach {
-        case ((lo, hi, name), i) =>
-          val tmp = java.nio.file.Files.createTempDirectory("graft_dd_tmp_").toString
-          docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
-          val dest = java.nio.file.Paths.get(chunks, s"$name.parquet")
-          java.nio.file.Files.copy(part.toPath, dest)
-          java.nio.file.Files.setLastModifiedTime(dest,
-            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
-      }
+      val chunks = stageMicroBatches(docs, "doc_id",
+        Seq((400L, 500L, "a"), (500L, 600L, "b")), "dd")
       val pairs = java.nio.file.Files.createTempDirectory("graft_dd_pairs_").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft_dd_ckpt_").toString
       OnChange.streamingDedupDelta(s, chunks, "text", "doc_id", 3, 0.8, table, pairs, ckpt)
@@ -573,17 +585,8 @@ object SparkEntry {
             when(i === 0, (x.cast("double") + lit(0.1d)).cast("float")).otherwise(x)).as("embedding"))
       val table = "ann_idx_stream_d11"
       Ann.buildAnnIndex(e, "embedding", "vec_id", dims = 64, table, tables = 8, bits = 8, buckets = 16)
-      val chunks = java.nio.file.Files.createTempDirectory("graft_vd_chunks_").toString
-      Seq((0L, 50L, "a"), (50L, 100L, "b")).zipWithIndex.foreach { case ((lo, hi, name), i) =>
-        val tmp = java.nio.file.Files.createTempDirectory("graft_vd_tmp_").toString
-        perturbed.filter(col("vec_id") >= 10000 + lo && col("vec_id") < 10000 + hi)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
-        val dest = java.nio.file.Paths.get(chunks, s"$name.parquet")
-        java.nio.file.Files.copy(part.toPath, dest)
-        java.nio.file.Files.setLastModifiedTime(dest,
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
-      }
+      val chunks = stageMicroBatches(perturbed, "vec_id",
+        Seq((10000L, 10050L, "a"), (10050L, 10100L, "b")), "vd")
       val pairs = java.nio.file.Files.createTempDirectory("graft_vd_pairs_").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft_vd_ckpt_").toString
       OnChange.streamingVectorDedup(s, chunks, "embedding", "vec_id", table, 0.9, pairs, ckpt)
@@ -641,17 +644,8 @@ object SparkEntry {
       val batch = graft.ann.SemDedup.perturbedBatch(e, "embedding", "vec_id")
       val table = "ivf_idx_d17"
       Ann.buildIvfIndex(e, "embedding", "vec_id", table)
-      val chunks = java.nio.file.Files.createTempDirectory("graft_sd_chunks_").toString
-      Seq((0L, 50L, "a"), (50L, 100L, "b")).zipWithIndex.foreach { case ((lo, hi, name), i) =>
-        val tmp = java.nio.file.Files.createTempDirectory("graft_sd_tmp_").toString
-        batch.filter(col("vec_id") >= 10000 + lo && col("vec_id") < 10000 + hi)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
-        val dest = java.nio.file.Paths.get(chunks, s"$name.parquet")
-        java.nio.file.Files.copy(part.toPath, dest)
-        java.nio.file.Files.setLastModifiedTime(dest,
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
-      }
+      val chunks = stageMicroBatches(batch, "vec_id",
+        Seq((10000L, 10050L, "a"), (10050L, 10100L, "b")), "sd")
       val pairs = java.nio.file.Files.createTempDirectory("graft_sd_pairs_").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft_sd_ckpt_").toString
       OnChange.streamingSemanticDedup(s, chunks, "embedding", "vec_id", table, 0.9, pairs, ckpt)

@@ -57,13 +57,21 @@ object SteadyState {
     )
   }
 
-  /** Min-of-`passes` probe seconds after one warmup each. */
+  /** Min-of-`passes` probe seconds after one warmup each. A failed
+    * probe reports -1 (the Bench sentinel) instead of killing the
+    * remaining probes. */
   def measure(spark: SparkSession, sfDir: String, passes: Int = 3): Seq[(String, Double)] =
     probeSet(spark, sfDir).map { case (name, f) =>
-      f() // warmup
-      name -> (1 to passes).map { _ =>
-        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
-      }.min
+      try {
+        f() // warmup
+        name -> (1 to passes).map { _ =>
+          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+        }.min
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[steady] $name FAILED: ${e.getMessage}")
+          name -> -1.0
+      }
     }
 
   def main(args: Array[String]): Unit = {

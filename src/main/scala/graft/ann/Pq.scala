@@ -51,9 +51,18 @@ object Pq {
     val dsub: Column =
       if (dims > 0) lit(dims / m)
       else floor(size(col("fu")) / lit(m)).cast("int")
-    e.select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+    val rows = e.select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
         unitFixed(col("v"), col("norm")).as("fu"))
-      .select(col("id"), col("sub"), slice(col("fu"), col("sub") * dsub + 1, dsub).as("x"))
+    // the derived-width path must fail loudly on indivisible vectors —
+    // floor() would silently drop the trailing dims from every subspace
+    // (the encode kernel already throws; training has to match)
+    val guarded =
+      if (dims > 0) rows
+      else rows.where(coalesce(assert_true(size(col("fu")) % m === 0,
+        concat(lit("vector dims "), size(col("fu")),
+          lit(s" must split into $m subspaces"))), lit(true)))
+    guarded.select(col("id"), col("sub"),
+      slice(col("fu"), col("sub") * dsub + 1, dsub).as("x"))
   }
 
   /** Nearest codeword per (row, subspace) under the given codebooks:

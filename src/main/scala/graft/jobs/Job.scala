@@ -61,6 +61,27 @@ final case class SampleSource(numberOfEntities: Long, since: Option[Long] = None
 
 object SampleSource { val Namespace = "http://data.samplesource.org/" }
 
+/** Reference: SlowSource (internal/jobs/source/slow_source.go:25) — a
+  * paced dev/test source for backpressure experiments: each read
+  * yields `batchSize` synthetic `test:e-<i>` entities only after
+  * `sleepMs` has elapsed. The pace is paid INSIDE the scan (once per
+  * partition, at iterator-open time), so a downstream consumer
+  * genuinely observes a source that takes `sleepMs` to produce a
+  * batch — pacing at plan-build time would throttle the driver, not
+  * the read. The reference's continuation is the empty token (every
+  * sync restarts); `nextToken` mirrors that. */
+final case class SlowSource(batchSize: Int, sleepMs: Long) extends Source {
+  def read(spark: SparkSession): DataFrame = {
+    val ms = sleepMs
+    import spark.implicits._
+    spark.range(batchSize).coalesce(1)
+      .mapPartitions { it => Thread.sleep(ms); it }
+      .select(concat(lit("test:e-"), col("value")).as("id"),
+        lit(0L).as("recorded"), lit(false).as("deleted"))
+  }
+  def nextToken: String = ""
+}
+
 /** Reference: UnionDatasetSource — ordered concatenation of dataset
   * sources; the `dataset` tag keeps provenance (and makes the union
   * restartable per-leg, mirroring the reference's continuation-token

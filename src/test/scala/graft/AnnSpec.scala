@@ -129,6 +129,25 @@ class AnnSpec extends SparkSpec {
     assert(!plan.contains("TakeOrdered"), s"probe plan re-derives centroids:\n$plan")
   }
 
+  test("PQ training raises on indivisible vector dims instead of truncating subspaces") {
+    import graft.ann.Pq
+    val s = spark
+    import s.implicits._
+    // 60 dims do not split into 8 subspaces; the derived-width (dims=0)
+    // path must fail loudly — floor(60/8)=7 would silently drop the
+    // last 4 dims of every vector from every codebook
+    val odd = (0 until 32).map(i => (i.toLong, Seq.fill(60)(((i * 31 + 7) % 13).toFloat)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Pq.trainCodebooks(odd, "embedding", "vec_id", m = 8, ksub = 4, rounds = 1).count()
+    }
+    // the assert fires inside a Spark job — the message may sit anywhere
+    // in the cause chain
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("subspaces"), s"unexpected error: $msgs")
+  }
+
   test("PQ: codes compress to m small ints; reconstruction top-k recall is well above chance") {
     import graft.ann.Pq
     val books = Pq.trainCodebooks(emb, "embedding", "vec_id", m = 8, ksub = 16, rounds = 1)

@@ -501,6 +501,23 @@ class JobsSpec extends SparkSpec {
     assert(SampleSource(5L).nextToken == 5L)
   }
 
+  test("slow source paces the batch: rows arrive only after the sleep elapses") {
+    val src = SlowSource(batchSize = 4, sleepMs = 300L)
+    val df = src.read(spark)
+    // the pace is paid at SCAN time, not plan time: building the frame
+    // is instant, collecting it is not
+    val t0 = System.nanoTime()
+    val rows = df.collect()
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(elapsedMs >= 300L, s"scan returned in ${elapsedMs}ms, before the pace elapsed")
+    assert(rows.length == 4)
+    assert(rows.map(_.getString(0)).toSet ==
+      Set("test:e-0", "test:e-1", "test:e-2", "test:e-3"))
+    // reference contract: the continuation never advances (every sync
+    // restarts from scratch)
+    assert(src.nextToken == "")
+  }
+
   test("Timing/Log hooks: explicit start/send pairs record; every job run is timed") {
     val s = spark
     import s.implicits._

@@ -22,6 +22,11 @@ oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 # test) — timeouts report SKIP, not FAIL. SELFCHECK_ONLY: name filter.
 timeout_s = float(os.environ.get("SELFCHECK_TIMEOUT_S", "0"))
 only = set(filter(None, os.environ.get("SELFCHECK_ONLY", "").split(",")))
+unknown = only - set(oracle)
+if unknown:
+    # a typo'd filter must not report green for checks that never ran
+    print(f"FAIL: SELFCHECK_ONLY names not in oracle_sql.json: {','.join(sorted(unknown))}")
+    sys.exit(1)
 fail = 0
 skipped = []
 for name, sql in sorted(oracle.items()):
@@ -30,10 +35,14 @@ for name, sql in sorted(oracle.items()):
     spark_dir = f"{outdir}/{name}"
     if not os.path.isdir(spark_dir):
         print(f"FAIL {name}: no spark output"); fail += 1; continue
+    fired = None
     try:
         if timeout_s > 0:
             import threading
-            timer = threading.Timer(timeout_s, con.interrupt)
+            fired = threading.Event()
+            def _budget_hit():
+                fired.set(); con.interrupt()
+            timer = threading.Timer(timeout_s, _budget_hit)
             timer.start()
             try:
                 duck = con.sql(sql).df()
@@ -42,10 +51,14 @@ for name, sql in sorted(oracle.items()):
         else:
             duck = con.sql(sql).df()
     except KeyboardInterrupt:
+        # only OUR timer's interrupt is a benign budget skip; a user
+        # Ctrl-C must abort the run, not masquerade as one
+        if fired is None or not fired.is_set():
+            raise
         print(f"SKIP {name}: oracle exceeded {timeout_s}s (DuckDB side, not engine)")
         skipped.append(name); continue
     except Exception as e:
-        if "INTERRUPT" in str(e).upper():
+        if fired is not None and fired.is_set() and "INTERRUPT" in str(e).upper():
             print(f"SKIP {name}: oracle exceeded {timeout_s}s (DuckDB side, not engine)")
             skipped.append(name); continue
         print(f"FAIL {name}: oracle error {e}"); fail += 1; continue
