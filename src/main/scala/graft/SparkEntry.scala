@@ -618,6 +618,21 @@ object SparkEntry {
       Dedup.substringSpans(plantSpan(t(s, dir, "documents")), "text", "doc_id", 15)
         .orderBy("id", "span_start")),
 
+    "d18_substring_delta" -> ((s, dir) => {
+      // incremental exact-substring dedup — d16's operational loop:
+      // the standing corpus (doc_id < 400) is gram-indexed once; the
+      // new batch finds its duplicated spans against the index + itself
+      // without the corpus re-tokenizing or reshuffling. Planted spans
+      // land on every 10th doc, so cross (batch gram duplicated only in
+      // the corpus) and batch-internal duplication both provably exist
+      val docs = plantSpan(t(s, dir, "documents"))
+      val table = "gram_idx_delta"
+      Dedup.buildGramIndex(docs.filter(col("doc_id") < 400), "text", "doc_id", 15,
+        table, buckets = 16)
+      Dedup.substringSpansDelta(s, docs.filter(col("doc_id") >= 400), "text", "doc_id", 15, table)
+        .orderBy("id", "span_start")
+    }),
+
     "d14_semantic_delta" -> ((s, dir) => {
       // incremental semantic dedup: the standing inverted file carries
       // the frozen quantizer; a batch of NEW vectors (perturbed copies
@@ -1629,6 +1644,32 @@ object SparkEntry {
         |  FROM w, unnest(range(1, len(ws)-13)) AS t(i)),
         |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
         |m AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN lag(pos) OVER win IS NULL OR pos - lag(pos) OVER win > 15 THEN 1 ELSE 0 END AS ns
+        |  FROM m WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |sp AS (
+        |  SELECT doc_id, pos,
+        |         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM isl)
+        |SELECT doc_id AS id, min(pos) AS span_start, max(pos) + 15 - min(pos) AS span_len
+        |FROM sp GROUP BY doc_id, sid ORDER BY id, span_start""".stripMargin,
+
+    // full-recompute ground truth restricted to batch docs — the delta
+    // counts occurrences over corpus + batch, so its output is exactly
+    // the one-shot chain's rows for doc_id >= 400 (identical values
+    // prove the incremental path loses nothing)
+    "d18_substring_delta" ->
+      s"""WITH d0 AS (SELECT doc_id, $plantSpanSql AS text FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+        |  FROM d0),
+        |g AS (
+        |  SELECT doc_id, t.i - 1 AS pos, md5(array_to_string(ws[t.i:t.i+14], ' ')) AS gh
+        |  FROM w, unnest(range(1, len(ws)-13)) AS t(i)),
+        |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, pos FROM g JOIN dup USING (gh) WHERE doc_id >= 400),
         |isl AS (
         |  SELECT doc_id, pos,
         |         CASE WHEN lag(pos) OVER win IS NULL OR pos - lag(pos) OVER win > 15 THEN 1 ELSE 0 END AS ns

@@ -597,19 +597,26 @@ object Dedup {
     * ALL occurrences — the policy of the released ExactSubstr tool:
     * feed `scrubSpans` to excise them (a doc whose text is entirely
     * duplicated elsewhere scrubs to empty, which is the point). */
-  def substringSpans(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // generator barrier (see `shingles`): the tokenizer runs once per
-    // doc, not once per gram; materialized once — the df aggregate and
-    // the join-back both re-read the gram stream
-    val g = graft.core.Checkpoints.truncate(docs
+  /** The positional k-token gram stream (id, pos, gh) every substring
+    * operator shares — ONE definition so the gram key (md5 over the
+    * space-joined token window) cannot drift between the one-shot,
+    * index-build, and delta paths. NOT materialized: callers
+    * checkpoint. */
+  private def positionalGrams(docs: DataFrame, textCol: String, idCol: String,
+                              k: Int): DataFrame =
+    docs
+      // generator barrier (see `shingles`): the tokenizer runs once per
+      // doc, not once per gram
       .select(col(idCol).as("id"), explode(array(TextAnalysis.words(col(textCol)))).as("__ws"))
       .select(col("id"), posexplode(TextAnalysis.ngrams(col("__ws"), k)).as(Seq("pos", "g")))
-      .select(col("id"), col("pos").cast("long").as("pos"), md5(col("g")).as("gh")))
-    // occurrence count, not distinct-doc count: a span repeated inside
-    // ONE doc is exactly as duplicated as one shared across docs
-    val dup = g.groupBy("gh").agg(count(lit(1)).as("__n")).filter(col("__n") >= 2).select("gh")
-    val marked = g.join(dup, Seq("gh"), "leftsemi").select("id", "pos")
+      .select(col("id"), col("pos").cast("long").as("pos"), md5(col("g")).as("gh"))
+
+  /** Gaps-and-islands maximal-span merge over marked gram positions —
+    * the (id, pos) → (id, span_start, span_len) tail shared by the
+    * one-shot and delta paths: positions p, p' chain into one span when
+    * p' − p ≤ k (overlapping or exactly adjacent gram windows). */
+  private def maximalSpans(marked: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("id").orderBy("pos")
     marked
       .withColumn("__ns", when(lag("pos", 1).over(w).isNull ||
@@ -621,6 +628,95 @@ object Dedup {
         (max(col("pos")) + lit(k.toLong) - min(col("pos"))).as("span_len"))
       .select(col("id"), col("span_start"), col("span_len"))
   }
+
+  def substringSpans(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    // materialized once — the occurrence aggregate and the join-back
+    // both re-read the gram stream
+    val g = graft.core.Checkpoints.truncate(positionalGrams(docs, textCol, idCol, k))
+    // occurrence count, not distinct-doc count: a span repeated inside
+    // ONE doc is exactly as duplicated as one shared across docs
+    val dup = g.groupBy("gh").agg(count(lit(1)).as("__n")).filter(col("__n") >= 2).select("gh")
+    val marked = g.join(dup, Seq("gh"), "leftsemi").select("id", "pos")
+    maximalSpans(marked, k)
+  }
+
+  /** Standing positional-gram index — d16's operational loop, the same
+    * build/delta/absorb/compact discipline as the shingle index: build
+    * once per corpus snapshot, route every ingest batch through
+    * `substringSpansDelta`, absorb, repeat. The index is the (id, pos,
+    * gh) stream bucketed+sorted by gh, so a batch's gram probe is a
+    * bucket-riding semi-join — the standing corpus NEVER reshuffles or
+    * re-tokenizes. No stop-gram cap is needed (unlike shingles): no
+    * path self-joins posting lists — the delta only asks "does this
+    * gram occur elsewhere", so a boilerplate gram costs a linear
+    * posting read, never a quadratic pair blowup. */
+  def buildGramIndex(docs: DataFrame, textCol: String, idCol: String, k: Int,
+                     table: String, buckets: Int = 32): String = {
+    val spark = docs.sparkSession
+    Seq(table, s"${table}_batches").foreach(graft.core.Tables.drop(spark, _))
+    positionalGrams(docs, textCol, idCol, k)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "gh").sortBy("gh")
+      .saveAsTable(table)
+    table
+  }
+
+  /** INCREMENTAL exact-substring dedup: maximal duplicated spans in
+    * the BATCH docs, where "duplicated" counts occurrences across the
+    * standing corpus AND the batch — identical to what a full
+    * `substringSpans` over (corpus ∪ batch) reports for those docs
+    * (the oracle identity; corpus-side spans newly duplicated by the
+    * batch surface when those docs are themselves re-scrubbed, the
+    * Lee et al. batch discipline). The index leg is a gh-keyed
+    * semi-join riding the buckets (only postings of batch grams are
+    * read); a batch id already present in the index supersedes its
+    * standing rows. */
+  def substringSpansDelta(spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
+                          textCol: String, idCol: String, k: Int,
+                          indexTable: String): DataFrame = {
+    // tokenize the batch ONCE; the occurrence aggregate, the index
+    // probe, and the join-back all re-read the materialized stream
+    val bg = graft.core.Checkpoints.truncate(
+      positionalGrams(newDocs, textCol, idCol, k))
+    val batchIds = newDocs.select(col(idCol).as("id")).distinct()
+    // batch-internal duplication: the gram occurs >= 2x within the batch
+    val batchDup = bg.groupBy("gh").agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") >= 2).select("gh")
+    // cross duplication: the gram occurs anywhere in the standing index
+    // (supersede: rows of re-emitted batch ids don't count — their old
+    // version is being replaced). The semi-join on gh rides the index
+    // buckets; only postings of batch grams are ever read.
+    val corpusHit = spark.table(indexTable)
+      .join(bg.select("gh").distinct(), Seq("gh"), "leftsemi")
+      .join(broadcast(batchIds), Seq("id"), "left_anti")
+      .select("gh").distinct()
+    val dup = batchDup.unionByName(corpusHit).distinct()
+    val marked = bg.join(dup, Seq("gh"), "leftsemi").select("id", "pos")
+    maximalSpans(marked, k)
+  }
+
+  /** Absorb a NEW-ID batch into the standing gram index: its positional
+    * grams append under the index's bucket spec, after which
+    * `substringSpansDelta` for LATER batches counts this batch like any
+    * other corpus member. Append-only — to RE-ingest an id, first
+    * `compactGramIndex` its old version out, then absorb (the
+    * compact-then-append log discipline shared with the shingle
+    * index). */
+  def absorbIntoGramIndex(spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+                          textCol: String, idCol: String, k: Int, table: String): Unit = {
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(32)
+    positionalGrams(batch, textCol, idCol, k)
+      .write.mode("append").bucketBy(buckets, "gh").sortBy("gh").saveAsTable(table)
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Remove the given ids' rows from the standing gram index — the
+    * supersede step of a re-ingest (bucketed anti-join rewrite). */
+  def compactGramIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                       ids: DataFrame): Unit =
+    graft.core.Tables.compactByKey(spark, table, ids, "id")
 
   /** Re-emit documents with their duplicated spans EXCISED — the x7
     * re-emitter idiom at token level: tokens covered by any span leave

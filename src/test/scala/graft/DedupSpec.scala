@@ -459,4 +459,61 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 0L, 8L), (1L, 11L, 4L), (2L, 1L, 8L), (3L, 9L, 4L)),
       s"got $got")
   }
+
+  test("substring delta: batch spans vs standing index = full recompute; absorb chains batches; supersede drops re-emitted rows") {
+    import spark.implicits._
+    val S = "aa bb cc dd ee ff"   // 6 tokens, k=4 → one maximal span
+    val corpus = Seq(
+      (1L, s"one two three $S four five six"),   // S at 3..8
+      (2L, "plain standing words nothing shared whatsoever here"),
+      (3L, "r1 r2 r3 r4 r5 r6 r7")               // re-emitted below
+    ).toDF("doc_id", "text")
+    val table = "gram_idx_spec"
+    Dedup.buildGramIndex(corpus, "text", "doc_id", 4, table, buckets = 4)
+
+    // batch 1: doc 10 shares S with corpus doc 1 (cross); doc 11
+    // repeats its own run twice (batch-internal); doc 12 is clean
+    val batch1 = Seq(
+      (10L, s"zero $S tail words here"),          // S at 1..6
+      (11L, "q1 q2 q3 q4 mid mid2 mid3 q1 q2 q3 q4"), // runs at 0 and 7
+      (12L, "totally fresh unshared text tokens")
+    ).toDF("doc_id", "text")
+    val d1 = Dedup.substringSpansDelta(spark, batch1, "text", "doc_id", 4, table)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(d1 == Set((10L, 1L, 6L), (11L, 0L, 4L), (11L, 7L, 4L)), s"got $d1")
+    // identity: full recompute over corpus ∪ batch, restricted to batch
+    val full = Dedup.substringSpans(corpus.unionByName(batch1), "text", "doc_id", 4)
+      .filter(col("id") >= 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == d1, s"delta $d1 != recompute $full")
+
+    // absorb batch 1; batch 2 must pair against batch 1 through the
+    // index alone (doc 20 shares doc 11's run, which corpus never had)
+    Dedup.absorbIntoGramIndex(spark, batch1, "text", "doc_id", 4, table)
+    val batch2 = Seq((20L, "pre q1 q2 q3 q4 post fin")).toDF("doc_id", "text")
+    val d2 = Dedup.substringSpansDelta(spark, batch2, "text", "doc_id", 4, table)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(d2 == Set((20L, 1L, 4L)), s"got $d2")
+
+    // supersede: doc 3 re-emits carrying S — its STANDING rows leave the
+    // count, so S still pairs (vs doc 1) but its old r1..r7 run does
+    // not self-pair with the new version
+    val reemit = Seq((3L, s"r1 r2 r3 r4 new new2 $S")).toDF("doc_id", "text")
+    val d3 = Dedup.substringSpansDelta(spark, reemit, "text", "doc_id", 4, table)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(d3 == Set((3L, 6L, 6L)), s"got $d3")
+    // compact-then-absorb ≡ rebuild with the new version
+    Dedup.compactGramIndex(spark, table, Seq(3L).toDF("id"))
+    Dedup.absorbIntoGramIndex(spark, reemit, "text", "doc_id", 4, table)
+    val rebuilt = "gram_idx_spec_rebuild"
+    Dedup.buildGramIndex(
+      corpus.filter(col("doc_id") =!= 3L).unionByName(batch1).unionByName(reemit),
+      "text", "doc_id", 4, rebuilt, buckets = 4)
+    val probe = Seq((30L, s"probe $S q1 q2 q3 q4 r1 r2 r3 r4 done")).toDF("doc_id", "text")
+    def spansVs(t: String) =
+      Dedup.substringSpansDelta(spark, probe, "text", "doc_id", 4, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spansVs(table) == spansVs(rebuilt),
+      s"absorbed ${spansVs(table)} != rebuilt ${spansVs(rebuilt)}")
+  }
 }
