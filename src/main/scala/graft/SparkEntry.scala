@@ -78,6 +78,22 @@ object SparkEntry {
   private val plantSpanSql: String =
     s"text || CASE WHEN doc_id % 10 = 0 THEN ' $DupSpan' ELSE '' END"
 
+  /** Deterministic low-quality planting for the x9 learned filter (the
+    * x7/d16 idiom): junk tokens appended to every 4th doc (offset 1),
+    * label = not planted. Tokens stay outside the corpus vocabulary so
+    * the classifier must RECOVER the plant from label evidence alone. */
+  private val JunkTokens =
+    "zzspam0 zzspam1 zzspam2 zzspam3 zzspam4 zzspam5 zzspam6 zzspam7"
+
+  private def plantJunk(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      when(col("doc_id") % 4 === 1, lit(" " + JunkTokens)).otherwise(lit(""))))
+
+  /** `plantJunk` + label as SQL over `documents` (single-line — see
+    * `plantPiiSql`). */
+  private val plantJunkSql: String =
+    s"text || CASE WHEN doc_id % 4 = 1 THEN ' $JunkTokens' ELSE '' END"
+
   /** Stages each `[lo, hi)` slice of `df` (on `idCol`) as one parquet
     * file `<name>.parquet` in a fresh chunks dir with STRICTLY
     * INCREASING mtimes — the replay contract every streaming query
@@ -808,6 +824,23 @@ object SparkEntry {
           graft.text.Bpe.DefaultMerges)
         .orderBy("doc_id")),
 
+    "x9_quality_classifier" -> ((s, dir) => {
+      // learned doc-quality gate (fastText/CCNet shape, deterministic
+      // core): junk tokens are PLANTED on every 4th doc; the model
+      // trains on the labeled split (doc_id < 400) — per hashed token
+      // bucket, fixed-point NB purity; buckets below half the prior
+      // are the learned bad vocabulary — and scores the held-out split
+      // by bad-token fraction. The plant is outside the corpus
+      // vocabulary, so a correct train pass must recover exactly it
+      val docs = plantJunk(t(s, dir, "documents"))
+        .withColumn("label", col("doc_id") % 4 =!= 1)
+      val model = TextAnalysis.trainQualityModel(
+        docs.filter(col("doc_id") < 400), "text", "label")
+      TextAnalysis.qualityScore(
+          docs.filter(col("doc_id") >= 400), "text", "doc_id", model)
+        .orderBy("id")
+    }),
+
     "p2_weighted_sample" -> ((s, dir) =>
       // training-mix sampling: downweight the dominant language,
       // lightly trim fr, pass the rest — decided per row by the
@@ -1366,6 +1399,28 @@ object SparkEntry {
          |SELECT lang, source, count(*) AS n_docs,
          |       sum(len(regexp_extract_all(text, '\\S+')))::BIGINT AS total_tokens
          |FROM samp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // full recompute of the learned filter: same plant, same md5 bucket
+    // hash, same fixed-point purity/prior integer arithmetic
+    "x9_quality_classifier" ->
+      s"""WITH d0 AS (SELECT doc_id, $plantJunkSql AS text, (doc_id % 4 <> 1) AS label FROM documents),
+        |w AS (
+        |  SELECT doc_id, label,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+        |  FROM d0),
+        |tok AS (
+        |  SELECT doc_id, label, ('0x' || substr(md5(t.t), 1, 8))::BIGINT % 256 AS bucket
+        |  FROM w, unnest(ws) AS t(t)),
+        |tr AS (SELECT * FROM tok WHERE doc_id < 400),
+        |per AS (SELECT bucket, sum(CASE WHEN label THEN 1 ELSE 0 END) AS pos, count(*) AS tot FROM tr GROUP BY 1),
+        |pri AS (SELECT (sum(CASE WHEN label THEN 1 ELSE 0 END) + 1) * 1000000 // (count(*) + 2) AS prior FROM tr),
+        |bad AS (SELECT bucket FROM per, pri WHERE (pos + 1) * 1000000 // (tot + 2) < prior // 2),
+        |sc AS (SELECT tok.doc_id AS id, count(*) AS n_tokens, count(bad.bucket) AS n_flagged
+        |       FROM tok LEFT JOIN bad USING (bucket) WHERE tok.doc_id >= 400 GROUP BY 1)
+        |SELECT id, n_tokens, n_flagged,
+        |       (n_flagged * 1000000 // n_tokens) / 1000000.0 AS bad_frac,
+        |       n_flagged = 0 AS pred
+        |FROM sc ORDER BY id""".stripMargin,
 
     "p2_weighted_sample" ->
       s"""SELECT doc_id, lang, source FROM documents

@@ -228,4 +228,69 @@ object TextAnalysis {
     }
     docs.filter(sampleHash(col(idCol), seed) < thr)
   }
+
+  // --- learned quality filter (x9) ---------------------------------------
+
+  /** Fixed-point scale for learned purities/fractions (integer
+    * arithmetic end-to-end — both engines agree bit-for-bit where
+    * float log-odds would not). */
+  val QmScale = 1000000L
+
+  /** Hashed-feature bucket of a token: low 32 md5 bits mod `buckets`.
+    * md5 because both engines compute it identically (the `sampleHash`
+    * idiom); feature hashing bounds the model at `buckets` rows no
+    * matter how large the real-corpus vocabulary grows — the fastText
+    * trick that makes the model broadcastable at any scale. */
+  def tokenBucket(tok: Column, buckets: Int): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Train the quality filter from labeled docs (fastText/CCNet-style
+    * doc-quality gate, reduced to its deterministic core — a learned
+    * BAD-VOCABULARY set): per hashed token bucket, the Laplace-smoothed
+    * positive purity (pos+1)·S // (tot+2); buckets whose purity falls
+    * below HALF the corpus prior are the learned bad vocabulary —
+    * tokens that appear overwhelmingly in negative (low-quality) docs.
+    * Log-free fixed-point NB posterior → engine-exact; one token-bucket
+    * aggregate (output bounded by `buckets`), one scalar prior — the
+    * whole model is a broadcastable handful of rows at any corpus
+    * size. Returns (bucket, purity). */
+  def trainQualityModel(docs: DataFrame, textCol: String, labelCol: String,
+                        buckets: Int = 256): DataFrame = {
+    val tok = docs
+      .select(col(labelCol).cast("boolean").as("__l"),
+        explode(words(col(textCol))).as("__t"))
+      .select(col("__l"), tokenBucket(col("__t"), buckets).as("bucket"))
+    val per = tok.groupBy("bucket").agg(
+      sum(when(col("__l"), 1L).otherwise(0L)).as("__pos"),
+      count(lit(1)).as("__tot"))
+    val prior = tok.agg(
+      sum(when(col("__l"), 1L).otherwise(0L)).as("__posall"),
+      count(lit(1)).as("__totall"))
+      .select(expr(s"(__posall + 1) * $QmScale div (__totall + 2)").as("prior"))
+    per.crossJoin(broadcast(prior))
+      .select(col("bucket"),
+        expr(s"(__pos + 1) * $QmScale div (__tot + 2)").as("purity"),
+        col("prior"))
+  }
+
+  /** Score docs against the trained model: per doc, the fraction of
+    * tokens landing in learned bad buckets (purity < prior/2), fixed
+    * point; `pred` = no bad token at all — the quality gate. The model
+    * side is a broadcast join (≤ `buckets` rows); unseen buckets are
+    * neutral by construction (absent from the bad set). Map-only +
+    * one doc-keyed aggregate: the 100 TB shape. */
+  def qualityScore(docs: DataFrame, textCol: String, idCol: String,
+                   model: DataFrame, buckets: Int = 256): DataFrame = {
+    val bad = model.filter(col("purity") < expr("prior div 2")).select("bucket")
+    docs
+      .select(col(idCol).as("id"), explode(words(col(textCol))).as("__t"))
+      .select(col("id"), tokenBucket(col("__t"), buckets).as("bucket"))
+      .join(broadcast(bad.withColumn("__bad", lit(1L))), Seq("bucket"), "left")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__bad"), lit(0L))).as("n_flagged"))
+      .select(col("id"), col("n_tokens"), col("n_flagged"),
+        expr(s"(n_flagged * $QmScale div n_tokens) / $QmScale.0D").as("bad_frac"),
+        (col("n_flagged") === 0L).as("pred"))
+  }
 }

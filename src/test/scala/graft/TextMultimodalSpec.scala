@@ -141,4 +141,39 @@ class TextMultimodalSpec extends SparkSpec {
     val plan = planOf(kept)
     assert(!plan.contains("Exchange"), "sampling must not shuffle:\n" + plan)
   }
+
+  test("quality classifier: learns exactly the planted bad vocabulary, scores a held-out split") {
+    val s = spark
+    import s.implicits._
+    // train split: clean docs repeat a neutral vocab; low-quality docs
+    // carry junk tokens; the held-out split reuses both plus a token
+    // the model never saw (must stay neutral)
+    val train = Seq(
+      (1L, "alpha beta gamma delta alpha beta", true),
+      (2L, "beta gamma delta alpha gamma beta", true),
+      (3L, "alpha beta junky blargh junky spam9", false),
+      (4L, "gamma delta junky spam9 blargh blargh", false),
+      (5L, "alpha gamma delta beta alpha delta", true)
+    ).toDF("doc_id", "text", "label")
+    val model = TextAnalysis.trainQualityModel(train, "text", "label", buckets = 1024)
+    // at 1024 buckets the 7 distinct tokens land collision-free (md5
+    // spread); the learned bad set must be exactly the junk buckets
+    val badBuckets = model.filter(col("purity") < expr("prior div 2"))
+      .select("bucket").collect().map(_.getLong(0)).toSet
+    val junk = Seq("junky", "blargh", "spam9").toDF("t")
+      .select(TextAnalysis.tokenBucket(col("t"), 1024).as("b"))
+      .collect().map(_.getLong(0)).toSet
+    assert(badBuckets == junk, s"learned $badBuckets, planted $junk")
+    val held = Seq(
+      (10L, "alpha beta gamma delta unseen"),      // clean + unseen token
+      (11L, "alpha junky beta blargh gamma spam9") // 3 of 6 junk
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.qualityScore(held, "text", "doc_id", model, buckets = 1024)
+      .orderBy("id").collect()
+    assert(got(0).getLong(1) == 5 && got(0).getLong(2) == 0 && got(0).getBoolean(4),
+      s"clean doc mis-scored: ${got(0)}")
+    assert(got(1).getLong(1) == 6 && got(1).getLong(2) == 3 && !got(1).getBoolean(4),
+      s"junk doc mis-scored: ${got(1)}")
+    assert(got(1).getDouble(3) == 0.5d, s"bad_frac ${got(1).getDouble(3)}")
+  }
 }
