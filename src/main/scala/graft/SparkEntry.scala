@@ -850,6 +850,22 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
+    "p5_token_budget_mix" -> ((s, dir) => {
+      // mixture/budget accounting: weigh languages into a training
+      // recipe by TOKEN budget, not doc count — per-lang BPE token
+      // totals (the x8 kernel) set exact integer acceptance
+      // thresholds; the md5 uniform decides each doc. en/fr are
+      // capped, the rest pass whole; a lang already under its budget
+      // keeps everything (threshold saturates) at small SFs
+      val docs = t(s, dir, "documents")
+      val counts = graft.text.Bpe.tokenCounts(docs, "text", "doc_id",
+          graft.text.Bpe.DefaultMerges)
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      TextAnalysis.tokenBudgetSample(counts, "doc_id", "lang", "bpe_tokens",
+          Map("en" -> 10000L, "fr" -> 5000L))
+        .select("doc_id", "lang", "bpe_tokens").orderBy("doc_id")
+    }),
+
     "p4_sharded_export" -> ((s, dir) => {
       // last mile: hash-sharded corpus export + manifest; the shard
       // assignment is the deterministic md5 uniform, so the manifest
@@ -1456,6 +1472,33 @@ object SparkEntry {
          |  FROM enc GROUP BY doc_id)
          |SELECT w.doc_id, len(w.ws)::BIGINT AS n_words, coalesce(per.bpe, 0)::BIGINT AS bpe_tokens
          |FROM w LEFT JOIN per ON w.doc_id = per.doc_id ORDER BY w.doc_id""".stripMargin,
+
+    // full recompute: the x8 merge chain for per-doc token counts, then
+    // the same integer threshold (budget * 2^32 // lang_total) against
+    // the same md5 uniform
+    "p5_token_budget_mix" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |t AS (SELECT doc_id, t.w AS wd FROM w, unnest(ws) AS t(w)),
+         |enc AS (SELECT doc_id, ${graft.text.Bpe.mergeChainSql("wd", graft.text.Bpe.DefaultMerges)} AS s FROM t),
+         |per AS (
+         |  SELECT doc_id, sum(length(s) - length(replace(s, '(', '')))::BIGINT AS bpe
+         |  FROM enc GROUP BY doc_id),
+         |cnt AS (
+         |  SELECT w.doc_id, d0.lang, coalesce(per.bpe, 0)::BIGINT AS bpe_tokens
+         |  FROM w LEFT JOIN per ON w.doc_id = per.doc_id
+         |  JOIN documents d0 ON w.doc_id = d0.doc_id),
+         |tot AS (SELECT lang, sum(bpe_tokens)::BIGINT AS tot FROM cnt GROUP BY 1),
+         |thr AS (SELECT lang,
+         |  CASE lang WHEN 'en' THEN 10000 * 4294967296 // tot
+         |            WHEN 'fr' THEN 5000 * 4294967296 // tot
+         |            ELSE 4294967296 END AS thr FROM tot)
+         |SELECT cnt.doc_id, cnt.lang, cnt.bpe_tokens
+         |FROM cnt JOIN thr USING (lang)
+         |WHERE ('0x' || substr(md5('mix:' || cnt.doc_id), 1, 8))::BIGINT < thr
+         |ORDER BY cnt.doc_id""".stripMargin,
 
     "x6_keywords" ->
       """WITH w AS (

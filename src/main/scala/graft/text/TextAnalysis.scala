@@ -229,6 +229,33 @@ object TextAnalysis {
     docs.filter(sampleHash(col(idCol), seed) < thr)
   }
 
+  /** Token-BUDGET mixing — the mixture step that weighs corpus slices
+    * into a training recipe (The Pile / LLaMA-style data mixtures,
+    * public): per group (language/source), sample docs so the KEPT
+    * token mass lands on the group's budget in expectation. The
+    * acceptance threshold is exact integer arithmetic —
+    * budget·2³² div group_total — against the deterministic md5
+    * uniform, so the same corpus yields the same mixture on any
+    * engine, partitioning, or run; a group whose total is already
+    * under budget (or has no budget) passes whole. One tiny per-group
+    * aggregate + a broadcast join + a codegen'd filter: map-only over
+    * the scan at any corpus size. */
+  def tokenBudgetSample(docs: DataFrame, idCol: String, groupCol: String,
+                        tokenCol: String, budgets: Map[String, Long],
+                        seed: String = "mix"): DataFrame = {
+    val totals = docs.groupBy(col(groupCol))
+      .agg(sum(col(tokenCol)).cast("long").as("__tot"))
+    val budget = budgets.foldLeft(lit(null).cast("long")) { case (acc, (k, b)) =>
+      when(col(groupCol) === k, lit(b)).otherwise(acc)
+    }
+    docs.join(broadcast(totals), Seq(groupCol))
+      .withColumn("__budget", budget)
+      .withColumn("__thr", when(col("__budget").isNull, lit(4294967296L))
+        .otherwise(expr("__budget * 4294967296 div __tot")))
+      .filter(sampleHash(col(idCol), seed) < col("__thr"))
+      .drop("__tot", "__budget", "__thr")
+  }
+
   // --- learned quality filter (x9) ---------------------------------------
 
   /** Fixed-point scale for learned purities/fractions (integer

@@ -142,6 +142,30 @@ class TextMultimodalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), "sampling must not shuffle:\n" + plan)
   }
 
+  test("token-budget mixing: exact integer thresholds, saturating budgets, deterministic") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "en", 100L), (2L, "en", 200L), (3L, "en", 300L), // en total 600, budget 300
+      (4L, "fr", 50L), (5L, "fr", 50L),                     // fr total 100 ≤ budget → all kept
+      (6L, "de", 70L)                                       // no budget → kept
+    ).toDF("doc_id", "lang", "tok")
+    val out = TextAnalysis.tokenBudgetSample(docs, "doc_id", "lang", "tok",
+      Map("en" -> 300L, "fr" -> 200L))
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    // en keeps exactly the ids whose md5 uniform clears budget·2³²//total
+    val thrEn = 300L * 4294967296L / 600L
+    val hashes = Seq(1L, 2L, 3L).toDF("id")
+      .select(col("id"), TextAnalysis.sampleHash(col("id"), "mix").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = hashes.filter(_._2 < thrEn).keySet ++ Set(4L, 5L, 6L)
+    assert(kept == expected, s"kept $kept, expected $expected")
+    // reproducible run-to-run
+    val again = TextAnalysis.tokenBudgetSample(docs, "doc_id", "lang", "tok",
+      Map("en" -> 300L, "fr" -> 200L)).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept)
+  }
+
   test("quality classifier: learns exactly the planted bad vocabulary, scores a held-out split") {
     val s = spark
     import s.implicits._
