@@ -31,6 +31,8 @@ object SteadyState {
     graft.ann.Ann.buildIvfIndex(emb, "embedding", "vec_id", "ss_ivf", keep = Seq("label"))
     graft.dedup.Dedup.buildShingleIndex(docs.filter(col("doc_id") < cut),
       "text", "doc_id", 3, "ss_shingle", buckets = 16)
+    graft.dedup.Dedup.buildGramIndex(docs.filter(col("doc_id") < cut),
+      "text", "doc_id", 15, "ss_gram", buckets = 16)
     val vbatch = graft.ann.SemDedup.perturbedBatch(emb, "embedding", "vec_id")
 
     Seq(
@@ -53,7 +55,10 @@ object SteadyState {
         (() => graft.ann.SemDedup.semanticDedupIndexed(spark, "ss_ivf", 0.4).count()),
       "d8_jaccard_delta" ->
         (() => graft.dedup.Dedup.ngramJaccardDelta(spark,
-          docs.filter(col("doc_id") >= cut), "text", "doc_id", 3, 0.8, "ss_shingle").count())
+          docs.filter(col("doc_id") >= cut), "text", "doc_id", 3, 0.8, "ss_shingle").count()),
+      "d18_substring_delta" ->
+        (() => graft.dedup.Dedup.substringSpansDelta(spark,
+          docs.filter(col("doc_id") >= cut), "text", "doc_id", 15, "ss_gram").count())
     )
   }
 
