@@ -29,7 +29,7 @@ object DedupScale {
     // replica 0, so every batch doc has exactly one true near-dup in
     // the corpus at every multiplier
     val batch = docs.filter(col("doc_id") < 100)
-      .select((col("doc_id") + 990000000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + 9000000000000000L).as("doc_id"), col("text"))
     mults.foreach { x =>
       val corpus = (0 until x).map { k =>
         if (k == 0) docs

@@ -836,8 +836,7 @@ object SparkEntry {
         .withColumn("label", col("doc_id") % 4 =!= 1)
       val model = TextAnalysis.trainQualityModel(
         docs.filter(col("doc_id") < 400), "text", "label")
-      TextAnalysis.qualityScore(
-          docs.filter(col("doc_id") >= 400), "text", "doc_id", model)
+      TextAnalysis.qualityScore(docs.filter(col("doc_id") >= 400), "text", "doc_id", model)
         .orderBy("id")
     }),
 
@@ -1432,11 +1431,13 @@ object SparkEntry {
         |pri AS (SELECT (sum(CASE WHEN label THEN 1 ELSE 0 END) + 1) * 1000000 // (count(*) + 2) AS prior FROM tr),
         |bad AS (SELECT bucket FROM per, pri WHERE (pos + 1) * 1000000 // (tot + 2) < prior // 2),
         |sc AS (SELECT tok.doc_id AS id, count(*) AS n_tokens, count(bad.bucket) AS n_flagged
-        |       FROM tok LEFT JOIN bad USING (bucket) WHERE tok.doc_id >= 400 GROUP BY 1)
-        |SELECT id, n_tokens, n_flagged,
-        |       (n_flagged * 1000000 // n_tokens) / 1000000.0 AS bad_frac,
-        |       n_flagged = 0 AS pred
-        |FROM sc ORDER BY id""".stripMargin,
+        |       FROM tok LEFT JOIN bad USING (bucket) WHERE tok.doc_id >= 400 GROUP BY 1),
+        |ids AS (SELECT doc_id AS id FROM d0 WHERE doc_id >= 400)
+        |SELECT ids.id, coalesce(sc.n_tokens, 0)::BIGINT AS n_tokens,
+        |       coalesce(sc.n_flagged, 0)::BIGINT AS n_flagged,
+        |       (coalesce(sc.n_flagged, 0) * 1000000 // greatest(coalesce(sc.n_tokens, 0), 1)) / 1000000.0 AS bad_frac,
+        |       coalesce(sc.n_flagged, 0) = 0 AS pred
+        |FROM ids LEFT JOIN sc USING (id) ORDER BY id""".stripMargin,
 
     "p2_weighted_sample" ->
       s"""SELECT doc_id, lang, source FROM documents
@@ -1492,8 +1493,8 @@ object SparkEntry {
          |  JOIN documents d0 ON w.doc_id = d0.doc_id),
          |tot AS (SELECT lang, sum(bpe_tokens)::BIGINT AS tot FROM cnt GROUP BY 1),
          |thr AS (SELECT lang,
-         |  CASE lang WHEN 'en' THEN 10000 * 4294967296 // tot
-         |            WHEN 'fr' THEN 5000 * 4294967296 // tot
+         |  CASE lang WHEN 'en' THEN CASE WHEN tot <= 10000 THEN 4294967296 ELSE 10000 * 4294967296 // tot END
+         |            WHEN 'fr' THEN CASE WHEN tot <= 5000 THEN 4294967296 ELSE 5000 * 4294967296 // tot END
          |            ELSE 4294967296 END AS thr FROM tot)
          |SELECT cnt.doc_id, cnt.lang, cnt.bpe_tokens
          |FROM cnt JOIN thr USING (lang)

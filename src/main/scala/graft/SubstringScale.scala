@@ -29,7 +29,7 @@ object SubstringScale {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
     val n = docs.count()
     val batch = docs.filter(col("doc_id") < 100)
-      .select((col("doc_id") + 990000000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + 9000000000000000L).as("doc_id"), col("text"))
     mults.foreach { x =>
       val corpus = (0 until x).map { k =>
         if (k == 0) docs

@@ -250,8 +250,13 @@ object TextAnalysis {
     }
     docs.join(broadcast(totals), Seq(groupCol))
       .withColumn("__budget", budget)
-      .withColumn("__thr", when(col("__budget").isNull, lit(4294967296L))
-        .otherwise(expr("__budget * 4294967296 div __tot")))
+      // saturate FIRST (no budget, or total already under budget — the
+      // zero-total group included): everything keeps, no division runs.
+      // The live branch multiplies in DECIMAL(38,0): budget < total can
+      // still be billions of tokens, and Long would wrap at 2^31·2^32
+      .withColumn("__thr",
+        when(col("__budget").isNull || col("__tot") <= col("__budget"), lit(4294967296L))
+          .otherwise(expr("CAST(__budget AS DECIMAL(38,0)) * 4294967296 div __tot")))
       .filter(sampleHash(col(idCol), seed) < col("__thr"))
       .drop("__tot", "__budget", "__thr")
   }
@@ -287,37 +292,54 @@ object TextAnalysis {
       .select(col(labelCol).cast("boolean").as("__l"),
         explode(words(col(textCol))).as("__t"))
       .select(col("__l"), tokenBucket(col("__t"), buckets).as("bucket"))
+    // DECIMAL(38,0) for the fixed-point scale-up: token counts beyond
+    // ~9.2e12 would wrap a Long at ·10^6 (the 100 TB regime this file
+    // targets); div returns Long
     val per = tok.groupBy("bucket").agg(
       sum(when(col("__l"), 1L).otherwise(0L)).as("__pos"),
       count(lit(1)).as("__tot"))
     val prior = tok.agg(
       sum(when(col("__l"), 1L).otherwise(0L)).as("__posall"),
       count(lit(1)).as("__totall"))
-      .select(expr(s"(__posall + 1) * $QmScale div (__totall + 2)").as("prior"))
+      .select(expr(s"CAST(__posall + 1 AS DECIMAL(38,0)) * $QmScale div (__totall + 2)")
+        .as("prior"))
     per.crossJoin(broadcast(prior))
       .select(col("bucket"),
-        expr(s"(__pos + 1) * $QmScale div (__tot + 2)").as("purity"),
-        col("prior"))
+        expr(s"CAST(__pos + 1 AS DECIMAL(38,0)) * $QmScale div (__tot + 2)").as("purity"),
+        col("prior"),
+        // the model carries its own feature-space size: scoring derives
+        // it from here, so train/score can never silently disagree
+        lit(buckets).as("buckets"))
   }
 
   /** Score docs against the trained model: per doc, the fraction of
     * tokens landing in learned bad buckets (purity < prior/2), fixed
     * point; `pred` = no bad token at all — the quality gate. The model
-    * side is a broadcast join (≤ `buckets` rows); unseen buckets are
-    * neutral by construction (absent from the bad set). Map-only +
-    * one doc-keyed aggregate: the 100 TB shape. */
+    * side is a broadcast join (≤ buckets rows); unseen buckets are
+    * neutral by construction (absent from the bad set); the feature-
+    * space size comes FROM the model (one metadata-sized head read —
+    * train/score cannot silently disagree on it). Zero-token docs get
+    * a verdict too (n_tokens 0, no bad evidence → pred true) — a
+    * quality gate must rule on every doc. Map-only + one doc-keyed
+    * aggregate: the 100 TB shape. */
   def qualityScore(docs: DataFrame, textCol: String, idCol: String,
-                   model: DataFrame, buckets: Int = 256): DataFrame = {
+                   model: DataFrame): DataFrame = {
+    val buckets = model.select("buckets").head().getInt(0)
     val bad = model.filter(col("purity") < expr("prior div 2")).select("bucket")
-    docs
+    val scored = docs
       .select(col(idCol).as("id"), explode(words(col(textCol))).as("__t"))
       .select(col("id"), tokenBucket(col("__t"), buckets).as("bucket"))
       .join(broadcast(bad.withColumn("__bad", lit(1L))), Seq("bucket"), "left")
       .groupBy("id").agg(
-        count(lit(1)).as("n_tokens"),
-        sum(coalesce(col("__bad"), lit(0L))).as("n_flagged"))
+        count(lit(1)).as("__nt"),
+        sum(coalesce(col("__bad"), lit(0L))).as("__nf"))
+    docs.select(col(idCol).as("id")).distinct()
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__nt"), lit(0L)).as("n_tokens"),
+        coalesce(col("__nf"), lit(0L)).as("n_flagged"))
       .select(col("id"), col("n_tokens"), col("n_flagged"),
-        expr(s"(n_flagged * $QmScale div n_tokens) / $QmScale.0D").as("bad_frac"),
+        expr(s"(n_flagged * $QmScale div greatest(n_tokens, 1)) / $QmScale.0D").as("bad_frac"),
         (col("n_flagged") === 0L).as("pred"))
   }
 }

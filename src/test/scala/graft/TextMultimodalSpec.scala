@@ -164,6 +164,20 @@ class TextMultimodalSpec extends SparkSpec {
     val again = TextAnalysis.tokenBudgetSample(docs, "doc_id", "lang", "tok",
       Map("en" -> 300L, "fr" -> 200L)).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == kept)
+    // LLM-scale budgets must not wrap Long (3B budget over a 10B-token
+    // group ⇒ ~30% rate, not zero), and a zero-total budgeted group
+    // must saturate to keep-all, not vanish on the div-by-zero
+    val big = Seq((1L, "en", 4000000000L), (2L, "en", 3000000000L),
+      (3L, "en", 3000000000L), (4L, "xx", 0L)).toDF("doc_id", "lang", "tok")
+    val bigKept = TextAnalysis.tokenBudgetSample(big, "doc_id", "lang", "tok",
+      Map("en" -> 3000000000L, "xx" -> 10L)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val thrBig = (BigInt(3000000000L) * BigInt(4294967296L) / BigInt(10000000000L)).toLong
+    val bigHash = Seq(1L, 2L, 3L).toDF("id")
+      .select(col("id"), TextAnalysis.sampleHash(col("id"), "mix").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bigExpected = bigHash.filter(_._2 < thrBig).keySet ++ Set(4L)
+    assert(bigKept == bigExpected, s"kept $bigKept, expected $bigExpected")
   }
 
   test("quality classifier: learns exactly the planted bad vocabulary, scores a held-out split") {
@@ -192,12 +206,16 @@ class TextMultimodalSpec extends SparkSpec {
       (10L, "alpha beta gamma delta unseen"),      // clean + unseen token
       (11L, "alpha junky beta blargh gamma spam9") // 3 of 6 junk
     ).toDF("doc_id", "text")
-    val got = TextAnalysis.qualityScore(held, "text", "doc_id", model, buckets = 1024)
+    val got = TextAnalysis.qualityScore(held, "text", "doc_id", model)
       .orderBy("id").collect()
     assert(got(0).getLong(1) == 5 && got(0).getLong(2) == 0 && got(0).getBoolean(4),
       s"clean doc mis-scored: ${got(0)}")
     assert(got(1).getLong(1) == 6 && got(1).getLong(2) == 3 && !got(1).getBoolean(4),
       s"junk doc mis-scored: ${got(1)}")
     assert(got(1).getDouble(3) == 0.5d, s"bad_frac ${got(1).getDouble(3)}")
+    // a zero-token doc still gets a verdict (no bad evidence → passes)
+    val empty = Seq((12L, "!!! ???")).toDF("doc_id", "text")
+    val e = TextAnalysis.qualityScore(empty, "text", "doc_id", model).collect()
+    assert(e.length == 1 && e(0).getLong(1) == 0 && e(0).getBoolean(4), e.mkString(","))
   }
 }
