@@ -649,6 +649,26 @@ object SparkEntry {
         .orderBy("id", "span_start")
     }),
 
+    "d19_stream_substring" -> ((s, dir) => {
+      // streaming substring dedup: docs [400, 600) arrive as two
+      // micro-batches over the standing gram index (the rest of the
+      // corpus); each batch's spans are judged AS-OF-ARRIVAL (corpus so
+      // far + own batch — the keep-first/drop-later policy), then the
+      // batch absorbs so batch b counts batch a's grams through the
+      // index alone. Planted spans guarantee cross-batch duplication
+      val docs = plantSpan(t(s, dir, "documents"))
+      val table = "gram_idx_stream"
+      Dedup.buildGramIndex(docs.filter(col("doc_id") < 400 || col("doc_id") >= 600),
+        "text", "doc_id", 15, table, buckets = 16)
+      val chunks = stageMicroBatches(docs, "doc_id",
+        Seq((400L, 500L, "a"), (500L, 600L, "b")), "sg")
+      val spans = java.nio.file.Files.createTempDirectory("graft_sg_spans_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_sg_ckpt_").toString
+      OnChange.streamingSubstringDedup(s, chunks, "text", "doc_id", 15, table, spans, ckpt)
+      s.read.parquet(spans).select("id", "span_start", "span_len")
+        .orderBy("id", "span_start")
+    }),
+
     "d14_semantic_delta" -> ((s, dir) => {
       // incremental semantic dedup: the standing inverted file carries
       // the frozen quantizer; a batch of NEW vectors (perturbed copies
@@ -1769,6 +1789,35 @@ object SparkEntry {
         |  FROM w, unnest(range(1, len(ws)-13)) AS t(i)),
         |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
         |m AS (SELECT doc_id, pos FROM g JOIN dup USING (gh) WHERE doc_id >= 400),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN lag(pos) OVER win IS NULL OR pos - lag(pos) OVER win > 15 THEN 1 ELSE 0 END AS ns
+        |  FROM m WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |sp AS (
+        |  SELECT doc_id, pos,
+        |         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM isl)
+        |SELECT doc_id AS id, min(pos) AS span_start, max(pos) + 15 - min(pos) AS span_len
+        |FROM sp GROUP BY doc_id, sid ORDER BY id, span_start""".stripMargin,
+
+    // per-batch-causal recompute: batch a's docs are judged against
+    // (standing corpus ∪ a), batch b's against everything — the
+    // as-of-arrival semantics the streaming loop implements
+    "d19_stream_substring" ->
+      s"""WITH d0 AS (SELECT doc_id, $plantSpanSql AS text FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+        |  FROM d0),
+        |g AS (
+        |  SELECT doc_id, t.i - 1 AS pos, md5(array_to_string(ws[t.i:t.i+14], ' ')) AS gh
+        |  FROM w, unnest(range(1, len(ws)-13)) AS t(i)),
+        |na AS (SELECT gh FROM g WHERE doc_id < 500 OR doc_id >= 600 GROUP BY gh HAVING count(*) >= 2),
+        |nb AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+        |m AS (
+        |  SELECT doc_id, pos FROM g JOIN na USING (gh) WHERE doc_id >= 400 AND doc_id < 500
+        |  UNION ALL
+        |  SELECT doc_id, pos FROM g JOIN nb USING (gh) WHERE doc_id >= 500 AND doc_id < 600),
         |isl AS (
         |  SELECT doc_id, pos,
         |         CASE WHEN lag(pos) OVER win IS NULL OR pos - lag(pos) OVER win > 15 THEN 1 ELSE 0 END AS ns

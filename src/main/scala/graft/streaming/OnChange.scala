@@ -370,6 +370,62 @@ object OnChange {
     spark.catalog.refreshTable(indexTable)
   }
 
+  /** STREAMING incremental SUBSTRING dedup — the operational loop for
+    * the exact-substring family (d16/d18), closing the streaming story
+    * for all FOUR dedup index families: each micro-batch of new docs
+    * finds its maximal duplicated spans against the standing gram index
+    * + itself (`Dedup.substringSpansDelta`: the index leg is a gh-keyed
+    * probe; corpus never re-tokenizes), appends its spans per-batch,
+    * and is absorbed so later batches count this batch's grams through
+    * the index alone. Same replay contract as the other three loops:
+    * per-batch overwrite + a `<indexTable>_batches` marker guarding the
+    * absorb; re-emitted ids are compacted out before absorbing
+    * (supersede, never double).
+    *
+    * Span semantics are AS-OF-ARRIVAL — per-doc verdicts against the
+    * corpus so far plus the doc's own batch. A cross-batch duplicate
+    * therefore surfaces on the LATER doc (the keep-first / drop-later
+    * policy deployed dedup actually runs); batch-internal repeats
+    * surface on both copies, like the one-shot. */
+  def streamingSubstringDedup(spark: SparkSession, docsDir: String, textCol: String,
+                              idCol: String, k: Int, indexTable: String,
+                              spansPath: String, checkpointDir: String): Unit = {
+    val schema = spark.read.parquet(docsDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bs = batch.sparkSession
+        import bs.implicits._
+        val markers = s"${indexTable}_batches"
+        if (!bs.catalog.tableExists(markers) ||
+            bs.table(markers).filter(col("batch_id") === batchId).isEmpty) {
+          graft.dedup.Dedup
+            .substringSpansDelta(bs, batch, textCol, idCol, k, indexTable)
+            .write.mode("overwrite").parquet(s"$spansPath/batch_id=$batchId")
+          // supersede before absorb: the gram index holds one row per
+          // token position, so the overlap probe semi-joins the (id)
+          // column against the broadcast batch ids; compact dedups its
+          // key side
+          val batchIds = batch.select(col(idCol).as("id")).distinct()
+          val overlap = bs.table(indexTable)
+            .join(broadcast(batchIds), Seq("id"), "leftsemi")
+            .select("id")
+          if (!overlap.isEmpty)
+            graft.dedup.Dedup.compactGramIndex(bs, indexTable, overlap)
+          graft.dedup.Dedup.absorbIntoGramIndex(bs, batch, textCol, idCol, k, indexTable)
+          Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(markers)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.catalog.refreshTable(indexTable)
+  }
+
   /** One event version of one entity (user) in the change stream. */
   final case class EventVersion(user_id: Long, event_id: Long, event_type: String, value: Double)
 

@@ -151,6 +151,60 @@ class StreamingSpec extends SparkSpec {
       (2L, us(100), 1L, 6.0)), got.toString)
   }
 
+  test("streaming substring dedup: as-of-arrival spans, absorb chains batches, replay idempotent") {
+    val s = spark
+    import s.implicits._
+    val S = "aa bb cc dd ee ff" // 6 tokens, k=4 → one maximal span
+    val corpus = Seq(
+      (1L, s"one two three $S four five"),
+      (2L, "plain standing words nothing shared here")
+    ).toDF("doc_id", "text")
+    // batch 1: doc 10 shares S with the corpus; doc 11 introduces a
+    // fresh run R. batch 2: doc 20 repeats R — detectable only because
+    // batch 1 was absorbed; doc 11 does NOT retro-surface (as-of-arrival)
+    val b1 = Seq(
+      (10L, s"zero $S tail end"),
+      (11L, "r1 r2 r3 r4 closing words here")
+    ).toDF("doc_id", "text")
+    val b2 = Seq((20L, "pre r1 r2 r3 r4 post")).toDF("doc_id", "text")
+    val table = "gram_idx_streamspec"
+    graft.dedup.Dedup.buildGramIndex(corpus, "text", "doc_id", 4, table, buckets = 4)
+    val chunks = java.nio.file.Files.createTempDirectory("graft_sgd_chunks_").toString
+    def chunk(df: org.apache.spark.sql.DataFrame, name: String, order: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sgd_tmp_").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(chunks, name)
+      java.nio.file.Files.copy(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + order * 10000L))
+    }
+    chunk(b1, "a.parquet", 0)
+    chunk(b2, "b.parquet", 1)
+    val spans = java.nio.file.Files.createTempDirectory("graft_sgd_spans_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sgd_ckpt_").toString
+    OnChange.streamingSubstringDedup(s, chunks, "text", "doc_id", 4, table, spans, ckpt)
+    def readSpans() = s.read.parquet(spans)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_len"), r.getAs[Number]("batch_id").longValue())).toSet
+    // doc 10's S span in batch 0 (vs corpus); doc 20's R span in batch 1
+    // (vs the ABSORBED batch 1); doc 11 stays clean — keep-first
+    val expect = Set((10L, 1L, 6L, 0L), (20L, 1L, 4L, 1L))
+    assert(readSpans() == expect, readSpans().toString)
+    // replay with a fresh checkpoint: markers skip both batches — same
+    // output, nothing double-absorbs
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_sgd_ckpt2_").toString
+    OnChange.streamingSubstringDedup(s, chunks, "text", "doc_id", 4, table, spans, ckpt2)
+    assert(readSpans() == expect, readSpans().toString)
+    // the absorbed index equals a from-scratch rebuild
+    val rebuilt = "gram_idx_streamspec_rebuilt"
+    graft.dedup.Dedup.buildGramIndex(corpus.unionByName(b1).unionByName(b2),
+      "text", "doc_id", 4, rebuilt, buckets = 4)
+    def rows(t: String) = s.table(t)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("pos"), r.getAs[String]("gh"))).toSet
+    assert(rows(table) == rows(rebuilt))
+  }
+
   test("streaming dedup: batches absorb into the index; cross-batch pairs surface exactly once") {
     val s = spark
     import s.implicits._
