@@ -649,6 +649,18 @@ object SparkEntry {
         .orderBy("id", "span_start")
     }),
 
+    "d20_decontaminate" -> ((s, dir) => {
+      // span-level eval decontamination (GPT-3 §C): every maximal
+      // ≥ 15-gram span of a TRAINING doc (< 400) that overlaps the
+      // eval set (≥ 400) — one eval occurrence marks (the eval copy is
+      // what matters). Planted sentences land on every 10th doc, so
+      // train/eval overlap provably exists at every SF
+      val docs = plantSpan(t(s, dir, "documents"))
+      Dedup.decontaminateSpans(docs.filter(col("doc_id") < 400),
+          docs.filter(col("doc_id") >= 400), "text", "doc_id", 15)
+        .orderBy("id", "span_start")
+    }),
+
     "d19_stream_substring" -> ((s, dir) => {
       // streaming substring dedup: docs [400, 600) arrive as two
       // micro-batches over the standing gram index (the rest of the
@@ -1789,6 +1801,30 @@ object SparkEntry {
         |  FROM w, unnest(range(1, len(ws)-13)) AS t(i)),
         |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
         |m AS (SELECT doc_id, pos FROM g JOIN dup USING (gh) WHERE doc_id >= 400),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN lag(pos) OVER win IS NULL OR pos - lag(pos) OVER win > 15 THEN 1 ELSE 0 END AS ns
+        |  FROM m WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |sp AS (
+        |  SELECT doc_id, pos,
+        |         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM isl)
+        |SELECT doc_id AS id, min(pos) AS span_start, max(pos) + 15 - min(pos) AS span_len
+        |FROM sp GROUP BY doc_id, sid ORDER BY id, span_start""".stripMargin,
+
+    // from-scratch recompute: train grams marked by ANY occurrence in
+    // the eval gram set, then the same maximal-span merge
+    "d20_decontaminate" ->
+      s"""WITH d0 AS (SELECT doc_id, $plantSpanSql AS text FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+        |  FROM d0),
+        |g AS (
+        |  SELECT doc_id, t.i - 1 AS pos, md5(array_to_string(ws[t.i:t.i+14], ' ')) AS gh
+        |  FROM w, unnest(range(1, len(ws)-13)) AS t(i)),
+        |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id >= 400),
+        |m AS (SELECT doc_id, pos FROM g JOIN ev USING (gh) WHERE doc_id < 400),
         |isl AS (
         |  SELECT doc_id, pos,
         |         CASE WHEN lag(pos) OVER win IS NULL OR pos - lag(pos) OVER win > 15 THEN 1 ELSE 0 END AS ns

@@ -718,6 +718,28 @@ object Dedup {
                        ids: DataFrame): Unit =
     graft.core.Tables.compactByKey(spark, table, ids, "id")
 
+  /** SPAN-level decontamination — the eval-overlap scrub frontier
+    * pipelines run before training (GPT-3, Brown et al. 2020 §C,
+    * public: excise any ≥ k-gram overlap with an evaluation set; d9 is
+    * the doc-level containment REPORT, this is the span-level
+    * remover): every maximal span of a TRAINING doc whose k-grams
+    * appear anywhere in the eval set, as (id, span_start, span_len) —
+    * feed `scrubSpans` to excise them. A single occurrence in eval
+    * marks a gram (contamination is not a ≥2 count — the eval copy is
+    * the one that matters). Shape: eval grams distinct (the small
+    * side), train grams semi-join it on the 128-bit hash, then the
+    * shared gaps-and-islands merge — linear volume, no corpus
+    * self-join; at deployment the eval gram set is a standing
+    * `buildGramIndex` table and this is `substringSpansDelta`'s probe
+    * with the ≥1 rule. */
+  def decontaminateSpans(train: DataFrame, eval: DataFrame, textCol: String,
+                         idCol: String, k: Int): DataFrame = {
+    val tg = graft.core.Checkpoints.truncate(
+      positionalGrams(train, textCol, idCol, k))
+    val eg = positionalGrams(eval, textCol, idCol, k).select("gh").distinct()
+    maximalSpans(tg.join(eg, Seq("gh"), "leftsemi").select("id", "pos"), k)
+  }
+
   /** Re-emit documents with their duplicated spans EXCISED — the x7
     * re-emitter idiom at token level: tokens covered by any span leave
     * the text, the rest re-join on single spaces (output is over the

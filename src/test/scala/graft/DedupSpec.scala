@@ -460,6 +460,30 @@ class DedupSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("span decontamination: one eval occurrence marks, train-internal repeats don't, scrub composes") {
+    import spark.implicits._
+    val S = "aa bb cc dd ee ff" // 6 tokens, k=4 → one maximal span
+    val train = Seq(
+      (1L, s"one two three $S four five"),      // S at 3..8 — leaked into eval
+      (2L, "t1 t2 t3 t4 mid t1 t2 t3 t4 end"),  // train-INTERNAL repeat: not contamination
+      (3L, "clean words only nothing shared")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, s"eval holds $S exactly once"),
+      (101L, "other eval text entirely fresh")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.decontaminateSpans(train, eval_, "text", "doc_id", 4)
+    val got = spans.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1's S marked (single eval occurrence suffices); doc 2's
+    // internal repeat is NOT eval overlap; doc 3 clean
+    assert(got == Set((1L, 3L, 6L)), s"got $got")
+    // scrub composition: the leaked span leaves, everything else stays
+    val scrubbed = Dedup.scrubSpans(train, spans, "text", "doc_id")
+      .orderBy("id").collect()
+    assert(scrubbed(0).getString(3) == "one two three four five")
+    assert(scrubbed(1).getLong(2) == scrubbed(1).getLong(1), "untouched doc must keep all tokens")
+  }
+
   test("substring delta: batch spans vs standing index = full recompute; absorb chains batches; supersede drops re-emitted rows") {
     import spark.implicits._
     val S = "aa bb cc dd ee ff"   // 6 tokens, k=4 → one maximal span
