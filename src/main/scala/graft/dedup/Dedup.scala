@@ -653,11 +653,17 @@ object Dedup {
   def buildGramIndex(docs: DataFrame, textCol: String, idCol: String, k: Int,
                      table: String, buckets: Int = 32): String = {
     val spark = docs.sparkSession
-    Seq(table, s"${table}_batches").foreach(graft.core.Tables.drop(spark, _))
+    Seq(table, s"${table}_ids", s"${table}_batches")
+      .foreach(graft.core.Tables.drop(spark, _))
     positionalGrams(docs, textCol, idCol, k)
       .write.mode("overwrite")
       .bucketBy(buckets, "gh").sortBy("gh")
       .saveAsTable(table)
+    // per-doc roster companion: the token-level index has no cheap
+    // doc-id probe, so supersede checks (one row per DOC, not per
+    // token) read this instead of scanning the index
+    spark.table(table).select("id").distinct()
+      .write.mode("overwrite").saveAsTable(s"${table}_ids")
     table
   }
 
@@ -709,14 +715,20 @@ object Dedup {
       .bucketSpec.map(_.numBuckets).getOrElse(32)
     positionalGrams(batch, textCol, idCol, k)
       .write.mode("append").bucketBy(buckets, "gh").sortBy("gh").saveAsTable(table)
+    batch.select(col(idCol).as("id")).distinct()
+      .write.mode("append").saveAsTable(s"${table}_ids")
     spark.catalog.refreshTable(table)
+    spark.catalog.refreshTable(s"${table}_ids")
   }
 
-  /** Remove the given ids' rows from the standing gram index — the
-    * supersede step of a re-ingest (bucketed anti-join rewrite). */
+  /** Remove the given ids' rows from the standing gram index (and its
+    * roster) — the supersede step of a re-ingest (bucketed anti-join
+    * rewrite). */
   def compactGramIndex(spark: org.apache.spark.sql.SparkSession, table: String,
-                       ids: DataFrame): Unit =
+                       ids: DataFrame): Unit = {
     graft.core.Tables.compactByKey(spark, table, ids, "id")
+    graft.core.Tables.compactByKey(spark, s"${table}_ids", ids, "id")
+  }
 
   /** SPAN-level decontamination — the eval-overlap scrub frontier
     * pipelines run before training (GPT-3, Brown et al. 2020 §C,
@@ -734,8 +746,11 @@ object Dedup {
     * with the ≥1 rule. */
   def decontaminateSpans(train: DataFrame, eval: DataFrame, textCol: String,
                          idCol: String, k: Int): DataFrame = {
-    val tg = graft.core.Checkpoints.truncate(
-      positionalGrams(train, textCol, idCol, k))
+    // no checkpoint here: unlike the one-shot/delta paths the train
+    // stream feeds exactly ONE consumer (the eval semi-join), so a
+    // materialization would be a wasted full write+read of the
+    // corpus's token stream
+    val tg = positionalGrams(train, textCol, idCol, k)
     val eg = positionalGrams(eval, textCol, idCol, k).select("gh").distinct()
     maximalSpans(tg.join(eg, Seq("gh"), "leftsemi").select("id", "pos"), k)
   }

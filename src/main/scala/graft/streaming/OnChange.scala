@@ -404,14 +404,13 @@ object OnChange {
           graft.dedup.Dedup
             .substringSpansDelta(bs, batch, textCol, idCol, k, indexTable)
             .write.mode("overwrite").parquet(s"$spansPath/batch_id=$batchId")
-          // supersede before absorb: the gram index holds one row per
-          // token position, so the overlap probe semi-joins the (id)
-          // column against the broadcast batch ids; compact dedups its
-          // key side
+          // supersede before absorb: the token-level index is the
+          // largest standing table, so the overlap probe reads the
+          // per-DOC `_ids` roster companion instead (the `_sizes`
+          // idiom of the shingle loop)
           val batchIds = batch.select(col(idCol).as("id")).distinct()
-          val overlap = bs.table(indexTable)
+          val overlap = bs.table(s"${indexTable}_ids")
             .join(broadcast(batchIds), Seq("id"), "leftsemi")
-            .select("id")
           if (!overlap.isEmpty)
             graft.dedup.Dedup.compactGramIndex(bs, indexTable, overlap)
           graft.dedup.Dedup.absorbIntoGramIndex(bs, batch, textCol, idCol, k, indexTable)

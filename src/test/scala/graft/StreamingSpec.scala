@@ -167,9 +167,15 @@ class StreamingSpec extends SparkSpec {
       (11L, "r1 r2 r3 r4 closing words here")
     ).toDF("doc_id", "text")
     val b2 = Seq((20L, "pre r1 r2 r3 r4 post")).toDF("doc_id", "text")
+    // batch 3 RE-EMITS doc 11 with new text — the streaming supersede
+    // path: its standing rows must leave the index before the absorb
+    val b3 = Seq((11L, s"fresh start $S")).toDF("doc_id", "text")
     val table = "gram_idx_streamspec"
     graft.dedup.Dedup.buildGramIndex(corpus, "text", "doc_id", 4, table, buckets = 4)
     val chunks = java.nio.file.Files.createTempDirectory("graft_sgd_chunks_").toString
+    // local staging (not stageMicroBatches): the re-emitted id means the
+    // same id carries two different texts across chunks, which a
+    // range-filter over one frame cannot express
     def chunk(df: org.apache.spark.sql.DataFrame, name: String, order: Int): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory("graft_sgd_tmp_").toString
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -181,6 +187,7 @@ class StreamingSpec extends SparkSpec {
     }
     chunk(b1, "a.parquet", 0)
     chunk(b2, "b.parquet", 1)
+    chunk(b3, "c.parquet", 2)
     val spans = java.nio.file.Files.createTempDirectory("graft_sgd_spans_").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_sgd_ckpt_").toString
     OnChange.streamingSubstringDedup(s, chunks, "text", "doc_id", 4, table, spans, ckpt)
@@ -188,21 +195,28 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("span_start"),
         r.getAs[Long]("span_len"), r.getAs[Number]("batch_id").longValue())).toSet
     // doc 10's S span in batch 0 (vs corpus); doc 20's R span in batch 1
-    // (vs the ABSORBED batch 1); doc 11 stays clean — keep-first
-    val expect = Set((10L, 1L, 6L, 0L), (20L, 1L, 4L, 1L))
+    // (vs the ABSORBED batch 1); old doc 11 stays clean — keep-first;
+    // re-emitted doc 11 carries S (vs corpus, S at tokens 2..7), its
+    // superseded R rows don't self-pair
+    val expect = Set((10L, 1L, 6L, 0L), (20L, 1L, 4L, 1L), (11L, 2L, 6L, 2L))
     assert(readSpans() == expect, readSpans().toString)
-    // replay with a fresh checkpoint: markers skip both batches — same
+    // replay with a fresh checkpoint: markers skip all batches — same
     // output, nothing double-absorbs
     val ckpt2 = java.nio.file.Files.createTempDirectory("graft_sgd_ckpt2_").toString
     OnChange.streamingSubstringDedup(s, chunks, "text", "doc_id", 4, table, spans, ckpt2)
     assert(readSpans() == expect, readSpans().toString)
-    // the absorbed index equals a from-scratch rebuild
+    // the absorbed index (with doc 11 superseded) equals a from-scratch
+    // rebuild over the FINAL corpus state — roster included
     val rebuilt = "gram_idx_streamspec_rebuilt"
-    graft.dedup.Dedup.buildGramIndex(corpus.unionByName(b1).unionByName(b2),
+    graft.dedup.Dedup.buildGramIndex(
+      corpus.unionByName(b1.filter(col("doc_id") =!= 11L)).unionByName(b2).unionByName(b3),
       "text", "doc_id", 4, rebuilt, buckets = 4)
     def rows(t: String) = s.table(t)
       .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("pos"), r.getAs[String]("gh"))).toSet
     assert(rows(table) == rows(rebuilt))
+    def roster(t: String) = s.table(s"${t}_ids")
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(roster(table) == roster(rebuilt), s"${roster(table)} vs ${roster(rebuilt)}")
   }
 
   test("streaming dedup: batches absorb into the index; cross-batch pairs surface exactly once") {
