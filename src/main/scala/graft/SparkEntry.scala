@@ -897,6 +897,14 @@ object SparkEntry {
         .select("doc_id", "lang", "bpe_tokens").orderBy("doc_id")
     }),
 
+    "p6_epoch_shuffle" -> ((s, dir) =>
+      // loader-prep: epoch 3's deterministic permutation of the corpus
+      // as (shard, pos) coordinates — no global sort (the md5 uniform
+      // is the permutation; shard assignment is map-only, ranks are
+      // per-shard windows running in parallel)
+      TextAnalysis.epochShuffle(t(s, dir, "documents"), "doc_id", epoch = 3, nShards = 8)
+        .select("doc_id", "shard", "pos").orderBy("doc_id")),
+
     "p4_sharded_export" -> ((s, dir) => {
       // last mile: hash-sharded corpus export + manifest; the shard
       // assignment is the deterministic md5 uniform, so the manifest
@@ -1470,6 +1478,16 @@ object SparkEntry {
         |       (coalesce(sc.n_flagged, 0) * 1000000 // greatest(coalesce(sc.n_tokens, 0), 1)) / 1000000.0 AS bad_frac,
         |       coalesce(sc.n_flagged, 0) = 0 AS pred
         |FROM ids LEFT JOIN sc USING (id) ORDER BY id""".stripMargin,
+
+    // same md5 uniform, same integer shard arithmetic, same rank order
+    "p6_epoch_shuffle" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, ('0x' || substr(md5('epoch3:' || doc_id), 1, 8))::BIGINT AS u
+         |  FROM documents),
+         |sh AS (SELECT doc_id, u, (u * 8 // 4294967296)::INT AS shard FROM u)
+         |SELECT doc_id, shard,
+         |       (row_number() OVER (PARTITION BY shard ORDER BY u, doc_id) - 1)::BIGINT AS pos
+         |FROM sh ORDER BY doc_id""".stripMargin,
 
     "p2_weighted_sample" ->
       s"""SELECT doc_id, lang, source FROM documents

@@ -261,6 +261,30 @@ object TextAnalysis {
       .drop("__tot", "__budget", "__thr")
   }
 
+  /** Deterministic EPOCH shuffle for training loaders: a reproducible
+    * global permutation of the corpus per epoch, materialized as
+    * (shard, pos) coordinates. No global sort anywhere — the md5
+    * uniform IS the permutation: shard = u·nShards div 2³² (map-only,
+    * balanced in expectation), pos = rank of u within the shard (one
+    * window per shard, parallel across shards). Changing `epoch`
+    * reshuffles everything deterministically; the same (corpus, epoch,
+    * nShards) triple yields the identical order on any engine,
+    * partitioning, or run — the property seeded `repartition`+`sort`
+    * loses on re-planning. Readers stream shard files in pos order and
+    * get the epoch's permutation. */
+  def epochShuffle(docs: DataFrame, idCol: String, epoch: Int,
+                   nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = sampleHash(col(idCol), s"epoch$epoch")
+    docs
+      .withColumn("__u", u)
+      .withColumn("shard", expr(s"__u * $nShards div 4294967296").cast("int"))
+      .withColumn("pos",
+        (row_number().over(Window.partitionBy(col("shard"))
+          .orderBy(col("__u"), col(idCol))) - 1).cast("long"))
+      .drop("__u")
+  }
+
   // --- learned quality filter (x9) ---------------------------------------
 
   /** Fixed-point scale for learned purities/fractions (integer

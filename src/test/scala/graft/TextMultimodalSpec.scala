@@ -180,6 +180,28 @@ class TextMultimodalSpec extends SparkSpec {
     assert(bigKept == bigExpected, s"kept $bigKept, expected $bigExpected")
   }
 
+  test("epoch shuffle: bijective coordinates, contiguous per-shard ranks, epochs permute") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = docs.count()
+    val e1 = TextAnalysis.epochShuffle(docs, "doc_id", epoch = 1, nShards = 8)
+    // bijection: every doc gets exactly one (shard, pos); coordinates unique
+    assert(e1.count() == n)
+    assert(e1.select("shard", "pos").distinct().count() == n)
+    // per-shard ranks are contiguous 0..count-1
+    val bad = e1.groupBy("shard")
+      .agg(count(lit(1)).as("c"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter(col("mx") =!= col("c") - 1 || col("mn") =!= 0)
+    assert(bad.isEmpty, bad.collect().mkString(","))
+    // deterministic run-to-run
+    val again = TextAnalysis.epochShuffle(docs, "doc_id", epoch = 1, nShards = 8)
+    assert(e1.exceptAll(again).isEmpty)
+    // a different epoch is a genuinely different permutation
+    val e2 = TextAnalysis.epochShuffle(docs, "doc_id", epoch = 2, nShards = 8)
+    val moved = e1.as("a").join(e2.as("b"), Seq("doc_id"))
+      .filter(col("a.shard") =!= col("b.shard") || col("a.pos") =!= col("b.pos"))
+    assert(moved.count() > n / 2, s"epoch 2 moved only ${moved.count()} of $n docs")
+  }
+
   test("quality classifier: learns exactly the planted bad vocabulary, scores a held-out split") {
     val s = spark
     import s.implicits._
