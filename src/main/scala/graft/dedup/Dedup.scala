@@ -713,9 +713,14 @@ object Dedup {
     val buckets = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec.map(_.numBuckets).getOrElse(32)
-    positionalGrams(batch, textCol, idCol, k)
-      .write.mode("append").bucketBy(buckets, "gh").sortBy("gh").saveAsTable(table)
-    batch.select(col(idCol).as("id")).distinct()
+    // one tokenizer pass feeds the index append AND the roster (the
+    // roster holds ids WITH index rows — same derivation as build, so
+    // absorb ≡ rebuild holds even for gram-less (< k token) docs, and
+    // a re-emit of a gram-less doc never triggers a pointless compact)
+    val g = graft.core.Checkpoints.truncate(
+      positionalGrams(batch, textCol, idCol, k))
+    g.write.mode("append").bucketBy(buckets, "gh").sortBy("gh").saveAsTable(table)
+    g.select("id").distinct()
       .write.mode("append").saveAsTable(s"${table}_ids")
     spark.catalog.refreshTable(table)
     spark.catalog.refreshTable(s"${table}_ids")
@@ -727,7 +732,10 @@ object Dedup {
   def compactGramIndex(spark: org.apache.spark.sql.SparkSession, table: String,
                        ids: DataFrame): Unit = {
     graft.core.Tables.compactByKey(spark, table, ids, "id")
-    graft.core.Tables.compactByKey(spark, s"${table}_ids", ids, "id")
+    // pre-roster indexes (persisted before `_ids` existed) compact
+    // without one; the next build writes it
+    if (spark.catalog.tableExists(s"${table}_ids"))
+      graft.core.Tables.compactByKey(spark, s"${table}_ids", ids, "id")
   }
 
   /** SPAN-level decontamination — the eval-overlap scrub frontier

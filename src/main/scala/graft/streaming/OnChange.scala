@@ -406,10 +406,14 @@ object OnChange {
             .write.mode("overwrite").parquet(s"$spansPath/batch_id=$batchId")
           // supersede before absorb: the token-level index is the
           // largest standing table, so the overlap probe reads the
-          // per-DOC `_ids` roster companion instead (the `_sizes`
-          // idiom of the shingle loop)
+          // per-DOC `_ids` roster companion (the `_sizes` idiom of the
+          // shingle loop); a pre-roster index falls back to the index
+          // itself until its next build writes one
           val batchIds = batch.select(col(idCol).as("id")).distinct()
-          val overlap = bs.table(s"${indexTable}_ids")
+          val roster =
+            if (bs.catalog.tableExists(s"${indexTable}_ids")) bs.table(s"${indexTable}_ids")
+            else bs.table(indexTable).select("id")
+          val overlap = roster
             .join(broadcast(batchIds), Seq("id"), "leftsemi")
           if (!overlap.isEmpty)
             graft.dedup.Dedup.compactGramIndex(bs, indexTable, overlap)

@@ -496,11 +496,13 @@ class DedupSpec extends SparkSpec {
     Dedup.buildGramIndex(corpus, "text", "doc_id", 4, table, buckets = 4)
 
     // batch 1: doc 10 shares S with corpus doc 1 (cross); doc 11
-    // repeats its own run twice (batch-internal); doc 12 is clean
+    // repeats its own run twice (batch-internal); doc 12 is clean;
+    // doc 13 is SHORTER than k (no grams — must stay off the roster)
     val batch1 = Seq(
       (10L, s"zero $S tail words here"),          // S at 1..6
       (11L, "q1 q2 q3 q4 mid mid2 mid3 q1 q2 q3 q4"), // runs at 0 and 7
-      (12L, "totally fresh unshared text tokens")
+      (12L, "totally fresh unshared text tokens"),
+      (13L, "too short")
     ).toDF("doc_id", "text")
     val d1 = Dedup.substringSpansDelta(spark, batch1, "text", "doc_id", 4, table)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -514,6 +516,11 @@ class DedupSpec extends SparkSpec {
     // absorb batch 1; batch 2 must pair against batch 1 through the
     // index alone (doc 20 shares doc 11's run, which corpus never had)
     Dedup.absorbIntoGramIndex(spark, batch1, "text", "doc_id", 4, table)
+    // the roster holds ids WITH index rows: the gram-less doc 13 is
+    // absent (same derivation as build — absorb ≡ rebuild, and its
+    // re-emit must never trigger a pointless full-index compact)
+    val roster = spark.table(s"${table}_ids").collect().map(_.getLong(0)).toSet
+    assert(!roster.contains(13L) && roster.contains(10L), roster.toString)
     val batch2 = Seq((20L, "pre q1 q2 q3 q4 post fin")).toDF("doc_id", "text")
     val d2 = Dedup.substringSpansDelta(spark, batch2, "text", "doc_id", 4, table)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
