@@ -288,6 +288,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("substring spans match a brute-force model; delta equals the one-shot restriction (random corpora)") {
+    val s = spark
+    import s.implicits._
+    val k = 3
+    // tiny vocabulary → gram collisions are common; doc lengths span
+    // the < k (gram-less) edge through multi-island docs
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val doc = Gen.choose(0, 20).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    def model(texts: Seq[String]): Set[(Long, Long, Long)] = {
+      val toks = texts.map(_.split("\\s+").filter(_.nonEmpty).toSeq)
+      val grams = toks.zipWithIndex.flatMap { case (ws, d) =>
+        (0 to ws.size - k).map(p => (d.toLong, p.toLong, ws.slice(p, p + k).mkString(" ")))
+      }
+      val cnt = grams.groupBy(_._3).map { case (g, xs) => g -> xs.size }
+      grams.filter(g => cnt(g._3) >= 2).map(g => (g._1, g._2))
+        .groupBy(_._1).flatMap { case (d, ps0) =>
+          val ps = ps0.map(_._2).sorted
+          val spans = scala.collection.mutable.ListBuffer[(Long, Long)]()
+          var start = ps.head; var last = ps.head
+          ps.tail.foreach { p =>
+            if (p - last <= k) last = p
+            else { spans += ((start, last + k - start)); start = p; last = p }
+          }
+          spans += ((start, last + k - start))
+          spans.map { case (st, ln) => (d, st, ln) }
+        }.toSet
+    }
+    forAllSeeded(Gen.listOfN(8, doc), trials = 4) { texts =>
+      {
+        val expected = model(texts)
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val got = Dedup.substringSpans(df, "text", "doc_id", k)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == expected, s"one-shot $got != model $expected for $texts")
+        // incremental identity: index the even ids, delta the odd ids —
+        // the delta must equal the one-shot output restricted to them
+        val table = "gram_prop_idx"
+        Dedup.buildGramIndex(df.filter(col("doc_id") % 2 === 0),
+          "text", "doc_id", k, table, buckets = 4)
+        val delta = Dedup.substringSpansDelta(s, df.filter(col("doc_id") % 2 === 1),
+            "text", "doc_id", k, table)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(delta == expected.filter(_._1 % 2 == 1),
+          s"delta $delta != restricted model for $texts")
+      }
+    }
+  }
+
   test("sample hash is a 32-bit uniform: in range, deterministic, id-keyed") {
     val s = spark
     import s.implicits._
