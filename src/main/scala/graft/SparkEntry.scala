@@ -897,6 +897,21 @@ object SparkEntry {
         .select("doc_id", "lang", "bpe_tokens").orderBy("doc_id")
     }),
 
+    "p7_token_budget_repeat" -> ((s, dir) => {
+      // the up-sampling half of the mixture: en's budget EXCEEDS its
+      // token mass at the gate SF (docs repeat, copy-indexed), fr's
+      // sits below it (the sampler special case) — one operator covers
+      // the whole epochs-per-source recipe
+      val docs = t(s, dir, "documents")
+      val counts = graft.text.Bpe.tokenCounts(docs, "text", "doc_id",
+          graft.text.Bpe.DefaultMerges)
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      TextAnalysis.tokenBudgetRepeat(counts, "doc_id", "lang", "bpe_tokens",
+          Map("en" -> 50000L, "fr" -> 2000L))
+        .select("doc_id", "lang", "bpe_tokens", "copy")
+        .orderBy("doc_id", "copy")
+    }),
+
     "p6_epoch_shuffle" -> ((s, dir) =>
       // loader-prep: epoch 3's deterministic permutation of the corpus
       // as (shard, pos) coordinates — no global sort (the md5 uniform
@@ -1478,6 +1493,34 @@ object SparkEntry {
         |       (coalesce(sc.n_flagged, 0) * 1000000 // greatest(coalesce(sc.n_tokens, 0), 1)) / 1000000.0 AS bad_frac,
         |       coalesce(sc.n_flagged, 0) = 0 AS pred
         |FROM ids LEFT JOIN sc USING (id) ORDER BY id""".stripMargin,
+
+    // the x8 merge chain for counts, then floor(budget/total) full
+    // copies + one md5-decided fractional copy per doc
+    "p7_token_budget_repeat" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |t AS (SELECT doc_id, t.w AS wd FROM w, unnest(ws) AS t(w)),
+         |enc AS (SELECT doc_id, ${graft.text.Bpe.mergeChainSql("wd", graft.text.Bpe.DefaultMerges)} AS s FROM t),
+         |per AS (
+         |  SELECT doc_id, sum(length(s) - length(replace(s, '(', '')))::BIGINT AS bpe
+         |  FROM enc GROUP BY doc_id),
+         |cnt AS (
+         |  SELECT w.doc_id, d0.lang, coalesce(per.bpe, 0)::BIGINT AS bpe_tokens
+         |  FROM w LEFT JOIN per ON w.doc_id = per.doc_id
+         |  JOIN documents d0 ON w.doc_id = d0.doc_id),
+         |tot AS (SELECT lang, sum(bpe_tokens)::BIGINT AS tot FROM cnt GROUP BY 1),
+         |par AS (SELECT lang, tot,
+         |  CASE lang WHEN 'en' THEN 50000 WHEN 'fr' THEN 2000 ELSE NULL END AS b FROM tot),
+         |n AS (SELECT c.doc_id, c.lang, c.bpe_tokens,
+         |  CASE WHEN p.b IS NULL THEN 1
+         |       WHEN p.tot = 0 THEN 0
+         |       ELSE (p.b // p.tot) + CASE WHEN ('0x' || substr(md5('rep:' || c.doc_id), 1, 8))::BIGINT < ((p.b % p.tot) * 4294967296 // p.tot) THEN 1 ELSE 0 END
+         |  END AS copies
+         |  FROM cnt c JOIN par p USING (lang))
+         |SELECT doc_id, lang, bpe_tokens, t.c::BIGINT AS copy
+         |FROM n, unnest(range(0, copies)) AS t(c) ORDER BY doc_id, copy""".stripMargin,
 
     // same md5 uniform, same integer shard arithmetic, same rank order
     "p6_epoch_shuffle" ->

@@ -261,6 +261,43 @@ object TextAnalysis {
       .drop("__tot", "__budget", "__thr")
   }
 
+  /** Token-budget REPETITION — the up-sampling half of the mixture
+    * story (LLaMA-style "epochs per source", public: a high-value
+    * slice whose budget EXCEEDS its token mass repeats; `
+    * tokenBudgetSample` is the special case budget ≤ total): each doc
+    * emits floor(budget/total) full copies plus one md5-decided extra
+    * with probability (budget mod total)/total — expected kept tokens
+    * = budget exactly, decided per doc by the deterministic uniform
+    * (integer/DECIMAL arithmetic end-to-end). Docs in groups with no
+    * budget emit once; budget 0 drops the group. Output carries a
+    * `copy` index (0-based) so loaders can interleave epochs. Same
+    * shape as the sampler: tiny per-group aggregate + broadcast join +
+    * codegen'd projection/explode — map-only over the scan. */
+  def tokenBudgetRepeat(docs: DataFrame, idCol: String, groupCol: String,
+                        tokenCol: String, budgets: Map[String, Long],
+                        seed: String = "rep"): DataFrame = {
+    val totals = docs.groupBy(col(groupCol))
+      .agg(sum(col(tokenCol)).cast("long").as("__tot"))
+    val budget = budgets.foldLeft(lit(null).cast("long")) { case (acc, (k, b)) =>
+      when(col(groupCol) === k, lit(b)).otherwise(acc)
+    }
+    docs.join(broadcast(totals), Seq(groupCol))
+      .withColumn("__budget", budget)
+      .withColumn("__n",
+        when(col("__budget").isNull, lit(1L))
+          .when(col("__tot") === 0L, lit(0L))
+          .otherwise(expr("__budget div __tot") +
+            when(sampleHash(col(idCol), seed) <
+              expr("CAST(__budget % __tot AS DECIMAL(38,0)) * 4294967296 div __tot"),
+              lit(1L)).otherwise(lit(0L))))
+      // sequence(0, -1) would count DOWN — zero copies must be an
+      // empty array, not a phantom pair
+      .withColumn("copy", explode(
+        when(col("__n") === 0L, array().cast("array<bigint>"))
+          .otherwise(sequence(lit(0L), col("__n") - 1L))))
+      .drop("__tot", "__budget", "__n")
+  }
+
   /** Deterministic EPOCH shuffle for training loaders: a reproducible
     * global permutation of the corpus per epoch, materialized as
     * (shard, pos) coordinates. No global sort anywhere — the md5

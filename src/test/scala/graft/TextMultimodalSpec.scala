@@ -180,6 +180,42 @@ class TextMultimodalSpec extends SparkSpec {
     assert(bigKept == bigExpected, s"kept $bigKept, expected $bigExpected")
   }
 
+  test("token-budget repetition: exact copy counts, sampler special case, zero-total and no-budget groups") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "en", 100L), (2L, "en", 200L), (3L, "en", 300L), // en total 600, budget 1500 = 2.5 epochs
+      (4L, "fr", 50L), (5L, "fr", 50L),                     // fr total 100, budget 50 → sampler case
+      (6L, "de", 70L),                                      // no budget → exactly once
+      (7L, "xx", 0L)                                        // zero-total WITH budget → dropped
+    ).toDF("doc_id", "lang", "tok")
+    val out = TextAnalysis.tokenBudgetRepeat(docs, "doc_id", "lang", "tok",
+      Map("en" -> 1500L, "fr" -> 50L, "xx" -> 10L))
+    val copies = out.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // en: base 2 copies + one extra iff md5 uniform < (300/600)·2³²
+    val h = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+      .select(col("id"), TextAnalysis.sampleHash(col("id"), "rep").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val enThr = (BigInt(1500 % 600) * BigInt(4294967296L) / BigInt(600)).toLong
+    Seq(1L, 2L, 3L).foreach { id =>
+      val expect = 2L + (if (h(id) < enThr) 1L else 0L)
+      assert(copies.get(id).contains(expect), s"doc $id: ${copies.get(id)} vs $expect")
+    }
+    // fr: base 0 + fractional — identical to the p5 sampler decision
+    val frThr = (BigInt(50) * BigInt(4294967296L) / BigInt(100)).toLong
+    Seq(4L, 5L).foreach { id =>
+      val expect = if (h(id) < frThr) Some(1L) else None
+      assert(copies.get(id) == expect, s"doc $id: ${copies.get(id)} vs $expect")
+    }
+    assert(copies.get(6L).contains(1L))
+    assert(!copies.contains(7L))
+    // copy indexes are contiguous 0..n-1
+    val idx = out.filter(col("doc_id") === 1L).select("copy")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(idx == (0L until copies(1L)).toSeq, idx.toString)
+  }
+
   test("epoch shuffle: bijective coordinates, contiguous per-shard ranks, epochs permute") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val n = docs.count()
