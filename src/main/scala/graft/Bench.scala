@@ -73,23 +73,42 @@ object Bench {
     // failure sentinels (-1) stay visible per-query but must not
     // deflate the headline total into a phantom speedup
     val total = results.map(_._2).filter(_ >= 0).sum
-    // ONE parseable line on stdout (build.sbt forwards forked stdout raw)
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // second line: steady-state probe timings (indexes built untimed,
-    // probes min-of-3) — the per-query deployment cost of the
-    // index-family queries, whose Bench figures above deliberately
-    // price the inline build. SPARK_GRAFT_STEADY=0 skips.
-    if (sys.env.getOrElse("SPARK_GRAFT_STEADY", "1") != "0" && only.isEmpty) {
-      // a steady-state failure must not discard the timed section above
-      // (every other stage in this file isolates per-query errors too)
-      try {
-        release()
-        val ss = SteadyState.measure(spark, sfDir)
-        val ssq = ss.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
-        println(s"""{"metric":"steady_state","value":${ms(ss.map(_._2).sum)},"unit":"sec","queries":$ssq,"sf":"$sfDir"}""")
-      } catch {
-        case e: Throwable => System.err.println(s"[bench] steady_state FAILED: ${e.getMessage}")
-      }
+    val timedLine =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // steady-state probe timings (indexes built untimed, probes
+    // min-of-3) — the per-query deployment cost of the index-family
+    // queries, whose Bench figures deliberately price the inline
+    // build. SPARK_GRAFT_STEADY=0 skips. Runs BEFORE the lines print:
+    // the driver's record is a 2000-char stdout TAIL, and twice
+    // (r6, r7) log chatter emitted during this stage scrolled the
+    // timed line out of it — whatever this stage logs, both JSON
+    // lines now land after it, timed line LAST.
+    val steadyLine: Option[String] =
+      if (sys.env.getOrElse("SPARK_GRAFT_STEADY", "1") != "0" && only.isEmpty) {
+        // a steady-state failure must not discard the timed section
+        try {
+          release()
+          val ss = SteadyState.measure(spark, sfDir)
+          val ssq = ss.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+          // -1 failure sentinels stay per-query but don't deflate the sum
+          val ssTotal = ss.map(_._2).filter(_ >= 0).sum
+          Some(s"""{"metric":"steady_state","value":${ms(ssTotal)},"unit":"sec","queries":$ssq,"sf":"$sfDir"}""")
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] steady_state FAILED: ${e.getMessage}"); None
+        }
+      } else None
+    // nothing may log after the JSON lines: shutdown WARNs from
+    // spark.stop() land in the same captured stream
+    spark.sparkContext.setLogLevel("ERROR")
+    // parseable lines on stdout (build.sbt forwards forked stdout raw)
+    steadyLine.foreach(println)
+    println(timedLine)
+    // machine-readable artifact independent of the driver's stdout-tail
+    // capture — per-query history must not live only in PERF.md prose
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      val w = new java.io.PrintWriter(p)
+      try { steadyLine.foreach(w.println); w.println(timedLine) } finally w.close()
     }
     spark.stop()
   }

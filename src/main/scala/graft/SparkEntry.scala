@@ -1518,7 +1518,7 @@ object SparkEntry {
          |       WHEN p.tot = 0 THEN 0
          |       ELSE (p.b // p.tot) + CASE WHEN ('0x' || substr(md5('rep:' || c.doc_id), 1, 8))::BIGINT < ((p.b % p.tot) * 4294967296 // p.tot) THEN 1 ELSE 0 END
          |  END AS copies
-         |  FROM cnt c JOIN par p USING (lang))
+         |  FROM cnt c LEFT JOIN par p USING (lang))
          |SELECT doc_id, lang, bpe_tokens, t.c::BIGINT AS copy
          |FROM n, unnest(range(0, copies)) AS t(c) ORDER BY doc_id, copy""".stripMargin,
 
@@ -1590,8 +1590,8 @@ object SparkEntry {
          |            WHEN 'fr' THEN CASE WHEN tot <= 5000 THEN 4294967296 ELSE 5000 * 4294967296 // tot END
          |            ELSE 4294967296 END AS thr FROM tot)
          |SELECT cnt.doc_id, cnt.lang, cnt.bpe_tokens
-         |FROM cnt JOIN thr USING (lang)
-         |WHERE ('0x' || substr(md5('mix:' || cnt.doc_id), 1, 8))::BIGINT < thr
+         |FROM cnt LEFT JOIN thr USING (lang)
+         |WHERE ('0x' || substr(md5('mix:' || cnt.doc_id), 1, 8))::BIGINT < coalesce(thr, 4294967296)
          |ORDER BY cnt.doc_id""".stripMargin,
 
     "x6_keywords" ->

@@ -121,11 +121,19 @@ object Ann {
           lit(graft.text.TextAnalysis.sampleThreshold(sampleFrac)))
     val e = normed(base, vecCol, idCol)
     val pts = e.select(col("id"), col("v"), col("norm"), fixed(col("v")).as("f"))
+    // rank the nlist seed rows WITHOUT a window: an unpartitioned
+    // row_number window (even over a literal partition key — the
+    // optimizer folds it away) makes every index build log the
+    // WindowExec single-partition WARN, hundreds of which once flooded
+    // the timed line out of the driver's bench capture. One single-row
+    // aggregate over ≤nlist tiny structs + array_sort + posexplode
+    // gives the same deterministic (md5, id) rank.
     val seed = pts
       .withColumn("__r", md5(concat(lit("cent:"), col("id"))))
       .orderBy(col("__r"), col("id")).limit(nlist)
-      .withColumn("cid", (row_number().over(Window.orderBy(col("__r"), col("id"))) - 1).cast("long"))
-      .select(col("cid"), col("f"))
+      .agg(array_sort(collect_list(struct(col("__r"), col("id"), col("f")))).as("__a"))
+      .select(posexplode(col("__a")).as(Seq("cid", "__s")))
+      .select(col("cid").cast("long").as("cid"), col("__s.f").as("f"))
     var cents = seed
     for (_ <- 1 to rounds) {
       val centArr = cents.agg(collect_list(struct(col("cid"),

@@ -89,12 +89,15 @@ object Pq {
     // n·m tiny rows, a pure projection off the vector scan — cheaper to
     // recompute per round than to materialize
     val su = subRows(e, m, dims)
-    import org.apache.spark.sql.expressions.Window
+    // windowless rank of the ksub seed ids (same single-row aggregate
+    // + array_sort + posexplode idiom as Ann.trainCentroids — an
+    // unpartitioned window here spammed WindowExec WARNs every build)
     val ord = e.select(col("id"))
       .withColumn("__r", md5(concat(lit("cent:"), col("id"))))
       .orderBy(col("__r"), col("id")).limit(ksub)
-      .withColumn("code", (row_number().over(Window.orderBy(col("__r"), col("id"))) - 1).cast("long"))
-      .select(col("id"), col("code"))
+      .agg(array_sort(collect_list(struct(col("__r"), col("id")))).as("__a"))
+      .select(posexplode(col("__a")).as(Seq("code", "__s")))
+      .select(col("__s.id").as("id"), col("code").cast("long").as("code"))
     var books = su.join(broadcast(ord), Seq("id"))
       .select(col("sub"), col("code"), col("x").as("cw"))
     for (_ <- 1 to rounds) {

@@ -72,6 +72,20 @@ case class BpeCount(child: Expression, merges: Array[Array[String]])
     cur.size.toLong
   }
 
+  // case-class equality on Array falls back to reference identity,
+  // which would make two semantically identical bpe_count expressions
+  // never compare equal — defeating Catalyst canonicalization and
+  // common-subexpression elimination. Compare merge CONTENTS.
+  override def equals(o: Any): Boolean = o match {
+    case b: BpeCount =>
+      child == b.child && java.util.Arrays.deepEquals(
+        merges.asInstanceOf[Array[AnyRef]], b.merges.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode + java.util.Arrays.deepHashCode(
+      merges.asInstanceOf[Array[AnyRef]])
+
   override def nullSafeEval(a: Any): Any = evalTokens(a.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

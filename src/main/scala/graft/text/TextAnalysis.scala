@@ -248,7 +248,12 @@ object TextAnalysis {
     val budget = budgets.foldLeft(lit(null).cast("long")) { case (acc, (k, b)) =>
       when(col(groupCol) === k, lit(b)).otherwise(acc)
     }
-    docs.join(broadcast(totals), Seq(groupCol))
+    // LEFT join: a NULL group value never equi-matches its own totals
+    // row, so inner would silently drop such docs — left leaves __tot
+    // null there, and null-group docs can't name a budget either, so
+    // they ride the saturate branch and pass whole, consistent with
+    // weightedSample's unknown-group default
+    docs.join(broadcast(totals), Seq(groupCol), "left")
       .withColumn("__budget", budget)
       // saturate FIRST (no budget, or total already under budget — the
       // zero-total group included): everything keeps, no division runs.
@@ -281,7 +286,9 @@ object TextAnalysis {
     val budget = budgets.foldLeft(lit(null).cast("long")) { case (acc, (k, b)) =>
       when(col(groupCol) === k, lit(b)).otherwise(acc)
     }
-    docs.join(broadcast(totals), Seq(groupCol))
+    // LEFT join for the same NULL-group reason as tokenBudgetSample:
+    // a null group has a null budget too, so it emits exactly once
+    docs.join(broadcast(totals), Seq(groupCol), "left")
       .withColumn("__budget", budget)
       .withColumn("__n",
         when(col("__budget").isNull, lit(1L))

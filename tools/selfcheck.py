@@ -48,6 +48,15 @@ for name, sql in sorted(oracle.items()):
                 duck = con.sql(sql).df()
             finally:
                 timer.cancel()
+            if fired.is_set():
+                # timer fired but the query had already returned: the
+                # interrupt is pending on the connection and would abort
+                # the NEXT oracle (whose fresh `fired` would turn it into
+                # a spurious FAIL). Drain it on a throwaway statement.
+                try:
+                    con.sql("SELECT 1").df()
+                except (Exception, KeyboardInterrupt):
+                    pass
         else:
             duck = con.sql(sql).df()
     except KeyboardInterrupt:
