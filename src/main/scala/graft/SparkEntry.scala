@@ -94,6 +94,29 @@ object SparkEntry {
   private val plantJunkSql: String =
     s"text || CASE WHEN doc_id % 4 = 1 THEN ' $JunkTokens' ELSE '' END"
 
+  /** Deterministic eval-leak planting for the p8 composite: a 17-token
+    * sentence on exactly ONE training doc (13) and every 10th eval doc
+    * (403, 413, …). Unique WITHIN train, so the stage-1 substring
+    * scrub (occurrences ≥ 2) leaves it alone and the stage-2
+    * decontaminator provably has work at every SF — the two stages
+    * answer different questions and the plant separates them. */
+  private val LeakSpan =
+    "purple elephants quietly discuss ancient theorems beneath silver " +
+      "moonlight while patient rivers carry forgotten melodies home tonight"
+
+  private def plantLeak(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      when(col("doc_id") === 13 || (col("doc_id") >= 400 && col("doc_id") % 10 === 3),
+        lit(" " + LeakSpan)).otherwise(lit(""))))
+
+  /** plantSpan ∘ plantJunk ∘ plantLeak as ONE SQL expression over
+    * `documents` (single-line — see `plantPiiSql`); concat order
+    * matches the engine-side composition in p8. */
+  private val plantRecipeSql: String =
+    s"text || CASE WHEN doc_id % 10 = 0 THEN ' $DupSpan' ELSE '' END" +
+      s" || CASE WHEN doc_id % 4 = 1 THEN ' $JunkTokens' ELSE '' END" +
+      s" || CASE WHEN doc_id = 13 OR (doc_id >= 400 AND doc_id % 10 = 3) THEN ' $LeakSpan' ELSE '' END"
+
   /** Stages each `[lo, hi)` slice of `df` (on `idCol`) as one parquet
     * file `<name>.parquet` in a fresh chunks dir with STRICTLY
     * INCREASING mtimes — the replay contract every streaming query
@@ -912,6 +935,51 @@ object SparkEntry {
         .orderBy("doc_id", "copy")
     }),
 
+    "p8_full_recipe" -> ((s, dir) => {
+      // THE full pre-training data recipe, end-to-end in ONE plan —
+      // every round-7 stage active and oracle-checked in composition:
+      // exact substring scrub (d16) → eval decontamination (d20) →
+      // learned quality gate (x9) → BPE token counts (x8) →
+      // token-budget repetition (p7, the p5 superset) → epoch shuffle
+      // (p6). Plants make each stage provably active at every SF:
+      // DupSpan (in-train duplicates, stage 1), LeakSpan (train-unique
+      // but eval-repeated, stage 2), JunkTokens (labeled junk, the
+      // gate). Every stage is linear-volume shuffles over the corpus
+      // plus a broadcastable model/budget head — the same 100 TB
+      // shapes as the component queries, just composed.
+      val base = plantLeak(plantJunk(plantSpan(t(s, dir, "documents"))))
+      val train0 = base.filter(col("doc_id") < 400)
+      val evalS = base.filter(col("doc_id") >= 400)
+      // 1. duplicated-span scrub within the training corpus
+      val spans1 = Dedup.substringSpans(train0, "text", "doc_id", 15)
+      val scrub1 = Dedup.scrubSpans(train0, spans1, "text", "doc_id")
+        .select(col("id").as("doc_id"), col("scrubbed").as("text"))
+      // 2. excise any >= 15-gram overlap with the eval set
+      val spans2 = Dedup.decontaminateSpans(scrub1, evalS, "text", "doc_id", 15)
+      val scrub2 = Dedup.scrubSpans(scrub1, spans2, "text", "doc_id")
+        .select(col("id").as("doc_id"), col("scrubbed").as("text"))
+      // 3. learned quality gate, trained on the corpus's own labels
+      val model = TextAnalysis.trainQualityModel(
+        scrub2.withColumn("label", col("doc_id") % 4 =!= 1), "text", "label")
+      val gated = scrub2.join(
+        TextAnalysis.qualityScore(scrub2, "text", "doc_id", model)
+          .filter(col("pred")).select(col("id").as("doc_id")), "doc_id")
+      // 4+5. BPE token mass per doc -> per-lang budget repetition:
+      // en's budget EXCEEDS its gated mass (docs repeat), fr's sits
+      // below (the sampler case), de/es/zh pass whole
+      val counts = graft.text.Bpe.tokenCounts(gated, "text", "doc_id",
+          graft.text.Bpe.DefaultMerges)
+        .join(base.select("doc_id", "lang"), Seq("doc_id"))
+      val mixed = TextAnalysis.tokenBudgetRepeat(counts, "doc_id", "lang",
+        "bpe_tokens", Map("en" -> 30000L, "fr" -> 800L), seed = "rep")
+      // 6. epoch-1 permutation of the final mixture, keyed by (doc, copy)
+      val keyed = mixed.withColumn("__k",
+        concat_ws(":", col("doc_id"), col("copy")))
+      TextAnalysis.epochShuffle(keyed, "__k", epoch = 1, nShards = 8)
+        .select("doc_id", "copy", "lang", "bpe_tokens", "shard", "pos")
+        .orderBy("doc_id", "copy")
+    }),
+
     "p6_epoch_shuffle" -> ((s, dir) =>
       // loader-prep: epoch 3's deterministic permutation of the corpus
       // as (shard, pos) coordinates — no global sort (the md5 uniform
@@ -1493,6 +1561,103 @@ object SparkEntry {
         |       (coalesce(sc.n_flagged, 0) * 1000000 // greatest(coalesce(sc.n_tokens, 0), 1)) / 1000000.0 AS bad_frac,
         |       coalesce(sc.n_flagged, 0) = 0 AS pred
         |FROM ids LEFT JOIN sc USING (id) ORDER BY id""".stripMargin,
+
+    // from-scratch recompute of the ENTIRE six-stage recipe: substring
+    // scrub -> eval decontamination -> learned quality gate -> BPE
+    // counts -> budget repetition -> epoch shuffle, each stage the
+    // same SQL as its component oracle, chained through token arrays
+    "p8_full_recipe" ->
+      s"""WITH d0 AS (SELECT doc_id, lang, $plantRecipeSql AS text FROM documents),
+         |w AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+         |  FROM d0),
+         |g1 AS (
+         |  SELECT doc_id, t.i - 1 AS pos, md5(array_to_string(ws[t.i:t.i+14], ' ')) AS gh
+         |  FROM w, unnest(range(1, len(ws)-13)) AS t(i) WHERE doc_id < 400),
+         |dup1 AS (SELECT gh FROM g1 GROUP BY gh HAVING count(*) >= 2),
+         |m1 AS (SELECT doc_id, pos FROM g1 JOIN dup1 USING (gh)),
+         |isl1 AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN lag(pos) OVER win IS NULL OR pos - lag(pos) OVER win > 15 THEN 1 ELSE 0 END AS ns
+         |  FROM m1 WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+         |sp1 AS (
+         |  SELECT doc_id, pos,
+         |         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM isl1),
+         |spans1 AS (SELECT doc_id, min(pos) AS s, max(pos) + 15 - min(pos) AS l FROM sp1 GROUP BY doc_id, sid),
+         |tk0 AS (
+         |  SELECT doc_id, t.i - 1 AS pos, ws[t.i] AS wd
+         |  FROM w, unnest(range(1, len(ws)+1)) AS t(i) WHERE doc_id < 400),
+         |tk1 AS (
+         |  SELECT k.doc_id, k.pos, k.wd FROM tk0 k
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans1 s
+         |                    WHERE s.doc_id = k.doc_id AND k.pos >= s.s AND k.pos < s.s + s.l)),
+         |w1 AS (
+         |  SELECT d.doc_id, coalesce(a.ws, CAST([] AS VARCHAR[])) AS ws
+         |  FROM (SELECT doc_id FROM d0 WHERE doc_id < 400) d
+         |  LEFT JOIN (SELECT doc_id, array_agg(wd ORDER BY pos) AS ws FROM tk1 GROUP BY doc_id) a USING (doc_id)),
+         |ge AS (
+         |  SELECT DISTINCT md5(array_to_string(ws[t.i:t.i+14], ' ')) AS gh
+         |  FROM w, unnest(range(1, len(ws)-13)) AS t(i) WHERE doc_id >= 400),
+         |g2 AS (
+         |  SELECT doc_id, t.i - 1 AS pos, md5(array_to_string(ws[t.i:t.i+14], ' ')) AS gh
+         |  FROM w1, unnest(range(1, len(ws)-13)) AS t(i)),
+         |m2 AS (SELECT doc_id, pos FROM g2 JOIN ge USING (gh)),
+         |isl2 AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN lag(pos) OVER win IS NULL OR pos - lag(pos) OVER win > 15 THEN 1 ELSE 0 END AS ns
+         |  FROM m2 WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+         |sp2 AS (
+         |  SELECT doc_id, pos,
+         |         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM isl2),
+         |spans2 AS (SELECT doc_id, min(pos) AS s, max(pos) + 15 - min(pos) AS l FROM sp2 GROUP BY doc_id, sid),
+         |tk2 AS (
+         |  SELECT doc_id, t.i - 1 AS pos, ws[t.i] AS wd
+         |  FROM w1, unnest(range(1, len(ws)+1)) AS t(i)),
+         |tk3 AS (
+         |  SELECT k.doc_id, k.pos, k.wd FROM tk2 k
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans2 s
+         |                    WHERE s.doc_id = k.doc_id AND k.pos >= s.s AND k.pos < s.s + s.l)),
+         |w2 AS (
+         |  SELECT d.doc_id, coalesce(a.ws, CAST([] AS VARCHAR[])) AS ws
+         |  FROM (SELECT doc_id FROM d0 WHERE doc_id < 400) d
+         |  LEFT JOIN (SELECT doc_id, array_agg(wd ORDER BY pos) AS ws FROM tk3 GROUP BY doc_id) a USING (doc_id)),
+         |tok AS (
+         |  SELECT doc_id, (doc_id % 4 <> 1) AS label,
+         |         ('0x' || substr(md5(t.w), 1, 8))::BIGINT % 256 AS bucket
+         |  FROM w2, unnest(ws) AS t(w)),
+         |per AS (SELECT bucket, sum(CASE WHEN label THEN 1 ELSE 0 END) AS pos, count(*) AS tot FROM tok GROUP BY 1),
+         |pri AS (SELECT (sum(CASE WHEN label THEN 1 ELSE 0 END) + 1) * 1000000 // (count(*) + 2) AS prior FROM tok),
+         |bad AS (SELECT bucket FROM per, pri WHERE (pos + 1) * 1000000 // (tot + 2) < prior // 2),
+         |fl AS (SELECT tok.doc_id, count(bad.bucket) AS n_flagged FROM tok LEFT JOIN bad USING (bucket) GROUP BY 1),
+         |gated AS (SELECT w2.doc_id, w2.ws FROM w2 LEFT JOIN fl USING (doc_id) WHERE coalesce(fl.n_flagged, 0) = 0),
+         |t4 AS (SELECT doc_id, t.w AS wd FROM gated, unnest(ws) AS t(w)),
+         |enc AS (SELECT doc_id, ${graft.text.Bpe.mergeChainSql("wd", graft.text.Bpe.DefaultMerges)} AS s FROM t4),
+         |per4 AS (
+         |  SELECT doc_id, sum(length(s) - length(replace(s, '(', '')))::BIGINT AS bpe
+         |  FROM enc GROUP BY doc_id),
+         |cnt AS (
+         |  SELECT g.doc_id, d0.lang, coalesce(per4.bpe, 0)::BIGINT AS bpe_tokens
+         |  FROM gated g JOIN d0 USING (doc_id) LEFT JOIN per4 USING (doc_id)),
+         |tot AS (SELECT lang, sum(bpe_tokens)::BIGINT AS tot FROM cnt GROUP BY 1),
+         |par AS (SELECT lang, tot,
+         |  CASE lang WHEN 'en' THEN 30000 WHEN 'fr' THEN 800 ELSE NULL END AS b FROM tot),
+         |n AS (SELECT c.doc_id, c.lang, c.bpe_tokens,
+         |  CASE WHEN p.b IS NULL THEN 1
+         |       WHEN p.tot = 0 THEN 0
+         |       ELSE (p.b // p.tot) + CASE WHEN ('0x' || substr(md5('rep:' || c.doc_id), 1, 8))::BIGINT < ((p.b % p.tot) * 4294967296 // p.tot) THEN 1 ELSE 0 END
+         |  END AS copies
+         |  FROM cnt c LEFT JOIN par p USING (lang)),
+         |mx AS (SELECT doc_id, lang, bpe_tokens, t.c::BIGINT AS copy FROM n, unnest(range(0, copies)) AS t(c)),
+         |sh AS (SELECT doc_id, lang, bpe_tokens, copy,
+         |  ('0x' || substr(md5('epoch1:' || doc_id || ':' || copy), 1, 8))::BIGINT AS u FROM mx)
+         |SELECT doc_id, copy, lang, bpe_tokens,
+         |       (u * 8 // 4294967296)::INT AS shard,
+         |       (row_number() OVER (PARTITION BY (u * 8 // 4294967296)
+         |                           ORDER BY u, doc_id::VARCHAR || ':' || copy::VARCHAR) - 1)::BIGINT AS pos
+         |FROM sh ORDER BY doc_id, copy""".stripMargin,
 
     // the x8 merge chain for counts, then floor(budget/total) full
     // copies + one md5-decided fractional copy per doc

@@ -238,6 +238,72 @@ class TextMultimodalSpec extends SparkSpec {
     assert(moved.count() > n / 2, s"epoch 2 moved only ${moved.count()} of $n docs")
   }
 
+  test("p8 composite: every stage of the full recipe is active in composition") {
+    val s = spark
+    import s.implicits._
+    import graft.dedup.Dedup
+    // 15 shared tokens between docs 1 & 2 (stage-1 scrub), a 15-token
+    // leak shared between train doc 3 and eval doc 100 (stage-2
+    // decon), junk on doc 5 (stage-3 gate). Unique filler keeps the
+    // rest un-marked.
+    val dupSpan = (1 to 15).map(i => s"dup$i").mkString(" ")
+    val leak = (1 to 15).map(i => s"leak$i").mkString(" ")
+    def filler(d: Int) = (1 to 20).map(i => s"w${d}x$i").mkString(" ")
+    val train = Seq(
+      (1L, s"${filler(1)} $dupSpan", "en"),
+      (2L, s"${filler(2)} $dupSpan", "en"),
+      (3L, s"${filler(3)} $leak", "en"),
+      (4L, s"${filler(4)}", "en"),
+      (5L, s"${filler(5)} zzspam0 zzspam1 zzspam2 zzspam3", "fr"),
+      (6L, s"${filler(6)}", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val evalS = Seq((100L, s"${filler(100)} $leak")).toDF("doc_id", "text")
+    val spans1 = Dedup.substringSpans(train, "text", "doc_id", 15)
+    assert(spans1.filter(col("id").isin(1L, 2L)).count() == 2, "stage 1 found no dup spans")
+    val scrub1 = Dedup.scrubSpans(train, spans1, "text", "doc_id")
+      .select(col("id").as("doc_id"), col("scrubbed").as("text"))
+    assert(!scrub1.filter($"doc_id" === 1L).head().getString(1).contains("dup1"),
+      "stage 1 left the duplicated span in place")
+    val spans2 = Dedup.decontaminateSpans(scrub1, evalS, "text", "doc_id", 15)
+    assert(spans2.select("id").as[Long].collect().toSet == Set(3L),
+      "stage 2 must mark exactly the leaked doc")
+    val scrub2 = Dedup.scrubSpans(scrub1, spans2, "text", "doc_id")
+      .select(col("id").as("doc_id"), col("scrubbed").as("text"))
+    assert(!scrub2.filter($"doc_id" === 3L).head().getString(1).contains("leak1"),
+      "stage 2 left the leak in place")
+    // 4096 buckets: the ~100 filler tokens land collision-free with
+    // the 4 junk buckets (verified offline; at the default 256 a
+    // clean doc-4 token shared a bucket with zzspam and was flagged)
+    val model = TextAnalysis.trainQualityModel(
+      scrub2.withColumn("label", col("doc_id") =!= 5L), "text", "label",
+      buckets = 4096)
+    val kept = TextAnalysis.qualityScore(scrub2, "text", "doc_id", model)
+      .filter(col("pred")).select(col("id").as("doc_id"))
+    assert(kept.as[Long].collect().toSet == Set(1L, 2L, 3L, 4L, 6L),
+      "stage 3 must drop exactly the junk doc")
+    val counts = graft.text.Bpe.tokenCounts(scrub2.join(kept, "doc_id"),
+        "text", "doc_id", graft.text.Bpe.DefaultMerges)
+      .join(train.select("doc_id", "lang"), Seq("doc_id"))
+    // en budget = 3x its mass → exactly 3 copies of every en doc
+    // (budget % total = 0, no fractional copy); fr keeps 1 copy
+    val enMass = counts.filter($"lang" === "en")
+      .agg(sum("bpe_tokens")).head().getLong(0)
+    val mixed = TextAnalysis.tokenBudgetRepeat(counts, "doc_id", "lang",
+      "bpe_tokens", Map("en" -> 3 * enMass))
+    assert(mixed.filter($"lang" === "en").groupBy("doc_id").count()
+      .select("count").as[Long].collect().forall(_ == 3L), "stage 5 en docs must triple")
+    val keyed = mixed.withColumn("__k", concat_ws(":", col("doc_id"), col("copy")))
+    val out = TextAnalysis.epochShuffle(keyed, "__k", epoch = 1, nShards = 4)
+      .select("doc_id", "copy", "shard", "pos").collect()
+    assert(out.length == 13, s"12 en copies + 1 fr doc, got ${out.length}")
+    // (shard, pos) is a permutation: unique coordinates, contiguous per shard
+    val coords = out.map(r => (r.getInt(2), r.getLong(3)))
+    assert(coords.distinct.length == coords.length, "stage 6 coordinates collide")
+    coords.groupBy(_._1).foreach { case (sh, cs) =>
+      assert(cs.map(_._2).sorted.sameElements(0L until cs.length),
+        s"shard $sh positions not contiguous") }
+  }
+
   test("quality classifier: learns exactly the planted bad vocabulary, scores a held-out split") {
     val s = spark
     import s.implicits._
