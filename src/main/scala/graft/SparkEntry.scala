@@ -561,6 +561,26 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxDist = 10)
         .orderBy("a", "b")),
 
+    "d21_simhash_cert" -> ((s, dir) => {
+      // d4's ANY-SCALE certificate: the full-corpus simhash oracle is
+      // C(n,2)·64-bit quadratic and empirically disk-infeasible at sf1,
+      // so independent verification rides a DETERMINISTIC
+      // md5-thresholded doc sample sized ~400 REGARDLESS of corpus
+      // size (threshold = 400·2³² div n, integer-exact on both
+      // engines). The engine side still runs the real chunk-pair
+      // candidate machinery — so fingerprint computation, candidate
+      // losslessness, and the Hamming cut are all certified on a
+      // representative subset at a cost that never grows past
+      // O(target²) on the oracle side. The count() is one
+      // metadata-sized action that sizes the threshold.
+      val docs = t(s, dir, "documents")
+      val thr = math.min(4294967296L, 400L * 4294967296L / docs.count())
+      val samp = docs.filter(
+        TextAnalysis.sampleHash(col("doc_id"), "cert") < lit(thr))
+      Dedup.simhashPairs(samp, "text", "doc_id", maxDist = 10)
+        .orderBy("a", "b")
+    }),
+
     "d5_embedding_neardup" -> ((s, dir) => {
       // plant near-duplicates: a perturbed copy of every vector
       // (id+10000, first component +0.1 on unit-norm vectors → cosine
@@ -1825,6 +1845,38 @@ object SparkEntry {
         |  SELECT doc_id,
         |    unnest(list_filter(string_split(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' '), x->x<>'')) AS wd
         |  FROM documents),
+        |tok AS (SELECT doc_id, md5(wd) AS m FROM w),
+        |bits AS (
+        |  SELECT doc_id, j.j AS j,
+        |    CASE WHEN ((
+        |        (instr('0123456789abcdef', substr(m, 1+4*(j.j//16), 1))-1)*4096
+        |      + (instr('0123456789abcdef', substr(m, 2+4*(j.j//16), 1))-1)*256
+        |      + (instr('0123456789abcdef', substr(m, 3+4*(j.j//16), 1))-1)*16
+        |      + (instr('0123456789abcdef', substr(m, 4+4*(j.j//16), 1))-1)
+        |      ) >> (j.j % 16)) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+        |  FROM tok, unnest(range(0,64)) AS j(j)),
+        |s AS (SELECT doc_id, j, CASE WHEN sum(sgn) > 0 THEN 1 ELSE 0 END AS bit FROM bits GROUP BY 1,2),
+        |ham AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |         sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::INT AS hamming
+        |  FROM s x JOIN s y ON x.j = y.j AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, hamming FROM ham WHERE hamming <= 10 ORDER BY a, b""".stripMargin,
+
+    // the d4 chain restricted to the deterministic ~400-doc sample:
+    // tokenization/fingerprints run only for sampled docs, the pair
+    // join is C(400,2)·64 — feasible at ANY corpus size, which is the
+    // whole point (the full-corpus d4 oracle cannot run at sf1)
+    "d21_simhash_cert" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |samp AS (
+        |  SELECT doc_id, text FROM documents, nn
+        |  WHERE ('0x' || substr(md5('cert:' || doc_id), 1, 8))::BIGINT
+        |        < least(4294967296, 400 * 4294967296 // n)),
+        |w AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' '), x->x<>'')) AS wd
+        |  FROM samp),
         |tok AS (SELECT doc_id, md5(wd) AS m FROM w),
         |bits AS (
         |  SELECT doc_id, j.j AS j,

@@ -39,6 +39,29 @@ class DedupSpec extends SparkSpec {
     assert(planted.subsetOf(sim), s"simhash missed near-identical pairs: ${planted -- sim}")
   }
 
+  test("simhash certificate: deterministic sample commutes with the pair machinery") {
+    val s = spark
+    import s.implicits._
+    // d21's soundness rests on two facts: (1) the integer threshold
+    // saturates at n <= target, so small corpora certify WHOLE; (2)
+    // running the pair machinery on the sample equals the full pair
+    // set restricted to sampled ids (the certificate checks the same
+    // pairs the full run would report for those docs — sampling and
+    // pairing commute because fingerprints are per-doc).
+    assert(math.min(4294967296L, 400L * 4294967296L / 300L) == 4294967296L)
+    assert(math.min(4294967296L, 400L * 4294967296L / 1000L) == 1717986918L)
+    val thr = math.min(4294967296L, 400L * 4294967296L / docs.count())
+    val samp = docs.filter(graft.text.TextAnalysis.sampleHash(col("doc_id"), "cert") < lit(thr))
+    val ids = samp.select("doc_id").collect().map(_.getLong(0)).toSet
+    val sampled = Dedup.simhashPairs(samp, "text", "doc_id", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.simhashPairs(docs, "text", "doc_id", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => ids(p._1) && ids(p._2))
+    assert(sampled == full,
+      s"sample-run pairs diverge: missing=${full -- sampled} extra=${sampled -- full}")
+  }
+
   test("simhash chunk-pair candidates are lossless within the radius and far sparser than single-chunk buckets") {
     val s = spark
     import s.implicits._
