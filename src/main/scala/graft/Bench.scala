@@ -75,6 +75,24 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val timedLine =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // capture-independent artifact (the driver's record is a 2000-char
+    // stdout TAIL; per-query history must not live only in prose).
+    // FileWriter, not PrintWriter: PrintWriter swallows IOExceptions
+    // and a truncated artifact would masquerade as the run's record.
+    // A bad path must not crash a finished bench either — warn and go.
+    def writeArtifact(lines: Seq[String]): Unit =
+      sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+        try {
+          val w = new java.io.FileWriter(p)
+          try lines.foreach(l => w.write(l + "\n")) finally w.close()
+        } catch {
+          case e: java.io.IOException =>
+            System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+        }
+      }
+    // durable BEFORE the steady-state stage: if that stage deadlocks or
+    // the JVM dies, the 99-query timed section must already be on disk
+    writeArtifact(Seq(timedLine))
     // steady-state probe timings (indexes built untimed, probes
     // min-of-3) — the per-query deployment cost of the index-family
     // queries, whose Bench figures deliberately price the inline
@@ -104,12 +122,7 @@ object Bench {
     // parseable lines on stdout (build.sbt forwards forked stdout raw)
     steadyLine.foreach(println)
     println(timedLine)
-    // machine-readable artifact independent of the driver's stdout-tail
-    // capture — per-query history must not live only in PERF.md prose
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      val w = new java.io.PrintWriter(p)
-      try { steadyLine.foreach(w.println); w.println(timedLine) } finally w.close()
-    }
+    writeArtifact(steadyLine.toSeq :+ timedLine)
     spark.stop()
   }
 }

@@ -48,6 +48,10 @@ for name, sql in sorted(oracle.items()):
                 duck = con.sql(sql).df()
             finally:
                 timer.cancel()
+                # cancel() doesn't wait for an in-flight callback: join
+                # so `fired` and the interrupt are settled before we
+                # decide whether a drain is needed
+                timer.join()
             if fired.is_set():
                 # timer fired but the query had already returned: the
                 # interrupt is pending on the connection and would abort
