@@ -561,6 +561,41 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxDist = 10)
         .orderBy("a", "b")),
 
+    "d23_stream_simhash" -> ((s, dir) => {
+      // streaming simhash dedup: docs [400, 600) arrive as two
+      // micro-batches over the standing fingerprint index (the rest of
+      // the corpus); each batch's within-radius pairs are judged
+      // AS-OF-ARRIVAL (corpus so far + own batch), then the batch
+      // absorbs so batch b pairs against batch a through the index
+      // alone — the fifth dedup family's streaming closure
+      val docs = t(s, dir, "documents")
+      val table = "simhash_idx_stream"
+      Dedup.buildSimhashIndex(docs.filter(col("doc_id") < 400 || col("doc_id") >= 600),
+        "text", "doc_id", maxDist = 10, table, buckets = 16)
+      val chunks = stageMicroBatches(docs, "doc_id",
+        Seq((400L, 500L, "a"), (500L, 600L, "b")), "sh")
+      val pairs = java.nio.file.Files.createTempDirectory("graft_sh_pairs_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_sh_ckpt_").toString
+      OnChange.streamingSimhashDedup(s, chunks, "text", "doc_id", 10, table, pairs, ckpt)
+      s.read.parquet(pairs).select("a", "b", "hamming").orderBy("a", "b")
+    }),
+
+    "d22_simhash_delta" -> ((s, dir) => {
+      // incremental simhash near-dup — d4's operational loop, closing
+      // the FIFTH dedup family's build/delta/absorb/compact discipline:
+      // the standing corpus (doc_id < 400) is fingerprinted + key-
+      // exploded once into a bucketed index; the new batch finds every
+      // within-radius pair touching it (batch-internal + batch×corpus)
+      // without the corpus re-fingerprinting or reshuffling
+      val docs = t(s, dir, "documents")
+      val table = "simhash_idx_delta"
+      Dedup.buildSimhashIndex(docs.filter(col("doc_id") < 400), "text", "doc_id",
+        maxDist = 10, table, buckets = 16)
+      Dedup.simhashPairsDelta(s, docs.filter(col("doc_id") >= 400), "text", "doc_id",
+          maxDist = 10, table)
+        .orderBy("a", "b")
+    }),
+
     "d21_simhash_cert" -> ((s, dir) => {
       // d4's ANY-SCALE certificate: the full-corpus simhash oracle is
       // C(n,2)·64-bit quadratic and empirically disk-infeasible at sf1,
@@ -1862,6 +1897,62 @@ object SparkEntry {
         |  FROM s x JOIN s y ON x.j = y.j AND x.doc_id < y.doc_id
         |  GROUP BY 1, 2)
         |SELECT a, b, hamming FROM ham WHERE hamming <= 10 ORDER BY a, b""".stripMargin,
+
+    // as-of-arrival ground truth: each within-radius pair touching the
+    // stream region surfaces exactly once (in the later doc's batch),
+    // so the union of per-batch outputs = all pairs with an endpoint
+    // in [400, 600) — the d10 oracle shape for the fingerprint family
+    "d23_stream_simhash" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' '), x->x<>'')) AS wd
+        |  FROM documents),
+        |tok AS (SELECT doc_id, md5(wd) AS m FROM w),
+        |bits AS (
+        |  SELECT doc_id, j.j AS j,
+        |    CASE WHEN ((
+        |        (instr('0123456789abcdef', substr(m, 1+4*(j.j//16), 1))-1)*4096
+        |      + (instr('0123456789abcdef', substr(m, 2+4*(j.j//16), 1))-1)*256
+        |      + (instr('0123456789abcdef', substr(m, 3+4*(j.j//16), 1))-1)*16
+        |      + (instr('0123456789abcdef', substr(m, 4+4*(j.j//16), 1))-1)
+        |      ) >> (j.j % 16)) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+        |  FROM tok, unnest(range(0,64)) AS j(j)),
+        |s AS (SELECT doc_id, j, CASE WHEN sum(sgn) > 0 THEN 1 ELSE 0 END AS bit FROM bits GROUP BY 1,2),
+        |ham AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |         sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::INT AS hamming
+        |  FROM s x JOIN s y ON x.j = y.j AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, hamming FROM ham
+        |WHERE hamming <= 10 AND ((a >= 400 AND a < 600) OR (b >= 400 AND b < 600))
+        |ORDER BY a, b""".stripMargin,
+
+    // full-recompute ground truth restricted to pairs touching the
+    // batch (the d8/d18 oracle identity): identical values prove the
+    // incremental simhash path loses nothing
+    "d22_simhash_delta" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' '), x->x<>'')) AS wd
+        |  FROM documents),
+        |tok AS (SELECT doc_id, md5(wd) AS m FROM w),
+        |bits AS (
+        |  SELECT doc_id, j.j AS j,
+        |    CASE WHEN ((
+        |        (instr('0123456789abcdef', substr(m, 1+4*(j.j//16), 1))-1)*4096
+        |      + (instr('0123456789abcdef', substr(m, 2+4*(j.j//16), 1))-1)*256
+        |      + (instr('0123456789abcdef', substr(m, 3+4*(j.j//16), 1))-1)*16
+        |      + (instr('0123456789abcdef', substr(m, 4+4*(j.j//16), 1))-1)
+        |      ) >> (j.j % 16)) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+        |  FROM tok, unnest(range(0,64)) AS j(j)),
+        |s AS (SELECT doc_id, j, CASE WHEN sum(sgn) > 0 THEN 1 ELSE 0 END AS bit FROM bits GROUP BY 1,2),
+        |ham AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |         sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::INT AS hamming
+        |  FROM s x JOIN s y ON x.j = y.j AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, hamming FROM ham
+        |WHERE hamming <= 10 AND (a >= 400 OR b >= 400) ORDER BY a, b""".stripMargin,
 
     // the d4 chain restricted to the deterministic ~400-doc sample:
     // tokenization/fingerprints run only for sampled docs, the pair

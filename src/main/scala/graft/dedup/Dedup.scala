@@ -539,18 +539,19 @@ object Dedup {
     * for candidate-volume assertions): (a, b, hamming) rows, one per
     * agreeing chunk-pair bucket. Input is a `simhash` output
     * (id, simhash). */
-  private[graft] def simhashCandidates(fps: DataFrame, maxDist: Int): DataFrame = {
+  /** The C(k,2) chunk-pair bucket keys of a fingerprint column — ONE
+    * definition shared by the one-shot candidate generator, the index
+    * build, and the delta probe, so the key derivation cannot drift
+    * between them (the `positionalGrams` discipline). */
+  private def chunkPairKeys(fp: Column, maxDist: Int): Column = {
     val k = maxDist + 2
     require(k <= 16, "chunks narrower than 4 bits bucket everything together")
     def chunk(c: Int): Column = {
       val start = c * 64 / k
       val len = (c + 1) * 64 / k - start
       val mask = if (len == 64) -1L else (1L << len) - 1L
-      shiftrightunsigned(col("simhash"), start).bitwiseAND(lit(mask))
+      shiftrightunsigned(fp, start).bitwiseAND(lit(mask))
     }
-    // one row per doc; both self-join sides are the SAME subplan, so
-    // ReuseExchange computes the 64-lane aggregate once — measured: an
-    // explicit checkpoint here is cost-neutral and only adds block churn
     // one fused 64-bit bucket key per (table, chunk i, chunk j) — a
     // single long join key instead of three columns through the
     // Exchange. A hash collision between distinct keys only ADDS a
@@ -559,11 +560,109 @@ object Dedup {
     // is untouched
     val pairCols = for { i <- 0 until k; j <- (i + 1) until k } yield
       xxhash64(lit(i * k + j), chunk(i), chunk(j))
-    val chunks = fps.select(col("id"), col("simhash"), explode(array(pairCols: _*)).as("bk"))
+    array(pairCols: _*)
+  }
+
+  private[graft] def simhashCandidates(fps: DataFrame, maxDist: Int): DataFrame = {
+    // one row per doc; both self-join sides are the SAME subplan, so
+    // ReuseExchange computes the 64-lane aggregate once — measured: an
+    // explicit checkpoint here is cost-neutral and only adds block churn
+    val chunks = fps.select(col("id"), col("simhash"),
+      explode(chunkPairKeys(col("simhash"), maxDist)).as("bk"))
     chunks.as("x").join(chunks.as("y"),
         col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+  }
+
+  /** Standing SimHash index — the fifth dedup family gets the same
+    * build/delta/absorb/compact discipline as the shingle, gram,
+    * vector, and k-means-cell indexes: fingerprints exploded over
+    * their C(k,2) chunk-pair bucket keys, bucketed+sorted by `bk`, so
+    * a batch probe is a bucket-riding equi-join that reads only the
+    * postings of the batch's own keys — the standing corpus NEVER
+    * re-fingerprints or reshuffles. The `_fps` companion (one row per
+    * doc) serves supersede probes and absorb bookkeeping. The caller
+    * passes the SAME maxDist at build and probe time (the shingle
+    * index's `n` contract). */
+  def buildSimhashIndex(docs: DataFrame, textCol: String, idCol: String,
+                        maxDist: Int, table: String, buckets: Int = 32): String = {
+    val spark = docs.sparkSession
+    // _batches too: a rebuild must reset the streaming loop's replay
+    // markers or the next stream run trips over the stale location
+    Seq(table, s"${table}_fps", s"${table}_batches")
+      .foreach(graft.core.Tables.drop(spark, _))
+    // fingerprint ONCE; the key explosion and the companion both read it
+    val fps = graft.core.Checkpoints.truncate(simhash(docs, textCol, idCol))
+    fps.select(col("id"), col("simhash"),
+        explode(chunkPairKeys(col("simhash"), maxDist)).as("bk"))
+      .write.mode("overwrite").bucketBy(buckets, "bk").sortBy("bk").saveAsTable(table)
+    fps.write.mode("overwrite").saveAsTable(s"${table}_fps")
+    table
+  }
+
+  /** INCREMENTAL simhash near-dup pairs: all (a, b, hamming ≤ maxDist)
+    * pairs touching the BATCH — batch-internal plus batch×corpus via
+    * the standing index — identical to what a full `simhashPairs` over
+    * (corpus ∪ batch) reports for pairs with a batch endpoint (the d8 /
+    * d18 oracle identity). The corpus leg rides the index buckets on
+    * `bk`; a batch id already present in the index supersedes its
+    * standing rows. */
+  def simhashPairsDelta(spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
+                        textCol: String, idCol: String, maxDist: Int,
+                        indexTable: String): DataFrame = {
+    // fingerprint the batch ONCE: the self-join's two sides and the
+    // index probe all read the materialized (id, simhash) batch
+    val bfps = graft.core.Checkpoints.truncate(simhash(newDocs, textCol, idCol))
+    val batchIds = newDocs.select(col(idCol).as("id")).distinct()
+    val bkeys = bfps.select(col("id"), col("simhash"),
+      explode(chunkPairKeys(col("simhash"), maxDist)).as("bk"))
+    val newPairs = bkeys.as("x").join(bkeys.as("y"),
+        col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+    // supersede: anti-join is broadcast (batch-id-sized) and runs on
+    // the index's bucketed layout, which survives into the bk join
+    val corpusKeys = spark.table(indexTable)
+      .join(broadcast(batchIds), Seq("id"), "left_anti")
+    val crossPairs = bkeys.as("x").join(corpusKeys.as("y"),
+        col("x.bk") === col("y.bk") && col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("a"),
+        greatest(col("x.id"), col("y.id")).as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+    // Hamming cut BEFORE distinct — the dedup Exchange carries only
+    // surviving pairs (the simhashPairs discipline)
+    newPairs.unionByName(crossPairs)
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
+  /** Absorb a NEW-ID batch into the standing simhash index (append its
+    * exploded keys under the index's bucket spec + its fingerprints
+    * into `_fps`); to RE-ingest an id, `compactSimhashIndex` its old
+    * version out first — the compact-then-append log discipline shared
+    * by all five families. */
+  def absorbIntoSimhashIndex(spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+                             textCol: String, idCol: String, maxDist: Int,
+                             table: String): Unit = {
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(32)
+    val fps = graft.core.Checkpoints.truncate(simhash(batch, textCol, idCol))
+    fps.select(col("id"), col("simhash"),
+        explode(chunkPairKeys(col("simhash"), maxDist)).as("bk"))
+      .write.mode("append").bucketBy(buckets, "bk").sortBy("bk").saveAsTable(table)
+    fps.write.mode("append").saveAsTable(s"${table}_fps")
+    spark.catalog.refreshTable(table)
+    spark.catalog.refreshTable(s"${table}_fps")
+  }
+
+  /** Remove the given ids' rows from the standing simhash index and its
+    * fingerprint companion — the supersede step of a re-ingest. */
+  def compactSimhashIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                          ids: DataFrame): Unit = {
+    graft.core.Tables.compactByKey(spark, table, ids, "id")
+    graft.core.Tables.compactByKey(spark, s"${table}_fps", ids, "id")
   }
 
   /** EXACT SUBSTRING dedup — the Lee et al. 2021 family ("Deduplicating

@@ -429,6 +429,56 @@ object OnChange {
     spark.catalog.refreshTable(indexTable)
   }
 
+  /** STREAMING incremental SIMHASH dedup — the operational loop for
+    * the fingerprint family (d4/d22), giving ALL FIVE dedup index
+    * families streaming closure: each micro-batch fingerprints itself
+    * once, finds every within-radius pair touching it against the
+    * standing chunk-pair index + itself (`Dedup.simhashPairsDelta`:
+    * the corpus leg rides the index buckets; the corpus never
+    * re-fingerprints), appends its pairs per-batch, and absorbs so
+    * later batches pair against it through the index alone. Same
+    * replay contract as the other four loops: per-batch overwrite + a
+    * `<indexTable>_batches` marker guarding the absorb; re-emitted ids
+    * are compacted out before absorbing (supersede, never double —
+    * the `_fps` companion, one row per doc, serves the overlap probe).
+    * Pair semantics are AS-OF-ARRIVAL: a cross-batch pair surfaces
+    * exactly once, in the later doc's batch. */
+  def streamingSimhashDedup(spark: SparkSession, docsDir: String, textCol: String,
+                            idCol: String, maxDist: Int, indexTable: String,
+                            pairsPath: String, checkpointDir: String): Unit = {
+    val schema = spark.read.parquet(docsDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bs = batch.sparkSession
+        import bs.implicits._
+        val markers = s"${indexTable}_batches"
+        if (!bs.catalog.tableExists(markers) ||
+            bs.table(markers).filter(col("batch_id") === batchId).isEmpty) {
+          graft.dedup.Dedup
+            .simhashPairsDelta(bs, batch, textCol, idCol, maxDist, indexTable)
+            .write.mode("overwrite").parquet(s"$pairsPath/batch_id=$batchId")
+          val batchIds = batch.select(col(idCol).as("id")).distinct()
+          val overlap = bs.table(s"${indexTable}_fps")
+            .join(broadcast(batchIds), Seq("id"), "leftsemi")
+            .select("id")
+          if (!overlap.isEmpty)
+            graft.dedup.Dedup.compactSimhashIndex(bs, indexTable, overlap)
+          graft.dedup.Dedup.absorbIntoSimhashIndex(
+            bs, batch, textCol, idCol, maxDist, indexTable)
+          Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(markers)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.catalog.refreshTable(indexTable)
+  }
+
   /** One event version of one entity (user) in the change stream. */
   final case class EventVersion(user_id: Long, event_id: Long, event_type: String, value: Double)
 

@@ -507,6 +507,64 @@ class DedupSpec extends SparkSpec {
     assert(scrubbed(1).getLong(2) == scrubbed(1).getLong(1), "untouched doc must keep all tokens")
   }
 
+  test("simhash delta: batch pairs vs standing index = full recompute; absorb chains; supersede; compact+absorb = rebuild") {
+    import spark.implicits._
+    // near-dups differ in one token of thirty — Hamming well inside 10;
+    // unrelated texts use disjoint vocabularies — far outside
+    def textA(v: String) = s"alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      s"kilo lima mike november oscar papa quebec romeo sierra tango $v " +
+      "uniform victor whiskey xray yankee zulu one two three"
+    def textB(v: String) = s"apple banana cherry date elder fig grape honey iris jasmine " +
+      s"kiwi lemon mango nutmeg olive peach quince rose sage thyme $v " +
+      "umber violet walnut xenia yarrow zest red green blue"
+    val corpus = Seq(
+      (1L, textA("v1")),
+      (2L, "completely different standalone words nobody else shares " +
+        "entirely disjoint vocabulary tokens forever unmatched")
+    ).toDF("doc_id", "text")
+    val table = "simhash_idx_spec"
+    Dedup.buildSimhashIndex(corpus, "text", "doc_id", 10, table, buckets = 4)
+
+    // doc 10 ≈ corpus doc 1 (cross), docs 11/12 ≈ each other
+    // (batch-internal), doc 13 unrelated to everything
+    val batch1 = Seq(
+      (10L, textA("v2")), (11L, textB("w1")), (12L, textB("w2")),
+      (13L, "orthogonal nonsense phrases carrying zero shared signal " +
+        "whatsoever qqq www eee rrr ttt yyy uuu")
+    ).toDF("doc_id", "text")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d1 = pairsOf(Dedup.simhashPairsDelta(spark, batch1, "text", "doc_id", 10, table))
+    assert(d1.contains((1L, 10L)) && d1.contains((11L, 12L)), s"got $d1")
+    // identity: full recompute over corpus ∪ batch, pairs touching batch
+    val full = pairsOf(Dedup.simhashPairs(corpus.unionByName(batch1), "text", "doc_id", 10)
+      .filter(col("a") >= 10L || col("b") >= 10L))
+    assert(d1 == full, s"delta $d1 != recompute $full")
+
+    // absorb; batch 2 pairs against batch 1 through the index alone
+    Dedup.absorbIntoSimhashIndex(spark, batch1, "text", "doc_id", 10, table)
+    val d2 = pairsOf(Dedup.simhashPairsDelta(spark,
+      Seq((20L, textB("w3"))).toDF("doc_id", "text"), "text", "doc_id", 10, table))
+    assert(d2 == Set((11L, 20L), (12L, 20L)), s"got $d2")
+
+    // supersede: doc 2 re-emits as a near-dup of textA — its OLD
+    // standing rows leave the probe, the new version pairs with 1 & 10
+    val reemit = Seq((2L, textA("v3"))).toDF("doc_id", "text")
+    val d3 = pairsOf(Dedup.simhashPairsDelta(spark, reemit, "text", "doc_id", 10, table))
+    assert(d3 == Set((1L, 2L), (2L, 10L)), s"got $d3")
+    // compact-then-absorb ≡ rebuild with the new version
+    Dedup.compactSimhashIndex(spark, table, Seq(2L).toDF("id"))
+    Dedup.absorbIntoSimhashIndex(spark, reemit, "text", "doc_id", 10, table)
+    val rebuilt = "simhash_idx_spec_rebuild"
+    Dedup.buildSimhashIndex(
+      corpus.filter(col("doc_id") =!= 2L).unionByName(batch1).unionByName(reemit),
+      "text", "doc_id", 10, rebuilt, buckets = 4)
+    val probe = Seq((30L, textA("v4"))).toDF("doc_id", "text")
+    def vs(t: String) =
+      pairsOf(Dedup.simhashPairsDelta(spark, probe, "text", "doc_id", 10, t))
+    assert(vs(table) == vs(rebuilt), s"absorbed ${vs(table)} != rebuilt ${vs(rebuilt)}")
+  }
+
   test("substring delta: batch spans vs standing index = full recompute; absorb chains batches; supersede drops re-emitted rows") {
     import spark.implicits._
     val S = "aa bb cc dd ee ff"   // 6 tokens, k=4 → one maximal span

@@ -219,6 +219,75 @@ class StreamingSpec extends SparkSpec {
     assert(roster(table) == roster(rebuilt), s"${roster(table)} vs ${roster(rebuilt)}")
   }
 
+  test("streaming simhash dedup: as-of-arrival pairs, absorb chains, supersede on re-emit, replay idempotent") {
+    val s = spark
+    import s.implicits._
+    // near-dups differ in one token of thirty (Hamming well inside 10);
+    // the two vocabularies are disjoint so A-texts never pair with B-texts
+    def textA(v: String) = s"alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      s"kilo lima mike november oscar papa quebec romeo sierra tango $v " +
+      "uniform victor whiskey xray yankee zulu one two three"
+    def textB(v: String) = s"apple banana cherry date elder fig grape honey iris jasmine " +
+      s"kiwi lemon mango nutmeg olive peach quince rose sage thyme $v " +
+      "umber violet walnut xenia yarrow zest red green blue"
+    val corpus = Seq(
+      (1L, textA("v1")),
+      (2L, "plain standing words nothing shared here at all qq ww ee")
+    ).toDF("doc_id", "text")
+    // batch 0: doc 10 ≈ corpus doc 1 (cross vs standing); doc 11 opens
+    // the B family. batch 1: doc 20 ≈ doc 11 — detectable only because
+    // batch 0 absorbed; doc 11 does NOT retro-surface (as-of-arrival).
+    // batch 2 RE-EMITS doc 11 far from everything: supersede means its
+    // OLD B-version leaves the index, so doc 11 pairs with nothing and
+    // a later B-probe must not see two versions of it
+    val b1 = Seq((10L, textA("v2")), (11L, textB("w1"))).toDF("doc_id", "text")
+    val b2 = Seq((20L, textB("w2"))).toDF("doc_id", "text")
+    val b3 = Seq((11L, "totally orthogonal replacement phrases zz yy xx vv tt rr"))
+      .toDF("doc_id", "text")
+    val table = "simhash_idx_streamspec"
+    graft.dedup.Dedup.buildSimhashIndex(corpus, "text", "doc_id", 10, table, buckets = 4)
+    val chunks = java.nio.file.Files.createTempDirectory("graft_ssh_chunks_").toString
+    def chunk(df: org.apache.spark.sql.DataFrame, name: String, order: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ssh_tmp_").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(chunks, name)
+      java.nio.file.Files.copy(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + order * 10000L))
+    }
+    chunk(b1, "a.parquet", 0)
+    chunk(b2, "b.parquet", 1)
+    chunk(b3, "c.parquet", 2)
+    val pairs = java.nio.file.Files.createTempDirectory("graft_ssh_pairs_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssh_ckpt_").toString
+    OnChange.streamingSimhashDedup(s, chunks, "text", "doc_id", 10, table, pairs, ckpt)
+    def readPairs() = s.read.parquet(pairs)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Number]("batch_id").longValue())).toSet
+    // (1,10) in batch 0; (11,20) in batch 1 through the absorbed index;
+    // re-emitted doc 11 pairs with nothing in batch 2
+    val expect = Set((1L, 10L, 0L), (11L, 20L, 1L))
+    assert(readPairs() == expect, readPairs().toString)
+    // replay with a fresh checkpoint: markers skip all batches — same
+    // output, nothing double-absorbs
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_ssh_ckpt2_").toString
+    OnChange.streamingSimhashDedup(s, chunks, "text", "doc_id", 10, table, pairs, ckpt2)
+    assert(readPairs() == expect, readPairs().toString)
+    // the absorbed index (doc 11 superseded) equals a from-scratch
+    // rebuild over the FINAL corpus state — fingerprint companion too
+    val rebuilt = "simhash_idx_streamspec_rebuilt"
+    graft.dedup.Dedup.buildSimhashIndex(
+      corpus.unionByName(b1.filter(col("doc_id") =!= 11L)).unionByName(b2).unionByName(b3),
+      "text", "doc_id", 10, rebuilt, buckets = 4)
+    def rows(t: String) = s.table(t)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("simhash"), r.getAs[Long]("bk"))).toSet
+    assert(rows(table) == rows(rebuilt))
+    def fps(t: String) = s.table(s"${t}_fps")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("simhash"))).toSet
+    assert(fps(table) == fps(rebuilt), s"${fps(table)} vs ${fps(rebuilt)}")
+  }
+
   test("streaming dedup: batches absorb into the index; cross-batch pairs surface exactly once") {
     val s = spark
     import s.implicits._
