@@ -1127,6 +1127,20 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "m4_multimodal_ann_indexed" -> ((s, dir) => {
+      // m3's media-similarity loop in the DEPLOYMENT shape: the embed
+      // stub feeds a standing IVF inverted file (trained centroids,
+      // cell-bucketed layout) and probes ride the bucketed cells — no
+      // exact all-pairs join anywhere, the multimodal corpus scales
+      // like the s5/s9 vector indexes. Pure composition: zero new
+      // machinery, buildIvfIndex + ivfTopKIndexed over embed()
+      val emb = Multimodal.embed(Multimodal.mediaFromDocs(t(s, dir, "documents"))).toDF()
+      val table = "ivf_idx_m4"
+      Ann.buildIvfIndex(emb, "embedding", "doc_id", table)
+      Ann.ivfTopKIndexed(s, table, queryFilter = col("id") < 5, k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
     // ===== jobs (cont.) =================================================
     "j4_txn_multi_write" -> ((s, dir) => {
       val reg = new DatasetRegistry
@@ -2346,6 +2360,12 @@ object SparkEntry {
         |  FROM sc)
         |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rnk
         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    // m3's embed-stub derivation swapped in as the vector source of the
+    // FULL trained-IVF oracle chain (seed, Lloyd rounds, routing, nprobe
+    // probing) — one parameter, the rest is s3/s5's proven construction
+    "m4_multimodal_ann_indexed" -> Ann.ivfKmeansOracleSql(k = 3, queryPred = "id < 5",
+      source = "SELECT doc_id AS id, [ coalesce(list_sum(bytes[16*d+1 : least(16*d+16, len(bytes))]), 0)::DOUBLE for d in range(0, 16) ] AS v FROM (SELECT doc_id, list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))::BIGINT) AS bytes FROM documents)"),
 
     "j4_txn_multi_write" ->
       """SELECT * FROM (

@@ -252,10 +252,11 @@ object Ann {
     * doubles sequentially on both engines. */
   def ivfKmeansOracleSql(k: Int, nlist: Int = 16, nprobe: Int = 4, rounds: Int = 2,
                          queryPred: String = "id < 10",
-                         neighborPred: String = "TRUE"): String = {
+                         neighborPred: String = "TRUE",
+                         source: String = DefaultVectorSourceSql): String = {
     val nfilter = if (neighborPred == "TRUE") ""
       else s"\n  WHERE a.id IN (SELECT vec_id FROM embeddings WHERE $neighborPred)"
-    s"""WITH ${kmeansAssignCtes(nlist, rounds)},
+    s"""WITH ${kmeansAssignCtes(nlist, rounds, source)},
        |probes AS (SELECT id AS query_id, v AS qv, nrm AS qnorm, cid
        |           FROM rankedF WHERE $queryPred AND crn <= $nprobe),
        |sc AS (
@@ -275,7 +276,15 @@ object Ann {
     * per-row argmax — ending in `cdnF` (final centroids), `rankedF`
     * (all (id, cid) similarities ranked) and `assign` (each id's
     * nearest cell). */
-  private[ann] def kmeansAssignCtes(nlist: Int, rounds: Int): String = {
+  /** The default vector source for the oracle chains: the embeddings
+    * table itself. m4 swaps in the document embed-stub derivation —
+    * SINGLE-LINE by contract (an interpolated multi-line fragment would
+    * interact with the surrounding `stripMargin`). */
+  private[graft] val DefaultVectorSourceSql =
+    "SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings"
+
+  private[ann] def kmeansAssignCtes(nlist: Int, rounds: Int,
+                                    source: String = DefaultVectorSourceSql): String = {
     val roundCtes = (1 to rounds).map { r =>
       val prev = s"c${r - 1}"
       s"""cdn$r AS (SELECT cid, cfd, sqrt(list_inner_product(cfd, cfd)) AS cfn
@@ -295,7 +304,7 @@ object Ann {
          |c$r AS (SELECT p.cid, coalesce(nw.f, p.f) AS f FROM $prev p LEFT JOIN nw$r nw USING (cid))"""
         .stripMargin
     }.mkString(",\n")
-    s"""e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS ($source),
        |n AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
        |fx AS (SELECT id, [floor(x * ${FixedScale})::BIGINT FOR x IN v] AS f FROM e),
        |pn AS (SELECT n.id, n.v, n.nrm, fx.f FROM n JOIN fx USING (id)),

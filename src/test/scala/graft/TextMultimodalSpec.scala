@@ -98,6 +98,22 @@ class TextMultimodalSpec extends SparkSpec {
     assert(topk.count() == 6)
   }
 
+  test("m4: indexed multimodal ANN equals the direct trained-IVF route") {
+    // pure composition means exact agreement: the standing inverted file
+    // (buildIvfIndex + ivfTopKIndexed) routes every probe identically to
+    // the one-shot ivfTopK over the same embed output — same trained
+    // centroids, same cells, same cosines
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(60)
+    val embDf = Multimodal.embed(Multimodal.mediaFromDocs(docs)).toDF()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("sim"), r.getAs[Int]("rnk"))).toSet
+    val direct = rows(graft.ann.Ann.ivfTopK(embDf, "embedding", "doc_id", col("id") < 3, k = 2))
+    graft.ann.Ann.buildIvfIndex(embDf, "embedding", "doc_id", "ivf_idx_m4spec")
+    val indexed = rows(graft.ann.Ann.ivfTopKIndexed(spark, "ivf_idx_m4spec", col("id") < 3, k = 2))
+    assert(direct.nonEmpty && direct == indexed, s"direct $direct != indexed $indexed")
+  }
+
   test("text ops are map-only: no shuffle in the plan") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = planOf(TextAnalysis.qualityScore(docs, "text", "doc_id"))
