@@ -33,6 +33,8 @@ object SteadyState {
       "text", "doc_id", 3, "ss_shingle", buckets = 16)
     graft.dedup.Dedup.buildGramIndex(docs.filter(col("doc_id") < cut),
       "text", "doc_id", 15, "ss_gram", buckets = 16)
+    graft.dedup.Dedup.buildSimhashIndex(docs.filter(col("doc_id") < cut),
+      "text", "doc_id", 10, "ss_simhash", buckets = 16)
     val vbatch = graft.ann.SemDedup.perturbedBatch(emb, "embedding", "vec_id")
 
     Seq(
@@ -58,7 +60,10 @@ object SteadyState {
           docs.filter(col("doc_id") >= cut), "text", "doc_id", 3, 0.8, "ss_shingle").count()),
       "d18_substring_delta" ->
         (() => graft.dedup.Dedup.substringSpansDelta(spark,
-          docs.filter(col("doc_id") >= cut), "text", "doc_id", 15, "ss_gram").count())
+          docs.filter(col("doc_id") >= cut), "text", "doc_id", 15, "ss_gram").count()),
+      "d22_simhash_delta" ->
+        (() => graft.dedup.Dedup.simhashPairsDelta(spark,
+          docs.filter(col("doc_id") >= cut), "text", "doc_id", 10, "ss_simhash").count())
     )
   }
 

@@ -7,6 +7,56 @@ columns by name and comparing values. Usage:
     python3 tools/selfcheck.py <sfdir> <verify-outdir>
 """
 import sys, json, glob, os
+
+
+def bench_gate(new_path, base_path, factor=1.5):
+    """Steady-state regression gate: compare per-probe steady_state
+    timings in a fresh bench artifact against a baseline artifact
+    (both written by Bench via SPARK_GRAFT_BENCH_OUT) and fail loudly
+    on >factor regressions. Only the steady_state line is gated — the
+    timed-line totals jitter with machine load (PERF.md), but the
+    steady-state probes are min-of-3 over standing indexes and are the
+    stable deployment-cost signal. A probe that newly reports the -1
+    failure sentinel is a hard FAIL; a probe missing from the baseline
+    (new query) is informational."""
+    def steady(path):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                if rec.get("metric") == "steady_state":
+                    return rec["queries"]
+        return None
+    new, base = steady(new_path), steady(base_path)
+    if new is None:
+        print(f"FAIL: no steady_state line in {new_path}"); return 1
+    if base is None:
+        print(f"FAIL: no steady_state line in {base_path}"); return 1
+    fail = 0
+    for name in sorted(set(new) | set(base)):
+        nv, bv = new.get(name), base.get(name)
+        if nv is None:
+            print(f"WARN {name}: probe dropped (was {bv}s)"); continue
+        if bv is None:
+            print(f"INFO {name}: new probe, {nv}s (no baseline)"); continue
+        if nv < 0:
+            print(f"FAIL {name}: probe now FAILING (baseline {bv}s)"); fail += 1; continue
+        if bv < 0:
+            print(f"INFO {name}: probe recovered, {nv}s (baseline failed)"); continue
+        if nv > bv * factor:
+            print(f"FAIL {name}: {nv}s vs baseline {bv}s (> {factor}x)"); fail += 1
+        else:
+            print(f"PASS {name}: {nv}s vs baseline {bv}s")
+    print(f"\nsteady-state gate: {'FAIL' if fail else 'PASS'} ({len(set(new) & set(base))} probes compared)")
+    return 1 if fail else 0
+
+
+if len(sys.argv) > 1 and sys.argv[1] == "--bench":
+    sys.exit(bench_gate(sys.argv[2], sys.argv[3],
+                        float(os.environ.get("SELFCHECK_BENCH_FACTOR", "1.5"))))
+
 import duckdb
 import pandas as pd
 
