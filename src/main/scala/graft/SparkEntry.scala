@@ -1317,6 +1317,38 @@ object SparkEntry {
 
   /** The oracle map with every sf-dir-dependent entry interpolated for
     * `dir` (see `j6OracleSql`); identical to `oracleSql` elsewhere. */
+  /** The simhash fingerprint + Hamming oracle chain shared by
+    * d4/d21/d22/d23 — ONE definition of the md5 tokenization, the
+    * per-(doc, bit) sign sums, and the bit-index equi-join, so the
+    * four oracles cannot drift (the `chunkPairKeys` discipline on the
+    * SQL side). They differ only in the doc source (`docsFrom`, fed by
+    * optional single-line `prefixCtes` — single-line so stripMargin
+    * can't eat a `||` at a continuation-line start) and the pair
+    * scope (`pairPred`, ANDed after the Hamming cut). */
+  private def simhashOracleSql(pairPred: String = "", prefixCtes: String = "",
+                               docsFrom: String = "documents"): String =
+    s"""WITH ${prefixCtes}w AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' '), x->x<>'')) AS wd
+       |  FROM $docsFrom),
+       |tok AS (SELECT doc_id, md5(wd) AS m FROM w),
+       |bits AS (
+       |  SELECT doc_id, j.j AS j,
+       |    CASE WHEN ((
+       |        (instr('0123456789abcdef', substr(m, 1+4*(j.j//16), 1))-1)*4096
+       |      + (instr('0123456789abcdef', substr(m, 2+4*(j.j//16), 1))-1)*256
+       |      + (instr('0123456789abcdef', substr(m, 3+4*(j.j//16), 1))-1)*16
+       |      + (instr('0123456789abcdef', substr(m, 4+4*(j.j//16), 1))-1)
+       |      ) >> (j.j % 16)) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+       |  FROM tok, unnest(range(0,64)) AS j(j)),
+       |s AS (SELECT doc_id, j, CASE WHEN sum(sgn) > 0 THEN 1 ELSE 0 END AS bit FROM bits GROUP BY 1,2),
+       |ham AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b,
+       |         sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::INT AS hamming
+       |  FROM s x JOIN s y ON x.j = y.j AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a, b, hamming FROM ham WHERE hamming <= 10$pairPred ORDER BY a, b""".stripMargin
+
   def oracleSqlFor(dir: String): Map[String, String] =
     oracleSql + ("j6_stats" -> j6OracleSql(dir))
 
@@ -1889,116 +1921,27 @@ object SparkEntry {
     // md5(token), then Hamming distance as an equi-join on the bit index.
     // (The chunk buckets in the Spark plan are only a lossless candidate
     // generator — output semantics are "all pairs with Hamming <= 10".)
-    "d4_simhash" ->
-      """WITH w AS (
-        |  SELECT doc_id,
-        |    unnest(list_filter(string_split(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' '), x->x<>'')) AS wd
-        |  FROM documents),
-        |tok AS (SELECT doc_id, md5(wd) AS m FROM w),
-        |bits AS (
-        |  SELECT doc_id, j.j AS j,
-        |    CASE WHEN ((
-        |        (instr('0123456789abcdef', substr(m, 1+4*(j.j//16), 1))-1)*4096
-        |      + (instr('0123456789abcdef', substr(m, 2+4*(j.j//16), 1))-1)*256
-        |      + (instr('0123456789abcdef', substr(m, 3+4*(j.j//16), 1))-1)*16
-        |      + (instr('0123456789abcdef', substr(m, 4+4*(j.j//16), 1))-1)
-        |      ) >> (j.j % 16)) & 1 = 1 THEN 1 ELSE -1 END AS sgn
-        |  FROM tok, unnest(range(0,64)) AS j(j)),
-        |s AS (SELECT doc_id, j, CASE WHEN sum(sgn) > 0 THEN 1 ELSE 0 END AS bit FROM bits GROUP BY 1,2),
-        |ham AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b,
-        |         sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::INT AS hamming
-        |  FROM s x JOIN s y ON x.j = y.j AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT a, b, hamming FROM ham WHERE hamming <= 10 ORDER BY a, b""".stripMargin,
+    "d4_simhash" -> simhashOracleSql(),
 
     // as-of-arrival ground truth: each within-radius pair touching the
     // stream region surfaces exactly once (in the later doc's batch),
     // so the union of per-batch outputs = all pairs with an endpoint
     // in [400, 600) — the d10 oracle shape for the fingerprint family
     "d23_stream_simhash" ->
-      """WITH w AS (
-        |  SELECT doc_id,
-        |    unnest(list_filter(string_split(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' '), x->x<>'')) AS wd
-        |  FROM documents),
-        |tok AS (SELECT doc_id, md5(wd) AS m FROM w),
-        |bits AS (
-        |  SELECT doc_id, j.j AS j,
-        |    CASE WHEN ((
-        |        (instr('0123456789abcdef', substr(m, 1+4*(j.j//16), 1))-1)*4096
-        |      + (instr('0123456789abcdef', substr(m, 2+4*(j.j//16), 1))-1)*256
-        |      + (instr('0123456789abcdef', substr(m, 3+4*(j.j//16), 1))-1)*16
-        |      + (instr('0123456789abcdef', substr(m, 4+4*(j.j//16), 1))-1)
-        |      ) >> (j.j % 16)) & 1 = 1 THEN 1 ELSE -1 END AS sgn
-        |  FROM tok, unnest(range(0,64)) AS j(j)),
-        |s AS (SELECT doc_id, j, CASE WHEN sum(sgn) > 0 THEN 1 ELSE 0 END AS bit FROM bits GROUP BY 1,2),
-        |ham AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b,
-        |         sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::INT AS hamming
-        |  FROM s x JOIN s y ON x.j = y.j AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT a, b, hamming FROM ham
-        |WHERE hamming <= 10 AND ((a >= 400 AND a < 600) OR (b >= 400 AND b < 600))
-        |ORDER BY a, b""".stripMargin,
+      simhashOracleSql(pairPred = " AND ((a >= 400 AND a < 600) OR (b >= 400 AND b < 600))"),
 
     // full-recompute ground truth restricted to pairs touching the
     // batch (the d8/d18 oracle identity): identical values prove the
     // incremental simhash path loses nothing
-    "d22_simhash_delta" ->
-      """WITH w AS (
-        |  SELECT doc_id,
-        |    unnest(list_filter(string_split(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' '), x->x<>'')) AS wd
-        |  FROM documents),
-        |tok AS (SELECT doc_id, md5(wd) AS m FROM w),
-        |bits AS (
-        |  SELECT doc_id, j.j AS j,
-        |    CASE WHEN ((
-        |        (instr('0123456789abcdef', substr(m, 1+4*(j.j//16), 1))-1)*4096
-        |      + (instr('0123456789abcdef', substr(m, 2+4*(j.j//16), 1))-1)*256
-        |      + (instr('0123456789abcdef', substr(m, 3+4*(j.j//16), 1))-1)*16
-        |      + (instr('0123456789abcdef', substr(m, 4+4*(j.j//16), 1))-1)
-        |      ) >> (j.j % 16)) & 1 = 1 THEN 1 ELSE -1 END AS sgn
-        |  FROM tok, unnest(range(0,64)) AS j(j)),
-        |s AS (SELECT doc_id, j, CASE WHEN sum(sgn) > 0 THEN 1 ELSE 0 END AS bit FROM bits GROUP BY 1,2),
-        |ham AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b,
-        |         sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::INT AS hamming
-        |  FROM s x JOIN s y ON x.j = y.j AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT a, b, hamming FROM ham
-        |WHERE hamming <= 10 AND (a >= 400 OR b >= 400) ORDER BY a, b""".stripMargin,
+    "d22_simhash_delta" -> simhashOracleSql(pairPred = " AND (a >= 400 OR b >= 400)"),
 
     // the d4 chain restricted to the deterministic ~400-doc sample:
     // tokenization/fingerprints run only for sampled docs, the pair
     // join is C(400,2)·64 — feasible at ANY corpus size, which is the
     // whole point (the full-corpus d4 oracle cannot run at sf1)
-    "d21_simhash_cert" ->
-      """WITH nn AS (SELECT count(*) AS n FROM documents),
-        |samp AS (
-        |  SELECT doc_id, text FROM documents, nn
-        |  WHERE ('0x' || substr(md5('cert:' || doc_id), 1, 8))::BIGINT
-        |        < least(4294967296, 400 * 4294967296 // n)),
-        |w AS (
-        |  SELECT doc_id,
-        |    unnest(list_filter(string_split(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' '), x->x<>'')) AS wd
-        |  FROM samp),
-        |tok AS (SELECT doc_id, md5(wd) AS m FROM w),
-        |bits AS (
-        |  SELECT doc_id, j.j AS j,
-        |    CASE WHEN ((
-        |        (instr('0123456789abcdef', substr(m, 1+4*(j.j//16), 1))-1)*4096
-        |      + (instr('0123456789abcdef', substr(m, 2+4*(j.j//16), 1))-1)*256
-        |      + (instr('0123456789abcdef', substr(m, 3+4*(j.j//16), 1))-1)*16
-        |      + (instr('0123456789abcdef', substr(m, 4+4*(j.j//16), 1))-1)
-        |      ) >> (j.j % 16)) & 1 = 1 THEN 1 ELSE -1 END AS sgn
-        |  FROM tok, unnest(range(0,64)) AS j(j)),
-        |s AS (SELECT doc_id, j, CASE WHEN sum(sgn) > 0 THEN 1 ELSE 0 END AS bit FROM bits GROUP BY 1,2),
-        |ham AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b,
-        |         sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::INT AS hamming
-        |  FROM s x JOIN s y ON x.j = y.j AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT a, b, hamming FROM ham WHERE hamming <= 10 ORDER BY a, b""".stripMargin,
+    "d21_simhash_cert" -> simhashOracleSql(
+      prefixCtes = "nn AS (SELECT count(*) AS n FROM documents), samp AS (SELECT doc_id, text FROM documents, nn WHERE ('0x' || substr(md5('cert:' || doc_id), 1, 8))::BIGINT < least(4294967296, 400 * 4294967296 // n)), ",
+      docsFrom = "samp"),
 
     // same ground truth as d8: the streamed per-batch outputs must union
     // to exactly the one-shot delta over the whole stream region

@@ -59,9 +59,11 @@ object StreamCost {
       val times = counts.map(c => c -> run(family, c, build, stream, lo, src, idCol))
       val (c1, t1) = times.head
       val (c2, t2) = times.last
-      val marginal = (t2 - t1) / (c2 - c1)
-      val fixed = t1 - marginal * c1
-      println(f"[streamcost] $family%-9s marginal=$marginal%5.2f s/batch  fixed=$fixed%5.2f s")
+      if (c2 != c1) {
+        val marginal = (t2 - t1) / (c2 - c1)
+        val fixed = t1 - marginal * c1
+        println(f"[streamcost] $family%-9s marginal=$marginal%5.2f s/batch  fixed=$fixed%5.2f s")
+      } // a single batch count has no slope to report
     }
 
     val corpusD = docs.filter(col("doc_id") < docLo)

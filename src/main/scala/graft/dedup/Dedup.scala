@@ -617,10 +617,9 @@ object Dedup {
     val batchIds = newDocs.select(col(idCol).as("id")).distinct()
     val bkeys = bfps.select(col("id"), col("simhash"),
       explode(chunkPairKeys(col("simhash"), maxDist)).as("bk"))
-    val newPairs = bkeys.as("x").join(bkeys.as("y"),
-        col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+    // batch-internal pairs ARE the one-shot candidate generator over the
+    // batch fingerprints — call it, don't re-derive it (drift guard)
+    val newPairs = simhashCandidates(bfps, maxDist)
     // supersede: anti-join is broadcast (batch-id-sized) and runs on
     // the index's bucketed layout, which survives into the bk join
     val corpusKeys = spark.table(indexTable)

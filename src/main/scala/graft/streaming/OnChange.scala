@@ -476,7 +476,12 @@ object OnChange {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // the absorbs' appends ran through the stream's session clone;
+    // refresh the CALLER's view of the index AND the fingerprint
+    // companion (a stale cached `_fps` listing would make a caller-side
+    // supersede probe miss the absorbed ids)
     spark.catalog.refreshTable(indexTable)
+    spark.catalog.refreshTable(s"${indexTable}_fps")
   }
 
   /** One event version of one entity (user) in the change stream. */

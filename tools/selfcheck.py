@@ -5,6 +5,10 @@ Runs DuckDB oracle SQL (from Verify's oracle_sql.json dump) against the
 same parquet tables and compares with the Spark results parquet, sorting
 columns by name and comparing values. Usage:
     python3 tools/selfcheck.py <sfdir> <verify-outdir>
+    python3 tools/selfcheck.py --bench <new-bench.json> <baseline-bench.json>
+The --bench form gates per-probe steady_state timings against a
+baseline artifact (>1.5x or newly-failing probe = FAIL; override the
+factor with SELFCHECK_BENCH_FACTOR).
 """
 import sys, json, glob, os
 
@@ -41,6 +45,8 @@ def bench_gate(new_path, base_path, factor=1.5):
             print(f"WARN {name}: probe dropped (was {bv}s)"); continue
         if bv is None:
             print(f"INFO {name}: new probe, {nv}s (no baseline)"); continue
+        if nv < 0 and bv < 0:
+            print(f"INFO {name}: probe still failing (both runs report -1)"); continue
         if nv < 0:
             print(f"FAIL {name}: probe now FAILING (baseline {bv}s)"); fail += 1; continue
         if bv < 0:
@@ -54,6 +60,9 @@ def bench_gate(new_path, base_path, factor=1.5):
 
 
 if len(sys.argv) > 1 and sys.argv[1] == "--bench":
+    if len(sys.argv) < 4:
+        print("usage: selfcheck.py --bench <new-bench.json> <baseline-bench.json>")
+        sys.exit(2)
     sys.exit(bench_gate(sys.argv[2], sys.argv[3],
                         float(os.environ.get("SELFCHECK_BENCH_FACTOR", "1.5"))))
 
