@@ -1319,9 +1319,16 @@ object SparkEntry {
     * `dir` (see `j6OracleSql`); identical to `oracleSql` elsewhere. */
   /** The simhash fingerprint + Hamming oracle chain shared by
     * d4/d21/d22/d23 — ONE definition of the md5 tokenization, the
-    * per-(doc, bit) sign sums, and the bit-index equi-join, so the
+    * per-(doc, bit) sign sums, the PACKED 64-bit fingerprint (one
+    * BIGINT per doc: two's complement makes the bit-63 term negative
+    * and the sum exact), and the `bit_count(xor)` pair scan — so the
     * four oracles cannot drift (the `chunkPairKeys` discipline on the
-    * SQL side). They differ only in the doc source (`docsFrom`, fed by
+    * SQL side). Packing is what makes the full-corpus oracle feasible
+    * at sf1: the earlier per-(doc, bit) equi-join materialized
+    * C(n,2)·64 rows through a GROUP BY (disk-infeasible at 50k docs —
+    * it exhausted 76 GB of spill); the packed scan streams C(n,2)
+    * single rows through one xor+popcount filter (~82 s at sf1).
+    * Callers differ only in the doc source (`docsFrom`, fed by
     * optional single-line `prefixCtes` — single-line so stripMargin
     * can't eat a `||` at a continuation-line start) and the pair
     * scope (`pairPred`, ANDed after the Hamming cut). */
@@ -1342,11 +1349,13 @@ object SparkEntry {
        |      ) >> (j.j % 16)) & 1 = 1 THEN 1 ELSE -1 END AS sgn
        |  FROM tok, unnest(range(0,64)) AS j(j)),
        |s AS (SELECT doc_id, j, CASE WHEN sum(sgn) > 0 THEN 1 ELSE 0 END AS bit FROM bits GROUP BY 1,2),
+       |fph AS (SELECT doc_id, sum(bit::HUGEINT * (1::HUGEINT << j))::HUGEINT AS h FROM s GROUP BY 1),
+       |fp AS (SELECT doc_id,
+       |         (CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END)::BIGINT AS f
+       |       FROM fph),
        |ham AS (
-       |  SELECT x.doc_id AS a, y.doc_id AS b,
-       |         sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::INT AS hamming
-       |  FROM s x JOIN s y ON x.j = y.j AND x.doc_id < y.doc_id
-       |  GROUP BY 1, 2)
+       |  SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.f, y.f))::INT AS hamming
+       |  FROM fp x JOIN fp y ON x.doc_id < y.doc_id)
        |SELECT a, b, hamming FROM ham WHERE hamming <= 10$pairPred ORDER BY a, b""".stripMargin
 
   def oracleSqlFor(dir: String): Map[String, String] =
@@ -1918,7 +1927,8 @@ object SparkEntry {
 
     // SimHash is md5-based precisely so DuckDB can recompute the whole
     // fingerprint: per-(doc, bit) sign sums from the 4x16-bit words of
-    // md5(token), then Hamming distance as an equi-join on the bit index.
+    // md5(token), packed to one BIGINT per doc, then Hamming via
+    // bit_count(xor) over the C(n,2) pair scan — sf1-feasible.
     // (The chunk buckets in the Spark plan are only a lossless candidate
     // generator — output semantics are "all pairs with Hamming <= 10".)
     "d4_simhash" -> simhashOracleSql(),
