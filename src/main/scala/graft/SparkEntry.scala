@@ -500,7 +500,14 @@ object SparkEntry {
         .join(li, col("l_orderkey") === col("o_orderkey"))
         .join(sup, col("s_suppkey") === col("l_suppkey") && col("s_nationkey") === col("c_nationkey"))
         .groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        // per-row DECIMAL(38,6) cast before the sum: a double sum is
+        // merge-order-dependent and at sf1 volumes (6M lineitem) the
+        // rounded cent digit diverged between engines/runs — the
+        // decimal sum is exact and order-independent, and the cast
+        // itself is deterministic (the product's double error sits ~8
+        // digits below the 6th decimal for 4-decimal price data)
+        .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(38,6)")), 2).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
@@ -1580,7 +1587,7 @@ object SparkEntry {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "q5_region_volume" ->
-      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      """SELECT n_name, round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))),2)::DOUBLE AS revenue
         |FROM region JOIN nation ON n_regionkey = r_regionkey
         | JOIN customer ON c_nationkey = n_nationkey
         | JOIN orders ON o_custkey = c_custkey
