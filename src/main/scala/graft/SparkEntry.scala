@@ -8,7 +8,7 @@ import graft.multimodal.Multimodal
 import graft.ops.{ChangeLog, Events, TimeTravel}
 import graft.streaming.OnChange
 import graft.text.TextAnalysis
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -145,6 +145,16 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
+  /** Order-independent rounded money sum: per-row DECIMAL(38,6) cast
+    * before the sum. A double sum is merge-order-dependent, and at sf1
+    * volumes (6M lineitem) the rounded cent digit diverged between
+    * engines/runs; the decimal sum is exact and order-independent, and
+    * the cast itself is deterministic (the product's double error sits
+    * ~8 digits below the 6th decimal for 4-decimal price data). The
+    * oracle-SQL twin is `round(sum(CAST(e AS DECIMAL(38,6))),2)::DOUBLE`. */
+  private def decSum(c: Column): Column =
+    round(sum(c.cast("decimal(38,6)")), 2).cast("double")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ===== analytics =====================================================
@@ -152,10 +162,10 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          decSum(col("l_quantity")).as("sum_qty"),
+          decSum(col("l_extendedprice")).as("sum_base_price"),
+          decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -500,14 +510,7 @@ object SparkEntry {
         .join(li, col("l_orderkey") === col("o_orderkey"))
         .join(sup, col("s_suppkey") === col("l_suppkey") && col("s_nationkey") === col("c_nationkey"))
         .groupBy("n_name")
-        // per-row DECIMAL(38,6) cast before the sum: a double sum is
-        // merge-order-dependent and at sf1 volumes (6M lineitem) the
-        // rounded cent digit diverged between engines/runs — the
-        // decimal sum is exact and order-independent, and the cast
-        // itself is deterministic (the product's double error sits ~8
-        // digits below the 6th decimal for 4-decimal price data)
-        .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(38,6)")), 2).cast("double").as("revenue"))
+        .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
@@ -519,7 +522,7 @@ object SparkEntry {
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        .agg(decSum(col("l_extendedprice") * col("l_discount")).as("revenue"),
           count(lit(1)).as("n"))),
 
     "e1_window_agg" -> ((s, dir) =>
@@ -957,6 +960,17 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "x10_surprisal" -> ((s, dir) => {
+      // perplexity-style corpus scoring (CCNet shape, integer log2):
+      // the unigram model trains on the corpus itself, every doc gets
+      // its mean token surprisal in bits — the LM-quality signal a
+      // data team gates on, with no float log anywhere
+      val docs = t(s, dir, "documents")
+      val model = TextAnalysis.trainUnigramModel(docs, "text")
+      TextAnalysis.surprisalScore(docs, "text", "doc_id", model)
+        .orderBy("id")
+    }),
+
     "p2_weighted_sample" -> ((s, dir) =>
       // training-mix sampling: downweight the dominant language,
       // lightly trim fr, pass the rest — decided per row by the
@@ -1040,6 +1054,21 @@ object SparkEntry {
       TextAnalysis.epochShuffle(keyed, "__k", epoch = 1, nShards = 8)
         .select("doc_id", "copy", "lang", "bpe_tokens", "shard", "pos")
         .orderBy("doc_id", "copy")
+    }),
+
+    "p9_source_cap" -> ((s, dir) => {
+      // domain capping: bound every source's token contribution at a
+      // fixed budget — at the gate SFs some sources sit under the cap
+      // (pass whole, no window touches them) and some over (kept in
+      // deterministic md5 order until the budget is hit), so both
+      // branches are active; at 10×+ every source is over-cap
+      val docs = t(s, dir, "documents")
+      val counts = TextAnalysis.tokenCounts(docs, "text", "doc_id")
+        .select(col("doc_id"), col("ws_tokens"))
+        .join(docs.select("doc_id", "source", "lang"), Seq("doc_id"))
+      TextAnalysis.sourceCap(counts, "doc_id", "source", "ws_tokens", cap = 1300L)
+        .select("doc_id", "source", "ws_tokens")
+        .orderBy("doc_id")
     }),
 
     "p6_epoch_shuffle" -> ((s, dir) =>
@@ -1327,8 +1356,11 @@ object SparkEntry {
   /** The simhash fingerprint + Hamming oracle chain shared by
     * d4/d21/d22/d23 — ONE definition of the md5 tokenization, the
     * per-(doc, bit) sign sums, the PACKED 64-bit fingerprint (one
-    * BIGINT per doc: two's complement makes the bit-63 term negative
-    * and the sum exact), and the `bit_count(xor)` pair scan — so the
+    * BIGINT per doc: bits sum UNSIGNED into a HUGEINT, then an
+    * explicit two's-complement wrap — h − 2⁶⁴ when h ≥ 2⁶³ — lands it
+    * in BIGINT, since DuckDB rejects `1::BIGINT << 63` and a signed
+    * bit-63 term can't be shifted into place directly), and the
+    * `bit_count(xor)` pair scan — so the
     * four oracles cannot drift (the `chunkPairKeys` discipline on the
     * SQL side). Packing is what makes the full-corpus oracle feasible
     * at sf1: the earlier per-(doc, bit) equi-join materialized
@@ -1372,10 +1404,10 @@ object SparkEntry {
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity),2) AS sum_qty,
-        | round(sum(l_extendedprice),2) AS sum_base_price,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | round(sum(CAST(l_quantity AS DECIMAL(38,6))),2)::DOUBLE AS sum_qty,
+        | round(sum(CAST(l_extendedprice AS DECIMAL(38,6))),2)::DOUBLE AS sum_base_price,
+        | round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))),2)::DOUBLE AS sum_disc_price,
+        | round(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(38,6))),2)::DOUBLE AS sum_charge,
         | count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -1598,7 +1630,7 @@ object SparkEntry {
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q6_forecast_revenue" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n
+      """SELECT round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))), 2)::DOUBLE AS revenue, count(*) AS n
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
@@ -1678,6 +1710,43 @@ object SparkEntry {
         |       (coalesce(sc.n_flagged, 0) * 1000000 // greatest(coalesce(sc.n_tokens, 0), 1)) / 1000000.0 AS bad_frac,
         |       coalesce(sc.n_flagged, 0) = 0 AS pred
         |FROM ids LEFT JOIN sc USING (id) ORDER BY id""".stripMargin,
+
+    // from-scratch unigram-LM recompute: bucket counts, integer-log2
+    // bits via the identical length(bin(..)) both engines expose, and
+    // the fixed-point per-doc mean
+    "x10_surprisal" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, ('0x' || substr(md5(t.t), 1, 8))::BIGINT % 4096 AS bucket FROM w, unnest(ws) AS t(t)),
+        |per AS (SELECT bucket, count(*) AS cnt FROM tok GROUP BY 1),
+        |tot AS (SELECT count(*) AS total FROM tok),
+        |m AS (SELECT bucket, length(bin(total // cnt))::BIGINT AS bits FROM per, tot),
+        |sc AS (SELECT doc_id AS id, count(*) AS n_tokens, sum(bits)::BIGINT AS sum_bits
+        |       FROM tok JOIN m USING (bucket) GROUP BY 1),
+        |ids AS (SELECT DISTINCT doc_id AS id FROM documents)
+        |SELECT ids.id, coalesce(sc.n_tokens, 0)::BIGINT AS n_tokens,
+        |       coalesce(sc.sum_bits, 0)::BIGINT AS sum_bits,
+        |       (coalesce(sc.sum_bits, 0) * 1000000 // greatest(coalesce(sc.n_tokens, 0), 1))::BIGINT AS mean_bits_fp
+        |FROM ids LEFT JOIN sc USING (id) ORDER BY id""".stripMargin,
+
+    // per-source prefix-sum recompute of the cap: same md5 order, same
+    // exclusive-prefix < cap rule; under-cap sources pass whole
+    "p9_source_cap" ->
+      """WITH c AS (
+        |  SELECT doc_id, source, len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens
+        |  FROM documents),
+        |tot AS (SELECT source, sum(ws_tokens)::BIGINT AS tot FROM c GROUP BY 1),
+        |u AS (SELECT c.doc_id, c.source, c.ws_tokens, tot.tot,
+        |        ('0x' || substr(md5('cap:' || c.doc_id), 1, 8))::BIGINT AS u
+        |      FROM c JOIN tot USING (source)),
+        |pre AS (
+        |  SELECT doc_id, source, ws_tokens, tot,
+        |    sum(ws_tokens) OVER (PARTITION BY source ORDER BY u, doc_id ROWS UNBOUNDED PRECEDING) - ws_tokens AS pre
+        |  FROM u)
+        |SELECT doc_id, source, ws_tokens FROM pre
+        |WHERE tot <= 1300 OR pre < 1300 ORDER BY doc_id""".stripMargin,
 
     // from-scratch recompute of the ENTIRE six-stage recipe: substring
     // scrub -> eval decontamination -> learned quality gate -> BPE
@@ -1953,9 +2022,10 @@ object SparkEntry {
     "d22_simhash_delta" -> simhashOracleSql(pairPred = " AND (a >= 400 OR b >= 400)"),
 
     // the d4 chain restricted to the deterministic ~400-doc sample:
-    // tokenization/fingerprints run only for sampled docs, the pair
-    // join is C(400,2)·64 — feasible at ANY corpus size, which is the
-    // whole point (the full-corpus d4 oracle cannot run at sf1)
+    // tokenization/fingerprints run only for sampled docs, the packed
+    // pair scan is C(400,2) single rows — feasible at ANY corpus size,
+    // which is the point (the full-corpus oracle, feasible at sf1
+    // since the packing, still can't run at arbitrary scale)
     "d21_simhash_cert" -> simhashOracleSql(
       prefixCtes = "nn AS (SELECT count(*) AS n FROM documents), samp AS (SELECT doc_id, text FROM documents, nn WHERE ('0x' || substr(md5('cert:' || doc_id), 1, 8))::BIGINT < least(4294967296, 400 * 4294967296 // n)), ",
       docsFrom = "samp"),

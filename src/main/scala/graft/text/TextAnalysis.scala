@@ -305,6 +305,42 @@ object TextAnalysis {
       .drop("__tot", "__budget", "__n")
   }
 
+  /** Per-source token CAP — domain capping (Gopher/MassiveText-style,
+    * public: bound any one domain's contribution to the corpus): each
+    * group keeps docs in the deterministic md5 order until its token
+    * budget is hit — a doc survives iff its EXCLUSIVE prefix token-sum
+    * under that order is < cap, so kept mass is ≤ cap plus the one
+    * straddling doc, and the kept SET is identical on any engine,
+    * partitioning, or run. Groups already at-or-under cap (and docs
+    * with a NULL group, which can't name a budget — the sibling
+    * operators' convention) pass whole through a map-only broadcast
+    * filter; ONLY over-cap groups pay the prefix-sum window, one
+    * parallel window per group. Skew note for the 100 TB shape: the
+    * window's per-group sort is the cost, and it runs over just the
+    * offending groups; a deployment capping a mega-source can pre-trim
+    * with `weightedSample` at rate ≈ cap/total first (the md5 order
+    * makes the two compose deterministically), leaving the window a
+    * cap-sized tail. Integer arithmetic end-to-end. */
+  def sourceCap(docs: DataFrame, idCol: String, groupCol: String,
+                tokenCol: String, cap: Long, seed: String = "cap"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val totals = docs.groupBy(col(groupCol))
+      .agg(sum(col(tokenCol)).cast("long").as("__tot"))
+    // LEFT join: NULL group rows never equi-match their totals row and
+    // ride the pass-whole branch, like tokenBudgetSample
+    val joined = docs.join(broadcast(totals), Seq(groupCol), "left")
+    val under = joined.filter(col("__tot").isNull || col("__tot") <= cap)
+      .drop("__tot")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(sampleHash(col(idCol), seed), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val capped = joined.filter(col("__tot") > cap)
+      .withColumn("__pre", sum(col(tokenCol)).over(w) - col(tokenCol))
+      .filter(col("__pre") < cap)
+      .drop("__tot", "__pre")
+    under.unionByName(capped)
+  }
+
   /** Deterministic EPOCH shuffle for training loaders: a reproducible
     * global permutation of the corpus per epoch, materialized as
     * (shard, pos) coordinates. No global sort anywhere — the md5
@@ -409,5 +445,66 @@ object TextAnalysis {
       .select(col("id"), col("n_tokens"), col("n_flagged"),
         expr(s"(n_flagged * $QmScale div greatest(n_tokens, 1)) / $QmScale.0D").as("bad_frac"),
         (col("n_flagged") === 0L).as("pred"))
+  }
+
+  // --- unigram-LM surprisal (x10) ----------------------------------------
+
+  /** Train the unigram language model behind the surprisal filter
+    * (CCNet's LM-perplexity corpus scoring, Wenzek 2019, reduced to
+    * its deterministic core): per hashed token bucket, the corpus
+    * occurrence count. Feature hashing (the x9 trick) bounds the model
+    * at `buckets` rows whatever the real vocabulary — one token-bucket
+    * aggregate, broadcastable at any corpus size. Each row carries the
+    * corpus total and the bucket count (`buckets` rows, each with
+    * `cnt` and `total`), so scoring derives everything FROM the model. */
+  def trainUnigramModel(docs: DataFrame, textCol: String,
+                        buckets: Int = 4096): DataFrame = {
+    val tok = docs.select(explode(words(col(textCol))).as("__t"))
+      .select(tokenBucket(col("__t"), buckets).as("bucket"))
+    val per = tok.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val tot = tok.agg(count(lit(1)).as("total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("cnt"), col("total"),
+        lit(buckets).as("buckets"))
+  }
+
+  /** Score docs by mean token SURPRISAL under the trained unigram
+    * model — the perplexity-style quality signal, integerized so both
+    * engines agree bit-for-bit: a token's surprisal is the INTEGER
+    * log2 of its inverse frequency, bits(total div cnt) where bits(x)
+    * = length of x's binary form = floor(log2 x)+1 — no float log
+    * anywhere (`length(bin(..))` on the engine side, the identical
+    * `length(bin(..))` in DuckDB). Common tokens score ~1 bit, tokens
+    * unseen by the model score bits(total) — the Laplace-style
+    * worst case. Per doc: token count, total bits, and the fixed-point
+    * mean (·10⁶) — gate on `mean_bits_fp` exactly as CCNet gates on
+    * perplexity. Model side is a broadcast join (≤ buckets rows);
+    * map-only + one doc-keyed aggregate — the 100 TB shape. Zero-token
+    * docs get a row (all zeros): a corpus filter must rule on every
+    * doc. */
+  def surprisalScore(docs: DataFrame, textCol: String, idCol: String,
+                     model: DataFrame): DataFrame = {
+    // metadata-sized head read — the model carries its feature-space
+    // size and total, the x9 discipline (train/score cannot disagree)
+    val buckets = model.select("buckets").head().getInt(0)
+    val bits = model.select(col("bucket"),
+      length(bin(expr("total div cnt"))).cast("long").as("__bits"))
+    val worst = model.agg(max(length(bin(col("total"))).cast("long")).as("__worst"))
+    val scored = docs
+      .select(col(idCol).as("id"), explode(words(col(textCol))).as("__t"))
+      .select(col("id"), tokenBucket(col("__t"), buckets).as("bucket"))
+      .join(broadcast(bits), Seq("bucket"), "left")
+      .crossJoin(broadcast(worst))
+      .withColumn("__b", coalesce(col("__bits"), col("__worst")))
+      .groupBy("id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("__b")).as("sum_bits"))
+    docs.select(col(idCol).as("id")).distinct()
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_bits"), lit(0L)).as("sum_bits"))
+      .select(col("id"), col("n_tokens"), col("sum_bits"),
+        expr(s"sum_bits * $QmScale div greatest(n_tokens, 1)").as("mean_bits_fp"))
   }
 }

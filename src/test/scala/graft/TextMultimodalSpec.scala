@@ -358,4 +358,67 @@ class TextMultimodalSpec extends SparkSpec {
     val e = TextAnalysis.qualityScore(empty, "text", "doc_id", model).collect()
     assert(e.length == 1 && e(0).getLong(1) == 0 && e(0).getBoolean(4), e.mkString(","))
   }
+
+  test("source cap: under-cap groups pass whole, over-cap kept mass lands on the cap, deterministic") {
+    val s = spark
+    import s.implicits._
+    // a: total 600 > cap 250 → capped in md5 order; b: total 200 ≤ cap
+    // → whole; null group: can't name a budget → whole
+    val docs = Seq(
+      (1L, Option("a"), 100L), (2L, Option("a"), 200L), (3L, Option("a"), 300L),
+      (4L, Option("b"), 100L), (5L, Option("b"), 100L),
+      (6L, Option.empty[String], 999L)
+    ).toDF("doc_id", "source", "tok")
+    val out = TextAnalysis.sourceCap(docs, "doc_id", "source", "tok", cap = 250L)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(4L) && kept.contains(5L) && kept.contains(6L),
+      s"under-cap/null-group rows must pass whole: $kept")
+    // recompute a's expected keep set: md5 order, exclusive prefix < cap
+    val order = Seq(1L, 2L, 3L).toDF("id")
+      .select(col("id"), TextAnalysis.sampleHash(col("id"), "cap").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(x => (x._2, x._1)).map(_._1)
+    val toks = Map(1L -> 100L, 2L -> 200L, 3L -> 300L)
+    var pre = 0L
+    val expectA = order.takeWhile { id => val keep = pre < 250L; pre += toks(id); keep }.toSet
+    assert((kept -- Set(4L, 5L, 6L)) == expectA, s"capped ${kept -- Set(4L, 5L, 6L)}, expected $expectA")
+    // kept mass ≤ cap + the straddling doc; and ≥ cap (a doc straddles)
+    val mass = expectA.map(toks).sum
+    assert(mass >= 250L && mass <= 250L + toks(expectA.maxBy(id => order.indexOf(id))), s"mass $mass")
+    // deterministic run-to-run
+    val again = TextAnalysis.sourceCap(docs, "doc_id", "source", "tok", cap = 250L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept)
+    // cap ≥ every total → identity (no row lost, no window applied)
+    val all = TextAnalysis.sourceCap(docs, "doc_id", "source", "tok", cap = 10000L)
+    assert(all.count() == 6)
+  }
+
+  test("surprisal: integer log2 bits, frequent < rare, zero-token docs, model-carried feature space") {
+    val s = spark
+    import s.implicits._
+    // 'common' appears 8×, 'rare' once: bits(total div cnt) must rank
+    // rare strictly above common, with values = floor(log2)+1 exactly
+    val docs = Seq(
+      (1L, "common common common common"),
+      (2L, "common common common common rare"),
+      (3L, "???")
+    ).toDF("doc_id", "text")
+    val model = TextAnalysis.trainUnigramModel(docs, "text", buckets = 1024)
+    // total 9 tokens: common cnt 8 → bits(9 div 8 = 1) = 1; rare cnt 1
+    // → bits(9) = 4 (1001b)
+    val got = TextAnalysis.surprisalScore(docs, "text", "doc_id", model)
+      .orderBy("id").collect()
+    assert(got(0).getLong(1) == 4 && got(0).getLong(2) == 4, s"doc1 ${got(0)}")
+    assert(got(1).getLong(1) == 5 && got(1).getLong(2) == 4 + 4, s"doc2 ${got(1)}")
+    // fixed-point means: 4·10⁶/4 = 1000000, 8·10⁶/5 = 1600000
+    assert(got(0).getLong(3) == 1000000L && got(1).getLong(3) == 1600000L,
+      s"means ${got(0).getLong(3)}, ${got(1).getLong(3)}")
+    // zero-token doc still gets a row, all zeros
+    assert(got(2).getLong(1) == 0 && got(2).getLong(2) == 0 && got(2).getLong(3) == 0,
+      s"empty doc ${got(2)}")
+    // a token the model never saw scores the worst case, bits(total)
+    val unseen = Seq((9L, "zzzzunseen")).toDF("doc_id", "text")
+    val u = TextAnalysis.surprisalScore(unseen, "text", "doc_id", model).collect()(0)
+    assert(u.getLong(2) == 4, s"unseen-token bits ${u.getLong(2)} (want bits(9) = 4)")
+  }
 }
