@@ -1065,7 +1065,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val counts = TextAnalysis.tokenCounts(docs, "text", "doc_id")
         .select(col("doc_id"), col("ws_tokens"))
-        .join(docs.select("doc_id", "source", "lang"), Seq("doc_id"))
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
       TextAnalysis.sourceCap(counts, "doc_id", "source", "ws_tokens", cap = 1300L)
         .select("doc_id", "source", "ws_tokens")
         .orderBy("doc_id")
@@ -1732,7 +1732,10 @@ object SparkEntry {
         |FROM ids LEFT JOIN sc USING (id) ORDER BY id""".stripMargin,
 
     // per-source prefix-sum recompute of the cap: same md5 order, same
-    // exclusive-prefix < cap rule; under-cap sources pass whole
+    // exclusive-prefix < cap rule; under-cap sources pass whole. LEFT
+    // join + explicit NULL branch: a NULL-source doc matches no totals
+    // row and must pass whole, the engine's documented contract (an
+    // inner join would silently drop it)
     "p9_source_cap" ->
       """WITH c AS (
         |  SELECT doc_id, source, len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens
@@ -1740,13 +1743,13 @@ object SparkEntry {
         |tot AS (SELECT source, sum(ws_tokens)::BIGINT AS tot FROM c GROUP BY 1),
         |u AS (SELECT c.doc_id, c.source, c.ws_tokens, tot.tot,
         |        ('0x' || substr(md5('cap:' || c.doc_id), 1, 8))::BIGINT AS u
-        |      FROM c JOIN tot USING (source)),
+        |      FROM c LEFT JOIN tot USING (source)),
         |pre AS (
         |  SELECT doc_id, source, ws_tokens, tot,
         |    sum(ws_tokens) OVER (PARTITION BY source ORDER BY u, doc_id ROWS UNBOUNDED PRECEDING) - ws_tokens AS pre
         |  FROM u)
         |SELECT doc_id, source, ws_tokens FROM pre
-        |WHERE tot <= 1300 OR pre < 1300 ORDER BY doc_id""".stripMargin,
+        |WHERE tot IS NULL OR tot <= 1300 OR pre < 1300 ORDER BY doc_id""".stripMargin,
 
     // from-scratch recompute of the ENTIRE six-stage recipe: substring
     // scrub -> eval decontamination -> learned quality gate -> BPE

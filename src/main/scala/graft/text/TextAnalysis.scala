@@ -324,8 +324,12 @@ object TextAnalysis {
   def sourceCap(docs: DataFrame, idCol: String, groupCol: String,
                 tokenCol: String, cap: Long, seed: String = "cap"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // cached: both union branches below consume the totals — without
+    // the cache each branch would re-run the group aggregate (and its
+    // corpus scan); the cache is ≤ one row per group
     val totals = docs.groupBy(col(groupCol))
       .agg(sum(col(tokenCol)).cast("long").as("__tot"))
+      .cache()
     // LEFT join: NULL group rows never equi-match their totals row and
     // ride the pass-whole branch, like tokenBudgetSample
     val joined = docs.join(broadcast(totals), Seq(groupCol), "left")
@@ -428,7 +432,10 @@ object TextAnalysis {
     * aggregate: the 100 TB shape. */
   def qualityScore(docs: DataFrame, textCol: String, idCol: String,
                    model: DataFrame): DataFrame = {
-    val buckets = model.select("buckets").head().getInt(0)
+    // take(1): an EMPTY model (token-less training corpus) has no bad
+    // vocabulary — every doc must still get a verdict, not a crash
+    val buckets = model.select("buckets").take(1).headOption
+      .map(_.getInt(0)).getOrElse(1)
     val bad = model.filter(col("purity") < expr("prior div 2")).select("bucket")
     val scored = docs
       .select(col(idCol).as("id"), explode(words(col(textCol))).as("__t"))
@@ -473,7 +480,7 @@ object TextAnalysis {
     * engines agree bit-for-bit: a token's surprisal is the INTEGER
     * log2 of its inverse frequency, bits(total div cnt) where bits(x)
     * = length of x's binary form = floor(log2 x)+1 — no float log
-    * anywhere (`length(bin(..))` on the engine side, the identical
+    * anywhere (64−nlz over the model rows here, the identical
     * `length(bin(..))` in DuckDB). Common tokens score ~1 bit, tokens
     * unseen by the model score bits(total) — the Laplace-style
     * worst case. Per doc: token count, total bits, and the fixed-point
@@ -484,18 +491,28 @@ object TextAnalysis {
     * doc. */
   def surprisalScore(docs: DataFrame, textCol: String, idCol: String,
                      model: DataFrame): DataFrame = {
-    // metadata-sized head read — the model carries its feature-space
-    // size and total, the x9 discipline (train/score cannot disagree)
-    val buckets = model.select("buckets").head().getInt(0)
-    val bits = model.select(col("bucket"),
-      length(bin(expr("total div cnt"))).cast("long").as("__bits"))
-    val worst = model.agg(max(length(bin(col("total"))).cast("long")).as("__worst"))
+    // ONE model materialization (≤ buckets rows — the codebook-collect
+    // class of driver read): buckets/total/per-bucket bits all derive
+    // from it, so the training aggregation runs exactly once however
+    // many plan legs consume it. bits(x) = 64−nlz(x) = floor(log2 x)+1
+    // — the same integer log2 as length(bin(x)) on either engine.
+    val rows = model.select(col("bucket"), col("cnt"), col("total"),
+      col("buckets")).collect()
+    def bits(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    // empty model (token-less training corpus): no vocabulary, no
+    // total — every token scores 0 bits, and the gate still rules
+    val buckets = if (rows.isEmpty) 1 else rows.head.getInt(3)
+    val worstBits = if (rows.isEmpty) 0L else bits(rows.head.getLong(2))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bitsDf = rows.toSeq
+      .map(r => (r.getLong(0), bits(r.getLong(2) / r.getLong(1))))
+      .toDF("bucket", "__bits")
     val scored = docs
       .select(col(idCol).as("id"), explode(words(col(textCol))).as("__t"))
       .select(col("id"), tokenBucket(col("__t"), buckets).as("bucket"))
-      .join(broadcast(bits), Seq("bucket"), "left")
-      .crossJoin(broadcast(worst))
-      .withColumn("__b", coalesce(col("__bits"), col("__worst")))
+      .join(broadcast(bitsDf), Seq("bucket"), "left")
+      .withColumn("__b", coalesce(col("__bits"), lit(worstBits)))
       .groupBy("id").agg(
         count(lit(1)).as("n_tokens"),
         sum(col("__b")).as("sum_bits"))

@@ -420,5 +420,18 @@ class TextMultimodalSpec extends SparkSpec {
     val unseen = Seq((9L, "zzzzunseen")).toDF("doc_id", "text")
     val u = TextAnalysis.surprisalScore(unseen, "text", "doc_id", model).collect()(0)
     assert(u.getLong(2) == 4, s"unseen-token bits ${u.getLong(2)} (want bits(9) = 4)")
+    // an EMPTY model (token-less training corpus) must still rule on
+    // every doc — zero bits, not a crash; same for the quality gate
+    val emptyModel = TextAnalysis.trainUnigramModel(
+      Seq((1L, "???")).toDF("doc_id", "text"), "text", buckets = 64)
+    val em = TextAnalysis.surprisalScore(docs, "text", "doc_id", emptyModel)
+      .orderBy("id").collect()
+    assert(em.length == 3 && em.forall(_.getLong(2) == 0L),
+      s"empty-model scores ${em.mkString(",")}")
+    val emptyQm = TextAnalysis.trainQualityModel(
+      Seq((1L, "???", true)).toDF("doc_id", "text", "label"), "text", "label")
+    val eq = TextAnalysis.qualityScore(docs, "text", "doc_id", emptyQm).collect()
+    assert(eq.length == 3 && eq.forall(_.getBoolean(4)),
+      s"empty-quality-model verdicts ${eq.mkString(",")}")
   }
 }
