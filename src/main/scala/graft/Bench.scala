@@ -73,8 +73,19 @@ object Bench {
     // failure sentinels (-1) stay visible per-query but must not
     // deflate the headline total into a phantom speedup
     val total = results.map(_._2).filter(_ >= 0).sum
+    val nFailed = results.count(_._2 < 0)
+    // full per-query line — artifact only: at 106 queries it exceeds the
+    // driver's 2000-char stdout tail capture and was truncated mid-JSON
+    // three rounds running (BENCH_r06..r08 `parsed: null`)
     val timedLine =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout gets a SHORT parseable line instead: headline total +
+    // query count + failure count + just the flagship q* timings,
+    // pointing at the artifact for per-query detail
+    val headline = results.filter(_._1.startsWith("q"))
+      .map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    val stdoutLine =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries":$headline,"sf":"$sfDir","artifact":"per-query detail in SPARK_GRAFT_BENCH_OUT file"}"""
     // capture-independent artifact (the driver's record is a 2000-char
     // stdout TAIL; per-query history must not live only in prose).
     // FileWriter, not PrintWriter: PrintWriter swallows IOExceptions
@@ -119,9 +130,11 @@ object Bench {
     // nothing may log after the JSON lines: shutdown WARNs from
     // spark.stop() land in the same captured stream
     spark.sparkContext.setLogLevel("ERROR")
-    // parseable lines on stdout (build.sbt forwards forked stdout raw)
+    // parseable lines on stdout (build.sbt forwards forked stdout raw);
+    // the SHORT line goes last — the driver's capture is a stdout TAIL,
+    // so the line that must survive truncation prints at the very end
     steadyLine.foreach(println)
-    println(timedLine)
+    println(stdoutLine)
     writeArtifact(steadyLine.toSeq :+ timedLine)
     spark.stop()
   }

@@ -16,17 +16,21 @@ import org.apache.spark.sql.functions._
   * Conventions shared by every query/oracle pair (SURVEY.md §5):
   * deterministic ORDER BY on both sides, identical column aliases,
   * doubles either passed through untouched or round(…, 2) after
-  * aggregation, event timestamps handled as exact nanosecond longs
-  * (Spark: nanosAsLong read; DuckDB: epoch_ns).
+  * aggregation, event timestamps normalized to exact epoch-microsecond
+  * longs whatever the parquet encoding (Spark: Events.tsMicros, adaptive
+  * over nanos-as-long / TIMESTAMP / TIMESTAMP_NTZ; DuckDB: epoch_us).
   */
 object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS); Spark reads it as an exact
-    * nanosecond long (legacy nanosAsLong), which keeps temporal
-    * comparisons integer-exact against the DuckDB oracle's epoch_ns. */
+  /** events.parquet's `ts` encoding has varied across testdata
+    * generations (TIMESTAMP(NANOS), now TIMESTAMP(MICROS)/NTZ). The
+    * nanosAsLong conf makes a NANOS column read as an exact long —
+    * harmless for other encodings — and every consumer goes through the
+    * schema-adaptive [[graft.ops.Events.tsMicros]], so all three
+    * encodings stay integer-exact against the DuckDB oracle's epoch_us. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/events.parquet")
@@ -332,8 +336,9 @@ object SparkEntry {
 
     // ===== change log / temporal ========================================
     "c1_changes_since" -> ((s, dir) => {
-      ChangeLog.changesSince(events(s, dir), "event_id", 500)
-        .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("user_id"), col("event_type"), col("value"))
+      val changed = ChangeLog.changesSince(events(s, dir), "event_id", 500)
+      changed.select(col("event_id"), graft.ops.Events.tsMicros(changed, "ts").as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
     }),
 
     "c2_latest_only" -> ((s, dir) => {

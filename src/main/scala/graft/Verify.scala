@@ -2,10 +2,22 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Failure visibility: a query that throws must surface as a RED row in
+  * the driver's correctness file, never as silent absence (the r8
+  * postmortem: six broken queries read as "100/100 pass" because their
+  * rows were simply missing). So on failure this writes (a) a one-row
+  * `__graft_error` parquet in the query's slot — guaranteed schema/hash
+  * mismatch against any oracle — and (b) an `errors.json` +
+  * `expected_queries.json` sidecar so consumers can also detect absence
+  * structurally. Extra CLI args beyond (sfDir, outDir) filter to a
+  * query-name subset for local iteration. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0)
+    val outDir = args(1)
+    val only: Set[String] = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,11 +29,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val selected = SparkEntry.queries.filter { case (n, _) => only.isEmpty || only(n) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        failed(name) = msg
+        // poison row: hash/schema-mismatches every oracle → red, not absent
+        try {
+          import spark.implicits._
+          Seq(s"QUERY THREW: ${msg.take(500)}").toDF("__graft_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -39,6 +61,12 @@ object Verify {
     val json = SparkEntry.oracleSqlFor(sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/expected_queries.json"),
+      selected.keys.map(q).mkString("[", ",", "]"))
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size}/${selected.size} queries FAILED: ${failed.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Event-time analytics over the change/event stream.
   *
@@ -26,10 +27,28 @@ object Events {
     // exact-integer range, so float division would corrupt timestamps
     timestamp_micros(expr(s"`$nsColName` div 1000L"))
 
+  /** Epoch-microseconds LONG for an event-time column, adaptive to how
+    * the parquet encoded it: TIMESTAMP(NANOS) read as long (legacy
+    * `nanosAsLong`), plain TIMESTAMP, or TIMESTAMP_NTZ. The NTZ branch
+    * interprets the naive value as UTC — every graft session (and the
+    * DuckDB oracle's `epoch_us`) does the same; graft sessions pin
+    * `spark.sql.session.timeZone=UTC`, which the NTZ→TZ cast consults. */
+  def tsMicros(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+    case LongType         => expr(s"`$c` div 1000L")
+    case TimestampType    => unix_micros(col(c))
+    case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+    case other =>
+      throw new IllegalArgumentException(s"unsupported event-time type $other for column `$c`")
+  }
+
+  /** `tsMicros` as a proper TimestampType column for Spark's event-time
+    * operators (`window` / `session_window` / watermarks). */
+  def tsTimestamp(df: DataFrame, c: String): Column = timestamp_micros(tsMicros(df, c))
+
   /** Tumbling event-time window aggregation (streaming-ready shape). */
   def tumblingAgg(events: DataFrame, nsCol: String, windowDur: String, groupCol: String): DataFrame =
     events
-      .withColumn("__ts", tsFromNanos(nsCol))
+      .withColumn("__ts", tsTimestamp(events, nsCol))
       .groupBy(window(col("__ts"), windowDur).as("w"), col(groupCol))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .select(unix_timestamp(col("w.start")).as("window_start"), col(groupCol), col("n"), col("sum_value"))
@@ -39,7 +58,7 @@ object Events {
     * covering windows per row — still a single hash-agg shuffle. */
   def slidingAgg(events: DataFrame, nsCol: String, windowDur: String, slide: String, groupCol: String): DataFrame =
     events
-      .withColumn("__ts", tsFromNanos(nsCol))
+      .withColumn("__ts", tsTimestamp(events, nsCol))
       .groupBy(window(col("__ts"), windowDur, slide).as("w"), col(groupCol))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .select(unix_timestamp(col("w.start")).as("window_start"), col(groupCol), col("n"), col("sum_value"))
@@ -49,7 +68,7 @@ object Events {
     * streaming-native operator — identical semantics in batch). */
   def sessionize(events: DataFrame, nsCol: String, userCol: String, gap: String): DataFrame =
     events
-      .withColumn("__ts", tsFromNanos(nsCol))
+      .withColumn("__ts", tsTimestamp(events, nsCol))
       .groupBy(session_window(col("__ts"), gap).as("w"), col(userCol))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
       .select(col(userCol), unix_micros(col("w.start")).as("session_start_us"), col("n_events"), col("sum_value"))

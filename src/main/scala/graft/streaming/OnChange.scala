@@ -66,8 +66,9 @@ object OnChange {
     dir.toFile.deleteOnExit()
     val src = java.nio.file.Paths.get(eventsPath)
     java.nio.file.Files.copy(src, dir.resolve(src.getFileName))
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("__ts", graft.ops.Events.tsFromNanos("ts"))
+    val raw = spark.readStream.schema(schema).parquet(dir.toString)
+    val stream = raw
+      .withColumn("__ts", graft.ops.Events.tsTimestamp(raw, "ts"))
       .withWatermark("__ts", "0 seconds")
       .groupBy(window(col("__ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
@@ -115,10 +116,11 @@ object OnChange {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir).schema
-    val sessions = spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-      .select(col("user_id"), expr("ts div 1000").as("tus"), col("value"))
+    val sessions = raw
+      .select(col("user_id"), graft.ops.Events.tsMicros(raw, "ts").as("tus"), col("value"))
       .as[SessionEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, ClosedSession](

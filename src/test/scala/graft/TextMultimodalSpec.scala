@@ -232,6 +232,35 @@ class TextMultimodalSpec extends SparkSpec {
     assert(idx == (0L until copies(1L)).toSeq, idx.toString)
   }
 
+  test("NULL-group docs survive every mixer: kept whole by samplers, exactly-once by repeat") {
+    // pins the LEFT-join semantics (ADVICE r8): a doc whose group column
+    // is NULL can never equi-match a totals row OR name a budget, so it
+    // must ride the unknown-group default — kept whole, never dropped by
+    // an inner join, never multiplied
+    val s = spark
+    import s.implicits._
+    val docs = Seq[(Long, String, Long)](
+      (1L, "en", 100L), (2L, null, 50L), (3L, null, 70L), (4L, "en", 500L)
+    ).toDF("doc_id", "lang", "tok")
+    // budget 1 token over en's 600: en nearly vanishes; NULL-group stays
+    val sampled = TextAnalysis.tokenBudgetSample(docs, "doc_id", "lang", "tok",
+      Map("en" -> 1L)).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(Set(2L, 3L).subsetOf(sampled), s"NULL-group docs dropped: $sampled")
+    // budget 10x en's mass: en repeats ~10x; NULL-group emits exactly once
+    val reps = TextAnalysis.tokenBudgetRepeat(docs, "doc_id", "lang", "tok",
+      Map("en" -> 6000L)).groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps(2L) == 1L && reps(3L) == 1L, s"NULL-group copy counts: $reps")
+    assert(reps(1L) >= 9L, s"budgeted group under-repeated: $reps")
+    // weightedSample: NULL group rides the default rate on both extremes
+    val keptAll = TextAnalysis.weightedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.0), default = 1.0).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptAll == Set(2L, 3L), s"default=1.0 must keep exactly the NULL-group: $keptAll")
+    val keptNone = TextAnalysis.weightedSample(docs, "doc_id", "lang",
+      Map("en" -> 1.0), default = 0.0).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptNone == Set(1L, 4L), s"default=0.0 must drop exactly the NULL-group: $keptNone")
+  }
+
   test("epoch shuffle: bijective coordinates, contiguous per-shard ranks, epochs permute") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val n = docs.count()
