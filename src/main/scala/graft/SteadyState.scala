@@ -63,7 +63,15 @@ object SteadyState {
           docs.filter(col("doc_id") >= cut), "text", "doc_id", 15, "ss_gram").count()),
       "d22_simhash_delta" ->
         (() => graft.dedup.Dedup.simhashPairsDelta(spark,
-          docs.filter(col("doc_id") >= cut), "text", "doc_id", 10, "ss_simhash").count())
+          docs.filter(col("doc_id") >= cut), "text", "doc_id", 10, "ss_simhash").count()),
+      // event-time probe (r8 postmortem: the e-family broke on a testdata
+      // re-encode and no gate noticed) — batch sessionize over the events
+      // log, the same single session_window hash-agg shuffle e2/e5 share
+      "e2_sessionize" -> {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        () => graft.ops.Events.sessionize(ev, "ts", "user_id", "2 hours").count()
+      }
     )
   }
 
