@@ -754,6 +754,19 @@ object SparkEntry {
         .orderBy("id", "span_start")
     }),
 
+    "d24_bloom_decontaminate" -> ((s, dir) => {
+      // d20 through the broadcast-Bloom prefilter — the 100 TB shape
+      // when the eval gram set outgrows an exact broadcast: train grams
+      // probe the sketch map-side, only fpp·grams + matches reach the
+      // exact verify shuffle. RESULT-IDENTICAL to d20 by construction
+      // (no false negatives; exact join kills false positives), so it
+      // shares d20's oracle verbatim
+      val docs = plantSpan(t(s, dir, "documents"))
+      Dedup.bloomDecontaminateSpans(docs.filter(col("doc_id") < 400),
+          docs.filter(col("doc_id") >= 400), "text", "doc_id", 15, fpp = 0.01)
+        .orderBy("id", "span_start")
+    }),
+
     "d19_stream_substring" -> ((s, dir) => {
       // streaming substring dedup: docs [400, 600) arrive as two
       // micro-batches over the standing gram index (the rest of the
@@ -1031,14 +1044,22 @@ object SparkEntry {
       val base = plantLeak(plantJunk(plantSpan(t(s, dir, "documents"))))
       val train0 = base.filter(col("doc_id") < 400)
       val evalS = base.filter(col("doc_id") >= 400)
-      // 1. duplicated-span scrub within the training corpus
+      // 1. duplicated-span scrub within the training corpus.
+      // scrub1/scrub2 each feed MULTIPLE downstream stages (scrub1 →
+      // spans2 + scrub2; scrub2 → model training + gating join + BPE
+      // counts): pin them (localCheckpoint) so the expensive span
+      // machinery runs once per stage, not once per consumer — the
+      // same materialize-between-stages shape a production recipe
+      // would use (each stage's output written to storage)
       val spans1 = Dedup.substringSpans(train0, "text", "doc_id", 15)
-      val scrub1 = Dedup.scrubSpans(train0, spans1, "text", "doc_id")
-        .select(col("id").as("doc_id"), col("scrubbed").as("text"))
+      val scrub1 = graft.core.Checkpoints.truncate(
+        Dedup.scrubSpans(train0, spans1, "text", "doc_id")
+          .select(col("id").as("doc_id"), col("scrubbed").as("text")))
       // 2. excise any >= 15-gram overlap with the eval set
       val spans2 = Dedup.decontaminateSpans(scrub1, evalS, "text", "doc_id", 15)
-      val scrub2 = Dedup.scrubSpans(scrub1, spans2, "text", "doc_id")
-        .select(col("id").as("doc_id"), col("scrubbed").as("text"))
+      val scrub2 = graft.core.Checkpoints.truncate(
+        Dedup.scrubSpans(scrub1, spans2, "text", "doc_id")
+          .select(col("id").as("doc_id"), col("scrubbed").as("text")))
       // 3. learned quality gate, trained on the corpus's own labels
       val model = TextAnalysis.trainQualityModel(
         scrub2.withColumn("label", col("doc_id") % 4 =!= 1), "text", "label")
@@ -2236,6 +2257,30 @@ object SparkEntry {
     // from-scratch recompute: train grams marked by ANY occurrence in
     // the eval gram set, then the same maximal-span merge
     "d20_decontaminate" ->
+      s"""WITH d0 AS (SELECT doc_id, $plantSpanSql AS text FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+        |  FROM d0),
+        |g AS (
+        |  SELECT doc_id, t.i - 1 AS pos, md5(array_to_string(ws[t.i:t.i+14], ' ')) AS gh
+        |  FROM w, unnest(range(1, len(ws)-13)) AS t(i)),
+        |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id >= 400),
+        |m AS (SELECT doc_id, pos FROM g JOIN ev USING (gh) WHERE doc_id < 400),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN lag(pos) OVER win IS NULL OR pos - lag(pos) OVER win > 15 THEN 1 ELSE 0 END AS ns
+        |  FROM m WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |sp AS (
+        |  SELECT doc_id, pos,
+        |         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM isl)
+        |SELECT doc_id AS id, min(pos) AS span_start, max(pos) + 15 - min(pos) AS span_len
+        |FROM sp GROUP BY doc_id, sid ORDER BY id, span_start""".stripMargin,
+
+    // the Bloom prefilter is exact-verified, so its contract is
+    // literally d20's: same oracle text
+    "d24_bloom_decontaminate" ->
       s"""WITH d0 AS (SELECT doc_id, $plantSpanSql AS text FROM documents),
         |w AS (
         |  SELECT doc_id,

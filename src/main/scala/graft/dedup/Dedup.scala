@@ -861,6 +861,37 @@ object Dedup {
     maximalSpans(tg.join(eg, Seq("gh"), "leftsemi").select("id", "pos"), k)
   }
 
+  /** `decontaminateSpans` through a broadcast BLOOM prefilter — the
+    * 100 TB deployment shape when the eval gram set outgrows an exact
+    * broadcast (10⁸ distinct grams ≈ GBs of md5 keys) but its sketch
+    * does not (~n·10 bits at 1% fpp). The train side probes the sketch
+    * MAP-SIDE inside whole-stage codegen
+    * ([[graft.functions.BloomMightContain]]), so only
+    * `fpp · |train grams| + |true matches|` rows reach the exact
+    * semi-join shuffle that kills the false positives —
+    * RESULT-IDENTICAL to `decontaminateSpans` (Bloom admits no false
+    * negatives; the exact join on the full md5 gram also erases the
+    * 64-bit probe-key collisions), at ~1/fpp× less shuffle volume.
+    * The sketch build is one pass over the (small) eval grams. */
+  def bloomDecontaminateSpans(train: DataFrame, eval: DataFrame, textCol: String,
+                              idCol: String, k: Int, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val spark = train.sparkSession
+    val tg = positionalGrams(train, textCol, idCol, k)
+      .withColumn("__gh64", xxhash64(col("gh")))
+    // pinned: the eval gram set feeds the sizing count, the sketch
+    // build, and the exact verify join
+    val eg = graft.core.Checkpoints.truncate(
+      positionalGrams(eval, textCol, idCol, k).select("gh").distinct()
+        .withColumn("__gh64", xxhash64(col("gh"))))
+    val bf = eg.stat.bloomFilter("__gh64", math.max(eg.count(), 1L), fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val survivors = tg.filter(ColumnBridge.column(graft.functions.BloomMightContain(
+      ColumnBridge.expr(col("__gh64")), bc, "eval_grams")))
+    maximalSpans(
+      survivors.join(eg.select("gh"), Seq("gh"), "leftsemi").select("id", "pos"), k)
+  }
+
   /** Re-emit documents with their duplicated spans EXCISED — the x7
     * re-emitter idiom at token level: tokens covered by any span leave
     * the text, the rest re-join on single spaces (output is over the

@@ -507,6 +507,40 @@ class DedupSpec extends SparkSpec {
     assert(scrubbed(1).getLong(2) == scrubbed(1).getLong(1), "untouched doc must keep all tokens")
   }
 
+  test("bloom decontamination: result-identical to the exact path, probe stays map-side codegen") {
+    import spark.implicits._
+    // the sf0.001 documents table: a real corpus slice with genuine
+    // shared grams, so both the prefilter hit and miss paths are live
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val train = docs.filter(col("doc_id") < 400)
+    val eval_ = docs.filter(col("doc_id") >= 400)
+    val exact = Dedup.decontaminateSpans(train, eval_, "text", "doc_id", 15)
+    val bloom = Dedup.bloomDecontaminateSpans(train, eval_, "text", "doc_id", 15, fpp = 0.01)
+    assert(exact.exceptAll(bloom).isEmpty && bloom.exceptAll(exact).isEmpty,
+      "bloom path must be result-identical to the exact path")
+    assert(bloom.count() > 0, "fixture must exercise real overlap")
+    // an absurdly tight sketch (high fpp) still cannot lose a span:
+    // false positives are killed by the exact join, false negatives
+    // cannot exist at any fpp
+    val sloppy = Dedup.bloomDecontaminateSpans(train, eval_, "text", "doc_id", 15, fpp = 0.5)
+    assert(exact.exceptAll(sloppy).isEmpty && sloppy.exceptAll(exact).isEmpty,
+      "fpp changes cost, never results")
+    // plan shape: the sketch probe is a map-side Filter BELOW the exact
+    // semi-join (an AQE formatted plan hides codegen spans pre-exec, so
+    // assert structure: the Filter node index is deeper than the join's)
+    val plan = planOf(bloom)
+    assert(plan.contains("bloom_might_contain_eval_grams"),
+      s"probe expression missing from plan:\n$plan")
+    val probeSection = plan.linesIterator
+      .find(l => l.contains("Condition") && l.contains("bloom_might_contain")).getOrElse("")
+    assert(probeSection.nonEmpty, s"probe must be a Filter condition:\n$plan")
+    val tree = plan.linesIterator.takeWhile(!_.trim.startsWith("(1)")).toSeq
+    val joinDepth = tree.indexWhere(_.contains("Join LeftSemi"))
+    val filterBelowJoin = tree.drop(joinDepth + 1).exists(_.contains("Filter"))
+    assert(joinDepth > 0 && filterBelowJoin,
+      s"probe Filter must sit below (before) the exact semi-join:\n${tree.mkString("\n")}")
+  }
+
   test("simhash delta: batch pairs vs standing index = full recompute; absorb chains; supersede; compact+absorb = rebuild") {
     import spark.implicits._
     // near-dups differ in one token of thirty — Hamming well inside 10;
