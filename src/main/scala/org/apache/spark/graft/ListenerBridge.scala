@@ -1,0 +1,10 @@
+package org.apache.spark.graft
+
+import org.apache.spark.SparkContext
+
+/** `SparkContext.listenerBus` is private[spark]; measurement utilities
+  * (BloomScale's shuffle tally) need to drain it so async
+  * stage-completed events are all delivered before a tally is read. */
+object ListenerBridge {
+  def drain(sc: SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
+}
