@@ -989,6 +989,20 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "x11_quality_topq" -> ((s, dir) => {
+      // adaptive per-language quality gate (keep each language's best
+      // 20% by the fixed-point quality score): computed as a bounded-
+      // domain histogram + broadcast per-group threshold + boundary-
+      // only tie-break — never a per-group sort of the corpus. The
+      // oracle IS that sort (row_number window); equality proves the
+      // histogram shape exact, ties and all
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.qualityInt(docs, "text", "doc_id")
+      TextAnalysis.topQualityFraction(scored, "doc_id", "lang", "iq", qBp = 2000)
+        .select(col("doc_id"), col("lang"), expr("iq / 10000.0D").as("quality"))
+        .orderBy("doc_id")
+    }),
+
     "p2_weighted_sample" -> ((s, dir) =>
       // training-mix sampling: downweight the dominant language,
       // lightly trim fr, pass the rest — decided per row by the
@@ -1094,6 +1108,22 @@ object SparkEntry {
         .join(docs.select("doc_id", "source"), Seq("doc_id"))
       TextAnalysis.sourceCap(counts, "doc_id", "source", "ws_tokens", cap = 1300L)
         .select("doc_id", "source", "ws_tokens")
+        .orderBy("doc_id")
+    }),
+
+    "p10_pack_sequences" -> ((s, dir) => {
+      // loader-prep: concat-and-chunk into 512-token training
+      // sequences, packed per (source, 1000-doc shard) so every
+      // prefix-sum window is bounded by the shard size and shards pack
+      // in parallel after one uniform shuffle — the global concat
+      // order a single-sequence packer would need (one task, the whole
+      // corpus through it) never exists
+      val docs = t(s, dir, "documents")
+      val counts = docs.select(col("doc_id"), col("source"),
+        TextAnalysis.wsTokens(col("text")).as("ws_tokens"))
+      TextAnalysis.packSequences(counts, "doc_id", "source", "ws_tokens",
+          capacity = 512L, shardSize = 1000L)
+        .select("doc_id", "source", "shard", "bin_first", "bin_last", "offset_in_bin")
         .orderBy("doc_id")
     }),
 
@@ -1757,6 +1787,35 @@ object SparkEntry {
         |       (coalesce(sc.sum_bits, 0) * 1000000 // greatest(coalesce(sc.n_tokens, 0), 1))::BIGINT AS mean_bits_fp
         |FROM ids LEFT JOIN sc USING (id) ORDER BY id""".stripMargin,
 
+    // the oracle is the semantics the histogram shape must reproduce
+    // exactly: per-language row_number by (quality desc, doc_id), keep
+    // rn <= ceil(n * 20%) — ties at the threshold keep the lowest ids
+    "x11_quality_topq" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, text,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    length(text)::BIGINT AS n_chars_c,
+        |    len(ws)::BIGINT AS n_words,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::BIGINT AS n_punct,
+        |    len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is'], x)))::BIGINT AS n_stop
+        |  FROM w),
+        |q AS (
+        |  SELECT doc_id, lang,
+        |    (least(n_words, 100) * 50 + (n_stop * 3000 // greatest(n_words, 1))
+        |     + 2000 - (n_punct * 2000 // greatest(n_chars_c, 1)))::BIGINT AS iq
+        |  FROM s),
+        |r AS (
+        |  SELECT doc_id, lang, iq,
+        |    row_number() OVER (PARTITION BY lang ORDER BY iq DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM q)
+        |SELECT doc_id, lang, iq / 10000.0 AS quality FROM r
+        |WHERE lang IS NOT NULL AND rn <= (n * 2000 + 9999) // 10000
+        |ORDER BY doc_id""".stripMargin,
+
     // per-source prefix-sum recompute of the cap: same md5 order, same
     // exclusive-prefix < cap rule; under-cap sources pass whole. LEFT
     // join + explicit NULL branch: a NULL-source doc matches no totals
@@ -1776,6 +1835,27 @@ object SparkEntry {
         |  FROM u)
         |SELECT doc_id, source, ws_tokens FROM pre
         |WHERE tot IS NULL OR tot <= 1300 OR pre < 1300 ORDER BY doc_id""".stripMargin,
+
+    // concat-and-chunk packing: per (source, 1000-doc shard), docs in
+    // doc_id order; each doc's placement = its exclusive prefix token
+    // sum divided into 512-token bins. Pure integer arithmetic.
+    "p10_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens,
+        |    (doc_id // 1000)::BIGINT AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, ws_tokens, shard,
+        |    coalesce(sum(ws_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pre
+        |  FROM t)
+        |SELECT doc_id, source, shard,
+        |  (pre // 512)::BIGINT AS bin_first,
+        |  (CASE WHEN ws_tokens <= 0 THEN pre // 512
+        |        ELSE (pre + ws_tokens - 1) // 512 END)::BIGINT AS bin_last,
+        |  (pre % 512)::BIGINT AS offset_in_bin
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // from-scratch recompute of the ENTIRE six-stage recipe: substring
     // scrub -> eval decontamination -> learned quality gate -> BPE

@@ -67,7 +67,7 @@ object TextAnalysis {
     * floor division is bit-identical on every engine, whereas round() of
     * a float division diverges across engines exactly at half-boundary
     * rationals (e.g. 189/40 = 4.725) — found by the DuckDB oracle. */
-  def qualityScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  private def withQualityStats(docs: DataFrame, textCol: String): DataFrame = {
     val en = profiles.toMap.apply("en")
     docs
       .withColumn("__ws", words(col(textCol)))
@@ -76,17 +76,41 @@ object TextAnalysis {
       .withColumn("n_punct", regexp_count(col(textCol), lit("[^A-Za-z0-9\\s]")).cast("long"))
       .withColumn("n_stop", hits(col("__ws"), en).cast("long"))
       .withColumn("word_chars", aggregate(col("__ws"), lit(0L), (a, w) => a + length(w)))
+  }
+
+  /** The quality score's integer fixed-point core (×10⁴) — the exact
+    * formula `qualityScore` divides down for display. Exposed because
+    * downstream exact operators (`topQualityFraction`) aggregate on the
+    * BOUNDED INTEGER domain; re-deriving it from the displayed double
+    * would re-introduce float rounding at the last ulp. */
+  val qualityIntExpr: String =
+    "(least(n_words, 100) * 50 + (n_stop * 3000 div greatest(n_words, 1))" +
+      " + 2000 - (n_punct * 2000 div greatest(n_chars_c, 1)))"
+
+  /** The input's columns plus `iq`, the integer quality ×10⁴ — keeps
+    * group columns in place so gates compose without a re-join. */
+  def qualityInt(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    withQualityStats(docs, textCol)
+      .withColumn("iq", expr(qualityIntExpr).cast("long"))
+      .select(docs.columns.map(col) :+ col("iq"): _*)
+
+  def qualityScore(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    withQualityStats(docs, textCol)
       .withColumn("avg_word_len", expr("(word_chars * 100 div greatest(n_words, 1)) / 100.0D"))
       .withColumn("punct_ratio", expr("(n_punct * 10000 div greatest(n_chars_c, 1)) / 10000.0D"))
       .withColumn("stop_ratio", expr("(n_stop * 10000 div greatest(n_words, 1)) / 10000.0D"))
-      .withColumn("quality", expr(
-        "(least(n_words, 100) * 50 + (n_stop * 3000 div greatest(n_words, 1))" +
-          " + 2000 - (n_punct * 2000 div greatest(n_chars_c, 1))) / 10000.0D"))
+      .withColumn("quality", expr(s"$qualityIntExpr / 10000.0D"))
       .select(col(idCol), col("n_chars_c"), col("n_words"), col("avg_word_len"),
         col("punct_ratio"), col("stop_ratio"), col("quality"))
-  }
 
   // --- token counting ----------------------------------------------------
+
+  /** Whitespace token count as a composable column — exposed so
+    * operators that need tokens NEXT TO other doc columns (packing,
+    * capping) stay one map-only projection instead of self-joining
+    * the counts table back onto the corpus. */
+  def wsTokens(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0))).cast("long")
 
   /** Whitespace tokens + a BPE-ish regex token count (letters runs /
     * single digits / punctuation marks — the GPT-2 pre-tokenizer shape). */
@@ -94,7 +118,7 @@ object TextAnalysis {
     docs.select(
       col(idCol),
       length(col(textCol)).cast("long").as("n_chars_c"),
-      size(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).cast("long").as("ws_tokens"),
+      wsTokens(col(textCol)).as("ws_tokens"),
       size(regexp_extract_all(lower(col(textCol)), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
         .cast("long").as("bpe_tokens"))
 
@@ -367,6 +391,109 @@ object TextAnalysis {
         (row_number().over(Window.partitionBy(col("shard"))
           .orderBy(col("__u"), col(idCol))) - 1).cast("long"))
       .drop("__u")
+  }
+
+  /** Exact per-group top-q% gate WITHOUT a per-group global sort — the
+    * adaptive quality-threshold step (FineWeb-style per-slice filtering,
+    * public: keep each language's best q% by score rather than one
+    * global cutoff). Semantically identical to
+    * `row_number() OVER (PARTITION BY group ORDER BY score DESC, id)
+    * <= ceil(n·q)` — which is the oracle — but computed in the shape
+    * that survives 100 TB:
+    *
+    *  1. histogram: count per (group, score) — scores are FIXED-POINT
+    *     integers on a bounded domain, so this aggregate is map-side
+    *     combined and its result is tiny regardless of corpus size;
+    *  2. per-group threshold from the histogram's cumulative (a window
+    *     over histogram rows, not docs): t = the score where the
+    *     running count first reaches k = ceil(n·qBp/10⁴), plus how
+    *     many ties at t are still needed;
+    *  3. docs with score > t pass through a broadcast-joined map-only
+    *     filter; ONLY the boundary score's docs (one score value per
+    *     group) pay a row_number to break ties by id.
+    *
+    * The per-group sort a naive window would do over the whole corpus
+    * never happens — the heavy path is one map-side-combinable
+    * aggregate plus a map-only filter. Ties at the threshold keep the
+    * LOWEST ids, matching the oracle's deterministic order. */
+  def topQualityFraction(docs: DataFrame, idCol: String, groupCol: String,
+                         scoreCol: String, qBp: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qBp >= 0 && qBp <= 10000, s"qBp is basis points, got $qBp")
+    val hist = docs.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).cast("long").as("__c"))
+    val wDesc = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    // per group: k docs wanted; per score: how many docs sit strictly
+    // above it (__above). The threshold row is the one where
+    // __above < k <= __above + __c; it needs k - __above of its ties.
+    val marked = hist
+      .withColumn("__above", sum(col("__c")).over(wDesc) - col("__c"))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn("__k", expr(s"(__n * $qBp + 9999) div 10000"))
+    // cached: both union branches below consume the thresholds —
+    // without the pin each branch re-runs the histogram aggregate and
+    // its corpus scan (the sourceCap totals precedent); the cache is
+    // one row per group
+    val thresholds = marked
+      .filter(col("__above") < col("__k") && col("__k") <= col("__above") + col("__c"))
+      .select(col(groupCol), col(scoreCol).as("__t"),
+        (col("__k") - col("__above")).as("__need"))
+      .cache()
+    // LEFT join (the family's NULL-group convention): a NULL group
+    // never equi-matches a thresholds row, gets a NULL __t, and is
+    // dropped — q% of nothing nameable is nothing. Groups land one
+    // row each in `thresholds`, so the join broadcasts at any scale.
+    val joined = docs.join(broadcast(thresholds), Seq(groupCol), "left")
+    val above = joined.filter(col(scoreCol) > col("__t"))
+      .drop("__t", "__need")
+    // boundary: only score == t rows (one score value per group) pay
+    // the tie-break row_number — a vanishing fraction of the corpus
+    val wTie = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    val boundary = joined.filter(col(scoreCol) === col("__t"))
+      .withColumn("__rn", row_number().over(wTie))
+      .filter(col("__rn") <= col("__need"))
+      .drop("__t", "__need", "__rn")
+    above.unionByName(boundary)
+  }
+
+  /** Sequence PACKING — the concat-and-chunk step that turns a
+    * filtered corpus into fixed-capacity training sequences (the
+    * standard pretraining loader shape, public: documents are
+    * concatenated in a deterministic order and sliced every `capacity`
+    * tokens; a document may straddle a chunk boundary). Packing is
+    * per-SHARD: shard = (group, id div shardSize), documents ordered
+    * by id within the shard, so every window is bounded by
+    * shardSize docs regardless of corpus size — the global prefix-sum
+    * a single concat order would need (one task, 100 TB through it)
+    * never happens, and shards pack in parallel after one uniform
+    * shuffle. The boundary cost is real but amortized: at most one
+    * partly-empty final bin per shard.
+    *
+    * Emits one row per doc with its placement: `shard` (id-range index
+    * within the group), `bin_first`/`bin_last` (the chunk ids this
+    * doc's tokens land in, within the shard), `offset_in_bin` (token
+    * offset of the doc's first token in bin_first). Integer arithmetic
+    * end-to-end; zero-token docs sit at their neighbour's boundary
+    * (bin_last = bin_first, zero width). */
+  def packSequences(docs: DataFrame, idCol: String, groupCol: String,
+                    tokenCol: String, capacity: Long, shardSize: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(capacity > 0 && shardSize > 0)
+    val sharded = docs.withColumn("shard", expr(s"$idCol div $shardSize").cast("long"))
+    val w = Window.partitionBy(col(groupCol), col("shard"))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sharded
+      .withColumn("__pre", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("bin_first", expr(s"__pre div $capacity"))
+      .withColumn("bin_last",
+        when(col(tokenCol) <= 0L, col("bin_first"))
+          .otherwise(expr(s"(__pre + $tokenCol - 1) div $capacity")))
+      .withColumn("offset_in_bin", expr(s"__pre % $capacity"))
+      .drop("__pre")
   }
 
   // --- learned quality filter (x9) ---------------------------------------

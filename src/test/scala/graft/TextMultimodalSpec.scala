@@ -463,4 +463,75 @@ class TextMultimodalSpec extends SparkSpec {
     assert(eq.length == 3 && eq.forall(_.getBoolean(4)),
       s"empty-quality-model verdicts ${eq.mkString(",")}")
   }
+
+  test("top-q gate: histogram shape equals the sort-window semantics, ties and edges included") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // heavy ties by construction (scores only 0..9): every group's
+    // threshold score is shared by several docs, so the boundary
+    // tie-break path is exercised, not just the strict-above filter
+    val rng = new scala.util.Random(7)
+    val docs = (0L until 400L).map { i =>
+      (i, s"g${rng.nextInt(3)}", rng.nextInt(10).toLong)
+    }.toDF("id", "grp", "score")
+    for (qBp <- Seq(1, 1700, 5000, 9999)) {
+      val got = TextAnalysis.topQualityFraction(docs, "id", "grp", "score", qBp)
+        .select("id").as[Long].collect().toSet
+      val w = Window.partitionBy("grp").orderBy(col("score").desc, col("id"))
+      val expect = docs
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+        .filter(col("rn") <= expr(s"(n * $qBp + 9999) div 10000"))
+        .select("id").as[Long].collect().toSet
+      assert(got == expect, s"qBp=$qBp: got ${got.size}, want ${expect.size}")
+    }
+    // edges: 0% keeps nothing, 100% keeps everything
+    assert(TextAnalysis.topQualityFraction(docs, "id", "grp", "score", 0).count() == 0L)
+    assert(TextAnalysis.topQualityFraction(docs, "id", "grp", "score", 10000).count() == 400L)
+    // NULL-group docs can't name a fraction — dropped, never crashing
+    val withNull = docs.withColumn("grp",
+      when(col("id") % 5 === 0, lit(null).cast("string")).otherwise(col("grp")))
+    val gotNull = TextAnalysis.topQualityFraction(withNull, "id", "grp", "score", 10000)
+    assert(gotNull.filter(col("grp").isNull).count() == 0L)
+    assert(gotNull.count() == withNull.filter(col("grp").isNotNull).count())
+  }
+
+  test("sequence packing: placements match a local sequential packer; straddles and empties behave") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(11)
+    // token counts straddle the capacity on purpose: some docs are
+    // longer than a whole bin (span several), some are empty
+    val rows = (0L until 300L).map { i =>
+      (i, s"src${rng.nextInt(2)}", if (i % 37 == 0) 0L else rng.nextInt(130).toLong)
+    }
+    val docs = rows.toDF("id", "src", "tok")
+    val got = TextAnalysis.packSequences(docs, "id", "src", "tok",
+        capacity = 50L, shardSize = 64L)
+      .select("id", "shard", "bin_first", "bin_last", "offset_in_bin")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // local model: per (src, shard) in id order, running prefix sum
+    val local = rows.groupBy { case (i, src, _) => (src, i / 64L) }
+      .flatMap { case ((_, shard), grp) =>
+        var cum = 0L
+        grp.sortBy(_._1).map { case (i, _, tok) =>
+          val first = cum / 50L
+          val last = if (tok <= 0L) first else (cum + tok - 1L) / 50L
+          val off = cum % 50L
+          cum += tok
+          i -> ((shard, first, last, off))
+        }
+      }
+    assert(got == local.toMap, "distributed placements differ from the sequential packer")
+    // invariants: offsets inside the bin; a doc wider than capacity
+    // spans >= 2 bins; zero-token docs are zero-width
+    rows.foreach { case (i, _, tok) =>
+      val (_, first, last, off) = got(i)
+      assert(off >= 0L && off < 50L)
+      if (tok > 50L) assert(last > first, s"doc $i with $tok tokens should straddle")
+      if (tok == 0L) assert(last == first)
+    }
+  }
 }
