@@ -996,8 +996,17 @@ object SparkEntry {
       // only tie-break — never a per-group sort of the corpus. The
       // oracle IS that sort (row_number window); equality proves the
       // histogram shape exact, ties and all
+      // the score table is PINNED before the gate (the p8 materialize-
+      // between-stages shape): the gate's histogram + both filter
+      // branches each consume it, and without the pin every consumer
+      // re-runs the regex-heavy score derivation over the raw text —
+      // 3 text passes where one (id, lang, iq) table (tiny vs the
+      // corpus — exactly what a production run would persist) serves
+      // all three
       val docs = t(s, dir, "documents")
-      val scored = TextAnalysis.qualityInt(docs, "text", "doc_id")
+      val scored = graft.core.Checkpoints.truncate(
+        TextAnalysis.qualityInt(docs, "text", "doc_id")
+          .select("doc_id", "lang", "iq"))
       TextAnalysis.topQualityFraction(scored, "doc_id", "lang", "iq", qBp = 2000)
         .select(col("doc_id"), col("lang"), expr("iq / 10000.0D").as("quality"))
         .orderBy("doc_id")
