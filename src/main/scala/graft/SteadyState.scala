@@ -38,6 +38,20 @@ object SteadyState {
     val vbatch = graft.ann.SemDedup.perturbedBatch(emb, "embedding", "vec_id")
 
     Seq(
+      // data-independent CPU-bound kernel, timed exactly like the
+      // probes (min-of-3 after warmup): measures the machine's
+      // effective compute throughput AT PROBE TIME — host-level
+      // co-tenant contention is invisible to guest loadavg but shows
+      // up here, and the bench gate divides probe ratios by this
+      // kernel's ratio so a loaded host doesn't read as a regression
+      // (r8/r9 postmortem: uniform 1.5-4x drift across unrelated
+      // probes with zero code change). Leading underscore: not a
+      // query probe, never compared directly.
+      // bit_xor, not sum: ANSI mode (Spark 4 default) raises on long
+      // overflow, and 200M hash values overflow a long sum
+      "_calibration" ->
+        (() => spark.range(0L, 200000000L, 1L, 32)
+          .agg(expr("bit_xor(xxhash64(id))")).head().getLong(0)),
       "s8_pq_probe" ->
         (() => graft.ann.Pq.pqTopKIndexed(spark, "ss_pq", emb, "embedding", "vec_id",
           col("id") < 10, 5).count()),

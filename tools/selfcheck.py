@@ -22,7 +22,17 @@ def bench_gate(new_path, base_path, factor=1.5):
     steady-state probes are min-of-3 over standing indexes and are the
     stable deployment-cost signal. A probe that newly reports the -1
     failure sentinel is a hard FAIL; a probe missing from the baseline
-    (new query) is informational."""
+    (new query) is informational.
+
+    Load normalization: when BOTH artifacts carry the `_calibration`
+    probe (a data-independent CPU-bound kernel timed like the probes),
+    every probe ratio is divided by the calibration ratio before the
+    factor test. Host-level co-tenant contention is invisible to guest
+    loadavg but slows calibration and probes alike, so without this a
+    loaded host reads as a uniform across-the-board regression (the
+    r8/r9 pattern: 1.5-4x drift on untouched queries). Normalization
+    is symmetric — a FASTER machine deflates raw ratios and would hide
+    a real regression, so ratios are scaled up in that case too."""
     def steady(path):
         with open(path) as f:
             for line in f:
@@ -38,8 +48,19 @@ def bench_gate(new_path, base_path, factor=1.5):
         print(f"FAIL: no steady_state line in {new_path}"); return 1
     if base is None:
         print(f"FAIL: no steady_state line in {base_path}"); return 1
+    norm = 1.0
+    ncal, bcal = new.get("_calibration"), base.get("_calibration")
+    if ncal and bcal and ncal > 0 and bcal > 0:
+        norm = ncal / bcal
+        print(f"INFO _calibration: {ncal}s vs baseline {bcal}s -> "
+              f"normalizing probe ratios by {norm:.2f}x machine factor")
+        if norm > 5 or norm < 0.2:
+            print(f"WARN _calibration: extreme machine factor {norm:.2f}x — "
+                  "normalized verdicts are low-confidence, re-run when quieter")
     fail = 0
     for name in sorted(set(new) | set(base)):
+        if name == "_calibration":
+            continue
         nv, bv = new.get(name), base.get(name)
         if nv is None:
             print(f"WARN {name}: probe dropped (was {bv}s)"); continue
@@ -51,11 +72,14 @@ def bench_gate(new_path, base_path, factor=1.5):
             print(f"FAIL {name}: probe now FAILING (baseline {bv}s)"); fail += 1; continue
         if bv < 0:
             print(f"INFO {name}: probe recovered, {nv}s (baseline failed)"); continue
-        if nv > bv * factor:
-            print(f"FAIL {name}: {nv}s vs baseline {bv}s (> {factor}x)"); fail += 1
+        ratio = (nv / bv) / norm
+        note = f" ({nv / bv:.2f}x raw / {ratio:.2f}x normalized)" if norm != 1.0 else ""
+        if ratio > factor:
+            print(f"FAIL {name}: {nv}s vs baseline {bv}s (> {factor}x){note}"); fail += 1
         else:
-            print(f"PASS {name}: {nv}s vs baseline {bv}s")
-    print(f"\nsteady-state gate: {'FAIL' if fail else 'PASS'} ({len(set(new) & set(base))} probes compared)")
+            print(f"PASS {name}: {nv}s vs baseline {bv}s{note}")
+    n_cmp = len((set(new) & set(base)) - {"_calibration"})
+    print(f"\nsteady-state gate: {'FAIL' if fail else 'PASS'} ({n_cmp} probes compared)")
     return 1 if fail else 0
 
 
