@@ -1120,6 +1120,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "p11_temperature_mix" -> ((s, dir) => {
+      // α=1/2 temperature mixing at a target just under the corpus token
+      // mass: the dominant language's √-deflated share thins it while
+      // minority languages land budgets ABOVE their mass and repeat —
+      // both regimes of the mixer active in one run
+      val docs = t(s, dir, "documents")
+      val counts = docs.select(col("doc_id"), col("lang"),
+        TextAnalysis.wsTokens(col("text")).as("ws_tokens"))
+      TextAnalysis.temperatureMix(counts, "doc_id", "lang", "ws_tokens",
+          targetTokens = 30000L)
+        .select("doc_id", "lang", "ws_tokens", "copy")
+        .orderBy("doc_id", "copy")
+    }),
+
     "p10_pack_sequences" -> ((s, dir) => {
       // loader-prep: concat-and-chunk into 512-token training
       // sequences, packed per (source, 1000-doc shard) so every
@@ -1844,6 +1858,34 @@ object SparkEntry {
         |  FROM u)
         |SELECT doc_id, source, ws_tokens FROM pre
         |WHERE tot IS NULL OR tot <= 1300 OR pre < 1300 ORDER BY doc_id""".stripMargin,
+
+    // α=1/2 temperature mix: weights floor(sqrt(tokens)) — IEEE sqrt
+    // is correctly rounded, so both engines floor the same double —
+    // budgets target·w//sumw, copies via the p7 repeat machinery
+    "p11_temperature_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens
+        |  FROM documents),
+        |tot AS (
+        |  SELECT lang, sum(ws_tokens)::BIGINT AS tot FROM t
+        |  WHERE lang IS NOT NULL GROUP BY 1),
+        |wts AS (SELECT lang, tot, CAST(floor(sqrt(tot)) AS BIGINT) AS w FROM tot),
+        |sw AS (SELECT sum(w)::BIGINT AS sumw FROM wts),
+        |bud AS (
+        |  SELECT lang, tot,
+        |    (CAST(30000 AS HUGEINT) * w // greatest(sumw, 1))::BIGINT AS b
+        |  FROM wts, sw),
+        |n AS (
+        |  SELECT t.doc_id, t.lang, t.ws_tokens,
+        |    CASE WHEN b.b IS NULL THEN 1
+        |         WHEN b.tot = 0 THEN 0
+        |         ELSE (b.b // b.tot) + CASE WHEN ('0x' || substr(md5('temp:' || t.doc_id), 1, 8))::BIGINT < ((b.b % b.tot) * 4294967296 // b.tot) THEN 1 ELSE 0 END
+        |    END AS copies
+        |  FROM t LEFT JOIN bud b USING (lang))
+        |SELECT doc_id, lang, ws_tokens, c.c::BIGINT AS copy
+        |FROM n, unnest(range(0, copies)) AS c(c)
+        |ORDER BY doc_id, copy""".stripMargin,
 
     // concat-and-chunk packing: per (source, 1000-doc shard), docs in
     // doc_id order; each doc's placement = its exclusive prefix token

@@ -312,8 +312,18 @@ object TextAnalysis {
     }
     // LEFT join for the same NULL-group reason as tokenBudgetSample:
     // a null group has a null budget too, so it emits exactly once
-    docs.join(broadcast(totals), Seq(groupCol), "left")
-      .withColumn("__budget", budget)
+    materializeCopies(
+      docs.join(broadcast(totals), Seq(groupCol), "left").withColumn("__budget", budget),
+      idCol, seed)
+  }
+
+  /** Shared copy-materialization for the budget mixers: expects
+    * `__tot` (group token total; null on NULL-group rows) and
+    * `__budget` (null = no budget → emit once; 0 with a zero total →
+    * drop) columns, emits floor(budget/total) full copies plus one
+    * md5-decided extra — expected kept tokens = budget exactly. */
+  private def materializeCopies(joined: DataFrame, idCol: String, seed: String): DataFrame =
+    joined
       .withColumn("__n",
         when(col("__budget").isNull, lit(1L))
           .when(col("__tot") === 0L, lit(0L))
@@ -327,6 +337,40 @@ object TextAnalysis {
         when(col("__n") === 0L, array().cast("array<bigint>"))
           .otherwise(sequence(lit(0L), col("__n") - 1L))))
       .drop("__tot", "__budget", "__n")
+
+  /** TEMPERATURE mixing — α-weighted multilingual sampling (the
+    * mBERT/XLM-R exponentiated-smoothing mix, public: sample group g
+    * with probability ∝ n_g^α so low-resource slices are upweighted
+    * without letting any one slice dominate), at α = 1/2: group
+    * weight = ⌊√tokens⌋, group budget = target·w_g div Σw, then the
+    * exact `materializeCopies` machinery emits each doc's copies —
+    * high-resource groups thin (budget < total), low-resource groups
+    * REPEAT (budget > total), both decided per doc by the
+    * deterministic md5 uniform. ⌊√n⌋ is engine-exact: IEEE sqrt is
+    * correctly rounded and both engines floor the identical double,
+    * so the whole mix hash-matches — the reason α is fixed at 1/2
+    * rather than a float exponent (x^0.3 is NOT correctly rounded
+    * and diverges across math libraries). NULL-group docs carry no
+    * weight and emit exactly once (the family convention). Shapes:
+    * one tiny per-group aggregate + a 1-row weight-mass broadcast +
+    * a broadcast budget join + codegen'd projection/explode —
+    * map-only over the scan at any corpus size. */
+  def temperatureMix(docs: DataFrame, idCol: String, groupCol: String,
+                     tokenCol: String, targetTokens: Long,
+                     seed: String = "temp"): DataFrame = {
+    val weighted = docs.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(sum(col(tokenCol)).cast("long").as("__tot"))
+      .withColumn("__w", expr("CAST(floor(sqrt(CAST(__tot AS DOUBLE))) AS BIGINT)"))
+    val sumW = weighted.agg(sum("__w").cast("long").as("__sumw"))
+    // target·w in DECIMAL(38,0): a 100 TB target (10¹⁴ tokens) times a
+    // √-weight (10⁷) overflows a long
+    val budgets = weighted.crossJoin(broadcast(sumW))
+      .withColumn("__budget",
+        expr(s"CAST(CAST($targetTokens AS DECIMAL(38,0)) * __w div greatest(__sumw, 1L) AS BIGINT)"))
+      .select(col(groupCol), col("__tot"), col("__budget"))
+    materializeCopies(
+      docs.join(broadcast(budgets), Seq(groupCol), "left"), idCol, seed)
   }
 
   /** Per-source token CAP — domain capping (Gopher/MassiveText-style,

@@ -497,6 +497,42 @@ class TextMultimodalSpec extends SparkSpec {
     assert(gotNull.count() == withNull.filter(col("grp").isNotNull).count())
   }
 
+  test("temperature mix: equals repeat with sqrt-derived budgets; both regimes; NULL group once") {
+    val s = spark
+    import s.implicits._
+    // group token masses chosen so α=1/2 budgets at T=1200 straddle
+    // both regimes: big (tot 900, w 30) gets 1200·30/50 = 720 < 900
+    // (thins); small (tot 400, w 20) gets 1200·20/50 = 480 > 400
+    // (repeats); NULL-group docs ride along untouched
+    val docs = ((0L until 90L).map(i => (i, "big", 10L)) ++
+      (100L until 120L).map(i => (i, "small", 20L)) ++
+      Seq((200L, null.asInstanceOf[String], 7L))).toDF("id", "grp", "tok")
+    val got = TextAnalysis.temperatureMix(docs, "id", "grp", "tok",
+      targetTokens = 1200L, seed = "x")
+    // the mixer IS tokenBudgetRepeat under budgets derived from the
+    // floor(sqrt) weights — p7's machinery carries its own spec, so
+    // equality here pins exactly the weight/budget derivation
+    val expect = TextAnalysis.tokenBudgetRepeat(docs, "id", "grp", "tok",
+      budgets = Map("big" -> 720L, "small" -> 480L), seed = "x")
+    assert(got.select("id", "copy").as[(Long, Long)].collect().sorted.toSeq ==
+      expect.select("id", "copy").as[(Long, Long)].collect().sorted.toSeq)
+    // regimes: big thins (strictly fewer emitted rows than docs, no
+    // repeats), small repeats (every doc at least once, some twice)
+    val bigRows = got.filter(col("grp") === "big")
+    assert(bigRows.count() < 90L && bigRows.agg(max("copy")).head().getLong(0) == 0L)
+    val smallRows = got.filter(col("grp") === "small")
+    assert(smallRows.select("id").distinct().count() == 20L)
+    assert(smallRows.count() > 20L)
+    // NULL group: exactly once, copy 0
+    assert(got.filter(col("grp").isNull).select("id", "copy")
+      .as[(Long, Long)].collect().toSeq == Seq((200L, 0L)))
+    // deterministic: a second run is identical
+    val again = TextAnalysis.temperatureMix(docs, "id", "grp", "tok",
+      targetTokens = 1200L, seed = "x")
+    assert(again.select("id", "copy").as[(Long, Long)].collect().sorted.toSeq ==
+      got.select("id", "copy").as[(Long, Long)].collect().sorted.toSeq)
+  }
+
   test("sequence packing: placements match a local sequential packer; straddles and empties behave") {
     val s = spark
     import s.implicits._
