@@ -497,6 +497,29 @@ class TextMultimodalSpec extends SparkSpec {
     assert(gotNull.count() == withNull.filter(col("grp").isNotNull).count())
   }
 
+  test("plan shapes: gate/packer/mixer never sort-merge-join or globally sort the corpus") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 50L).map(i => (i, s"g${i % 3}", i % 7)).toDF("id", "grp", "score")
+    // x11 gate: corpus side must ride BROADCAST joins (the thresholds
+    // are group-sized); a SortMergeJoin would mean the corpus is being
+    // shuffled against its own statistics
+    val gate = planOf(TextAnalysis.topQualityFraction(docs, "id", "grp", "score", 2000))
+    assert(!gate.contains("SortMergeJoin"), "gate must broadcast thresholds:\n" + gate)
+    assert(gate.contains("BroadcastHashJoin") || gate.contains("BroadcastNestedLoopJoin"),
+      "gate should join via broadcast:\n" + gate)
+    // p10 packer: exactly one data shuffle (the (group, shard) window
+    // partitioning); no join at all
+    val toks = (0L until 50L).map(i => (i, s"s${i % 2}", 10L)).toDF("id", "src", "tok")
+    val pack = planOf(TextAnalysis.packSequences(toks, "id", "src", "tok", 50L, 16L))
+    assert(!pack.contains("Join"), "packer must not join:\n" + pack)
+    assert(pack.split("Exchange").length - 1 <= 2, // hashpartition (+AQE repr)
+      "packer should shuffle once, by (group, shard):\n" + pack)
+    // p11 mixer: budgets broadcast; corpus never sort-merge-joined
+    val mix = planOf(TextAnalysis.temperatureMix(toks, "id", "src", "tok", 100L))
+    assert(!mix.contains("SortMergeJoin"), "mixer must broadcast budgets:\n" + mix)
+  }
+
   test("temperature mix: equals repeat with sqrt-derived budgets; both regimes; NULL group once") {
     val s = spark
     import s.implicits._
