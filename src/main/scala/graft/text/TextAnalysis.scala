@@ -87,12 +87,24 @@ object TextAnalysis {
     "(least(n_words, 100) * 50 + (n_stop * 3000 div greatest(n_words, 1))" +
       " + 2000 - (n_punct * 2000 div greatest(n_chars_c, 1)))"
 
+  /** Guard for operators that APPEND fixed-name output columns to the
+    * caller's frame (the same care the `__`-prefixed temporaries get):
+    * an input already carrying one of the emitted names would produce
+    * ambiguous/silently-overwritten columns — collide loudly instead. */
+  private def requireFresh(df: DataFrame, names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already carries output column(s) ${clash.mkString(", ")} — rename before calling")
+  }
+
   /** The input's columns plus `iq`, the integer quality ×10⁴ — keeps
     * group columns in place so gates compose without a re-join. */
-  def qualityInt(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+  def qualityInt(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    requireFresh(docs, "iq")
     withQualityStats(docs, textCol)
       .withColumn("iq", expr(qualityIntExpr).cast("long"))
       .select(docs.columns.map(col) :+ col("iq"): _*)
+  }
 
   def qualityScore(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     withQualityStats(docs, textCol)
@@ -322,7 +334,8 @@ object TextAnalysis {
     * `__budget` (null = no budget → emit once; 0 with a zero total →
     * drop) columns, emits floor(budget/total) full copies plus one
     * md5-decided extra — expected kept tokens = budget exactly. */
-  private def materializeCopies(joined: DataFrame, idCol: String, seed: String): DataFrame =
+  private def materializeCopies(joined: DataFrame, idCol: String, seed: String): DataFrame = {
+    requireFresh(joined, "copy")
     joined
       .withColumn("__n",
         when(col("__budget").isNull, lit(1L))
@@ -337,6 +350,7 @@ object TextAnalysis {
         when(col("__n") === 0L, array().cast("array<bigint>"))
           .otherwise(sequence(lit(0L), col("__n") - 1L))))
       .drop("__tot", "__budget", "__n")
+  }
 
   /** TEMPERATURE mixing — α-weighted multilingual sampling (the
     * mBERT/XLM-R exponentiated-smoothing mix, public: sample group g
@@ -427,6 +441,7 @@ object TextAnalysis {
   def epochShuffle(docs: DataFrame, idCol: String, epoch: Int,
                    nShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireFresh(docs, "shard", "pos")
     val u = sampleHash(col(idCol), s"epoch$epoch")
     docs
       .withColumn("__u", u)
@@ -459,12 +474,20 @@ object TextAnalysis {
     * The per-group sort a naive window would do over the whole corpus
     * never happens — the heavy path is one map-side-combinable
     * aggregate plus a map-only filter. Ties at the threshold keep the
-    * LOWEST ids, matching the oracle's deterministic order. */
+    * LOWEST ids, matching the oracle's deterministic order.
+    *
+    * NULL scores cannot rank: they are excluded from the histogram AND
+    * from n (so k = ceil(q · non-null count)) and are never emitted —
+    * the family's NULL-group convention applied to the score axis.
+    * Without the exclusion a null-score histogram row could BE a
+    * group's threshold row (null __t → the whole group silently
+    * emits nothing) and null rows would inflate k. */
   def topQualityFraction(docs: DataFrame, idCol: String, groupCol: String,
                          scoreCol: String, qBp: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(qBp >= 0 && qBp <= 10000, s"qBp is basis points, got $qBp")
-    val hist = docs.groupBy(col(groupCol), col(scoreCol))
+    val scored = docs.filter(col(scoreCol).isNotNull)
+    val hist = scored.groupBy(col(groupCol), col(scoreCol))
       .agg(count(lit(1)).cast("long").as("__c"))
     val wDesc = Window.partitionBy(col(groupCol))
       .orderBy(col(scoreCol).desc)
@@ -477,29 +500,50 @@ object TextAnalysis {
       .withColumn("__above", sum(col("__c")).over(wDesc) - col("__c"))
       .withColumn("__n", sum(col("__c")).over(wAll))
       .withColumn("__k", expr(s"(__n * $qBp + 9999) div 10000"))
-    // cached: both union branches below consume the thresholds —
+    // pinned (localCheckpoint, the sibling operators' idiom — a bare
+    // .cache() would stay registered in the session's cache manager
+    // forever): both union branches below consume the thresholds;
     // without the pin each branch re-runs the histogram aggregate and
-    // its corpus scan (the sourceCap totals precedent); the cache is
+    // its corpus scan (the sourceCap totals precedent); the pin is
     // one row per group
-    val thresholds = marked
+    val thresholds = graft.core.Checkpoints.truncate(marked
       .filter(col("__above") < col("__k") && col("__k") <= col("__above") + col("__c"))
       .select(col(groupCol), col(scoreCol).as("__t"),
-        (col("__k") - col("__above")).as("__need"))
-      .cache()
+        (col("__k") - col("__above")).as("__need")))
     // LEFT join (the family's NULL-group convention): a NULL group
     // never equi-matches a thresholds row, gets a NULL __t, and is
     // dropped — q% of nothing nameable is nothing. Groups land one
     // row each in `thresholds`, so the join broadcasts at any scale.
-    val joined = docs.join(broadcast(thresholds), Seq(groupCol), "left")
+    val joined = scored.join(broadcast(thresholds), Seq(groupCol), "left")
     val above = joined.filter(col(scoreCol) > col("__t"))
       .drop("__t", "__need")
-    // boundary: only score == t rows (one score value per group) pay
-    // the tie-break row_number — a vanishing fraction of the corpus
-    val wTie = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
-    val boundary = joined.filter(col(scoreCol) === col("__t"))
-      .withColumn("__rn", row_number().over(wTie))
+    // boundary: only score == t rows pay a tie-break — and the rank is
+    // a distributed RANGE-rank, not one row_number window per group:
+    // on a degenerate corpus where a single score value dominates a
+    // group (a bot-generated slice scoring identically) the boundary
+    // IS the group, and a group-partitioned window would funnel it
+    // through one partition's sort. Shape: range-repartition boundary
+    // rows by (group, id) so each task holds a contiguous bounded
+    // id-slice (pinned — both consumers below must see the same
+    // partition ids); per-(slice, group) counts (a tiny aggregate, one
+    // row per task×group) turned into prefix offsets and broadcast
+    // back; local ranks within each slice plus the offset give the
+    // exact per-group global id-rank with no partition ever sorting
+    // more than its slice. Result identical to the single window.
+    val sliced = graft.core.Checkpoints.truncate(
+      joined.filter(col(scoreCol) === col("__t"))
+        .repartitionByRange(col(groupCol), col(idCol)))
+      .withColumn("__pid", spark_partition_id())
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
+    val offsets = sliced.groupBy(col("__pid"), col(groupCol))
+      .agg(count(lit(1)).as("__pc"))
+      .withColumn("__off", sum(col("__pc")).over(wOff) - col("__pc"))
+      .select(col("__pid"), col(groupCol), col("__off"))
+    val wLocal = Window.partitionBy(col("__pid"), col(groupCol)).orderBy(col(idCol))
+    val boundary = sliced.join(broadcast(offsets), Seq("__pid", groupCol))
+      .withColumn("__rn", row_number().over(wLocal) + col("__off"))
       .filter(col("__rn") <= col("__need"))
-      .drop("__t", "__need", "__rn")
+      .drop("__t", "__need", "__pid", "__rn", "__off")
     above.unionByName(boundary)
   }
 
@@ -526,6 +570,7 @@ object TextAnalysis {
                     tokenCol: String, capacity: Long, shardSize: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(capacity > 0 && shardSize > 0)
+    requireFresh(docs, "shard", "bin_first", "bin_last", "offset_in_bin")
     val sharded = docs.withColumn("shard", expr(s"$idCol div $shardSize").cast("long"))
     val w = Window.partitionBy(col(groupCol), col("shard"))
       .orderBy(col(idCol))

@@ -497,6 +497,69 @@ class TextMultimodalSpec extends SparkSpec {
     assert(gotNull.count() == withNull.filter(col("grp").isNotNull).count())
   }
 
+  test("top-q gate: NULL scores are excluded from n and never emitted") {
+    val s = spark
+    import s.implicits._
+    // 40 scored docs + 10 null-score docs in one group: null scores
+    // cannot rank — they leave both the histogram and n
+    val docs = ((0L until 40L).map(i => (i, "g", java.lang.Long.valueOf(i % 4))) ++
+      (100L until 110L).map(i => (i, "g", null.asInstanceOf[java.lang.Long])))
+      .toDF("id", "grp", "score")
+    // qBp=10000 with nulls present: ALL non-null docs keep (the round-9
+    // shape counted nulls in n, made the null histogram row the
+    // threshold row, and the whole group emitted ZERO rows here)
+    val all = TextAnalysis.topQualityFraction(docs, "id", "grp", "score", 10000)
+    assert(all.count() == 40L, "every non-null-score doc keeps at q=100%")
+    assert(all.filter(col("score").isNull).count() == 0L)
+    // mid fraction: k = ceil(q · 40), not ceil(q · 50)
+    val half = TextAnalysis.topQualityFraction(docs, "id", "grp", "score", 5000)
+    assert(half.count() == 20L, s"k over non-null count, got ${half.count()}")
+    // an all-null-score group emits nothing — not a crash, not a null
+    // threshold row
+    val gone = TextAnalysis.topQualityFraction(
+      docs.filter(col("score").isNull), "id", "grp", "score", 10000)
+    assert(gone.count() == 0L)
+  }
+
+  test("top-q gate: degenerate all-one-score group ranks through bounded slices") {
+    val s = spark
+    import s.implicits._
+    // 100k docs, ONE group, ONE score value: the boundary IS the group.
+    // The distributed range-rank must still keep exactly the lowest k
+    // ids, and the tie-break window must be partitioned by (slice,
+    // group) — never by group alone, which would funnel the whole
+    // group through a single partition's sort
+    val n = 100000L
+    val docs = s.range(n).select(col("id"), lit("g").as("grp"), lit(5L).as("score"))
+    val qBp = 1700
+    val k = (n * qBp + 9999) / 10000
+    val got = TextAnalysis.topQualityFraction(docs, "id", "grp", "score", qBp)
+    assert(got.count() == k, s"want $k of $n")
+    assert(got.agg(max("id")).head.getLong(0) == k - 1, "ties keep the LOWEST ids")
+    // plan shape: the rank window runs per (__pid, grp) slice
+    val plan = planOf(TextAnalysis.topQualityFraction(docs, "id", "grp", "score", qBp))
+    assert(plan.contains("__pid"),
+      "tie-break window must be slice-partitioned, not group-partitioned:\n" + plan)
+  }
+
+  test("appended output column names collide loudly instead of duplicating") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "g", 5L, "some text")).toDF("id", "grp", "tok", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.packSequences(d.withColumn("bin_first", lit(1)), "id", "grp", "tok", 10L, 10L)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.epochShuffle(d.withColumn("pos", lit(1)), "id", 1, 4)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.temperatureMix(d.withColumn("copy", lit(1)), "id", "grp", "tok", 10L)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.qualityInt(d.withColumn("iq", lit(1)), "text", "id")
+    }
+  }
+
   test("plan shapes: gate/packer/mixer never sort-merge-join or globally sort the corpus") {
     val s = spark
     import s.implicits._
