@@ -1150,6 +1150,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "p13_bin_manifest" -> ((s, dir) => {
+      // the loader-facing view of p10: per (shard, bin) the ordered doc
+      // segments (token range within the doc + offset within the bin),
+      // straddle continuation rows included — what a data loader reads
+      // to assemble each fixed-capacity training sequence. Same packing
+      // parameters as p10, plus one map-only bounded explode
+      val docs = t(s, dir, "documents")
+      val counts = docs.select(col("doc_id"), col("source"),
+        TextAnalysis.wsTokens(col("text")).as("ws_tokens"))
+      TextAnalysis.packedBins(counts, "doc_id", "source", "ws_tokens",
+          capacity = 512L, shardSize = 1000L)
+        .select("doc_id", "source", "shard", "bin", "seg_start", "seg_len", "bin_offset")
+        .orderBy("doc_id", "bin")
+    }),
+
     "p6_epoch_shuffle" -> ((s, dir) =>
       // loader-prep: epoch 3's deterministic permutation of the corpus
       // as (shard, pos) coordinates — no global sort (the md5 uniform
@@ -1907,6 +1922,35 @@ object SparkEntry {
         |        ELSE (pre + ws_tokens - 1) // 512 END)::BIGINT AS bin_last,
         |  (pre % 512)::BIGINT AS offset_in_bin
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // p10's placements exploded to per-(shard, bin) doc segments: each
+    // doc emits one row per bin it touches; segment arithmetic is the
+    // intersection of [pre, pre+tokens) with the bin's token window
+    "p13_bin_manifest" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens,
+        |    (doc_id // 1000)::BIGINT AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, ws_tokens, shard,
+        |    coalesce(sum(ws_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pre
+        |  FROM t),
+        |p AS (
+        |  SELECT doc_id, source, ws_tokens, shard, pre,
+        |    (pre // 512)::BIGINT AS bin_first,
+        |    (CASE WHEN ws_tokens <= 0 THEN pre // 512
+        |          ELSE (pre + ws_tokens - 1) // 512 END)::BIGINT AS bin_last
+        |  FROM c)
+        |SELECT doc_id, source, shard, b.bin::BIGINT AS bin,
+        |  (CASE WHEN b.bin = bin_first THEN 0 ELSE b.bin * 512 - pre END)::BIGINT AS seg_start,
+        |  (CASE WHEN ws_tokens <= 0 THEN 0
+        |        ELSE least(pre + ws_tokens, (b.bin + 1) * 512) - greatest(pre, b.bin * 512)
+        |   END)::BIGINT AS seg_len,
+        |  greatest(pre - b.bin * 512, 0)::BIGINT AS bin_offset
+        |FROM p, unnest(range(bin_first, bin_last + 1)) AS b(bin)
+        |ORDER BY doc_id, bin""".stripMargin,
 
     // from-scratch recompute of the ENTIRE six-stage recipe: substring
     // scrub -> eval decontamination -> learned quality gate -> BPE

@@ -585,6 +585,42 @@ object TextAnalysis {
       .drop("__pre")
   }
 
+  /** Loader-facing BIN MANIFEST — `packSequences`'s per-doc placements
+    * exploded into per-(shard, bin) doc SEGMENTS, the view a training
+    * data loader consumes directly: for every bin, which docs
+    * contribute which token ranges at which offsets. One row per
+    * (doc, bin) the doc touches — a straddling doc emits a
+    * continuation row per spanned bin; a zero-token doc emits one
+    * zero-length row (every doc stays visible in the manifest).
+    * Columns appended: `shard`, `bin`, `seg_start` (first token of
+    * this segment within the DOC), `seg_len`, `bin_offset` (where the
+    * segment starts within the BIN). Invariants (spec-pinned): per
+    * doc, segments tile [0, tokens) contiguously across consecutive
+    * bins; per bin, segments tile from offset 0 and sum to ≤ capacity
+    * (= capacity for every non-final bin of a shard). Shape: the p10
+    * machinery plus a map-only explode bounded by ⌈tokens/capacity⌉+1
+    * rows per doc — the manifest is O(corpus tokens / capacity) rows
+    * and packs in parallel exactly like p10. */
+  def packedBins(docs: DataFrame, idCol: String, groupCol: String,
+                 tokenCol: String, capacity: Long, shardSize: Long): DataFrame = {
+    requireFresh(docs, "bin", "seg_start", "seg_len", "bin_offset")
+    packSequences(docs, idCol, groupCol, tokenCol, capacity, shardSize)
+      .withColumn("bin", explode(sequence(col("bin_first"), col("bin_last"))))
+      // the doc's exclusive prefix token-sum, recovered from its
+      // placement (pre = bin_first·capacity + offset_in_bin) — saves
+      // threading __pre through packSequences's public schema
+      .withColumn("__pre", col("bin_first") * capacity + col("offset_in_bin"))
+      .withColumn("seg_start",
+        when(col("bin") === col("bin_first"), lit(0L))
+          .otherwise(col("bin") * capacity - col("__pre")))
+      .withColumn("seg_len",
+        when(col(tokenCol) <= 0L, lit(0L))
+          .otherwise(least(col("__pre") + col(tokenCol), (col("bin") + 1) * capacity)
+            - greatest(col("__pre"), col("bin") * capacity)))
+      .withColumn("bin_offset", greatest(col("__pre") - col("bin") * capacity, lit(0L)))
+      .drop("bin_first", "bin_last", "offset_in_bin", "__pre")
+  }
+
   // --- learned quality filter (x9) ---------------------------------------
 
   /** Fixed-point scale for learned purities/fractions (integer

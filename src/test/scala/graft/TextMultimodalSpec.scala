@@ -656,4 +656,57 @@ class TextMultimodalSpec extends SparkSpec {
       if (tok == 0L) assert(last == first)
     }
   }
+
+  test("bin manifest: segments tile docs and bins exactly; straddle continuity holds") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(13)
+    val rows = (0L until 300L).map { i =>
+      (i, s"src${rng.nextInt(2)}", if (i % 37 == 0) 0L else rng.nextInt(130).toLong)
+    }
+    val docs = rows.toDF("id", "src", "tok")
+    val cap = 50L
+    val segs = TextAnalysis.packedBins(docs, "id", "src", "tok",
+        capacity = cap, shardSize = 64L)
+      .select("id", "src", "tok", "shard", "bin", "seg_start", "seg_len", "bin_offset")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // every doc appears (zero-token docs included, as one 0-length row)
+    assert(segs.map(_._1).distinct.length == rows.length)
+    // per doc: segments tile [0, tok) contiguously across CONSECUTIVE bins
+    segs.groupBy(_._1).foreach { case (id, ss) =>
+      val ordered = ss.sortBy(_._5)
+      val tok = ordered.head._3
+      assert(ordered.map(_._7).sum == tok, s"doc $id segments must sum to $tok")
+      assert(ordered.head._6 == 0L, s"doc $id first segment starts at token 0")
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._5 == a._5 + 1, s"doc $id bins must be consecutive")
+          assert(b._6 == a._6 + a._7, s"doc $id segments must be contiguous")
+          assert(b._8 == 0L, s"doc $id continuation rows start at bin offset 0")
+        case _ =>
+      }
+      // a continuation row exists iff the doc straddles
+      if (tok > 0L) assert(ordered.last._6 + ordered.last._7 == tok)
+    }
+    // per (src, shard, bin): segments tile from offset 0 and sum to
+    // <= capacity — exactly capacity for every non-final bin of a shard
+    segs.groupBy(t => (t._2, t._4, t._5)).foreach { case ((src, shard, bin), ss) =>
+      val filled = ss.map(_._7).sum
+      assert(filled <= cap, s"bin ($src,$shard,$bin) overfilled: $filled")
+      val maxBin = segs.filter(t => t._2 == src && t._4 == shard).map(_._5).max
+      if (bin < maxBin) assert(filled == cap,
+        s"non-final bin ($src,$shard,$bin) must be full, got $filled")
+      val nz = ss.filter(_._7 > 0L).sortBy(_._8)
+      if (nz.nonEmpty) {
+        assert(nz.head._8 == 0L, s"bin ($src,$shard,$bin) must fill from offset 0")
+        nz.sliding(2).foreach {
+          case Array(a, b) => assert(b._8 == a._8 + a._7,
+            s"bin ($src,$shard,$bin) segments must tile: ${a}, ${b}")
+          case _ =>
+        }
+      }
+    }
+  }
 }
