@@ -121,6 +121,40 @@ object SparkEntry {
       s" || CASE WHEN doc_id % 4 = 1 THEN ' $JunkTokens' ELSE '' END" +
       s" || CASE WHEN doc_id = 13 OR (doc_id >= 400 AND doc_id % 10 = 3) THEN ' $LeakSpan' ELSE '' END"
 
+  /** One span-scrub pass as DuckDB CTEs — the p8 oracle chain
+    * parameterized so the p12 delta oracle can instantiate it four
+    * times (standing stage 1/2, batch stage 1/2). From words CTE
+    * `src`(doc_id, ws): 15-grams (`${p}g`), a duplicated-gram set
+    * (`${p}dup` := `dupSql`, which may reference `${p}g` or an eval
+    * gram CTE), maximal-island merge on docs matching `cond`, token
+    * excision, re-emit `${p}out`(doc_id, ws) for those docs. */
+  private def scrubChainSql(p: String, src: String, cond: String, dupSql: String): String =
+    s"""${p}g AS (
+       |  SELECT doc_id, t.i - 1 AS pos, md5(array_to_string(ws[t.i:t.i+14], ' ')) AS gh
+       |  FROM $src, unnest(range(1, len(ws)-13)) AS t(i)),
+       |${p}dup AS ($dupSql),
+       |${p}m AS (SELECT doc_id, pos FROM ${p}g JOIN ${p}dup USING (gh) WHERE $cond),
+       |${p}isl AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN lag(pos) OVER win IS NULL OR pos - lag(pos) OVER win > 15 THEN 1 ELSE 0 END AS ns
+       |  FROM ${p}m WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+       |${p}sp AS (
+       |  SELECT doc_id, pos,
+       |         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM ${p}isl),
+       |${p}spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 15 - min(pos) AS l FROM ${p}sp GROUP BY doc_id, sid),
+       |${p}tk AS (
+       |  SELECT doc_id, t.i - 1 AS pos, ws[t.i] AS wd
+       |  FROM $src, unnest(range(1, len(ws)+1)) AS t(i) WHERE $cond),
+       |${p}tkf AS (
+       |  SELECT k.doc_id, k.pos, k.wd FROM ${p}tk k
+       |  WHERE NOT EXISTS (SELECT 1 FROM ${p}spans s
+       |                    WHERE s.doc_id = k.doc_id AND k.pos >= s.s AND k.pos < s.s + s.l)),
+       |${p}out AS (
+       |  SELECT d.doc_id, coalesce(a.ws, CAST([] AS VARCHAR[])) AS ws
+       |  FROM (SELECT doc_id FROM $src WHERE $cond) d
+       |  LEFT JOIN (SELECT doc_id, array_agg(wd ORDER BY pos) AS ws FROM ${p}tkf GROUP BY doc_id) a USING (doc_id))""".stripMargin
+
   /** Stages each `[lo, hi)` slice of `df` (on `idCol`) as one parquet
     * file `<name>.parquet` in a fresh chunks dir with STRICTLY
     * INCREASING mtimes — the replay contract every streaming query
@@ -1105,6 +1139,37 @@ object SparkEntry {
         .orderBy("doc_id", "copy")
     }),
 
+    "p12_recipe_delta" -> ((s, dir) => {
+      // the OPERATIONAL form of p8 — the standing refinery routing an
+      // ingest batch through its standing state: corpus (< 300) is
+      // gram-indexed + modeled + ledgered once; the batch = new docs
+      // [300, 400) PLUS re-ingested revisions of every 50th standing
+      // doc and of doc 13 (the planted eval-leak carrier), so
+      // supersede, cross/batch-internal span duplication, and eval
+      // decon are all provably active. Stages run in their delta
+      // shapes: d18 span probe against the standing gram index, decon
+      // off the standing eval index, the STANDING x9 model, BPE
+      // counts, budget copies against the superseded-updated ledger
+      // totals. Oracle: the one-shot chain over the effective corpus
+      // restricted to batch docs (the d18 delta identity), with
+      // model/ledger state as of the batch's arrival.
+      val base = plantLeak(plantJunk(plantSpan(t(s, dir, "documents"))))
+      val std = base.filter(col("doc_id") < 300)
+      val evalS = base.filter(col("doc_id") >= 400)
+      val batch = base.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+        .unionByName(std.filter(col("doc_id") % 50 === 0 || col("doc_id") === 13)
+          .withColumn("text", concat(lit("revision two of this document "), col("text"))))
+      val st = graft.jobs.Recipe.buildStanding(s,
+        std.withColumn("label", col("doc_id") % 4 =!= 1), evalS,
+        "text", "doc_id", "lang", "label", k = 15,
+        graft.text.Bpe.DefaultMerges, prefix = "p12rd", buckets = 16)
+      graft.jobs.Recipe.processBatch(s, st, batch, "text", "doc_id", "lang",
+          Map("en" -> 30000L, "fr" -> 800L), k = 15, graft.text.Bpe.DefaultMerges)
+        .emission
+        .select("doc_id", "lang", "bpe_tokens", "copy")
+        .orderBy("doc_id", "copy")
+    }),
+
     "p9_source_cap" -> ((s, dir) => {
       // domain capping: bound every source's token contribution at a
       // fixed budget — at the gate SFs some sources sit under the cap
@@ -2048,6 +2113,88 @@ object SparkEntry {
          |       (row_number() OVER (PARTITION BY (u * 8 // 4294967296)
          |                           ORDER BY u, doc_id::VARCHAR || ':' || copy::VARCHAR) - 1)::BIGINT AS pos
          |FROM sh ORDER BY doc_id, copy""".stripMargin,
+
+    // the p12 delta oracle: the one-shot recipe chain instantiated
+    // TWICE — once over the standing corpus alone (the state as built
+    // at T0: model + budget ledger) and once over the effective
+    // corpus (standing minus superseded ∪ batch) restricted to batch
+    // docs (the d18 delta identity for spans) — then batch copies
+    // drawn against the superseded-updated ledger totals
+    "p12_recipe_delta" ->
+      s"""WITH d0 AS (SELECT doc_id, lang, $plantRecipeSql AS text FROM documents),
+         |std AS (SELECT doc_id, lang, text FROM d0 WHERE doc_id < 300),
+         |bat AS (
+         |  SELECT doc_id, lang, text FROM d0 WHERE doc_id >= 300 AND doc_id < 400
+         |  UNION ALL
+         |  SELECT doc_id, lang, 'revision two of this document ' || text
+         |  FROM std WHERE doc_id % 50 = 0 OR doc_id = 13),
+         |eff AS (
+         |  SELECT * FROM std WHERE doc_id % 50 <> 0 AND doc_id <> 13
+         |  UNION ALL SELECT * FROM bat),
+         |wstd AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+         |  FROM std),
+         |weff AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+         |  FROM eff),
+         |weval AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+         |  FROM d0 WHERE doc_id >= 400),
+         |geval AS (
+         |  SELECT DISTINCT md5(array_to_string(ws[t.i:t.i+14], ' ')) AS gh
+         |  FROM weval, unnest(range(1, len(ws)-13)) AS t(i)),
+         |${scrubChainSql("a1", "wstd", "1=1",
+             "SELECT gh FROM a1g GROUP BY gh HAVING count(*) >= 2")},
+         |${scrubChainSql("a2", "a1out", "1=1", "SELECT gh FROM geval")},
+         |tokS AS (
+         |  SELECT doc_id, (doc_id % 4 <> 1) AS label,
+         |         ('0x' || substr(md5(t.w), 1, 8))::BIGINT % 256 AS bucket
+         |  FROM a2out, unnest(ws) AS t(w)),
+         |perS AS (SELECT bucket, sum(CASE WHEN label THEN 1 ELSE 0 END) AS pos, count(*) AS tot FROM tokS GROUP BY 1),
+         |priS AS (SELECT (sum(CASE WHEN label THEN 1 ELSE 0 END) + 1) * 1000000 // (count(*) + 2) AS prior FROM tokS),
+         |badS AS (SELECT bucket FROM perS, priS WHERE (pos + 1) * 1000000 // (tot + 2) < prior // 2),
+         |flS AS (SELECT tokS.doc_id, count(badS.bucket) AS n_flagged FROM tokS LEFT JOIN badS USING (bucket) GROUP BY 1),
+         |gatedS AS (SELECT a2out.doc_id, a2out.ws FROM a2out LEFT JOIN flS USING (doc_id) WHERE coalesce(flS.n_flagged, 0) = 0),
+         |t4S AS (SELECT doc_id, t.w AS wd FROM gatedS, unnest(ws) AS t(w)),
+         |encS AS (SELECT doc_id, ${graft.text.Bpe.mergeChainSql("wd", graft.text.Bpe.DefaultMerges)} AS s FROM t4S),
+         |perTS AS (
+         |  SELECT doc_id, sum(length(s) - length(replace(s, '(', '')))::BIGINT AS bpe
+         |  FROM encS GROUP BY doc_id),
+         |cntS AS (
+         |  SELECT g.doc_id, d0.lang, coalesce(perTS.bpe, 0)::BIGINT AS bpe_tokens
+         |  FROM gatedS g JOIN d0 USING (doc_id) LEFT JOIN perTS USING (doc_id)),
+         |${scrubChainSql("b1", "weff", "(doc_id >= 300 OR doc_id % 50 = 0 OR doc_id = 13)",
+             "SELECT gh FROM b1g GROUP BY gh HAVING count(*) >= 2")},
+         |${scrubChainSql("b2", "b1out", "1=1", "SELECT gh FROM geval")},
+         |tokB AS (
+         |  SELECT doc_id, ('0x' || substr(md5(t.w), 1, 8))::BIGINT % 256 AS bucket
+         |  FROM b2out, unnest(ws) AS t(w)),
+         |flB AS (SELECT tokB.doc_id, count(badS.bucket) AS n_flagged FROM tokB LEFT JOIN badS USING (bucket) GROUP BY 1),
+         |gatedB AS (SELECT b2out.doc_id, b2out.ws FROM b2out LEFT JOIN flB USING (doc_id) WHERE coalesce(flB.n_flagged, 0) = 0),
+         |t4B AS (SELECT doc_id, t.w AS wd FROM gatedB, unnest(ws) AS t(w)),
+         |encB AS (SELECT doc_id, ${graft.text.Bpe.mergeChainSql("wd", graft.text.Bpe.DefaultMerges)} AS s FROM t4B),
+         |perTB AS (
+         |  SELECT doc_id, sum(length(s) - length(replace(s, '(', '')))::BIGINT AS bpe
+         |  FROM encB GROUP BY doc_id),
+         |cntB AS (
+         |  SELECT g.doc_id, d0.lang, coalesce(perTB.bpe, 0)::BIGINT AS bpe_tokens
+         |  FROM gatedB g JOIN d0 USING (doc_id) LEFT JOIN perTB USING (doc_id)),
+         |tot AS (SELECT lang, sum(bpe_tokens)::BIGINT AS tot FROM (
+         |  SELECT lang, bpe_tokens FROM cntS WHERE doc_id % 50 <> 0 AND doc_id <> 13
+         |  UNION ALL SELECT lang, bpe_tokens FROM cntB) GROUP BY 1),
+         |par AS (SELECT lang, tot,
+         |  CASE lang WHEN 'en' THEN 30000 WHEN 'fr' THEN 800 ELSE NULL END AS b FROM tot),
+         |n AS (SELECT c.doc_id, c.lang, c.bpe_tokens,
+         |  CASE WHEN p.b IS NULL THEN 1
+         |       WHEN p.tot = 0 THEN 0
+         |       ELSE (p.b // p.tot) + CASE WHEN ('0x' || substr(md5('rep:' || c.doc_id), 1, 8))::BIGINT < ((p.b % p.tot) * 4294967296 // p.tot) THEN 1 ELSE 0 END
+         |  END AS copies
+         |  FROM cntB c LEFT JOIN par p USING (lang))
+         |SELECT doc_id, lang, bpe_tokens, t.c::BIGINT AS copy
+         |FROM n, unnest(range(0, copies)) AS t(c) ORDER BY doc_id, copy""".stripMargin,
 
     // the x8 merge chain for counts, then floor(budget/total) full
     // copies + one md5-decided fractional copy per doc

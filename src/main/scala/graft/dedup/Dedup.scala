@@ -861,6 +861,20 @@ object Dedup {
     maximalSpans(tg.join(eg, Seq("gh"), "leftsemi").select("id", "pos"), k)
   }
 
+  /** `decontaminateSpans` against a STANDING eval gram index — the
+    * operational form the scaladoc above names: the eval set is
+    * gram-indexed once (`buildGramIndex`), and every training batch's
+    * probe is a gh-keyed semi-join riding the index buckets (only
+    * postings of batch grams are read; the eval set never re-tokenizes
+    * or reshuffles). Same ≥1-occurrence rule, same output shape. */
+  def decontaminateSpansIndexed(spark: org.apache.spark.sql.SparkSession, train: DataFrame,
+                                textCol: String, idCol: String, k: Int,
+                                evalIndexTable: String): DataFrame = {
+    val tg = positionalGrams(train, textCol, idCol, k)
+    val hit = tg.join(spark.table(evalIndexTable).select("gh"), Seq("gh"), "leftsemi")
+    maximalSpans(hit.select("id", "pos"), k)
+  }
+
   /** `decontaminateSpans` through a broadcast BLOOM prefilter — the
     * 100 TB deployment shape when the eval gram set outgrows an exact
     * broadcast (10⁸ distinct grams ≈ GBs of md5 keys) but its sketch

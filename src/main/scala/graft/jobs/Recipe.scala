@@ -1,0 +1,166 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.{Bpe, TextAnalysis}
+
+/** The OPERATIONAL form of the six-stage training-data recipe — what a
+  * standing 100 TB refinery actually runs. The one-shot composite (p8)
+  * processes a corpus snapshot end-to-end; this module keeps the
+  * recipe's state STANDING (gram index, eval gram index, learned
+  * quality model, per-doc budget ledger — all catalog tables) and
+  * routes each ingest batch through it incrementally:
+  *
+  *  1. substring scrub — d18's delta contract: the batch's duplicated
+  *     spans are judged against the standing gram index + the batch
+  *     itself; the standing corpus never re-tokenizes or reshuffles;
+  *  2. eval decontamination — the standing eval gram index probed by a
+  *     bucket-riding semi-join (≥ 1 occurrence marks);
+  *  3. quality gate — the STANDING x9 model scores the batch (counting
+  *     models refresh on the maintenance schedule, not per batch);
+  *  4. BPE token counts for the gated batch docs;
+  *  5. budget accounting with SUPERSEDE: updated per-group totals =
+  *     standing ledger − re-ingested ids' old rows + the batch's gated
+  *     counts; the batch's mixture copies are drawn against those
+  *     totals ([[TextAnalysis.tokenBudgetRepeatAgainst]]).
+  *
+  * Supersede semantics on re-ingested ids mirror the index families
+  * (compact-then-append): an id re-emitted in a batch replaces its
+  * standing version in the gram index BEFORE the span probe and in the
+  * budget ledger at absorb. Reference shape: the jobs pipeline's
+  * incremental `changes-since` discipline (mimiro-io/datahub
+  * internal/jobs/source.go DatasetSource) applied to the data-prep
+  * recipe; oracle contract: the d8/d18 delta identity — the batch's
+  * emission equals the one-shot recipe over the effective corpus
+  * restricted to batch docs, with model/ledger state as of the batch's
+  * arrival.
+  *
+  * Every stage keeps its component's 100 TB shape: index probes are
+  * bucket-local semi-joins, the model and totals are broadcast heads,
+  * the heavy work is linear in the BATCH, never the standing corpus.
+  */
+object Recipe {
+
+  /** Names of the catalog tables holding one refinery's standing
+    * state: `gramIndex`/`evalIndex` are positional-gram indexes
+    * ([[Dedup.buildGramIndex]]); `model` holds the x9 NB rows;
+    * `counts` is the per-doc budget ledger — (id, group, bpe_tokens)
+    * of every GATED standing doc, what budget accounting subtracts on
+    * supersede. */
+  final case class Standing(gramIndex: String, evalIndex: String,
+                            model: String, counts: String)
+
+  /** A processed batch: `emission` is the mixture output (id, group,
+    * bpe_tokens, copy); `gatedCounts` is the batch's ledger
+    * contribution (id, bpe_tokens, group) — feed it to
+    * [[absorbBatch]] so the next batch accounts against it. */
+  final case class BatchResult(emission: DataFrame, gatedCounts: DataFrame)
+
+  /** Build the refinery's standing state from a corpus snapshot: the
+    * one-shot recipe stages 1–3 over the standing corpus (exactly
+    * p8's chain — spans within the corpus, scrub, eval-span scrub,
+    * model trained on the doubly-scrubbed text), persisted as catalog
+    * tables plus the raw-text gram index the delta probes. `standing`
+    * must carry `labelCol` (the model's training labels) and
+    * `groupCol` (the budget axis). */
+  def buildStanding(spark: SparkSession, standing: DataFrame, eval: DataFrame,
+                    textCol: String, idCol: String, groupCol: String,
+                    labelCol: String, k: Int, merges: Seq[(String, String)],
+                    prefix: String, buckets: Int = 16): Standing = {
+    val st = Standing(s"${prefix}_grams", s"${prefix}_eval_grams",
+      s"${prefix}_model", s"${prefix}_counts")
+    Dedup.buildGramIndex(standing, textCol, idCol, k, st.gramIndex, buckets)
+    Dedup.buildGramIndex(eval, textCol, idCol, k, st.evalIndex, buckets)
+    val spans1 = Dedup.substringSpans(standing, textCol, idCol, k)
+    val s1 = graft.core.Checkpoints.truncate(
+      Dedup.scrubSpans(standing, spans1, textCol, idCol)
+        .select(col("id").as(idCol), col("scrubbed").as(textCol)))
+    val spans2 = Dedup.decontaminateSpansIndexed(spark, s1, textCol, idCol, k, st.evalIndex)
+    val s2 = graft.core.Checkpoints.truncate(
+      Dedup.scrubSpans(s1, spans2, textCol, idCol)
+        .select(col("id").as(idCol), col("scrubbed").as(textCol)))
+    val model = TextAnalysis.trainQualityModel(
+      s2.join(standing.select(col(idCol), col(labelCol)), idCol), textCol, labelCol)
+    graft.core.Tables.drop(spark, st.model)
+    model.write.mode("overwrite").saveAsTable(st.model)
+    val gated = s2.join(
+      TextAnalysis.qualityScore(s2, textCol, idCol, spark.table(st.model))
+        .filter(col("pred")).select(col("id").as(idCol)), idCol)
+    val counts = Bpe.tokenCounts(gated, textCol, idCol, merges)
+      .select(col(idCol), col("bpe_tokens"))
+      .join(standing.select(col(idCol), col(groupCol)), idCol)
+    graft.core.Tables.drop(spark, st.counts)
+    counts.write.mode("overwrite").saveAsTable(st.counts)
+    st
+  }
+
+  /** Route one ingest batch through the standing refinery and return
+    * its mixture emission. MUTATES the gram index (supersede: compacts
+    * re-ingested ids' old grams out before the span probe) but leaves
+    * absorb to [[absorbBatch]] — the d19 streaming discipline, so a
+    * failed batch can re-run. Stages and semantics per the object
+    * scaladoc. */
+  def processBatch(spark: SparkSession, st: Standing, batch: DataFrame,
+                   textCol: String, idCol: String, groupCol: String,
+                   budgets: Map[String, Long], k: Int,
+                   merges: Seq[(String, String)],
+                   seed: String = "rep"): BatchResult = {
+    // supersede: re-ingested ids' OLD grams stop counting before the
+    // probe (roster-read, the d19 idiom — one row per doc, not per gram)
+    val batchIds = batch.select(col(idCol).as("id")).distinct()
+    val roster =
+      if (spark.catalog.tableExists(s"${st.gramIndex}_ids")) spark.table(s"${st.gramIndex}_ids")
+      else spark.table(st.gramIndex).select("id")
+    val overlap = roster.join(broadcast(batchIds), Seq("id"), "leftsemi")
+    if (!overlap.isEmpty)
+      Dedup.compactGramIndex(spark, st.gramIndex, overlap)
+    // 1. delta substring scrub (standing index + batch-internal)
+    val spans1 = Dedup.substringSpansDelta(spark, batch, textCol, idCol, k, st.gramIndex)
+    val b1 = graft.core.Checkpoints.truncate(
+      Dedup.scrubSpans(batch, spans1, textCol, idCol)
+        .select(col("id").as(idCol), col("scrubbed").as(textCol)))
+    // 2. eval decontamination off the standing eval index
+    val spans2 = Dedup.decontaminateSpansIndexed(spark, b1, textCol, idCol, k, st.evalIndex)
+    val b2 = graft.core.Checkpoints.truncate(
+      Dedup.scrubSpans(b1, spans2, textCol, idCol)
+        .select(col("id").as(idCol), col("scrubbed").as(textCol)))
+    // 3. the standing model gates the batch
+    val gated = b2.join(
+      TextAnalysis.qualityScore(b2, textCol, idCol, spark.table(st.model))
+        .filter(col("pred")).select(col("id").as(idCol)), idCol)
+    // 4. BPE ledger rows for the gated batch docs
+    val cntB = Bpe.tokenCounts(gated, textCol, idCol, merges)
+      .select(col(idCol), col("bpe_tokens"))
+      .join(batch.select(col(idCol), col(groupCol)).distinct(), idCol)
+    // 5. budget accounting with supersede: ledger minus re-ingested
+    // ids plus the batch's own gated mass
+    val ledger = spark.table(st.counts)
+      .join(broadcast(batch.select(col(idCol)).distinct()), Seq(idCol), "left_anti")
+    val totals = ledger.select(col(groupCol), col("bpe_tokens"))
+      .unionByName(cntB.select(col(groupCol), col("bpe_tokens")))
+      .groupBy(col(groupCol)).agg(sum("bpe_tokens").cast("long").as("__tot"))
+    val emission = TextAnalysis.tokenBudgetRepeatAgainst(
+      cntB, totals, idCol, groupCol, budgets, seed)
+    BatchResult(emission, cntB)
+  }
+
+  /** Absorb a processed batch into the standing state: its raw grams
+    * append to the gram index (supersede already ran in
+    * [[processBatch]]) and the budget ledger swaps re-ingested ids'
+    * rows for the batch's gated counts — after which the NEXT batch
+    * counts this one through the standing state alone. The model is
+    * deliberately NOT touched (it refreshes on the maintenance
+    * schedule via [[buildStanding]]). */
+  def absorbBatch(spark: SparkSession, st: Standing, batch: DataFrame,
+                  gatedCounts: DataFrame, textCol: String, idCol: String,
+                  k: Int): Unit = {
+    Dedup.absorbIntoGramIndex(spark, batch, textCol, idCol, k, st.gramIndex)
+    graft.core.Tables.compactByKey(spark, st.counts,
+      batch.select(col(idCol)).distinct(), idCol)
+    gatedCounts.select(spark.table(st.counts).columns.map(col).toIndexedSeq: _*)
+      .write.mode("append").saveAsTable(st.counts)
+    spark.catalog.refreshTable(st.counts)
+  }
+}

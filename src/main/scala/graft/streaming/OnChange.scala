@@ -389,6 +389,47 @@ object OnChange {
     * therefore surfaces on the LATER doc (the keep-first / drop-later
     * policy deployed dedup actually runs); batch-internal repeats
     * surface on both copies, like the one-shot. */
+  /** Streaming form of the incremental recipe (p12 through
+    * foreachBatch): each arriving micro-batch of raw docs routes
+    * through the standing refinery ([[graft.jobs.Recipe.processBatch]]
+    * — supersede, delta scrub, eval decon, standing model gate, ledger
+    * accounting), its mixture emission lands under
+    * `outPath/batch_id=N`, then the batch absorbs
+    * ([[graft.jobs.Recipe.absorbBatch]]) so the NEXT batch accounts
+    * against it through the standing state alone. Marker-guarded for
+    * exactly-once on replay (the streamingSubstringDedup discipline);
+    * the emission is materialized BEFORE absorb mutates the state. */
+  def streamingRecipe(spark: SparkSession, docsDir: String, st: graft.jobs.Recipe.Standing,
+                      textCol: String, idCol: String, groupCol: String,
+                      budgets: Map[String, Long], k: Int,
+                      merges: Seq[(String, String)],
+                      outPath: String, checkpointDir: String): Unit = {
+    val schema = spark.read.parquet(docsDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bs = batch.sparkSession
+        import bs.implicits._
+        val markers = s"${st.gramIndex}_batches"
+        if (!bs.catalog.tableExists(markers) ||
+            bs.table(markers).filter(col("batch_id") === batchId).isEmpty) {
+          val res = graft.jobs.Recipe.processBatch(bs, st, batch, textCol, idCol,
+            groupCol, budgets, k, merges)
+          res.emission.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+          graft.jobs.Recipe.absorbBatch(bs, st, batch, res.gatedCounts, textCol, idCol, k)
+          Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(markers)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.catalog.refreshTable(st.gramIndex)
+  }
+
   def streamingSubstringDedup(spark: SparkSession, docsDir: String, textCol: String,
                               idCol: String, k: Int, indexTable: String,
                               spansPath: String, checkpointDir: String): Unit = {

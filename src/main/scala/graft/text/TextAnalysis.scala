@@ -316,9 +316,23 @@ object TextAnalysis {
     * codegen'd projection/explode — map-only over the scan. */
   def tokenBudgetRepeat(docs: DataFrame, idCol: String, groupCol: String,
                         tokenCol: String, budgets: Map[String, Long],
-                        seed: String = "rep"): DataFrame = {
-    val totals = docs.groupBy(col(groupCol))
-      .agg(sum(col(tokenCol)).cast("long").as("__tot"))
+                        seed: String = "rep"): DataFrame =
+    tokenBudgetRepeatAgainst(docs,
+      docs.groupBy(col(groupCol)).agg(sum(col(tokenCol)).cast("long").as("__tot")),
+      idCol, groupCol, budgets, seed)
+
+  /** `tokenBudgetRepeat` against EXTERNALLY-MAINTAINED group totals —
+    * the incremental-recipe form (p12): a standing refinery accounts
+    * budgets over the WHOLE corpus's token mass (standing + batch,
+    * superseded ids subtracted), not just the batch in hand, so the
+    * batch's copies come from a `totals` frame the caller maintains.
+    * `totals` must carry (`groupCol`, `__tot`) — one row per group,
+    * broadcast onto the docs. Same copy semantics as the one-shot
+    * (floor(budget/total) full copies + one md5-decided extra; no
+    * budget → once; NULL group → once). */
+  def tokenBudgetRepeatAgainst(docs: DataFrame, totals: DataFrame, idCol: String,
+                               groupCol: String, budgets: Map[String, Long],
+                               seed: String = "rep"): DataFrame = {
     val budget = budgets.foldLeft(lit(null).cast("long")) { case (acc, (k, b)) =>
       when(col(groupCol) === k, lit(b)).otherwise(acc)
     }

@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.jobs.Recipe
+import graft.text.Bpe
+
+/** The incremental recipe's operational contract (p12): supersede on
+  * re-ingest, delta spans against the standing index, absorb making
+  * batch b visible to batch b+1, the STANDING model gating batches,
+  * and budget copies drawn against the superseded-updated ledger —
+  * plus batch/streaming parity. Planted sentences make every behavior
+  * individually observable through token counts (k = 4, 5-word
+  * plants: exactly the plant's tokens are excised when a span is
+  * found, so expected counts are computable from the UNPLANTED text
+  * without re-running any recipe machinery). */
+class RecipeSpec extends SparkSpec {
+
+  private val A = "alpha bravo charlie delta echo"      // std 3 + batch1 11 (cross dup)
+  private val B = "golf hotel india juliet kilo"        // batch1 12 + batch2 16 (absorb)
+  private val C = "lima mike november oscar papa"       // OLD std 0 + batch2 17 (supersede)
+  private val D = "quebec romeo sierra tango uniform"   // eval 100 + batch1 13 (decon)
+  // junk interleaved with per-doc unique words: twenty zzjunk
+  // occurrences (a decisively low-purity bucket) WITHOUT ever forming
+  // a repeated 4-gram — a solid zzjunk run would be a duplicated span
+  // and the stage-1 scrubber would excise the gate's own training
+  // signal. Twenty (not a handful) keeps the corpus prior LOW enough
+  // that a chance md5 collision of two negative-doc filler words into
+  // one bucket stays above prior/2 — zzjunk's bucket is the ONLY bad
+  // bucket, making every gate assertion collision-proof (checked:
+  // no other spec word hashes to zzjunk's bucket 191/256).
+  private def junkText(id: Long): String =
+    (0 until 20).map(j => s"zzjunk w${id}j$j").mkString(" ")
+
+  private def filler(id: Long, n: Int = 8): String =
+    (0 until n).map(j => s"w${id}x$j").mkString(" ")
+
+  private def bpe(text: String): Long = {
+    val s = spark; import s.implicits._
+    Bpe.tokenCounts(Seq((1L, text)).toDF("id", "text"), "text", "id", Bpe.DefaultMerges)
+      .collect()(0).getLong(2)
+  }
+
+  private def stdDf: DataFrame = {
+    val s = spark; import s.implicits._
+    (0L until 10L).map { i =>
+      val junk = Set(1L, 7L, 9L).contains(i)
+      val extra = i match {
+        case 0L => " " + C
+        case 3L => " " + A
+        case _  => if (junk) " " + junkText(i) else ""
+      }
+      (i, if (i == 5L || i == 6L) "h" else "g", filler(i) + extra, !junk)
+    }.toDF("id", "grp", "text", "label")
+  }
+
+  private def evalDf: DataFrame = {
+    val s = spark; import s.implicits._
+    Seq((100L, "g", filler(100) + " " + D), (101L, "g", filler(101)))
+      .toDF("id", "grp", "text")
+  }
+
+  private def batch1: DataFrame = {
+    val s = spark; import s.implicits._
+    Seq(
+      (10L, "g", filler(10)),
+      (11L, "g", filler(11) + " " + A),
+      (12L, "g", filler(12) + " " + B),
+      (13L, "g", filler(13) + " " + D),
+      (14L, "g", filler(14) + " " + junkText(14L)),
+      (0L, "g", filler(200))                 // re-ingest: revision drops C
+    ).toDF("id", "grp", "text")
+  }
+
+  private def batch2: DataFrame = {
+    val s = spark; import s.implicits._
+    Seq(
+      (15L, "g", filler(15)),
+      (16L, "g", filler(16) + " " + B),
+      (17L, "g", filler(17) + " " + C),
+      (18L, "h", filler(18)),
+      // filler id 21: w19x7 happens to hash into zzjunk's bucket —
+      // the one collision in the spec's vocabulary, dodged by naming
+      (19L, "g", filler(21))
+    ).toDF("id", "grp", "text")
+  }
+
+  // budget for "h" = exactly 2x its updated total mass: docs get two
+  // full copies, fractional part 0 — any accounting error (stale
+  // ledger, batch-only totals) changes the copy count
+  private def hBudget: Long = 2L * (bpe(filler(5)) + bpe(filler(6)) + bpe(filler(18)))
+
+  private def runBatchMode(prefix: String): (Seq[(Long, Long, Long)], Seq[(Long, Long, Long)], Map[Long, Long]) = {
+    val st = Recipe.buildStanding(spark, stdDf, evalDf, "text", "id", "grp",
+      "label", k = 4, Bpe.DefaultMerges, prefix)
+    val r1 = Recipe.processBatch(spark, st, batch1, "text", "id", "grp",
+      Map("h" -> hBudget), k = 4, Bpe.DefaultMerges)
+    val e1 = r1.emission.select("id", "bpe_tokens", "copy")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    Recipe.absorbBatch(spark, st, batch1, r1.gatedCounts, "text", "id", k = 4)
+    val r2 = Recipe.processBatch(spark, st, batch2, "text", "id", "grp",
+      Map("h" -> hBudget), k = 4, Bpe.DefaultMerges)
+    val e2 = r2.emission.select("id", "bpe_tokens", "copy")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    Recipe.absorbBatch(spark, st, batch2, r2.gatedCounts, "text", "id", k = 4)
+    val ledger = spark.table(st.counts).select("id", "bpe_tokens")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (e1, e2, ledger)
+  }
+
+  test("incremental recipe: supersede, absorb visibility, standing gate, ledger accounting") {
+    val (e1, e2, ledger) = runBatchMode("rcpa")
+
+    // batch 1: doc 14 (junk) is gated out by the STANDING model; the
+    // rest emit once (group g carries no budget)
+    assert(e1.map(_._1).distinct == Seq(0L, 10L, 11L, 12L, 13L), s"e1 ids: $e1")
+    val t1 = e1.map(t => t._1 -> t._2).toMap
+    assert(t1(10L) == bpe(filler(10)), "clean doc passes untouched")
+    // cross-dup: doc 11's planted A-run hits the standing index (std 3)
+    assert(t1(11L) == bpe(filler(11)), s"A must be excised from 11: $t1")
+    // keep-first: doc 12's B-run is unique so far — untouched
+    assert(t1(12L) == bpe(filler(12) + " " + B), "B unique at batch-1 time")
+    // decon: doc 13's D-run overlaps the standing EVAL index
+    assert(t1(13L) == bpe(filler(13)), "D must be decontaminated from 13")
+    // the re-ingested doc 0 emits its REVISED text's mass
+    assert(t1(0L) == bpe(filler(200)), "revision replaces doc 0")
+
+    // batch 2 sees batch 1 through the standing state alone
+    assert(e2.map(_._1).distinct == Seq(15L, 16L, 17L, 18L, 19L), s"e2 ids: $e2")
+    val t2 = e2.map(t => t._1 -> t._2).toMap
+    // absorb: doc 16's B-run now duplicates ABSORBED doc 12
+    assert(t2(16L) == bpe(filler(16)), "B must be excised from 16 (absorb works)")
+    // supersede: doc 17's C-run matched only OLD doc 0, which was
+    // compacted out at batch 1 — it must survive
+    assert(t2(17L) == bpe(filler(17) + " " + C), "C must SURVIVE on 17 (supersede works)")
+    // budget accounting: h's budget is exactly 2x the UPDATED ledger
+    // mass (std 5 + std 6 + doc 18) — exactly two copies, no fractional
+    assert(e2.filter(_._1 == 18L).map(_._3) == Seq(0L, 1L),
+      s"doc 18 must emit exactly copies 0,1: $e2")
+
+    // ledger after both absorbs: gated standing ({1,7,9} junk docs
+    // out) with doc 0 superseded, plus both batches' gated rows
+    assert(ledger.keySet == Set(0L, 2L, 3L, 4L, 5L, 6L, 8L, 10L, 11L, 12L, 13L, 15L, 16L, 17L, 18L, 19L),
+      s"ledger ids: ${ledger.keySet.toSeq.sorted}")
+    assert(ledger(0L) == bpe(filler(200)), "ledger carries doc 0's revised mass")
+    assert(ledger(3L) == bpe(filler(3) + " " + A),
+      "standing ledger rows are as-of T0 (A was unique within the standing corpus)")
+    assert(ledger(16L) == bpe(filler(16)), "ledger carries scrubbed batch mass")
+  }
+
+  test("incremental recipe: streaming form equals the batch loop") {
+    val (e1, e2, ledger) = runBatchMode("rcpb")
+    val st = Recipe.buildStanding(spark, stdDf, evalDf, "text", "id", "grp",
+      "label", k = 4, Bpe.DefaultMerges, "rcps")
+    val s = spark; import s.implicits._
+    val staged = batch1.withColumn("seq", lit(0L))
+      .unionByName(batch2.withColumn("seq", lit(1L)))
+    val docsDir = SparkEntry.stageMicroBatches(staged, "seq",
+      Seq((0L, 1L, "a"), (1L, 2L, "b")), "rcp")
+    val out = java.nio.file.Files.createTempDirectory("graft_rcp_out_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rcp_ckpt_").toString
+    graft.streaming.OnChange.streamingRecipe(spark, docsDir, st, "text", "id", "grp",
+      Map("h" -> hBudget), k = 4, Bpe.DefaultMerges, out, ckpt)
+    def emitted(b: Int): Seq[(Long, Long, Long)] =
+      spark.read.parquet(s"$out/batch_id=$b").select("id", "bpe_tokens", "copy")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(emitted(0) == e1, "streaming batch 0 must equal batch-mode emission 1")
+    assert(emitted(1) == e2, "streaming batch 1 must equal batch-mode emission 2")
+    val sLedger = spark.table(st.counts).select("id", "bpe_tokens")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sLedger == ledger, "streaming ledger must equal the batch-mode ledger")
+  }
+}
