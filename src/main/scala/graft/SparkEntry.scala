@@ -506,6 +506,22 @@ object SparkEntry {
       pipe(g("part").df).orderBy("id")
     }),
 
+    "j18_stats_rollup" -> ((s, dir) => {
+      // the /statistics "all" rollup (reference DOCUMENTATION.md
+      // "Maintenance → statistics": a generated entry summing every
+      // dataset) through the DISTRIBUTED snapshot — one union plan of
+      // count branches, never a per-dataset driver loop; byte stats
+      // are parquet-specific and spec-checked (MaintenanceSpec), the
+      // oracle pins the counts and the rollup sum
+      val reg = new graft.jobs.DatasetRegistry
+      val names = Seq("region", "nation", "customer", "orders")
+      names.foreach(n => reg.put(n, t(s, dir, n)))
+      graft.jobs.Maintenance.statsSnapshot(s, reg,
+          names.map(graft.jobs.Maintenance.Target(_)), seq = 1L)
+        .select(col("dataset"), col("rows").as("n_rows"), col("refresh_seq"))
+        .orderBy("dataset")
+    }),
+
     "j6_stats" -> ((s, dir) => {
       // /statistics analog: row counts + storage bytes per dataset; the
       // bytes come from parquet footers (Statistics.parquetDataBytes) —
@@ -1766,6 +1782,18 @@ object SparkEntry {
          |FROM part ORDER BY id""".stripMargin,
 
     "j6_stats" -> j6OracleSql("/root/testdata/sf0.01"),
+
+    // per-dataset counts plus the generated `all` rollup row
+    "j18_stats_rollup" ->
+      """WITH s AS (
+        |  SELECT 'customer' AS dataset, count(*)::BIGINT AS n_rows FROM customer
+        |  UNION ALL SELECT 'nation', count(*)::BIGINT FROM nation
+        |  UNION ALL SELECT 'orders', count(*)::BIGINT FROM orders
+        |  UNION ALL SELECT 'region', count(*)::BIGINT FROM region)
+        |SELECT dataset, n_rows, 1::BIGINT AS refresh_seq FROM (
+        |  SELECT dataset, n_rows FROM s
+        |  UNION ALL SELECT 'all', sum(n_rows)::BIGINT FROM s)
+        |ORDER BY dataset""".stripMargin,
 
     "q3_top_orders" ->
       """SELECT l_orderkey, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,

@@ -1,9 +1,8 @@
 package graft.jobs
 
 import graft.ops.ChangeLog
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Composed background maintenance — the reference's standing scheduler
   * registers exactly two system cron tasks
@@ -32,24 +31,75 @@ object Maintenance {
     * statistics_update.go:98 `Count`). */
   final case class Target(name: String, path: Option[String] = None)
 
-  private val statsSchema = StructType(Seq(
-    StructField("dataset", StringType, nullable = false),
-    StructField("rows", LongType, nullable = false),
-    StructField("data_bytes", LongType, nullable = true),
-    StructField("refresh_seq", LongType, nullable = false)))
-
   /** One statistics snapshot over `targets`: (dataset, rows,
-    * data_bytes, refresh_seq). `refresh_seq` is the firing ordinal —
-    * the observable proof a scheduled refresh actually advanced
-    * (reference RunResult timestamps serve the same purpose). */
+    * data_bytes, refresh_seq), plus the reference's generated `all`
+    * rollup row summing every dataset (DOCUMENTATION.md "Maintenance →
+    * statistics": "one generated dataset entry called `all`").
+    * `refresh_seq` is the firing ordinal — the observable proof a
+    * scheduled refresh actually advanced (reference RunResult
+    * timestamps serve the same purpose).
+    *
+    * Scale shape: ONE distributed pass, never a sequential driver
+    * loop of `count()` actions — each target contributes a count
+    * branch to a single union plan (branches schedule in parallel
+    * within one job — the Export.manifest precedent), and the footer
+    * byte reads distribute over executors (one task per slice of the
+    * file list; the driver only walks the listing). At hundreds of
+    * datasets the snapshot's wall time is the LARGEST target's scan,
+    * not the sum. The per-dataset result is pinned before the rollup
+    * so the counts run once, not once per union branch.
+    *
+    * Executor-side footer reads use a classpath-default Hadoop conf
+    * (core-site.xml etc.); session-only conf overrides do not
+    * propagate — matching `Statistics.parquetDataBytes`'s documented
+    * object-store caveat. */
   def statsSnapshot(spark: SparkSession, registry: DatasetRegistry,
                     targets: Seq[Target], seq: Long): DataFrame = {
-    val rows = targets.map { t =>
-      val df = t.path.map(spark.read.parquet(_)).getOrElse(registry.get(t.name))
-      val bytes = t.path.map(p => Statistics.parquetDataBytes(spark, p))
-      Row(t.name, df.count(), bytes.map(java.lang.Long.valueOf).orNull, seq)
+    import spark.implicits._
+    require(targets.nonEmpty, "statsSnapshot needs at least one target")
+    val counts = targets.map { tgt =>
+      val df = tgt.path.map(spark.read.parquet(_)).getOrElse(registry.get(tgt.name))
+      df.agg(count(lit(1)).as("rows")).select(lit(tgt.name).as("dataset"), col("rows"))
+    }.reduce(_ unionByName _)
+    val files: Seq[(String, String)] = {
+      val conf = spark.sessionState.newHadoopConf()
+      targets.flatMap(tgt => tgt.path.toSeq.flatMap(p =>
+        Statistics.listParquetFiles(conf, p).map(f => tgt.name -> f)))
     }
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), statsSchema)
+    val bytesDf =
+      if (files.isEmpty) Seq.empty[(String, Long)].toDF("dataset", "data_bytes")
+      else spark.sparkContext.parallelize(files, math.min(files.size, 64))
+        .map { case (name, f) =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          name -> Statistics.footerDataBytes(conf, new org.apache.hadoop.fs.Path(f))
+        }.toDF("dataset", "data_bytes")
+        .groupBy("dataset").agg(sum("data_bytes").cast("long").as("data_bytes"))
+    val perDs = graft.core.Checkpoints.truncate(
+      counts.join(bytesDf, Seq("dataset"), "left"))
+    val all = perDs.agg(sum("rows").cast("long").as("rows"),
+        sum("data_bytes").cast("long").as("data_bytes"))
+      .select(lit("all").as("dataset"), col("rows"), col("data_bytes"))
+    perDs.unionByName(all)
+      .withColumn("refresh_seq", lit(seq))
+      .select("dataset", "rows", "data_bytes", "refresh_seq")
+  }
+
+  /** `mim stats top` — the largest datasets per storage category
+    * (reference DOCUMENTATION.md "Maintenance → statistics"). Over a
+    * [[statsSnapshot]]: rank datasets (the generated `all` row
+    * excluded) within each category (`rows`, `data_bytes`; a category
+    * skips datasets that don't report it) and keep the top `k`. The
+    * input is dataset-count-sized, so the windows are trivial. */
+  def statsTop(snapshot: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = snapshot.filter(col("dataset") =!= "all")
+    val cats = Seq("rows", "data_bytes").map { c =>
+      base.filter(col(c).isNotNull)
+        .select(lit(c).as("category"), col("dataset"), col(c).cast("long").as("value"))
+    }.reduce(_ unionByName _)
+    cats.withColumn("rank", row_number().over(
+        Window.partitionBy("category").orderBy(col("value").desc, col("dataset"))))
+      .filter(col("rank") <= k)
   }
 
   /** The nightly statistics-refresh cron job (reference

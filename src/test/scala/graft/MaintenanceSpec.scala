@@ -31,21 +31,23 @@ class MaintenanceSpec extends SparkSpec {
     assert(sched.tick(spark, reg, LocalDateTime.of(2026, 8, 13, 3, 7)).isEmpty)
     assert(!reg.names.contains("stats"))
 
-    // 02:00 → stats land with refresh_seq 1
+    // 02:00 → stats land with refresh_seq 1 (per-dataset row + the
+    // generated `all` rollup)
     assert(sched.tick(spark, reg, LocalDateTime.of(2026, 8, 13, 2, 0))
       == Seq("scheduled_stats_update"))
-    val s1 = reg.get("stats").collect()
-    assert(s1.length == 1 && s1(0).getAs[String]("dataset") == "log")
-    assert(s1(0).getAs[Long]("rows") == 100L)
-    assert(s1(0).getAs[Long]("refresh_seq") == 1L)
+    val s1 = reg.get("stats").collect().map(r => r.getAs[String]("dataset") -> r).toMap
+    assert(s1.keySet == Set("log", "all"))
+    assert(s1("log").getAs[Long]("rows") == 100L)
+    assert(s1("all").getAs[Long]("rows") == 100L)
+    assert(s1("log").getAs[Long]("refresh_seq") == 1L)
 
     // next day 02:00 → the refresh provably advanced (seq 2), fresh count
     reg.put("log", mkLog().limit(80))
     assert(sched.tick(spark, reg, LocalDateTime.of(2026, 8, 14, 2, 0))
       == Seq("scheduled_stats_update"))
-    val s2 = reg.get("stats").collect()
-    assert(s2(0).getAs[Long]("refresh_seq") == 2L)
-    assert(s2(0).getAs[Long]("rows") == 80L)
+    val s2 = reg.get("stats").collect().map(r => r.getAs[String]("dataset") -> r).toMap
+    assert(s2("log").getAs[Long]("refresh_seq") == 2L)
+    assert(s2("log").getAs[Long]("rows") == 80L)
   }
 
   test("GC tick sweeps pre-watermark history; as-of queries at tokens >= T unchanged") {
@@ -88,7 +90,7 @@ class MaintenanceSpec extends SparkSpec {
     assert(reg.get("log").count() == nPost, "GC is idempotent at a fixed watermark")
   }
 
-  test("stats job reports footer-level bytes for path-backed targets") {
+  test("stats job reports footer-level bytes for path-backed targets; all-rollup sums") {
     val reg = new DatasetRegistry
     reg.put("log", mkLog())
     val path = s"$sfDir/orders.parquet"
@@ -101,5 +103,63 @@ class MaintenanceSpec extends SparkSpec {
     assert(ob == Statistics.parquetDataBytes(spark, path) && ob > 0)
     assert(snap("orders").getAs[Long]("rows") == spark.read.parquet(path).count())
     assert(snap("orders").getAs[Long]("refresh_seq") == 7L)
+    // the reference's generated `all` entry: rows and bytes summed over
+    // every dataset (bytes sum skips targets that report none)
+    assert(snap.keySet == Set("log", "orders", "all"))
+    assert(snap("all").getAs[Long]("rows")
+      == snap("log").getAs[Long]("rows") + snap("orders").getAs[Long]("rows"))
+    assert(snap("all").getAs[Long]("data_bytes") == ob)
+  }
+
+  test("stats snapshot is ONE distributed pass, not a per-target driver loop") {
+    val s = spark
+    import s.implicits._
+    val reg = new DatasetRegistry
+    val nTargets = 24
+    (0 until nTargets).foreach(i => reg.put(s"ds$i", (0L until (10L + i)).toDF("v")))
+    // count driver-side ACTIONS (query executions), not Spark jobs —
+    // AQE legitimately splits one union plan's stages into many jobs,
+    // but the r9 shape ran a SEPARATE count() action per target; the
+    // distributed snapshot must run a bounded handful regardless of
+    // target count
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val qel = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        actions.incrementAndGet(); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    s.listenerManager.register(qel)
+    try {
+      val snap = Maintenance.statsSnapshot(spark, reg,
+        (0 until nTargets).map(i => Maintenance.Target(s"ds$i")), seq = 1L).collect()
+      // listener events are delivered async; wait for the count to
+      // settle (the bus drains well inside a second when idle)
+      var last = -1
+      while (actions.get() != last) { last = actions.get(); Thread.sleep(500L) }
+      assert(snap.length == nTargets + 1)
+      assert(snap.find(_.getString(0) == "all").get.getLong(1)
+        == (0 until nTargets).map(10L + _).sum)
+      assert(actions.get() <= 4,
+        s"snapshot must not run per-target actions: ${actions.get()} for $nTargets targets")
+    } finally s.listenerManager.unregister(qel)
+  }
+
+  test("stats top ranks datasets per storage category, rollup excluded") {
+    val s = spark
+    import s.implicits._
+    val reg = new DatasetRegistry
+    Seq("a" -> 5L, "b" -> 50L, "c" -> 20L, "d" -> 1L).foreach { case (n, rows) =>
+      reg.put(n, (0L until rows).toDF("v"))
+    }
+    val snap = Maintenance.statsSnapshot(spark, reg,
+      Seq("a", "b", "c", "d").map(Maintenance.Target(_)), seq = 1L)
+    val top = Maintenance.statsTop(snap, k = 2)
+      .select("category", "dataset", "rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(top == Set(("rows", "b", 1), ("rows", "c", 2)),
+      s"top-2 by rows must be b, c (no bytes category for registry-only targets): $top")
   }
 }
