@@ -84,8 +84,19 @@ object Bench {
     // pointing at the artifact for per-query detail
     val headline = results.filter(_._1.startsWith("q"))
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    // machine-drift calibration IN the driver's short line (r9 verdict
+    // #6): the same data-independent kernel the steady-state gate
+    // normalizes by, min-of-3 after warmup — round-over-round driver
+    // totals become machine-normalizable from BENCH_rN.json alone,
+    // without the local artifacts. -1 = kernel failed, not a timing.
+    val calib =
+      try SteadyState.calibrationSeconds(spark)
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] calibration FAILED: ${e.getMessage}"); -1.0
+      }
     val stdoutLine =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries":$headline,"sf":"$sfDir","artifact":"per-query detail in SPARK_GRAFT_BENCH_OUT file"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"calibration":${ms(calib)},"queries":$headline,"sf":"$sfDir","artifact":"per-query detail in SPARK_GRAFT_BENCH_OUT file"}"""
     // capture-independent artifact (the driver's record is a 2000-char
     // stdout TAIL; per-query history must not live only in prose).
     // FileWriter, not PrintWriter: PrintWriter swallows IOExceptions

@@ -49,9 +49,7 @@ object SteadyState {
       // query probe, never compared directly.
       // bit_xor, not sum: ANSI mode (Spark 4 default) raises on long
       // overflow, and 200M hash values overflow a long sum
-      "_calibration" ->
-        (() => spark.range(0L, 200000000L, 1L, 32)
-          .agg(expr("bit_xor(xxhash64(id))")).head().getLong(0)),
+      "_calibration" -> (() => calibrationKernel(spark)),
       "s8_pq_probe" ->
         (() => graft.ann.Pq.pqTopKIndexed(spark, "ss_pq", emb, "embedding", "vec_id",
           col("id") < 10, 5).count()),
@@ -87,6 +85,26 @@ object SteadyState {
         () => graft.ops.Events.sessionize(ev, "ts", "user_id", "2 hours").count()
       }
     )
+  }
+
+  /** The data-independent CPU-bound calibration kernel shared by the
+    * steady-state probe set and the driver Bench line: 200M xxhash64
+    * values folded with bit_xor (ANSI-safe — a long SUM overflows).
+    * Measures the machine's effective compute throughput at run time;
+    * host-level co-tenant contention is invisible to guest loadavg
+    * but shows up here, so comparers divide probe ratios by the
+    * kernel ratio (tools/selfcheck.py --bench). */
+  def calibrationKernel(spark: SparkSession): Long =
+    spark.range(0L, 200000000L, 1L, 32)
+      .agg(expr("bit_xor(xxhash64(id))")).head().getLong(0)
+
+  /** Min-of-`passes` kernel seconds after one warmup — the machine
+    * factor to divide by when comparing two runs' timings. */
+  def calibrationSeconds(spark: SparkSession, passes: Int = 3): Double = {
+    calibrationKernel(spark)
+    (1 to passes).map { _ =>
+      val t0 = System.nanoTime(); calibrationKernel(spark); (System.nanoTime() - t0) / 1e9
+    }.min
   }
 
   /** Min-of-`passes` probe seconds after one warmup each. A failed

@@ -57,6 +57,22 @@ def bench_gate(new_path, base_path, factor=1.5):
         if norm > 5 or norm < 0.2:
             print(f"WARN _calibration: extreme machine factor {norm:.2f}x — "
                   "normalized verdicts are low-confidence, re-run when quieter")
+        # normalization's blind spot: the kernel runs in the SAME
+        # session as the probes, so a session-wide conf/JVM/codegen
+        # regression shipped in the diff slows kernel and probes alike
+        # and normalizes to ~1.0x. When the kernel itself drifted,
+        # say so explicitly and point at the raw ratios; a pinned
+        # quiet-machine floor (SELFCHECK_CAL_FLOOR, PERF.md records
+        # one per round) turns that into a concrete check.
+        if norm > 1.15:
+            print(f"WARN _calibration: the kernel itself slowed {norm:.2f}x — if this "
+                  "diff touches session/JVM/codegen configuration, the slowdown may BE "
+                  "the diff; judge the RAW ratios below, not only the normalized ones")
+        floor = float(os.environ.get("SELFCHECK_CAL_FLOOR", "0"))
+        if floor > 0 and ncal > 1.5 * floor:
+            print(f"WARN _calibration: kernel {ncal}s exceeds the pinned quiet floor "
+                  f"{floor}s by {ncal / floor:.2f}x — loaded machine OR a real "
+                  "session-wide regression; re-run quiet before trusting PASS")
     fail = 0
     for name in sorted(set(new) | set(base)):
         if name == "_calibration":
