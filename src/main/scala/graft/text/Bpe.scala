@@ -64,6 +64,121 @@ object Bpe {
     merges.result()
   }
 
+  /** Learn `numMerges` merges at REALISTIC vocab sizes (4k–100k): the
+    * corpus scan distributes (one word-frequency aggregate — the only
+    * data-sized pass), then the classic in-memory merge loop runs
+    * driver-side over the VOCABULARY-sized frequency table with
+    * incremental pair-count maintenance — the same
+    * model-fit-on-a-metadata-sized-head discipline as the PQ codebook
+    * and the x9 model. `train` pays one distributed aggregate + one
+    * checkpoint PER ROUND (fine at 64 merges, ruinous at 32k);
+    * this runs rounds at in-memory speed and produces the IDENTICAL
+    * merges table (same pair statistics, same cnt-desc/lexicographic
+    * argmax, same ≥2 stop — spec-pinned equality against `train`).
+    *
+    * Driver memory is O(vocabulary); a 100 TB corpus caps it with
+    * `minFreq` (hapax words can't win a merge against a ≥2 threshold
+    * unless the vocabulary is tiny — the standard trainer cut). */
+  def trainFast(docs: DataFrame, textCol: String, numMerges: Int,
+                minFreq: Long = 1L): Seq[(String, String)] = {
+    val wf: Array[(String, Long)] = docs
+      .select(explode(TextAnalysis.words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    trainOnCounts(wf, numMerges)
+  }
+
+  /** The classic in-memory merge loop over a word-frequency table —
+    * `trainFast`'s driver half, exposed so scale probes can feed
+    * synthetic vocabularies directly. Identical statistics and argmax
+    * order to `train` (every adjacent occurrence weighted by word
+    * freq; cnt desc then lexicographic (a, b); stop below 2).
+    * Selection is a LAZY-DELETION max-heap: every count change pushes
+    * a fresh snapshot and stale snapshots are discarded at pop time —
+    * O(log #pairs) a round instead of a full pair-table scan, which
+    * is what makes 32k+ merge rounds driver-practical. */
+  def trainOnCounts(wf: Array[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val syms: Array[mutable.ArrayBuffer[String]] =
+      wf.map { case (w, _) => mutable.ArrayBuffer(w.map(String.valueOf(_)): _*) }
+    val freq = wf.map(_._2)
+    def pairsOf(s: mutable.ArrayBuffer[String]): Iterator[(String, String)] =
+      if (s.length < 2) Iterator.empty
+      else (0 until s.length - 1).iterator.map(i => (s(i), s(i + 1)))
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // heap order: count DESC, then (a, b) ASC — train's exact argmax
+    implicit val ord: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(x._1, y._1)
+          if (c != 0) c
+          else {
+            val a = y._2.compareTo(x._2)
+            if (a != 0) a else y._3.compareTo(x._3)
+          }
+        }
+      }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)]
+    def bump(p: (String, String), delta: Long): Unit = {
+      val c = counts.getOrElse(p, 0L) + delta
+      if (c <= 0L) counts.remove(p)
+      else { counts.update(p, c); heap.enqueue((c, p._1, p._2)) }
+    }
+    syms.indices.foreach { i =>
+      pairsOf(syms(i)).foreach { p =>
+        bump(p, freq(i))
+        where.getOrElseUpdate(p, mutable.BitSet.empty) += i
+      }
+    }
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var done = false
+    while (round < numMerges && !done) {
+      // pop until a LIVE snapshot (count matches the map) surfaces;
+      // a live top below 2 means no pair qualifies anywhere — every
+      // current count was pushed when set, so the heap top bounds the
+      // true maximum
+      var best: (String, String) = null
+      var stop = false
+      while (best == null && !stop) {
+        if (heap.isEmpty) stop = true
+        else {
+          val (c, a, b) = heap.dequeue()
+          if (c < 2L) stop = true
+          else if (counts.getOrElse((a, b), 0L) == c) best = (a, b)
+        }
+      }
+      if (best == null) done = true
+      else {
+        merges += best
+        val (a, b) = best
+        val ab = a + b
+        for (i <- where.getOrElse(best, mutable.BitSet.empty)) {
+          val s = syms(i)
+          // exact delta: retract the word's old pair multiset, apply
+          // the left-to-right non-overlapping sweep, add the new one —
+          // identical statistics to train's full per-round recount
+          pairsOf(s).foreach(p => bump(p, -freq(i)))
+          val out = mutable.ArrayBuffer.empty[String]
+          s.foreach { t =>
+            if (out.nonEmpty && out.last == a && t == b) out(out.length - 1) = ab
+            else out += t
+          }
+          syms(i) = out
+          pairsOf(out).foreach { p =>
+            bump(p, freq(i))
+            where.getOrElseUpdate(p, mutable.BitSet.empty) += i
+          }
+        }
+        where.remove(best)
+      }
+      round += 1
+    }
+    merges.result()
+  }
+
   /** One left-to-right non-overlapping sweep of merge (a, b) over a
     * symbol array — the declarative twin of `BpeCount`'s fold (used by
     * training, where the array column updates map-side per round). */

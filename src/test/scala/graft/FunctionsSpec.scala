@@ -88,6 +88,21 @@ class FunctionsSpec extends SparkSpec {
     assert(merges == Seq(("l", "o"), ("lo", "w"), ("low", "e")))
   }
 
+  test("BPE trainFast equals the distributed per-round trainer") {
+    val s = spark
+    import s.implicits._
+    // textbook fixture: identical merges and identical early stop
+    val fixture = Seq((1L, "low lower lowest low low")).toDF("doc_id", "text")
+    assert(graft.text.Bpe.trainFast(fixture, "text", 10)
+      == Seq(("l", "o"), ("lo", "w"), ("low", "e")))
+    // real corpus: same table at a non-trivial merge count — pair
+    // statistics, argmax tie-break, and stop rule all agree
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val n = 24
+    assert(graft.text.Bpe.trainFast(docs, "text", n)
+      == graft.text.Bpe.train(docs, "text", n))
+  }
+
   test("BPE count kernel matches hand tokenization and a local merge-loop reference") {
     val s = spark
     import s.implicits._
