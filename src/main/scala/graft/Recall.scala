@@ -84,7 +84,24 @@ object Recall {
         () => Ann.ivfTopKIndexed(spark, "rc_ivf", qf, k, neighborPred = col("label") === 1)),
       ("s11_filtered_ivfpq", true,
         () => IvfPq.ivfPqTopKIndexed(spark, "rc_ivfpq", emb, "embedding", "vec_id", qf, k,
-          neighborPred = col("label") === 1)))
+          neighborPred = col("label") === 1)),
+      // the accuracy/speed KNOBS, one sweep each: nprobe buys IVF
+      // recall (nlist=16, so nprobe=16 probes everything — recall 1
+      // at brute-force cost), shortlist buys back PQ's quantization
+      // loss through the exact rerank
+      ("s5_ivf nprobe=8", false,
+        () => Ann.ivfTopKIndexed(spark, "rc_ivf", qf, k, nprobe = 8)),
+      ("s5_ivf nprobe=16", false,
+        () => Ann.ivfTopKIndexed(spark, "rc_ivf", qf, k, nprobe = 16)),
+      ("s8_pq shortlist=200", false,
+        () => Pq.pqTopKIndexed(spark, "rc_pq", emb, "embedding", "vec_id", qf, k,
+          shortlist = 200)),
+      ("s8_pq shortlist=1k", false,
+        () => Pq.pqTopKIndexed(spark, "rc_pq", emb, "embedding", "vec_id", qf, k,
+          shortlist = 1000)),
+      ("s9_ivfpq np=8 sl=1k", false,
+        () => IvfPq.ivfPqTopKIndexed(spark, "rc_ivfpq", emb, "embedding", "vec_id", qf, k,
+          nprobe = 8, shortlist = 1000)))
 
     println(f"${"probe"}%-20s ${"recall@" + k}%-10s ${"min-of-3 s"}%-10s")
     probes.foreach { case (name, filtered, f) =>

@@ -522,6 +522,21 @@ object SparkEntry {
         .orderBy("dataset")
     }),
 
+    "j19_stats_top" -> ((s, dir) => {
+      // `mim stats top` (reference DOCUMENTATION.md "Maintenance →
+      // statistics"): the largest datasets per storage category over a
+      // stats snapshot, generated rollup excluded. Registry-only
+      // targets report no bytes, so the oracle pins the rows category
+      val reg = new graft.jobs.DatasetRegistry
+      val names = Seq("region", "nation", "customer", "orders", "supplier", "part")
+      names.foreach(n => reg.put(n, t(s, dir, n)))
+      val snap = graft.jobs.Maintenance.statsSnapshot(s, reg,
+        names.map(graft.jobs.Maintenance.Target(_)), seq = 1L)
+      graft.jobs.Maintenance.statsTop(snap, k = 3)
+        .select(col("category"), col("dataset"), col("value"), col("rank"))
+        .orderBy("category", "rank")
+    }),
+
     "j6_stats" -> ((s, dir) => {
       // /statistics analog: row counts + storage bytes per dataset; the
       // bytes come from parquet footers (Statistics.parquetDataBytes) —
@@ -1782,6 +1797,23 @@ object SparkEntry {
          |FROM part ORDER BY id""".stripMargin,
 
     "j6_stats" -> j6OracleSql("/root/testdata/sf0.01"),
+
+    // top-3 datasets by row count (the only category registry-only
+    // targets report)
+    "j19_stats_top" ->
+      """WITH s AS (
+        |  SELECT 'customer' AS dataset, count(*)::BIGINT AS v FROM customer
+        |  UNION ALL SELECT 'nation', count(*)::BIGINT FROM nation
+        |  UNION ALL SELECT 'orders', count(*)::BIGINT FROM orders
+        |  UNION ALL SELECT 'region', count(*)::BIGINT FROM region
+        |  UNION ALL SELECT 'supplier', count(*)::BIGINT FROM supplier
+        |  UNION ALL SELECT 'part', count(*)::BIGINT FROM part),
+        |r AS (
+        |  SELECT 'rows' AS category, dataset, v AS value,
+        |         row_number() OVER (ORDER BY v DESC, dataset) AS rank
+        |  FROM s)
+        |SELECT category, dataset, value, rank::INT AS rank FROM r
+        |WHERE rank <= 3 ORDER BY category, rank""".stripMargin,
 
     // per-dataset counts plus the generated `all` rollup row
     "j18_stats_rollup" ->
