@@ -36,6 +36,17 @@ object SteadyState {
     graft.dedup.Dedup.buildSimhashIndex(docs.filter(col("doc_id") < cut),
       "text", "doc_id", 10, "ss_simhash", buckets = 16)
     val vbatch = graft.ann.SemDedup.perturbedBatch(emb, "embedding", "vec_id")
+    // the incremental-recipe refinery: standing corpus = first 80%,
+    // eval = next 10%, the probed batch = the last 10% — the
+    // per-batch marginal of the p12 pipeline with every standing
+    // table prebuilt (processBatch never absorbs here, so the probe
+    // is repeatable)
+    val cut2 = nDocs - 2 * math.max(1L, nDocs / 10)
+    val rst = graft.jobs.Recipe.buildStanding(spark,
+      docs.filter(col("doc_id") < cut2).withColumn("label", col("doc_id") % 4 =!= 1),
+      docs.filter(col("doc_id") >= cut2 && col("doc_id") < cut),
+      "text", "doc_id", "lang", "label", k = 15,
+      graft.text.Bpe.DefaultMerges, prefix = "ss_recipe", buckets = 16)
 
     Seq(
       // data-independent CPU-bound kernel, timed exactly like the
@@ -73,6 +84,11 @@ object SteadyState {
       "d18_substring_delta" ->
         (() => graft.dedup.Dedup.substringSpansDelta(spark,
           docs.filter(col("doc_id") >= cut), "text", "doc_id", 15, "ss_gram").count()),
+      "p12_recipe_delta" ->
+        (() => graft.jobs.Recipe.processBatch(spark, rst,
+          docs.filter(col("doc_id") >= cut), "text", "doc_id", "lang",
+          Map("en" -> 30000L), k = 15, graft.text.Bpe.DefaultMerges)
+          .emission.count()),
       "d22_simhash_delta" ->
         (() => graft.dedup.Dedup.simhashPairsDelta(spark,
           docs.filter(col("doc_id") >= cut), "text", "doc_id", 10, "ss_simhash").count()),
