@@ -129,6 +129,19 @@ final case class ParquetSink(path: String) extends Sink {
   def write(df: DataFrame): Unit = df.write.mode("overwrite").parquet(path)
 }
 
+/** Appends to a named registry dataset, creating it on first write —
+  * the emission-log discipline of incremental jobs (each firing's
+  * output lands AFTER the previous firings', like the reference's
+  * dataset writes under continuation tokens). Callers append PINNED
+  * frames (the job engine materializes before the write), so the
+  * accumulated union is a union of checkpoints, not a growing lazy
+  * plan. */
+final case class AppendSink(registry: DatasetRegistry, name: String) extends Sink {
+  def write(df: DataFrame): Unit =
+    if (registry.names.contains(name)) registry.put(name, registry.get(name).unionByName(df))
+    else registry.put(name, df)
+}
+
 /** Reference: DevNullSink — used with transforms that only emit
   * transactions. */
 case object DevNullSink extends Sink { def write(df: DataFrame): Unit = () }

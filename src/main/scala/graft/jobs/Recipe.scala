@@ -146,6 +146,56 @@ object Recipe {
     BatchResult(emission, cntB)
   }
 
+  /** The refinery as a reference-shaped INCREMENTAL CRON JOB — the
+    * form a data team actually schedules (the jobs discipline of
+    * mimiro-io/datahub internal/jobs/source/dataset_source.go applied
+    * to data prep): each firing drains the raw-doc change log from
+    * the stored continuation token, collapses re-emits within the
+    * window (`ChangeLog.latestOnly` — the newest version wins; the
+    * refinery's supersede then replaces the STANDING version), runs
+    * [[processBatch]], absorbs, and APPENDS the mixture emission to
+    * the sink dataset. The token advances to max(recorded) captured
+    * BEFORE the run (the CronScheduler at-least-once discipline); an
+    * empty window fires as a no-op (empty emission appended, no
+    * absorb rewrite). */
+  def recipeJob(registry: DatasetRegistry, st: Standing, logName: String,
+                idCol: String, recordedCol: String, textCol: String,
+                groupCol: String, budgets: Map[String, Long], k: Int,
+                merges: Seq[(String, String)], emissionName: String,
+                cron: String = "0 3 * * *"): CronJob = {
+    val jobId = s"recipe_$emissionName"
+    CronJob(
+      id = jobId,
+      cron = Cron.parse(cron),
+      makeJob = since => Job(
+        id = jobId,
+        source = FunctionSource { _ =>
+          val log = registry.get(logName)
+          val windowed = since.map(t => log.filter(col(recordedCol) > t)).getOrElse(log)
+          graft.ops.ChangeLog.latestOnly(windowed, idCol, recordedCol)
+        },
+        transform = batch0 => {
+          val spark = batch0.sparkSession
+          // pin the window: the stages and the absorb must see ONE
+          // snapshot even though the log may keep appending under them
+          val batch = graft.core.Checkpoints.truncate(
+            batch0.select(col(idCol), col(groupCol), col(textCol)))
+          val res = processBatch(spark, st, batch, textCol, idCol, groupCol,
+            budgets, k, merges)
+          // materialize the emission BEFORE absorb mutates the state
+          val emission = graft.core.Checkpoints.truncate(res.emission)
+          if (!batch.isEmpty)
+            absorbBatch(spark, st, batch, res.gatedCounts, textCol, idCol, k)
+          emission
+        },
+        sink = AppendSink(registry, emissionName),
+        sourceName = logName, sinkName = emissionName),
+      nextToken = () => {
+        val mx = registry.get(logName).agg(max(col(recordedCol))).collect()(0)
+        if (mx.isNullAt(0)) None else Some(mx.getLong(0))
+      })
+  }
+
   /** Absorb a processed batch into the standing state: its raw grams
     * append to the gram index (supersede already ran in
     * [[processBatch]]) and the budget ledger swaps re-ingested ids'

@@ -149,6 +149,42 @@ class RecipeSpec extends SparkSpec {
     assert(ledger(16L) == bpe(filler(16)), "ledger carries scrubbed batch mass")
   }
 
+  test("recipe as a scheduled incremental job: tokens advance, windows drain, emissions append") {
+    import graft.jobs._
+    import java.time.LocalDateTime
+    val s = spark; import s.implicits._
+    val (e1, e2, _) = runBatchMode("rcpk") // the direct loop's emissions
+    val st = Recipe.buildStanding(spark, stdDf, evalDf, "text", "id", "grp",
+      "label", k = 4, Bpe.DefaultMerges, "rcpj")
+    val reg = new DatasetRegistry
+    reg.put("raw", batch1.withColumn("recorded", lit(1L)))
+    val sched = new CronScheduler(Seq(Recipe.recipeJob(reg, st, "raw", "id", "recorded",
+      "text", "grp", Map("h" -> hBudget), k = 4, Bpe.DefaultMerges, "mixture")))
+    def emitted(): Seq[(Long, Long, Long)] =
+      reg.get("mixture").select("id", "bpe_tokens", "copy")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    // off-schedule minute: nothing fires, no sink dataset appears
+    assert(sched.tick(spark, reg, LocalDateTime.of(2026, 8, 14, 4, 7)).isEmpty)
+    assert(!reg.names.contains("mixture"))
+    // 03:00 → window 1 drains; token = max(recorded) read
+    assert(sched.tick(spark, reg, LocalDateTime.of(2026, 8, 14, 3, 0))
+      == Seq("recipe_mixture"))
+    assert(sched.token("recipe_mixture").contains(1L))
+    assert(emitted() == e1, "firing 1 must equal the direct loop's emission 1")
+    // day 2: batch 2 lands in the log past the token; only IT drains
+    reg.put("raw", reg.get("raw").unionByName(batch2.withColumn("recorded", lit(2L))))
+    assert(sched.tick(spark, reg, LocalDateTime.of(2026, 8, 15, 3, 0))
+      == Seq("recipe_mixture"))
+    assert(sched.token("recipe_mixture").contains(2L))
+    assert(emitted() == (e1 ++ e2).sorted, "emissions append across firings")
+    // day 3: empty window — a no-op firing, emission log unchanged
+    assert(sched.tick(spark, reg, LocalDateTime.of(2026, 8, 16, 3, 0))
+      == Seq("recipe_mixture"))
+    assert(emitted() == (e1 ++ e2).sorted)
+    // lineage recorded: raw --transform--> mixture
+    assert(reg.lineage.contains(("raw", "mixture", "transform")))
+  }
+
   test("incremental recipe: streaming form equals the batch loop") {
     val (e1, e2, ledger) = runBatchMode("rcpb")
     val st = Recipe.buildStanding(spark, stdDf, evalDf, "text", "id", "grp",
