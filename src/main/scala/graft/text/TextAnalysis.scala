@@ -420,12 +420,13 @@ object TextAnalysis {
   def sourceCap(docs: DataFrame, idCol: String, groupCol: String,
                 tokenCol: String, cap: Long, seed: String = "cap"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // cached: both union branches below consume the totals — without
-    // the cache each branch would re-run the group aggregate (and its
-    // corpus scan); the cache is ≤ one row per group
-    val totals = docs.groupBy(col(groupCol))
-      .agg(sum(col(tokenCol)).cast("long").as("__tot"))
-      .cache()
+    // pinned (localCheckpoint — a bare cache() would stay registered
+    // in the session's cache manager forever, the x11 ADVICE finding):
+    // both union branches below consume the totals; without the pin
+    // each branch would re-run the group aggregate (and its corpus
+    // scan); the pin is ≤ one row per group
+    val totals = graft.core.Checkpoints.truncate(docs.groupBy(col(groupCol))
+      .agg(sum(col(tokenCol)).cast("long").as("__tot")))
     // LEFT join: NULL group rows never equi-match their totals row and
     // ride the pass-whole branch, like tokenBudgetSample
     val joined = docs.join(broadcast(totals), Seq(groupCol), "left")

@@ -581,6 +581,13 @@ class TextMultimodalSpec extends SparkSpec {
     // p11 mixer: budgets broadcast; corpus never sort-merge-joined
     val mix = planOf(TextAnalysis.temperatureMix(toks, "id", "src", "tok", 100L))
     assert(!mix.contains("SortMergeJoin"), "mixer must broadcast budgets:\n" + mix)
+    // p13 manifest: the packer plus ONE map-only explode — no new
+    // join, no new shuffle class beyond the packer's window
+    val man = planOf(TextAnalysis.packedBins(toks, "id", "src", "tok", 50L, 16L))
+    assert(!man.contains("Join"), "manifest must not join:\n" + man)
+    assert(man.split("Exchange").length - 1 <= 2,
+      "manifest shuffles once, like the packer:\n" + man)
+    assert(man.contains("Generate"), "manifest explodes per-bin rows:\n" + man)
   }
 
   test("temperature mix: equals repeat with sqrt-derived budgets; both regimes; NULL group once") {
