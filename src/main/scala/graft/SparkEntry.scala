@@ -1027,6 +1027,22 @@ object SparkEntry {
           graft.text.Bpe.DefaultMerges)
         .orderBy("doc_id")),
 
+    "x12_bpe_encode" -> ((s, dir) => {
+      // the tokenizer's LOADER output: per doc the flat BPE token-ID
+      // sequence (x8 is its counting shadow — same segmentation loop,
+      // so the sequence length equals the count by construction) under
+      // the public id contract: 0–35 the fixed base alphabet a..z0..9,
+      // 36+r for merge r. One codegen'd map-only projection; exploded
+      // to (doc_id, pos, token_id) scalar rows for the exact compare
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"),
+          posexplode(graft.text.Bpe.bpeEncode(TextAnalysis.words(col("text")),
+            graft.text.Bpe.DefaultMerges)).as(Seq("pos", "token_id")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("token_id").cast("int").as("token_id"))
+        .orderBy("doc_id", "pos")
+    }),
+
     "x9_quality_classifier" -> ((s, dir) => {
       // learned doc-quality gate (fastText/CCNet shape, deterministic
       // core): junk tokens are PLANTED on every 4th doc; the model
@@ -2312,6 +2328,34 @@ object SparkEntry {
          |  len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}'))::BIGINT AS n_phones,
          |  md5(${scrubSql("text")}) AS scrubbed_md5
          |FROM aug ORDER BY doc_id""".stripMargin,
+
+    // the merge chain's parenthesized symbol string is the SEGMENTATION
+    // itself: extract the symbols, map each to its vocab id (base
+    // alphabet VALUES + one row per merge, generated from the same
+    // Scala table the kernel carries), flatten in (word, symbol) order
+    "x12_bpe_encode" -> {
+      val base = "abcdefghijklmnopqrstuvwxyz0123456789"
+      val vocabRows = (base.zipWithIndex.map { case (c, i) => s"('$c', $i)" } ++
+        graft.text.Bpe.DefaultMerges.zipWithIndex.map { case ((a, b), r) =>
+          s"('${a + b}', ${36 + r})"
+        }).mkString(", ")
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |t AS (SELECT doc_id, t.i AS widx, ws[t.i] AS wd FROM w, unnest(range(1, len(ws)+1)) AS t(i)),
+         |enc AS (SELECT doc_id, widx, ${graft.text.Bpe.mergeChainSql("wd", graft.text.Bpe.DefaultMerges)} AS s FROM t),
+         |sym AS (
+         |  SELECT doc_id, widx, u.j AS sidx, l[u.j] AS sym
+         |  FROM (SELECT doc_id, widx, regexp_extract_all(s, '\\(([^()]*)\\)', 1) AS l FROM enc),
+         |       unnest(range(1, len(l)+1)) AS u(j)),
+         |v(sym, id) AS (VALUES $vocabRows)
+         |SELECT doc_id,
+         |  (row_number() OVER (PARTITION BY doc_id ORDER BY widx, sidx) - 1)::BIGINT AS pos,
+         |  v.id::INT AS token_id
+         |FROM sym JOIN v USING (sym)
+         |ORDER BY doc_id, pos""".stripMargin
+    },
 
     // the merge chain (one replace per merge, rank order) re-applies
     // the EXACT sweep semantics of the BpeCount kernel — see

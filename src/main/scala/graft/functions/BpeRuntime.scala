@@ -1,0 +1,55 @@
+package graft.functions
+
+/** The classic lowest-rank-first BPE apply loop, shared by the
+  * counting ([[BpeCount]]) and encoding ([[BpeEncodeIds]]) kernels so
+  * the two can never disagree on segmentation. Semantics and the
+  * equivalence to rank-order sweeps (the SQL oracle's shape) are
+  * documented on [[BpeCount]]. */
+object BpeRuntime {
+
+  /** pair → rank lookup; putIfAbsent keeps the LOWEST rank should a
+    * table ever repeat a pair. ' ' cannot occur in a symbol (words
+    * are [a-z0-9]+), so the joined key is collision-free. */
+  def rankMap(merges: Array[Array[String]]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    var i = 0
+    while (i < merges.length) {
+      m.putIfAbsent(merges(i)(0) + " " + merges(i)(1), Integer.valueOf(i))
+      i += 1
+    }
+    m
+  }
+
+  /** One word → its final symbol sequence under the merges table:
+    * repeatedly find the lowest-rank adjacent pair present and apply
+    * one left-to-right non-overlapping sweep of it. O(len²) hash
+    * lookups per word — independent of the table size. */
+  def encodeWord(w: String, merges: Array[Array[String]],
+                 rank: java.util.HashMap[String, Integer]): java.util.ArrayList[String] = {
+    var cur = new java.util.ArrayList[String](w.length)
+    var i = 0
+    while (i < w.length) { cur.add(String.valueOf(w.charAt(i))); i += 1 }
+    while (cur.size > 1) {
+      var best = Integer.MAX_VALUE
+      var j = 0
+      while (j < cur.size - 1) {
+        val r = rank.get(cur.get(j) + " " + cur.get(j + 1))
+        if (r != null && r.intValue() < best) best = r.intValue()
+        j += 1
+      }
+      if (best == Integer.MAX_VALUE) return cur
+      val a = merges(best)(0); val b = merges(best)(1); val ab = merges(best)(2)
+      val out = new java.util.ArrayList[String](cur.size)
+      j = 0
+      while (j < cur.size) {
+        val s = cur.get(j)
+        if (!out.isEmpty && out.get(out.size - 1) == a && s == b)
+          out.set(out.size - 1, ab) // merged symbol can't re-match: ab != a
+        else out.add(s)
+        j += 1
+      }
+      cur = out
+    }
+    cur
+  }
+}

@@ -196,6 +196,17 @@ object Bpe {
       merges.map { case (a, b) => Array(a, b, a + b) }.toArray))
   }
 
+  /** Flat token-ID sequence column over a words array — the encoder
+    * twin of `bpeCount` (shared segmentation loop, so
+    * `size(bpeEncode(ws)) == bpeCount(ws)` always). Vocab id
+    * contract on [[graft.functions.BpeEncodeIds]]: 0–35 the fixed
+    * base alphabet, 36+r for merge r. */
+  def bpeEncode(ws: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.BpeEncodeIds(ColumnBridge.expr(ws),
+      merges.map { case (a, b) => Array(a, b, a + b) }.toArray))
+  }
+
   /** Per-doc token counts under a fixed merges table: (id, n_words,
     * bpe_tokens). Pure projection over the corpus scan — zero
     * shuffle. */

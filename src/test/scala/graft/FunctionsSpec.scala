@@ -136,6 +136,32 @@ class FunctionsSpec extends SparkSpec {
     assert(kernel == words.map(w => ref(w, dm).toLong))
   }
 
+  test("BPE encode: public id contract, length == count, ambiguous vocab rejected") {
+    val s = spark
+    import s.implicits._
+    val merges = Seq(("l", "o"), ("lo", "w"), ("low", "e"))
+    // ids: base a..z0..9 = 0..35; lo=36, low=37, lowe=38; s=18, t=19
+    val docs = Seq((1L, "low lowest")).toDF("doc_id", "text")
+    val got = docs.select(posexplode(graft.text.Bpe.bpeEncode(
+        graft.text.TextAnalysis.words(col("text")), merges)).as(Seq("pos", "id")))
+      .select("id").as[Int].collect().toSeq
+    assert(got == Seq(37, 38, 18, 19), s"ids: $got")
+    // the encoder and the counter share one segmentation loop:
+    // sequence length equals the count on real corpus text
+    val dm = graft.text.Bpe.DefaultMerges
+    val fixture = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val ws = graft.text.TextAnalysis.words(col("text"))
+    val bad = fixture.filter(
+      size(graft.text.Bpe.bpeEncode(ws, dm)).cast("long") =!=
+        graft.text.Bpe.bpeCount(ws, dm))
+    assert(bad.count() == 0, "encode length must equal bpe_count")
+    // a table whose merges produce the same merged STRING has no
+    // well-defined string-keyed id — must collide loudly
+    intercept[IllegalArgumentException] {
+      graft.text.Bpe.bpeEncode(col("x"), Seq(("a", "bc"), ("ab", "c")))
+    }
+  }
+
   test("BPE rank-order sweep equals the classic lowest-rank-pair-first merge loop") {
     // the oracle-shared sweep must agree with the textbook priority
     // loop on the checked-in vocab (equivalence holds for any merges
