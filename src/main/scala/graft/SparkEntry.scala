@@ -1262,6 +1262,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "p14_packed_tokens" -> ((s, dir) => {
+      // the END of the pipeline: fixed-capacity training sequences as
+      // token-id streams — x12's encoder feeds p13's segments, one row
+      // per token at its (source, shard, bin, bin_pos) coordinate.
+      // Packing counts come from the id arrays themselves, so stream
+      // and placement cannot disagree
+      val docs = t(s, dir, "documents")
+      val enc = docs.select(col("doc_id"), col("source"),
+        graft.text.Bpe.bpeEncode(TextAnalysis.words(col("text")),
+          graft.text.Bpe.DefaultMerges).as("ids"))
+      TextAnalysis.packedTokenStream(enc, "doc_id", "source", "ids",
+          capacity = 512L, shardSize = 1000L)
+        .select(col("source"), col("shard"), col("bin"),
+          col("bin_pos"), col("token_id").cast("int").as("token_id"))
+        .orderBy("source", "shard", "bin", "bin_pos")
+    }),
+
     "p13_bin_manifest" -> ((s, dir) => {
       // the loader-facing view of p10: per (shard, bin) the ordered doc
       // segments (token range within the doc + offset within the bin),
@@ -2063,6 +2080,60 @@ object SparkEntry {
         |        ELSE (pre + ws_tokens - 1) // 512 END)::BIGINT AS bin_last,
         |  (pre % 512)::BIGINT AS offset_in_bin
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // x12's segmentation aggregated to per-doc id arrays, p13's
+    // placement arithmetic on their lengths, then each segment
+    // unnested to (bin_pos, token_id) rows
+    "p14_packed_tokens" -> {
+      val base = "abcdefghijklmnopqrstuvwxyz0123456789"
+      val vocabRows = (base.zipWithIndex.map { case (c, i) => s"('$c', $i)" } ++
+        graft.text.Bpe.DefaultMerges.zipWithIndex.map { case ((a, b), r) =>
+          s"('${a + b}', ${36 + r})"
+        }).mkString(", ")
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |t AS (SELECT doc_id, t.i AS widx, ws[t.i] AS wd FROM w, unnest(range(1, len(ws)+1)) AS t(i)),
+         |enc AS (SELECT doc_id, widx, ${graft.text.Bpe.mergeChainSql("wd", graft.text.Bpe.DefaultMerges)} AS s FROM t),
+         |sym AS (
+         |  SELECT doc_id, widx, u.j AS sidx, l[u.j] AS sym
+         |  FROM (SELECT doc_id, widx, regexp_extract_all(s, '\\(([^()]*)\\)', 1) AS l FROM enc),
+         |       unnest(range(1, len(l)+1)) AS u(j)),
+         |v(sym, id) AS (VALUES $vocabRows),
+         |ids AS (
+         |  SELECT doc_id, array_agg(v.id ORDER BY widx, sidx) AS ids
+         |  FROM sym JOIN v USING (sym) GROUP BY doc_id),
+         |d AS (
+         |  SELECT d0.doc_id, d0.source,
+         |    coalesce(len(ids.ids), 0)::BIGINT AS n,
+         |    coalesce(ids.ids, CAST([] AS INT[])) AS ids,
+         |    (d0.doc_id // 1000)::BIGINT AS shard
+         |  FROM documents d0 LEFT JOIN ids USING (doc_id)),
+         |c AS (
+         |  SELECT doc_id, source, n, ids, shard,
+         |    coalesce(sum(n) OVER (PARTITION BY source, shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pre
+         |  FROM d),
+         |p AS (
+         |  SELECT doc_id, source, n, ids, shard, pre,
+         |    (pre // 512)::BIGINT AS bin_first,
+         |    (CASE WHEN n <= 0 THEN pre // 512 ELSE (pre + n - 1) // 512 END)::BIGINT AS bin_last
+         |  FROM c),
+         |seg AS (
+         |  SELECT source, shard, b.bin::BIGINT AS bin, ids,
+         |    (CASE WHEN b.bin = bin_first THEN 0 ELSE b.bin * 512 - pre END)::BIGINT AS seg_start,
+         |    (CASE WHEN n <= 0 THEN 0
+         |          ELSE least(pre + n, (b.bin + 1) * 512) - greatest(pre, b.bin * 512) END)::BIGINT AS seg_len,
+         |    greatest(pre - b.bin * 512, 0)::BIGINT AS bin_offset
+         |  FROM p, unnest(range(bin_first, bin_last + 1)) AS b(bin))
+         |SELECT source, shard, bin,
+         |  (bin_offset + u.k - 1)::BIGINT AS bin_pos,
+         |  ids[(seg_start + u.k)::INT]::INT AS token_id
+         |FROM seg, unnest(range(1, seg_len + 1)) AS u(k)
+         |WHERE seg_len > 0
+         |ORDER BY source, shard, bin, bin_pos""".stripMargin
+    },
 
     // p10's placements exploded to per-(shard, bin) doc segments: each
     // doc emits one row per bin it touches; segment arithmetic is the

@@ -636,6 +636,31 @@ object TextAnalysis {
       .drop("bin_first", "bin_last", "offset_in_bin", "__pre")
   }
 
+  /** The FINAL loader artifact — fixed-capacity training sequences as
+    * TOKEN STREAMS: each doc carries its token-id array (`idsCol`,
+    * e.g. `Bpe.bpeEncode` output) and the packer's segments explode to
+    * one row per token, keyed (group, shard, bin, bin_pos) — exactly
+    * the (sequence, position, token) coordinates a trainer reads.
+    * Token counts for packing come FROM the arrays (`size(ids)`), so
+    * the stream and the placement arithmetic can never disagree.
+    * Invariants inherited from [[packedBins]]: within a bin, bin_pos
+    * tiles [0, filled) with no gaps; non-final bins of a shard fill to
+    * exactly `capacity`. Shape: the p10 machinery plus a map-only
+    * slice+explode — output volume is the corpus's token count, the
+    * floor for any materialized token stream. */
+  def packedTokenStream(docs: DataFrame, idCol: String, groupCol: String,
+                        idsCol: String, capacity: Long, shardSize: Long): DataFrame = {
+    requireFresh(docs, "bin_pos", "token_id")
+    val withN = docs.withColumn("__n", size(col(idsCol)).cast("long"))
+    packedBins(withN, idCol, groupCol, "__n", capacity, shardSize)
+      .filter(col("seg_len") > 0)
+      .select(col(groupCol), col("shard"), col("bin"), col("bin_offset"),
+        posexplode(slice(col(idsCol), (col("seg_start") + 1).cast("int"),
+          col("seg_len").cast("int"))).as(Seq("__k", "token_id")))
+      .withColumn("bin_pos", col("bin_offset") + col("__k"))
+      .drop("__k", "bin_offset")
+  }
+
   // --- learned quality filter (x9) ---------------------------------------
 
   /** Fixed-point scale for learned purities/fractions (integer

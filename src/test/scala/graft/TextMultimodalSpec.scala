@@ -664,6 +664,31 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("packed token stream: bins are contiguous slices of the in-order doc concat") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(17)
+    val rows = (0L until 120L).map { i =>
+      val n = if (i % 37 == 0) 0 else rng.nextInt(130)
+      (i, s"src${rng.nextInt(2)}", (0 until n).map(_ => rng.nextInt(100)).toArray)
+    }
+    val docs = rows.toDF("id", "src", "ids")
+    val cap = 50L
+    val got = TextAnalysis.packedTokenStream(docs, "id", "src", "ids", cap, 64L)
+      .select("src", "shard", "bin", "bin_pos", "token_id").collect()
+      .map(r => ((r.getString(0), r.getLong(1), r.getLong(2)), r.getLong(3), r.getInt(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // local model: per (src, shard) concatenate id arrays in id order,
+    // slice every `cap` tokens — the single-sequence packer's output
+    val local = rows.groupBy { case (i, src, _) => (src, i / 64L) }
+      .toSeq.flatMap { case ((src, shard), grp) =>
+        grp.sortBy(_._1).flatMap(_._3.toSeq).zipWithIndex.map { case (tok, pos) =>
+          ((src, shard, pos / cap), pos % cap, tok)
+        }
+      }.sortBy(t => (t._1, t._2))
+    assert(got == local, s"stream differs from the local packer (${got.size} vs ${local.size})")
+  }
+
   test("bin manifest: segments tile docs and bins exactly; straddle continuity holds") {
     val s = spark
     import s.implicits._
