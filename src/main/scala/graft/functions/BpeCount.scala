@@ -24,8 +24,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * oracle implements the rank-order sweep as a chain of
   * `replace('(a)(b)' → '(ab)')` over the parenthesis-wrapped symbol
   * string, whose left-to-right non-overlapping scan matches this
-  * kernel symbol for symbol; BpeScaleSpec pins kernel ≡ sweep on a
-  * corpus-trained 4k-merge table.
+  * kernel symbol for symbol; FunctionsSpec pins kernel ≡ sweep on
+  * random words under the checked-in vocab, the `graft.BpeScale`
+  * probe re-verifies it per distinct corpus word at 4k merges, and
+  * tables OUTSIDE the trained shape are rejected at construction
+  * ([[BpeRuntime.requireTrainedShape]]) — on such a table the two
+  * loops can genuinely disagree.
   *
   * The kernel RUNS the classic lowest-rank-first loop, not the
   * literal rank sweep: a rank sweep costs O(merges · len) per word —
@@ -36,6 +40,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   */
 case class BpeCount(child: Expression, merges: Array[Array[String]])
     extends UnaryExpression {
+
+  // the classic loop is only sweep-equivalent on trained-shape tables
+  // — reject the rest loudly instead of silently diverging from the
+  // SQL oracle (see BpeRuntime.requireTrainedShape)
+  BpeRuntime.requireTrainedShape(merges)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "bpe_count"

@@ -26,6 +26,7 @@ case class BpeEncodeIds(child: Expression, merges: Array[Array[String]])
 
   require(merges.map(_(2)).distinct.length == merges.length,
     "merges table produces duplicate merged symbols — string-keyed ids would be ambiguous")
+  BpeRuntime.requireTrainedShape(merges)
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "bpe_encode"

@@ -7,6 +7,30 @@ package graft.functions
   * documented on [[BpeCount]]. */
 object BpeRuntime {
 
+  /** Trained-table well-formedness: each merge's components must be a
+    * base character or an EARLIER merge's merged symbol — exactly the
+    * property a real BPE training run guarantees, and the property
+    * that makes the classic lowest-rank-first loop equivalent to the
+    * rank-order sweep (the SQL oracle's semantics). A hand-written
+    * table violating it — a merge consuming a symbol only a LATER
+    * rank creates, e.g. ((a,bc),(b,c)) — would make the two loops
+    * silently disagree, so it is rejected at expression construction. */
+  def requireTrainedShape(merges: Array[Array[String]]): Unit = {
+    val known = scala.collection.mutable.HashSet.empty[String]
+    var r = 0
+    while (r < merges.length) {
+      val m = merges(r)
+      Seq(m(0), m(1)).foreach { s =>
+        require(s.length == 1 || known.contains(s),
+          s"merge $r (${m(0)}, ${m(1)}): component '$s' is neither a single character " +
+            "nor an earlier merge's symbol — not a trained-table shape, and the classic " +
+            "loop would diverge from the rank-order sweep the SQL oracle runs")
+      }
+      known += m(2)
+      r += 1
+    }
+  }
+
   /** pair → rank lookup; putIfAbsent keeps the LOWEST rank should a
     * table ever repeat a pair. ' ' cannot occur in a symbol (words
     * are [a-z0-9]+), so the joined key is collision-free. */

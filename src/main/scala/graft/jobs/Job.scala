@@ -142,6 +142,21 @@ final case class AppendSink(registry: DatasetRegistry, name: String) extends Sin
     else registry.put(name, df)
 }
 
+/** [[AppendSink]] with SUPERSEDE on `keyCol`: existing rows of the
+  * incoming keys are replaced, not duplicated — the sink discipline
+  * for at-least-once schedulers (a row redelivered across two firings
+  * lands once; a genuinely re-ingested key's old output is replaced,
+  * the same compact-then-append every graft index runs). */
+final case class UpsertSink(registry: DatasetRegistry, name: String, keyCol: String) extends Sink {
+  import org.apache.spark.sql.functions.{broadcast, col}
+  def write(df: DataFrame): Unit =
+    if (registry.names.contains(name)) {
+      val keys = broadcast(df.select(col(keyCol)).distinct())
+      registry.put(name,
+        registry.get(name).join(keys, Seq(keyCol), "left_anti").unionByName(df))
+    } else registry.put(name, df)
+}
+
 /** Reference: DevNullSink — used with transforms that only emit
   * transactions. */
 case object DevNullSink extends Sink { def write(df: DataFrame): Unit = () }

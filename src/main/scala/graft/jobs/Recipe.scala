@@ -110,6 +110,16 @@ object Recipe {
     // supersede: re-ingested ids' OLD grams stop counting before the
     // probe (roster-read, the d19 idiom — one row per doc, not per gram)
     val batchIds = batch.select(col(idCol).as("id")).distinct()
+    // ONE version per id per batch, enforced loudly: two versions of
+    // an id would self-scrub against each other (their shared grams
+    // read as batch-internal duplication) and double-count the ledger
+    // — collapse re-emits upstream (ChangeLog.latestOnly, as
+    // recipeJob does) before calling
+    val nRows = batch.count()
+    val nIds = batchIds.count()
+    require(nRows == nIds,
+      s"batch carries multiple versions of an id ($nRows rows, $nIds ids) — " +
+        "collapse re-emits (ChangeLog.latestOnly) before processing")
     val roster =
       if (spark.catalog.tableExists(s"${st.gramIndex}_ids")) spark.table(s"${st.gramIndex}_ids")
       else spark.table(st.gramIndex).select("id")
@@ -153,11 +163,15 @@ object Recipe {
     * the stored continuation token, collapses re-emits within the
     * window (`ChangeLog.latestOnly` — the newest version wins; the
     * refinery's supersede then replaces the STANDING version), runs
-    * [[processBatch]], absorbs, and APPENDS the mixture emission to
-    * the sink dataset. The token advances to max(recorded) captured
-    * BEFORE the run (the CronScheduler at-least-once discipline); an
-    * empty window fires as a no-op (empty emission appended, no
-    * absorb rewrite). */
+    * [[processBatch]], absorbs, and UPSERTS the mixture emission into
+    * the sink dataset keyed by doc id ([[UpsertSink]]). The token
+    * advances to max(recorded) captured BEFORE the run — the
+    * CronScheduler's at-least-once discipline: a row landing between
+    * the capture and the window pin is processed by TWO consecutive
+    * firings, which the upsert (and the refinery's idempotent
+    * compact/absorb state mutations) absorbs without duplication —
+    * spec-pinned by a deliberate stale-token re-fire. An empty window
+    * fires as a no-op (empty upsert, no absorb rewrite). */
   def recipeJob(registry: DatasetRegistry, st: Standing, logName: String,
                 idCol: String, recordedCol: String, textCol: String,
                 groupCol: String, budgets: Map[String, Long], k: Int,
@@ -188,7 +202,13 @@ object Recipe {
             absorbBatch(spark, st, batch, res.gatedCounts, textCol, idCol, k)
           emission
         },
-        sink = AppendSink(registry, emissionName),
+        // UPSERT, not plain append: the scheduler is at-least-once (a
+        // row appended between the token capture and the window pin is
+        // processed by TWO consecutive firings) — superseding on the
+        // doc id makes redelivery idempotent AND gives re-ingested ids
+        // replace-not-duplicate emission semantics, matching the
+        // refinery's own supersede discipline
+        sink = UpsertSink(registry, emissionName, idCol),
         sourceName = logName, sinkName = emissionName),
       nextToken = () => {
         val mx = registry.get(logName).agg(max(col(recordedCol))).collect()(0)

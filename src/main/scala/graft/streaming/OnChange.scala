@@ -372,23 +372,6 @@ object OnChange {
     spark.catalog.refreshTable(indexTable)
   }
 
-  /** STREAMING incremental SUBSTRING dedup — the operational loop for
-    * the exact-substring family (d16/d18), closing the streaming story
-    * for all FOUR dedup index families: each micro-batch of new docs
-    * finds its maximal duplicated spans against the standing gram index
-    * + itself (`Dedup.substringSpansDelta`: the index leg is a gh-keyed
-    * probe; corpus never re-tokenizes), appends its spans per-batch,
-    * and is absorbed so later batches count this batch's grams through
-    * the index alone. Same replay contract as the other three loops:
-    * per-batch overwrite + a `<indexTable>_batches` marker guarding the
-    * absorb; re-emitted ids are compacted out before absorbing
-    * (supersede, never double).
-    *
-    * Span semantics are AS-OF-ARRIVAL — per-doc verdicts against the
-    * corpus so far plus the doc's own batch. A cross-batch duplicate
-    * therefore surfaces on the LATER doc (the keep-first / drop-later
-    * policy deployed dedup actually runs); batch-internal repeats
-    * surface on both copies, like the one-shot. */
   /** Streaming form of the incremental recipe (p12 through
     * foreachBatch): each arriving micro-batch of raw docs routes
     * through the standing refinery ([[graft.jobs.Recipe.processBatch]]
@@ -398,7 +381,11 @@ object OnChange {
     * ([[graft.jobs.Recipe.absorbBatch]]) so the NEXT batch accounts
     * against it through the standing state alone. Marker-guarded for
     * exactly-once on replay (the streamingSubstringDedup discipline);
-    * the emission is materialized BEFORE absorb mutates the state. */
+    * the emission is materialized BEFORE absorb mutates the state.
+    * Each staged micro-batch must carry ONE version per id —
+    * processBatch enforces it (a producer re-emitting an id twice in
+    * one file would self-scrub the two versions against each other
+    * and double-count the ledger). */
   def streamingRecipe(spark: SparkSession, docsDir: String, st: graft.jobs.Recipe.Standing,
                       textCol: String, idCol: String, groupCol: String,
                       budgets: Map[String, Long], k: Int,
@@ -430,6 +417,24 @@ object OnChange {
     spark.catalog.refreshTable(st.gramIndex)
   }
 
+  /** STREAMING incremental SUBSTRING dedup — the operational loop for
+    * the exact-substring family (d16/d18), closing the streaming story
+    * for all FOUR dedup index families: each micro-batch of new docs
+    * finds its maximal duplicated spans against the standing gram index
+    * + itself (`Dedup.substringSpansDelta`: the index leg is a gh-keyed
+    * probe; corpus never re-tokenizes), appends its spans per-batch,
+    * and is absorbed so later batches count this batch's grams through
+    * the index alone. Same replay contract as the other three loops:
+    * per-batch overwrite + a `<indexTable>_batches` marker guarding the
+    * absorb; re-emitted ids are compacted out before absorbing
+    * (supersede, never double).
+    *
+    * Span semantics are AS-OF-ARRIVAL — per-doc verdicts against the
+    * corpus so far plus the doc's own batch. A cross-batch duplicate
+    * therefore surfaces on the LATER doc (the keep-first / drop-later
+    * policy deployed dedup actually runs); batch-internal repeats
+    * surface on both copies, like the one-shot.
+    */
   def streamingSubstringDedup(spark: SparkSession, docsDir: String, textCol: String,
                               idCol: String, k: Int, indexTable: String,
                               spansPath: String, checkpointDir: String): Unit = {

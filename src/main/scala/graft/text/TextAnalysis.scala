@@ -353,6 +353,14 @@ object TextAnalysis {
     joined
       .withColumn("__n",
         when(col("__budget").isNull, lit(1L))
+          // a BUDGETED doc whose group is missing from the totals
+          // frame has no denominator — with caller-supplied totals
+          // (tokenBudgetRepeatAgainst) that is an accounting-drift
+          // bug, and silently emitting zero copies would hide it
+          .when(col("__tot").isNull,
+            expr("raise_error(concat('budgeted group has no totals row for doc ', " +
+              s"CAST($idCol AS STRING), ' — the totals frame must cover every budgeted group'))")
+              .cast("long"))
           .when(col("__tot") === 0L, lit(0L))
           .otherwise(expr("__budget div __tot") +
             when(sampleHash(col(idCol), seed) <
@@ -651,7 +659,11 @@ object TextAnalysis {
   def packedTokenStream(docs: DataFrame, idCol: String, groupCol: String,
                         idsCol: String, capacity: Long, shardSize: Long): DataFrame = {
     requireFresh(docs, "bin_pos", "token_id")
-    val withN = docs.withColumn("__n", size(col(idsCol)).cast("long"))
+    // NULL id arrays count as zero-width (size(NULL) is NULL under
+    // ANSI, -1 under legacy sizeOfNull — either would silently drop
+    // the doc or shift every later placement in the shard)
+    val withN = docs.withColumn("__n",
+      coalesce(size(col(idsCol)).cast("long"), lit(0L)))
     packedBins(withN, idCol, groupCol, "__n", capacity, shardSize)
       .filter(col("seg_len") > 0)
       .select(col(groupCol), col("shard"), col("bin"), col("bin_offset"),

@@ -181,6 +181,15 @@ class RecipeSpec extends SparkSpec {
     assert(sched.tick(spark, reg, LocalDateTime.of(2026, 8, 16, 3, 0))
       == Seq("recipe_mixture"))
     assert(emitted() == (e1 ++ e2).sorted)
+    // at-least-once REDELIVERY: re-run window 2 with the stale token
+    // (the row-landed-during-the-firing hazard) — the upsert sink and
+    // the refinery's idempotent compact/absorb must leave the
+    // emission exactly as it was, never duplicated
+    Recipe.recipeJob(reg, st, "raw", "id", "recorded", "text", "grp",
+        Map("h" -> hBudget), k = 4, Bpe.DefaultMerges, "mixture")
+      .makeJob(Some(1L)).run(spark, Some(reg))
+    assert(emitted() == (e1 ++ e2).sorted,
+      "a redelivered window must upsert, not duplicate")
     // lineage recorded: raw --transform--> mixture
     assert(reg.lineage.contains(("raw", "mixture", "transform")))
   }
