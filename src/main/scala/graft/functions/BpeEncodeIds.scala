@@ -24,8 +24,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 case class BpeEncodeIds(child: Expression, merges: Array[Array[String]])
     extends UnaryExpression {
 
-  require(merges.map(_(2)).distinct.length == merges.length,
-    "merges table produces duplicate merged symbols — string-keyed ids would be ambiguous")
+  // distinct merged strings (the id-map precondition) is enforced for
+  // both kernels inside requireTrainedShape
   BpeRuntime.requireTrainedShape(merges)
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)

@@ -26,6 +26,15 @@ object BpeRuntime {
             "nor an earlier merge's symbol — not a trained-table shape, and the classic " +
             "loop would diverge from the rank-order sweep the SQL oracle runs")
       }
+      // distinct merged STRINGS, for BOTH kernels: two merges producing
+      // the same string (e.g. (a,bc) and (ab,c) → "abc") would break
+      // string-keyed symbol identity — the property the classic-loop ≡
+      // rank-sweep equivalence argument (and BpeEncodeIds's id map)
+      // rests on. A real training run can't emit such a table (a pair
+      // that already merged has count 0), so reject it here.
+      require(!known.contains(m(2)),
+        s"merge $r (${m(0)}, ${m(1)}): merged symbol '${m(2)}' duplicates an earlier " +
+          "merge's — string-keyed symbol identity would be ambiguous")
       known += m(2)
       r += 1
     }

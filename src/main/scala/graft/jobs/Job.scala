@@ -138,8 +138,25 @@ final case class ParquetSink(path: String) extends Sink {
   * plan. */
 final case class AppendSink(registry: DatasetRegistry, name: String) extends Sink {
   def write(df: DataFrame): Unit =
-    if (registry.names.contains(name)) registry.put(name, registry.get(name).unionByName(df))
+    if (registry.names.contains(name))
+      registry.put(name, SinkPin.pin(registry.get(name).unionByName(df)))
     else registry.put(name, df)
+}
+
+/** Bounded-plan guard for the accumulating sinks: each firing layers a
+  * union (and for upserts an anti-join) over the previous accumulated
+  * value, so over a long-running schedule the lazy plan grows linearly
+  * with firings and eventually hits driver analysis/optimization
+  * blowup even though each firing's input is pinned. Once the
+  * accumulated plan exceeds a node budget it is truncated
+  * (localCheckpoint, or the reliable dir via `graft.checkpointDir`) —
+  * amortized O(1) pins per firing, plan depth bounded forever. */
+private[jobs] object SinkPin {
+  val MaxPlanNodes = 96
+  def pin(df: DataFrame): DataFrame = {
+    val nodes = df.queryExecution.logical.collect { case n => n }.size
+    if (nodes > MaxPlanNodes) graft.core.Checkpoints.truncate(df) else df
+  }
 }
 
 /** [[AppendSink]] with SUPERSEDE on `keyCol`: existing rows of the
@@ -152,8 +169,8 @@ final case class UpsertSink(registry: DatasetRegistry, name: String, keyCol: Str
   def write(df: DataFrame): Unit =
     if (registry.names.contains(name)) {
       val keys = broadcast(df.select(col(keyCol)).distinct())
-      registry.put(name,
-        registry.get(name).join(keys, Seq(keyCol), "left_anti").unionByName(df))
+      registry.put(name, SinkPin.pin(
+        registry.get(name).join(keys, Seq(keyCol), "left_anti").unionByName(df)))
     } else registry.put(name, df)
 }
 

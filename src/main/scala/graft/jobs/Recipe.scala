@@ -28,8 +28,10 @@ import graft.text.{Bpe, TextAnalysis}
   *
   * Supersede semantics on re-ingested ids mirror the index families
   * (compact-then-append): an id re-emitted in a batch replaces its
-  * standing version in the gram index BEFORE the span probe and in the
-  * budget ledger at absorb. Reference shape: the jobs pipeline's
+  * standing version — logically during the span probe (the delta
+  * probe's left_anti ignores batch ids' standing postings) and
+  * physically at absorb (gram compact + ledger swap), so processing
+  * never mutates state it hasn't durably emitted against. Reference shape: the jobs pipeline's
   * incremental `changes-since` discipline (mimiro-io/datahub
   * internal/jobs/source.go DatasetSource) applied to the data-prep
   * recipe; oracle contract: the d8/d18 delta identity — the batch's
@@ -97,36 +99,39 @@ object Recipe {
   }
 
   /** Route one ingest batch through the standing refinery and return
-    * its mixture emission. MUTATES the gram index (supersede: compacts
-    * re-ingested ids' old grams out before the span probe) but leaves
-    * absorb to [[absorbBatch]] — the d19 streaming discipline, so a
-    * failed batch can re-run. Stages and semantics per the object
-    * scaladoc. */
+    * its mixture emission. READ-ONLY on the standing state — supersede
+    * inside the span probe is `substringSpansDelta`'s built-in
+    * left_anti (re-ingested ids' standing postings never count), and
+    * the physical compact of those postings happens at [[absorbBatch]]
+    * together with every other state mutation. A batch that fails
+    * mid-process therefore leaves the standing state EXACTLY as it
+    * found it and can simply re-run — the d19 streaming discipline,
+    * with no mutated-but-unabsorbed half state possible. Exactly ONE
+    * driver action runs before stage 1 (the combined
+    * uniqueness probe below — spec-pinned, the statsSnapshot ≤-N-
+    * actions idiom). Stages and semantics per the object scaladoc. */
   def processBatch(spark: SparkSession, st: Standing, batch: DataFrame,
                    textCol: String, idCol: String, groupCol: String,
                    budgets: Map[String, Long], k: Int,
                    merges: Seq[(String, String)],
                    seed: String = "rep"): BatchResult = {
-    // supersede: re-ingested ids' OLD grams stop counting before the
-    // probe (roster-read, the d19 idiom — one row per doc, not per gram)
-    val batchIds = batch.select(col(idCol).as("id")).distinct()
     // ONE version per id per batch, enforced loudly: two versions of
     // an id would self-scrub against each other (their shared grams
     // read as batch-internal duplication) and double-count the ledger
     // — collapse re-emits upstream (ChangeLog.latestOnly, as
-    // recipeJob does) before calling
-    val nRows = batch.count()
-    val nIds = batchIds.count()
+    // recipeJob does) before calling. ONE combined action (rows +
+    // distinct ids out of a single per-id aggregate), not a count()
+    // per question.
+    val probe = batch.groupBy(col(idCol)).agg(count(lit(1)).as("__v"))
+      .agg(coalesce(sum("__v"), lit(0L)).as("__rows"), count(lit(1)).as("__ids"))
+      .collect()(0)
+    val (nRows, nIds) = (probe.getLong(0), probe.getLong(1))
     require(nRows == nIds,
       s"batch carries multiple versions of an id ($nRows rows, $nIds ids) — " +
         "collapse re-emits (ChangeLog.latestOnly) before processing")
-    val roster =
-      if (spark.catalog.tableExists(s"${st.gramIndex}_ids")) spark.table(s"${st.gramIndex}_ids")
-      else spark.table(st.gramIndex).select("id")
-    val overlap = roster.join(broadcast(batchIds), Seq("id"), "leftsemi")
-    if (!overlap.isEmpty)
-      Dedup.compactGramIndex(spark, st.gramIndex, overlap)
-    // 1. delta substring scrub (standing index + batch-internal)
+    // 1. delta substring scrub (standing index + batch-internal);
+    // supersede is the delta probe's own left_anti on batch ids
+
     val spans1 = Dedup.substringSpansDelta(spark, batch, textCol, idCol, k, st.gramIndex)
     val b1 = graft.core.Checkpoints.truncate(
       Dedup.scrubSpans(batch, spans1, textCol, idCol)
@@ -216,16 +221,27 @@ object Recipe {
       })
   }
 
-  /** Absorb a processed batch into the standing state: its raw grams
-    * append to the gram index (supersede already ran in
-    * [[processBatch]]) and the budget ledger swaps re-ingested ids'
-    * rows for the batch's gated counts — after which the NEXT batch
-    * counts this one through the standing state alone. The model is
-    * deliberately NOT touched (it refreshes on the maintenance
-    * schedule via [[buildStanding]]). */
+  /** Absorb a processed batch into the standing state — ALL mutation
+    * happens here (processBatch is read-only): re-ingested ids' old
+    * gram postings compact out (the compact-then-append discipline the
+    * probe's left_anti made safe to defer), the batch's raw grams
+    * append to the gram index, and the budget ledger swaps re-ingested
+    * ids' rows for the batch's gated counts — after which the NEXT
+    * batch counts this one through the standing state alone. The model
+    * is deliberately NOT touched (it refreshes on the maintenance
+    * schedule via [[buildStanding]] / [[modelRefreshJob]]). */
   def absorbBatch(spark: SparkSession, st: Standing, batch: DataFrame,
                   gatedCounts: DataFrame, textCol: String, idCol: String,
                   k: Int): Unit = {
+    // supersede: drop re-ingested ids' OLD postings before appending
+    // the new ones (roster-read — one row per doc, not per gram)
+    val batchIds = batch.select(col(idCol).as("id")).distinct()
+    val roster =
+      if (spark.catalog.tableExists(s"${st.gramIndex}_ids")) spark.table(s"${st.gramIndex}_ids")
+      else spark.table(st.gramIndex).select("id")
+    val overlap = roster.join(broadcast(batchIds), Seq("id"), "leftsemi")
+    if (!overlap.isEmpty)
+      Dedup.compactGramIndex(spark, st.gramIndex, overlap)
     Dedup.absorbIntoGramIndex(spark, batch, textCol, idCol, k, st.gramIndex)
     graft.core.Tables.compactByKey(spark, st.counts,
       batch.select(col(idCol)).distinct(), idCol)

@@ -529,46 +529,73 @@ object TextAnalysis {
     // without the pin each branch re-runs the histogram aggregate and
     // its corpus scan (the sourceCap totals precedent); the pin is
     // one row per group
+    // __ties = the threshold row's full tie count — read driver-side
+    // (thresholds is pinned, one row per group) to pick the tie-break
+    // shape below
     val thresholds = graft.core.Checkpoints.truncate(marked
       .filter(col("__above") < col("__k") && col("__k") <= col("__above") + col("__c"))
       .select(col(groupCol), col(scoreCol).as("__t"),
-        (col("__k") - col("__above")).as("__need")))
+        (col("__k") - col("__above")).as("__need"), col("__c").as("__ties")))
     // LEFT join (the family's NULL-group convention): a NULL group
     // never equi-matches a thresholds row, gets a NULL __t, and is
     // dropped — q% of nothing nameable is nothing. Groups land one
     // row each in `thresholds`, so the join broadcasts at any scale.
-    val joined = scored.join(broadcast(thresholds), Seq(groupCol), "left")
+    val joined = scored.join(broadcast(thresholds.drop("__ties")), Seq(groupCol), "left")
     val above = joined.filter(col(scoreCol) > col("__t"))
       .drop("__t", "__need")
-    // boundary: only score == t rows pay a tie-break — and the rank is
-    // a distributed RANGE-rank, not one row_number window per group:
-    // on a degenerate corpus where a single score value dominates a
-    // group (a bot-generated slice scoring identically) the boundary
-    // IS the group, and a group-partitioned window would funnel it
-    // through one partition's sort. Shape: range-repartition boundary
-    // rows by (group, id) so each task holds a contiguous bounded
-    // id-slice (pinned — both consumers below must see the same
-    // partition ids); per-(slice, group) counts (a tiny aggregate, one
-    // row per task×group) turned into prefix offsets and broadcast
-    // back; local ranks within each slice plus the offset give the
-    // exact per-group global id-rank with no partition ever sorting
-    // more than its slice. Result identical to the single window.
-    val sliced = graft.core.Checkpoints.truncate(
+    // boundary: only score == t rows pay a tie-break. TWO shapes,
+    // picked by the largest group's boundary size (known exactly from
+    // the threshold rows — one metadata-sized read of the pinned
+    // frame, no extra corpus pass):
+    //  - small boundaries (the overwhelmingly common case): one plain
+    //    per-group row_number window over the boundary rows — tiny,
+    //    and it skips the two extra pins the sliced path needs;
+    //  - a DEGENERATE boundary (a single score value dominating a
+    //    group — a bot-generated slice scoring identically — where
+    //    the boundary IS the group): a distributed RANGE-rank, so no
+    //    partition ever sorts more than its slice. Shape: range-
+    //    repartition boundary rows by (group, id) so each task holds
+    //    a contiguous bounded id-slice (pinned — both consumers below
+    //    must see the same partition ids); per-(slice, group) counts
+    //    (a tiny aggregate, one row per task×group) turned into
+    //    prefix offsets and broadcast back; local ranks within each
+    //    slice plus the offset give the exact per-group global
+    //    id-rank. Results identical (oracle-pinned on both paths).
+    val maxTies = thresholds.agg(max("__ties")).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val boundary = if (maxTies < BoundarySliceCutoff) {
+      val wTie = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
       joined.filter(col(scoreCol) === col("__t"))
-        .repartitionByRange(col(groupCol), col(idCol)))
-      .withColumn("__pid", spark_partition_id())
-    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
-    val offsets = sliced.groupBy(col("__pid"), col(groupCol))
-      .agg(count(lit(1)).as("__pc"))
-      .withColumn("__off", sum(col("__pc")).over(wOff) - col("__pc"))
-      .select(col("__pid"), col(groupCol), col("__off"))
-    val wLocal = Window.partitionBy(col("__pid"), col(groupCol)).orderBy(col(idCol))
-    val boundary = sliced.join(broadcast(offsets), Seq("__pid", groupCol))
-      .withColumn("__rn", row_number().over(wLocal) + col("__off"))
-      .filter(col("__rn") <= col("__need"))
-      .drop("__t", "__need", "__pid", "__rn", "__off")
+        .withColumn("__rn", row_number().over(wTie))
+        .filter(col("__rn") <= col("__need"))
+        .drop("__t", "__need", "__rn")
+    } else {
+      val sliced = graft.core.Checkpoints.truncate(
+        joined.filter(col(scoreCol) === col("__t"))
+          .repartitionByRange(col(groupCol), col(idCol)))
+        .withColumn("__pid", spark_partition_id())
+      val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
+      val offsets = sliced.groupBy(col("__pid"), col(groupCol))
+        .agg(count(lit(1)).as("__pc"))
+        .withColumn("__off", sum(col("__pc")).over(wOff) - col("__pc"))
+        .select(col("__pid"), col(groupCol), col("__off"))
+      val wLocal = Window.partitionBy(col("__pid"), col(groupCol)).orderBy(col(idCol))
+      sliced.join(broadcast(offsets), Seq("__pid", groupCol))
+        .withColumn("__rn", row_number().over(wLocal) + col("__off"))
+        .filter(col("__rn") <= col("__need"))
+        .drop("__t", "__need", "__pid", "__rn", "__off")
+    }
     above.unionByName(boundary)
   }
+
+  /** Boundary size above which [[topQualityFraction]]'s tie-break
+    * switches from a plain per-group window to the sliced range-rank:
+    * below this many tied rows a single task sorts the boundary
+    * comfortably; above it (the degenerate single-score-dominates
+    * corpus) the sliced shape keeps every sort bounded. */
+  val BoundarySliceCutoff = 100000L
 
   /** Sequence PACKING — the concat-and-chunk step that turns a
     * filtered corpus into fixed-capacity training sequences (the
@@ -659,11 +686,13 @@ object TextAnalysis {
   def packedTokenStream(docs: DataFrame, idCol: String, groupCol: String,
                         idsCol: String, capacity: Long, shardSize: Long): DataFrame = {
     requireFresh(docs, "bin_pos", "token_id")
-    // NULL id arrays count as zero-width (size(NULL) is NULL under
-    // ANSI, -1 under legacy sizeOfNull — either would silently drop
-    // the doc or shift every later placement in the shard)
+    // NULL id arrays count as zero-width. The guard is an explicit
+    // isNull branch, NOT coalesce(size(...)): size(NULL) is NULL under
+    // ANSI but -1 under legacy sizeOfNull, and a -1 sails through
+    // coalesce and shifts every later placement in the shard —
+    // zero-width semantics must hold regardless of session ANSI config
     val withN = docs.withColumn("__n",
-      coalesce(size(col(idsCol)).cast("long"), lit(0L)))
+      when(col(idsCol).isNull, lit(0L)).otherwise(size(col(idsCol)).cast("long")))
     packedBins(withN, idCol, groupCol, "__n", capacity, shardSize)
       .filter(col("seg_len") > 0)
       .select(col(groupCol), col("shard"), col("bin"), col("bin_offset"),

@@ -194,6 +194,63 @@ class RecipeSpec extends SparkSpec {
     assert(reg.lineage.contains(("raw", "mixture", "transform")))
   }
 
+  test("processBatch is READ-ONLY on the standing state; absorb applies all mutation") {
+    val st = Recipe.buildStanding(spark, stdDf, evalDf, "text", "id", "grp",
+      "label", k = 4, Bpe.DefaultMerges, "rcpr")
+    def snap(): (Seq[(Long, Long)], Seq[Long], Seq[(Long, Long)]) = (
+      spark.table(st.gramIndex).groupBy("id").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted,
+      spark.table(s"${st.gramIndex}_ids").collect().map(_.getLong(0)).toSeq.sorted,
+      spark.table(st.counts).select("id", "bpe_tokens")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted)
+    val before = snap()
+    // batch1 re-ingests doc 0 — the supersede case that used to compact
+    // the gram index DURING processing; a failed batch must now leave
+    // the state exactly as found, so the probe-time supersede is purely
+    // the delta probe's left_anti
+    val r1 = Recipe.processBatch(spark, st, batch1, "text", "id", "grp",
+      Map("h" -> hBudget), k = 4, Bpe.DefaultMerges)
+    r1.emission.collect() // drive the whole pipeline before snapshotting
+    assert(snap() == before,
+      "processBatch must not mutate the gram index, roster, or ledger")
+    // absorb applies the deferred supersede: doc 0's OLD grams out,
+    // revised grams in, ledger swapped
+    Recipe.absorbBatch(spark, st, batch1, r1.gatedCounts, "text", "id", k = 4)
+    val after = snap()
+    assert(after != before && after._2.contains(0L), "absorb mutates the state")
+    val ledger = after._3.toMap
+    assert(ledger(0L) == bpe(filler(200)), "absorb swapped the re-ingested ledger row")
+  }
+
+  test("processBatch runs ONE driver action before its stages (bounded actions total)") {
+    val st = Recipe.buildStanding(spark, stdDf, evalDf, "text", "id", "grp",
+      "label", k = 4, Bpe.DefaultMerges, "rcpq")
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val qel = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        actions.incrementAndGet(); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(qel)
+    try {
+      Recipe.processBatch(spark, st, batch1, "text", "id", "grp",
+        Map("h" -> hBudget), k = 4, Bpe.DefaultMerges)
+      var last = -1
+      while (actions.get() != last) { last = actions.get(); Thread.sleep(500L) }
+      // the fixed PRE-STAGE cost is ONE combined uniqueness probe (the
+      // r10 shape ran batch.count + ids.count + overlap.isEmpty = 3
+      // separate probes, 10 actions total on this batch); everything
+      // else is stage-internal pins (delta-span/decon/scrub
+      // checkpoints) and the model-head read — 8 total, measured and
+      // pinned so a regression back to per-question probes trips this
+      assert(actions.get() <= 8,
+        s"processBatch must run 1 pre-stage probe + bounded stage pins, saw ${actions.get()}")
+    } finally spark.listenerManager.unregister(qel)
+  }
+
   test("incremental recipe: streaming form equals the batch loop") {
     val (e1, e2, ledger) = runBatchMode("rcpb")
     val st = Recipe.buildStanding(spark, stdDf, evalDf, "text", "id", "grp",
