@@ -1302,6 +1302,25 @@ object SparkEntry {
       TextAnalysis.epochShuffle(t(s, dir, "documents"), "doc_id", epoch = 3, nShards = 8)
         .select("doc_id", "shard", "pos").orderBy("doc_id")),
 
+    "p16_epoch_pack" -> ((s, dir) => {
+      // epoch-ORDERED packing: p6's permutation feeds p10's packer —
+      // placements are computed IN the epoch order (shard = the
+      // permutation's shard, rank = its pos), so the packed stream IS
+      // the epoch ordering rather than raw id order. Still no global
+      // sort anywhere: the md5 uniform is the permutation, shard
+      // assignment is map-only, and the prefix sums are per-(group,
+      // shard) windows packing in parallel
+      val docs = t(s, dir, "documents")
+      val counts = docs.select(col("doc_id"), col("source"),
+        TextAnalysis.wsTokens(col("text")).as("ws_tokens"))
+      val perm = TextAnalysis.epochShuffle(counts, "doc_id", epoch = 3, nShards = 8)
+      TextAnalysis.packSequencesBy(perm, "doc_id", "source", "ws_tokens",
+          capacity = 512L, shardCol = "shard", posCol = "pos")
+        .select(col("doc_id"), col("source"), col("shard").cast("long").as("shard"),
+          col("bin_first"), col("bin_last"), col("offset_in_bin"))
+        .orderBy("doc_id")
+    }),
+
     "p4_sharded_export" -> ((s, dir) => {
       // last mile: hash-sharded corpus export + manifest; the shard
       // assignment is the deterministic md5 uniform, so the manifest
@@ -2380,6 +2399,31 @@ object SparkEntry {
          |SELECT doc_id, shard,
          |       (row_number() OVER (PARTITION BY shard ORDER BY u, doc_id) - 1)::BIGINT AS pos
          |FROM sh ORDER BY doc_id""".stripMargin,
+
+    // p6's permutation machinery composed with p10's placement
+    // arithmetic: prefix sums run per (source, permutation-shard)
+    // ordered by the permutation's pos (doc_id breaking ties)
+    "p16_epoch_pack" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens,
+        |    ('0x' || substr(md5('epoch3:' || doc_id), 1, 8))::BIGINT AS u
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, source, ws_tokens, (u * 8 // 4294967296)::BIGINT AS shard,
+        |    (row_number() OVER (PARTITION BY (u * 8 // 4294967296) ORDER BY u, doc_id) - 1)::BIGINT AS pos
+        |  FROM u),
+        |c AS (
+        |  SELECT doc_id, source, ws_tokens, shard,
+        |    coalesce(sum(ws_tokens) OVER (PARTITION BY source, shard ORDER BY pos, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pre
+        |  FROM p)
+        |SELECT doc_id, source, shard,
+        |  (pre // 512)::BIGINT AS bin_first,
+        |  (CASE WHEN ws_tokens <= 0 THEN pre // 512
+        |        ELSE (pre + ws_tokens - 1) // 512 END)::BIGINT AS bin_last,
+        |  (pre % 512)::BIGINT AS offset_in_bin
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "p2_weighted_sample" ->
       s"""SELECT doc_id, lang, source FROM documents

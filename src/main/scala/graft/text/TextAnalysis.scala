@@ -618,12 +618,49 @@ object TextAnalysis {
     * (bin_last = bin_first, zero width). */
   def packSequences(docs: DataFrame, idCol: String, groupCol: String,
                     tokenCol: String, capacity: Long, shardSize: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(capacity > 0 && shardSize > 0)
     requireFresh(docs, "shard", "bin_first", "bin_last", "offset_in_bin")
     val sharded = docs.withColumn("shard", expr(s"$idCol div $shardSize").cast("long"))
+    packPlacements(sharded, groupCol, tokenCol, capacity, Seq(col(idCol)))
+  }
+
+  /** [[packSequences]] in an EXPLICIT order — the composition point
+    * with the epoch permutation (p6): instead of hard-ordering by id
+    * within id-range shards, the caller supplies the (shard, position)
+    * coordinates to pack in — e.g. [[epochShuffle]]'s output — and the
+    * concat-and-chunk runs in THAT order, so the packed stream IS the
+    * epoch ordering. Same placement contract and the same 100 TB shape
+    * (shards pack in parallel after one uniform shuffle; every window
+    * is bounded by the shard's membership); `posCol` must rank docs
+    * uniquely within its (group, shard) — ties fall back to id order.
+    * `shardCol` is surfaced as `shard` in the output placements. */
+  def packSequencesBy(docs: DataFrame, idCol: String, groupCol: String,
+                      tokenCol: String, capacity: Long,
+                      shardCol: String, posCol: String): DataFrame = {
+    require(capacity > 0)
+    requireFresh(docs, "bin_first", "bin_last", "offset_in_bin")
+    // normalize to a LONG `shard` output column (the packSequences
+    // placement contract) whatever the caller's shard column is named
+    // or typed — epochShuffle emits an int shard, placements carry long
+    val sharded =
+      if (shardCol == "shard") docs.withColumn("shard", col("shard").cast("long"))
+      else {
+        requireFresh(docs, "shard")
+        docs.withColumn("shard", col(shardCol).cast("long"))
+      }
+    packPlacements(sharded, groupCol, tokenCol, capacity,
+      Seq(col(posCol), col(idCol)))
+  }
+
+  /** Shared placement arithmetic of the two packers: prefix-sum the
+    * token counts per (group, shard) in `order`, then integer
+    * chunk arithmetic. */
+  private def packPlacements(sharded: DataFrame, groupCol: String,
+                             tokenCol: String, capacity: Long,
+                             order: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol), col("shard"))
-      .orderBy(col(idCol))
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     sharded
       .withColumn("__pre", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
@@ -654,7 +691,30 @@ object TextAnalysis {
   def packedBins(docs: DataFrame, idCol: String, groupCol: String,
                  tokenCol: String, capacity: Long, shardSize: Long): DataFrame = {
     requireFresh(docs, "bin", "seg_start", "seg_len", "bin_offset")
-    packSequences(docs, idCol, groupCol, tokenCol, capacity, shardSize)
+    explodeToSegments(
+      packSequences(docs, idCol, groupCol, tokenCol, capacity, shardSize),
+      tokenCol, capacity)
+  }
+
+  /** [[packedBins]] in an explicit (shard, position) order — the
+    * manifest over [[packSequencesBy]] placements, e.g. the epoch
+    * permutation's. Same segment invariants. */
+  def packedBinsBy(docs: DataFrame, idCol: String, groupCol: String,
+                   tokenCol: String, capacity: Long,
+                   shardCol: String, posCol: String): DataFrame = {
+    requireFresh(docs, "bin", "seg_start", "seg_len", "bin_offset")
+    explodeToSegments(
+      packSequencesBy(docs, idCol, groupCol, tokenCol, capacity, shardCol, posCol),
+      tokenCol, capacity)
+  }
+
+  /** Shared segment explode of the manifest builders: each placement
+    * row explodes to one row per spanned bin with the (seg_start,
+    * seg_len, bin_offset) tiling — map-only, bounded by
+    * ⌈tokens/capacity⌉+1 rows per doc. */
+  private def explodeToSegments(placed: DataFrame, tokenCol: String,
+                                capacity: Long): DataFrame =
+    placed
       .withColumn("bin", explode(sequence(col("bin_first"), col("bin_last"))))
       // the doc's exclusive prefix token-sum, recovered from its
       // placement (pre = bin_first·capacity + offset_in_bin) — saves
@@ -669,7 +729,6 @@ object TextAnalysis {
             - greatest(col("__pre"), col("bin") * capacity)))
       .withColumn("bin_offset", greatest(col("__pre") - col("bin") * capacity, lit(0L)))
       .drop("bin_first", "bin_last", "offset_in_bin", "__pre")
-  }
 
   /** The FINAL loader artifact — fixed-capacity training sequences as
     * TOKEN STREAMS: each doc carries its token-id array (`idsCol`,
@@ -686,21 +745,48 @@ object TextAnalysis {
   def packedTokenStream(docs: DataFrame, idCol: String, groupCol: String,
                         idsCol: String, capacity: Long, shardSize: Long): DataFrame = {
     requireFresh(docs, "bin_pos", "token_id")
-    // NULL id arrays count as zero-width. The guard is an explicit
-    // isNull branch, NOT coalesce(size(...)): size(NULL) is NULL under
-    // ANSI but -1 under legacy sizeOfNull, and a -1 sails through
-    // coalesce and shifts every later placement in the shard —
-    // zero-width semantics must hold regardless of session ANSI config
-    val withN = docs.withColumn("__n",
+    val withN = withArrayLen(docs, idsCol)
+    sliceToTokens(
+      packedBins(withN, idCol, groupCol, "__n", capacity, shardSize),
+      groupCol, idsCol)
+  }
+
+  /** [[packedTokenStream]] in an explicit (shard, position) order —
+    * with [[epochShuffle]] coordinates this emits the training token
+    * stream IN the epoch permutation: same token multiset per (group,
+    * shard) cell, epoch-dependent (bin, bin_pos) placement. */
+  def packedTokenStreamBy(docs: DataFrame, idCol: String, groupCol: String,
+                          idsCol: String, capacity: Long,
+                          shardCol: String, posCol: String): DataFrame = {
+    requireFresh(docs, "bin_pos", "token_id")
+    val withN = withArrayLen(docs, idsCol)
+    sliceToTokens(
+      packedBinsBy(withN, idCol, groupCol, "__n", capacity, shardCol, posCol),
+      groupCol, idsCol)
+  }
+
+  /** NULL id arrays count as zero-width. The guard is an explicit
+    * isNull branch, NOT coalesce(size(...)): size(NULL) is NULL under
+    * ANSI but -1 under legacy sizeOfNull, and a -1 sails through
+    * coalesce and shifts every later placement in the shard —
+    * zero-width semantics must hold regardless of session ANSI
+    * config. */
+  private def withArrayLen(docs: DataFrame, idsCol: String): DataFrame =
+    docs.withColumn("__n",
       when(col(idsCol).isNull, lit(0L)).otherwise(size(col(idsCol)).cast("long")))
-    packedBins(withN, idCol, groupCol, "__n", capacity, shardSize)
+
+  /** Shared final explode of the token-stream builders: slice each
+    * doc's id array to its segment and emit (bin, bin_pos, token_id)
+    * scalar rows — map-only, output volume = corpus token count. */
+  private def sliceToTokens(segments: DataFrame, groupCol: String,
+                            idsCol: String): DataFrame =
+    segments
       .filter(col("seg_len") > 0)
       .select(col(groupCol), col("shard"), col("bin"), col("bin_offset"),
         posexplode(slice(col(idsCol), (col("seg_start") + 1).cast("int"),
           col("seg_len").cast("int"))).as(Seq("__k", "token_id")))
       .withColumn("bin_pos", col("bin_offset") + col("__k"))
       .drop("__k", "bin_offset")
-  }
 
   // --- learned quality filter (x9) ---------------------------------------
 

@@ -689,6 +689,73 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got == local, s"stream differs from the local packer (${got.size} vs ${local.size})")
   }
 
+  test("epoch-ordered packing: placements follow the explicit (shard, pos) order") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(23)
+    // explicit coordinates deliberately at odds with id order: shard
+    // cycles mod 3, pos is a scrambled (non-monotone in id) rank
+    val rows = (0L until 200L).map { i =>
+      (i, s"src${rng.nextInt(2)}", if (i % 37 == 0) 0L else rng.nextInt(130).toLong,
+        i % 3L, (i * 67L) % 199L)
+    }
+    val docs = rows.toDF("id", "src", "tok", "shard", "pos")
+    val got = TextAnalysis.packSequencesBy(docs, "id", "src", "tok",
+        capacity = 50L, shardCol = "shard", posCol = "pos")
+      .select("id", "shard", "bin_first", "bin_last", "offset_in_bin")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // local model: per (src, shard) in (pos, id) order — NOT id order
+    val local = rows.groupBy { case (_, src, _, shard, _) => (src, shard) }
+      .flatMap { case ((_, shard), grp) =>
+        var cum = 0L
+        grp.sortBy(t => (t._5, t._1)).map { case (i, _, tok, _, _) =>
+          val first = cum / 50L
+          val last = if (tok <= 0L) first else (cum + tok - 1L) / 50L
+          val off = cum % 50L
+          cum += tok
+          i -> ((shard, first, last, off))
+        }
+      }
+    assert(got == local.toMap, "explicit-order placements differ from the sequential packer")
+  }
+
+  test("epoch-ordered token streams: epochs are permutations of one token multiset") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(29)
+    val rows = (0L until 150L).map { i =>
+      val n = if (i % 31 == 0) 0 else rng.nextInt(90)
+      (i, s"src${rng.nextInt(2)}", (0 until n).map(_ => rng.nextInt(100)).toArray)
+    }
+    val docs = rows.toDF("id", "src", "ids")
+    def stream(epoch: Int) = {
+      val perm = TextAnalysis.epochShuffle(docs, "id", epoch, nShards = 4)
+      TextAnalysis.packedTokenStreamBy(perm, "id", "src", "ids",
+          capacity = 50L, shardCol = "shard", posCol = "pos")
+        .select("src", "shard", "bin", "bin_pos", "token_id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    }
+    val (e0, e1) = (stream(0), stream(1))
+    // the SAME token multiset flows through every epoch...
+    assert(e0.map(_._5).sorted.toSeq == e1.map(_._5).sorted.toSeq,
+      "epochs must emit one token multiset")
+    assert(e0.map(_._5).sorted.toSeq == rows.flatMap(_._3).sorted.toSeq,
+      "the stream must be exactly the corpus's tokens")
+    // ...at genuinely different coordinates (the permutation moved)
+    assert(e0.sortBy(t => (t._1, t._2, t._3, t._4)).toSeq
+      != e1.sortBy(t => (t._1, t._2, t._3, t._4)).toSeq,
+      "epoch 0 and 1 must place tokens differently")
+    // per (group, shard, bin): non-final bins fill to capacity — the
+    // tiling invariant holds in permuted order too
+    val fills = e0.groupBy(t => (t._1, t._2, t._3)).view.mapValues(_.map(_._4).max + 1)
+    val lastBin = fills.keys.groupBy(k => (k._1, k._2)).view
+      .mapValues(_.map(_._3).max)
+    fills.foreach { case ((src, sh, bin), fill) =>
+      if (bin < lastBin((src, sh))) assert(fill == 50L, s"bin ($src,$sh,$bin) fill $fill")
+    }
+  }
+
   test("bin manifest: segments tile docs and bins exactly; straddle continuity holds") {
     val s = spark
     import s.implicits._
