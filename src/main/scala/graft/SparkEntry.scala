@@ -7,7 +7,7 @@ import graft.jobs.{DatasetRegistry, DatasetSink, DatasetSource, FunctionSource, 
 import graft.multimodal.Multimodal
 import graft.ops.{ChangeLog, Events, TimeTravel}
 import graft.streaming.OnChange
-import graft.text.TextAnalysis
+import graft.text.{PackIndex, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1279,6 +1279,33 @@ object SparkEntry {
         .orderBy("source", "shard", "bin", "bin_pos")
     }),
 
+    "p15_pack_delta" -> ((s, dir) => {
+      // INCREMENTAL packing — the loader-side delta loop: the standing
+      // corpus (doc_id < 400) is packed once into a shard-partitioned
+      // placement table; the new batch extends/repacks ONLY its
+      // touched shards (token counts from standing rows — no corpus
+      // re-tokenization, no untouched-shard rewrite: shard 0 here is
+      // never read). Emitted: the standing state after one
+      // build→delta→absorb cycle, whose oracle is the ONE-SHOT p10
+      // packer over the whole corpus — the delta identity that holds
+      // after every absorb. shardSize 300 puts the batch at shard 1's
+      // tail (with standing docs 300..399 ahead of it) and creates
+      // fresh shards beyond — both delta regimes exercised at each SF
+      val docs = t(s, dir, "documents")
+      val counts = docs.select(col("doc_id"), col("source"),
+        TextAnalysis.wsTokens(col("text")).as("ws_tokens"))
+      val table = "pack_state_p15"
+      PackIndex.buildPackState(counts.filter(col("doc_id") < 400),
+        "doc_id", "source", "ws_tokens", capacity = 512L, shardSize = 300L, table)
+      val delta = PackIndex.packDelta(s, counts.filter(col("doc_id") >= 400),
+        "doc_id", "source", "ws_tokens", capacity = 512L, shardSize = 300L, table)
+      PackIndex.absorbPackDelta(s, table, delta)
+      s.table(table)
+        .select(col("id").as("doc_id"), col("grp").as("source"), col("shard"),
+          col("bin_first"), col("bin_last"), col("offset_in_bin"))
+        .orderBy("doc_id")
+    }),
+
     "p13_bin_manifest" -> ((s, dir) => {
       // the loader-facing view of p10: per (shard, bin) the ordered doc
       // segments (token range within the doc + offset within the bin),
@@ -2399,6 +2426,27 @@ object SparkEntry {
          |SELECT doc_id, shard,
          |       (row_number() OVER (PARTITION BY shard ORDER BY u, doc_id) - 1)::BIGINT AS pos
          |FROM sh ORDER BY doc_id""".stripMargin,
+
+    // the delta-identity oracle: after build→delta→absorb the standing
+    // placement table must equal the ONE-SHOT packer over the whole
+    // corpus — p10's arithmetic at the p15 parameters
+    "p15_pack_delta" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens,
+        |    (doc_id // 300)::BIGINT AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, ws_tokens, shard,
+        |    coalesce(sum(ws_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pre
+        |  FROM t)
+        |SELECT doc_id, source, shard,
+        |  (pre // 512)::BIGINT AS bin_first,
+        |  (CASE WHEN ws_tokens <= 0 THEN pre // 512
+        |        ELSE (pre + ws_tokens - 1) // 512 END)::BIGINT AS bin_last,
+        |  (pre % 512)::BIGINT AS offset_in_bin
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // p6's permutation machinery composed with p10's placement
     // arithmetic: prefix sums run per (source, permutation-shard)

@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.text.{PackIndex, TextAnalysis}
+
+/** The incremental packer's operational contract (p15): after every
+  * absorb the standing placement table equals the one-shot packer over
+  * the effective corpus; untouched shards are BYTE-identical on disk;
+  * the delta emission restricted to batch docs is the one-shot
+  * restriction (the d8/d18/p12 delta identity); supersede, straddle at
+  * the tail, empty-shard creation, absorb chaining, and the read-only
+  * process/absorb split all behave. */
+class PackIndexSpec extends SparkSpec {
+
+  private val Cap = 50L
+  private val ShardSize = 64L
+
+  private def df(rows: Seq[(Long, String, Long)]): DataFrame = {
+    val s = spark; import s.implicits._
+    rows.toDF("id", "src", "tok")
+  }
+
+  /** One-shot reference placements over `rows`. */
+  private def oneShot(rows: Seq[(Long, String, Long)]): Map[Long, (Long, Long, Long, Long)] =
+    TextAnalysis.packSequences(df(rows), "id", "src", "tok", Cap, ShardSize)
+      .select("id", "shard", "bin_first", "bin_last", "offset_in_bin")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+
+  private def state(table: String): Map[Long, (Long, Long, Long, Long)] =
+    spark.table(table).select("id", "shard", "bin_first", "bin_last", "offset_in_bin")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+
+  /** (path, length, mtime) of every data file under a shard partition. */
+  private def files(table: String, shard: Long): Seq[(String, Long, Long)] = {
+    val root = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      s"${table.toLowerCase}/shard=$shard")
+    if (!root.exists()) Seq.empty
+    else root.listFiles().filter(f => f.isFile && !f.getName.startsWith("."))
+      .map(f => (f.getName, f.length(), f.lastModified())).toSeq.sorted
+  }
+
+  private def cycle(table: String, batch: Seq[(Long, String, Long)]): DataFrame = {
+    val d = PackIndex.packDelta(spark, df(batch), "id", "src", "tok",
+      Cap, ShardSize, table)
+    PackIndex.absorbPackDelta(spark, table, d)
+    d
+  }
+
+  test("append-at-tail: state equals one-shot, standing tail rows untouched, straddle lands") {
+    val standing = (0L until 100L).map(i => (i, s"s${i % 2}", 7L))
+    PackIndex.buildPackState(df(standing), "id", "src", "tok", Cap, ShardSize, "pk_tail")
+    val before = state("pk_tail")
+    // 47 tokens onto a partly-filled tail: the first batch doc must
+    // STRADDLE the tail bin boundary of its (src, shard) cell
+    val batch = Seq((100L, "s0", 47L), (101L, "s1", 47L), (102L, "s0", 5L))
+    val delta = cycle("pk_tail", batch)
+    assert(state("pk_tail") == oneShot(standing ++ batch),
+      "after absorb the state must equal the one-shot packer")
+    // standing docs of the touched shard kept their exact placements
+    standing.filter(_._1 / ShardSize == 100L / ShardSize).foreach { case (i, _, _) =>
+      assert(state("pk_tail")(i) == before(i), s"standing doc $i moved on append")
+    }
+    val d100 = delta.filter(col("id") === 100L)
+      .select("bin_first", "bin_last").collect()(0)
+    assert(d100.getLong(1) > d100.getLong(0), "47 tokens at the tail must straddle")
+    // delta restricted to batch docs == one-shot restricted (the d8 identity)
+    val emitted = delta.filter(col("from_batch"))
+      .select("id", "shard", "bin_first", "bin_last", "offset_in_bin")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val os = oneShot(standing ++ batch)
+    assert(emitted == batch.map(_._1).map(i => i -> os(i)).toMap,
+      "batch emission must equal the one-shot restriction")
+  }
+
+  test("untouched shards are byte-identical across absorbs; empty shards appear") {
+    val standing = (0L until 100L).map(i => (i, "s", 7L)) // shard 0 full, shard 1 partial
+    PackIndex.buildPackState(df(standing), "id", "src", "tok", Cap, ShardSize, "pk_byte")
+    val f0 = files("pk_byte", 0L)
+    val f1 = files("pk_byte", 1L)
+    assert(f0.nonEmpty && f1.nonEmpty)
+    // the batch lands in a FAR shard (empty-shard creation) and at
+    // shard 1's tail (id 100: 100 div 64 = 1)
+    val batch = Seq((640L, "s", 11L), (100L, "s", 11L))
+    cycle("pk_byte", batch)
+    assert(files("pk_byte", 0L) == f0,
+      "shard 0 was not touched — its files must be byte-identical")
+    assert(files("pk_byte", 1L) != f1, "shard 1 was touched")
+    assert(files("pk_byte", 10L).nonEmpty, "shard 10 must be created")
+    assert(state("pk_byte") == oneShot(standing ++ batch))
+    assert(state("pk_byte")(640L) == (10L, 0L, 0L, 0L),
+      "a far doc opens its empty shard at coordinate zero")
+  }
+
+  test("absorb chaining: batch b+1 packs against batch b through the standing state alone") {
+    val standing = (0L until 50L).map(i => (i, "s", 7L))
+    PackIndex.buildPackState(df(standing), "id", "src", "tok", Cap, ShardSize, "pk_chain")
+    val b1 = (50L until 60L).map(i => (i, "s", 9L))
+    val b2 = (60L until 70L).map(i => (i, "s", 13L))
+    cycle("pk_chain", b1)
+    cycle("pk_chain", b2)
+    assert(state("pk_chain") == oneShot(standing ++ b1 ++ b2),
+      "chained absorbs must accumulate to the one-shot packing")
+  }
+
+  test("supersede: a re-ingested id replaces its placement and displaces only its shard") {
+    val standing = (0L until 100L).map(i => (i, "s", 7L))
+    PackIndex.buildPackState(df(standing), "id", "src", "tok", Cap, ShardSize, "pk_sup")
+    // doc 10 grows 7 → 40 tokens; everything after it in shard 0 shifts,
+    // shard 1 (ids 64+) must not move
+    val batch = Seq((10L, "s", 40L))
+    val effective = standing.map { case t @ (i, s, _) => if (i == 10L) (i, s, 40L) else t }
+    val f1 = files("pk_sup", 1L)
+    cycle("pk_sup", batch)
+    assert(state("pk_sup") == oneShot(effective),
+      "supersede must equal the one-shot over the EFFECTIVE corpus")
+    assert(files("pk_sup", 1L) == f1, "shard 1 was not touched by a shard-0 supersede")
+  }
+
+  test("out-of-order insert repacks its shard to the one-shot placement") {
+    val standing = Seq((0L, "s", 7L), (2L, "s", 7L), (4L, "s", 7L))
+    PackIndex.buildPackState(df(standing), "id", "src", "tok", Cap, ShardSize, "pk_ooo")
+    val batch = Seq((1L, "s", 30L)) // lands BETWEEN standing ids
+    cycle("pk_ooo", batch)
+    assert(state("pk_ooo") == oneShot(standing ++ batch),
+      "an out-of-order id must interleave exactly as the one-shot packer would")
+  }
+
+  test("packDelta is read-only, runs ONE driver action, and rejects multi-version batches") {
+    val standing = (0L until 40L).map(i => (i, "s", 7L))
+    PackIndex.buildPackState(df(standing), "id", "src", "tok", Cap, ShardSize, "pk_ro")
+    val before = state("pk_ro")
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val qel = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        actions.incrementAndGet(); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(qel)
+    try {
+      PackIndex.packDelta(spark, df(Seq((40L, "s", 5L))), "id", "src", "tok",
+        Cap, ShardSize, "pk_ro")
+      var last = -1
+      while (actions.get() != last) { last = actions.get(); Thread.sleep(500L) }
+      // one batch pin + one fused probe; nothing else is eager
+      assert(actions.get() <= 2,
+        s"packDelta must run one pin + one fused probe, saw ${actions.get()}")
+    } finally spark.listenerManager.unregister(qel)
+    assert(state("pk_ro") == before, "packDelta must not mutate the standing table")
+    intercept[IllegalArgumentException] {
+      PackIndex.packDelta(spark, df(Seq((50L, "s", 5L), (50L, "s", 6L))),
+        "id", "src", "tok", Cap, ShardSize, "pk_ro")
+    }
+    // absorb redelivery (at-least-once): same delta twice lands clean
+    val d = PackIndex.packDelta(spark, df(Seq((40L, "s", 5L))), "id", "src", "tok",
+      Cap, ShardSize, "pk_ro")
+    PackIndex.absorbPackDelta(spark, "pk_ro", d)
+    PackIndex.absorbPackDelta(spark, "pk_ro", d)
+    assert(state("pk_ro") == oneShot(standing :+ (40L, "s", 5L)),
+      "re-absorbing the same delta must be idempotent")
+  }
+}
