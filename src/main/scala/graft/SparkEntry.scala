@@ -1043,6 +1043,24 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     }),
 
+    "x13_bpe_encode_deep" -> ((s, dir) => {
+      // the REALISTIC-vocab encode: x12's loader output under (a) the
+      // byte-level id contract — base ids 0–255 ARE the byte values,
+      // merge r at 256+r, the GPT-2-style base that needs no
+      // per-deployment alphabet — and (b) a 4096-merge table trained
+      // by trainFast on the deterministic deep corpus (the synthetic
+      // corpus's own closure exhausts in double digits; applying a
+      // foreign tokenizer's deep vocab IS the deployment). Same
+      // codegen'd map-only kernel; counting shadow unchanged
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"),
+          posexplode(graft.text.Bpe.bpeEncodeBytes(TextAnalysis.words(col("text")),
+            graft.text.Bpe.DeepMerges)).as(Seq("pos", "token_id")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("token_id").cast("int").as("token_id"))
+        .orderBy("doc_id", "pos")
+    }),
+
     "x9_quality_classifier" -> ((s, dir) => {
       // learned doc-quality gate (fastText/CCNet shape, deterministic
       // core): junk tokens are PLANTED on every 4th doc; the model
@@ -2517,6 +2535,47 @@ object SparkEntry {
          |  (row_number() OVER (PARTITION BY doc_id ORDER BY widx, sidx) - 1)::BIGINT AS pos,
          |  v.id::INT AS token_id
          |FROM sym JOIN v USING (sym)
+         |ORDER BY doc_id, pos""".stripMargin
+    },
+
+    // the deep-vocab replay: a 4096-deep single replace chain blows
+    // the parser, so the rank-order sweep runs as 64 sequential CTEs
+    // of 64 nested replaces each — same semantics, bounded expression
+    // depth — over the DISTINCT words (vocabulary-sized, not corpus-
+    // sized), joined back to word instances. Byte-level ids: single-
+    // char symbols map to ord(), merge symbols to 256+rank rows
+    // generated from the same checked-in table the kernel carries
+    "x13_bpe_encode_deep" -> {
+      val merges = graft.text.Bpe.DeepMerges
+      val chunk = 64
+      val ctes = merges.grouped(chunk).zipWithIndex.map { case (ms, ci) =>
+        val expr = ms.foldLeft("s") { case (e, (a, b)) =>
+          s"replace($e,'($a)($b)','(${a + b})')"
+        }
+        s"c${ci + 1} AS (SELECT wd, $expr AS s FROM c$ci)"
+      }.mkString(",\n")
+      val last = s"c${(merges.size + chunk - 1) / chunk}"
+      val mergeVals = merges.zipWithIndex
+        .map { case ((a, b), r) => s"('${a + b}', ${256 + r})" }.mkString(", ")
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |t AS (SELECT doc_id, t.i AS widx, ws[t.i] AS wd FROM w, unnest(range(1, len(ws)+1)) AS t(i)),
+         |dw AS (SELECT DISTINCT wd FROM t),
+         |c0 AS (SELECT wd, regexp_replace(wd, '(.)', '(\\1)', 'g') AS s FROM dw),
+         |$ctes,
+         |sym AS (
+         |  SELECT wd, u.j AS sidx, l[u.j] AS sym
+         |  FROM (SELECT wd, regexp_extract_all(s, '\\(([^()]*)\\)', 1) AS l FROM $last),
+         |       unnest(range(1, len(l)+1)) AS u(j)),
+         |v(sym, id) AS (VALUES $mergeVals),
+         |ids AS (SELECT wd, sidx, coalesce(v.id, ord(sym))::INT AS id
+         |        FROM sym LEFT JOIN v USING (sym))
+         |SELECT t.doc_id,
+         |  (row_number() OVER (PARTITION BY t.doc_id ORDER BY t.widx, ids.sidx) - 1)::BIGINT AS pos,
+         |  ids.id AS token_id
+         |FROM t JOIN ids USING (wd)
          |ORDER BY doc_id, pos""".stripMargin
     },
 

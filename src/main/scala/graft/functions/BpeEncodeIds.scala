@@ -13,15 +13,25 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
   * reference object — no join, no per-word shuffle, the x8 shape.
   *
   * VOCAB ID CONTRACT (public, deterministic, shared verbatim with the
-  * SQL oracle): ids 0–35 are the fixed base alphabet
-  * `a..z 0..9` (the only symbols `TextAnalysis.words` can emit);
-  * merge r's merged symbol gets id 36 + r. The mapping is by SYMBOL
-  * STRING, which requires the table's merged strings to be distinct —
-  * enforced at construction (two merges can in principle produce the
-  * same string, e.g. (a,bc) and (ab,c) → "abc", and a string-keyed
-  * oracle could not tell their ids apart).
+  * SQL oracle), parameterized by the BASE ALPHABET:
+  *
+  *  - `byteBase = false` (the x12 contract): ids 0–35 are the fixed
+  *    base alphabet `a..z 0..9` (the only symbols
+  *    `TextAnalysis.words` can emit); merge r's symbol gets 36 + r.
+  *  - `byteBase = true` (the GPT-2-style byte-level contract): ids
+  *    0–255 are the 256 single-byte symbols — a base character's id
+  *    IS its byte value — and merge r's symbol gets 256 + r, so the
+  *    SAME contract serves any single-byte text without re-deriving
+  *    an alphabet per deployment.
+  *
+  * The mapping is by SYMBOL STRING, which requires the table's merged
+  * strings to be distinct — enforced at construction via
+  * [[BpeRuntime.requireTrainedShape]] (two merges can in principle
+  * produce the same string, e.g. (a,bc) and (ab,c) → "abc", and a
+  * string-keyed oracle could not tell their ids apart).
   */
-case class BpeEncodeIds(child: Expression, merges: Array[Array[String]])
+case class BpeEncodeIds(child: Expression, merges: Array[Array[String]],
+                        byteBase: Boolean = false)
     extends UnaryExpression {
 
   // distinct merged strings (the id-map precondition) is enforced for
@@ -38,14 +48,22 @@ case class BpeEncodeIds(child: Expression, merges: Array[Array[String]])
 
   @transient private lazy val rank = BpeRuntime.rankMap(merges)
 
+  /** Offset of merge-symbol ids: the base alphabet's size. */
+  private def mergeIdBase: Int = if (byteBase) 256 else 36
+
   /** symbol string → vocab id (base alphabet first, then merges). */
   @transient private lazy val idOf: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](64 + merges.length * 2)
-    val base = "abcdefghijklmnopqrstuvwxyz0123456789"
-    var i = 0
-    while (i < base.length) { m.put(String.valueOf(base.charAt(i)), Integer.valueOf(i)); i += 1 }
+    val m = new java.util.HashMap[String, Integer](mergeIdBase + merges.length * 2)
+    if (byteBase) {
+      var c = 0
+      while (c < 256) { m.put(String.valueOf(c.toChar), Integer.valueOf(c)); c += 1 }
+    } else {
+      val base = "abcdefghijklmnopqrstuvwxyz0123456789"
+      var i = 0
+      while (i < base.length) { m.put(String.valueOf(base.charAt(i)), Integer.valueOf(i)); i += 1 }
+    }
     var r = 0
-    while (r < merges.length) { m.put(merges(r)(2), Integer.valueOf(36 + r)); r += 1 }
+    while (r < merges.length) { m.put(merges(r)(2), Integer.valueOf(mergeIdBase + r)); r += 1 }
     m
   }
 
@@ -64,7 +82,8 @@ case class BpeEncodeIds(child: Expression, merges: Array[Array[String]])
           val id = idOf.get(syms.get(j))
           if (id == null)
             throw new IllegalStateException(s"symbol '${syms.get(j)}' outside the vocab " +
-              "(input must be TextAnalysis.words output: [a-z0-9]+)")
+              (if (byteBase) "(byte-level base covers single-byte chars only)"
+               else "(input must be TextAnalysis.words output: [a-z0-9]+)"))
           out.add(id.intValue())
           j += 1
         }
@@ -77,13 +96,13 @@ case class BpeEncodeIds(child: Expression, merges: Array[Array[String]])
   // content-based equality, the BpeCount rationale
   override def equals(o: Any): Boolean = o match {
     case b: BpeEncodeIds =>
-      child == b.child && java.util.Arrays.deepEquals(
+      child == b.child && byteBase == b.byteBase && java.util.Arrays.deepEquals(
         merges.asInstanceOf[Array[AnyRef]], b.merges.asInstanceOf[Array[AnyRef]])
     case _ => false
   }
   override def hashCode(): Int =
-    31 * child.hashCode + java.util.Arrays.deepHashCode(
-      merges.asInstanceOf[Array[AnyRef]])
+    31 * (31 * child.hashCode + (if (byteBase) 1 else 0)) +
+      java.util.Arrays.deepHashCode(merges.asInstanceOf[Array[AnyRef]])
 
   override def nullSafeEval(a: Any): Any = evalIds(a.asInstanceOf[ArrayData])
 

@@ -207,6 +207,61 @@ object Bpe {
       merges.map { case (a, b) => Array(a, b, a + b) }.toArray))
   }
 
+  /** [[bpeEncode]] under the BYTE-LEVEL id contract: base ids 0–255
+    * are the single-byte symbols (a char's id IS its byte value, the
+    * GPT-2-style base that serves any single-byte text without a
+    * per-deployment alphabet), merge r gets 256 + r. The realistic
+    * deployment shape for the deep vocabularies `trainFast`
+    * produces — see [[DeepMerges]]. */
+  def bpeEncodeBytes(ws: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.BpeEncodeIds(ColumnBridge.expr(ws),
+      merges.map { case (a, b) => Array(a, b, a + b) }.toArray, byteBase = true))
+  }
+
+  /** A DEEP merges table (4096 merges) trained by `trainFast` on the
+    * deterministic deep corpus [[deepCorpus]] builds — the synthetic
+    * documents corpus's own BPE closure exhausts in double-digit
+    * merges (31 distinct words at sf0.01), so the realistic-vocab
+    * encode regime trains on a corpus with a deep vocabulary and
+    * applies the table to the real corpus (exactly the deployment:
+    * GPT-2's merges weren't trained on your data either). Checked in
+    * as a resource so the x13 query and its oracle share one literal
+    * vocab; regenerate with `runMain graft.TrainBpe deep`. */
+  lazy val DeepMerges: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/bpe_merges_deep.tsv")
+    require(in != null, "resource graft/bpe_merges_deep.tsv missing — run `runMain graft.TrainBpe deep`")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().filter(_.nonEmpty).map { line =>
+      val t = line.split('\t')
+      require(t.length == 2, s"malformed merges line: $line")
+      (t(0), t(1))
+    }.toVector
+    finally src.close()
+  }
+
+  /** The deterministic deep-vocabulary training corpus behind
+    * [[DeepMerges]]: 60k seeded-random [a-z] words with harmonic
+    * (Zipf) frequencies, one doc per word carrying `freq` repetitions
+    * — rich shared substructure sustains tens of thousands of merges
+    * where the synthetic word-salad corpus saturates. Built as a real
+    * distributed DataFrame so `trainFast` exercises its corpus pass. */
+  def deepCorpus(spark: org.apache.spark.sql.SparkSession,
+                 n: Int = 60000, seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = IndexedSeq.tabulate(n) { i =>
+      val w = (0 until (3 + rnd.nextInt(10)))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      (i.toLong, w, math.max(1L, 200000L / (i + 1L)))
+    }
+    import spark.implicits._
+    vocab.toDF("doc_id", "w", "freq")
+      .repartition(32)
+      .select(col("doc_id"),
+        array_join(transform(sequence(lit(1L), col("freq")), _ => col("w")), " ")
+          .as("text"))
+  }
+
   /** Per-doc token counts under a fixed merges table: (id, n_words,
     * bpe_tokens). Pure projection over the corpus scan — zero
     * shuffle. */

@@ -162,6 +162,44 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("BPE byte-level encode: base ids ARE byte values, deep vocab round-trips") {
+    val s = spark
+    import s.implicits._
+    val merges = Seq(("l", "o"), ("lo", "w"), ("low", "e"))
+    // byte-level: s=115, t=116 (their byte values); lo=256, low=257, lowe=258
+    val docs = Seq((1L, "low lowest")).toDF("doc_id", "text")
+    val got = docs.select(posexplode(graft.text.Bpe.bpeEncodeBytes(
+        graft.text.TextAnalysis.words(col("text")), merges)).as(Seq("pos", "id")))
+      .select("id").as[Int].collect().toSeq
+    assert(got == Seq(257, 258, 's'.toInt, 't'.toInt), s"ids: $got")
+    // the DEEP trainFast table: every id decodes back through the
+    // contract (id < 256 → the byte; else merge id-256's string), and
+    // concatenating a word's symbols reproduces the word — on every
+    // distinct corpus word
+    val dm = graft.text.Bpe.DeepMerges
+    assert(dm.size >= 4096, s"deep table must carry >= 4096 merges, has ${dm.size}")
+    val sym: Int => String = id =>
+      if (id < 256) id.toChar.toString
+      else { val (a, b) = dm(id - 256); a + b }
+    val words = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(graft.text.TextAnalysis.words(col("text"))).as("w"))
+      .distinct().as[String].collect()
+    val enc = words.toSeq.toDF("text").select(col("text"),
+        graft.text.Bpe.bpeEncodeBytes(graft.text.TextAnalysis.words(col("text")),
+          dm).as("ids"))
+      .as[(String, Seq[Int])].collect()
+    enc.foreach { case (w, ids) =>
+      assert(ids.map(sym).mkString == w, s"'$w' decoded as ${ids.map(sym)}")
+    }
+    // counting shadow holds for the byte-level kernel too
+    val fixture = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val ws = graft.text.TextAnalysis.words(col("text"))
+    val bad = fixture.filter(
+      size(graft.text.Bpe.bpeEncodeBytes(ws, dm)).cast("long") =!=
+        graft.text.Bpe.bpeCount(ws, dm))
+    assert(bad.count() == 0, "byte-level encode length must equal bpe_count")
+  }
+
   test("BPE rank-order sweep equals the classic lowest-rank-pair-first merge loop") {
     // the oracle-shared sweep must agree with the textbook priority
     // loop on the checked-in vocab (equivalence holds for any merges
