@@ -221,6 +221,84 @@ object Recipe {
       })
   }
 
+  /** Scheduled refinery MAINTENANCE — the reference runs its standing
+    * upkeep on the cron schedule (mimiro-io/datahub
+    * internal/service/scheduler/scheduler.go:21-22, the
+    * statsJob/gcJob precedent), and the refinery's equivalent is the
+    * model refresh this job mounts: each firing rebuilds the x9
+    * quality model from the LABELED corpus log (latest version per
+    * id) via [[refreshModel]] and refreshes any given shingle-index
+    * hot lists ([[Dedup.refreshHotList]]) — while p12 batches keep
+    * flowing through [[recipeJob]] between firings. Only the model
+    * (and hot lists) change: the gram/eval indexes and the budget
+    * ledger are untouched, so every ledger row keeps its
+    * as-of-arrival accounting; batches processed AFTER the firing are
+    * gated by the refreshed model (the standing-model contract).
+    * The stored token records the labeled log's watermark the
+    * refresh saw. */
+  def modelRefreshJob(registry: DatasetRegistry, st: Standing,
+                      labeledName: String, idCol: String, recordedCol: String,
+                      textCol: String, labelCol: String, k: Int,
+                      hotIndexes: Seq[String] = Nil, maxDf: Int = 10000,
+                      cron: String = "0 2 * * *"): CronJob = {
+    val jobId = s"model_refresh_${st.model}"
+    CronJob(
+      id = jobId,
+      cron = Cron.parse(cron),
+      makeJob = _ => Job(
+        id = jobId,
+        source = FunctionSource { _ =>
+          graft.ops.ChangeLog.latestOnly(registry.get(labeledName), idCol, recordedCol)
+        },
+        transform = eff0 => {
+          val spark = eff0.sparkSession
+          // pin the window (the recipeJob discipline): the scrub and
+          // the train must see one snapshot of the labeled log
+          val eff = graft.core.Checkpoints.truncate(
+            eff0.select(col(idCol), col(textCol), col(labelCol)))
+          refreshModel(spark, st, eff, textCol, idCol, labelCol, k)
+          hotIndexes.foreach(Dedup.refreshHotList(spark, _, maxDf))
+          spark.table(st.model)
+        },
+        sink = DevNullSink,
+        sourceName = labeledName, sinkName = st.model),
+      nextToken = () => {
+        val mx = registry.get(labeledName).agg(max(col(recordedCol))).collect()(0)
+        if (mx.isNullAt(0)) None else Some(mx.getLong(0))
+      })
+  }
+
+  /** Rebuild the standing model from a labeled corpus snapshot —
+    * [[buildStanding]]'s model derivation re-run in isolation (stage
+    * 1-2 scrub: self-spans + eval decontamination off the standing
+    * eval index, then the x9 train on the doubly-scrubbed text),
+    * swap-written into `st.model`. Nothing else in the standing state
+    * is touched. Stateless full recompute per call — the
+    * Maintenance.statsJob discipline: per-batch work stays delta, the
+    * scheduled refresh pays the full labeled-corpus pass (the labeled
+    * set is curated, orders of magnitude smaller than the corpus). */
+  def refreshModel(spark: SparkSession, st: Standing, docs: DataFrame,
+                   textCol: String, idCol: String, labelCol: String,
+                   k: Int): Unit = {
+    val spans1 = Dedup.substringSpans(docs, textCol, idCol, k)
+    val s1 = graft.core.Checkpoints.truncate(
+      Dedup.scrubSpans(docs, spans1, textCol, idCol)
+        .select(col("id").as(idCol), col("scrubbed").as(textCol)))
+    val spans2 = Dedup.decontaminateSpansIndexed(spark, s1, textCol, idCol, k, st.evalIndex)
+    val s2 = graft.core.Checkpoints.truncate(
+      Dedup.scrubSpans(s1, spans2, textCol, idCol)
+        .select(col("id").as(idCol), col("scrubbed").as(textCol)))
+    // pin the trained model BEFORE the swap (it reads only s2, but a
+    // lazy write racing the drop of its own target is not a plan to
+    // leave possible)
+    val model = graft.core.Checkpoints.truncate(
+      TextAnalysis.trainQualityModel(
+        s2.join(docs.select(col(idCol), col(labelCol)), idCol), textCol, labelCol))
+    graft.core.Tables.drop(spark, st.model)
+    model.write.saveAsTable(st.model)
+    spark.catalog.refreshTable(st.model)
+  }
+
   /** Absorb a processed batch into the standing state — ALL mutation
     * happens here (processBatch is read-only): re-ingested ids' old
     * gram postings compact out (the compact-then-append discipline the

@@ -251,6 +251,78 @@ class RecipeSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(qel)
   }
 
+  test("scheduled model refresh: the gate verdict changes after the firing; ledger stays as-of-arrival") {
+    import graft.jobs._
+    import java.time.LocalDateTime
+    val s = spark; import s.implicits._
+    // a NEW junk vocabulary, unknown to the standing model (junkText's
+    // construction; bucket 222 — no clean spec word collides, checked
+    // with hashlib; w902q10 collides into zzjunk's bucket 191, which
+    // is harmless: it adds one more NEGATIVE occurrence to a bucket
+    // that is already decisively bad)
+    def qqText(id: Long): String = (0 until 20).map(j => s"qqjunk w${id}q$j").mkString(" ")
+    val st = Recipe.buildStanding(spark, stdDf, evalDf, "text", "id", "grp",
+      "label", k = 4, Bpe.DefaultMerges, "rcpm")
+    val reg = new DatasetRegistry
+    // labeled log (the curated training set) and the raw ingest log
+    reg.put("labeled", stdDf.select("id", "text", "label").withColumn("recorded", lit(1L)))
+    val batchA = Seq((30L, "g", filler(30) + " " + qqText(30)), (33L, "g", filler(33)))
+      .toDF("id", "grp", "text")
+    reg.put("raw", batchA.withColumn("recorded", lit(1L)))
+    val sched = new CronScheduler(Seq(
+      Recipe.recipeJob(reg, st, "raw", "id", "recorded", "text", "grp",
+        Map.empty, k = 4, Bpe.DefaultMerges, "mix_m"),
+      Recipe.modelRefreshJob(reg, st, "labeled", "id", "recorded",
+        "text", "label", k = 4)))
+    def emittedIds(): Seq[Long] =
+      reg.get("mix_m").select("id").collect().map(_.getLong(0)).toSeq.sorted
+    // day 1, 03:00: the OLD model knows nothing about qqjunk — doc 30 passes
+    assert(sched.tick(spark, reg, LocalDateTime.of(2026, 8, 14, 3, 0)) == Seq("recipe_mix_m"))
+    assert(emittedIds() == Seq(30L, 33L), "qqjunk is neutral before the refresh")
+    // new labeled evidence lands: qqjunk docs marked bad
+    reg.put("labeled", reg.get("labeled").unionByName(
+      Seq(900L, 901L, 902L, 903L).map(i => (i, qqText(i), false)).toDF("id", "text", "label")
+        .withColumn("recorded", lit(2L))))
+    // day 2, 02:00: the refresh fires (and only it)
+    assert(sched.tick(spark, reg, LocalDateTime.of(2026, 8, 15, 2, 0))
+      == Seq(s"model_refresh_${st.model}"))
+    assert(sched.token(s"model_refresh_${st.model}").contains(2L))
+    // day 2, 03:00: the refreshed model gates the NEXT batch — doc 31
+    // (qqjunk) is now cut, its clean sibling 32 passes
+    val batchB = Seq((31L, "g", filler(31) + " " + qqText(31)), (32L, "g", filler(32)))
+      .toDF("id", "grp", "text")
+    reg.put("raw", reg.get("raw").unionByName(batchB.withColumn("recorded", lit(2L))))
+    assert(sched.tick(spark, reg, LocalDateTime.of(2026, 8, 15, 3, 0)) == Seq("recipe_mix_m"))
+    assert(emittedIds() == Seq(30L, 32L, 33L),
+      "after the refresh the gate must cut qqjunk docs (and only them)")
+    // the ledger keeps AS-OF-ARRIVAL rows: doc 30 was gated in under
+    // the old model and its row survives the refresh untouched
+    val ledger = spark.table(st.counts).select("id", "bpe_tokens")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ledger.contains(30L) && ledger(30L) == bpe(filler(30) + " " + qqText(30)),
+      "refresh must not retro-gate absorbed ledger rows")
+    assert(ledger.contains(32L) && !ledger.contains(31L))
+    // lineage: the refresh is a recorded transform labeled → model
+    assert(reg.lineage.contains(("labeled", st.model, "transform")))
+
+    // hot-list composition: the same firing can refresh shingle-index
+    // stop lists (the maybeRefreshHotList machinery mounted on the
+    // schedule) — a boilerplate shingle crossing maxDf moves to _hot
+    val shDocs = (0L until 5L).map(i => (i, s"${filler(40 + i)} common run of words"))
+      .toDF("id", "text")
+    graft.dedup.Dedup.buildShingleIndex(shDocs, "text", "id", 3, "rcpm_sh", buckets = 4)
+    val hotBefore = spark.table("rcpm_sh_hot").count()
+    val sched2 = new CronScheduler(Seq(
+      Recipe.modelRefreshJob(reg, st, "labeled", "id", "recorded",
+        "text", "label", k = 4, hotIndexes = Seq("rcpm_sh"), maxDf = 3)))
+    sched2.tick(spark, reg, LocalDateTime.of(2026, 8, 16, 2, 0))
+    assert(spark.table("rcpm_sh_hot").count() > hotBefore,
+      "the firing must move >maxDf shingles into the hot list")
+    assert(spark.table("rcpm_sh").groupBy("s").count()
+      .agg(max("count")).head().getLong(0) <= 3,
+      "hot shingles must be compacted out of the index")
+  }
+
   test("incremental recipe: streaming form equals the batch loop") {
     val (e1, e2, ledger) = runBatchMode("rcpb")
     val st = Recipe.buildStanding(spark, stdDf, evalDf, "text", "id", "grp",
