@@ -543,36 +543,92 @@ object Dedup {
     * definition shared by the one-shot candidate generator, the index
     * build, and the delta probe, so the key derivation cannot drift
     * between them (the `positionalGrams` discipline). */
-  private def chunkPairKeys(fp: Column, maxDist: Int): Column = {
+  /** Per-combo definitions of the C(k,2) chunk-pair tables at a
+    * radius: (combo index, fingerprint-space bit mask of the combo's
+    * chunks, chunk indices). ONE derivation shared by the key
+    * builders and the first-agreeing-combo filter, so the three can
+    * never drift. */
+  private def comboDefs(maxDist: Int): Seq[(Int, Long, Seq[Int])] = {
     val k = maxDist + 2
     require(k <= 16, "chunks narrower than 4 bits bucket everything together")
-    def chunk(c: Int): Column = {
-      val start = c * 64 / k
-      val len = (c + 1) * 64 / k - start
-      val mask = if (len == 64) -1L else (1L << len) - 1L
-      shiftrightunsigned(fp, start).bitwiseAND(lit(mask))
-    }
+    (0 until k).combinations(2).zipWithIndex.map { case (ix, ci) =>
+      val mask = ix.map { c =>
+        val start = c * 64 / k
+        val len = (c + 1) * 64 / k - start
+        (if (len == 64) -1L else (1L << len) - 1L) << start
+      }.reduce(_ | _)
+      (ci, mask, ix.toSeq)
+    }.toSeq
+  }
+
+  private def chunkCol(fp: Column, maxDist: Int, c: Int): Column = {
+    val k = maxDist + 2
+    val start = c * 64 / k
+    val len = (c + 1) * 64 / k - start
+    val mask = if (len == 64) -1L else (1L << len) - 1L
+    shiftrightunsigned(fp, start).bitwiseAND(lit(mask))
+  }
+
+  private def fusedKey(fp: Column, maxDist: Int, ci: Int, ix: Seq[Int]): Column =
+    xxhash64((lit(ci) +: ix.map(chunkCol(fp, maxDist, _))).toIndexedSeq: _*)
+
+  private def chunkPairKeys(fp: Column, maxDist: Int): Column =
     // one fused 64-bit bucket key per (table, chunk i, chunk j) — a
     // single long join key instead of three columns through the
     // Exchange. A hash collision between distinct keys only ADDS a
-    // candidate pair, which the exact Hamming filter removes; true
-    // within-radius pairs always share a real key, so losslessness
-    // is untouched
-    val pairCols = for { i <- 0 until k; j <- (i + 1) until k } yield
-      xxhash64(lit(i * k + j), chunk(i), chunk(j))
-    array(pairCols: _*)
-  }
+    // candidate pair, which the first-agreeing-combo filter (the
+    // combo must TRULY agree on the XOR) and the exact Hamming cut
+    // remove; true within-radius pairs always share a real key, so
+    // losslessness is untouched
+    array(comboDefs(maxDist).map { case (ci, _, ix) =>
+      fusedKey(fp, maxDist, ci, ix)
+    }: _*)
+
+  /** The probe-side key stream: (combo index, fused key) structs. The
+    * combo index rides the PROBE side only so the exact-once filter
+    * below knows which table produced each candidate; the stored
+    * index keeps the plain fused key. */
+  private def chunkPairKeysIdx(fp: Column, maxDist: Int): Column =
+    array(comboDefs(maxDist).map { case (ci, _, ix) =>
+      struct(lit(ci).as("ci"), fusedKey(fp, maxDist, ci, ix).as("bk"))
+    }: _*)
+
+  /** Index of the FIRST combo whose chunks the pair-XOR `z` leaves
+    * untouched; −1 when none agrees (only possible beyond the
+    * radius). The EXACT-ONCE emission filter: a near-identical pair
+    * agrees in MANY tables (an identical pair in all C(k,2)), and
+    * without this filter the candidate stream — and the dedup
+    * Exchange behind it — carries every true pair once per agreeing
+    * table. Measured at sf1 (SimhashScale, PERF.md): 43M candidates
+    * for 596k true pairs, ~66× multiplicity on a clustered corpus.
+    * Keeping only the row whose generating combo is the first
+    * agreeing one emits each pair exactly once, map-side, from the
+    * same XOR the Hamming cut reads. */
+  private def firstAgreeingCombo(z: Column, maxDist: Int): Column =
+    comboDefs(maxDist).foldRight(lit(-1)) { case ((ci, mask, _), acc) =>
+      when(z.bitwiseAND(lit(mask)) === 0L, lit(ci)).otherwise(acc)
+    }
+
+  /** [[chunkPairKeys]] for the scale probes (candidate-volume
+    * decomposition needs the raw key stream). */
+  private[graft] def chunkPairKeysFor(fp: Column, maxDist: Int): Column =
+    chunkPairKeys(fp, maxDist)
 
   private[graft] def simhashCandidates(fps: DataFrame, maxDist: Int): DataFrame = {
     // one row per doc; both self-join sides are the SAME subplan, so
     // ReuseExchange computes the 64-lane aggregate once — measured: an
-    // explicit checkpoint here is cost-neutral and only adds block churn
+    // explicit checkpoint here is cost-neutral and only adds block
+    // churn. Both sides carry the combo index (identical subplans keep
+    // the reuse); the exact-once filter reads the x side's.
     val chunks = fps.select(col("id"), col("simhash"),
-      explode(chunkPairKeys(col("simhash"), maxDist)).as("bk"))
+        explode(chunkPairKeysIdx(col("simhash"), maxDist)).as("k"))
+      .select(col("id"), col("simhash"), col("k.ci").as("ci"), col("k.bk").as("bk"))
     chunks.as("x").join(chunks.as("y"),
         col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
+      .withColumn("__z", col("x.simhash").bitwiseXOR(col("y.simhash")))
+      .filter(col("x.ci") === firstAgreeingCombo(col("__z"), maxDist))
       .select(col("x.id").as("a"), col("y.id").as("b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        bit_count(col("__z")).as("hamming"))
   }
 
   /** Standing SimHash index — the fifth dedup family gets the same
@@ -608,6 +664,13 @@ object Dedup {
     * d18 oracle identity). The corpus leg rides the index buckets on
     * `bk`; a batch id already present in the index supersedes its
     * standing rows. */
+  /** Batch size up to which [[simhashPairsDelta]] runs its
+    * batch-internal leg as the all-pairs broadcast Hamming (n²/2
+    * popcounts, map-only) instead of the chunk-key self-join: 20k
+    * docs = 200M comparisons, well inside one task wave's budget at
+    * 16 B/doc broadcast. */
+  val SimhashAllPairsMax = 20000L
+
   def simhashPairsDelta(spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
                         textCol: String, idCol: String, maxDist: Int,
                         indexTable: String): DataFrame = {
@@ -615,22 +678,46 @@ object Dedup {
     // index probe all read the materialized (id, simhash) batch
     val bfps = graft.core.Checkpoints.truncate(simhash(newDocs, textCol, idCol))
     val batchIds = newDocs.select(col(idCol).as("id")).distinct()
+    // the PROBE side carries the combo index for the exact-once
+    // filter; the stored index keeps its plain fused keys
     val bkeys = bfps.select(col("id"), col("simhash"),
-      explode(chunkPairKeys(col("simhash"), maxDist)).as("bk"))
-    // batch-internal pairs ARE the one-shot candidate generator over the
-    // batch fingerprints — call it, don't re-derive it (drift guard)
-    val newPairs = simhashCandidates(bfps, maxDist)
+        explode(chunkPairKeysIdx(col("simhash"), maxDist)).as("k"))
+      .select(col("id"), col("simhash"), col("k.ci").as("ci"), col("k.bk").as("bk"))
+    // batch-internal pairs: for a SMALL batch (the operational regime,
+    // batch ≪ corpus) the all-pairs broadcast Hamming beats the
+    // chunk-key self-join outright — 16 bytes/doc broadcast, n²/2
+    // xor+popcount evaluations pipelined map-side with NO key explode,
+    // no bucket join, no exchange. A clustered batch (shared
+    // vocabulary → correlated fingerprints) makes ~10.7-bit chunk-pair
+    // keys nearly unselective within itself: SimhashScale measured
+    // 28.8M raw self-join hits for 5000 batch docs at sf1 — 2.3× the
+    // all-pairs comparison count, each hit carrying explode+join
+    // overhead a flat popcount loop doesn't. Beyond the cutoff
+    // (batch² no longer trivial) the lossless chunk-key generator
+    // takes over — the corpus-scale shape.
+    val nBatch = bfps.count()
+    val newPairs =
+      if (nBatch <= SimhashAllPairsMax)
+        bfps.as("x").join(broadcast(bfps).as("y"), col("x.id") < col("y.id"))
+          .select(col("x.id").as("a"), col("y.id").as("b"),
+            bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      else simhashCandidates(bfps, maxDist)
     // supersede: anti-join is broadcast (batch-id-sized) and runs on
     // the index's bucketed layout, which survives into the bk join
     val corpusKeys = spark.table(indexTable)
       .join(broadcast(batchIds), Seq("id"), "left_anti")
     val crossPairs = bkeys.as("x").join(corpusKeys.as("y"),
         col("x.bk") === col("y.bk") && col("x.id") =!= col("y.id"))
+      .withColumn("__z", col("x.simhash").bitwiseXOR(col("y.simhash")))
+      .filter(col("x.ci") === firstAgreeingCombo(col("__z"), maxDist))
       .select(least(col("x.id"), col("y.id")).as("a"),
         greatest(col("x.id"), col("y.id")).as("b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-    // Hamming cut BEFORE distinct — the dedup Exchange carries only
-    // surviving pairs (the simhashPairs discipline)
+        bit_count(col("__z")).as("hamming"))
+    // Hamming cut (and the exact-once combo filter) BEFORE distinct —
+    // the dedup Exchange carries each surviving pair ONCE, not once
+    // per agreeing table (the ~66× multiplicity SimhashScale measured
+    // on near-identical pairs); distinct() now only collapses the
+    // rare both-directions duplicate
     newPairs.unionByName(crossPairs)
       .filter(col("hamming") <= maxDist)
       .distinct()
