@@ -1324,6 +1324,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "p17_stream_pack" -> ((s, dir) => {
+      // STREAMING incremental packing — p15's operational loop under
+      // Structured Streaming: docs [400, 600) arrive as two
+      // micro-batches over the standing pack state (the rest of the
+      // corpus); each batch extends/repacks only its touched shards
+      // and absorbs so batch b packs against batch a through the
+      // standing state alone. With shardSize 300 the streamed region
+      // is an append at shard 1's tail behind standing docs 300..399
+      // — so the per-batch placements are final, and the union of
+      // emissions equals the one-shot packer restricted to streamed
+      // ids (the d10/d19 streaming-oracle discipline)
+      val docs = t(s, dir, "documents")
+      val counts = docs.select(col("doc_id"), col("source"),
+        TextAnalysis.wsTokens(col("text")).as("ws_tokens"))
+      val table = "pack_state_p17"
+      PackIndex.buildPackState(counts.filter(col("doc_id") < 400 || col("doc_id") >= 600),
+        "doc_id", "source", "ws_tokens", capacity = 512L, shardSize = 300L, table)
+      val chunks = stageMicroBatches(counts, "doc_id",
+        Seq((400L, 500L, "a"), (500L, 600L, "b")), "pk")
+      val out = java.nio.file.Files.createTempDirectory("graft_pk_out_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_pk_ckpt_").toString
+      OnChange.streamingPackDelta(s, chunks, "doc_id", "source", "ws_tokens",
+        capacity = 512L, shardSize = 300L, table, out, ckpt)
+      s.read.parquet(out)
+        .select(col("id").as("doc_id"), col("grp").as("source"), col("shard"),
+          col("bin_first"), col("bin_last"), col("offset_in_bin"))
+        .orderBy("doc_id")
+    }),
+
     "p13_bin_manifest" -> ((s, dir) => {
       // the loader-facing view of p10: per (shard, bin) the ordered doc
       // segments (token range within the doc + offset within the bin),
@@ -2465,6 +2494,27 @@ object SparkEntry {
         |        ELSE (pre + ws_tokens - 1) // 512 END)::BIGINT AS bin_last,
         |  (pre % 512)::BIGINT AS offset_in_bin
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the one-shot packer restricted to the streamed ids — valid
+    // because the streamed region appends at its shard's tail, so
+    // as-of-arrival placements are final (see the query comment)
+    "p17_stream_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens,
+        |    (doc_id // 300)::BIGINT AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, ws_tokens, shard,
+        |    coalesce(sum(ws_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pre
+        |  FROM t)
+        |SELECT doc_id, source, shard,
+        |  (pre // 512)::BIGINT AS bin_first,
+        |  (CASE WHEN ws_tokens <= 0 THEN pre // 512
+        |        ELSE (pre + ws_tokens - 1) // 512 END)::BIGINT AS bin_last,
+        |  (pre % 512)::BIGINT AS offset_in_bin
+        |FROM c WHERE doc_id >= 400 AND doc_id < 600 ORDER BY doc_id""".stripMargin,
 
     // p6's permutation machinery composed with p10's placement
     // arithmetic: prefix sums run per (source, permutation-shard)

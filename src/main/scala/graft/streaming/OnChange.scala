@@ -477,6 +477,52 @@ object OnChange {
     spark.catalog.refreshTable(indexTable)
   }
 
+  /** STREAMING incremental PACKING — the operational loop for the
+    * loader-side pack state (p15), the same closure discipline as the
+    * dedup families and the refinery: each micro-batch of docs
+    * extends/repacks ONLY its touched shards against the standing
+    * placement table (`PackIndex.packDelta` — token counts come from
+    * standing rows, untouched shards never read), writes the batch
+    * docs' placements per-batch, and absorbs (dynamic partition
+    * overwrite) so later batches pack against this one through the
+    * standing state alone. Replay contract: per-batch overwrite + a
+    * `<table>_batches` marker guarding the absorb; the delta is
+    * PINNED before the absorb mutates the partitions it reads (the
+    * streamingRecipe discipline). After the run the standing table
+    * equals the one-shot packer over everything streamed — the p15
+    * invariant, batch ≡ streaming. */
+  def streamingPackDelta(spark: SparkSession, docsDir: String, idCol: String,
+                         groupCol: String, tokenCol: String, capacity: Long,
+                         shardSize: Long, table: String,
+                         outPath: String, checkpointDir: String): Unit = {
+    val schema = spark.read.parquet(docsDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bs = batch.sparkSession
+        import bs.implicits._
+        val markers = s"${table}_batches"
+        if (!bs.catalog.tableExists(markers) ||
+            bs.table(markers).filter(col("batch_id") === batchId).isEmpty) {
+          val delta = graft.core.Checkpoints.truncate(
+            graft.text.PackIndex.packDelta(bs, batch, idCol, groupCol, tokenCol,
+              capacity, shardSize, table))
+          delta.filter(col("from_batch"))
+            .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+          graft.text.PackIndex.absorbPackDelta(bs, table, delta)
+          Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(markers)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.catalog.refreshTable(table)
+  }
+
   /** STREAMING incremental SIMHASH dedup — the operational loop for
     * the fingerprint family (d4/d22), giving ALL FIVE dedup index
     * families streaming closure: each micro-batch fingerprints itself

@@ -54,7 +54,9 @@ object PackIndex {
                      tokenCol: String, capacity: Long, shardSize: Long,
                      table: String): String = {
     val spark = docs.sparkSession
-    graft.core.Tables.drop(spark, table)
+    // _batches too: a rebuild must reset the streaming loop's replay
+    // markers (the buildSimhashIndex discipline)
+    Seq(table, s"${table}_batches").foreach(graft.core.Tables.drop(spark, _))
     TextAnalysis.packSequencesBy(normalize(docs, idCol, groupCol, tokenCol, shardSize),
         "id", "grp", "tok", capacity, shardCol = "shard", posCol = "id")
       .write.partitionBy("shard").saveAsTable(table)
@@ -117,6 +119,63 @@ object PackIndex {
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
     spark.catalog.refreshTable(table)
+  }
+
+  /** The pack state as a reference-shaped INCREMENTAL CRON JOB — the
+    * last link of the operational chain (raw log → recipeJob →
+    * mixture → packJob → loader placements), the same jobs discipline
+    * as [[graft.jobs.Recipe.recipeJob]]: each firing drains the doc
+    * log from the stored continuation token, collapses re-emits in
+    * the window (`ChangeLog.latestOnly` — packDelta requires one
+    * version per id), runs [[packDelta]], absorbs, and UPSERTS the
+    * batch docs' placements into `placementsName` keyed by doc id —
+    * so redelivered windows and re-ingested ids replace, never
+    * duplicate (absorb itself is idempotent per delta). The token
+    * advances to max(recorded) captured before the run — the
+    * at-least-once contract. */
+  def packJob(registry: graft.jobs.DatasetRegistry, logName: String,
+              idCol: String, groupCol: String, tokenCol: String,
+              recordedCol: String, capacity: Long, shardSize: Long,
+              table: String, placementsName: String,
+              cron: String = "0 4 * * *"): graft.jobs.CronJob = {
+    import graft.jobs._
+    val jobId = s"pack_$placementsName"
+    CronJob(
+      id = jobId,
+      cron = Cron.parse(cron),
+      makeJob = since => Job(
+        id = jobId,
+        source = FunctionSource { _ =>
+          val log = registry.get(logName)
+          val windowed = since.map(t => log.filter(col(recordedCol) > t)).getOrElse(log)
+          graft.ops.ChangeLog.latestOnly(windowed, idCol, recordedCol)
+        },
+        transform = batch0 => {
+          val spark = batch0.sparkSession
+          // pin the window, compute the delta, pin it, absorb, emit
+          // only the batch docs' placements (the p17 emission shape)
+          val batch = graft.core.Checkpoints.truncate(
+            batch0.select(col(idCol), col(groupCol), col(tokenCol)))
+          val delta = graft.core.Checkpoints.truncate(
+            packDelta(spark, batch, idCol, groupCol, tokenCol,
+              capacity, shardSize, table))
+          absorbPackDelta(spark, table, delta)
+          // upsert EVERY placement of the touched shards, not just the
+          // batch docs': an out-of-order insert or supersede displaces
+          // same-shard neighbours, and a downstream loader must see
+          // every placement that may have moved (in the append-at-tail
+          // regime the standing rows re-emit with identical values —
+          // the upsert is a no-op for them)
+          delta.select(col("id").as(idCol), col("grp").as(groupCol),
+            col("tok").as(tokenCol), col("shard"), col("bin_first"),
+            col("bin_last"), col("offset_in_bin"))
+        },
+        sink = UpsertSink(registry, placementsName, idCol),
+        sourceName = logName, sinkName = placementsName),
+      nextToken = () => {
+        val mx = registry.get(logName).agg(max(col(recordedCol))).collect()(0)
+        if (mx.isNullAt(0)) None else Some(mx.getLong(0))
+      })
   }
 
   private def normalize(docs: DataFrame, idCol: String, groupCol: String,

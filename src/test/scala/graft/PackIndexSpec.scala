@@ -131,6 +131,83 @@ class PackIndexSpec extends SparkSpec {
       "an out-of-order id must interleave exactly as the one-shot packer would")
   }
 
+  test("streaming pack: per-batch emissions equal the batch loop; state equals one-shot") {
+    val s = spark; import s.implicits._
+    val standing = (0L until 100L).map(i => (i, "s", 7L))
+    val b1 = (100L until 110L).map(i => (i, "s", 9L))
+    val b2 = (110L until 120L).map(i => (i, "s", 13L))
+    // batch-mode reference emissions
+    PackIndex.buildPackState(df(standing), "id", "src", "tok", Cap, ShardSize, "pk_ref")
+    def emission(d: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long, Long)] =
+      d.filter(col("from_batch"))
+        .select("id", "shard", "bin_first", "bin_last", "offset_in_bin")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq.sorted
+    val e1 = emission(cycle("pk_ref", b1))
+    val e2 = emission(cycle("pk_ref", b2))
+    // streaming over the same two micro-batches
+    PackIndex.buildPackState(df(standing), "id", "src", "tok", Cap, ShardSize, "pk_str")
+    val staged = df(b1 ++ b2)
+    val docsDir = SparkEntry.stageMicroBatches(staged, "id",
+      Seq((100L, 110L, "a"), (110L, 120L, "b")), "pks")
+    val out = java.nio.file.Files.createTempDirectory("graft_pks_out_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pks_ckpt_").toString
+    graft.streaming.OnChange.streamingPackDelta(spark, docsDir, "id", "src", "tok",
+      Cap, ShardSize, "pk_str", out, ckpt)
+    def streamed(b: Int): Seq[(Long, Long, Long, Long, Long)] =
+      spark.read.parquet(s"$out/batch_id=$b")
+        .select("id", "shard", "bin_first", "bin_last", "offset_in_bin")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq.sorted
+    assert(streamed(0) == e1, "streaming batch 0 must equal the batch-mode emission 1")
+    assert(streamed(1) == e2, "streaming batch 1 must equal the batch-mode emission 2")
+    assert(state("pk_str") == oneShot(standing ++ b1 ++ b2),
+      "after the stream the standing state must equal the one-shot packer")
+    assert(state("pk_str") == state("pk_ref"), "streaming ≡ batch standing state")
+  }
+
+  test("pack cron job: tokens advance, windows drain, placements upsert, redelivery is clean") {
+    import graft.jobs._
+    import java.time.LocalDateTime
+    val s = spark; import s.implicits._
+    val standing = (0L until 100L).map(i => (i, "s", 7L))
+    PackIndex.buildPackState(df(standing), "id", "src", "tok", Cap, ShardSize, "pk_job")
+    val reg = new DatasetRegistry
+    val b1 = (100L until 110L).map(i => (i, "s", 9L))
+    reg.put("toklog", df(b1).withColumn("recorded", lit(1L)))
+    val sched = new CronScheduler(Seq(PackIndex.packJob(reg, "toklog",
+      "id", "src", "tok", "recorded", Cap, ShardSize, "pk_job", "placements")))
+    def placed(): Map[Long, (Long, Long, Long, Long)] =
+      reg.get("placements").select("id", "shard", "bin_first", "bin_last", "offset_in_bin")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+    // day 1, 04:00: window 1 drains — the emission carries EVERY
+    // placement of the touched shard (standing 64..99 re-emitted
+    // unchanged, the batch appended at the tail)
+    assert(sched.tick(spark, reg, LocalDateTime.of(2026, 8, 14, 4, 0)) == Seq("pack_placements"))
+    assert(sched.token("pack_placements").contains(1L))
+    val os1 = oneShot(standing ++ b1)
+    assert(placed() == (64L until 110L).map(i => i -> os1(i)).toMap)
+    // day 2: b2 lands PLUS a re-ingest of id 105 with a new width; the
+    // window collapses to latest, the repack displaces 106..109, and
+    // the upsert replaces every moved placement
+    val b2 = (110L until 120L).map(i => (i, "s", 13L))
+    reg.put("toklog", reg.get("toklog").unionByName(
+      (df(b2 :+ (105L, "s", 40L))).withColumn("recorded", lit(2L))))
+    assert(sched.tick(spark, reg, LocalDateTime.of(2026, 8, 15, 4, 0)) == Seq("pack_placements"))
+    val eff = (standing ++ b1).map { case t @ (i, g, _) => if (i == 105L) (i, g, 40L) else t } ++ b2
+    val os2 = oneShot(eff)
+    assert(state("pk_job") == os2, "state equals the one-shot over the effective corpus")
+    assert(placed() == (64L until 120L).map(i => i -> os2(i)).toMap,
+      "placements must carry every touched-shard placement at its post-repack value")
+    // redelivery with the stale token: placements unchanged
+    PackIndex.packJob(reg, "toklog", "id", "src", "tok", "recorded",
+        Cap, ShardSize, "pk_job", "placements")
+      .makeJob(Some(1L)).run(spark, Some(reg))
+    assert(state("pk_job") == os2 && placed() == (64L until 120L).map(i => i -> os2(i)).toMap)
+    assert(reg.lineage.contains(("toklog", "placements", "transform")))
+  }
+
   test("packDelta is read-only, runs ONE driver action, and rejects multi-version batches") {
     val standing = (0L until 40L).map(i => (i, "s", 7L))
     PackIndex.buildPackState(df(standing), "id", "src", "tok", Cap, ShardSize, "pk_ro")
