@@ -288,14 +288,18 @@ object Recipe {
     val s2 = graft.core.Checkpoints.truncate(
       Dedup.scrubSpans(s1, spans2, textCol, idCol)
         .select(col("id").as(idCol), col("scrubbed").as(textCol)))
-    // pin the trained model BEFORE the swap (it reads only s2, but a
-    // lazy write racing the drop of its own target is not a plan to
-    // leave possible)
-    val model = graft.core.Checkpoints.truncate(
-      TextAnalysis.trainQualityModel(
-        s2.join(docs.select(col(idCol), col(labelCol)), idCol), textCol, labelCol))
+    // swap-write, not drop-then-write-in-place: a crash between a
+    // drop and the rewrite would leave NO model and fail every batch
+    // until the next firing — write the new model beside the old one
+    // and take the name last (the compactByKey rewrite discipline;
+    // the exposure shrinks to the rename)
+    val tmp = s"${st.model}__refresh"
+    graft.core.Tables.drop(spark, tmp)
+    TextAnalysis.trainQualityModel(
+        s2.join(docs.select(col(idCol), col(labelCol)), idCol), textCol, labelCol)
+      .write.saveAsTable(tmp)
     graft.core.Tables.drop(spark, st.model)
-    model.write.saveAsTable(st.model)
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `${st.model}`")
     spark.catalog.refreshTable(st.model)
   }
 

@@ -110,16 +110,26 @@ object PackIndex {
   def absorbPackDelta(spark: SparkSession, table: String,
                       delta: DataFrame): Unit = {
     val cols = spark.table(table).columns
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try delta.select(cols.map(col).toIndexedSeq: _*)
-      .write.mode("overwrite").insertInto(table)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    // partitionOverwriteMode is SESSION-global while absorbs may run
+    // from more than one thread (a streaming loop + a cron firing):
+    // serialize the set→write→restore so a concurrent absorb can't
+    // observe — or clobber — the temporary mode (the Checkpoints
+    // install-lock discipline). Absorbs of one TABLE are single-writer
+    // by the family contract; this lock is about the shared conf.
+    PackIndex.overwriteModeLock.synchronized {
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try delta.select(cols.map(col).toIndexedSeq: _*)
+        .write.mode("overwrite").insertInto(table)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
     }
     spark.catalog.refreshTable(table)
   }
+
+  private val overwriteModeLock = new Object
 
   /** The pack state as a reference-shaped INCREMENTAL CRON JOB — the
     * last link of the operational chain (raw log → recipeJob →
