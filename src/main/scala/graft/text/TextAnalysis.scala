@@ -633,7 +633,15 @@ object TextAnalysis {
     * (shards pack in parallel after one uniform shuffle; every window
     * is bounded by the shard's membership); `posCol` must rank docs
     * uniquely within its (group, shard) — ties fall back to id order.
-    * `shardCol` is surfaced as `shard` in the output placements. */
+    * `shardCol` is surfaced as `shard` in the output placements.
+    *
+    * Deliberately ONE-SHOT, unlike the id-ordered packer (which has
+    * the incremental [[PackIndex]] form): an epoch permutation's
+    * ranks are a function of the WHOLE corpus ([[epochShuffle]]'s pos
+    * is a dense per-shard rank), so any corpus growth reassigns
+    * ranks globally and no placement is stable under deltas — a
+    * loader re-derives the epoch stream per epoch from the standing
+    * id-ordered state instead (p6 + this, both one-pass). */
   def packSequencesBy(docs: DataFrame, idCol: String, groupCol: String,
                       tokenCol: String, capacity: Long,
                       shardCol: String, posCol: String): DataFrame = {
