@@ -1330,11 +1330,14 @@ object SparkEntry {
       // micro-batches over the standing pack state (the rest of the
       // corpus); each batch extends/repacks only its touched shards
       // and absorbs so batch b packs against batch a through the
-      // standing state alone. With shardSize 300 the streamed region
-      // is an append at shard 1's tail behind standing docs 300..399
-      // — so the per-batch placements are final, and the union of
-      // emissions equals the one-shot packer restricted to streamed
-      // ids (the d10/d19 streaming-oracle discipline)
+      // standing state alone. Each batch emits the FULL touched-shard
+      // delta (a superseding batch displaces same-shard standing
+      // placements, so a loader must see every placement that may
+      // have moved); the consumer view is LATEST EMISSION PER ID —
+      // which equals the one-shot packer restricted to the ids of the
+      // touched shards ([300, 600) here: docs 400..599 stream, their
+      // shard-1 neighbours 300..399 re-emit), because an id's shard
+      // is only ever repacked to its current one-shot placement
       val docs = t(s, dir, "documents")
       val counts = docs.select(col("doc_id"), col("source"),
         TextAnalysis.wsTokens(col("text")).as("ws_tokens"))
@@ -1347,7 +1350,10 @@ object SparkEntry {
       val ckpt = java.nio.file.Files.createTempDirectory("graft_pk_ckpt_").toString
       OnChange.streamingPackDelta(s, chunks, "doc_id", "source", "ws_tokens",
         capacity = 512L, shardSize = 300L, table, out, ckpt)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("batch_id").desc)
       s.read.parquet(out)
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
         .select(col("id").as("doc_id"), col("grp").as("source"), col("shard"),
           col("bin_first"), col("bin_last"), col("offset_in_bin"))
         .orderBy("doc_id")
@@ -2495,9 +2501,11 @@ object SparkEntry {
         |  (pre % 512)::BIGINT AS offset_in_bin
         |FROM c ORDER BY doc_id""".stripMargin,
 
-    // the one-shot packer restricted to the streamed ids — valid
-    // because the streamed region appends at its shard's tail, so
-    // as-of-arrival placements are final (see the query comment)
+    // the one-shot packer restricted to the TOUCHED SHARDS' ids
+    // (streamed docs 400..599 plus their shard-1 neighbours 300..399,
+    // re-emitted by the full-delta contract) — valid because the
+    // latest emission per id is always its current one-shot placement
+    // (see the query comment)
     "p17_stream_pack" ->
       """WITH t AS (
         |  SELECT doc_id, source,
@@ -2514,7 +2522,7 @@ object SparkEntry {
         |  (CASE WHEN ws_tokens <= 0 THEN pre // 512
         |        ELSE (pre + ws_tokens - 1) // 512 END)::BIGINT AS bin_last,
         |  (pre % 512)::BIGINT AS offset_in_bin
-        |FROM c WHERE doc_id >= 400 AND doc_id < 600 ORDER BY doc_id""".stripMargin,
+        |FROM c WHERE doc_id >= 300 AND doc_id < 600 ORDER BY doc_id""".stripMargin,
 
     // p6's permutation machinery composed with p10's placement
     // arithmetic: prefix sums run per (source, permutation-shard)

@@ -64,4 +64,28 @@ object Checkpoints {
       case None => df.localCheckpoint()
     }
   }
+
+  /** [[truncate]] plus the row count, measured DURING the checkpoint's
+    * own materialization job via an observed metric (`Dataset.observe`
+    * plants a pass-through CollectMetrics node whose accumulator the
+    * eager checkpoint populates) — NO second driver action. For
+    * operators that pin a batch and then branch on its size (e.g. the
+    * simhash delta's all-pairs vs chunk-key leg), this keeps the
+    * one-action-per-batch discipline the delta families share. */
+  def truncateCounted(df: DataFrame): (DataFrame, Long) = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val name = "graft.truncate.n"
+    val observed = df.observe(name, count(lit(1)))
+    val out = truncate(observed)
+    val n = observed.queryExecution.observedMetrics.get(name) match {
+      case Some(row) => row.getLong(0)
+      case None =>
+        // defensive: if an engine version stops materializing observed
+        // metrics under checkpoint, fall back to the (cheap —
+        // already-materialized input) explicit count rather than
+        // miscounting as zero
+        out.count()
+    }
+    (out, n)
+  }
 }

@@ -675,8 +675,12 @@ object Dedup {
                         textCol: String, idCol: String, maxDist: Int,
                         indexTable: String): DataFrame = {
     // fingerprint the batch ONCE: the self-join's two sides and the
-    // index probe all read the materialized (id, simhash) batch
-    val bfps = graft.core.Checkpoints.truncate(simhash(newDocs, textCol, idCol))
+    // index probe all read the materialized (id, simhash) batch; the
+    // leg-picking size rides the SAME materialization job as an
+    // observed metric — one driver action per batch, the processBatch
+    // / packDelta discipline
+    val (bfps, nBatch) =
+      graft.core.Checkpoints.truncateCounted(simhash(newDocs, textCol, idCol))
     val batchIds = newDocs.select(col(idCol).as("id")).distinct()
     // the PROBE side carries the combo index for the exact-once
     // filter; the stored index keeps its plain fused keys
@@ -695,7 +699,6 @@ object Dedup {
     // overhead a flat popcount loop doesn't. Beyond the cutoff
     // (batch² no longer trivial) the lossless chunk-key generator
     // takes over — the corpus-scale shape.
-    val nBatch = bfps.count()
     val newPairs =
       if (nBatch <= SimhashAllPairsMax)
         bfps.as("x").join(broadcast(bfps).as("y"), col("x.id") < col("y.id"))

@@ -482,8 +482,13 @@ object OnChange {
     * dedup families and the refinery: each micro-batch of docs
     * extends/repacks ONLY its touched shards against the standing
     * placement table (`PackIndex.packDelta` — token counts come from
-    * standing rows, untouched shards never read), writes the batch
-    * docs' placements per-batch, and absorbs (dynamic partition
+    * standing rows, untouched shards never read), writes the FULL
+    * touched-shard delta per-batch (the packJob emission shape: an
+    * out-of-order or superseding batch displaces same-shard standing
+    * placements, and a downstream loader must see every placement
+    * that may have moved — latest emission per id IS the current
+    * placement; in the append-at-tail regime standing rows re-emit
+    * with identical values), and absorbs (dynamic partition
     * overwrite) so later batches pack against this one through the
     * standing state alone. Replay contract: per-batch overwrite + a
     * `<table>_batches` marker guarding the absorb; the delta is
@@ -509,8 +514,7 @@ object OnChange {
           val delta = graft.core.Checkpoints.truncate(
             graft.text.PackIndex.packDelta(bs, batch, idCol, groupCol, tokenCol,
               capacity, shardSize, table))
-          delta.filter(col("from_batch"))
-            .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+          delta.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
           graft.text.PackIndex.absorbPackDelta(bs, table, delta)
           Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(markers)
         }

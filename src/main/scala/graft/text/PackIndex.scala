@@ -45,6 +45,12 @@ import org.apache.spark.sql.functions._
   */
 object PackIndex {
 
+  /** Touched-shard count up to which [[packDelta]] prunes the standing
+    * read with a literal `isin` (static partition pruning at plan
+    * time); above it, a broadcast semi-join on a shards frame (dynamic
+    * pruning, no giant literal expression tree). */
+  val IsinShardMax = 1000
+
   /** Build the standing packed state from a corpus snapshot: one-shot
     * placements persisted partitioned by shard. The SAME capacity and
     * shardSize must be passed to [[packDelta]] (the index families'
@@ -74,7 +80,8 @@ object PackIndex {
     * supersedes its standing placement (broadcast anti-join). */
   def packDelta(spark: SparkSession, batch: DataFrame, idCol: String,
                 groupCol: String, tokenCol: String, capacity: Long,
-                shardSize: Long, table: String): DataFrame = {
+                shardSize: Long, table: String,
+                isinShardMax: Int = IsinShardMax): DataFrame = {
     val bp = graft.core.Checkpoints.truncate(
       normalize(batch, idCol, groupCol, tokenCol, shardSize))
     // ONE action: per-shard row/distinct-id counts give the
@@ -90,10 +97,26 @@ object PackIndex {
           "(ChangeLog.latestOnly) before packing")
     }
     val shards = stats.map(_.getLong(0))
-    // touched partitions only (static pruning on the collected list);
-    // superseded ids' standing rows drop before the repack
-    val standing = spark.table(table)
-      .filter(col("shard").isin(shards.toIndexedSeq: _*))
+    // touched partitions only. The operational regime (batch ≪ corpus)
+    // keeps the touched-shard list small → a literal isin, which the
+    // planner folds into STATIC partition pruning (no partitions of
+    // untouched shards even listed). A bulk backfill touching many
+    // shards would turn that literal list into a giant expression tree
+    // (planning pain past ~10⁵ entries), so above the threshold the
+    // filter becomes a broadcast semi-join on a shards frame — the
+    // shape that degrades gracefully: Spark's dynamic partition
+    // pruning picks up the broadcast side at runtime, and the join
+    // itself is metadata-sized. Superseded ids' standing rows drop
+    // before the repack either way.
+    val standingAll = spark.table(table)
+    val touched =
+      if (shards.length <= isinShardMax)
+        standingAll.filter(col("shard").isin(shards.toIndexedSeq: _*))
+      else {
+        import spark.implicits._
+        standingAll.join(broadcast(shards.toIndexedSeq.toDF("shard")), Seq("shard"), "leftsemi")
+      }
+    val standing = touched
       .join(broadcast(bp.select("id").distinct()), Seq("id"), "left_anti")
       .select(col("id"), col("grp"), col("tok"), col("shard"),
         lit(false).as("from_batch"))
@@ -110,26 +133,21 @@ object PackIndex {
   def absorbPackDelta(spark: SparkSession, table: String,
                       delta: DataFrame): Unit = {
     val cols = spark.table(table).columns
-    // partitionOverwriteMode is SESSION-global while absorbs may run
-    // from more than one thread (a streaming loop + a cron firing):
-    // serialize the set→write→restore so a concurrent absorb can't
-    // observe — or clobber — the temporary mode (the Checkpoints
-    // install-lock discipline). Absorbs of one TABLE are single-writer
-    // by the family contract; this lock is about the shared conf.
-    PackIndex.overwriteModeLock.synchronized {
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try delta.select(cols.map(col).toIndexedSeq: _*)
-        .write.mode("overwrite").insertInto(table)
-      finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-    }
+    // the overwrite mode rides a SESSION CLONE scoped to this write,
+    // not the shared session conf: no set→write→restore window for a
+    // concurrent writer to observe or clobber, no lock — a streaming
+    // loop's absorb and a cron firing can overlap on DIFFERENT tables
+    // freely. (A per-write DataFrameWriter option can't serve here:
+    // the analyzer's self-overwrite check and the dynamic-mode
+    // decision both read the session conf, and the delta deliberately
+    // READS the table it overwrites.) Absorbs of one table stay
+    // single-writer by the family contract.
+    org.apache.spark.sql.graft.SessionBridge
+      .withConf(delta.select(cols.map(col).toIndexedSeq: _*),
+        "spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .write.mode("overwrite").insertInto(table)
     spark.catalog.refreshTable(table)
   }
-
-  private val overwriteModeLock = new Object
 
   /** The pack state as a reference-shaped INCREMENTAL CRON JOB — the
     * last link of the operational chain (raw log → recipeJob →

@@ -662,4 +662,44 @@ class DedupSpec extends SparkSpec {
     assert(spansVs(table) == spansVs(rebuilt),
       s"absorbed ${spansVs(table)} != rebuilt ${spansVs(rebuilt)}")
   }
+
+  test("truncateCounted: the leg-pick count rides the checkpoint job — no extra driver action") {
+    import spark.implicits._
+    def jobsDuring(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        var last = -1
+        while (n.get() != last) { last = n.get(); Thread.sleep(300L) }
+        n.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val mk = () => (0L until 257L).map(i => (i, s"w$i a b")).toDF("doc_id", "text")
+    // counted pin: same number of Spark jobs as the plain pin, count exact
+    var counted: (org.apache.spark.sql.DataFrame, Long) = null
+    val jCounted = jobsDuring { counted = graft.core.Checkpoints.truncateCounted(mk()) }
+    val jPlain = jobsDuring { graft.core.Checkpoints.truncate(mk()) }
+    assert(counted._2 == 257L, s"observed count ${counted._2}")
+    assert(counted._1.count() == 257L)
+    assert(jCounted == jPlain,
+      s"truncateCounted ran $jCounted jobs vs plain truncate's $jPlain — the count must ride the checkpoint job")
+    // and simhashPairsDelta (plan construction, pre-action) pays exactly
+    // the batch-pin jobs — the leg pick no longer adds an action
+    val table = "simhash_onejob_spec"
+    Dedup.buildSimhashIndex(mk().limit(3), "text", "doc_id", 10, table, buckets = 4)
+    val jDelta = jobsDuring {
+      Dedup.simhashPairsDelta(spark, mk().limit(5), "text", "doc_id", 10, table)
+    }
+    val jPin = jobsDuring {
+      graft.core.Checkpoints.truncateCounted(Dedup.simhash(mk().limit(5), "text", "doc_id"))
+    }
+    assert(jDelta == jPin,
+      s"simhashPairsDelta ran $jDelta jobs vs the bare batch pin's $jPin — it must not add driver actions")
+  }
 }

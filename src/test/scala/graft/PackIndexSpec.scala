@@ -131,25 +131,30 @@ class PackIndexSpec extends SparkSpec {
       "an out-of-order id must interleave exactly as the one-shot packer would")
   }
 
-  test("streaming pack: per-batch emissions equal the batch loop; state equals one-shot") {
+  test("streaming pack: full-delta emissions equal the batch loop; latest-per-id is the loader view") {
     val s = spark; import s.implicits._
     val standing = (0L until 100L).map(i => (i, "s", 7L))
     val b1 = (100L until 110L).map(i => (i, "s", 9L))
     val b2 = (110L until 120L).map(i => (i, "s", 13L))
-    // batch-mode reference emissions
+    // batch 3 SUPERSEDES id 70 (7 → 40 tokens): standing placements
+    // 71..99 and the streamed 100..119 all displace — the ADVICE case:
+    // a from_batch-only emission would leave a downstream consumer
+    // with stale coordinates for every one of them
+    val b3 = Seq((70L, "s", 40L))
+    // batch-mode reference emissions: the FULL touched-shard delta
     PackIndex.buildPackState(df(standing), "id", "src", "tok", Cap, ShardSize, "pk_ref")
     def emission(d: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long, Long)] =
-      d.filter(col("from_batch"))
-        .select("id", "shard", "bin_first", "bin_last", "offset_in_bin")
+      d.select("id", "shard", "bin_first", "bin_last", "offset_in_bin")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
         .toSeq.sorted
     val e1 = emission(cycle("pk_ref", b1))
     val e2 = emission(cycle("pk_ref", b2))
-    // streaming over the same two micro-batches
+    val e3 = emission(cycle("pk_ref", b3))
+    // streaming over the same three micro-batches
     PackIndex.buildPackState(df(standing), "id", "src", "tok", Cap, ShardSize, "pk_str")
-    val staged = df(b1 ++ b2)
+    val staged = df(b1 ++ b2 ++ b3)
     val docsDir = SparkEntry.stageMicroBatches(staged, "id",
-      Seq((100L, 110L, "a"), (110L, 120L, "b")), "pks")
+      Seq((100L, 110L, "a"), (110L, 120L, "b"), (70L, 71L, "c")), "pks")
     val out = java.nio.file.Files.createTempDirectory("graft_pks_out_").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_pks_ckpt_").toString
     graft.streaming.OnChange.streamingPackDelta(spark, docsDir, "id", "src", "tok",
@@ -159,11 +164,30 @@ class PackIndexSpec extends SparkSpec {
         .select("id", "shard", "bin_first", "bin_last", "offset_in_bin")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
         .toSeq.sorted
-    assert(streamed(0) == e1, "streaming batch 0 must equal the batch-mode emission 1")
-    assert(streamed(1) == e2, "streaming batch 1 must equal the batch-mode emission 2")
-    assert(state("pk_str") == oneShot(standing ++ b1 ++ b2),
-      "after the stream the standing state must equal the one-shot packer")
+    assert(streamed(0) == e1, "streaming batch 0 must emit the full batch-mode delta 1")
+    assert(streamed(1) == e2, "streaming batch 1 must emit the full batch-mode delta 2")
+    assert(streamed(2) == e3, "streaming batch 2 must emit the full batch-mode delta 3")
+    // the supersede's displacements are IN its emission
+    val moved = e3.map(t => t._1 -> t).toMap
+    assert((71L until 120L).forall(moved.contains),
+      "displaced standing/streamed placements must re-emit with the superseding batch")
+    val effective = standing.map { case t @ (i, g, _) => if (i == 70L) (i, g, 40L) else t } ++
+      b1 ++ b2
+    assert(state("pk_str") == oneShot(effective),
+      "after the stream the standing state must equal the one-shot packer (effective corpus)")
     assert(state("pk_str") == state("pk_ref"), "streaming ≡ batch standing state")
+    // the loader view: latest emission per id == final placement
+    val latest = spark.read.parquet(out)
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("batch_id").desc)))
+      .filter(col("__rn") === 1)
+      .select("id", "shard", "bin_first", "bin_last", "offset_in_bin")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val os = oneShot(effective)
+    assert(latest == latest.keySet.map(i => i -> os(i)).toMap,
+      "latest emission per id must equal the one-shot placement")
   }
 
   test("pack cron job: tokens advance, windows drain, placements upsert, redelivery is clean") {
@@ -243,5 +267,36 @@ class PackIndexSpec extends SparkSpec {
     PackIndex.absorbPackDelta(spark, "pk_ro", d)
     assert(state("pk_ro") == oneShot(standing :+ (40L, "s", 5L)),
       "re-absorbing the same delta must be idempotent")
+  }
+
+  test("many-shard batch: broadcast semi-join path keeps the delta identity; small batch stays statically pruned") {
+    // small batch (below the threshold): the literal isin folds into
+    // STATIC partition pruning — the standing scan reads exactly the
+    // touched partition's files
+    val standing = (0L until 10L * ShardSize).map(i => (i, "s", 7L))
+    PackIndex.buildPackState(df(standing), "id", "src", "tok", Cap, ShardSize, "pk_many")
+    val small = PackIndex.packDelta(spark, df(Seq((5L, "s", 9L))), "id", "src", "tok",
+      Cap, ShardSize, "pk_many")
+    val plan = planOf(small)
+    assert(plan.contains("PartitionFilters") && plan.contains("shard"), plan)
+    // sparkPlan, not executedPlan: AQE wraps the latter and hides the
+    // scan from collect; static pruning is decided before AQE anyway
+    val pruned = small.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.selectedPartitions.partitionCount
+    }
+    assert(pruned == Seq(1),
+      s"a one-shard batch must prune the standing scan to 1 of 10 partitions, got $pruned")
+    // many-shard batch (above the threshold): the shards frame rides a
+    // broadcast semi-join instead of a giant literal tree — same result
+    val batch = (0L until 6L).map(i => (i * ShardSize + 1L, "s", 11L))
+    val viaJoin = PackIndex.packDelta(spark, df(batch), "id", "src", "tok",
+      Cap, ShardSize, "pk_many", isinShardMax = 4)
+    assert(planOf(viaJoin).contains("BroadcastHashJoin"),
+      "above the threshold the touched-shard filter must be a broadcast join")
+    PackIndex.absorbPackDelta(spark, "pk_many", viaJoin)
+    val effective = standing.map { case t @ (i, g, _) =>
+      if (i % ShardSize == 1L && i / ShardSize < 6L) (i, g, 11L) else t }
+    assert(state("pk_many") == oneShot(effective),
+      "the broadcast-join path must land the same one-shot-equal state")
   }
 }
