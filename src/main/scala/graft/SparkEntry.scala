@@ -57,6 +57,62 @@ object SparkEntry {
       " || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END" +
       " || CASE WHEN doc_id % 3 = 0 THEN ' from host 10.1.2.' || (doc_id % 256) ELSE '' END"
 
+  /** Deterministic ASCII-punctuation planting shared by the x14 query
+    * and its oracle — bytes the 36-symbol alphabet cannot express
+    * (no parens or single quotes: the oracle's parenthesized-symbol
+    * replay machinery owns those). Lockstep twin of [[plantPunctSql]]. */
+  private def plantPunct(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(substring(col("text"), 1, 200),
+      lit(" mix: id="), col("doc_id"),
+      lit(", 50% off!! a.b=c; path/to/file \"q\" & #tag ?end.")).as("text"))
+
+  /** `plantPunct` as a SQL expression over `documents` (single-line —
+    * see `plantPiiSql`). */
+  private val plantPunctSql: String =
+    "substr(text, 1, 200) || ' mix: id=' || doc_id || " +
+      "', 50% off!! a.b=c; path/to/file \"q\" & #tag ?end.'"
+
+  /** The deep-table BYTE-LEVEL encode replay shared by the x13/x14
+    * oracles: a 4096-deep single replace chain blows the DuckDB
+    * parser, so the rank-order sweep runs as 64 sequential CTEs of 64
+    * nested replaces each — same semantics, bounded expression depth —
+    * over the DISTINCT words (vocabulary-sized, not corpus-sized),
+    * joined back to word instances. Byte-level ids: single-char
+    * symbols fall through to ord() (≡ the byte value while the corpus
+    * is ASCII — verified single-byte), merge symbols hit 256+rank
+    * rows generated from the same checked-in table the kernel
+    * carries. `head` supplies the CTE(s) ending in w(doc_id, ws). */
+  private def deepEncodeSql(head: String): String = {
+    val merges = graft.text.Bpe.DeepMerges
+    val chunk = 64
+    val ctes = merges.grouped(chunk).zipWithIndex.map { case (ms, ci) =>
+      val expr = ms.foldLeft("s") { case (e, (a, b)) =>
+        s"replace($e,'($a)($b)','(${a + b})')"
+      }
+      s"c${ci + 1} AS (SELECT wd, $expr AS s FROM c$ci)"
+    }.mkString(",\n")
+    val last = s"c${(merges.size + chunk - 1) / chunk}"
+    val mergeVals = merges.zipWithIndex
+      .map { case ((a, b), r) => s"('${a + b}', ${256 + r})" }.mkString(", ")
+    s"""WITH $head,
+       |t AS (SELECT doc_id, t.i AS widx, ws[t.i] AS wd FROM w, unnest(range(1, len(ws)+1)) AS t(i)),
+       |dw AS (SELECT DISTINCT wd FROM t),
+       |c0 AS (SELECT wd, regexp_replace(wd, '(.)', '(\\1)', 'g') AS s FROM dw),
+       |$ctes,
+       |sym AS (
+       |  SELECT wd, u.j AS sidx, l[u.j] AS sym
+       |  FROM (SELECT wd, regexp_extract_all(s, '\\(([^()]*)\\)', 1) AS l FROM $last),
+       |       unnest(range(1, len(l)+1)) AS u(j)),
+       |v(sym, id) AS (VALUES $mergeVals),
+       |ids AS (SELECT wd, sidx, coalesce(v.id, ord(sym))::INT AS id
+       |        FROM sym LEFT JOIN v USING (sym))
+       |SELECT t.doc_id,
+       |  (row_number() OVER (PARTITION BY t.doc_id ORDER BY t.widx, ids.sidx) - 1)::BIGINT AS pos,
+       |  ids.id AS token_id
+       |FROM t JOIN ids USING (wd)
+       |ORDER BY doc_id, pos""".stripMargin
+  }
+
   /** `TextAnalysis.piiScrubText` as a SQL expression over `c`. */
   private def scrubSql(c: String): String =
     s"regexp_replace(regexp_replace(regexp_replace($c, " +
@@ -1055,6 +1111,24 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       docs.select(col("doc_id"),
           posexplode(graft.text.Bpe.bpeEncodeBytes(TextAnalysis.words(col("text")),
+            graft.text.Bpe.DeepMerges)).as(Seq("pos", "token_id")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("token_id").cast("int").as("token_id"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    "x14_bpe_bytes" -> ((s, dir) => {
+      // the byte-level contract EXERCISED beyond [a-z0-9] (x13 feeds
+      // it only lowercase-alnum words): plant deterministic ASCII
+      // punctuation into every doc, split on WHITESPACE ONLY — the
+      // punctuation stays inside the words — and encode under the
+      // same 4096-merge byte-level table. Alphabetic runs still merge
+      // (ids 256+) while ',' '%' '"' '=' pass through as their raw
+      // byte ids (44, 37, 34, 61): no per-deployment alphabet had to
+      // anticipate them, which is the point of the byte base
+      val aug = plantPunct(t(s, dir, "documents"))
+      aug.select(col("doc_id"),
+          posexplode(graft.text.Bpe.bpeEncodeBytes(TextAnalysis.wsWords(col("text")),
             graft.text.Bpe.DeepMerges)).as(Seq("pos", "token_id")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           col("token_id").cast("int").as("token_id"))
@@ -2596,46 +2670,21 @@ object SparkEntry {
          |ORDER BY doc_id, pos""".stripMargin
     },
 
-    // the deep-vocab replay: a 4096-deep single replace chain blows
-    // the parser, so the rank-order sweep runs as 64 sequential CTEs
-    // of 64 nested replaces each — same semantics, bounded expression
-    // depth — over the DISTINCT words (vocabulary-sized, not corpus-
-    // sized), joined back to word instances. Byte-level ids: single-
-    // char symbols map to ord(), merge symbols to 256+rank rows
-    // generated from the same checked-in table the kernel carries
-    "x13_bpe_encode_deep" -> {
-      val merges = graft.text.Bpe.DeepMerges
-      val chunk = 64
-      val ctes = merges.grouped(chunk).zipWithIndex.map { case (ms, ci) =>
-        val expr = ms.foldLeft("s") { case (e, (a, b)) =>
-          s"replace($e,'($a)($b)','(${a + b})')"
-        }
-        s"c${ci + 1} AS (SELECT wd, $expr AS s FROM c$ci)"
-      }.mkString(",\n")
-      val last = s"c${(merges.size + chunk - 1) / chunk}"
-      val mergeVals = merges.zipWithIndex
-        .map { case ((a, b), r) => s"('${a + b}', ${256 + r})" }.mkString(", ")
-      s"""WITH w AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
-         |  FROM documents),
-         |t AS (SELECT doc_id, t.i AS widx, ws[t.i] AS wd FROM w, unnest(range(1, len(ws)+1)) AS t(i)),
-         |dw AS (SELECT DISTINCT wd FROM t),
-         |c0 AS (SELECT wd, regexp_replace(wd, '(.)', '(\\1)', 'g') AS s FROM dw),
-         |$ctes,
-         |sym AS (
-         |  SELECT wd, u.j AS sidx, l[u.j] AS sym
-         |  FROM (SELECT wd, regexp_extract_all(s, '\\(([^()]*)\\)', 1) AS l FROM $last),
-         |       unnest(range(1, len(l)+1)) AS u(j)),
-         |v(sym, id) AS (VALUES $mergeVals),
-         |ids AS (SELECT wd, sidx, coalesce(v.id, ord(sym))::INT AS id
-         |        FROM sym LEFT JOIN v USING (sym))
-         |SELECT t.doc_id,
-         |  (row_number() OVER (PARTITION BY t.doc_id ORDER BY t.widx, ids.sidx) - 1)::BIGINT AS pos,
-         |  ids.id AS token_id
-         |FROM t JOIN ids USING (wd)
-         |ORDER BY doc_id, pos""".stripMargin
-    },
+    // the deep-vocab replay (see deepEncodeSql) over the 36-symbol
+    // words split — x13's corpus is lowercase-alnum by construction
+    "x13_bpe_encode_deep" -> deepEncodeSql(
+      """w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+        |  FROM documents)""".stripMargin),
+
+    // the same replay over WHITESPACE-split words of the punctuation-
+    // planted corpus: symbols outside [a-z0-9] fall through the merge
+    // VALUES to ord() — ',' hashes to 44, '%' to 37 — exactly the
+    // kernel's byte ids (corpus is ASCII, so byte ≡ codepoint)
+    "x14_bpe_bytes" -> deepEncodeSql(
+      s"aug AS (SELECT doc_id, $plantPunctSql AS text FROM documents),\n" +
+        "w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM aug)"),
 
     // the merge chain (one replace per merge, rank order) re-applies
     // the EXACT sweep semantics of the BpeCount kernel — see

@@ -18,11 +18,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
   *  - `byteBase = false` (the x12 contract): ids 0–35 are the fixed
   *    base alphabet `a..z 0..9` (the only symbols
   *    `TextAnalysis.words` can emit); merge r's symbol gets 36 + r.
-  *  - `byteBase = true` (the GPT-2-style byte-level contract): ids
-  *    0–255 are the 256 single-byte symbols — a base character's id
-  *    IS its byte value — and merge r's symbol gets 256 + r, so the
-  *    SAME contract serves any single-byte text without re-deriving
-  *    an alphabet per deployment.
+  *  - `byteBase = true` (the GPT-2-style byte-level contract): each
+  *    word is first encoded to UTF-8 BYTES; ids 0–255 are the 256
+  *    byte symbols — a base symbol's id IS its byte value — and merge
+  *    r's symbol gets 256 + r. TRUE byte-level: any text encodes
+  *    (a multi-byte char decomposes into its UTF-8 bytes — 'é' →
+  *    [0xC3, 0xA9]), never an out-of-vocab error, no per-deployment
+  *    alphabet. Merge-table symbols are accordingly byte strings
+  *    (each char ≤ 0xFF, enforced at construction) — for ASCII-
+  *    trained tables, identical to their plain text.
   *
   * The mapping is by SYMBOL STRING, which requires the table's merged
   * strings to be distinct — enforced at construction via
@@ -37,6 +41,16 @@ case class BpeEncodeIds(child: Expression, merges: Array[Array[String]],
   // distinct merged strings (the id-map precondition) is enforced for
   // both kernels inside requireTrainedShape
   BpeRuntime.requireTrainedShape(merges)
+  // under the byte base every symbol is a byte string: a merge
+  // component carrying a char above 0xFF could never match any input
+  // symbol (inputs are UTF-8 bytes) — reject it loudly up front
+  if (byteBase) merges.zipWithIndex.foreach { case (m, r) =>
+    m.foreach { s =>
+      require(s.forall(_ <= 'ÿ'),
+        s"merge $r: symbol '$s' carries a char above 0xFF — byte-level symbols " +
+          "are byte strings (train on byte-mapped text, or use byteBase = false)")
+    }
+  }
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "bpe_encode"
@@ -74,7 +88,10 @@ case class BpeEncodeIds(child: Expression, merges: Array[Array[String]],
     var wi = 0
     val n = ws.numElements()
     while (wi < n) {
-      val w = ws.getUTF8String(wi).toString
+      val w0 = ws.getUTF8String(wi).toString
+      // byte base: symbols are UTF-8 BYTES, carried as chars 0–255 —
+      // any input encodes, nothing is out-of-vocab by construction
+      val w = if (byteBase) toByteChars(w0) else w0
       if (w.nonEmpty) {
         val syms = BpeRuntime.encodeWord(w, merges, rank)
         var j = 0
@@ -82,8 +99,7 @@ case class BpeEncodeIds(child: Expression, merges: Array[Array[String]],
           val id = idOf.get(syms.get(j))
           if (id == null)
             throw new IllegalStateException(s"symbol '${syms.get(j)}' outside the vocab " +
-              (if (byteBase) "(byte-level base covers single-byte chars only)"
-               else "(input must be TextAnalysis.words output: [a-z0-9]+)"))
+              "(input must be TextAnalysis.words output: [a-z0-9]+)")
           out.add(id.intValue())
           j += 1
         }
@@ -91,6 +107,23 @@ case class BpeEncodeIds(child: Expression, merges: Array[Array[String]],
       wi += 1
     }
     new GenericArrayData(out.toArray)
+  }
+
+  /** Word → its UTF-8 bytes as a char-per-byte string (the byte-base
+    * symbol alphabet). ASCII — the overwhelming case — maps to
+    * itself, zero-copy. */
+  private def toByteChars(w: String): String = {
+    var i = 0
+    var ascii = true
+    while (i < w.length && ascii) { if (w.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) w
+    else {
+      val bs = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val sb = new java.lang.StringBuilder(bs.length)
+      var j = 0
+      while (j < bs.length) { sb.append((bs(j) & 0xff).toChar); j += 1 }
+      sb.toString
+    }
   }
 
   // content-based equality, the BpeCount rationale

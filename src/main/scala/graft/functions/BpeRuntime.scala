@@ -40,14 +40,16 @@ object BpeRuntime {
     }
   }
 
-  /** pair → rank lookup; putIfAbsent keeps the LOWEST rank should a
-    * table ever repeat a pair. ' ' cannot occur in a symbol (words
-    * are [a-z0-9]+), so the joined key is collision-free. */
-  def rankMap(merges: Array[Array[String]]): java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+  /** pair → rank lookup keyed by the (a, b) PAIR itself, not a joined
+    * string: the byte-level base admits every single-byte char —
+    * including any would-be separator — as a symbol, so no join
+    * character is collision-free. putIfAbsent keeps the LOWEST rank
+    * should a table ever repeat a pair. */
+  def rankMap(merges: Array[Array[String]]): java.util.HashMap[(String, String), Integer] = {
+    val m = new java.util.HashMap[(String, String), Integer](merges.length * 2)
     var i = 0
     while (i < merges.length) {
-      m.putIfAbsent(merges(i)(0) + " " + merges(i)(1), Integer.valueOf(i))
+      m.putIfAbsent((merges(i)(0), merges(i)(1)), Integer.valueOf(i))
       i += 1
     }
     m
@@ -58,7 +60,7 @@ object BpeRuntime {
     * one left-to-right non-overlapping sweep of it. O(len²) hash
     * lookups per word — independent of the table size. */
   def encodeWord(w: String, merges: Array[Array[String]],
-                 rank: java.util.HashMap[String, Integer]): java.util.ArrayList[String] = {
+                 rank: java.util.HashMap[(String, String), Integer]): java.util.ArrayList[String] = {
     var cur = new java.util.ArrayList[String](w.length)
     var i = 0
     while (i < w.length) { cur.add(String.valueOf(w.charAt(i))); i += 1 }
@@ -66,7 +68,7 @@ object BpeRuntime {
       var best = Integer.MAX_VALUE
       var j = 0
       while (j < cur.size - 1) {
-        val r = rank.get(cur.get(j) + " " + cur.get(j + 1))
+        val r = rank.get((cur.get(j), cur.get(j + 1)))
         if (r != null && r.intValue() < best) best = r.intValue()
         j += 1
       }

@@ -76,16 +76,27 @@ object Bpe {
     * merges table (same pair statistics, same cnt-desc/lexicographic
     * argmax, same ≥2 stop — spec-pinned equality against `train`).
     *
-    * Driver memory is O(vocabulary); a 100 TB corpus caps it with
-    * `minFreq` (hapax words can't win a merge against a ≥2 threshold
-    * unless the vocabulary is tiny — the standard trainer cut). */
+    * Driver memory is O(vocabulary), BOUNDED BY CONSTRUCTION: the
+    * collect runs under `limit(maxVocab + 1)` — the driver can never
+    * receive more than maxVocab + 1 rows, whatever the corpus — and
+    * overflowing the cap is a LOUD error, not an OOM: a web-scale
+    * corpus has billions of distinct "words" (typo/URL/hash junk),
+    * and the caller must cut them with `minFreq` (hapax words can't
+    * win a merge against the ≥2 stop unless the vocabulary is tiny —
+    * the standard trainer cut) or consciously raise `maxVocab`
+    * (~4M words ≈ low-hundreds MB driver heap at the default). */
   def trainFast(docs: DataFrame, textCol: String, numMerges: Int,
-                minFreq: Long = 1L): Seq[(String, String)] = {
+                minFreq: Long = 1L, maxVocab: Int = 4000000): Seq[(String, String)] = {
+    require(maxVocab > 0 && maxVocab < Int.MaxValue)
     val wf: Array[(String, Long)] = docs
       .select(explode(TextAnalysis.words(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minFreq)
+      .limit(maxVocab + 1)
       .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(wf.length <= maxVocab,
+      s"corpus vocabulary exceeds maxVocab = $maxVocab at minFreq = $minFreq — " +
+        "raise minFreq (junk words never win merges) or, deliberately, maxVocab")
     trainOnCounts(wf, numMerges)
   }
 
@@ -207,12 +218,18 @@ object Bpe {
       merges.map { case (a, b) => Array(a, b, a + b) }.toArray))
   }
 
-  /** [[bpeEncode]] under the BYTE-LEVEL id contract: base ids 0–255
-    * are the single-byte symbols (a char's id IS its byte value, the
-    * GPT-2-style base that serves any single-byte text without a
-    * per-deployment alphabet), merge r gets 256 + r. The realistic
-    * deployment shape for the deep vocabularies `trainFast`
-    * produces — see [[DeepMerges]]. */
+  /** [[bpeEncode]] under the BYTE-LEVEL id contract: each word is
+    * UTF-8-encoded first, base ids 0–255 are the byte values, merge r
+    * gets 256 + r — the GPT-2-style base that serves ANY text (a
+    * multi-byte char decomposes into its UTF-8 bytes; nothing is ever
+    * out-of-vocab) without a per-deployment alphabet. For ASCII input
+    * — e.g. `TextAnalysis.words` output — byte ids coincide with char
+    * codes, which is what keeps the DuckDB `ord()` oracle exact. The
+    * realistic deployment shape for the deep vocabularies `trainFast`
+    * produces — see [[DeepMerges]]. (The counting shadow `bpeCount`
+    * segments UTF-16 chars, so `size(bpeEncodeBytes(ws)) ==
+    * bpeCount(ws)` holds for single-byte text; a non-ASCII corpus
+    * counts via `size(bpeEncodeBytes(ws))` directly.) */
   def bpeEncodeBytes(ws: Column, merges: Seq[(String, String)]): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(graft.functions.BpeEncodeIds(ColumnBridge.expr(ws),

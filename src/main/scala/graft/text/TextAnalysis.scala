@@ -124,6 +124,13 @@ object TextAnalysis {
   def wsTokens(text: Column): Column =
     size(regexp_extract_all(text, lit("\\S+"), lit(0))).cast("long")
 
+  /** Whitespace-split word array KEEPING punctuation and case — the
+    * byte-level tokenizer's pre-split (`words` lowercases to [a-z0-9]
+    * and belongs to the 36-symbol contract). Mirrors the oracle's
+    * `regexp_extract_all(text, '\S+')` exactly. */
+  def wsWords(text: Column): Column =
+    regexp_extract_all(text, lit("\\S+"), lit(0))
+
   /** Whitespace tokens + a BPE-ish regex token count (letters runs /
     * single digits / punctuation marks — the GPT-2 pre-tokenizer shape). */
   def tokenCounts(docs: DataFrame, textCol: String, idCol: String): DataFrame =

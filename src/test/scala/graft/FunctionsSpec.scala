@@ -200,6 +200,48 @@ class FunctionsSpec extends SparkSpec {
     assert(bad.count() == 0, "byte-level encode length must equal bpe_count")
   }
 
+  test("BPE byte-level: any text encodes — UTF-8 decomposition, punctuation ids, bounded trainFast") {
+    val s = spark
+    import s.implicits._
+    val dm = graft.text.Bpe.DeepMerges
+    def enc(word: String): Seq[Int] =
+      Seq(Tuple1(Seq(word))).toDF("ws")
+        .select(graft.text.Bpe.bpeEncodeBytes(col("ws"), dm).as("ids"))
+        .as[Seq[Int]].collect()(0)
+    // punctuation/uppercase bytes pass through as their byte values —
+    // no out-of-vocab, no alphabet to configure (the ADVICE contract)
+    assert(enc(",") == Seq(44) && enc("%") == Seq(37) && enc("A") == Seq(65))
+    // a multi-byte char decomposes into its UTF-8 bytes: é = C3 A9 —
+    // TRUE byte-level, where the old Latin-1 mapping threw
+    assert(enc("é") == Seq(0xC3, 0xA9), s"é → ${enc("é")}")
+    assert(enc("héllo").containsSlice(Seq(0xC3, 0xA9)), s"héllo → ${enc("héllo")}")
+    // merges still fire around foreign bytes (deep table has (l,o))
+    val lo = enc("lo")
+    assert(lo.length == 1 && lo.head >= 256, s"lo → $lo")
+    // a byte-base merge table may carry any byte as a component —
+    // including ' ' (32), the old joined-rank-key ambiguity: the
+    // pair-keyed rank map cannot confuse ('a b','c') with ('a','b c')
+    val spaced = Seq(("a", " "), ("b", "c"), ("a ", "bc"))
+    assert(enc("a") == Seq(97))
+    val got = Seq(Tuple1(Seq("a bc"))).toDF("ws")
+      .select(graft.text.Bpe.bpeEncodeBytes(col("ws"), spaced).as("ids"))
+      .as[Seq[Int]].collect()(0)
+    assert(got == Seq(258), s"'a bc' under spaced merges → $got")
+    // trainFast's driver collect is bounded BY CONSTRUCTION: a corpus
+    // vocabulary over maxVocab is a loud error, not an OOM
+    val docs = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.text.Bpe.trainFast(docs, "text", 4, maxVocab = 5)
+    }
+    assert(e.getMessage.contains("maxVocab"), e.getMessage)
+    // raising minFreq is the prescribed cut — and under the cap the
+    // table is unchanged from the uncapped run
+    assert(graft.text.Bpe.trainFast(docs, "text", 4, minFreq = 2L, maxVocab = 5) == Seq.empty)
+    val fixture = Seq((1L, "low lower lowest low low")).toDF("doc_id", "text")
+    assert(graft.text.Bpe.trainFast(fixture, "text", 10, maxVocab = 100)
+      == Seq(("l", "o"), ("lo", "w"), ("low", "e")))
+  }
+
   test("BPE rank-order sweep equals the classic lowest-rank-pair-first merge loop") {
     // the oracle-shared sweep must agree with the textbook priority
     // loop on the checked-in vocab (equivalence holds for any merges
