@@ -1433,6 +1433,82 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "p18_chain" -> ((s, dir) => {
+      // THE OPERATIONAL CHAIN under ONE oracle — three CronJobs
+      // sharing one registry (the reference's jobs-chained-through-
+      // datasets shape): raw log → recipeJob (standing refinery,
+      // tombstone-retracting emission upsert) → emissionRollupJob
+      // (per-doc emitted token mass into the token log) → packJob
+      // (standing shard-partitioned placements). Simulated schedule:
+      // window 1 = new docs [300,350); window 2 = docs [350,400) PLUS
+      // re-ingested revisions of every 50th standing doc and doc 13
+      // (supersede propagates through ALL THREE links); day 3 fires
+      // EMPTY (all tokens current — every link no-ops). Emitted: the
+      // final standing placement table, whose oracle is the one-shot
+      // recipe replayed window-by-window (the p12 as-of-arrival
+      // identity, ledger evolving across windows) composed with the
+      // one-shot packer over the final per-doc masses (the p15
+      // identity) — the emission schema, supersede propagation, and
+      // token discipline the links share, pinned end to end
+      import graft.jobs._
+      import java.time.LocalDateTime
+      val budgets = Map("en" -> 30000L, "fr" -> 800L)
+      val base = plantLeak(plantJunk(plantSpan(t(s, dir, "documents"))))
+      val std = base.filter(col("doc_id") < 300)
+      val evalS = base.filter(col("doc_id") >= 400)
+      val w1 = base.filter(col("doc_id") >= 300 && col("doc_id") < 350)
+        .withColumn("recorded", lit(1L))
+      val w2 = base.filter(col("doc_id") >= 350 && col("doc_id") < 400)
+        .unionByName(std.filter(col("doc_id") % 50 === 0 || col("doc_id") === 13)
+          .withColumn("text", concat(lit("revision two of this document "), col("text"))))
+        .withColumn("recorded", lit(2L))
+      val st = graft.jobs.Recipe.buildStanding(s,
+        std.withColumn("label", col("doc_id") % 4 =!= 1), evalS,
+        "text", "doc_id", "lang", "label", k = 15,
+        graft.text.Bpe.DefaultMerges, prefix = "p18rc", buckets = 16)
+      // bootstrap: the standing corpus's own one-shot emission masses
+      // seed the token log and the pack state (recorded 0 — before any
+      // window; ungated standing docs seed zero mass)
+      val totS = s.table(st.counts).groupBy("lang")
+        .agg(sum("bpe_tokens").cast("long").as("__tot"))
+      val massS = TextAnalysis.tokenBudgetRepeatAgainst(
+          s.table(st.counts), totS, "doc_id", "lang", budgets)
+        .groupBy("doc_id").agg(sum("bpe_tokens").cast("long").as("emitted_tokens"))
+      val toklog0 = graft.core.Checkpoints.truncate(
+        std.select(col("doc_id"), col("lang"))
+          .join(massS, Seq("doc_id"), "left")
+          .withColumn("emitted_tokens", coalesce(col("emitted_tokens"), lit(0L)))
+          .withColumn("recorded", lit(0L)))
+      val reg = new DatasetRegistry
+      reg.put("rawlog", w1)
+      reg.put("toklog", toklog0)
+      PackIndex.buildPackState(toklog0, "doc_id", "lang", "emitted_tokens",
+        capacity = 512L, shardSize = 300L, "p18_pack")
+      val sched = new CronScheduler(Seq(
+        graft.jobs.Recipe.recipeJob(reg, st, "rawlog", "doc_id", "recorded",
+          "text", "lang", budgets, k = 15, graft.text.Bpe.DefaultMerges,
+          "emission", cron = "0 3 * * *"),
+        graft.jobs.Recipe.emissionRollupJob(reg, "rawlog", "emission", "toklog",
+          "doc_id", "lang", "recorded", cron = "30 3 * * *"),
+        PackIndex.packJob(reg, "toklog", "doc_id", "lang", "emitted_tokens",
+          "recorded", capacity = 512L, shardSize = 300L, "p18_pack",
+          "placements", cron = "0 4 * * *")))
+      def day(d: Int): Unit = {
+        sched.tick(s, reg, LocalDateTime.of(2026, 8, d, 3, 0))
+        sched.tick(s, reg, LocalDateTime.of(2026, 8, d, 3, 30))
+        sched.tick(s, reg, LocalDateTime.of(2026, 8, d, 4, 0))
+      }
+      day(14)
+      reg.put("rawlog", w1.unionByName(w2))
+      day(15)
+      day(16) // nothing recorded past the tokens: every link no-ops
+      s.table("p18_pack")
+        .select(col("id").as("doc_id"), col("grp").as("lang"),
+          col("tok").as("emitted_tokens"), col("shard"),
+          col("bin_first"), col("bin_last"), col("offset_in_bin"))
+        .orderBy("doc_id")
+    }),
+
     "p13_bin_manifest" -> ((s, dir) => {
       // the loader-facing view of p10: per (shard, bin) the ordered doc
       // segments (token range within the doc + offset within the bin),
@@ -2597,6 +2673,155 @@ object SparkEntry {
         |        ELSE (pre + ws_tokens - 1) // 512 END)::BIGINT AS bin_last,
         |  (pre % 512)::BIGINT AS offset_in_bin
         |FROM c WHERE doc_id >= 300 AND doc_id < 600 ORDER BY doc_id""".stripMargin,
+
+    // THE CHAIN oracle: the one-shot recipe replayed WINDOW BY WINDOW
+    // (standing → +w1 → +w2, the p12 as-of-arrival identity with the
+    // ledger evolving across windows — each window's copies are drawn
+    // against the totals as of ITS arrival and never recomputed),
+    // rolled up to per-doc emitted masses (gated-out docs mass 0),
+    // composed with the one-shot packer (the p15 identity) over the
+    // final per-doc token table. The prefix chains are p12's and the
+    // packer arithmetic is p15's — prefixed and joined
+    "p18_chain" ->
+      s"""WITH d0 AS (SELECT doc_id, lang, $plantRecipeSql AS text FROM documents),
+         |std AS (SELECT doc_id, lang, text FROM d0 WHERE doc_id < 300),
+         |w1d AS (SELECT doc_id, lang, text FROM d0 WHERE doc_id >= 300 AND doc_id < 350),
+         |w2d AS (
+         |  SELECT doc_id, lang, text FROM d0 WHERE doc_id >= 350 AND doc_id < 400
+         |  UNION ALL
+         |  SELECT doc_id, lang, 'revision two of this document ' || text
+         |  FROM std WHERE doc_id % 50 = 0 OR doc_id = 13),
+         |eff1 AS (SELECT * FROM std UNION ALL SELECT * FROM w1d),
+         |eff2 AS (
+         |  SELECT * FROM std WHERE doc_id % 50 <> 0 AND doc_id <> 13
+         |  UNION ALL SELECT * FROM w1d UNION ALL SELECT * FROM w2d),
+         |wstd AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+         |  FROM std),
+         |weff1 AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+         |  FROM eff1),
+         |weff2 AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+         |  FROM eff2),
+         |weval AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+         |  FROM d0 WHERE doc_id >= 400),
+         |geval AS (
+         |  SELECT DISTINCT md5(array_to_string(ws[t.i:t.i+14], ' ')) AS gh
+         |  FROM weval, unnest(range(1, len(ws)-13)) AS t(i)),
+         |${scrubChainSql("a1", "wstd", "1=1",
+             "SELECT gh FROM a1g GROUP BY gh HAVING count(*) >= 2")},
+         |${scrubChainSql("a2", "a1out", "1=1", "SELECT gh FROM geval")},
+         |tokS AS (
+         |  SELECT doc_id, (doc_id % 4 <> 1) AS label,
+         |         ('0x' || substr(md5(t.w), 1, 8))::BIGINT % 256 AS bucket
+         |  FROM a2out, unnest(ws) AS t(w)),
+         |perS AS (SELECT bucket, sum(CASE WHEN label THEN 1 ELSE 0 END) AS pos, count(*) AS tot FROM tokS GROUP BY 1),
+         |priS AS (SELECT (sum(CASE WHEN label THEN 1 ELSE 0 END) + 1) * 1000000 // (count(*) + 2) AS prior FROM tokS),
+         |badS AS (SELECT bucket FROM perS, priS WHERE (pos + 1) * 1000000 // (tot + 2) < prior // 2),
+         |flS AS (SELECT tokS.doc_id, count(badS.bucket) AS n_flagged FROM tokS LEFT JOIN badS USING (bucket) GROUP BY 1),
+         |gatedS AS (SELECT a2out.doc_id, a2out.ws FROM a2out LEFT JOIN flS USING (doc_id) WHERE coalesce(flS.n_flagged, 0) = 0),
+         |t4S AS (SELECT doc_id, t.w AS wd FROM gatedS, unnest(ws) AS t(w)),
+         |encS AS (SELECT doc_id, ${graft.text.Bpe.mergeChainSql("wd", graft.text.Bpe.DefaultMerges)} AS s FROM t4S),
+         |perTS AS (
+         |  SELECT doc_id, sum(length(s) - length(replace(s, '(', '')))::BIGINT AS bpe
+         |  FROM encS GROUP BY doc_id),
+         |cntS AS (
+         |  SELECT g.doc_id, d0.lang, coalesce(perTS.bpe, 0)::BIGINT AS bpe_tokens
+         |  FROM gatedS g JOIN d0 USING (doc_id) LEFT JOIN perTS USING (doc_id)),
+         |totS AS (SELECT lang, sum(bpe_tokens)::BIGINT AS tot FROM cntS GROUP BY 1),
+         |parS AS (SELECT lang, tot,
+         |  CASE lang WHEN 'en' THEN 30000 WHEN 'fr' THEN 800 ELSE NULL END AS b FROM totS),
+         |nS AS (SELECT c.doc_id, c.bpe_tokens,
+         |  CASE WHEN p.b IS NULL THEN 1
+         |       WHEN p.tot = 0 THEN 0
+         |       ELSE (p.b // p.tot) + CASE WHEN ('0x' || substr(md5('rep:' || c.doc_id), 1, 8))::BIGINT < ((p.b % p.tot) * 4294967296 // p.tot) THEN 1 ELSE 0 END
+         |  END AS copies
+         |  FROM cntS c LEFT JOIN parS p USING (lang)),
+         |massS AS (SELECT doc_id, (bpe_tokens * copies)::BIGINT AS m FROM nS),
+         |${scrubChainSql("c1", "weff1", "(doc_id >= 300 AND doc_id < 350)",
+             "SELECT gh FROM c1g GROUP BY gh HAVING count(*) >= 2")},
+         |${scrubChainSql("c2", "c1out", "1=1", "SELECT gh FROM geval")},
+         |tokC AS (
+         |  SELECT doc_id, ('0x' || substr(md5(t.w), 1, 8))::BIGINT % 256 AS bucket
+         |  FROM c2out, unnest(ws) AS t(w)),
+         |flC AS (SELECT tokC.doc_id, count(badS.bucket) AS n_flagged FROM tokC LEFT JOIN badS USING (bucket) GROUP BY 1),
+         |gatedC AS (SELECT c2out.doc_id, c2out.ws FROM c2out LEFT JOIN flC USING (doc_id) WHERE coalesce(flC.n_flagged, 0) = 0),
+         |t4C AS (SELECT doc_id, t.w AS wd FROM gatedC, unnest(ws) AS t(w)),
+         |encC AS (SELECT doc_id, ${graft.text.Bpe.mergeChainSql("wd", graft.text.Bpe.DefaultMerges)} AS s FROM t4C),
+         |perTC AS (
+         |  SELECT doc_id, sum(length(s) - length(replace(s, '(', '')))::BIGINT AS bpe
+         |  FROM encC GROUP BY doc_id),
+         |cnt1 AS (
+         |  SELECT g.doc_id, d0.lang, coalesce(perTC.bpe, 0)::BIGINT AS bpe_tokens
+         |  FROM gatedC g JOIN d0 USING (doc_id) LEFT JOIN perTC USING (doc_id)),
+         |tot1 AS (SELECT lang, sum(bpe_tokens)::BIGINT AS tot FROM (
+         |  SELECT lang, bpe_tokens FROM cntS UNION ALL SELECT lang, bpe_tokens FROM cnt1) GROUP BY 1),
+         |par1 AS (SELECT lang, tot,
+         |  CASE lang WHEN 'en' THEN 30000 WHEN 'fr' THEN 800 ELSE NULL END AS b FROM tot1),
+         |n1 AS (SELECT c.doc_id, c.bpe_tokens,
+         |  CASE WHEN p.b IS NULL THEN 1
+         |       WHEN p.tot = 0 THEN 0
+         |       ELSE (p.b // p.tot) + CASE WHEN ('0x' || substr(md5('rep:' || c.doc_id), 1, 8))::BIGINT < ((p.b % p.tot) * 4294967296 // p.tot) THEN 1 ELSE 0 END
+         |  END AS copies
+         |  FROM cnt1 c LEFT JOIN par1 p USING (lang)),
+         |mass1 AS (SELECT doc_id, (bpe_tokens * copies)::BIGINT AS m FROM n1),
+         |${scrubChainSql("e1", "weff2",
+             "((doc_id >= 350 AND doc_id < 400) OR (doc_id < 300 AND (doc_id % 50 = 0 OR doc_id = 13)))",
+             "SELECT gh FROM e1g GROUP BY gh HAVING count(*) >= 2")},
+         |${scrubChainSql("e2", "e1out", "1=1", "SELECT gh FROM geval")},
+         |tokE AS (
+         |  SELECT doc_id, ('0x' || substr(md5(t.w), 1, 8))::BIGINT % 256 AS bucket
+         |  FROM e2out, unnest(ws) AS t(w)),
+         |flE AS (SELECT tokE.doc_id, count(badS.bucket) AS n_flagged FROM tokE LEFT JOIN badS USING (bucket) GROUP BY 1),
+         |gatedE AS (SELECT e2out.doc_id, e2out.ws FROM e2out LEFT JOIN flE USING (doc_id) WHERE coalesce(flE.n_flagged, 0) = 0),
+         |t4E AS (SELECT doc_id, t.w AS wd FROM gatedE, unnest(ws) AS t(w)),
+         |encE AS (SELECT doc_id, ${graft.text.Bpe.mergeChainSql("wd", graft.text.Bpe.DefaultMerges)} AS s FROM t4E),
+         |perTE AS (
+         |  SELECT doc_id, sum(length(s) - length(replace(s, '(', '')))::BIGINT AS bpe
+         |  FROM encE GROUP BY doc_id),
+         |cnt2 AS (
+         |  SELECT g.doc_id, d0.lang, coalesce(perTE.bpe, 0)::BIGINT AS bpe_tokens
+         |  FROM gatedE g JOIN d0 USING (doc_id) LEFT JOIN perTE USING (doc_id)),
+         |tot2 AS (SELECT lang, sum(bpe_tokens)::BIGINT AS tot FROM (
+         |  SELECT lang, bpe_tokens FROM cntS WHERE doc_id % 50 <> 0 AND doc_id <> 13
+         |  UNION ALL SELECT lang, bpe_tokens FROM cnt1
+         |  UNION ALL SELECT lang, bpe_tokens FROM cnt2) GROUP BY 1),
+         |par2 AS (SELECT lang, tot,
+         |  CASE lang WHEN 'en' THEN 30000 WHEN 'fr' THEN 800 ELSE NULL END AS b FROM tot2),
+         |n2 AS (SELECT c.doc_id, c.bpe_tokens,
+         |  CASE WHEN p.b IS NULL THEN 1
+         |       WHEN p.tot = 0 THEN 0
+         |       ELSE (p.b // p.tot) + CASE WHEN ('0x' || substr(md5('rep:' || c.doc_id), 1, 8))::BIGINT < ((p.b % p.tot) * 4294967296 // p.tot) THEN 1 ELSE 0 END
+         |  END AS copies
+         |  FROM cnt2 c LEFT JOIN par2 p USING (lang)),
+         |mass2 AS (SELECT doc_id, (bpe_tokens * copies)::BIGINT AS m FROM n2),
+         |tt AS (
+         |  SELECT u.doc_id, u.lang,
+         |    coalesce(CASE WHEN u.doc_id >= 350 THEN e_m.m
+         |                  WHEN u.doc_id >= 300 THEN c_m.m
+         |                  WHEN u.doc_id % 50 = 0 OR u.doc_id = 13 THEN e_m.m
+         |                  ELSE a_m.m END, 0)::BIGINT AS tok
+         |  FROM (SELECT doc_id, lang FROM d0 WHERE doc_id < 400) u
+         |  LEFT JOIN massS a_m ON u.doc_id = a_m.doc_id
+         |  LEFT JOIN mass1 c_m ON u.doc_id = c_m.doc_id
+         |  LEFT JOIN mass2 e_m ON u.doc_id = e_m.doc_id),
+         |pc AS (
+         |  SELECT doc_id, lang, tok, (doc_id // 300)::BIGINT AS shard,
+         |    coalesce(sum(tok) OVER (PARTITION BY lang, (doc_id // 300) ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pre
+         |  FROM tt)
+         |SELECT doc_id, lang, tok::BIGINT AS emitted_tokens, shard,
+         |  (pre // 512)::BIGINT AS bin_first,
+         |  (CASE WHEN tok <= 0 THEN pre // 512
+         |        ELSE (pre + tok - 1) // 512 END)::BIGINT AS bin_last,
+         |  (pre % 512)::BIGINT AS offset_in_bin
+         |FROM pc ORDER BY doc_id""".stripMargin,
 
     // p6's permutation machinery composed with p10's placement
     // arithmetic: prefix sums run per (source, permutation-shard)

@@ -174,6 +174,29 @@ final case class UpsertSink(registry: DatasetRegistry, name: String, keyCol: Str
     } else registry.put(name, df)
 }
 
+/** [[UpsertSink]] with explicit RETRACTION markers: an incoming row
+  * whose boolean `markerCol` is true supersedes its key like any other
+  * row but is NOT itself written — so a key the producing job
+  * processed but now emits NOTHING for is deleted instead of left
+  * stale (the reference's deleted-tombstone dataset semantics,
+  * internal/jobs fullsync deletes, applied to an accumulating sink).
+  * Without this, a downstream consumer of the dataset reads a
+  * superseded key's old rows forever — the same staleness class the
+  * streaming pack emission fix closed. Idempotent under redelivery
+  * like [[UpsertSink]]. */
+final case class TombstoneUpsertSink(registry: DatasetRegistry, name: String,
+                                     keyCol: String, markerCol: String) extends Sink {
+  import org.apache.spark.sql.functions.{broadcast, col, not}
+  def write(df: DataFrame): Unit = {
+    val keys = broadcast(df.select(col(keyCol)).distinct())
+    val live = df.filter(not(col(markerCol))).drop(markerCol)
+    if (registry.names.contains(name))
+      registry.put(name, SinkPin.pin(
+        registry.get(name).join(keys, Seq(keyCol), "left_anti").unionByName(live)))
+    else registry.put(name, live)
+  }
+}
+
 /** Reference: DevNullSink — used with transforms that only emit
   * transactions. */
 case object DevNullSink extends Sink { def write(df: DataFrame): Unit = () }

@@ -205,18 +205,78 @@ object Recipe {
           val emission = graft.core.Checkpoints.truncate(res.emission)
           if (!batch.isEmpty)
             absorbBatch(spark, st, batch, res.gatedCounts, textCol, idCol, k)
-          emission
+          // a batch doc the refinery emits NOTHING for (scrubbed empty
+          // or gated out — possibly a re-ingest of a doc that DID emit
+          // before) rides along as a tombstone: the sink retracts its
+          // old emission instead of leaving it stale for downstream
+          // consumers (emissionRollupJob reads this dataset as truth)
+          val gone = batch.select(col(idCol), col(groupCol)).distinct()
+            .join(emission.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+            .withColumn("bpe_tokens", lit(0L)).withColumn("copy", lit(0L))
+            .withColumn("__tombstone", lit(true))
+          val live = emission.withColumn("__tombstone", lit(false))
+          live.unionByName(gone.select(live.columns.map(col).toIndexedSeq: _*))
         },
-        // UPSERT, not plain append: the scheduler is at-least-once (a
-        // row appended between the token capture and the window pin is
-        // processed by TWO consecutive firings) — superseding on the
-        // doc id makes redelivery idempotent AND gives re-ingested ids
-        // replace-not-duplicate emission semantics, matching the
+        // UPSERT with retraction, not plain append: the scheduler is
+        // at-least-once (a row appended between the token capture and
+        // the window pin is processed by TWO consecutive firings) —
+        // superseding on the doc id makes redelivery idempotent AND
+        // gives re-ingested ids replace-not-duplicate (or
+        // retract-when-silent) emission semantics, matching the
         // refinery's own supersede discipline
-        sink = UpsertSink(registry, emissionName, idCol),
+        sink = TombstoneUpsertSink(registry, emissionName, idCol, "__tombstone"),
         sourceName = logName, sinkName = emissionName),
       nextToken = () => {
         val mx = registry.get(logName).agg(max(col(recordedCol))).collect()(0)
+        if (mx.isNullAt(0)) None else Some(mx.getLong(0))
+      })
+  }
+
+  /** The GLUE link of the operational chain (raw log → [[recipeJob]] →
+    * emission → THIS → token log → `PackIndex.packJob` → loader
+    * placements) — the reference's jobs chain through datasets of one
+    * registry (mimiro-io/datahub internal/jobs: one job's sink dataset
+    * is the next job's source), and this is the dataset hop between
+    * the refinery and the packer. Each firing takes the RAW-log window
+    * since its token (the same windows the refinery drains — one
+    * schedule, three links) and rolls the CURRENT emission of those
+    * docs up to ONE row per doc: (id, group, emitted_tokens =
+    * Σ bpe_tokens over the doc's mixture copies, recorded), upserted
+    * into `tokLogName` keyed by id. A doc the refinery no longer
+    * emits (scrubbed empty / gated out — the emission's tombstone
+    * retraction makes its rows ABSENT, not stale) rolls up to ZERO
+    * tokens, so the packer retracts its mass as a zero-width
+    * placement instead of packing history. Work per firing is
+    * O(window) plus one aggregate over the emission — no standing
+    * shuffle (the emission aggregate is group-by-id map-side
+    * combinable, and a deployment would bucket the emission dataset
+    * by id). */
+  def emissionRollupJob(registry: DatasetRegistry, rawLogName: String,
+                        emissionName: String, tokLogName: String,
+                        idCol: String, groupCol: String, recordedCol: String,
+                        cron: String = "30 3 * * *"): CronJob = {
+    val jobId = s"rollup_$tokLogName"
+    CronJob(
+      id = jobId,
+      cron = Cron.parse(cron),
+      makeJob = since => Job(
+        id = jobId,
+        source = FunctionSource { _ =>
+          val log = registry.get(rawLogName)
+          val windowed = since.map(t => log.filter(col(recordedCol) > t)).getOrElse(log)
+          graft.ops.ChangeLog.latestOnly(windowed, idCol, recordedCol)
+        },
+        transform = win => {
+          val mass = registry.get(emissionName).groupBy(col(idCol))
+            .agg(sum("bpe_tokens").cast("long").as("emitted_tokens"))
+          win.select(col(idCol), col(groupCol), col(recordedCol))
+            .join(mass, Seq(idCol), "left")
+            .withColumn("emitted_tokens", coalesce(col("emitted_tokens"), lit(0L)))
+        },
+        sink = UpsertSink(registry, tokLogName, idCol),
+        sourceName = emissionName, sinkName = tokLogName),
+      nextToken = () => {
+        val mx = registry.get(rawLogName).agg(max(col(recordedCol))).collect()(0)
         if (mx.isNullAt(0)) None else Some(mx.getLong(0))
       })
   }

@@ -345,4 +345,61 @@ class RecipeSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sLedger == ledger, "streaming ledger must equal the batch-mode ledger")
   }
+
+  test("chain: emission retraction propagates — a gated-out re-ingest rolls up to zero and repacks") {
+    import graft.jobs._
+    import java.time.LocalDateTime
+    val s = spark; import s.implicits._
+    val st = Recipe.buildStanding(spark, stdDf, evalDf, "text", "id", "grp",
+      "label", k = 4, Bpe.DefaultMerges, "rcpc")
+    val reg = new DatasetRegistry
+    reg.put("rawlog", batch1.withColumn("recorded", lit(1L)))
+    // empty pack bootstrap: this chain's packed corpus IS the emission
+    // log, which starts empty
+    val empty = Seq.empty[(Long, String, Long)].toDF("id", "grp", "emitted_tokens")
+    graft.text.PackIndex.buildPackState(empty, "id", "grp", "emitted_tokens",
+      capacity = 64L, shardSize = 16L, "rcpc_pack")
+    val sched = new CronScheduler(Seq(
+      Recipe.recipeJob(reg, st, "rawlog", "id", "recorded", "text", "grp",
+        Map("h" -> hBudget), k = 4, Bpe.DefaultMerges, "emission", cron = "0 3 * * *"),
+      Recipe.emissionRollupJob(reg, "rawlog", "emission", "toklog",
+        "id", "grp", "recorded", cron = "30 3 * * *"),
+      graft.text.PackIndex.packJob(reg, "toklog", "id", "grp", "emitted_tokens",
+        "recorded", capacity = 64L, shardSize = 16L, "rcpc_pack", "placements",
+        cron = "0 4 * * *")))
+    def day(d: Int): Seq[String] = Seq(
+      sched.tick(spark, reg, LocalDateTime.of(2026, 8, d, 3, 0)),
+      sched.tick(spark, reg, LocalDateTime.of(2026, 8, d, 3, 30)),
+      sched.tick(spark, reg, LocalDateTime.of(2026, 8, d, 4, 0))).flatten
+    assert(day(14) == Seq("recipe_emission", "rollup_toklog", "pack_placements"))
+    def tok(id: Long): Long =
+      reg.get("toklog").filter(col("id") === id).collect()(0).getAs[Long]("emitted_tokens")
+    // window 1: doc 10 (clean filler) emits — mass > 0, rows in emission
+    assert(tok(10L) > 0L, "doc 10 must emit in window 1")
+    assert(!reg.get("emission").filter(col("id") === 10L).isEmpty)
+    // the already-junk doc 14 rolled up to ZERO (gated out on arrival)
+    assert(tok(14L) == 0L)
+    // window 2: doc 10 re-ingests as JUNK — the standing gate rejects
+    // it; the tombstone upsert RETRACTS its emission rows (they would
+    // otherwise be stale truth for every downstream consumer)
+    reg.put("rawlog", reg.get("rawlog").unionByName(
+      Seq((10L, "g", filler(10) + " " + junkText(10L))).toDF("id", "grp", "text")
+        .withColumn("recorded", lit(2L))))
+    assert(day(15) == Seq("recipe_emission", "rollup_toklog", "pack_placements"))
+    assert(reg.get("emission").filter(col("id") === 10L).isEmpty,
+      "a gated-out re-ingest must retract its emission, not leave it stale")
+    assert(tok(10L) == 0L, "the token log must roll the retracted doc to zero")
+    // and the standing pack state equals the one-shot packer over the
+    // final token log (the p15 identity holding through the chain):
+    // doc 10 becomes a zero-width placement, its shard neighbours shift
+    val finalLog = graft.ops.ChangeLog.latestOnly(reg.get("toklog"), "id", "recorded")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, Long)] =
+      df.select("id", "shard", "bin_first", "bin_last", "offset_in_bin")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+    val oneShot = rows(graft.text.TextAnalysis.packSequences(
+      finalLog, "id", "grp", "emitted_tokens", 64L, 16L))
+    assert(rows(spark.table("rcpc_pack")) == oneShot,
+      "chain pack state must equal the one-shot packer over the final token log")
+  }
 }
