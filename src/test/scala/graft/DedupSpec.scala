@@ -674,9 +674,12 @@ class DedupSpec extends SparkSpec {
       }
       spark.sparkContext.addSparkListener(l)
       try {
+        // drain pre-registration async events, then zero (the
+        // RecipeSpec bounded-actions discipline)
+        org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+        n.set(0)
         body
-        var last = -1
-        while (n.get() != last) { last = n.get(); Thread.sleep(300L) }
+        org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
         n.get()
       } finally spark.sparkContext.removeSparkListener(l)
     }

@@ -247,6 +247,11 @@ class PackIndexSpec extends SparkSpec {
     }
     spark.listenerManager.register(qel)
     try {
+      // drain pre-registration async events, then zero (the RecipeSpec
+      // bounded-actions discipline — full-suite bleed otherwise)
+      org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+      Thread.sleep(500L)
+      actions.set(0)
       PackIndex.packDelta(spark, df(Seq((40L, "s", 5L))), "id", "src", "tok",
         Cap, ShardSize, "pk_ro")
       var last = -1

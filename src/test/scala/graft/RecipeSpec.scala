@@ -236,6 +236,13 @@ class RecipeSpec extends SparkSpec {
     }
     spark.listenerManager.register(qel)
     try {
+      // async listener events from PRE-registration executions (the
+      // previous test's last actions) can deliver after registration:
+      // drain the shared bus, then zero the counter so only
+      // processBatch's own actions count (full-suite flake otherwise)
+      org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+      Thread.sleep(500L)
+      actions.set(0)
       Recipe.processBatch(spark, st, batch1, "text", "id", "grp",
         Map("h" -> hBudget), k = 4, Bpe.DefaultMerges)
       var last = -1
