@@ -102,10 +102,17 @@ class PackIndexSpec extends SparkSpec {
     PackIndex.buildPackState(df(standing), "id", "src", "tok", Cap, ShardSize, "pk_chain")
     val b1 = (50L until 60L).map(i => (i, "s", 9L))
     val b2 = (60L until 70L).map(i => (i, "s", 13L))
+    // absorb runs on a write-scoped session CLONE (the dynamic
+    // overwrite mode must not touch the shared conf) — clones must
+    // not accumulate bus listeners across a long-running loop
+    val listeners =
+      org.apache.spark.graft.ListenerBridge.listenerCount(spark.sparkContext)
     cycle("pk_chain", b1)
     cycle("pk_chain", b2)
     assert(state("pk_chain") == oneShot(standing ++ b1 ++ b2),
       "chained absorbs must accumulate to the one-shot packing")
+    assert(org.apache.spark.graft.ListenerBridge.listenerCount(spark.sparkContext)
+      == listeners, "absorb's session clone must not leak bus listeners")
   }
 
   test("supersede: a re-ingested id replaces its placement and displaces only its shard") {
