@@ -38,13 +38,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * vocab size (the r9→r10 change that makes real-tokenizer vocabs
   * practical; BpeScale measures throughput flat in merge count).
   */
-case class BpeCount(child: Expression, merges: Array[Array[String]])
+case class BpeCount(child: Expression, merges: Array[Array[String]],
+                    byteBase: Boolean = false)
     extends UnaryExpression {
 
   // the classic loop is only sweep-equivalent on trained-shape tables
   // — reject the rest loudly instead of silently diverging from the
   // SQL oracle (see BpeRuntime.requireTrainedShape)
   BpeRuntime.requireTrainedShape(merges)
+  if (byteBase) BpeRuntime.requireByteSymbols(merges)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "bpe_count"
@@ -71,7 +73,11 @@ case class BpeCount(child: Expression, merges: Array[Array[String]])
 
   @transient private lazy val rank = BpeRuntime.rankMap(merges)
 
-  private def countWord(w: String): Long = {
+  private def countWord(w0: String): Long = {
+    // byte base: segment the word's UTF-8 BYTES (the encoder's
+    // alphabet), so count ≡ encode length for ANY text, not just
+    // single-byte — the shared-segmentation contract
+    val w = if (byteBase) BpeRuntime.toByteChars(w0) else w0
     if (w.isEmpty) return 0L
     if (w.length == 1) return 1L
     BpeRuntime.encodeWord(w, merges, rank).size.toLong
@@ -83,13 +89,13 @@ case class BpeCount(child: Expression, merges: Array[Array[String]])
   // common-subexpression elimination. Compare merge CONTENTS.
   override def equals(o: Any): Boolean = o match {
     case b: BpeCount =>
-      child == b.child && java.util.Arrays.deepEquals(
+      child == b.child && byteBase == b.byteBase && java.util.Arrays.deepEquals(
         merges.asInstanceOf[Array[AnyRef]], b.merges.asInstanceOf[Array[AnyRef]])
     case _ => false
   }
   override def hashCode(): Int =
-    31 * child.hashCode + java.util.Arrays.deepHashCode(
-      merges.asInstanceOf[Array[AnyRef]])
+    31 * (31 * child.hashCode + (if (byteBase) 1 else 0)) +
+      java.util.Arrays.deepHashCode(merges.asInstanceOf[Array[AnyRef]])
 
   override def nullSafeEval(a: Any): Any = evalTokens(a.asInstanceOf[ArrayData])
 

@@ -41,16 +41,7 @@ case class BpeEncodeIds(child: Expression, merges: Array[Array[String]],
   // distinct merged strings (the id-map precondition) is enforced for
   // both kernels inside requireTrainedShape
   BpeRuntime.requireTrainedShape(merges)
-  // under the byte base every symbol is a byte string: a merge
-  // component carrying a char above 0xFF could never match any input
-  // symbol (inputs are UTF-8 bytes) — reject it loudly up front
-  if (byteBase) merges.zipWithIndex.foreach { case (m, r) =>
-    m.foreach { s =>
-      require(s.forall(_ <= 'ÿ'),
-        s"merge $r: symbol '$s' carries a char above 0xFF — byte-level symbols " +
-          "are byte strings (train on byte-mapped text, or use byteBase = false)")
-    }
-  }
+  if (byteBase) BpeRuntime.requireByteSymbols(merges)
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "bpe_encode"
@@ -91,7 +82,7 @@ case class BpeEncodeIds(child: Expression, merges: Array[Array[String]],
       val w0 = ws.getUTF8String(wi).toString
       // byte base: symbols are UTF-8 BYTES, carried as chars 0–255 —
       // any input encodes, nothing is out-of-vocab by construction
-      val w = if (byteBase) toByteChars(w0) else w0
+      val w = if (byteBase) BpeRuntime.toByteChars(w0) else w0
       if (w.nonEmpty) {
         val syms = BpeRuntime.encodeWord(w, merges, rank)
         var j = 0
@@ -107,23 +98,6 @@ case class BpeEncodeIds(child: Expression, merges: Array[Array[String]],
       wi += 1
     }
     new GenericArrayData(out.toArray)
-  }
-
-  /** Word → its UTF-8 bytes as a char-per-byte string (the byte-base
-    * symbol alphabet). ASCII — the overwhelming case — maps to
-    * itself, zero-copy. */
-  private def toByteChars(w: String): String = {
-    var i = 0
-    var ascii = true
-    while (i < w.length && ascii) { if (w.charAt(i) >= 0x80) ascii = false; i += 1 }
-    if (ascii) w
-    else {
-      val bs = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val sb = new java.lang.StringBuilder(bs.length)
-      var j = 0
-      while (j < bs.length) { sb.append((bs(j) & 0xff).toChar); j += 1 }
-      sb.toString
-    }
   }
 
   // content-based equality, the BpeCount rationale

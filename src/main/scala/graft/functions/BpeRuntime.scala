@@ -40,6 +40,37 @@ object BpeRuntime {
     }
   }
 
+  /** Word → its UTF-8 bytes as a char-per-byte string — the BYTE-BASE
+    * symbol alphabet shared by the counting and encoding kernels (so
+    * `size(bpe_encode_bytes(ws)) == bpe_count_bytes(ws)` holds for ANY
+    * text, not just single-byte). ASCII — the overwhelming case — maps
+    * to itself, zero-copy. */
+  def toByteChars(w: String): String = {
+    var i = 0
+    var ascii = true
+    while (i < w.length && ascii) { if (w.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) w
+    else {
+      val bs = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val sb = new java.lang.StringBuilder(bs.length)
+      var j = 0
+      while (j < bs.length) { sb.append((bs(j) & 0xff).toChar); j += 1 }
+      sb.toString
+    }
+  }
+
+  /** Byte-base table well-formedness: every symbol is a byte string —
+    * a char above 0xFF could never match any input symbol (inputs are
+    * UTF-8 bytes via [[toByteChars]]), so reject it loudly up front. */
+  def requireByteSymbols(merges: Array[Array[String]]): Unit =
+    merges.zipWithIndex.foreach { case (m, r) =>
+      m.foreach { s =>
+        require(s.forall(_ <= 'ÿ'),
+          s"merge $r: symbol '$s' carries a char above 0xFF — byte-level symbols " +
+            "are byte strings (train on byte-mapped text, or use byteBase = false)")
+      }
+    }
+
   /** pair → rank lookup keyed by the (a, b) PAIR itself, not a joined
     * string: the byte-level base admits every single-byte char —
     * including any would-be separator — as a symbol, so no join

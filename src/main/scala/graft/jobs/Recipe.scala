@@ -247,10 +247,11 @@ object Recipe {
     * retraction makes its rows ABSENT, not stale) rolls up to ZERO
     * tokens, so the packer retracts its mass as a zero-width
     * placement instead of packing history. Work per firing is
-    * O(window) plus one aggregate over the emission — no standing
-    * shuffle (the emission aggregate is group-by-id map-side
-    * combinable, and a deployment would bucket the emission dataset
-    * by id). */
+    * O(window): the emission is broadcast-semi-joined to the
+    * window's ids BEFORE aggregating, so the only shuffle is
+    * window-sized — the corpus-scale emission is a scan-through, the
+    * d18/p12 probe discipline (a deployment additionally buckets the
+    * emission by id, making the scan itself prunable). */
   def emissionRollupJob(registry: DatasetRegistry, rawLogName: String,
                         emissionName: String, tokLogName: String,
                         idCol: String, groupCol: String, recordedCol: String,
@@ -267,7 +268,11 @@ object Recipe {
           graft.ops.ChangeLog.latestOnly(windowed, idCol, recordedCol)
         },
         transform = win => {
-          val mass = registry.get(emissionName).groupBy(col(idCol))
+          // semi-join BEFORE the aggregate: the shuffle carries only
+          // the window docs' emission rows, never the standing corpus
+          val mass = registry.get(emissionName)
+            .join(broadcast(win.select(col(idCol)).distinct()), Seq(idCol), "leftsemi")
+            .groupBy(col(idCol))
             .agg(sum("bpe_tokens").cast("long").as("emitted_tokens"))
           win.select(col(idCol), col(groupCol), col(recordedCol))
             .join(mass, Seq(idCol), "left")

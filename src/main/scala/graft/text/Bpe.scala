@@ -207,6 +207,16 @@ object Bpe {
       merges.map { case (a, b) => Array(a, b, a + b) }.toArray))
   }
 
+  /** [[bpeCount]] under the byte-level alphabet — the counting shadow
+    * of [[bpeEncodeBytes]] (shared UTF-8 byte mapping AND shared
+    * segmentation loop), so `size(bpeEncodeBytes(ws)) ==
+    * bpeCountBytes(ws)` holds for ANY text, non-ASCII included. */
+  def bpeCountBytes(ws: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.BpeCount(ColumnBridge.expr(ws),
+      merges.map { case (a, b) => Array(a, b, a + b) }.toArray, byteBase = true))
+  }
+
   /** Flat token-ID sequence column over a words array — the encoder
     * twin of `bpeCount` (shared segmentation loop, so
     * `size(bpeEncode(ws)) == bpeCount(ws)` always). Vocab id
@@ -226,10 +236,8 @@ object Bpe {
     * — e.g. `TextAnalysis.words` output — byte ids coincide with char
     * codes, which is what keeps the DuckDB `ord()` oracle exact. The
     * realistic deployment shape for the deep vocabularies `trainFast`
-    * produces — see [[DeepMerges]]. (The counting shadow `bpeCount`
-    * segments UTF-16 chars, so `size(bpeEncodeBytes(ws)) ==
-    * bpeCount(ws)` holds for single-byte text; a non-ASCII corpus
-    * counts via `size(bpeEncodeBytes(ws))` directly.) */
+    * produces — see [[DeepMerges]]. Counting shadow: [[bpeCountBytes]]
+    * (same byte mapping, same loop — length ≡ count for any text). */
   def bpeEncodeBytes(ws: Column, merges: Seq[(String, String)]): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(graft.functions.BpeEncodeIds(ColumnBridge.expr(ws),

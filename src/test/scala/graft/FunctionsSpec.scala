@@ -215,6 +215,14 @@ class FunctionsSpec extends SparkSpec {
     // TRUE byte-level, where the old Latin-1 mapping threw
     assert(enc("é") == Seq(0xC3, 0xA9), s"é → ${enc("é")}")
     assert(enc("héllo").containsSlice(Seq(0xC3, 0xA9)), s"héllo → ${enc("héllo")}")
+    // the counting shadow shares the byte mapping: length ≡ count on
+    // NON-ASCII words too (bpeCountBytes, not the 36-symbol bpeCount)
+    val parity = Seq(Tuple1(Seq("héllo", "é", "a,b", "lo", "日本")))
+      .toDF("ws")
+      .select(size(graft.text.Bpe.bpeEncodeBytes(col("ws"), dm)).cast("long").as("n"),
+        graft.text.Bpe.bpeCountBytes(col("ws"), dm).as("c"))
+      .as[(Long, Long)].collect()(0)
+    assert(parity._1 == parity._2, s"encode length ${parity._1} != byte count ${parity._2}")
     // merges still fire around foreign bytes (deep table has (l,o))
     val lo = enc("lo")
     assert(lo.length == 1 && lo.head >= 256, s"lo → $lo")
