@@ -1649,6 +1649,25 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "m5_frame_stats" -> ((s, dir) => {
+      // frame-LEVEL extraction with the NESTED output column
+      // (array<struct> — the schema shape real per-frame features come
+      // back in), exploded to one row per sampled frame. Every field
+      // is SQL-recomputable from the text bytes (sampled offset, the
+      // byte there, the stride-window sum), so the nested path gets a
+      // full-value oracle like the scalar m1/m2 features. Map-only
+      // until the explode; 1-in-20 docs keeps the frame fan-out
+      // oracle-sized without losing any code path.
+      val media = Multimodal.mediaFromDocs(
+        t(s, dir, "documents").filter(col("doc_id") % 20 === 0))
+      Multimodal.extractFrames(media).toDF()
+        .select(col("doc_id"), explode(col("frames")).as("f"))
+        .select(col("doc_id"), col("f.idx").as("frame_idx"),
+          col("f.offset").as("frame_offset"), col("f.value").as("byte_value"),
+          col("f.window_sum").as("window_sum"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // ===== jobs (cont.) =================================================
     "j4_txn_multi_write" -> ((s, dir) => {
       val reg = new DatasetRegistry
@@ -3429,6 +3448,19 @@ object SparkEntry {
     // probing) — one parameter, the rest is s3/s5's proven construction
     "m4_multimodal_ann_indexed" -> Ann.ivfKmeansOracleSql(k = 3, queryPred = "id < 5",
       source = "SELECT doc_id AS id, [ coalesce(list_sum(bytes[16*d+1 : least(16*d+16, len(bytes))]), 0)::DOUBLE for d in range(0, 16) ] AS v FROM (SELECT doc_id, list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))::BIGINT) AS bytes FROM documents)"),
+
+    "m5_frame_stats" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))::BIGINT) AS bytes
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |fr AS (
+        |  SELECT doc_id, unnest(range(0, (len(bytes)+15)//16)) AS fi, bytes
+        |  FROM b)
+        |SELECT doc_id, fi::INT AS frame_idx, (fi*16)::BIGINT AS frame_offset,
+        |  bytes[fi*16 + 1]::BIGINT AS byte_value,
+        |  list_sum(bytes[fi*16 + 1 : least(fi*16 + 16, len(bytes))])::BIGINT AS window_sum
+        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
 
     "j4_txn_multi_write" ->
       """SELECT * FROM (

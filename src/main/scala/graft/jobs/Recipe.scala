@@ -251,7 +251,18 @@ object Recipe {
     * window's ids BEFORE aggregating, so the only shuffle is
     * window-sized — the corpus-scale emission is a scan-through, the
     * d18/p12 probe discipline (a deployment additionally buckets the
-    * emission by id, making the scan itself prunable). */
+    * emission by id, making the scan itself prunable); measured at
+    * 1×/10×/100× standing corpus by `graft.ChainScale` (PERF.md).
+    *
+    * Link ORDERING is by schedule offset, the reference's own
+    * discipline for jobs chained through datasets (each CronJob only
+    * sees what its upstream has durably sunk): fire this after the
+    * refinery's cron and before the packer's — the defaults encode
+    * that (3:00 / 3:30 / 4:00) — and same-minute firings run in job-id
+    * order (`CronScheduler.tickOutcomes` sorts). A rollup that fires
+    * before the refinery's window lands simply rolls the PREVIOUS
+    * emission state — never partial output, because the upsert sink
+    * publishes a window's rows atomically into the registry. */
   def emissionRollupJob(registry: DatasetRegistry, rawLogName: String,
                         emissionName: String, tokLogName: String,
                         idCol: String, groupCol: String, recordedCol: String,

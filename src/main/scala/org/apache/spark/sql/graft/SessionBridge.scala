@@ -15,10 +15,15 @@ import org.apache.spark.sql.classic
   * initialization is ~0.5 s, far too much to pay per absorb in a
   * streaming loop (measured: p15's bench price doubled with a fresh
   * clone per call). The cache is weak-keyed on the parent so a
-  * discarded session clone set is collectable. Consequence, by
-  * design: the clone snapshots the parent's OTHER confs at first
-  * use — callers route writes here for the one pinned setting, not
-  * for conf freshness. */
+  * discarded session clone set is collectable. (A cached clone
+  * itself references its parent, which pins the WeakHashMap entry —
+  * i.e. an entry lives exactly as long as its parent session, and
+  * the cache is bounded by the number of DISTINCT (key, value)
+  * settings routed through it per session: one today. That is the
+  * intended lifetime — the value is a session, not data.)
+  * Consequence, by design: the clone snapshots the parent's OTHER
+  * confs at first use — callers route writes here for the one
+  * pinned setting, not for conf freshness. */
 object SessionBridge {
 
   private val cache = java.util.Collections.synchronizedMap(
