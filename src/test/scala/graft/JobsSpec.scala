@@ -590,6 +590,31 @@ class JobsSpec extends SparkSpec {
     assert(m4.count(_.getLong(1) == 0) > 0, "tiny corpus must leave empty shards")
   }
 
+  test("tombstone upsert sink: retracts, ignores absent-key tombstones, idempotent, re-live works") {
+    val s = spark
+    import s.implicits._
+    val reg = new DatasetRegistry
+    val sink = TombstoneUpsertSink(reg, "t", "id", "gone")
+    def state(): Seq[(Long, String)] = reg.get("t").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // first write creates the dataset from live rows only — a
+    // tombstone for a key that never existed is a no-op, not a row
+    sink.write(Seq((1L, "a", false), (2L, "b", false), (9L, "x", true))
+      .toDF("id", "v", "gone"))
+    assert(state() == Seq((1L, "a"), (2L, "b")))
+    assert(!reg.get("t").columns.contains("gone"), "marker column must not be persisted")
+    // supersede one key, retract another
+    val batch2 = Seq((2L, "b2", false), (1L, "dead", true)).toDF("id", "v", "gone")
+    sink.write(batch2)
+    assert(state() == Seq((2L, "b2")), "a tombstoned key must be deleted, not kept stale")
+    // at-least-once redelivery of the same batch is a fixed point
+    sink.write(batch2)
+    assert(state() == Seq((2L, "b2")))
+    // a retracted key can re-enter on a later batch
+    sink.write(Seq((1L, "alive", false)).toDF("id", "v", "gone"))
+    assert(state() == Seq((1L, "alive"), (2L, "b2")))
+  }
+
   test("sharded export: many-shard manifest byte sums equal the driver-side footer walk") {
     // the distributed footer pass (mapPartitions over the file list)
     // must agree byte-for-byte with Statistics.parquetDataBytes run
