@@ -355,4 +355,39 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("byte-level BPE round-trips arbitrary unicode through UTF-8 bytes; length ≡ count") {
+    val s = spark
+    import s.implicits._
+    val dm = graft.text.Bpe.DeepMerges
+    // atoms as STRINGS so supplementary-plane chars (surrogate pairs,
+    // 4-byte UTF-8) can appear — the one shape a Char generator misses
+    val atom: Gen[String] = Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf("é", "ü", "ß", "ñ", "ø"),
+      2 -> Gen.oneOf("日", "本", "語", "界", "и"),
+      1 -> Gen.oneOf(",", ".", "%", "\"", "=", "~", "["),
+      1 -> Gen.oneOf("𝕏", "🙂")) // 𝕏, 🙂
+    val word: Gen[String] = Gen.resize(12, Gen.nonEmptyListOf(atom)).map(_.mkString)
+    // decode model: id < 256 is the raw byte; merge r's string is
+    // byte-chars (requireByteSymbols), each char one byte
+    def decodeBytes(ids: Seq[Int]): Array[Byte] = ids.flatMap { id =>
+      if (id < 256) Seq(id.toByte)
+      else { val (a, b) = dm(id - 256); (a + b).map(c => c.toByte) }
+    }.toArray
+    forAllSeeded(Gen.listOfN(10, word), trials = 8) { words =>
+      val enc = words.zipWithIndex.map { case (w, i) => (i.toLong, Seq(w)) }
+        .toDF("doc_id", "ws")
+        .select(col("doc_id"),
+          graft.text.Bpe.bpeEncodeBytes(col("ws"), dm).as("ids"),
+          graft.text.Bpe.bpeCountBytes(col("ws"), dm).as("n"))
+        .as[(Long, Seq[Int], Long)].collect().sortBy(_._1)
+      enc.zip(words).foreach { case ((_, ids, n), w) =>
+        assert(ids.length.toLong == n, s"'$w': encode length ${ids.length} != count $n")
+        val back = new String(decodeBytes(ids), java.nio.charset.StandardCharsets.UTF_8)
+        assert(back == w, s"'$w' round-tripped as '$back' (ids $ids)")
+        assert(ids.forall(id => id >= 0 && id < 256 + dm.size))
+      }
+    }
+  }
 }
