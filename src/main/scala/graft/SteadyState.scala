@@ -125,10 +125,27 @@ object SteadyState {
 
   /** Min-of-`passes` probe seconds after one warmup each. A failed
     * probe reports -1 (the Bench sentinel) instead of killing the
-    * remaining probes. */
-  def measure(spark: SparkSession, sfDir: String, passes: Int = 3): Seq[(String, Double)] =
-    probeSet(spark, sfDir).map { case (name, f) =>
+    * remaining probes.
+    *
+    * Besides the `_calibration` probe (min-of-3 at ONE point in time),
+    * the kernel is SAMPLED once after every probe and the MEAN is
+    * reported as `_calibration_mean`: host co-tenancy is bursty, and a
+    * ~0.3 s min-of-3 can land in a quiet slice of a loaded run (the
+    * r12 postmortem — two re-runs on unchanged code read >1.5×
+    * "normalized regressions" because the kernel sampled fast while
+    * the probes ran under load; one even sampled FASTER than the
+    * quiet baseline, inflating every ratio). The run-averaged mean is
+    * the factor comparers should prefer when both artifacts carry it
+    * (tools/selfcheck.py --bench does); min stays for old baselines. */
+  def measure(spark: SparkSession, sfDir: String, passes: Int = 3): Seq[(String, Double)] = {
+    val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def sampleKernel(): Unit =
       try {
+        val t0 = System.nanoTime(); calibrationKernel(spark)
+        samples += (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => () }
+    val probes = probeSet(spark, sfDir).map { case (name, f) =>
+      val r = try {
         f() // warmup
         name -> (1 to passes).map { _ =>
           val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
@@ -138,7 +155,12 @@ object SteadyState {
           System.err.println(s"[steady] $name FAILED: ${e.getMessage}")
           name -> -1.0
       }
+      sampleKernel() // one mid-run contention sample per probe
+      r
     }
+    probes :+ ("_calibration_mean" ->
+      (if (samples.nonEmpty) samples.sum / samples.size else -1.0))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
