@@ -772,6 +772,21 @@ object SparkEntry {
       Dedup.clusters(Dedup.ngramJaccard(t(s, dir, "documents"), "text", "doc_id", 3, 0.8))
         .orderBy("id")),
 
+    "d25_keep_best" -> ((s, dir) => {
+      // dedup DECISION by quality: near-dup clusters (d6's components)
+      // ranked by the x2 heuristic score — keep each cluster's best
+      // member (score desc, id asc), the keep-best policy real web
+      // pipelines apply where keepCanonical/keep-first would keep an
+      // arbitrary or merely-earliest copy. Oracle composes the d6
+      // recursive-component chain with the x2 quality chain over ONE
+      // shared words CTE.
+      val docs = t(s, dir, "documents")
+      val cl = Dedup.clusters(Dedup.ngramJaccard(docs, "text", "doc_id", 3, 0.8))
+      val q = TextAnalysis.qualityScore(docs, "text", "doc_id")
+        .select(col("doc_id"), col("quality"))
+      Dedup.keepBest(cl, q, "doc_id", "quality").orderBy("cluster_id")
+    }),
+
     "d8_dedup_delta" -> ((s, dir) => {
       // incremental ingest: the standing corpus (doc_id < 400) is
       // indexed once; the new batch dedups against the index + itself —
@@ -3683,6 +3698,46 @@ object SparkEntry {
         |  ((t.n_3grams - t.n_distinct_3grams) * 10000 // greatest(t.n_3grams, 1)) / 10000.0 AS dup3_frac,
         |  coalesce((b.top_cnt * 10000 // greatest(b.n_2grams, 1)) / 10000.0, 0.0) AS top_bigram_share
         |FROM tri t LEFT JOIN bia b USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+
+    "d25_keep_best" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[t.i:t.i+2], ' ') AS s
+        |  FROM words, unnest(range(1, len(ws)-1)) AS t(i)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a, b FROM pr JOIN sz sa ON pr.a = sa.doc_id JOIN sz sb ON pr.b = sb.doc_id
+        |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.8),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |r(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a),
+        |cl AS (SELECT src AS id, least(src, min(dst)) AS cluster_id FROM r GROUP BY src),
+        |qs AS (
+        |  SELECT doc_id,
+        |    length(text)::BIGINT AS n_chars_c,
+        |    len(ws)::BIGINT AS n_words,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::BIGINT AS n_punct,
+        |    len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is'], x)))::BIGINT AS n_stop
+        |  FROM words),
+        |q AS (
+        |  SELECT doc_id,
+        |    (least(n_words, 100) * 50 + (n_stop * 3000 // greatest(n_words, 1))
+        |     + 2000 - (n_punct * 2000 // greatest(n_chars_c, 1))) / 10000.0 AS quality
+        |  FROM qs),
+        |j AS (SELECT cl.cluster_id, cl.id, q.quality FROM cl JOIN q ON cl.id = q.doc_id),
+        |rk AS (SELECT cluster_id, id, quality,
+        |       row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, id) AS rk,
+        |       count(*) OVER (PARTITION BY cluster_id) AS n_members
+        |       FROM j)
+        |SELECT cluster_id, id AS kept_id, quality AS kept_score, n_members
+        |FROM rk WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
 
     "d6_dedup_clusters" ->
       """WITH RECURSIVE words AS (

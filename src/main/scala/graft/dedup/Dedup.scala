@@ -1107,6 +1107,32 @@ object Dedup {
     docs.join(broadcast(drop), docs(idCol) === drop("id"), "left_anti")
   }
 
+  /** The SCORE-ranked survivor policy: keep each cluster's
+    * highest-scoring member (score DESC, id ASC tie-break) — the
+    * standard web-pipeline alternative (keep the best-quality copy of
+    * a near-duplicate, not an arbitrary one) to [[keepCanonical]]'s
+    * smallest-id rule and the refinery's keep-first (arrival-order)
+    * discipline. `scores` is any total (id, score) frame — x2's
+    * heuristic quality, x9's model probability — and must cover the
+    * clustered ids (the join is inner: an unscored member cannot be
+    * ranked, and silently treating it as worst would be a lie). One
+    * window over the CLUSTER assignment joined to its scores: the
+    * shuffle is bounded by the number of near-duplicated docs, never
+    * the corpus. Emits one row per cluster:
+    * (cluster_id, kept_id, kept_score, n_members). */
+  def keepBest(clusterAssign: DataFrame, scores: DataFrame, idCol: String,
+               scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = Window.partitionBy("cluster_id")
+      .orderBy(col(scoreCol).desc, col("id").asc)
+    clusterAssign.join(scores.select(col(idCol).as("id"), col(scoreCol)), Seq("id"))
+      .withColumn("__rk", row_number().over(byScore))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .filter(col("__rk") === 1)
+      .select(col("cluster_id"), col("id").as("kept_id"),
+        col(scoreCol).as("kept_score"), col("n_members"))
+  }
+
   /** Embedding cosine near-dup pairs — the DEFAULT, scale-safe path:
     * random-hyperplane LSH buckets generate candidates (only bucket-mates
     * are ever paired, identical trick to `Ann.lshTopK`), then every

@@ -175,6 +175,20 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 7L, 100L)) // cluster canonicals + untouched doc
   }
 
+  test("keepBest keeps the highest-scoring member per cluster; ties break on id") {
+    val s = spark
+    import s.implicits._
+    // clusters {1,2,3} and {7,9}; 2 scores best in the first; 7/9 tie
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("id", "cluster_id")
+    val scores = Seq((1L, 0.3), (2L, 0.9), (3L, 0.9 - 1e-9), (7L, 0.5), (9L, 0.5))
+      .toDF("doc_id", "quality")
+    val got = Dedup.keepBest(assign, scores, "doc_id", "quality")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == Set((1L, 2L, 0.9, 3L), (7L, 7L, 0.5, 2L)),
+      s"best-member selection wrong: $got")
+  }
+
   test("clusters honors graft.checkpointDir (reliable checkpoints for cluster runs)") {
     val s = spark
     import s.implicits._
