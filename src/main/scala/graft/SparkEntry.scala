@@ -82,7 +82,12 @@ object SparkEntry {
     * is ASCII — verified single-byte), merge symbols hit 256+rank
     * rows generated from the same checked-in table the kernel
     * carries. `head` supplies the CTE(s) ending in w(doc_id, ws). */
-  private def deepEncodeSql(head: String): String = {
+  /** The shared front of the deep replays: `head`'s CTEs (ending in
+    * w(doc_id, ws)), word instances `t`, distinct words `dw`, and the
+    * chunked merge-sweep chain. Returns (cte block, last cte name) —
+    * [[deepEncodeSql]] appends the token-id tail, the x15 oracle a
+    * per-doc counting tail. */
+  private def deepChainCtes(head: String): (String, String) = {
     val merges = graft.text.Bpe.DeepMerges
     val chunk = 64
     val ctes = merges.grouped(chunk).zipWithIndex.map { case (ms, ci) =>
@@ -92,13 +97,19 @@ object SparkEntry {
       s"c${ci + 1} AS (SELECT wd, $expr AS s FROM c$ci)"
     }.mkString(",\n")
     val last = s"c${(merges.size + chunk - 1) / chunk}"
-    val mergeVals = merges.zipWithIndex
-      .map { case ((a, b), r) => s"('${a + b}', ${256 + r})" }.mkString(", ")
-    s"""WITH $head,
+    (s"""$head,
        |t AS (SELECT doc_id, t.i AS widx, ws[t.i] AS wd FROM w, unnest(range(1, len(ws)+1)) AS t(i)),
        |dw AS (SELECT DISTINCT wd FROM t),
        |c0 AS (SELECT wd, regexp_replace(wd, '(.)', '(\\1)', 'g') AS s FROM dw),
-       |$ctes,
+       |$ctes""".stripMargin, last)
+  }
+
+  private def deepEncodeSql(head: String): String = {
+    val merges = graft.text.Bpe.DeepMerges
+    val (chain, last) = deepChainCtes(head)
+    val mergeVals = merges.zipWithIndex
+      .map { case ((a, b), r) => s"('${a + b}', ${256 + r})" }.mkString(", ")
+    s"""WITH $chain,
        |sym AS (
        |  SELECT wd, u.j AS sidx, l[u.j] AS sym
        |  FROM (SELECT wd, regexp_extract_all(s, '\\(([^()]*)\\)', 1) AS l FROM $last),
@@ -111,6 +122,32 @@ object SparkEntry {
        |  ids.id AS token_id
        |FROM t JOIN ids USING (wd)
        |ORDER BY doc_id, pos""".stripMargin
+  }
+
+  /** The x15 oracle's per-doc counting tail over [[deepChainCtes]]:
+    * byte-level token count per distinct word = its '(' wrapper count
+    * after the sweep, byte mass = strlen (the corpus is verified
+    * single-byte ASCII), summed per doc over word instances; zero-word
+    * docs re-enter via the left join with 0/0 and flag. */
+  private def deepCompressionSql(head: String, lo: Long, hi: Long): String = {
+    val (chain, last) = deepChainCtes(head)
+    s"""WITH $chain,
+       |cnt AS (SELECT wd, (length(s) - length(replace(s, '(', '')))::BIGINT AS c,
+       |               strlen(wd)::BIGINT AS b FROM $last),
+       |per AS (
+       |  SELECT t.doc_id, sum(cnt.b)::BIGINT AS n_bytes, sum(cnt.c)::BIGINT AS bpe_tokens
+       |  FROM t JOIN cnt USING (wd) GROUP BY 1),
+       |cov AS (
+       |  SELECT w.doc_id, coalesce(per.n_bytes, 0)::BIGINT AS n_bytes,
+       |         coalesce(per.bpe_tokens, 0)::BIGINT AS bpe_tokens
+       |  FROM w LEFT JOIN per USING (doc_id)),
+       |r AS (
+       |  SELECT doc_id, n_bytes, bpe_tokens,
+       |    (CASE WHEN bpe_tokens = 0 THEN 0 ELSE n_bytes * 10000 // bpe_tokens END)::BIGINT AS bpt_x4
+       |  FROM cov)
+       |SELECT doc_id, n_bytes, bpe_tokens, bpt_x4,
+       |  (CASE WHEN bpt_x4 < $lo OR bpt_x4 > $hi THEN 1 ELSE 0 END)::INT AS flagged
+       |FROM r ORDER BY doc_id""".stripMargin
   }
 
   /** `TextAnalysis.piiScrubText` as a SQL expression over `c`. */
@@ -937,6 +974,22 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    "d26_semantic_decon" -> ((s, dir) => {
+      // semantic train/eval decontamination — the decon triad's third
+      // member (d9 n-gram containment, d20/d24 span excision, this the
+      // REPHRASED leak neither sees): the eval set is perturbed copies
+      // of train vectors (the rephrase analog, d5's construction);
+      // eval routes under the standing train index's frozen quantizer
+      // and flags the train members ≥ 0.9 cosine in its cells — the
+      // train corpus never reshuffles or re-trains
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val eval = graft.ann.SemDedup.perturbedBatch(e, "embedding", "vec_id")
+      val table = "ivf_idx_d26"
+      Ann.buildIvfIndex(e, "embedding", "vec_id", table)
+      graft.ann.SemDedup.semanticDecontaminate(s, eval, "embedding", "vec_id", table, 0.9)
+        .orderBy("id")
+    }),
+
     "d17_stream_semantic" -> ((s, dir) => {
       // streaming semantic ingest: d14's delta through the OnChange
       // loop — the perturbed batch (d5 construction, ids +10000)
@@ -1150,6 +1203,18 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     }),
 
+    "x15_compression_ratio" -> ((s, dir) => {
+      // tokenizer compression-ratio junk signal over the punctuation-
+      // planted corpus (the x14 byte-level construction): bytes per
+      // BPE token in ×10⁴ fixed point under the 4096-merge table —
+      // natural words merge (high bytes/token), planted punctuation
+      // costs a token per byte — flag outside [lo, hi]; one codegen'd
+      // map-only projection, no shuffle
+      val aug = plantPunct(t(s, dir, "documents"))
+      TextAnalysis.compressionRatio(aug, "text", "doc_id", graft.text.Bpe.DeepMerges)
+        .orderBy("doc_id")
+    }),
+
     "x9_quality_classifier" -> ((s, dir) => {
       // learned doc-quality gate (fastText/CCNet shape, deterministic
       // core): junk tokens are PLANTED on every 4th doc; the model
@@ -1207,6 +1272,16 @@ object SparkEntry {
       TextAnalysis.weightedSample(t(s, dir, "documents"), "doc_id", "lang",
           rates = Map("en" -> 0.35, "fr" -> 0.8))
         .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    "p19_holdout_split" -> ((s, dir) =>
+      // deterministic EXACT-COUNT eval split: exactly ceil(10% · n)
+      // docs per language to the holdout, decided by the md5-uniform
+      // order — computed as a coarse-bucket histogram + broadcast
+      // threshold + boundary-bucket-only rank, never a per-group sort
+      // of the corpus; the oracle IS that sort (row_number window)
+      TextAnalysis.holdoutSplit(t(s, dir, "documents"), "doc_id", "lang", holdBp = 1000)
+        .select("doc_id", "lang", "split")
         .orderBy("doc_id")),
 
     "p5_token_budget_mix" -> ((s, dir) => {
@@ -2295,6 +2370,24 @@ object SparkEntry {
         |WHERE lang IS NOT NULL AND rn <= (n * 2000 + 9999) // 10000
         |ORDER BY doc_id""".stripMargin,
 
+    // the naive sort the engine never runs: per-language row_number
+    // over the md5-uniform order, holdout = the first ceil(10% · n);
+    // NULL-lang rows can't rank and train whole
+    "p19_holdout_split" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, u,
+        |    row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM u)
+        |SELECT doc_id, lang,
+        |  CASE WHEN lang IS NOT NULL AND rn <= (n * 1000 + 9999) // 10000
+        |       THEN 'holdout' ELSE 'train' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     // per-source prefix-sum recompute of the cap: same md5 order, same
     // exclusive-prefix < cap rule; under-cap sources pass whole. LEFT
     // join + explicit NULL branch: a NULL-source doc matches no totals
@@ -2945,6 +3038,14 @@ object SparkEntry {
       s"aug AS (SELECT doc_id, $plantPunctSql AS text FROM documents),\n" +
         "w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM aug)"),
 
+    // the same sweep aggregated to per-doc byte/token masses: the
+    // compression-ratio arithmetic (bytes·10⁴ // tokens + the [lo, hi]
+    // flag) recomputed over the x14 punctuation-planted head
+    "x15_compression_ratio" -> deepCompressionSql(
+      s"aug AS (SELECT doc_id, $plantPunctSql AS text FROM documents),\n" +
+        "w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM aug)",
+      lo = 15500L, hi = 90000L),
+
     // the merge chain (one replace per merge, rank order) re-applies
     // the EXACT sweep semantics of the BpeCount kernel — see
     // Bpe.mergeChainSql; token count = count of '(' wrappers
@@ -3194,6 +3295,9 @@ object SparkEntry {
 
     "d14_semantic_delta" ->
       graft.ann.SemDedup.deltaOracleSql(nlist = 16, rounds = 2, threshold = 0.9),
+
+    "d26_semantic_decon" ->
+      graft.ann.SemDedup.deconOracleSql(nlist = 16, rounds = 2, threshold = 0.9),
 
     // same ground truth as d14: the streamed per-batch outputs union to
     // exactly the one-shot semantic delta over the whole batch region

@@ -124,6 +124,43 @@ object SemDedup {
       .select(col("a"), col("b"), round(col("simraw"), 4).as("sim"))
   }
 
+  /** Embedding-level train/eval DECONTAMINATION — the semantic member
+    * of the decon triad: d9 reports doc-level n-gram containment, d20
+    * excises span-level exact overlaps; this catches the REPHRASED
+    * leak neither can see (public: Yang et al., "Rethinking Benchmark
+    * and Contamination for Language Models with Rephrased Samples",
+    * arXiv:2311.04850, proposes exactly embedding-similarity
+    * screening after showing n-gram decon misses paraphrases).
+    *
+    * Eval vectors route to cells under the standing TRAIN index's
+    * FROZEN `_cent` quantizer (the d14 routing contract) and compare
+    * only against their cells' members — the train corpus never
+    * reshuffles, re-trains, re-assigns, or self-joins; work =
+    * Σ |eval∩cell|·|train∩cell| over probed cells, linear in the
+    * train corpus at a bounded eval set. Within-cell is the family's
+    * definitional scope (SemDeDup); raise nlist to hold cells flat.
+    *
+    * Output: one row per CONTAMINATED train id — how many eval
+    * neighbors sit at ≥ `threshold` cosine and the max similarity —
+    * the caller anti-joins it against the training corpus (the d20
+    * `scrubSpans` analog at doc granularity). */
+  def semanticDecontaminate(spark: org.apache.spark.sql.SparkSession, eval: DataFrame,
+                            vecCol: String, idCol: String, indexTable: String,
+                            threshold: Double): DataFrame = {
+    val cent = spark.table(s"${indexTable}_cent")
+    val ev = Ann.normed(eval, vecCol, idCol).join(broadcast(cent))
+      .withColumn("cid", Ann.sortedCells.getItem(0).getField("cid"))
+      .select(col("id"), col("v"), col("norm"), col("cid"))
+    val corpus = spark.table(indexTable)
+    val sim = Ann.cosine(col("x.v"), col("y.v"), col("x.norm"), col("y.norm"))
+    ev.as("x").join(corpus.as("y"), col("x.cid") === col("y.cid"))
+      .select(col("y.id").as("id"), sim.as("simraw"))
+      .filter(col("simraw") >= threshold)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_hits"),
+        round(max(col("simraw")), 4).as("max_sim"))
+  }
+
   /** The planted delta batch used by the d14 query, `SteadyState` and
     * `deltaOracleSql`'s `bat0` CTE — perturbed copies of the first `n`
     * corpus vectors under fresh ids (+`offset`), component 0 shifted
@@ -144,10 +181,12 @@ object SemDedup {
     * batch (perturbed copies of `vec_id < batchN`, ids +10000) routed
     * through the FINAL centroids (`cdnF`), then batch × batch and
     * batch × corpus cell-local pairs. */
-  def deltaOracleSql(nlist: Int = 16, rounds: Int = 2, threshold: Double = 0.9,
-                     batchN: Int = 100): String =
-    s"""WITH ${Ann.kmeansAssignCtes(nlist, rounds)},
-       |bat0 AS (
+  /** The `bat0`→`basg` CTE block shared by [[deltaOracleSql]] and
+    * [[deconOracleSql]]: the planted batch ([[perturbedBatch]]'s exact
+    * construction in SQL) routed through the trained FINAL centroids
+    * (`cdnF`, from `Ann.kmeansAssignCtes`). */
+  private def batchRouteCtes(batchN: Int): String =
+    s"""bat0 AS (
        |  SELECT vec_id + 10000 AS id,
        |    [CASE WHEN i = 1 THEN ((embedding[i]::DOUBLE + 0.1)::FLOAT) ELSE embedding[i] END
        |     for i in range(1, len(embedding)+1)] AS fv
@@ -159,7 +198,12 @@ object SemDedup {
        |         row_number() OVER (PARTITION BY b.id
        |           ORDER BY list_inner_product(b.v, c.cfd) / (b.nrm * c.cfn) DESC, c.cid) AS rn
        |  FROM bat b, cdnF c),
-       |basg AS (SELECT id, v, nrm, cid FROM basgr WHERE rn = 1),
+       |basg AS (SELECT id, v, nrm, cid FROM basgr WHERE rn = 1)""".stripMargin
+
+  def deltaOracleSql(nlist: Int = 16, rounds: Int = 2, threshold: Double = 0.9,
+                     batchN: Int = 100): String =
+    s"""WITH ${Ann.kmeansAssignCtes(nlist, rounds)},
+       |${batchRouteCtes(batchN)},
        |bb AS (
        |  SELECT x.id AS a, y.id AS b,
        |         list_inner_product(x.v, y.v) / (x.nrm * y.nrm) AS s
@@ -170,4 +214,19 @@ object SemDedup {
        |  FROM basg x JOIN assign y ON x.cid = y.cid AND x.id <> y.id),
        |u AS (SELECT * FROM bb UNION ALL SELECT * FROM bc)
        |SELECT a, b, round(s, 4) AS sim FROM u WHERE s >= $threshold ORDER BY a, b""".stripMargin
+
+  /** DuckDB SQL re-deriving [[semanticDecontaminate]] under the
+    * planted-eval construction (the rephrase analog: eval = perturbed
+    * copies of train vectors): k-means trained on the train corpus,
+    * the eval batch routed through the FINAL centroids, cell-local
+    * eval×train hits ≥ threshold aggregated per TRAIN id. */
+  def deconOracleSql(nlist: Int = 16, rounds: Int = 2, threshold: Double = 0.9,
+                     batchN: Int = 100): String =
+    s"""WITH ${Ann.kmeansAssignCtes(nlist, rounds)},
+       |${batchRouteCtes(batchN)},
+       |hit AS (
+       |  SELECT y.id, list_inner_product(x.v, y.v) / (x.nrm * y.nrm) AS s
+       |  FROM basg x JOIN assign y ON x.cid = y.cid)
+       |SELECT id, count(*)::BIGINT AS n_hits, round(max(s), 4) AS max_sim
+       |FROM hit WHERE s >= $threshold GROUP BY id ORDER BY id""".stripMargin
 }

@@ -141,6 +141,42 @@ object TextAnalysis {
       size(regexp_extract_all(lower(col(textCol)), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
         .cast("long").as("bpe_tokens"))
 
+  /** Tokenizer COMPRESSION-RATIO signal — bytes per BPE token in ×10⁴
+    * fixed point, the cheap junk detector corpus-quality suites run
+    * next to the heuristic gates (public practice: character/byte-per-
+    * token statistics flag non-language content — symbol soup, OCR
+    * noise, and base64-ish blobs compress BADLY under a corpus-fitted
+    * vocabulary, every byte costing a token, while natural text sits
+    * in a narrow band; tokenizer-fertility analysis is standard in
+    * multilingual corpus work, and Gopher's rules track the adjacent
+    * mean-word-length statistic). Byte-level contract: words are
+    * WHITESPACE-split ([[wsWords]] — punctuation stays inside and
+    * costs real tokens), `n_bytes` is their UTF-8 byte mass (spaces
+    * excluded: the ratio measures tokenized material only), tokens
+    * come from the byte-level BPE kernel (`Bpe.bpeCountBytes`), so the
+    * signal is exactly "how many bytes does one vocabulary token
+    * carry". Integer arithmetic end-to-end: bpt_x4 = bytes·10⁴ div
+    * tokens (zero-token docs → 0 and flag, there is nothing to
+    * train on); `flagged` = 1 outside [lo, hi]. One codegen'd map-only
+    * projection over the scan — the kernel is the only non-trivial
+    * column; no shuffle at any corpus size. */
+  def compressionRatio(docs: DataFrame, textCol: String, idCol: String,
+                       merges: Seq[(String, String)],
+                       lo: Long = 15500L, hi: Long = 90000L): DataFrame = {
+    requireFresh(docs, "n_bytes", "bpe_tokens", "bpt_x4", "flagged")
+    val ws = wsWords(col(textCol))
+    docs
+      .select(col(idCol),
+        coalesce(aggregate(ws, lit(0L), (a, w) => a + octet_length(w).cast("long")), lit(0L))
+          .as("n_bytes"),
+        graft.text.Bpe.bpeCountBytes(ws, merges).cast("long").as("bpe_tokens"))
+      .withColumn("bpt_x4",
+        when(col("bpe_tokens") === 0L, lit(0L))
+          .otherwise(expr("n_bytes * 10000 div bpe_tokens")))
+      .withColumn("flagged",
+        when(col("bpt_x4") < lo || col("bpt_x4") > hi, lit(1)).otherwise(lit(0)))
+  }
+
   // --- repetition (Gopher/C4-style quality rules) ------------------------
 
   /** Within-document repetition statistics — the classic
@@ -579,22 +615,137 @@ object TextAnalysis {
         .filter(col("__rn") <= col("__need"))
         .drop("__t", "__need", "__rn")
     } else {
-      val sliced = graft.core.Checkpoints.truncate(
-        joined.filter(col(scoreCol) === col("__t"))
-          .repartitionByRange(col(groupCol), col(idCol)))
-        .withColumn("__pid", spark_partition_id())
-      val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
-      val offsets = sliced.groupBy(col("__pid"), col(groupCol))
-        .agg(count(lit(1)).as("__pc"))
-        .withColumn("__off", sum(col("__pc")).over(wOff) - col("__pc"))
-        .select(col("__pid"), col(groupCol), col("__off"))
-      val wLocal = Window.partitionBy(col("__pid"), col(groupCol)).orderBy(col(idCol))
-      sliced.join(broadcast(offsets), Seq("__pid", groupCol))
-        .withColumn("__rn", row_number().over(wLocal) + col("__off"))
+      slicedGroupRank(joined.filter(col(scoreCol) === col("__t")), groupCol, Seq(idCol))
         .filter(col("__rn") <= col("__need"))
-        .drop("__t", "__need", "__pid", "__rn", "__off")
+        .drop("__t", "__need", "__rn")
     }
     above.unionByName(boundary)
+  }
+
+  /** Distributed per-group rank through BOUNDED slices — the degenerate
+    * boundary's tie-break shape, shared by [[topQualityFraction]] and
+    * [[holdoutSplit]]: range-repartition the rows by (group, orderCols)
+    * so each task holds a contiguous bounded slice (pinned — both
+    * consumers below must see the same partition ids); per-(slice,
+    * group) counts (a tiny aggregate, one row per task×group) turned
+    * into prefix offsets and broadcast back; local ranks within each
+    * slice plus the offset give the exact per-group global rank. No
+    * partition ever sorts more than its slice. Returns the rows plus
+    * `__rn` (1-based rank within group by `orderCols`). */
+  private def slicedGroupRank(rows: DataFrame, groupCol: String,
+                              orderCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val oc = orderCols.map(col)
+    val sliced = graft.core.Checkpoints.truncate(
+      rows.repartitionByRange((col(groupCol) +: oc): _*))
+      .withColumn("__pid", spark_partition_id())
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
+    val offsets = sliced.groupBy(col("__pid"), col(groupCol))
+      .agg(count(lit(1)).as("__pc"))
+      .withColumn("__off", sum(col("__pc")).over(wOff) - col("__pc"))
+      .select(col("__pid"), col(groupCol), col("__off"))
+    val wLocal = Window.partitionBy(col("__pid"), col(groupCol)).orderBy(oc: _*)
+    sliced.join(broadcast(offsets), Seq("__pid", groupCol))
+      .withColumn("__rn", row_number().over(wLocal) + col("__off"))
+      .drop("__pid", "__off")
+  }
+
+  /** Deterministic EXACT-COUNT train/holdout split — the eval-set cut
+    * every training pipeline makes before any mixing or dedup decision
+    * (public practice: held-out validation slices are drawn per
+    * language/source so low-resource groups stay represented, and the
+    * split must be reproducible run-over-run and stable under
+    * re-sharding). Per non-NULL group, EXACTLY k = ceil(n·holdBp/10⁴)
+    * docs land in the holdout — not a binomial threshold sample
+    * ([[weightedSample]]'s count drifts ±√n): the holdout is the k
+    * docs with the smallest (u, id) in the group, u = the
+    * deterministic md5 uniform ([[sampleHash]]).
+    *
+    * The per-group sort a naive `row_number() OVER (ORDER BY u)` pays
+    * — the whole corpus through group-sized sort partitions — never
+    * happens. The x11 histogram discipline applies, but NOT x11's
+    * per-value histogram: u is unique per doc, so counting per value
+    * would be corpus-sized. The uniform's own distribution is the
+    * lever instead:
+    *
+    *  1. coarse histogram over the uniform's top `bucketBits` bits —
+    *     count per (group, bucket), map-side combined, ≤ groups·2^bits
+    *     rows regardless of corpus size;
+    *  2. per-group threshold BUCKET from the histogram cumulative (a
+    *     window over histogram rows, not docs): the bucket where the
+    *     running count first reaches k, plus how many of its docs are
+    *     still needed;
+    *  3. docs below/above the threshold bucket split map-side behind a
+    *     broadcast join; ONLY the threshold bucket's docs — expected
+    *     n/2^bits per group, u is uniform by construction — pay an
+    *     exact (u, id) rank: a plain per-group window when the
+    *     boundary is small, [[slicedGroupRank]] past `sliceCutoff`.
+    *
+    * `bucketBits` trades histogram size (groups·2^bits rows) against
+    * boundary size (n/2^bits docs): 16 holds boundaries under ~100k to
+    * ~10¹⁰ docs per group; raise toward 24 at the extreme tail (the
+    * histogram stays tiny) before the sliced rank is ever load-bearing.
+    * Ties on u (md5 collisions) break by id, matching the oracle's
+    * ORDER BY u, id.
+    *
+    * NULL-group docs cannot name a quota and go to `train` whole — the
+    * family's NULL-group convention applied conservatively: never let
+    * unattributed rows leak into an eval set. Output = `docs` plus a
+    * `split` column ('holdout' | 'train'); the two parts partition the
+    * corpus by construction. */
+  def holdoutSplit(docs: DataFrame, idCol: String, groupCol: String,
+                   holdBp: Int, seed: String = "split", bucketBits: Int = 16,
+                   sliceCutoff: Long = BoundarySliceCutoff): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(holdBp >= 0 && holdBp <= 10000, s"holdBp is basis points, got $holdBp")
+    require(bucketBits >= 0 && bucketBits <= 32, s"bucketBits in [0, 32], got $bucketBits")
+    requireFresh(docs, "split")
+    val withU = docs
+      .withColumn("__u", sampleHash(col(idCol), seed))
+      .withColumn("__b", shiftright(col("__u"), 32 - bucketBits))
+    val hist = withU.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol), col("__b"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+    val wAsc = Window.partitionBy(col(groupCol)).orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    val marked = hist
+      .withColumn("__below", sum(col("__c")).over(wAsc) - col("__c"))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn("__k", expr(s"(__n * $holdBp + 9999) div 10000"))
+    // exactly one threshold row per group (k ≥ 1 crosses one bucket's
+    // cumulative; k = 0 matches none → everything trains). Pinned: the
+    // maxTies read plus both split branches consume it, and the pin is
+    // one row per group
+    val thresholds = graft.core.Checkpoints.truncate(marked
+      .filter(col("__below") < col("__k") && col("__k") <= col("__below") + col("__c"))
+      .select(col(groupCol), col("__b").as("__tb"),
+        (col("__k") - col("__below")).as("__need"), col("__c").as("__ties")))
+    // LEFT join: NULL groups (and every group at holdBp = 0) match no
+    // threshold row, get a NULL __tb, and train whole
+    val joined = withU.join(broadcast(thresholds.drop("__ties")), Seq(groupCol), "left")
+    val decided = joined.filter(col("__tb").isNull || col("__b") =!= col("__tb"))
+      .withColumn("split",
+        when(col("__tb").isNotNull && col("__b") < col("__tb"), lit("holdout"))
+          .otherwise(lit("train")))
+      .drop("__u", "__b", "__tb", "__need")
+    // boundary-bucket size is known exactly from the pinned threshold
+    // rows (one metadata-sized read, the x11 idiom) — it picks the
+    // tie-break shape
+    val maxTies = thresholds.agg(max("__ties")).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val bRows = joined.filter(col("__b") === col("__tb"))
+    val ranked = if (maxTies < sliceCutoff) {
+      val wTie = Window.partitionBy(col(groupCol)).orderBy(col("__u"), col(idCol))
+      bRows.withColumn("__rn", row_number().over(wTie))
+    } else slicedGroupRank(bRows, groupCol, Seq("__u", idCol))
+    val boundary = ranked
+      .withColumn("split",
+        when(col("__rn") <= col("__need"), lit("holdout")).otherwise(lit("train")))
+      .drop("__u", "__b", "__tb", "__need", "__rn")
+    decided.unionByName(boundary)
   }
 
   /** Boundary size above which [[topQualityFraction]]'s tie-break

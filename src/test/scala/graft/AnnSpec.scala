@@ -422,6 +422,47 @@ class AnnSpec extends SparkSpec {
       s"missing=${expect -- delta} extra=${delta -- expect}")
   }
 
+  test("semantic decontamination: sound witnesses, identical-copy hits, n_hits counts, composable scrub") {
+    import graft.ann.SemDedup
+    import graft.functions.VectorFunctions.dot
+    val table = "ivf_idx_decon_spec"
+    Ann.buildIvfIndex(emb, "embedding", "vec_id", table)
+    // eval = perturbed near-copies of train ids < 30 (the rephrase
+    // analog) + TWO exact copies of train id 7 under fresh ids — the
+    // identical leak must flag id 7 with max_sim 1.0 and n_hits
+    // counting BOTH copies (+ the perturbed copy of 7 if co-celled)
+    val eval = SemDedup.perturbedBatch(emb, "embedding", "vec_id", n = 30)
+      .unionByName(emb.filter(col("vec_id") === 7L)
+        .select((col("vec_id") + 20000L).as("vec_id"), col("embedding")))
+      .unionByName(emb.filter(col("vec_id") === 7L)
+        .select((col("vec_id") + 30000L).as("vec_id"), col("embedding")))
+    val got = SemDedup.semanticDecontaminate(spark, eval, "embedding", "vec_id", table, 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // flagged ids are TRAIN ids only
+    val trainIds = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.keySet.subsetOf(trainIds), s"flagged non-train ids: ${got.keySet -- trainIds}")
+    // soundness: every flagged id has an exact ≥-threshold eval witness
+    // (all-pairs ground truth, no cell routing)
+    def normed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val nc = normed(emb)
+    val ne = normed(eval)
+    val witness = nc.as("x").join(ne.as("y"),
+        dot(col("x.v"), col("y.v")) / (col("x.norm") * col("y.norm")) >= 0.9)
+      .select(col("x.id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(got.keySet.subsetOf(witness), s"unsound flags: ${got.keySet -- witness}")
+    // the identical copies: flagged at exactly 1.0 with both counted
+    assert(got.contains(7L), "identical leak must be flagged")
+    assert(got(7L)._2 == 1.0d, s"identical copy rounds to 1.0, got ${got(7L)}")
+    assert(got(7L)._1 >= 2L, s"both exact copies count, got ${got(7L)}")
+    // composition: the anti-join scrub removes exactly the flagged docs
+    val clean = emb.join(
+      SemDedup.semanticDecontaminate(spark, eval, "embedding", "vec_id", table, 0.9),
+      col("vec_id") === col("id"), "left_anti")
+    assert(clean.count() == trainIds.size - got.size)
+  }
+
   test("indexed semantic dedup ≡ recompute; the cell self-join rides the index buckets") {
     import graft.ann.SemDedup
     val table = "ivf_idx_semidx_spec"

@@ -542,6 +542,111 @@ class TextMultimodalSpec extends SparkSpec {
       "tie-break window must be slice-partitioned, not group-partitioned:\n" + plan)
   }
 
+  test("holdout split: exact counts equal the sort-window semantics; all paths agree") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(11)
+    val docs = (0L until 400L).map(i => (i, s"g${rng.nextInt(3)}")).toDF("id", "grp")
+    for (bp <- Seq(1, 1000, 5000, 9999)) {
+      val got = TextAnalysis.holdoutSplit(docs, "id", "grp", bp)
+      // the split PARTITIONS the corpus: every doc, exactly once
+      assert(got.count() == 400L, s"bp=$bp emits the whole corpus")
+      val hold = got.filter(col("split") === "holdout")
+        .select("id").as[Long].collect().toSet
+      // ground truth = the naive per-group sort the engine never runs
+      val w = Window.partitionBy("grp")
+        .orderBy(TextAnalysis.sampleHash(col("id"), "split"), col("id"))
+      val expect = docs
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+        .filter(col("rn") <= expr(s"(n * $bp + 9999) div 10000"))
+        .select("id").as[Long].collect().toSet
+      assert(hold == expect, s"bp=$bp: got ${hold.size}, want ${expect.size}")
+      // every bucketing of the uniform yields the SAME split: all-
+      // boundary (bits=0, pure rank), per-value (bits=32), and the
+      // sliced rank path (cutoff 1) must agree with the default
+      for ((bits, cut) <- Seq((0, Long.MaxValue), (32, Long.MaxValue), (16, 1L))) {
+        val alt = TextAnalysis.holdoutSplit(docs, "id", "grp", bp,
+            bucketBits = bits, sliceCutoff = cut)
+          .filter(col("split") === "holdout").select("id").as[Long].collect().toSet
+        assert(alt == hold, s"bp=$bp bits=$bits cutoff=$cut diverged")
+      }
+    }
+    // edges: 0% holds nothing, 100% holds every non-NULL-group doc
+    assert(TextAnalysis.holdoutSplit(docs, "id", "grp", 0)
+      .filter(col("split") === "holdout").count() == 0L)
+    assert(TextAnalysis.holdoutSplit(docs, "id", "grp", 10000)
+      .filter(col("split") === "train").count() == 0L)
+    // NULL-group docs train whole (never leak into an eval set) — at
+    // ANY fraction, including 100%
+    val withNull = docs.withColumn("grp",
+      when(col("id") % 5 === 0, lit(null).cast("string")).otherwise(col("grp")))
+    val nullSplit = TextAnalysis.holdoutSplit(withNull, "id", "grp", 10000)
+    assert(nullSplit.filter(col("grp").isNull && col("split") === "holdout").count() == 0L)
+    assert(nullSplit.filter(col("grp").isNull).count() == 80L)
+    // determinism under re-partitioning: the kept SET is a function of
+    // (corpus, seed, fraction) alone
+    val repart = TextAnalysis.holdoutSplit(docs.repartition(13), "id", "grp", 1700)
+      .filter(col("split") === "holdout").select("id").as[Long].collect().toSet
+    val base = TextAnalysis.holdoutSplit(docs, "id", "grp", 1700)
+      .filter(col("split") === "holdout").select("id").as[Long].collect().toSet
+    assert(repart == base)
+    // output-column collision is loud
+    intercept[IllegalArgumentException] {
+      TextAnalysis.holdoutSplit(docs.withColumn("split", lit("x")), "id", "grp", 1000)
+    }
+  }
+
+  test("holdout split: sliced boundary rank keeps exactly the smallest (u, id) and slices the sort") {
+    val s = spark
+    import s.implicits._
+    // bucketBits = 0 makes the ONE bucket the boundary for the whole
+    // group; sliceCutoff = 1 forces the distributed range-rank — the
+    // degenerate shape where the boundary IS the corpus
+    val docs = s.range(5000L).select(col("id"), lit("g").as("grp"))
+    val got = TextAnalysis.holdoutSplit(docs, "id", "grp", 1700,
+      bucketBits = 0, sliceCutoff = 1L)
+    val hold = got.filter(col("split") === "holdout").select("id").as[Long].collect().toSet
+    assert(hold.size == 850, s"exactly ceil(17% · 5000), got ${hold.size}")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+      .orderBy(TextAnalysis.sampleHash(col("id"), "split"), col("id"))
+    val expect = docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 850).select("id").as[Long].collect().toSet
+    assert(hold == expect)
+    // plan shape: the rank window runs per (__pid, grp) slice
+    val plan = planOf(TextAnalysis.holdoutSplit(docs, "id", "grp", 1700,
+      bucketBits = 0, sliceCutoff = 1L))
+    assert(plan.contains("__pid"),
+      "tie-break window must be slice-partitioned, not group-partitioned:\n" + plan)
+  }
+
+  test("compression ratio: integer bytes-per-token, UTF-8 bytes, zero-token docs, flag edges") {
+    val s = spark
+    import s.implicits._
+    val merges = Seq(("a", "a"), ("aa", "aa"))
+    val docs = Seq(
+      (1L, "aaaa bb"), // aaaa → 1 token (4 bytes), bb → 2 → 6 bytes / 3 tokens = 20000
+      (2L, ""), // zero words: 0 bytes, 0 tokens, bpt 0 → flagged
+      (3L, "zz"), // 2 bytes / 2 tokens = 10000 — AT lo: not flagged (inclusive band)
+      (4L, "éé") // UTF-8: 4 bytes, 4 byte-level tokens = 10000
+    ).toDF("id", "text")
+    val out = TextAnalysis.compressionRatio(docs, "text", "id", merges,
+        lo = 10000L, hi = 15000L)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(out(0) == ((1L, 6L, 3L, 20000L, 1)), s"got ${out(0)}")
+    assert(out(1) == ((2L, 0L, 0L, 0L, 1)), s"got ${out(1)}")
+    assert(out(2) == ((3L, 2L, 2L, 10000L, 0)), s"got ${out(2)}")
+    assert(out(3) == ((4L, 4L, 4L, 10000L, 0)), s"got ${out(3)}")
+    // map-only: no shuffle anywhere in the plan
+    val plan = planOf(TextAnalysis.compressionRatio(docs, "text", "id", merges))
+    assert(!plan.contains("Exchange"), "compression ratio must be map-only:\n" + plan)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.compressionRatio(docs.withColumn("flagged", lit(1)), "text", "id", merges)
+    }
+  }
+
   test("appended output column names collide loudly instead of duplicating") {
     val s = spark
     import s.implicits._
