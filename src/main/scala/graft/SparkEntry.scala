@@ -150,6 +150,67 @@ object SparkEntry {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** The p14/p21 oracle: the x12 segmentation aggregated to per-doc id
+    * arrays, the p10 placement arithmetic, the p13 segment explode,
+    * per-segment token unnest. `withDoc` additionally threads doc
+    * identity through the explode and emits the p21 `doc_start` flag
+    * (1 exactly on a doc's first token — continuation segments have
+    * seg_start > 0). */
+  private def packedStreamSql(withDoc: Boolean): String = {
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val vocabRows = (base.zipWithIndex.map { case (c, i) => s"('$c', $i)" } ++
+      graft.text.Bpe.DefaultMerges.zipWithIndex.map { case ((a, b), r) =>
+        s"('${a + b}', ${36 + r})"
+      }).mkString(", ")
+    val segDoc = if (withDoc) " p.doc_id," else ""
+    val outDoc = if (withDoc)
+      ",\n  doc_id,\n  (CASE WHEN seg_start = 0 AND u.k = 1 THEN 1 ELSE 0 END)::INT AS doc_start"
+    else ""
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+       |  FROM documents),
+       |t AS (SELECT doc_id, t.i AS widx, ws[t.i] AS wd FROM w, unnest(range(1, len(ws)+1)) AS t(i)),
+       |enc AS (SELECT doc_id, widx, ${graft.text.Bpe.mergeChainSql("wd", graft.text.Bpe.DefaultMerges)} AS s FROM t),
+       |sym AS (
+       |  SELECT doc_id, widx, u.j AS sidx, l[u.j] AS sym
+       |  FROM (SELECT doc_id, widx, regexp_extract_all(s, '\\(([^()]*)\\)', 1) AS l FROM enc),
+       |       unnest(range(1, len(l)+1)) AS u(j)),
+       |v(sym, id) AS (VALUES $vocabRows),
+       |ids AS (
+       |  SELECT doc_id, array_agg(v.id ORDER BY widx, sidx) AS ids
+       |  FROM sym JOIN v USING (sym) GROUP BY doc_id),
+       |d AS (
+       |  SELECT d0.doc_id, d0.source,
+       |    coalesce(len(ids.ids), 0)::BIGINT AS n,
+       |    coalesce(ids.ids, CAST([] AS INT[])) AS ids,
+       |    (d0.doc_id // 1000)::BIGINT AS shard
+       |  FROM documents d0 LEFT JOIN ids USING (doc_id)),
+       |c AS (
+       |  SELECT doc_id, source, n, ids, shard,
+       |    coalesce(sum(n) OVER (PARTITION BY source, shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pre
+       |  FROM d),
+       |p AS (
+       |  SELECT doc_id, source, n, ids, shard, pre,
+       |    (pre // 512)::BIGINT AS bin_first,
+       |    (CASE WHEN n <= 0 THEN pre // 512 ELSE (pre + n - 1) // 512 END)::BIGINT AS bin_last
+       |  FROM c),
+       |seg AS (
+       |  SELECT$segDoc source, shard, b.bin::BIGINT AS bin, ids,
+       |    (CASE WHEN b.bin = bin_first THEN 0 ELSE b.bin * 512 - pre END)::BIGINT AS seg_start,
+       |    (CASE WHEN n <= 0 THEN 0
+       |          ELSE least(pre + n, (b.bin + 1) * 512) - greatest(pre, b.bin * 512) END)::BIGINT AS seg_len,
+       |    greatest(pre - b.bin * 512, 0)::BIGINT AS bin_offset
+       |  FROM p, unnest(range(bin_first, bin_last + 1)) AS b(bin))
+       |SELECT source, shard, bin,
+       |  (bin_offset + u.k - 1)::BIGINT AS bin_pos,
+       |  ids[(seg_start + u.k)::INT]::INT AS token_id$outDoc
+       |FROM seg, unnest(range(1, seg_len + 1)) AS u(k)
+       |WHERE seg_len > 0
+       |ORDER BY source, shard, bin, bin_pos""".stripMargin
+  }
+
   /** `TextAnalysis.piiScrubText` as a SQL expression over `c`. */
   private def scrubSql(c: String): String =
     s"regexp_replace(regexp_replace(regexp_replace($c, " +
@@ -1444,6 +1505,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "p20_curriculum" -> ((s, dir) => {
+      // curriculum-ordered epoch shuffle: the quality quartile is the
+      // stage (best docs stage 0), shuffled within each stage by the
+      // epoch uniform — shard assignment unchanged from p6, so stage
+      // ranges align across shards and a loader interleaving shards
+      // reads easy→hard without any global stage-sort
+      val docs = t(s, dir, "documents")
+      val staged = TextAnalysis.qualityInt(docs, "text", "doc_id")
+        .select(col("doc_id"),
+          greatest(lit(0L), lit(3L) - expr("iq div 2500")).as("stage"))
+      TextAnalysis.curriculumShuffle(staged, "doc_id", "stage", epoch = 1, nShards = 8)
+        .orderBy("doc_id")
+    }),
+
+    "p21_mask_stream" -> ((s, dir) => {
+      // the packed token stream WITH document boundaries — the
+      // attention-mask loader view (packed pretraining resets
+      // attention at doc boundaries): every token carries its doc and
+      // a doc_start flag on the doc's first token; continuation
+      // segments of straddling docs never flag
+      val docs = t(s, dir, "documents")
+      val enc = docs.select(col("doc_id"), col("source"),
+        graft.text.Bpe.bpeEncode(TextAnalysis.words(col("text")),
+          graft.text.Bpe.DefaultMerges).as("ids"))
+      TextAnalysis.packedMaskStream(enc, "doc_id", "source", "ids",
+          capacity = 512L, shardSize = 1000L)
+        .select(col("source"), col("shard"), col("bin"), col("bin_pos"),
+          col("token_id").cast("int").as("token_id"), col("doc_id"), col("doc_start"))
+        .orderBy("source", "shard", "bin", "bin_pos")
+    }),
+
     "p14_packed_tokens" -> ((s, dir) => {
       // the END of the pipeline: fixed-capacity training sequences as
       // token-id streams — x12's encoder feeds p13's segments, one row
@@ -2460,56 +2552,12 @@ object SparkEntry {
     // x12's segmentation aggregated to per-doc id arrays, p13's
     // placement arithmetic on their lengths, then each segment
     // unnested to (bin_pos, token_id) rows
-    "p14_packed_tokens" -> {
-      val base = "abcdefghijklmnopqrstuvwxyz0123456789"
-      val vocabRows = (base.zipWithIndex.map { case (c, i) => s"('$c', $i)" } ++
-        graft.text.Bpe.DefaultMerges.zipWithIndex.map { case ((a, b), r) =>
-          s"('${a + b}', ${36 + r})"
-        }).mkString(", ")
-      s"""WITH w AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
-         |  FROM documents),
-         |t AS (SELECT doc_id, t.i AS widx, ws[t.i] AS wd FROM w, unnest(range(1, len(ws)+1)) AS t(i)),
-         |enc AS (SELECT doc_id, widx, ${graft.text.Bpe.mergeChainSql("wd", graft.text.Bpe.DefaultMerges)} AS s FROM t),
-         |sym AS (
-         |  SELECT doc_id, widx, u.j AS sidx, l[u.j] AS sym
-         |  FROM (SELECT doc_id, widx, regexp_extract_all(s, '\\(([^()]*)\\)', 1) AS l FROM enc),
-         |       unnest(range(1, len(l)+1)) AS u(j)),
-         |v(sym, id) AS (VALUES $vocabRows),
-         |ids AS (
-         |  SELECT doc_id, array_agg(v.id ORDER BY widx, sidx) AS ids
-         |  FROM sym JOIN v USING (sym) GROUP BY doc_id),
-         |d AS (
-         |  SELECT d0.doc_id, d0.source,
-         |    coalesce(len(ids.ids), 0)::BIGINT AS n,
-         |    coalesce(ids.ids, CAST([] AS INT[])) AS ids,
-         |    (d0.doc_id // 1000)::BIGINT AS shard
-         |  FROM documents d0 LEFT JOIN ids USING (doc_id)),
-         |c AS (
-         |  SELECT doc_id, source, n, ids, shard,
-         |    coalesce(sum(n) OVER (PARTITION BY source, shard ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pre
-         |  FROM d),
-         |p AS (
-         |  SELECT doc_id, source, n, ids, shard, pre,
-         |    (pre // 512)::BIGINT AS bin_first,
-         |    (CASE WHEN n <= 0 THEN pre // 512 ELSE (pre + n - 1) // 512 END)::BIGINT AS bin_last
-         |  FROM c),
-         |seg AS (
-         |  SELECT source, shard, b.bin::BIGINT AS bin, ids,
-         |    (CASE WHEN b.bin = bin_first THEN 0 ELSE b.bin * 512 - pre END)::BIGINT AS seg_start,
-         |    (CASE WHEN n <= 0 THEN 0
-         |          ELSE least(pre + n, (b.bin + 1) * 512) - greatest(pre, b.bin * 512) END)::BIGINT AS seg_len,
-         |    greatest(pre - b.bin * 512, 0)::BIGINT AS bin_offset
-         |  FROM p, unnest(range(bin_first, bin_last + 1)) AS b(bin))
-         |SELECT source, shard, bin,
-         |  (bin_offset + u.k - 1)::BIGINT AS bin_pos,
-         |  ids[(seg_start + u.k)::INT]::INT AS token_id
-         |FROM seg, unnest(range(1, seg_len + 1)) AS u(k)
-         |WHERE seg_len > 0
-         |ORDER BY source, shard, bin, bin_pos""".stripMargin
-    },
+    "p14_packed_tokens" -> packedStreamSql(withDoc = false),
+
+    // the same chain carrying doc identity through the segment explode:
+    // doc_start = 1 exactly on each doc's first token (a straddling
+    // doc's continuation segment has seg_start > 0 and never flags)
+    "p21_mask_stream" -> packedStreamSql(withDoc = true),
 
     // p10's placements exploded to per-(shard, bin) doc segments: each
     // doc emits one row per bin it touches; segment arithmetic is the
@@ -2756,6 +2804,35 @@ object SparkEntry {
          |SELECT doc_id, shard,
          |       (row_number() OVER (PARTITION BY shard ORDER BY u, doc_id) - 1)::BIGINT AS pos
          |FROM sh ORDER BY doc_id""".stripMargin,
+
+    // the x11 iq chain feeds the quartile stage; coordinates = p6's
+    // shard arithmetic with the rank ordered (stage, u, doc_id)
+    "p20_curriculum" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws,
+        |    text
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    length(text)::BIGINT AS n_chars_c,
+        |    len(ws)::BIGINT AS n_words,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::BIGINT AS n_punct,
+        |    len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is'], x)))::BIGINT AS n_stop
+        |  FROM w),
+        |q AS (
+        |  SELECT doc_id,
+        |    (least(n_words, 100) * 50 + (n_stop * 3000 // greatest(n_words, 1))
+        |     + 2000 - (n_punct * 2000 // greatest(n_chars_c, 1)))::BIGINT AS iq
+        |  FROM s),
+        |st AS (
+        |  SELECT doc_id, greatest(0, 3 - iq // 2500)::BIGINT AS stage,
+        |    ('0x' || substr(md5('epoch1:' || doc_id), 1, 8))::BIGINT AS u
+        |  FROM q),
+        |sh AS (SELECT doc_id, stage, u, (u * 8 // 4294967296)::INT AS shard FROM st)
+        |SELECT doc_id, stage, shard,
+        |  (row_number() OVER (PARTITION BY shard ORDER BY stage, u, doc_id) - 1)::BIGINT AS pos
+        |FROM sh ORDER BY doc_id""".stripMargin,
 
     // the delta-identity oracle: after build→delta→absorb the standing
     // placement table must equal the ONE-SHOT packer over the whole

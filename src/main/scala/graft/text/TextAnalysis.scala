@@ -518,6 +518,35 @@ object TextAnalysis {
       .drop("__u")
   }
 
+  /** CURRICULUM-ordered epoch shuffle — [[epochShuffle]] with a
+    * coarse difficulty/quality STAGE steering the within-shard order
+    * (curriculum learning, Bengio et al. 2009, public; quality-ordered
+    * pretraining schedules are its standard data-side application):
+    * pos ranks by (stage asc, u, id), so every shard reads stage 0's
+    * docs first, shuffled within the stage by the epoch's uniform.
+    * Shard assignment is unchanged from [[epochShuffle]] (map-only,
+    * balanced), so each stage occupies fractionally ALIGNED pos ranges
+    * across shards — a loader interleaving shards at equal pos
+    * consumes the stages in order globally, without the global
+    * stage-sort this family never runs. The window stays one
+    * parallel per-shard rank; same determinism contract as p6 (the
+    * (corpus, stage, epoch, nShards) tuple fixes the coordinates on
+    * any engine/partitioning/run). NULL stages order LAST (unstaged
+    * docs after every named stage, both engines' ASC default). */
+  def curriculumShuffle(docs: DataFrame, idCol: String, stageCol: String,
+                        epoch: Int, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    requireFresh(docs, "shard", "pos")
+    val u = sampleHash(col(idCol), s"epoch$epoch")
+    docs
+      .withColumn("__u", u)
+      .withColumn("shard", expr(s"__u * $nShards div 4294967296").cast("int"))
+      .withColumn("pos",
+        (row_number().over(Window.partitionBy(col("shard"))
+          .orderBy(col(stageCol).asc_nulls_last, col("__u"), col(idCol))) - 1).cast("long"))
+      .drop("__u")
+  }
+
   /** Exact per-group top-q% gate WITHOUT a per-group global sort — the
     * adaptive quality-threshold step (FineWeb-style per-slice filtering,
     * public: keep each language's best q% by score rather than one
@@ -929,6 +958,37 @@ object TextAnalysis {
     sliceToTokens(
       packedBinsBy(withN, idCol, groupCol, "__n", capacity, shardCol, posCol),
       groupCol, idsCol)
+  }
+
+  /** [[packedTokenStream]] WITH document identity — the loader view
+    * block-diagonal attention and loss masking need (public practice:
+    * packed pretraining sequences reset attention at document
+    * boundaries — e.g. the T5/LLaMA-style packing with cross-document
+    * attention masking — so the trainer must know where each doc
+    * starts inside every bin): each token row additionally carries
+    * its source doc (`doc_id` as emitted by `idCol`) and `doc_start`
+    * = 1 on the doc's FIRST token only — a straddling doc's
+    * continuation segment is NOT a start (seg_start > 0), so a mask
+    * built by cumulative-summing `doc_start` within a bin segments
+    * the bin exactly into its documents. Zero-token docs have no
+    * tokens and therefore no start row (they are visible in the p13
+    * manifest, not in the stream — the stream is the token multiset).
+    * Same shape as [[packedTokenStream]]: the p10 machinery + a
+    * map-only slice+explode, output volume = corpus token count. */
+  def packedMaskStream(docs: DataFrame, idCol: String, groupCol: String,
+                       idsCol: String, capacity: Long, shardSize: Long): DataFrame = {
+    requireFresh(docs, "bin_pos", "token_id", "doc_start")
+    val withN = withArrayLen(docs, idsCol)
+    packedBins(withN, idCol, groupCol, "__n", capacity, shardSize)
+      .filter(col("seg_len") > 0)
+      .select(col(groupCol), col(idCol), col("shard"), col("bin"),
+        col("bin_offset"), col("seg_start"),
+        posexplode(slice(col(idsCol), (col("seg_start") + 1).cast("int"),
+          col("seg_len").cast("int"))).as(Seq("__k", "token_id")))
+      .withColumn("bin_pos", col("bin_offset") + col("__k"))
+      .withColumn("doc_start",
+        when(col("seg_start") === 0L && col("__k") === 0, lit(1)).otherwise(lit(0)))
+      .drop("__k", "bin_offset", "seg_start")
   }
 
   /** NULL id arrays count as zero-width. The guard is an explicit

@@ -647,6 +647,81 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("curriculum shuffle: stage-major within shards, bijective, null stages last, epochs permute") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = (0L until 300L).map { i =>
+      (i, if (i % 7 == 3) null.asInstanceOf[java.lang.Long] else java.lang.Long.valueOf(i % 4))
+    }.toDF("id", "stage")
+    val got = TextAnalysis.curriculumShuffle(docs, "id", "stage", epoch = 1, nShards = 4)
+    // bijective coordinates partitioning the corpus
+    assert(got.count() == 300L)
+    assert(got.select("shard", "pos").distinct().count() == 300L)
+    // exact semantics: rank by (stage NULLS LAST, u, id) within shard
+    val w = Window.partitionBy("shard")
+      .orderBy(col("stage").asc_nulls_last,
+        TextAnalysis.sampleHash(col("id"), "epoch1"), col("id"))
+    val expect = got.drop("pos")
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select("id", "shard", "pos").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val gotSet = got.select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(gotSet == expect)
+    // stages are non-decreasing in pos order within every shard, nulls at the tail
+    got.collect().groupBy(_.getInt(2)).foreach { case (_, rows) =>
+      val stages = rows.sortBy(_.getLong(3)).map(r => if (r.isNullAt(1)) Long.MaxValue else r.getLong(1))
+      assert(stages.sameElements(stages.sorted), s"stage order broken: ${stages.mkString(",")}")
+    }
+    // a different epoch genuinely permutes
+    val e2 = TextAnalysis.curriculumShuffle(docs, "id", "stage", epoch = 2, nShards = 4)
+      .select("id", "shard", "pos").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(e2 != gotSet)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.curriculumShuffle(docs.withColumn("pos", lit(1)), "id", "stage", 1, 4)
+    }
+  }
+
+  test("mask stream: token projection equals packedTokenStream; doc_start flags exactly first tokens") {
+    val s = spark
+    import s.implicits._
+    // handcrafted arrays force straddles at capacity 5: doc 1 (7 ids)
+    // spans bins, doc 2 empty, doc 3 null array
+    val rng = new scala.util.Random(5)
+    val docs = (0L until 40L).map { i =>
+      val n = if (i == 2) 0 else if (i == 3) -1 else 1 + rng.nextInt(9)
+      val ids = if (n < 0) null else Array.tabulate(n)(k => (i * 100 + k).toInt)
+      (i, s"g${i % 2}", ids)
+    }.toDF("id", "grp", "ids")
+    val mask = TextAnalysis.packedMaskStream(docs, "id", "grp", "ids", capacity = 5L, shardSize = 8L)
+    val plain = TextAnalysis.packedTokenStream(docs, "id", "grp", "ids", capacity = 5L, shardSize = 8L)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("grp", "shard", "bin", "bin_pos", "token_id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toSet
+    assert(key(mask) == key(plain), "mask stream must be packedTokenStream plus columns")
+    // exactly one doc_start per nonempty doc, at the doc's FIRST token
+    val rows = mask.select("id", "bin", "bin_pos", "doc_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val byDoc = rows.groupBy(_._1)
+    val nonEmpty = docs.collect().collect {
+      case r if !r.isNullAt(2) && r.getSeq[Int](2).nonEmpty => r.getLong(0)
+    }.toSet
+    assert(byDoc.keySet == nonEmpty, "stream covers exactly the nonempty docs")
+    byDoc.foreach { case (id, rs) =>
+      val flagged = rs.filter(_._4 == 1)
+      assert(flagged.length == 1, s"doc $id flags ${flagged.length} starts")
+      val first = rs.minBy(r => (r._2, r._3))
+      assert(flagged.head == first, s"doc $id start not at its first token")
+    }
+    // a straddling doc's continuation rows (bin > first bin) never flag
+    val straddlers = byDoc.filter { case (_, rs) => rs.map(_._2).distinct.length > 1 }
+    assert(straddlers.nonEmpty, "fixture must contain straddling docs")
+    straddlers.foreach { case (id, rs) =>
+      val firstBin = rs.map(_._2).min
+      assert(rs.filter(_._2 > firstBin).forall(_._4 == 0), s"doc $id continuation flagged")
+    }
+  }
+
   test("appended output column names collide loudly instead of duplicating") {
     val s = spark
     import s.implicits._
