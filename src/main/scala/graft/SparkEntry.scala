@@ -885,6 +885,19 @@ object SparkEntry {
       Dedup.keepBest(cl, q, "doc_id", "quality").orderBy("cluster_id")
     }),
 
+    "p22_leak_split" -> ((s, dir) => {
+      // LEAK-PROOF eval split: the split decision is made per near-dup
+      // CLUSTER (d6's components; singletons are their own rep), so no
+      // near-dup pair can ever cross the train/eval boundary — the
+      // contamination d9/d20/d26 report after the fact, prevented at
+      // split time
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccard(docs, "text", "doc_id", 3, 0.8)
+      Dedup.leakProofSplit(docs, "doc_id", pairs, holdBp = 2000)
+        .select("doc_id", "cluster_id", "split")
+        .orderBy("doc_id")
+    }),
+
     "d8_dedup_delta" -> ((s, dir) => {
       // incremental ingest: the standing corpus (doc_id < 400) is
       // indexed once; the new batch dedups against the index + itself —
@@ -3919,6 +3932,37 @@ object SparkEntry {
         |       FROM j)
         |SELECT cluster_id, id AS kept_id, quality AS kept_score, n_members
         |FROM rk WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
+
+    // the d6 component chain joined back to every doc (singletons are
+    // their own rep), then the md5-of-rep threshold decision — both
+    // members of a pair share a rep, so no pair crosses by construction
+    "p22_leak_split" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[t.i:t.i+2], ' ') AS s
+        |  FROM words, unnest(range(1, len(ws)-1)) AS t(i)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a, b FROM pr JOIN sz sa ON pr.a = sa.doc_id JOIN sz sb ON pr.b = sb.doc_id
+        |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.8),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |r(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a),
+        |cl AS (SELECT src AS id, least(src, min(dst)) AS cluster_id FROM r GROUP BY src),
+        |rep AS (
+        |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.id)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN ('0x' || substr(md5('lsplit:' || cluster_id), 1, 8))::BIGINT < 858993459
+        |       THEN 'holdout' ELSE 'train' END AS split
+        |FROM rep ORDER BY doc_id""".stripMargin,
 
     "d6_dedup_clusters" ->
       """WITH RECURSIVE words AS (

@@ -1096,6 +1096,46 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** LEAK-PROOF holdout split — near-duplicate documents must land on
+    * the SAME side of a train/eval cut, or the holdout silently
+    * evaluates on rephrasings of training data (the contamination
+    * class d9/d20/d26 REPORT after the fact; this prevents it at split
+    * time — public practice: eval splits are drawn at the dup-cluster
+    * granularity, e.g. the dedup-then-split discipline of GPT-3 §C /
+    * Lee et al. 2021). The split decision is made once per CLUSTER —
+    * every member inherits its component representative's verdict
+    * (`clusters`' min-label), unpaired docs are their own singleton
+    * rep — so NO pair can ever cross the boundary, by construction.
+    *
+    * Decision = the deterministic md5 uniform of the REP against the
+    * exact integer threshold holdBp·2³² div 10⁴ (the `weightedSample`
+    * contract at cluster granularity: expected holdBp/10⁴ fraction of
+    * clusters, binomial not exact-count — exact-count is ill-posed
+    * when clusters are atomic and sizes vary; pipelines that need an
+    * exact-count DOC split without the leak-proof property use
+    * `TextAnalysis.holdoutSplit`). Reproducible on any engine/
+    * partitioning/run.
+    *
+    * Shape: the cluster assignment is bounded by DUPLICATED docs
+    * (≪ corpus — the pair graph's coverage), one equi-join back to
+    * the corpus + a codegen'd map-side decision; no corpus self-join,
+    * no sort. Emits `docs` + `cluster_id` (the rep; own id for
+    * singletons) + `split`. */
+  def leakProofSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                     holdBp: Int, seed: String = "lsplit"): DataFrame = {
+    require(holdBp >= 0 && holdBp <= 10000, s"holdBp is basis points, got $holdBp")
+    require(!docs.columns.contains("split") && !docs.columns.contains("cluster_id"),
+      "docs already carries split/cluster_id — rename before calling")
+    val thr = holdBp.toLong * 4294967296L / 10000L
+    val comp = clusters(pairs)
+    docs.join(comp, docs(idCol) === comp("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("split",
+        when(graft.text.TextAnalysis.sampleHash(col("cluster_id"), seed) < lit(thr),
+          lit("holdout")).otherwise(lit("train")))
+      .drop("id")
+  }
+
   /** Apply a dedup decision: keep each cluster's canonical doc (the
     * smallest id = the cluster label) and every unpaired doc. The final
     * step of the near-dup pipeline: pairs → components → one survivor

@@ -677,6 +677,45 @@ class DedupSpec extends SparkSpec {
       s"absorbed ${spansVs(table)} != rebuilt ${spansVs(rebuilt)}")
   }
 
+  test("leak-proof split: clusters are atomic, singletons self-represent, no pair ever crosses") {
+    val s = spark
+    import s.implicits._
+    val corpus = s.range(20L).select(col("id").as("doc_id"))
+    // a 3-chain and a 2-pair; everything else singleton. The chain's
+    // members have DIFFERENT per-doc uniforms (a per-doc decision at
+    // some fraction would split them) — the per-cluster decision
+    // cannot, at ANY fraction
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 9L)).toDF("a", "b")
+    for (bp <- Seq(1000, 2000, 5000, 9000)) {
+      val out = Dedup.leakProofSplit(corpus, "doc_id", pairs, bp)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(out.length == 20, "split partitions the corpus")
+      val byId = out.map(r => r._1 -> r).toMap
+      // min-label reps
+      assert(Seq(1L, 2L, 3L).forall(byId(_)._2 == 1L))
+      assert(Seq(5L, 9L).forall(byId(_)._2 == 5L))
+      assert(byId(7L)._2 == 7L, "singletons self-represent")
+      // the leak-proof property: every pair lands on one side
+      Seq((1L, 2L), (2L, 3L), (5L, 9L), (1L, 3L)).foreach { case (a, b) =>
+        assert(byId(a)._3 == byId(b)._3, s"pair ($a,$b) crossed at bp=$bp")
+      }
+    }
+    // the property is not vacuous: at 5000bp the per-doc uniforms of
+    // the chain {1,2,3} genuinely disagree (a doc-granular split WOULD
+    // leak) while the cluster decision keeps them together
+    val thr = 5000L * 4294967296L / 10000L
+    val perDoc = corpus.filter(col("doc_id").isin(1L, 2L, 3L))
+      .select(graft.text.TextAnalysis.sampleHash(col("doc_id"), "lsplit") < thr)
+      .collect().map(_.getBoolean(0)).toSet
+    assert(perDoc.size == 2, "fixture must make the per-doc decision disagree")
+    // determinism under re-partitioning
+    val a = Dedup.leakProofSplit(corpus.repartition(7), "doc_id", pairs, 2000)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    val b = Dedup.leakProofSplit(corpus, "doc_id", pairs, 2000)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(a == b)
+  }
+
   test("truncateCounted: the leg-pick count rides the checkpoint job — no extra driver action") {
     import spark.implicits._
     def jobsDuring(body: => Unit): Int = {
