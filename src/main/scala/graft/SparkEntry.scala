@@ -1053,14 +1053,17 @@ object SparkEntry {
       // member (d9 n-gram containment, d20/d24 span excision, this the
       // REPHRASED leak neither sees): the eval set is perturbed copies
       // of train vectors (the rephrase analog, d5's construction);
-      // eval routes under the standing train index's frozen quantizer
-      // and flags the train members ≥ 0.9 cosine in its cells — the
+      // eval routes to its nprobe = 2 nearest cells under the standing
+      // train index's frozen quantizer (the recall knob a decon run
+      // turns up: a rephrasing that drifted across a cell boundary is
+      // still caught) and flags the train members ≥ 0.9 cosine — the
       // train corpus never reshuffles or re-trains
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
       val eval = graft.ann.SemDedup.perturbedBatch(e, "embedding", "vec_id")
       val table = "ivf_idx_d26"
       Ann.buildIvfIndex(e, "embedding", "vec_id", table)
-      graft.ann.SemDedup.semanticDecontaminate(s, eval, "embedding", "vec_id", table, 0.9)
+      graft.ann.SemDedup.semanticDecontaminate(s, eval, "embedding", "vec_id", table, 0.9,
+          nprobe = 2)
         .orderBy("id")
     }),
 
@@ -1276,6 +1279,15 @@ object SparkEntry {
           col("token_id").cast("int").as("token_id"))
         .orderBy("doc_id", "pos")
     }),
+
+    "x16_ngram_kmv" -> ((s, dir) =>
+      // engine-exact KMV distinct sketch: per-language distinct
+      // 3-gram cardinality estimated from the 256 minimum md5 values
+      // next to the exact count — both engines pick the identical k
+      // minima, so the estimate is bit-identical (the thing HLL can
+      // never be across engines); at deployment only the sketch runs
+      TextAnalysis.ngramKmv(t(s, dir, "documents"), "text", "lang")
+        .orderBy("lang")),
 
     "x15_compression_ratio" -> ((s, dir) => {
       // tokenizer compression-ratio junk signal over the punctuation-
@@ -3128,6 +3140,28 @@ object SparkEntry {
       s"aug AS (SELECT doc_id, $plantPunctSql AS text FROM documents),\n" +
         "w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM aug)"),
 
+    // the same k smallest md5 values on both engines → bit-identical
+    // estimate; saturated groups (n < k) emit the exact count
+    "x16_ngram_kmv" ->
+      """WITH w AS (
+        |  SELECT lang,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT lang,
+        |    ('0x' || substr(md5(array_to_string(ws[t.i:t.i+2], ' ')), 1, 8))::BIGINT AS h
+        |  FROM w, unnest(range(1, len(ws)-1)) AS t(i)
+        |  WHERE lang IS NOT NULL),
+        |r AS (
+        |  SELECT lang, h,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM g)
+        |SELECT lang, max(n)::BIGINT AS n_distinct,
+        |  (CASE WHEN max(n) < 256 THEN max(n)
+        |        ELSE (255 * 4294967296) // greatest(max(CASE WHEN rn = 256 THEN h END), 1) END)::BIGINT AS kmv_est
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
     // the same sweep aggregated to per-doc byte/token masses: the
     // compression-ratio arithmetic (bytes·10⁴ // tokens + the [lo, hi]
     // flag) recomputed over the x14 punctuation-planted head
@@ -3387,7 +3421,7 @@ object SparkEntry {
       graft.ann.SemDedup.deltaOracleSql(nlist = 16, rounds = 2, threshold = 0.9),
 
     "d26_semantic_decon" ->
-      graft.ann.SemDedup.deconOracleSql(nlist = 16, rounds = 2, threshold = 0.9),
+      graft.ann.SemDedup.deconOracleSql(nlist = 16, rounds = 2, threshold = 0.9, nprobe = 2),
 
     // same ground truth as d14: the streamed per-batch outputs union to
     // exactly the one-shot semantic delta over the whole batch region

@@ -132,13 +132,16 @@ object SemDedup {
     * arXiv:2311.04850, proposes exactly embedding-similarity
     * screening after showing n-gram decon misses paraphrases).
     *
-    * Eval vectors route to cells under the standing TRAIN index's
-    * FROZEN `_cent` quantizer (the d14 routing contract) and compare
-    * only against their cells' members — the train corpus never
+    * Eval vectors route to their `nprobe` NEAREST cells under the
+    * standing TRAIN index's FROZEN `_cent` quantizer (the s3/s5 probe
+    * discipline — nprobe > 1 catches a rephrasing that drifted across
+    * a cell boundary, the recall knob a decon run should turn up
+    * since a missed leak costs more than a missed dup) and compare
+    * only against those cells' members — the train corpus never
     * reshuffles, re-trains, re-assigns, or self-joins; work =
-    * Σ |eval∩cell|·|train∩cell| over probed cells, linear in the
-    * train corpus at a bounded eval set. Within-cell is the family's
-    * definitional scope (SemDeDup); raise nlist to hold cells flat.
+    * nprobe · Σ |eval∩cell|·|train∩cell|, linear in the train corpus
+    * at a bounded eval set. A train doc lives in exactly one cell, so
+    * multi-cell probing never double-counts an (eval, train) pair.
     *
     * Output: one row per CONTAMINATED train id — how many eval
     * neighbors sit at ≥ `threshold` cosine and the max similarity —
@@ -146,10 +149,13 @@ object SemDedup {
     * `scrubSpans` analog at doc granularity). */
   def semanticDecontaminate(spark: org.apache.spark.sql.SparkSession, eval: DataFrame,
                             vecCol: String, idCol: String, indexTable: String,
-                            threshold: Double): DataFrame = {
+                            threshold: Double, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cent = spark.table(s"${indexTable}_cent")
     val ev = Ann.normed(eval, vecCol, idCol).join(broadcast(cent))
-      .withColumn("cid", Ann.sortedCells.getItem(0).getField("cid"))
+      .select(col("id"), col("v"), col("norm"),
+        explode(slice(Ann.sortedCells, 1, nprobe)).as("__c"))
+      .withColumn("cid", col("__c").getField("cid"))
       .select(col("id"), col("v"), col("norm"), col("cid"))
     val corpus = spark.table(indexTable)
     val sim = Ann.cosine(col("x.v"), col("y.v"), col("x.norm"), col("y.norm"))
@@ -185,7 +191,7 @@ object SemDedup {
     * [[deconOracleSql]]: the planted batch ([[perturbedBatch]]'s exact
     * construction in SQL) routed through the trained FINAL centroids
     * (`cdnF`, from `Ann.kmeansAssignCtes`). */
-  private def batchRouteCtes(batchN: Int): String =
+  private def batchRouteCtes(batchN: Int, nprobe: Int = 1): String =
     s"""bat0 AS (
        |  SELECT vec_id + 10000 AS id,
        |    [CASE WHEN i = 1 THEN ((embedding[i]::DOUBLE + 0.1)::FLOAT) ELSE embedding[i] END
@@ -198,7 +204,7 @@ object SemDedup {
        |         row_number() OVER (PARTITION BY b.id
        |           ORDER BY list_inner_product(b.v, c.cfd) / (b.nrm * c.cfn) DESC, c.cid) AS rn
        |  FROM bat b, cdnF c),
-       |basg AS (SELECT id, v, nrm, cid FROM basgr WHERE rn = 1)""".stripMargin
+       |basg AS (SELECT id, v, nrm, cid FROM basgr WHERE rn <= $nprobe)""".stripMargin
 
   def deltaOracleSql(nlist: Int = 16, rounds: Int = 2, threshold: Double = 0.9,
                      batchN: Int = 100): String =
@@ -221,9 +227,9 @@ object SemDedup {
     * the eval batch routed through the FINAL centroids, cell-local
     * eval×train hits ≥ threshold aggregated per TRAIN id. */
   def deconOracleSql(nlist: Int = 16, rounds: Int = 2, threshold: Double = 0.9,
-                     batchN: Int = 100): String =
+                     batchN: Int = 100, nprobe: Int = 1): String =
     s"""WITH ${Ann.kmeansAssignCtes(nlist, rounds)},
-       |${batchRouteCtes(batchN)},
+       |${batchRouteCtes(batchN, nprobe)},
        |hit AS (
        |  SELECT y.id, list_inner_product(x.v, y.v) / (x.nrm * y.nrm) AS s
        |  FROM basg x JOIN assign y ON x.cid = y.cid)

@@ -177,6 +177,57 @@ object TextAnalysis {
         when(col("bpt_x4") < lo || col("bpt_x4") > hi, lit(1)).otherwise(lit(0)))
   }
 
+  /** Deterministic KMV DISTINCT-COUNT sketch over per-group n-grams —
+    * bounded-memory cardinality estimation for corpus statistics
+    * (vocabulary / n-gram diversity per slice, the numbers tokenizer
+    * and mixture decisions read at 100 TB where an exact distinct is a
+    * full vocabulary shuffle). KMV = the k-minimum-values estimator
+    * (Bar-Yossef et al. 2002, public): keep the k smallest hash values
+    * of the element set; estimate = (k−1)·M div h_k with M = 2³².
+    * Unlike HLL — whose register layouts and roundings differ across
+    * engines — KMV over the SHARED md5 hash is ENGINE-EXACT: both
+    * engines pick the identical k smallest values, so the estimate is
+    * bit-identical and fully oracle-checkable (the estimator's
+    * *accuracy* is then visible in the output next to the exact
+    * count, which the query also emits — at deployment only the
+    * sketch side runs).
+    *
+    * Estimated quantity: distinct 32-bit n-gram HASHES (hash
+    * collisions conflate n-grams on both engines identically; at
+    * vocab ≪ 2³² the difference is negligible and the sketch
+    * contract is over the hash space anyway). Groups with fewer than
+    * k values saturate: the sketch IS the exact set, est = count.
+    *
+    * Shape: tokenize map-side → ONE distinct shuffle bounded by the
+    * vocabulary (not the corpus) → two-phase top-k (partition-local
+    * rank cuts each task's slice to ≤ k rows per group, the global
+    * rank runs over ≤ tasks·k rows) → group-sized joins. NULL groups
+    * drop (the family convention). */
+  def ngramKmv(docs: DataFrame, textCol: String, groupCol: String,
+               n: Int = 3, k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"k must be >= 2, got $k")
+    val toks = docs.filter(col(groupCol).isNotNull)
+      .select(col(groupCol), explode(ngrams(words(col(textCol)), n)).as("__t"))
+      .select(col(groupCol),
+        conv(substring(md5(col("__t")), 1, 8), 16, 10).cast("long").as("__h"))
+      .distinct()
+    val exact = toks.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_distinct"))
+    val wLoc = Window.partitionBy(col(groupCol), col("__pid")).orderBy(col("__h"))
+    val cut = toks.withColumn("__pid", spark_partition_id())
+      .withColumn("__rl", row_number().over(wLoc)).filter(col("__rl") <= k)
+    val wG = Window.partitionBy(col(groupCol)).orderBy(col("__h"))
+    val kth = cut.withColumn("__rg", row_number().over(wG))
+      .filter(col("__rg") === k)
+      .select(col(groupCol), col("__h").as("__hk"))
+    exact.join(kth, Seq(groupCol), "left")
+      .withColumn("kmv_est",
+        when(col("__hk").isNull, col("n_distinct")) // saturated: sketch = exact set
+          .otherwise(expr(s"(${k - 1}L * 4294967296L) div greatest(__hk, 1L)")))
+      .select(col(groupCol), col("n_distinct"), col("kmv_est"))
+  }
+
   // --- repetition (Gopher/C4-style quality rules) ------------------------
 
   /** Within-document repetition statistics — the classic

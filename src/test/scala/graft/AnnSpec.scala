@@ -461,6 +461,13 @@ class AnnSpec extends SparkSpec {
       SemDedup.semanticDecontaminate(spark, eval, "embedding", "vec_id", table, 0.9),
       col("vec_id") === col("id"), "left_anti")
     assert(clean.count() == trainIds.size - got.size)
+    // probing more cells only ADDS flags (recall is monotone in nprobe)
+    // and stays sound (subset of the exact all-pairs witnesses)
+    val wide = SemDedup.semanticDecontaminate(spark, eval, "embedding", "vec_id", table, 0.9,
+        nprobe = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got.keySet.subsetOf(wide), s"nprobe=3 lost flags: ${got.keySet -- wide}")
+    assert(wide.subsetOf(witness), s"nprobe=3 unsound: ${wide -- witness}")
   }
 
   test("indexed semantic dedup ≡ recompute; the cell self-join rides the index buckets") {

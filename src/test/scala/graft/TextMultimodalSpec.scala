@@ -619,6 +619,13 @@ class TextMultimodalSpec extends SparkSpec {
       bucketBits = 0, sliceCutoff = 1L))
     assert(plan.contains("__pid"),
       "tie-break window must be slice-partitioned, not group-partitioned:\n" + plan)
+    // the x11 plan discipline: the corpus side rides BROADCAST joins
+    // against the group-sized thresholds — a SortMergeJoin would mean
+    // the corpus is being shuffled against its own histogram
+    val gate = planOf(TextAnalysis.holdoutSplit(docs, "id", "grp", 1700))
+    assert(!gate.contains("SortMergeJoin"), "split must broadcast thresholds:\n" + gate)
+    assert(gate.contains("BroadcastHashJoin") || gate.contains("BroadcastNestedLoopJoin"),
+      "split should join via broadcast:\n" + gate)
   }
 
   test("compression ratio: integer bytes-per-token, UTF-8 bytes, zero-token docs, flag edges") {
@@ -720,6 +727,47 @@ class TextMultimodalSpec extends SparkSpec {
       val firstBin = rs.map(_._2).min
       assert(rs.filter(_._2 > firstBin).forall(_._4 == 0), s"doc $id continuation flagged")
     }
+  }
+
+  test("KMV sketch: k minima match a local recompute; saturation = exact; partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(13)
+    // ~60 distinct words per group → hundreds of distinct 3-grams
+    val docs = (0L until 200L).map { i =>
+      val words = Seq.fill(30)(s"w${rng.nextInt(60)}").mkString(" ")
+      (i, s"g${i % 2}", words)
+    }.toDF("id", "grp", "text")
+    val k = 16
+    val got = TextAnalysis.ngramKmv(docs, "text", "grp", n = 3, k = k)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // local ground truth: distinct 3-gram md5-32 hashes per group
+    def h32(sff: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(sff.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val local = docs.collect().flatMap { r =>
+      val ws = r.getString(2).split(" ").filter(_.nonEmpty)
+      ws.sliding(3).filter(_.length == 3).map(g => (r.getString(1), h32(g.mkString(" "))))
+    }.distinct.groupBy(_._1)
+    local.foreach { case (grp, rows) =>
+      val hs = rows.map(_._2).sorted
+      val (n, est) = got(grp)
+      assert(n == hs.length, s"$grp exact: got $n want ${hs.length}")
+      val want = if (hs.length < k) hs.length.toLong
+                 else (k - 1).toLong * 4294967296L / math.max(hs(k - 1), 1L)
+      assert(est == want, s"$grp est: got $est want $want")
+      // the estimator actually estimates (sanity, not exactness)
+      assert(est > n / 3 && est < n * 3, s"$grp est $est wildly off exact $n")
+    }
+    // saturation: k above the vocabulary → est == exact
+    val sat = TextAnalysis.ngramKmv(docs, "text", "grp", n = 3, k = 100000)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(sat.forall(p => p._1 == p._2), s"saturated sketch must be exact: ${sat.mkString(",")}")
+    // partitioning invariance (the two-phase top-k must not depend on layout)
+    val rep = TextAnalysis.ngramKmv(docs.repartition(11), "text", "grp", n = 3, k = k)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rep == got)
   }
 
   test("appended output column names collide loudly instead of duplicating") {
