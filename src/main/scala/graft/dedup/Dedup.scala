@@ -1120,7 +1120,16 @@ object Dedup {
     * (≪ corpus — the pair graph's coverage), one equi-join back to
     * the corpus + a codegen'd map-side decision; no corpus self-join,
     * no sort. Emits `docs` + `cluster_id` (the rep; own id for
-    * singletons) + `split`. */
+    * singletons) + `split`.
+    *
+    * ONE-SHOT BY DESIGN (the p16 rationale): the component structure
+    * is a global property — a later batch can pair a train doc with a
+    * holdout doc, BRIDGING two clusters that already sit on different
+    * sides, and no incremental rule can keep both the leak-proof
+    * property and side stability at that point (the bridged cluster
+    * must move or quarantine). Deployed pipelines therefore split once
+    * per dedup'd snapshot, immediately before training — exactly this
+    * operator's shape. */
   def leakProofSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
                      holdBp: Int, seed: String = "lsplit"): DataFrame = {
     require(holdBp >= 0 && holdBp <= 10000, s"holdBp is basis points, got $holdBp")

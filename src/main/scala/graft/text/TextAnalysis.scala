@@ -207,11 +207,15 @@ object TextAnalysis {
                n: Int = 3, k: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"k must be >= 2, got $k")
-    val toks = docs.filter(col(groupCol).isNotNull)
+    // pinned (localCheckpoint, the x11 thresholds idiom): the exact
+    // count and the top-k cut both consume the distinct hash set;
+    // without the pin each would re-run the corpus tokenize + the
+    // distinct shuffle. The pin is vocabulary-sized, not corpus-sized
+    val toks = graft.core.Checkpoints.truncate(docs.filter(col(groupCol).isNotNull)
       .select(col(groupCol), explode(ngrams(words(col(textCol)), n)).as("__t"))
       .select(col(groupCol),
         conv(substring(md5(col("__t")), 1, 8), 16, 10).cast("long").as("__h"))
-      .distinct()
+      .distinct())
     val exact = toks.groupBy(col(groupCol))
       .agg(count(lit(1)).cast("long").as("n_distinct"))
     val wLoc = Window.partitionBy(col(groupCol), col("__pid")).orderBy(col("__h"))
@@ -772,7 +776,15 @@ object TextAnalysis {
     * family's NULL-group convention applied conservatively: never let
     * unattributed rows leak into an eval set. Output = `docs` plus a
     * `split` column ('holdout' | 'train'); the two parts partition the
-    * corpus by construction. */
+    * corpus by construction.
+    *
+    * ONE-SHOT BY DESIGN (the p16 rationale): k = ceil(n·f) is a dense
+    * function of the whole snapshot — a doc's side can legitimately
+    * change when n grows — so the exact-count split is recomputed per
+    * corpus snapshot, not maintained incrementally. A pipeline that
+    * needs new docs to receive a STABLE side on arrival uses the
+    * stateless threshold decision ([[weightedSample]]'s u < f·2³²,
+    * per-doc, count binomial) or `Dedup.leakProofSplit`. */
   def holdoutSplit(docs: DataFrame, idCol: String, groupCol: String,
                    holdBp: Int, seed: String = "split", bucketBits: Int = 16,
                    sliceCutoff: Long = BoundarySliceCutoff): DataFrame = {
