@@ -1280,6 +1280,14 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     }),
 
+    "x17_token_stats" -> ((s, dir) =>
+      // corpus-health distribution stats per language: type-token
+      // ratio, hapax share, head-mass concentration — one corpus pass
+      // (the map-side-combined frequency count), everything after is
+      // vocabulary-bounded
+      TextAnalysis.tokenFrequencyStats(t(s, dir, "documents"), "text", "lang")
+        .orderBy("lang")),
+
     "x16_ngram_kmv" -> ((s, dir) =>
       // engine-exact KMV distinct sketch: per-language distinct
       // 3-gram cardinality estimated from the 256 minimum md5 values
@@ -3139,6 +3147,31 @@ object SparkEntry {
     "x14_bpe_bytes" -> deepEncodeSql(
       s"aug AS (SELECT doc_id, $plantPunctSql AS text FROM documents),\n" +
         "w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM aug)"),
+
+    // frequency table per (lang, token), then vocabulary-bounded
+    // aggregates; topk_mass sums the 10 largest counts (tie-safe: a
+    // boundary tie cannot change the sum of a count multiset)
+    "x17_token_stats" ->
+      """WITH w AS (
+        |  SELECT lang,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |f AS (
+        |  SELECT lang, t.w AS tok, count(*)::BIGINT AS c
+        |  FROM w, unnest(ws) AS t(w)
+        |  WHERE lang IS NOT NULL GROUP BY 1, 2),
+        |a AS (
+        |  SELECT lang, sum(c)::BIGINT AS total_tokens, count(*)::BIGINT AS n_types,
+        |         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+        |  FROM f GROUP BY 1),
+        |r AS (SELECT lang, c, row_number() OVER (PARTITION BY lang ORDER BY c DESC) AS rn FROM f),
+        |tp AS (SELECT lang, sum(c)::BIGINT AS topk_mass FROM r WHERE rn <= 10 GROUP BY 1)
+        |SELECT a.lang, a.total_tokens, a.n_types, a.n_hapax,
+        |  coalesce(tp.topk_mass, 0)::BIGINT AS topk_mass,
+        |  (a.n_types * 10000 // greatest(a.total_tokens, 1))::BIGINT AS ttr_x4,
+        |  (a.n_hapax * 10000 // greatest(a.n_types, 1))::BIGINT AS hapax_x4,
+        |  (coalesce(tp.topk_mass, 0) * 10000 // greatest(a.total_tokens, 1))::BIGINT AS topk_share_x4
+        |FROM a LEFT JOIN tp USING (lang) ORDER BY a.lang""".stripMargin,
 
     // the same k smallest md5 values on both engines → bit-identical
     // estimate; saturated groups (n < k) emit the exact count

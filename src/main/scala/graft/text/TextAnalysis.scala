@@ -232,6 +232,55 @@ object TextAnalysis {
       .select(col(groupCol), col("n_distinct"), col("kmv_est"))
   }
 
+  /** Corpus-level TOKEN-FREQUENCY health statistics per slice — the
+    * distribution diagnostics corpus and tokenizer work reads before
+    * committing a mixture (public practice: type-token ratio and
+    * hapax share are standard corpus-linguistics health measures —
+    * a bot-generated slice shows a collapsed type-token ratio, OCR
+    * noise shows a bloated hapax tail — and head-mass concentration
+    * is the corpus-level twin of x5's per-doc top-bigram share).
+    * Per non-NULL group: total token instances, distinct types, hapax
+    * count (types seen exactly once), the mass of the `topK` most
+    * frequent types, and the fixed-point ×10⁴ ratios (type-token,
+    * hapax-of-types, topK-mass-of-total) — integer div, engine-exact.
+    * `topk_mass` is well-defined without a tie-break: it sums the K
+    * LARGEST COUNTS as a multiset, so ties at the boundary cannot
+    * change the sum.
+    *
+    * Shape: one map-side-combined (group, token) count — the only
+    * corpus-sized pass — then everything is vocabulary-bounded: a
+    * per-group aggregate over frequency rows and a two-phase top-K
+    * (partition-local rank cuts each task to ≤ K rows per group
+    * before the global rank, the ngramKmv discipline — no per-group
+    * sort of a web-scale vocabulary on one task). */
+  def tokenFrequencyStats(docs: DataFrame, textCol: String, groupCol: String,
+                          topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    // pinned: the per-group aggregate and the top-K cut both consume
+    // the frequency table; the pin is vocabulary-sized
+    val freq = graft.core.Checkpoints.truncate(docs.filter(col(groupCol).isNotNull)
+      .select(col(groupCol), explode(words(col(textCol))).as("__t"))
+      .groupBy(col(groupCol), col("__t"))
+      .agg(count(lit(1)).cast("long").as("__c")))
+    val agg = freq.groupBy(col(groupCol)).agg(
+      sum(col("__c")).cast("long").as("total_tokens"),
+      count(lit(1)).cast("long").as("n_types"),
+      sum(when(col("__c") === 1L, 1L).otherwise(0L)).cast("long").as("n_hapax"))
+    val wLoc = Window.partitionBy(col(groupCol), col("__pid")).orderBy(col("__c").desc)
+    val cut = freq.withColumn("__pid", spark_partition_id())
+      .withColumn("__rl", row_number().over(wLoc)).filter(col("__rl") <= topK)
+    val wG = Window.partitionBy(col(groupCol)).orderBy(col("__c").desc)
+    val top = cut.withColumn("__rg", row_number().over(wG))
+      .filter(col("__rg") <= topK)
+      .groupBy(col(groupCol)).agg(sum(col("__c")).cast("long").as("topk_mass"))
+    agg.join(top, Seq(groupCol), "left")
+      .withColumn("topk_mass", coalesce(col("topk_mass"), lit(0L)))
+      .withColumn("ttr_x4", expr("n_types * 10000 div greatest(total_tokens, 1)"))
+      .withColumn("hapax_x4", expr("n_hapax * 10000 div greatest(n_types, 1)"))
+      .withColumn("topk_share_x4", expr("topk_mass * 10000 div greatest(total_tokens, 1)"))
+  }
+
   // --- repetition (Gopher/C4-style quality rules) ------------------------
 
   /** Within-document repetition statistics — the classic

@@ -770,6 +770,36 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rep == got)
   }
 
+  test("token frequency stats: exact integer ratios, tie-safe top-k mass, partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    // group g: a×5, b×3, c×3, d×1, e×1 → total 13, types 5, hapax 2;
+    // top-2 mass = 5 + 3 = 8 with a TIE at the boundary (b and c both
+    // 3) — the sum must not depend on which survives the rank
+    val docs = Seq(
+      (1L, "g", "a a a b b c"),
+      (2L, "g", "a a b c c d"),
+      (3L, "g", "e"),
+      (4L, null.asInstanceOf[String], "zz zz") // NULL group drops
+    ).toDF("id", "grp", "text")
+    val out = TextAnalysis.tokenFrequencyStats(docs, "text", "grp", topK = 2)
+      .collect()
+    assert(out.length == 1, s"NULL group must drop: ${out.mkString(",")}")
+    val r = out(0)
+    assert(r.getString(0) == "g")
+    assert(r.getLong(1) == 13L, s"total ${r.getLong(1)}")
+    assert(r.getLong(2) == 5L, s"types ${r.getLong(2)}")
+    assert(r.getLong(3) == 2L, s"hapax ${r.getLong(3)}")
+    assert(r.getLong(4) == 8L, s"top2 mass ${r.getLong(4)}")
+    assert(r.getLong(5) == 5L * 10000 / 13, s"ttr ${r.getLong(5)}")
+    assert(r.getLong(6) == 2L * 10000 / 5, s"hapax_x4 ${r.getLong(6)}")
+    assert(r.getLong(7) == 8L * 10000 / 13, s"top2 share ${r.getLong(7)}")
+    // partitioning invariance of the two-phase top-k
+    val rep = TextAnalysis.tokenFrequencyStats(docs.repartition(7), "text", "grp", topK = 2)
+      .collect()(0)
+    assert(rep.toSeq == r.toSeq)
+  }
+
   test("appended output column names collide loudly instead of duplicating") {
     val s = spark
     import s.implicits._
