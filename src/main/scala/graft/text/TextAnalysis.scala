@@ -20,7 +20,14 @@ object TextAnalysis {
 
   /** Word n-gram array from a words array (empty when shorter than n) —
     * the ONE construction `Dedup.shingles` and `repetition` both use;
-    * their outputs must tokenize identically for the oracles to hold. */
+    * their outputs must tokenize identically for the oracles to hold.
+    *
+    * PITFALL (measured 57×): pass a MATERIALIZED array column, never
+    * `words(col)` inline — `slice(ws, …)` sits inside the transform
+    * LAMBDA, where common-subexpression elimination cannot reach, so
+    * an inline `ws` re-runs the whole regex tokenize once PER GRAM
+    * (O(text · grams) per doc; 2.3 s → 132 s on a 50k-doc probe).
+    * Every caller in this codebase stages `__ws` first. */
   def ngrams(ws: Column, n: Int): Column =
     when(size(ws) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(ws) - n),
@@ -212,7 +219,8 @@ object TextAnalysis {
     // without the pin each would re-run the corpus tokenize + the
     // distinct shuffle. The pin is vocabulary-sized, not corpus-sized
     val toks = graft.core.Checkpoints.truncate(docs.filter(col(groupCol).isNotNull)
-      .select(col(groupCol), explode(ngrams(words(col(textCol)), n)).as("__t"))
+      .withColumn("__ws", words(col(textCol))) // staged: see the ngrams pitfall
+      .select(col(groupCol), explode(ngrams(col("__ws"), n)).as("__t"))
       .select(col(groupCol),
         conv(substring(md5(col("__t")), 1, 8), 16, 10).cast("long").as("__h"))
       .distinct())
