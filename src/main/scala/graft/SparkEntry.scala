@@ -1368,6 +1368,16 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
+    "p23_exact_sample" -> ((s, dir) =>
+      // fixed-COUNT per-group draw: exactly 120 en docs and 40 fr docs
+      // in the deterministic md5 order; zh's over-sized quota
+      // saturates (the whole group keeps); unnamed groups drop — the
+      // p19 machinery with a quota map instead of a fraction
+      TextAnalysis.sampleExact(t(s, dir, "documents"), "doc_id", "lang",
+          counts = Map("en" -> 120L, "fr" -> 40L, "zh" -> 1000000L))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
     "p19_holdout_split" -> ((s, dir) =>
       // deterministic EXACT-COUNT eval split: exactly ceil(10% · n)
       // docs per language to the holdout, decided by the md5-uniform
@@ -2493,6 +2503,23 @@ object SparkEntry {
         |  FROM q)
         |SELECT doc_id, lang, iq / 10000.0 AS quality FROM r
         |WHERE lang IS NOT NULL AND rn <= (n * 2000 + 9999) // 10000
+        |ORDER BY doc_id""".stripMargin,
+
+    // the naive sort the engine never runs: rn over the md5 order,
+    // keep rn <= quota per named group (zh's quota exceeds n → whole
+    // group), unnamed groups drop
+    "p23_exact_sample" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, source,
+        |    ('0x' || substr(md5('exact:' || doc_id), 1, 8))::BIGINT AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn
+        |  FROM u)
+        |SELECT doc_id, lang, source FROM r
+        |WHERE rn <= CASE lang WHEN 'en' THEN 120 WHEN 'fr' THEN 40
+        |                      WHEN 'zh' THEN 1000000 ELSE 0 END
         |ORDER BY doc_id""".stripMargin,
 
     // the naive sort the engine never runs: per-language row_number

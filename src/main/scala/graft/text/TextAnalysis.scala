@@ -845,8 +845,51 @@ object TextAnalysis {
   def holdoutSplit(docs: DataFrame, idCol: String, groupCol: String,
                    holdBp: Int, seed: String = "split", bucketBits: Int = 16,
                    sliceCutoff: Long = BoundarySliceCutoff): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(holdBp >= 0 && holdBp <= 10000, s"holdBp is basis points, got $holdBp")
+    splitBySmallestU(docs, idCol, groupCol,
+      expr(s"(__n * $holdBp + 9999) div 10000"), seed, bucketBits, sliceCutoff)
+  }
+
+  /** EXACT-COUNT per-group sample — "give me exactly N docs per
+    * group" (fixed-size eval/calibration draws per language/source;
+    * the fixed-COUNT sibling of [[holdoutSplit]]'s fixed-fraction
+    * cut, same public practice): keeps, per named group, exactly
+    * min(k, n) docs — the k smallest (u, id) under the deterministic
+    * md5 uniform; a group whose quota exceeds its size keeps WHOLE
+    * (the saturation rule every budget operator here follows).
+    * Groups without a quota — NULL included — are dropped: this is a
+    * selection, not a partition. Same machinery, same 100 TB shape,
+    * and the same one-shot-by-design contract as [[holdoutSplit]]
+    * (the selected SET is a function of the snapshot). */
+  def sampleExact(docs: DataFrame, idCol: String, groupCol: String,
+                  counts: Map[String, Long], seed: String = "exact",
+                  bucketBits: Int = 16,
+                  sliceCutoff: Long = BoundarySliceCutoff): DataFrame = {
+    require(counts.values.forall(_ >= 0), s"counts must be >= 0: $counts")
+    val kMap = counts.foldLeft(lit(null).cast("long")) { case (acc, (g, k)) =>
+      when(col(groupCol) === g, lit(k)).otherwise(acc)
+    }
+    // least(quota, n): an over-sized quota saturates to the whole
+    // group. The NULL (unnamed-group) case needs an EXPLICIT branch:
+    // least() ignores NULLs on both engines (least(NULL, n) = n), so
+    // a bare least would hand every unnamed group a full quota
+    // instead of dropping it — caught by the oracle on first verify
+    splitBySmallestU(docs, idCol, groupCol,
+        when(kMap.isNull, lit(null).cast("long"))
+          .otherwise(least(kMap, col("__n"))),
+        seed, bucketBits, sliceCutoff)
+      .filter(col("split") === "holdout").drop("split")
+  }
+
+  /** The shared engine of [[holdoutSplit]] and [[sampleExact]]:
+    * label each doc 'holdout' (its (u, id) ranks among the group's
+    * smallest k) or 'train', where k = `kExpr` evaluated on the
+    * histogram frame (columns: groupCol, `__n` = the group's non-NULL
+    * doc count). See holdoutSplit's scaladoc for the shape. */
+  private def splitBySmallestU(docs: DataFrame, idCol: String, groupCol: String,
+                               kExpr: Column, seed: String, bucketBits: Int,
+                               sliceCutoff: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(bucketBits >= 0 && bucketBits <= 32, s"bucketBits in [0, 32], got $bucketBits")
     requireFresh(docs, "split")
     val withU = docs
@@ -861,7 +904,7 @@ object TextAnalysis {
     val marked = hist
       .withColumn("__below", sum(col("__c")).over(wAsc) - col("__c"))
       .withColumn("__n", sum(col("__c")).over(wAll))
-      .withColumn("__k", expr(s"(__n * $holdBp + 9999) div 10000"))
+      .withColumn("__k", kExpr)
     // exactly one threshold row per group (k ≥ 1 crosses one bucket's
     // cumulative; k = 0 matches none → everything trains). Pinned: the
     // maxTies read plus both split branches consume it, and the pin is
@@ -870,8 +913,8 @@ object TextAnalysis {
       .filter(col("__below") < col("__k") && col("__k") <= col("__below") + col("__c"))
       .select(col(groupCol), col("__b").as("__tb"),
         (col("__k") - col("__below")).as("__need"), col("__c").as("__ties")))
-    // LEFT join: NULL groups (and every group at holdBp = 0) match no
-    // threshold row, get a NULL __tb, and train whole
+    // LEFT join: NULL groups (and every group at k = 0 or k NULL)
+    // match no threshold row, get a NULL __tb, and train whole
     val joined = withU.join(broadcast(thresholds.drop("__ties")), Seq(groupCol), "left")
     val decided = joined.filter(col("__tb").isNull || col("__b") =!= col("__tb"))
       .withColumn("split",

@@ -654,6 +654,44 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("exact sample: exactly min(k, n) per named group, unnamed/NULL drop, all paths agree") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(17)
+    val docs = (0L until 300L).map { i =>
+      (i, if (i % 11 == 4) null.asInstanceOf[String] else s"g${rng.nextInt(4)}")
+    }.toDF("id", "grp")
+    // g3 is deliberately UNNAMED: least() ignores NULLs on both
+    // engines, so a bare least(quota, n) hands unnamed groups a full
+    // quota — the explicit NULL branch must drop them instead
+    val counts = Map("g0" -> 17L, "g1" -> 100000L, "g2" -> 0L)
+    val got = TextAnalysis.sampleExact(docs, "id", "grp", counts)
+      .select("id", "grp").collect().map(r => (r.getLong(0), r.getString(1)))
+    val byGrp = got.groupBy(_._2).view.mapValues(_.length).toMap
+    val sizes = docs.filter(col("grp").isNotNull).groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp.getOrElse("g0", 0) == 17, s"g0: $byGrp")
+    assert(byGrp.getOrElse("g1", 0) == sizes("g1").toInt, "over-sized quota keeps the whole group")
+    assert(!byGrp.contains("g2") && !byGrp.contains("g3") && !byGrp.contains(null),
+      s"k=0, unnamed, and NULL all drop: $byGrp")
+    // ground truth = the naive sort
+    val w = Window.partitionBy("grp")
+      .orderBy(TextAnalysis.sampleHash(col("id"), "exact"), col("id"))
+    val expect = docs.filter(col("grp").isin("g0", "g1"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("grp") === "g0" && col("rn") <= 17 || col("grp") === "g1")
+      .select("id").as[Long].collect().toSet
+    assert(got.map(_._1).toSet == expect)
+    // the pure-rank and sliced machinery agree with the default
+    for ((bits, cut) <- Seq((0, Long.MaxValue), (16, 1L))) {
+      val alt = TextAnalysis.sampleExact(docs, "id", "grp", counts,
+          bucketBits = bits, sliceCutoff = cut)
+        .select("id").as[Long].collect().toSet
+      assert(alt == expect, s"bits=$bits cutoff=$cut diverged")
+    }
+  }
+
   test("curriculum shuffle: stage-major within shards, bijective, null stages last, epochs permute") {
     val s = spark
     import s.implicits._
