@@ -6,17 +6,19 @@ import org.apache.spark.sql.functions._
 import graft.text.TextAnalysis
 
 /** x16/x17's scale shape measured at 1×/10×/100× (/tmp/sf100docs, the
-  * SplitScale discipline): both operators pay ONE corpus-sized pass
-  * (x16: the distinct (group, hash) shuffle; x17: the map-side-
-  * combined (group, token) count) and everything after is bounded by
-  * the VOCABULARY — which scalegen grows with the corpus here
-  * (generation-suffixed tokens), making this the adversarial case:
-  * the vocabulary is ~corpus-sized-distinct, and the two-phase top-k
-  * must still never sort a group's vocabulary on one task. Growth
-  * should track the scan/shuffle volume (linear-ish), never a
-  * super-linear sort term. Min-of-3 after a warm run, on the raw
-  * parquet (the scan IS part of the measured shape here — these are
-  * one-pass statistics, there is no standing state to pin).
+  * SplitScale discipline). The headline column is the SKETCH path
+  * (`ngramKmvSketch`, the KmvMinima bounded aggregate): its one
+  * exchange carries ≤ tasks·k longs per group, so it must stay ~flat
+  * in the VOCABULARY and track only the scan/tokenize volume. Next to
+  * it, the exact distinct (the verification leg, and r13's whole-query
+  * shape) pays the vocabulary-sized Exchange — scalegen grows the
+  * vocabulary with the corpus here (generation-suffixed tokens), the
+  * adversarial case where that shuffle spills and goes superlinear.
+  * The gap between the two columns IS the sketch's value proposition.
+  * x17's one corpus-sized map-side-combined (group, token) count is
+  * measured alongside. Min-of-3 after a warm run, on the raw parquet
+  * (the scan IS part of the measured shape — one-pass statistics, no
+  * standing state to pin).
   *
   * `runMain graft.StatsScale [docsParquet] [sizes...]`
   */
@@ -35,23 +37,33 @@ object StatsScale {
       // ONE 600 MB file, so reading it directly caps the scan at ~5
       // input partitions and the probe would measure the fixture's
       // file layout, not the operator (a real corpus is many files)
-      val baseDir = java.nio.file.Files.createTempDirectory(s"graft_stats_$n").toString
-      all.filter(col("doc_id") < n).repartition(32).write.mode("overwrite").parquet(baseDir)
-      val base = spark.read.parquet(baseDir)
-      def time(df: => org.apache.spark.sql.DataFrame): (Double, Long) = {
-        val warm = df.count()
-        val t = (1 to 3).map { _ =>
-          val s0 = System.nanoTime(); df.count(); (System.nanoTime() - s0) / 1e9
-        }.min
-        (t, warm)
+      val basePath = java.nio.file.Files.createTempDirectory(s"graft_stats_$n")
+      try {
+        all.filter(col("doc_id") < n).repartition(32)
+          .write.mode("overwrite").parquet(basePath.toString)
+        val base = spark.read.parquet(basePath.toString)
+        def time(df: => org.apache.spark.sql.DataFrame): (Double, Long) = {
+          val warm = df.count()
+          val t = (1 to 3).map { _ =>
+            val s0 = System.nanoTime(); df.count(); (System.nanoTime() - s0) / 1e9
+          }.min
+          (t, warm)
+        }
+        val (tSketch, _) = time(TextAnalysis.ngramKmvSketch(base, "text", "lang"))
+        val (tStats, _) = time(TextAnalysis.tokenFrequencyStats(base, "text", "lang"))
+        // the exact-distinct leg: the vocabulary-sized Exchange the
+        // sketch avoids, and the vocabulary size for context
+        val t0 = System.nanoTime()
+        val vocab = base.withColumn("__ws", TextAnalysis.words(col("text")))
+          .select(explode(TextAnalysis.ngrams(col("__ws"), 3)).as("g")).distinct().count()
+        val tExact = (System.nanoTime() - t0) / 1e9
+        println(f"n=$n%8d  distinct3grams=$vocab%9d  sketch=$tSketch%6.2f s  " +
+          f"exactdistinct=$tExact%6.2f s  tokenstats=$tStats%6.2f s")
+      } finally {
+        // the 5M-doc slice is multi-GB — never leave three copies in /tmp
+        org.apache.commons.io.FileUtils.deleteQuietly(basePath.toFile)
+        ()
       }
-      val (tKmv, _) = time(TextAnalysis.ngramKmv(base, "text", "lang"))
-      val (tStats, _) = time(TextAnalysis.tokenFrequencyStats(base, "text", "lang"))
-      // the vocabulary the one corpus pass reduces to (context for the
-      // "everything after is vocab-bounded" claim)
-      val vocab = base.withColumn("__ws", TextAnalysis.words(col("text")))
-        .select(explode(TextAnalysis.ngrams(col("__ws"), 3)).as("g")).distinct().count()
-      println(f"n=$n%8d  distinct3grams=$vocab%9d  kmv=$tKmv%6.2f s  tokenstats=$tStats%6.2f s")
     }
     spark.stop()
   }

@@ -88,4 +88,26 @@ object Checkpoints {
     }
     (out, n)
   }
+
+  /** [[truncate]] plus the SUM of a long column, measured during the
+    * checkpoint's own materialization job (the [[truncateCounted]]
+    * observed-metric trick for an arbitrary additive statistic). For
+    * loops whose convergence test is a derived flag — label
+    * propagation's "how many labels changed this round" — this fuses
+    * the pin and the test into ONE driver action per round, instead of
+    * a pin plus a separate join-and-count. An empty (or all-NULL)
+    * input sums to 0. */
+  def truncateSummed(df: DataFrame, sumCol: String): (DataFrame, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
+    val name = "graft.truncate.sum"
+    val observed = df.observe(name, coalesce(sum(col(sumCol)), lit(0L)))
+    val out = truncate(observed)
+    val n = observed.queryExecution.observedMetrics.get(name) match {
+      case Some(row) if !row.isNullAt(0) => row.getLong(0)
+      case _ =>
+        val r = out.agg(coalesce(sum(col(sumCol)), lit(0L))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    (out, n)
+  }
 }

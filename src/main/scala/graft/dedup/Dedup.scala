@@ -1086,12 +1086,17 @@ object Dedup {
     while (changed > 0) {
       val prop = edges.join(labels, edges("b") === labels("id"))
         .groupBy(edges("a").as("id")).agg(min("label").as("nl"))
-      val next = labels.as("l").join(prop.as("p"), Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .transform(graft.core.Checkpoints.truncate)
-      changed = next.as("n").join(labels.as("o"), Seq("id"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
+      // the convergence test ("did any label drop this round?") rides
+      // the round's OWN checkpoint job as an observed sum — one driver
+      // action per round, not a pin plus a separate join-and-count
+      // (labels only ever decrease, so changed ⇔ nl < label)
+      val stepped = labels.as("l").join(prop.as("p"), Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          when(col("nl").isNotNull && col("nl") < col("label"), lit(1L)).otherwise(lit(0L))
+            .as("__chg"))
+      val (pinned, chg) = graft.core.Checkpoints.truncateSummed(stepped, "__chg")
+      labels = pinned.drop("__chg")
+      changed = chg
     }
     labels.select(col("id"), col("label").as("cluster_id"))
   }
@@ -1133,16 +1138,20 @@ object Dedup {
   def leakProofSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
                      holdBp: Int, seed: String = "lsplit"): DataFrame = {
     require(holdBp >= 0 && holdBp <= 10000, s"holdBp is basis points, got $holdBp")
-    require(!docs.columns.contains("split") && !docs.columns.contains("cluster_id"),
-      "docs already carries split/cluster_id — rename before calling")
+    require(!docs.columns.contains("split") && !docs.columns.contains("cluster_id") &&
+      !docs.columns.contains("__lps_id"),
+      "docs already carries split/cluster_id/__lps_id — rename before calling")
     val thr = holdBp.toLong * 4294967296L / 10000L
-    val comp = clusters(pairs)
-    docs.join(comp, docs(idCol) === comp("id"), "left")
+    // the join key gets a reserved name before the join: a bare
+    // .drop("id") would delete EVERY column named id — silently losing
+    // an unrelated docs column, or colliding when idCol == "id"
+    val comp = clusters(pairs).withColumnRenamed("id", "__lps_id")
+    docs.join(comp, docs(idCol) === comp("__lps_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
       .withColumn("split",
         when(graft.text.TextAnalysis.sampleHash(col("cluster_id"), seed) < lit(thr),
           lit("holdout")).otherwise(lit("train")))
-      .drop("id")
+      .drop("__lps_id")
   }
 
   /** Apply a dedup decision: keep each cluster's canonical doc (the

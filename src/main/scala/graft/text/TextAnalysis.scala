@@ -205,40 +205,71 @@ object TextAnalysis {
     * contract is over the hash space anyway). Groups with fewer than
     * k values saturate: the sketch IS the exact set, est = count.
     *
-    * Shape: tokenize map-side → ONE distinct shuffle bounded by the
-    * vocabulary (not the corpus) → two-phase top-k (partition-local
-    * rank cuts each task's slice to ≤ k rows per group, the global
-    * rank runs over ≤ tasks·k rows) → group-sized joins. NULL groups
-    * drop (the family convention). */
+    * Shape: the SKETCH leg is [[ngramKmvSketch]] — tokenize map-side
+    * into the bounded [[graft.functions.KmvMinima]] aggregate, ONE
+    * exchange carrying ≤ tasks·k serialized longs per group, NO
+    * distinct and no vocabulary-sized shuffle anywhere (the deployment
+    * path, and the kernel this query puts under the oracle). The EXACT
+    * count is the verification column: it pays the vocabulary-sized
+    * distinct the sketch exists to avoid, and exists so the
+    * estimator's accuracy is visible in the output. NULL groups drop
+    * (the family convention). */
   def ngramKmv(docs: DataFrame, textCol: String, groupCol: String,
                n: Int = 3, k: Int = 256): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"k must be >= 2, got $k")
-    // pinned (localCheckpoint, the x11 thresholds idiom): the exact
-    // count and the top-k cut both consume the distinct hash set;
-    // without the pin each would re-run the corpus tokenize + the
-    // distinct shuffle. The pin is vocabulary-sized, not corpus-sized
-    val toks = graft.core.Checkpoints.truncate(docs.filter(col(groupCol).isNotNull)
+    val exact = ngramHashes(docs, textCol, groupCol, n).distinct()
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_distinct"))
+    // both legs tokenize; sharing one pinned tokenize would force the
+    // sketch leg through the exact leg's vocabulary-sized artifact —
+    // exactly the coupling the sketch path must not have
+    val sketch = ngramKmvSketch(docs, textCol, groupCol, n, k)
+    exact.join(sketch, Seq(groupCol))
+      .select(col(groupCol), col("n_distinct"), kmvEstimate("minima", k).as("kmv_est"))
+  }
+
+  /** The (group, 32-bit md5 hash) n-gram stream both KMV legs consume —
+    * map-only: whitespace-staged tokenize (the ngrams pitfall), explode,
+    * hash. */
+  private def ngramHashes(docs: DataFrame, textCol: String, groupCol: String,
+                          n: Int): DataFrame =
+    docs.filter(col(groupCol).isNotNull)
       .withColumn("__ws", words(col(textCol))) // staged: see the ngrams pitfall
       .select(col(groupCol), explode(ngrams(col("__ws"), n)).as("__t"))
       .select(col(groupCol),
         conv(substring(md5(col("__t")), 1, 8), 16, 10).cast("long").as("__h"))
-      .distinct())
-    val exact = toks.groupBy(col(groupCol))
-      .agg(count(lit(1)).cast("long").as("n_distinct"))
-    val wLoc = Window.partitionBy(col(groupCol), col("__pid")).orderBy(col("__h"))
-    val cut = toks.withColumn("__pid", spark_partition_id())
-      .withColumn("__rl", row_number().over(wLoc)).filter(col("__rl") <= k)
-    val wG = Window.partitionBy(col(groupCol)).orderBy(col("__h"))
-    val kth = cut.withColumn("__rg", row_number().over(wG))
-      .filter(col("__rg") === k)
-      .select(col(groupCol), col("__h").as("__hk"))
-    exact.join(kth, Seq(groupCol), "left")
-      .withColumn("kmv_est",
-        when(col("__hk").isNull, col("n_distinct")) // saturated: sketch = exact set
-          .otherwise(expr(s"(${k - 1}L * 4294967296L) div greatest(__hk, 1L)")))
-      .select(col(groupCol), col("n_distinct"), col("kmv_est"))
-  }
+
+  /** DEPLOYMENT path of the KMV sketch: per-group ascending array of
+    * the k smallest distinct n-gram hashes, computed by the bounded
+    * [[graft.functions.KmvMinima]] imperative aggregate — each task
+    * folds its slice into a ≤ k-long state map-side (partial
+    * ObjectHashAggregate), and the ONLY exchange in the plan carries
+    * those serialized states: ≤ tasks·k longs per group, flat in the
+    * vocabulary AND the corpus. No distinct, no window, no
+    * vocabulary-sized shuffle — the shape that stays cheap at 100 TB
+    * (plan-pinned by spec). The minima are identical to the
+    * distinct-then-rank formulation by construction, so everything
+    * downstream (estimate, oracle, standing-state merge) is unchanged.
+    * Output: (group, minima array<long>) — the mergeable sketch state
+    * a standing corpus-stats table stores per group. */
+  def ngramKmvSketch(docs: DataFrame, textCol: String, groupCol: String,
+                     n: Int = 3, k: Int = 256): DataFrame =
+    ngramHashes(docs, textCol, groupCol, n)
+      .groupBy(col(groupCol))
+      .agg(graft.functions.KmvMinima.kmvMinima(col("__h"), k).as("minima"))
+
+  /** KMV estimate from a minima array column (ascending, ≤ k entries):
+    * saturated sketches (fewer than k minima — the sketch IS the
+    * exact distinct set) read out their size; full sketches apply the
+    * (k−1)·2³² div h_k estimator. INTEGER `div` (the Column `/` is
+    * double division, whose 1-ulp truncation drift an exact oracle
+    * cannot tolerate), so the estimate is engine-exact. Name-based:
+    * the arithmetic rides `expr`. */
+  def kmvEstimate(minimaCol: String, k: Int): Column =
+    when(size(col(minimaCol)) < k, size(col(minimaCol)).cast("long"))
+      .otherwise(expr(
+        s"(${(k - 1).toLong} * 4294967296 div greatest(element_at($minimaCol, $k), 1))"))
+      .cast("long")
 
   /** Corpus-level TOKEN-FREQUENCY health statistics per slice — the
     * distribution diagnostics corpus and tokenizer work reads before

@@ -758,4 +758,80 @@ class DedupSpec extends SparkSpec {
     assert(jDelta == jPin,
       s"simhashPairsDelta ran $jDelta jobs vs the bare batch pin's $jPin — it must not add driver actions")
   }
+
+  test("clusters: the convergence count rides each round's checkpoint — one action per round") {
+    val s = spark
+    import s.implicits._
+    def jobsDuring(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+        n.set(0)
+        body
+        org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+        n.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    // the pre-r14 shape: pin, then a SEPARATE join-and-count per round
+    def clustersTwoAction(pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val edges = pairs.select(col("a"), col("b"))
+        .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+        .transform(graft.core.Checkpoints.truncate)
+      var labels = edges.select(col("a").as("id")).distinct().withColumn("label", col("id"))
+      var changed = 1L
+      while (changed > 0) {
+        val prop = edges.join(labels, edges("b") === labels("id"))
+          .groupBy(edges("a").as("id")).agg(min("label").as("nl"))
+        val next = labels.as("l").join(prop.as("p"), Seq("id"), "left")
+          .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+          .transform(graft.core.Checkpoints.truncate)
+        changed = next.as("n").join(labels.as("o"), Seq("id"))
+          .filter(col("n.label") =!= col("o.label")).count()
+        labels = next
+      }
+      labels.select(col("id"), col("label").as("cluster_id"))
+    }
+    // a chain forces several propagation rounds
+    val mk = () => Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)).toDF("a", "b")
+    val want = clustersTwoAction(mk()).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.clusters(mk()).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.filter(_._1 <= 5L).forall(_._2 == 1L) &&
+      got.filter(_._1 >= 10L).forall(_._2 == 10L), s"labels: $got")
+    val jOld = jobsDuring { clustersTwoAction(mk()) }
+    val jNew = jobsDuring { Dedup.clusters(mk()) }
+    assert(jNew < jOld,
+      s"fused clusters ran $jNew jobs vs the two-action shape's $jOld — the count must ride the pin")
+    // and the summed-metric pin itself costs no extra action vs a plain pin
+    var summed: (org.apache.spark.sql.DataFrame, Long) = null
+    val df = () => (0L until 100L).map(i => (i, i % 3)).toDF("id", "f")
+    val jSum = jobsDuring { summed = graft.core.Checkpoints.truncateSummed(df(), "f") }
+    val jPlain = jobsDuring { graft.core.Checkpoints.truncate(df()) }
+    assert(summed._2 == (0L until 100L).map(_ % 3).sum && jSum == jPlain,
+      s"truncateSummed: sum ${summed._2}, $jSum jobs vs plain $jPlain")
+    // empty input sums to 0, not NULL
+    assert(graft.core.Checkpoints.truncateSummed(df().filter(col("id") < 0L), "f")._2 == 0L)
+  }
+
+  test("leakProofSplit: an unrelated `id` column survives, and idCol == `id` works") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val docs = Seq((1L, 100L, "t"), (2L, 200L, "t"), (3L, 300L, "t"))
+      .toDF("doc_id", "id", "text")
+    val out = Dedup.leakProofSplit(docs, "doc_id", pairs, 2000)
+    assert(out.columns.contains("id"), s"unrelated id column lost: ${out.columns.mkString(",")}")
+    assert(out.select("id").collect().map(_.getLong(0)).toSet == Set(100L, 200L, 300L))
+    // paired docs still land on one side
+    val sides = out.filter(col("doc_id") <= 2L).select("split").collect().map(_.getString(0)).toSet
+    assert(sides.size == 1, s"pair split across sides: $sides")
+    val out2 = Dedup.leakProofSplit(Seq((1L, "t"), (2L, "t"), (3L, "t")).toDF("id", "text"),
+      "id", pairs, 2000)
+    assert(out2.count() == 3L && out2.columns.count(_ == "id") == 1)
+  }
 }

@@ -808,6 +808,61 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rep == got)
   }
 
+  test("KMV sketch path: bounded aggregate, one state-sized exchange, no vocabulary shuffle") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(29)
+    val docs = (0L until 300L).map { i =>
+      (i, s"g${i % 3}", Seq.fill(25)(s"w${rng.nextInt(80)}").mkString(" "))
+    }.toDF("id", "grp", "text")
+    val k = 12
+    val sk = TextAnalysis.ngramKmvSketch(docs.repartition(9), "text", "grp", n = 3, k = k)
+    // plan pin (the r13 weak item): the sketch leg's ONLY exchange
+    // carries the serialized ≤ k-long partial states — there must be no
+    // distinct, no window, and no aggregate keyed by the n-gram hash
+    // (any of those is the vocabulary-sized shuffle the sketch exists
+    // to avoid). sparkPlan, not executedPlan: AQE wraps the latter.
+    val plan = sk.queryExecution.sparkPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.length == 1, s"sketch leg must have exactly one exchange:\n$plan")
+    assert(plan.toString.contains("kmv_minima"), plan.toString)
+    val aggKeys = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec =>
+        a.groupingExpressions.map(_.sql)
+    }
+    assert(aggKeys.length >= 2 && aggKeys.forall(ks => !ks.exists(_.contains("__h"))),
+      s"partial+final object-hash aggregate keyed by the group only, got $aggKeys")
+    // minima == distinct-then-rank ground truth (identical by construction)
+    def h32(g: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(g.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val want = docs.collect().flatMap { r =>
+      val ws = r.getString(2).split(" ").filter(_.nonEmpty)
+      ws.sliding(3).filter(_.length == 3).map(g => (r.getString(1), h32(g.mkString(" "))))
+    }.distinct.groupBy(_._1).map { case (g, rows) => g -> rows.map(_._2).sorted.take(k).toSeq }
+    val gotMin = sk.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(gotMin == want, s"minima mismatch: $gotMin vs $want")
+    // aggregate semantics: a duplicate arriving at capacity must not
+    // evict a genuine minimum (TreeSet.add == false must skip the poll)
+    val dup = (Seq.fill(50)(1L) ++ (1L to 5L)).toDF("v").repartition(7)
+      .agg(graft.functions.KmvMinima.kmvMinima(col("v"), 3).as("m"))
+      .head().getSeq[Long](0)
+    assert(dup == Seq(1L, 2L, 3L), s"capped insert under duplicates: $dup")
+    // NULLs are ignored; an empty input evaluates to an empty array
+    val withNull = Seq[(java.lang.Long, Int)]((null, 0), (9L, 0), (null, 0), (2L, 0))
+      .toDF("v", "g").groupBy("g")
+      .agg(graft.functions.KmvMinima.kmvMinima(col("v"), 8).as("m"))
+      .head().getSeq[Long](1)
+    assert(withNull == Seq(2L, 9L), s"null handling: $withNull")
+    val empty = Seq.empty[Long].toDF("v")
+      .agg(graft.functions.KmvMinima.kmvMinima(col("v"), 3).as("m"))
+      .head().getSeq[Long](0)
+    assert(empty.isEmpty, s"empty input: $empty")
+  }
+
   test("token frequency stats: exact integer ratios, tie-safe top-k mass, partitioning-invariant") {
     val s = spark
     import s.implicits._
