@@ -1293,9 +1293,40 @@ object SparkEntry {
       // 3-gram cardinality estimated from the 256 minimum md5 values
       // next to the exact count — both engines pick the identical k
       // minima, so the estimate is bit-identical (the thing HLL can
-      // never be across engines); at deployment only the sketch runs
+      // never be across engines). The sketch leg runs the bounded
+      // KmvMinima aggregate (no distinct shuffle — the deployment
+      // kernel, here put under the oracle); the exact count is the
+      // verification column
       TextAnalysis.ngramKmv(t(s, dir, "documents"), "text", "lang")
         .orderBy("lang")),
+
+    "x18_standing_stats" -> ((s, dir) => {
+      // the x16/x17 statistics with STANDING state (StatsState):
+      // build on the even half, absorb the odd half, REPLAY it (the
+      // marker makes it a no-op), then supersede every doc_id%10==0
+      // doc with append-edited text, compact the log — the read-outs
+      // must equal the one-shot statistics over the EFFECTIVE corpus
+      // (the d8 delta identity; append-edits keep the sketch exact
+      // too — grams are only ever added, see StatsState's contract)
+      val docs = t(s, dir, "documents")
+      val tbl = "x18_stats"
+      graft.text.StatsState.buildStatsState(docs.filter(col("doc_id") % 2 === 0),
+        "text", "lang", "doc_id", tbl)
+      val odd = docs.filter(col("doc_id") % 2 === 1)
+      graft.text.StatsState.absorbIntoStatsState(s, odd,
+        "text", "lang", "doc_id", tbl, batchId = 1L)
+      graft.text.StatsState.absorbIntoStatsState(s, odd,
+        "text", "lang", "doc_id", tbl, batchId = 1L) // at-least-once replay
+      graft.text.StatsState.absorbIntoStatsState(s,
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("text", concat(col("text"), lit(" graftxa graftxb graftxa"))),
+        "text", "lang", "doc_id", tbl, batchId = 2L)
+      graft.text.StatsState.compactStatsState(s, tbl)
+      graft.text.StatsState.tokenStatsReadout(s, tbl)
+        .join(graft.text.StatsState.kmvReadout(s, tbl), Seq("group"))
+        .withColumnRenamed("group", "lang")
+        .orderBy("lang")
+    }),
 
     "x15_compression_ratio" -> ((s, dir) => {
       // tokenizer compression-ratio junk signal over the punctuation-
@@ -3221,6 +3252,53 @@ object SparkEntry {
         |  (CASE WHEN max(n) < 256 THEN max(n)
         |        ELSE (255 * 4294967296) // greatest(max(CASE WHEN rn = 256 THEN h END), 1) END)::BIGINT AS kmv_est
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // absorbed-state ≡ one-shot over the EFFECTIVE corpus: the x17 and
+    // x16 chains recomputed over documents with every doc_id%10==0
+    // text append-edited (the superseded version) — the oracle never
+    // sees the standing log, only the corpus the state must equal
+    "x18_standing_stats" ->
+      """WITH eff AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 10 = 0 THEN text || ' graftxa graftxb graftxa'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |w AS (
+        |  SELECT lang,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+        |  FROM eff),
+        |f AS (
+        |  SELECT lang, t.w AS tok, count(*)::BIGINT AS c
+        |  FROM w, unnest(ws) AS t(w)
+        |  WHERE lang IS NOT NULL GROUP BY 1, 2),
+        |a AS (
+        |  SELECT lang, sum(c)::BIGINT AS total_tokens, count(*)::BIGINT AS n_types,
+        |         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+        |  FROM f GROUP BY 1),
+        |r AS (SELECT lang, c, row_number() OVER (PARTITION BY lang ORDER BY c DESC) AS rn FROM f),
+        |tp AS (SELECT lang, sum(c)::BIGINT AS topk_mass FROM r WHERE rn <= 10 GROUP BY 1),
+        |g AS (
+        |  SELECT DISTINCT lang,
+        |    ('0x' || substr(md5(array_to_string(ws[t.i:t.i+2], ' ')), 1, 8))::BIGINT AS h
+        |  FROM w, unnest(range(1, len(ws)-1)) AS t(i)
+        |  WHERE lang IS NOT NULL),
+        |kr AS (
+        |  SELECT lang, h,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM g),
+        |km AS (
+        |  SELECT lang,
+        |    (CASE WHEN max(n) < 256 THEN max(n)
+        |          ELSE (255 * 4294967296) // greatest(max(CASE WHEN rn = 256 THEN h END), 1) END)::BIGINT AS kmv_est
+        |  FROM kr GROUP BY lang)
+        |SELECT a.lang, a.total_tokens, a.n_types, a.n_hapax,
+        |  coalesce(tp.topk_mass, 0)::BIGINT AS topk_mass,
+        |  (a.n_types * 10000 // greatest(a.total_tokens, 1))::BIGINT AS ttr_x4,
+        |  (a.n_hapax * 10000 // greatest(a.n_types, 1))::BIGINT AS hapax_x4,
+        |  (coalesce(tp.topk_mass, 0) * 10000 // greatest(a.total_tokens, 1))::BIGINT AS topk_share_x4,
+        |  km.kmv_est
+        |FROM a LEFT JOIN tp USING (lang) JOIN km USING (lang) ORDER BY a.lang""".stripMargin,
 
     // the same sweep aggregated to per-doc byte/token masses: the
     // compression-ratio arithmetic (bytes·10⁴ // tokens + the [lo, hi]

@@ -293,15 +293,23 @@ object TextAnalysis {
     * before the global rank, the ngramKmv discipline — no per-group
     * sort of a web-scale vocabulary on one task). */
   def tokenFrequencyStats(docs: DataFrame, textCol: String, groupCol: String,
-                          topK: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(topK >= 1, s"topK must be >= 1, got $topK")
-    // pinned: the per-group aggregate and the top-K cut both consume
-    // the frequency table; the pin is vocabulary-sized
-    val freq = graft.core.Checkpoints.truncate(docs.filter(col(groupCol).isNotNull)
+                          topK: Int = 10): DataFrame =
+    freqStatsTail(docs.filter(col(groupCol).isNotNull)
       .select(col(groupCol), explode(words(col(textCol))).as("__t"))
       .groupBy(col(groupCol), col("__t"))
-      .agg(count(lit(1)).cast("long").as("__c")))
+      .agg(count(lit(1)).cast("long").as("__c")), groupCol, topK)
+
+  /** The distribution-statistics tail shared by [[tokenFrequencyStats]]
+    * (one-shot) and `StatsState.tokenStatsReadout` (standing state) —
+    * ONE definition so the absorbed-state ≡ one-shot identity can
+    * never drift on semantics. Input: a (groupCol, __t, __c) frequency
+    * frame; pinned here (vocabulary-sized) because the per-group
+    * aggregate and the two-phase top-K cut both consume it. */
+  private[graft] def freqStatsTail(freqRaw: DataFrame, groupCol: String,
+                                   topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val freq = graft.core.Checkpoints.truncate(freqRaw)
     val agg = freq.groupBy(col(groupCol)).agg(
       sum(col("__c")).cast("long").as("total_tokens"),
       count(lit(1)).cast("long").as("n_types"),

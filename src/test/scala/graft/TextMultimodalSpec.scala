@@ -863,6 +863,63 @@ class TextMultimodalSpec extends SparkSpec {
     assert(empty.isEmpty, s"empty input: $empty")
   }
 
+  test("StatsState: absorb/supersede/compact ≡ one-shot; replay no-op; kmv refresh valve") {
+    import graft.text.StatsState
+    val s = spark
+    import s.implicits._
+    def mk(rows: Seq[(Long, String, String)]) = rows.toDF("id", "grp", "text")
+    val tbl = "sst_spec"
+    val t0 = Seq(
+      (1L, "a", "x y z x y z w q r s t"),
+      (2L, "a", "p q r s"),
+      (3L, "b", "m n o p m n"))
+    StatsState.buildStatsState(mk(t0), "text", "grp", "id", tbl, n = 3, k = 8, buckets = 4)
+    // absorb new ids, then REPLAY the same batch id — must be a no-op
+    val b1 = Seq((4L, "b", "u v w x y"), (5L, "a", "x x y"))
+    assert(StatsState.absorbIntoStatsState(s, mk(b1), "text", "grp", "id", tbl, 1L, 3, 8))
+    assert(!StatsState.absorbIntoStatsState(s, mk(b1), "text", "grp", "id", tbl, 1L, 3, 8),
+      "replaying a seen batch_id must be refused")
+    // supersede the HARD way: doc 1 loses most of its text AND migrates
+    // from group a to group b — the negation must clear its old-group cells
+    val b2 = Seq((1L, "b", "z w only now"))
+    assert(StatsState.absorbIntoStatsState(s, mk(b2), "text", "grp", "id", tbl, 2L, 3, 8))
+    val effective = Seq((1L, "b", "z w only now"), (2L, "a", "p q r s"),
+      (3L, "b", "m n o p m n"), (4L, "b", "u v w x y"), (5L, "a", "x x y"))
+    def freqRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.toSeq.drop(1))).sortBy(_._1).toSeq
+    val oneShotStats = freqRows(
+      graft.text.TextAnalysis.tokenFrequencyStats(mk(effective), "text", "grp", 10))
+    // frequency leg: EXACT under removal + group migration (the d8 identity)
+    assert(freqRows(StatsState.tokenStatsReadout(s, tbl, 10)) == oneShotStats)
+    // kmv leg: removal leaves an over-approximation (union of versions ⊇
+    // effective grams), never an under-estimate
+    def kmvMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShotKmv = kmvMap(graft.text.TextAnalysis
+      .ngramKmv(mk(effective), "text", "grp", 3, 8).select(col("grp"), col("kmv_est")))
+    val standingKmv = kmvMap(StatsState.kmvReadout(s, tbl, 8))
+    assert(oneShotKmv.keySet == standingKmv.keySet)
+    assert(oneShotKmv.forall { case (g, est) => standingKmv(g) >= est },
+      s"sketch under deletion must over-approximate: $standingKmv vs $oneShotKmv")
+    // compact: read-outs unchanged, log netted (no zero cells, one row
+    // per live (id, group, token)), one kmv row per group, replay still guarded
+    StatsState.compactStatsState(s, tbl, 8)
+    assert(freqRows(StatsState.tokenStatsReadout(s, tbl, 10)) == oneShotStats)
+    assert(kmvMap(StatsState.kmvReadout(s, tbl, 8)) == standingKmv)
+    val log = s.table(s"${tbl}_freq")
+    assert(log.filter(col("c") <= 0L).isEmpty, "compacted log must hold positive nets only")
+    assert(log.groupBy("id", "group", "token").count().filter(col("count") > 1L).isEmpty)
+    assert(log.filter(col("id") === 1L && col("group") === "a").isEmpty,
+      "group-migrated doc's old-group cells must net to zero and vanish")
+    assert(s.table(s"${tbl}_kmv").groupBy("group").count()
+      .collect().forall(_.getLong(1) == 1L))
+    assert(!StatsState.absorbIntoStatsState(s, mk(b1), "text", "grp", "id", tbl, 1L, 3, 8),
+      "compaction must not re-open replay")
+    // the scheduled-refresh valve restores sketch ≡ one-shot exactly
+    StatsState.refreshKmvState(mk(effective), "text", "grp", tbl, 3, 8)
+    assert(kmvMap(StatsState.kmvReadout(s, tbl, 8)) == oneShotKmv)
+  }
+
   test("token frequency stats: exact integer ratios, tie-safe top-k mass, partitioning-invariant") {
     val s = spark
     import s.implicits._
