@@ -156,7 +156,8 @@ object SparkEntry {
     * identity through the explode and emits the p21 `doc_start` flag
     * (1 exactly on a doc's first token — continuation segments have
     * seg_start > 0). */
-  private def packedStreamSql(withDoc: Boolean): String = {
+  private def packedStreamSql(withDoc: Boolean, rel: String = "documents",
+                              prefixCtes: String = ""): String = {
     val base = "abcdefghijklmnopqrstuvwxyz0123456789"
     val vocabRows = (base.zipWithIndex.map { case (c, i) => s"('$c', $i)" } ++
       graft.text.Bpe.DefaultMerges.zipWithIndex.map { case ((a, b), r) =>
@@ -166,10 +167,10 @@ object SparkEntry {
     val outDoc = if (withDoc)
       ",\n  doc_id,\n  (CASE WHEN seg_start = 0 AND u.k = 1 THEN 1 ELSE 0 END)::INT AS doc_start"
     else ""
-    s"""WITH w AS (
+    s"""WITH ${prefixCtes}w AS (
        |  SELECT doc_id,
        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
-       |  FROM documents),
+       |  FROM $rel),
        |t AS (SELECT doc_id, t.i AS widx, ws[t.i] AS wd FROM w, unnest(range(1, len(ws)+1)) AS t(i)),
        |enc AS (SELECT doc_id, widx, ${graft.text.Bpe.mergeChainSql("wd", graft.text.Bpe.DefaultMerges)} AS s FROM t),
        |sym AS (
@@ -185,7 +186,7 @@ object SparkEntry {
        |    coalesce(len(ids.ids), 0)::BIGINT AS n,
        |    coalesce(ids.ids, CAST([] AS INT[])) AS ids,
        |    (d0.doc_id // 1000)::BIGINT AS shard
-       |  FROM documents d0 LEFT JOIN ids USING (doc_id)),
+       |  FROM $rel d0 LEFT JOIN ids USING (doc_id)),
        |c AS (
        |  SELECT doc_id, source, n, ids, shard,
        |    coalesce(sum(n) OVER (PARTITION BY source, shard ORDER BY doc_id
@@ -1390,6 +1391,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "x19_quality_quantiles" -> ((s, dir) =>
+      // per-language quality percentiles (p50/p90/p99 of the
+      // fixed-point score): the read-out a team inspects before
+      // choosing x11's q — rank-based order statistics from a
+      // bounded-domain histogram CDF (one map-side-combined count +
+      // windows over histogram rows; the corpus is never per-group
+      // sorted); the oracle IS that sort
+      TextAnalysis.groupQuantiles(
+          TextAnalysis.qualityInt(t(s, dir, "documents"), "text", "doc_id")
+            .select("doc_id", "lang", "iq"),
+          "lang", "iq",
+          Seq("p50_iq" -> 5000, "p90_iq" -> 9000, "p99_iq" -> 9900))
+        .orderBy("lang")),
+
     "p2_weighted_sample" -> ((s, dir) =>
       // training-mix sampling: downweight the dominant language,
       // lightly trim fr, pass the rest — decided per row by the
@@ -1601,6 +1616,29 @@ object SparkEntry {
       // segments of straddling docs never flag
       val docs = t(s, dir, "documents")
       val enc = docs.select(col("doc_id"), col("source"),
+        graft.text.Bpe.bpeEncode(TextAnalysis.words(col("text")),
+          graft.text.Bpe.DefaultMerges).as("ids"))
+      TextAnalysis.packedMaskStream(enc, "doc_id", "source", "ids",
+          capacity = 512L, shardSize = 1000L)
+        .select(col("source"), col("shard"), col("bin"), col("bin_pos"),
+          col("token_id").cast("int").as("token_id"), col("doc_id"), col("doc_start"))
+        .orderBy("source", "shard", "bin", "bin_pos")
+    }),
+
+    "p24_split_pack" -> ((s, dir) => {
+      // split × pack composed under ONE oracle (the p18 discipline
+      // applied to the EVAL BOUNDARY): p19's exact-count holdout
+      // decides the cut, the train side flows through the p21
+      // doc-carrying packer. The oracle packs an INDEPENDENTLY
+      // recomputed train side, so equality proves both contracts at
+      // once: the packed train stream equals the one-shot packer over
+      // the train docs, and — because every token row carries its
+      // doc_id and one extra doc would shift every later placement —
+      // no holdout doc's tokens can appear in it
+      val docs = t(s, dir, "documents")
+      val train = TextAnalysis.holdoutSplit(docs, "doc_id", "lang", holdBp = 1000)
+        .filter(col("split") === "train")
+      val enc = train.select(col("doc_id"), col("source"),
         graft.text.Bpe.bpeEncode(TextAnalysis.words(col("text")),
           graft.text.Bpe.DefaultMerges).as("ids"))
       TextAnalysis.packedMaskStream(enc, "doc_id", "source", "ids",
@@ -2536,6 +2574,38 @@ object SparkEntry {
         |WHERE lang IS NOT NULL AND rn <= (n * 2000 + 9999) // 10000
         |ORDER BY doc_id""".stripMargin,
 
+    // the naive per-group sort the engine never runs: the x11 iq
+    // formula, then each percentile = the iq at row_number rank
+    // ceil(q·n/10⁴) in ascending order (tie order cannot change the
+    // value AT a rank, so row_number is safe here)
+    "x19_quality_quantiles" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, text,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    length(text)::BIGINT AS n_chars_c,
+        |    len(ws)::BIGINT AS n_words,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::BIGINT AS n_punct,
+        |    len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is'], x)))::BIGINT AS n_stop
+        |  FROM w WHERE lang IS NOT NULL),
+        |q AS (
+        |  SELECT doc_id, lang,
+        |    (least(n_words, 100) * 50 + (n_stop * 3000 // greatest(n_words, 1))
+        |     + 2000 - (n_punct * 2000 // greatest(n_chars_c, 1)))::BIGINT AS iq
+        |  FROM s),
+        |r AS (
+        |  SELECT lang, iq,
+        |    row_number() OVER (PARTITION BY lang ORDER BY iq) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM q)
+        |SELECT lang,
+        |  min(CASE WHEN rn = (n * 5000 + 9999) // 10000 THEN iq END)::BIGINT AS p50_iq,
+        |  min(CASE WHEN rn = (n * 9000 + 9999) // 10000 THEN iq END)::BIGINT AS p90_iq,
+        |  min(CASE WHEN rn = (n * 9900 + 9999) // 10000 THEN iq END)::BIGINT AS p99_iq
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
     // the naive sort the engine never runs: rn over the md5 order,
     // keep rn <= quota per named group (zh's quota exceeds n → whole
     // group), unnamed groups drop
@@ -2649,6 +2719,26 @@ object SparkEntry {
     // doc_start = 1 exactly on each doc's first token (a straddling
     // doc's continuation segment has seg_start > 0 and never flags)
     "p21_mask_stream" -> packedStreamSql(withDoc = true),
+
+    // the p19 split CTE recomputed from scratch picks the train side,
+    // then the FULL p21 chain packs it — the train stream must equal
+    // the one-shot packer over exactly those docs, and (doc ids ride
+    // every row) contain no holdout doc's tokens
+    "p24_split_pack" -> packedStreamSql(withDoc = true, rel = "train_docs",
+      prefixCtes =
+        """su AS (
+          |  SELECT doc_id, lang,
+          |    ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT AS u
+          |  FROM documents),
+          |sr AS (
+          |  SELECT doc_id, lang, u,
+          |    row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn,
+          |    count(*) OVER (PARTITION BY lang) AS n
+          |  FROM su),
+          |train_docs AS (
+          |  SELECT d.* FROM documents d JOIN sr USING (doc_id)
+          |  WHERE NOT (sr.lang IS NOT NULL AND sr.rn <= (sr.n * 1000 + 9999) // 10000)),
+          |""".stripMargin),
 
     // p10's placements exploded to per-(shard, bin) doc segments: each
     // doc emits one row per bin it touches; segment arithmetic is the

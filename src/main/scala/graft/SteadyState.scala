@@ -47,6 +47,17 @@ object SteadyState {
       docs.filter(col("doc_id") >= cut2 && col("doc_id") < cut),
       "text", "doc_id", "lang", "label", k = 15,
       graft.text.Bpe.DefaultMerges, prefix = "ss_recipe", buckets = 16)
+    // the standing artifacts p22/d25 consume at deployment (built once
+    // per dedup'd snapshot, untimed): the near-dup cluster assignment
+    // and the per-doc quality scores — the Bench p22/d25 figures price
+    // the inline pair-pipeline build by design (PERF.md); these probes
+    // measure the per-split / per-decision marginal
+    graft.dedup.Dedup.clusters(
+        graft.dedup.Dedup.ngramJaccard(docs, "text", "doc_id", 3, 0.8))
+      .write.mode("overwrite").saveAsTable("ss_clusters")
+    graft.text.TextAnalysis.qualityScore(docs, "text", "doc_id")
+      .select(col("doc_id"), col("quality"))
+      .write.mode("overwrite").saveAsTable("ss_scores")
 
     Seq(
       // data-independent CPU-bound kernel, timed exactly like the
@@ -92,6 +103,18 @@ object SteadyState {
       "d22_simhash_delta" ->
         (() => graft.dedup.Dedup.simhashPairsDelta(spark,
           docs.filter(col("doc_id") >= cut), "text", "doc_id", 10, "ss_simhash").count()),
+      // p22's deployment marginal: split decision from the STANDING
+      // cluster assignment — broadcast join + map-side decision; the
+      // inline pair-pipeline build the Bench figure prices never runs
+      "p22_split_probe" ->
+        (() => graft.dedup.Dedup.leakProofSplitAssigned(docs, "doc_id",
+          spark.table("ss_clusters"), holdBp = 2000).count()),
+      // d25's deployment marginal: keep-best survivor ranking over the
+      // standing assignment joined to standing scores — the shuffle is
+      // bounded by duplicated docs, never the corpus
+      "d25_keepbest_probe" ->
+        (() => graft.dedup.Dedup.keepBest(spark.table("ss_clusters"),
+          spark.table("ss_scores"), "doc_id", "quality").count()),
       // event-time probe (r8 postmortem: the e-family broke on a testdata
       // re-encode and no gate noticed) — batch sessionize over the events
       // log, the same single session_window hash-agg shuffle e2/e5 share

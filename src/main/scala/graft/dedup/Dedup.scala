@@ -1136,7 +1136,21 @@ object Dedup {
     * per dedup'd snapshot, immediately before training — exactly this
     * operator's shape. */
   def leakProofSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
-                     holdBp: Int, seed: String = "lsplit"): DataFrame = {
+                     holdBp: Int, seed: String = "lsplit"): DataFrame =
+    leakProofSplitAssigned(docs, idCol, clusters(pairs), holdBp, seed)
+
+  /** [[leakProofSplit]]'s DEPLOYMENT marginal: the split decision from
+    * a STANDING cluster assignment (an (id, cluster_id) frame — the
+    * artifact a pipeline persists next to its dedup index and reuses
+    * across the snapshot's splits). What a deployment actually pays
+    * per split: one broadcast-able equi-join (the assignment is
+    * bounded by duplicated docs, never the corpus) plus a codegen'd
+    * map-side decision — the inline pair pipeline `leakProofSplit`
+    * prices is the once-per-snapshot build, not this. Steady-state
+    * probed (p22_split_probe) so the marginal is measured, not
+    * argued. */
+  def leakProofSplitAssigned(docs: DataFrame, idCol: String, clusterAssign: DataFrame,
+                             holdBp: Int, seed: String = "lsplit"): DataFrame = {
     require(holdBp >= 0 && holdBp <= 10000, s"holdBp is basis points, got $holdBp")
     require(!docs.columns.contains("split") && !docs.columns.contains("cluster_id") &&
       !docs.columns.contains("__lps_id"),
@@ -1145,7 +1159,7 @@ object Dedup {
     // the join key gets a reserved name before the join: a bare
     // .drop("id") would delete EVERY column named id — silently losing
     // an unrelated docs column, or colliding when idCol == "id"
-    val comp = clusters(pairs).withColumnRenamed("id", "__lps_id")
+    val comp = clusterAssign.select(col("id").as("__lps_id"), col("cluster_id"))
     docs.join(comp, docs(idCol) === comp("__lps_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
       .withColumn("split",

@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native tokenizer for the shared `TextAnalysis.words` normalization —
+  * THE hottest kernel in the repo: every text operator (langid,
+  * quality, dedup shingles, BPE feeds, the KMV/frequency stats) runs
+  * it once per document, and the r14 component probe showed the
+  * regex formulation (`filter(split(regexp_replace(lower(text),
+  * "[^a-z0-9 ]", " "), " "), _ =!= "")`) IS the corpus pass's floor —
+  * three full string rewrites plus a regex engine per document.
+  *
+  * This expression computes the IDENTICAL result in one byte scan:
+  * lowercase via `UTF8String.toLowerCase` (the exact function Spark's
+  * `Lower` applies, so case mapping cannot diverge), then maximal runs
+  * of ASCII `[a-z0-9]` BYTES become the words. Byte-run splitting
+  * equals the regex's code-point splitting because UTF-8 multi-byte
+  * code points contain no byte < 0x80 — every byte of a non-ASCII
+  * char is a separator byte exactly as the char itself is a separator
+  * code point under `[^a-z0-9 ]` → ' '. Empty tokens never arise
+  * (runs are maximal by construction), matching the `filter`.
+  * Equivalence is property-spec-pinned against the regex formulation
+  * on arbitrary strings including multi-byte text. */
+case class AlnumWords(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "alnum_words"
+
+  private def isAlnum(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+
+  /** codegen + interpreted entry point */
+  def evalUtf8(s: UTF8String): ArrayData = {
+    val lower = s.toLowerCase
+    val bytes = lower.getBytes
+    val n = bytes.length
+    // count runs first: one exact-sized array, no growable buffer churn
+    var runs = 0
+    var i = 0
+    while (i < n) {
+      if (isAlnum(bytes(i))) {
+        runs += 1
+        while (i < n && isAlnum(bytes(i))) i += 1
+      } else i += 1
+    }
+    val out = new Array[AnyRef](runs)
+    var r = 0
+    i = 0
+    while (i < n) {
+      if (isAlnum(bytes(i))) {
+        val start = i
+        while (i < n && isAlnum(bytes(i))) i += 1
+        out(r) = UTF8String.fromBytes(bytes, start, i - start)
+        r += 1
+      } else i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = evalUtf8(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("alnumWords", this, classOf[AlnumWords].getName)
+    nullSafeCodeGen(ctx, ev,
+      v => s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.evalUtf8($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native word-n-gram builder — the second half of the tokenize floor
+  * (after [[AlnumWords]] removed the regex, the declarative
+  * `transform(sequence(…), i => concat_ws(" ", slice(ws, …)))` was
+  * what remained of the corpus pass: a lambda frame, a slice array,
+  * and a concat per GRAM). One pass over the word array,
+  * space-joining each window with `UTF8String.concatWs` — the exact
+  * join `concat_ws(" ", …)` performs, so gram strings (and therefore
+  * every shingle/hash downstream) are bit-identical; arrays shorter
+  * than n yield the empty array, matching the declarative guard.
+  * Property-spec-pinned against the declarative formulation. */
+case class NgramsJoin(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(n >= 1, s"ngrams_join needs n >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ngrams_join"
+
+  @transient private lazy val space = UTF8String.fromString(" ")
+
+  /** codegen + interpreted entry point */
+  def evalArr(a: ArrayData): ArrayData = {
+    val m = a.numElements()
+    if (m < n) return new GenericArrayData(new Array[AnyRef](0))
+    val words = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) { words(i) = a.getUTF8String(i); i += 1 }
+    val out = new Array[AnyRef](m - n + 1)
+    val window = new Array[UTF8String](n)
+    i = 0
+    while (i <= m - n) {
+      var j = 0
+      while (j < n) { window(j) = words(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(space, window: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = evalArr(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("ngramsJoin", this, classOf[NgramsJoin].getName)
+    nullSafeCodeGen(ctx, ev,
+      v => s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.evalArr($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextKernels {
+
+  /** Lower-cased alnum word array ≡ the regex formulation, one byte
+    * scan (see [[AlnumWords]]). */
+  def alnumWords(text: Column): Column =
+    ColumnBridge.column(AlnumWords(ColumnBridge.expr(text)))
+
+  /** Space-joined word n-grams ≡ the transform/slice/concat_ws
+    * formulation, one pass (see [[NgramsJoin]]). */
+  def ngramsJoin(ws: Column, n: Int): Column =
+    ColumnBridge.column(NgramsJoin(ColumnBridge.expr(ws), n))
+}

@@ -14,21 +14,42 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Lower-cased alnum word array. Shared normalization for all ops. */
-  def words(text: Column): Column =
+  /** Lower-cased alnum word array. Shared normalization for all ops —
+    * the codegen'd [[graft.functions.AlnumWords]] byte-scan kernel,
+    * bit-identical to the declarative
+    * `filter(split(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " "), _ =!= "")`
+    * (property-spec-pinned incl. multi-byte text) at a fraction of the
+    * cost: the regex chain was three full string rewrites per document
+    * and measured as THE floor of every corpus pass in the repo. */
+  def words(text: Column): Column = graft.functions.TextKernels.alnumWords(text)
+
+  /** The declarative formulation [[words]] replaces — kept as the
+    * equivalence spec's reference model (and documentation of the
+    * contract the oracles' `list_filter(string_split(regexp_replace(
+    * lower(text), …)))` mirrors). */
+  private[graft] def wordsRegex(text: Column): Column =
     filter(split(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " "), w => w =!= "")
 
   /** Word n-gram array from a words array (empty when shorter than n) —
     * the ONE construction `Dedup.shingles` and `repetition` both use;
     * their outputs must tokenize identically for the oracles to hold.
+    * As of r14 this is the codegen'd [[graft.functions.NgramsJoin]]
+    * one-pass kernel (bit-identical to the declarative
+    * `transform(sequence, i => concat_ws(" ", slice(ws, …)))`,
+    * property-spec-pinned) — with [[words]]' byte-scan kernel it takes
+    * the shared tokenize floor of every shingle/stats corpus pass from
+    * 23.5 s to ~2 s per 500k docs.
     *
-    * PITFALL (measured 57×): pass a MATERIALIZED array column, never
-    * `words(col)` inline — `slice(ws, …)` sits inside the transform
-    * LAMBDA, where common-subexpression elimination cannot reach, so
-    * an inline `ws` re-runs the whole regex tokenize once PER GRAM
-    * (O(text · grams) per doc; 2.3 s → 132 s on a 50k-doc probe).
-    * Every caller in this codebase stages `__ws` first. */
+    * The historical 57× pitfall (an INLINE `words(col)` re-ran the
+    * regex once per gram inside the transform lambda) no longer bites
+    * — both sides are single per-row expressions now — but staging
+    * `__ws` first remains the house idiom. */
   def ngrams(ws: Column, n: Int): Column =
+    graft.functions.TextKernels.ngramsJoin(ws, n)
+
+  /** The declarative formulation [[ngrams]] replaces — the equivalence
+    * spec's reference model. */
+  private[graft] def ngramsDecl(ws: Column, n: Int): Column =
     when(size(ws) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(ws) - n),
         i => concat_ws(" ", slice(ws, i + lit(1), lit(n)))))
@@ -230,14 +251,18 @@ object TextAnalysis {
 
   /** The (group, 32-bit md5 hash) n-gram stream both KMV legs consume —
     * map-only: whitespace-staged tokenize (the ngrams pitfall), explode,
-    * hash. */
+    * hash. The hash is the codegen'd [[graft.functions.Md5Head32]]
+    * kernel — bit-identical to `conv(substring(md5(t), 1, 8), 16, 10)`
+    * (the oracle's formulation) without rendering and re-parsing 32 hex
+    * chars per gram INSTANCE; this expression runs corpus×grams times,
+    * the hottest loop in the stats family. */
   private def ngramHashes(docs: DataFrame, textCol: String, groupCol: String,
                           n: Int): DataFrame =
     docs.filter(col(groupCol).isNotNull)
       .withColumn("__ws", words(col(textCol))) // staged: see the ngrams pitfall
       .select(col(groupCol), explode(ngrams(col("__ws"), n)).as("__t"))
       .select(col(groupCol),
-        conv(substring(md5(col("__t")), 1, 8), 16, 10).cast("long").as("__h"))
+        graft.functions.VectorFunctions.md5Head32(col("__t")).as("__h"))
 
   /** DEPLOYMENT path of the KMV sketch: per-group ascending array of
     * the k smallest distinct n-gram hashes, computed by the bounded
@@ -828,6 +853,47 @@ object TextAnalysis {
     sliced.join(broadcast(offsets), Seq("__pid", groupCol))
       .withColumn("__rn", row_number().over(wLocal) + col("__off"))
       .drop("__pid", "__off")
+  }
+
+  /** EXACT per-group quantile read-outs over a BOUNDED fixed-point
+    * score domain — the p50/p90/p99-per-slice table a data team reads
+    * before choosing x11's q (public practice: per-language quality
+    * percentile dashboards precede threshold decisions). Each quantile
+    * is the rank-based order statistic — the value at rank
+    * ceil(qBp·n/10⁴) in score-ascending order, the discrete inverse
+    * CDF — which, unlike a float t-digest or interpolated percentile,
+    * is ENGINE-EXACT: the oracle recomputes it as a row_number window
+    * and must match bit-for-bit.
+    *
+    * Shape (the x11 histogram discipline): ONE map-side-combined count
+    * per (group, score) — scores are fixed-point integers on a bounded
+    * domain (iq ∈ [0, 10⁴]), so the histogram is tiny at any corpus
+    * size — then a cumulative window and the quantile aggregate run
+    * over HISTOGRAM rows only. No per-group sort of the corpus exists
+    * in the plan. The value at rank r equals min{v : #(score ≤ v) ≥ r}
+    * independent of tie order, so ties cannot diverge the engines.
+    * NULL scores cannot rank and NULL groups drop (the x11/family
+    * conventions); one output row per group, one column per requested
+    * (name, qBp). */
+  def groupQuantiles(scored: DataFrame, groupCol: String, scoreCol: String,
+                     quantiles: Seq[(String, Int)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quantiles.nonEmpty, "need at least one quantile")
+    require(quantiles.forall { case (_, q) => q >= 1 && q <= 10000 },
+      s"quantiles are basis points in [1, 10000], got $quantiles")
+    val hist = scored.filter(col(groupCol).isNotNull && col(scoreCol).isNotNull)
+      .groupBy(col(groupCol), col(scoreCol).as("__v"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+    val wAsc = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    val cdf = hist
+      .withColumn("__cum", sum(col("__c")).over(wAsc))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val aggs = quantiles.map { case (name, q) =>
+      min(when(col("__cum") >= expr(s"(__n * $q + 9999) div 10000"), col("__v"))).as(name)
+    }
+    cdf.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Deterministic EXACT-COUNT train/holdout split — the eval-set cut

@@ -22,6 +22,45 @@ class PropertySpec extends SparkSpec {
     Gen.listOf(Gen.frequency(
       8 -> Gen.alphaNumChar, 2 -> Gen.const(' '), 1 -> Gen.oneOf('.', ',', '!'))).map(_.mkString)
 
+  test("AlnumWords kernel ≡ the regex tokenize on arbitrary text (multi-byte included)") {
+    val s = spark
+    import s.implicits._
+    // adversarial alphabet: alnum runs, uppercase (must lowercase),
+    // ASCII punctuation, multi-byte chars (é, 中, combining marks, a
+    // char whose Unicode lowercase has special behavior), raw spaces
+    val anyText: Gen[String] = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.const(' '), 2 -> Gen.oneOf('.', ',', '!', '"', '='),
+      2 -> Gen.oneOf('A', 'Z', 'Q'), 2 -> Gen.oneOf('é', '中', 'ß', 'İ', '́', 'Σ'),
+      1 -> Gen.oneOf('\n', '\t'))).map(_.mkString)
+    forAllSeeded(Gen.listOfN(24, anyText), trials = 8) { texts =>
+      {
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val both = df.select(col("doc_id"),
+            TextAnalysis.words(col("text")).as("kernel"),
+            graft.text.TextAnalysis.wordsRegex(col("text")).as("regex"))
+          .collect()
+        both.foreach { r =>
+          assert(r.getSeq[String](1) == r.getSeq[String](2),
+            s"doc ${r.getLong(0)}: kernel ${r.getSeq[String](1)} vs regex ${r.getSeq[String](2)} " +
+              s"on ${texts(r.getLong(0).toInt)}")
+        }
+        // and the fused n-gram builder ≡ the declarative formulation
+        // over the same tokenized arrays (short arrays → empty)
+        Seq(1, 2, 3, 5).foreach { n =>
+          val g = df.withColumn("__ws", TextAnalysis.words(col("text")))
+            .select(col("doc_id"),
+              TextAnalysis.ngrams(col("__ws"), n).as("kernel"),
+              TextAnalysis.ngramsDecl(col("__ws"), n).as("decl"))
+            .collect()
+          g.foreach { r =>
+            assert(r.getSeq[String](1) == r.getSeq[String](2),
+              s"n=$n doc ${r.getLong(0)}: ${r.getSeq[String](1)} vs ${r.getSeq[String](2)}")
+          }
+        }
+      }
+    }
+  }
+
   test("rolling hash matches the reference model on arbitrary ASCII text") {
     val s = spark
     import s.implicits._

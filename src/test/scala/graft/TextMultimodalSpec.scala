@@ -863,6 +863,29 @@ class TextMultimodalSpec extends SparkSpec {
     assert(empty.isEmpty, s"empty input: $empty")
   }
 
+  test("groupQuantiles: rank-based order statistics, ties, singletons, NULL hygiene") {
+    import graft.text.TextAnalysis
+    val s = spark
+    import s.implicits._
+    // g: multiset [10,10,10,20,30,30,40,50,60,100], n=10 →
+    //   p10 = rank 1 = 10, p50 = rank 5 = 30, p90 = rank 9 = 60, p99 = rank 10 = 100
+    // h: singleton [7] → every quantile = 7
+    // NULL group and NULL score must drop (a NULL score must not shift ranks)
+    val rows = Seq(10L, 10L, 10L, 20L, 30L, 30L, 40L, 50L, 60L, 100L)
+      .map(v => ("g", java.lang.Long.valueOf(v))) ++
+      Seq(("h", java.lang.Long.valueOf(7L)), (null.asInstanceOf[String], java.lang.Long.valueOf(1L)),
+        ("g", null.asInstanceOf[java.lang.Long]))
+    val df = rows.toDF("grp", "v")
+    val qs = Seq("p10" -> 1000, "p50" -> 5000, "p90" -> 9000, "p99" -> 9900)
+    val got = TextAnalysis.groupQuantiles(df, "grp", "v", qs)
+      .collect().map(r => r.getString(0) -> (1 to 4).map(r.getLong)).toMap
+    assert(got == Map("g" -> Seq(10L, 30L, 60L, 100L), "h" -> Seq(7L, 7L, 7L, 7L)), s"$got")
+    // partitioning invariance (histogram + windows over histogram rows only)
+    val rep = TextAnalysis.groupQuantiles(df.repartition(7), "grp", "v", qs)
+      .collect().map(r => r.getString(0) -> (1 to 4).map(r.getLong)).toMap
+    assert(rep == got)
+  }
+
   test("StatsState: absorb/supersede/compact ≡ one-shot; replay no-op; kmv refresh valve") {
     import graft.text.StatsState
     val s = spark
