@@ -127,7 +127,67 @@ case class NgramsJoin(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Native whitespace tokenizer ≡ `regexp_extract_all(text, '\S+')` —
+  * the other per-document regex in the hot paths (byte-level BPE
+  * feeds, packers, source caps). Java's `\s` without
+  * UNICODE_CHARACTER_CLASS is exactly { ' ', \t, \n, \x0B, \f, \r } —
+  * all single ASCII bytes — so maximal runs of every OTHER byte
+  * reproduce the regex's maximal `\S+` code-point runs: multi-byte
+  * code points are `\S` and their bytes are all ≥ 0x80, never a
+  * separator. Property-spec-pinned against the regex formulation. */
+case class WsWords(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ws_words"
+
+  private def isSpace(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** codegen + interpreted entry point */
+  def evalUtf8(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var runs = 0
+    var i = 0
+    while (i < n) {
+      if (!isSpace(bytes(i))) {
+        runs += 1
+        while (i < n && !isSpace(bytes(i))) i += 1
+      } else i += 1
+    }
+    val out = new Array[AnyRef](runs)
+    var r = 0
+    i = 0
+    while (i < n) {
+      if (!isSpace(bytes(i))) {
+        val start = i
+        while (i < n && !isSpace(bytes(i))) i += 1
+        out(r) = UTF8String.fromBytes(bytes, start, i - start)
+        r += 1
+      } else i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = evalUtf8(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("wsWords", this, classOf[WsWords].getName)
+    nullSafeCodeGen(ctx, ev,
+      v => s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.evalUtf8($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextKernels {
+
+  /** Whitespace-token array ≡ `regexp_extract_all(text, '\S+')`, one
+    * byte scan (see [[WsWords]]). */
+  def wsWords(text: Column): Column =
+    ColumnBridge.column(WsWords(ColumnBridge.expr(text)))
 
   /** Lower-cased alnum word array ≡ the regex formulation, one byte
     * scan (see [[AlnumWords]]). */

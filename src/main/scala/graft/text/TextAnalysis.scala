@@ -150,13 +150,18 @@ object TextAnalysis {
     * capping) stay one map-only projection instead of self-joining
     * the counts table back onto the corpus. */
   def wsTokens(text: Column): Column =
-    size(regexp_extract_all(text, lit("\\S+"), lit(0))).cast("long")
+    size(graft.functions.TextKernels.wsWords(text)).cast("long")
 
   /** Whitespace-split word array KEEPING punctuation and case — the
     * byte-level tokenizer's pre-split (`words` lowercases to [a-z0-9]
     * and belongs to the 36-symbol contract). Mirrors the oracle's
     * `regexp_extract_all(text, '\S+')` exactly. */
-  def wsWords(text: Column): Column =
+  def wsWords(text: Column): Column = graft.functions.TextKernels.wsWords(text)
+
+  /** The regex formulation [[wsWords]] replaces — the equivalence
+    * spec's reference model (and the contract the oracles'
+    * `regexp_extract_all(text, '\S+')` mirrors). */
+  private[graft] def wsWordsRegex(text: Column): Column =
     regexp_extract_all(text, lit("\\S+"), lit(0))
 
   /** Whitespace tokens + a BPE-ish regex token count (letters runs /

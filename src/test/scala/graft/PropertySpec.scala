@@ -44,6 +44,16 @@ class PropertySpec extends SparkSpec {
             s"doc ${r.getLong(0)}: kernel ${r.getSeq[String](1)} vs regex ${r.getSeq[String](2)} " +
               s"on ${texts(r.getLong(0).toInt)}")
         }
+        // the whitespace kernel ≡ regexp_extract_all('\S+') on the same
+        // adversarial texts (punctuation/case/multi-byte stay INSIDE words)
+        val wsBoth = df.select(col("doc_id"),
+            TextAnalysis.wsWords(col("text")).as("kernel"),
+            graft.text.TextAnalysis.wsWordsRegex(col("text")).as("regex"))
+          .collect()
+        wsBoth.foreach { r =>
+          assert(r.getSeq[String](1) == r.getSeq[String](2),
+            s"ws doc ${r.getLong(0)}: ${r.getSeq[String](1)} vs ${r.getSeq[String](2)}")
+        }
         // and the fused n-gram builder ≡ the declarative formulation
         // over the same tokenized arrays (short arrays → empty)
         Seq(1, 2, 3, 5).foreach { n =>
