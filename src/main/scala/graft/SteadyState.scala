@@ -58,6 +58,11 @@ object SteadyState {
     graft.text.TextAnalysis.qualityScore(docs, "text", "doc_id")
       .select(col("doc_id"), col("quality"))
       .write.mode("overwrite").saveAsTable("ss_scores")
+    // the standing corpus-stats state (x18's deployment shape): built
+    // once untimed; the probe prices the READ-OUT marginal (the
+    // mutating absorb is priced by StatsStateScale, which a repeatable
+    // min-of-3 probe cannot do honestly)
+    graft.text.StatsState.buildStatsState(docs, "text", "lang", "doc_id", "ss_stats")
 
     Seq(
       // data-independent CPU-bound kernel, timed exactly like the
@@ -115,6 +120,13 @@ object SteadyState {
       "d25_keepbest_probe" ->
         (() => graft.dedup.Dedup.keepBest(spark.table("ss_clusters"),
           spark.table("ss_scores"), "doc_id", "quality").count()),
+      // the standing-stats read-out marginal: net the contribution log
+      // (riding its token buckets) + merge the sketch rows — what a
+      // corpus-health dashboard pays per refresh against standing state
+      "x18_readout_probe" ->
+        (() => graft.text.StatsState.tokenStatsReadout(spark, "ss_stats")
+          .join(graft.text.StatsState.kmvReadout(spark, "ss_stats"), Seq("group"))
+          .count()),
       // event-time probe (r8 postmortem: the e-family broke on a testdata
       // re-encode and no gate noticed) — batch sessionize over the events
       // log, the same single session_window hash-agg shuffle e2/e5 share
