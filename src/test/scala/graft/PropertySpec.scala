@@ -71,6 +71,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("tokenize kernels ≡ regex formulations on the real corpus fixture") {
+    // generated text can miss fixture-specific byte patterns; pin the
+    // equivalence on every sf0.001 document too (the corpus every
+    // oracle-checked operator actually tokenizes)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bad = docs.select(
+        TextAnalysis.words(col("text")).as("k1"),
+        graft.text.TextAnalysis.wordsRegex(col("text")).as("r1"),
+        TextAnalysis.wsWords(col("text")).as("k2"),
+        graft.text.TextAnalysis.wsWordsRegex(col("text")).as("r2"))
+      .withColumn("__ws", col("k1"))
+      .withColumn("k3", TextAnalysis.ngrams(col("__ws"), 3))
+      .withColumn("r3", TextAnalysis.ngramsDecl(col("__ws"), 3))
+      .filter(col("k1") =!= col("r1") || col("k2") =!= col("r2") || col("k3") =!= col("r3"))
+      .count()
+    assert(bad == 0L, s"$bad fixture docs tokenize differently under the kernels")
+  }
+
   test("rolling hash matches the reference model on arbitrary ASCII text") {
     val s = spark
     import s.implicits._
