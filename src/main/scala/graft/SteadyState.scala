@@ -52,6 +52,10 @@ object SteadyState {
     // and the per-doc quality scores — the Bench p22/d25 figures price
     // the inline pair-pipeline build by design (PERF.md); these probes
     // measure the per-split / per-decision marginal
+    // Tables.drop first: a leftover warehouse directory from a PREVIOUS
+    // session is unknown to this catalog and saveAsTable then refuses
+    // the name (LOCATION_ALREADY_EXISTS — bit the r14 bench re-capture)
+    Seq("ss_clusters", "ss_scores").foreach(graft.core.Tables.drop(spark, _))
     graft.dedup.Dedup.clusters(
         graft.dedup.Dedup.ngramJaccard(docs, "text", "doc_id", 3, 0.8))
       .write.mode("overwrite").saveAsTable("ss_clusters")
