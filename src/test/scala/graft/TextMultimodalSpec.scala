@@ -943,6 +943,120 @@ class TextMultimodalSpec extends SparkSpec {
     assert(kmvMap(StatsState.kmvReadout(s, tbl, 8)) == oneShotKmv)
   }
 
+  test("StatsState: supersede leg prunes to the touched shard partitions; broadcast path identical") {
+    import graft.text.StatsState
+    val s = spark
+    import s.implicits._
+    val tbl = "sst_prune"
+    // 10 shards × 4 docs (shardSize 4): ids 0..39
+    val docs = (0L until 40L).map(i => (i, "g", s"tok$i common")).toDF("id", "grp", "text")
+    StatsState.buildStatsState(docs, "text", "grp", "id", tbl,
+      n = 3, k = 8, buckets = 2, shardSize = 4L)
+    // a batch touching ONE shard (ids 8, 9 → shard 2): STATIC pruning —
+    // the negation leg's standing scan reads exactly 1 of 10 partitions
+    val ids = Seq(8L, 9L).toDF("id")
+    val net = StatsState.supersedeNet(s, tbl, ids, Seq(2L), batchId = 5L)
+    val plan = planOf(net)
+    assert(plan.contains("PartitionFilters") && plan.contains("shard"), plan)
+    val pruned = net.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.selectedPartitions.partitionCount
+    }
+    assert(pruned == Seq(1),
+      s"a one-shard batch must prune the standing scan to 1 of 10 partitions, got $pruned")
+    val got = net.collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set((8L, "tok8", -1L), (8L, "common", -1L),
+      (9L, "tok9", -1L), (9L, "common", -1L)), s"$got")
+    // above the threshold the shards frame rides a broadcast semi-join
+    // (no giant literal tree) — same rows
+    val viaJoin = StatsState.supersedeNet(s, tbl, ids, Seq(2L), 5L, isinShardMax = 0)
+    assert(viaJoin.collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet == got)
+  }
+
+  test("StatsState: a crashed partial absorb replays exact; compact keeps in-flight batches raw") {
+    import graft.text.StatsState
+    val s = spark
+    import s.implicits._
+    def mk(rows: Seq[(Long, String, String)]) = rows.toDF("id", "grp", "text")
+    def freqRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.toSeq.drop(1))).sortBy(_._1).toSeq
+    val tbl = "sst_crash"
+    val t0 = Seq((1L, "a", "x y z"), (2L, "a", "p q"), (3L, "b", "m n"))
+    StatsState.buildStatsState(mk(t0), "text", "grp", "id", tbl,
+      n = 3, k = 8, buckets = 4, shardSize = 2L)
+    // CRASH SIMULATION for batch 9 = {(1,a,"x w"), (4,b,"u v")}: the
+    // attempt appended its supersede negation of doc 1 AND part of its
+    // contributions, then died before kmv/docs/marker — plant exactly
+    // those rows through the same writer absorb uses
+    StatsState.appendFreq(s, tbl, 4, Seq(
+      (1L, "a", "x", -1L, 9L, 0L), (1L, "a", "y", -1L, 9L, 0L),
+      (1L, "a", "z", -1L, 9L, 0L), (4L, "b", "u", 1L, 9L, 2L)
+    ).toDF("id", "group", "token", "c", "batch_id", "shard"))
+    // the redelivery finds no marker, nets out the tagged partial rows
+    // along with the genuine standing contribution, and lands EXACT
+    assert(StatsState.absorbIntoStatsState(s, mk(Seq((1L, "a", "x w"), (4L, "b", "u v"))),
+      "text", "grp", "id", tbl, 9L, 3, 8))
+    val effective = Seq((1L, "a", "x w"), (2L, "a", "p q"),
+      (3L, "b", "m n"), (4L, "b", "u v"))
+    assert(freqRows(StatsState.tokenStatsReadout(s, tbl, 10)) ==
+      freqRows(TextAnalysis.tokenFrequencyStats(mk(effective), "text", "grp", 10)))
+    assert(s.table(s"${tbl}_docs").groupBy("id").count()
+      .filter(col("count") > 1L).isEmpty, "roster must stay duplicate-free across the retry")
+    // in-flight protection: plant a partial batch 11 (unmarked), compact
+    // — the tagged rows must stay RAW (folding them into the settled net
+    // would double-count the retry's recovery probe)
+    StatsState.appendFreq(s, tbl, 4,
+      Seq((5L, "a", "k", 1L, 11L, 2L)).toDF("id", "group", "token", "c", "batch_id", "shard"))
+    StatsState.compactStatsState(s, tbl, 8)
+    assert(s.table(s"${tbl}_freq").filter(col("batch_id") === 11L).count() == 1L,
+      "compaction must not fold an unmarked (in-flight) batch's rows")
+    // and the retry of batch 11 still lands exact AFTER the compact
+    assert(StatsState.absorbIntoStatsState(s, mk(Seq((5L, "a", "k k j"))),
+      "text", "grp", "id", tbl, 11L, 3, 8))
+    assert(freqRows(StatsState.tokenStatsReadout(s, tbl, 10)) ==
+      freqRows(TextAnalysis.tokenFrequencyStats(
+        mk(effective :+ (5L, "a", "k k j")), "text", "grp", 10)))
+  }
+
+  test("StatsState: loud requires — multi-version batch, non-positive batchId, missing layout") {
+    import graft.text.StatsState
+    val s = spark
+    import s.implicits._
+    def mk(rows: Seq[(Long, String, String)]) = rows.toDF("id", "grp", "text")
+    val tbl = "sst_req"
+    StatsState.buildStatsState(mk(Seq((1L, "a", "x"))), "text", "grp", "id", tbl,
+      n = 3, k = 8, buckets = 2, shardSize = 4L)
+    // two versions of one id in a batch have no defined latest
+    val dup = intercept[IllegalArgumentException] {
+      StatsState.absorbIntoStatsState(s, mk(Seq((7L, "a", "t"), (7L, "a", "u"))),
+        "text", "grp", "id", tbl, 3L, 3, 8)
+    }
+    assert(dup.getMessage.contains("latestOnly"), dup.getMessage)
+    // 0 and -1 are the build/compaction tags — user batches must be positive
+    intercept[IllegalArgumentException] {
+      StatsState.absorbIntoStatsState(s, mk(Seq((8L, "a", "t"))),
+        "text", "grp", "id", tbl, 0L, 3, 8)
+    }
+    // a log created outside buildStatsState: no bucket spec → refuse
+    // (a silently assumed layout would mis-place appends)
+    Seq((1L, "a", "t", 1L, 0L, 0L)).toDF("id", "group", "token", "c", "batch_id", "shard")
+      .write.partitionBy("shard").saveAsTable("sst_nobucket_freq")
+    val nb = intercept[IllegalArgumentException] {
+      StatsState.absorbIntoStatsState(s, mk(Seq((9L, "a", "t"))),
+        "text", "grp", "id", "sst_nobucket", 4L, 3, 8)
+    }
+    assert(nb.getMessage.contains("bucket"), nb.getMessage)
+    // bucketed but no pinned shard size → refuse (a guessed size would
+    // silently miss standing rows in the supersede prune)
+    Seq((1L, "a", "t", 1L, 0L, 0L)).toDF("id", "group", "token", "c", "batch_id", "shard")
+      .write.partitionBy("shard").bucketBy(2, "token").sortBy("token")
+      .saveAsTable("sst_noprop_freq")
+    val np = intercept[IllegalArgumentException] {
+      StatsState.absorbIntoStatsState(s, mk(Seq((9L, "a", "t"))),
+        "text", "grp", "id", "sst_noprop", 4L, 3, 8)
+    }
+    assert(np.getMessage.contains(StatsState.ShardSizeProp), np.getMessage)
+  }
+
   test("token frequency stats: exact integer ratios, tie-safe top-k mass, partitioning-invariant") {
     val s = spark
     import s.implicits._
