@@ -899,6 +899,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "p25_split_drift" -> ((s, dir) => {
+      // bridge-drift monitor for the one-shot leak-proof split (p22's
+      // documented limitation as a MONITORED SIGNAL): the standing
+      // corpus (doc_id < 400) is clustered and split once; the delta
+      // batch — new docs (doc_id >= 400) PLUS re-emits of docs 0..19
+      // carrying donor text from docs 200..219 (deterministic plant,
+      // mirrored in the oracle) — produces its d8-shaped delta pairs,
+      // and every pair bridging two standing clusters surfaces with
+      // each side's split verdict: true = leak materialized (re-split
+      // due), false = same-side growth, null = a side the standing
+      // split never saw (new cluster)
+      val docs = t(s, dir, "documents")
+      val standing = docs.filter(col("doc_id") < 400)
+      val table = "shingle_idx_drift"
+      Dedup.buildShingleIndex(standing, "text", "doc_id", 3, table, buckets = 16)
+      val assign = Dedup.clusters(Dedup.ngramJaccard(standing, "text", "doc_id", 3, 0.8))
+      val splits = Dedup.leakProofSplitAssigned(standing, "doc_id", assign, holdBp = 2000)
+        .select(col("cluster_id"), col("split")).distinct()
+      val donor = docs.select((col("doc_id") - 200).as("doc_id"), col("text").as("__t"))
+      val reem = docs.filter(col("doc_id") < 20).drop("text")
+        .join(donor, Seq("doc_id")).withColumnRenamed("__t", "text")
+      val batch = reem.unionByName(docs.filter(col("doc_id") >= 400))
+      val batchPairs = Dedup.ngramJaccardDelta(s, batch, "text", "doc_id", 3, 0.8, table)
+      Dedup.splitDriftProbe(batchPairs, assign, splits)
+        .withColumn("crosses_split_boundary", col("crosses_split_boundary").cast("int"))
+        .orderBy("a", "b")
+    }),
+
     "d8_dedup_delta" -> ((s, dir) => {
       // incremental ingest: the standing corpus (doc_id < 400) is
       // indexed once; the new batch dedups against the index + itself —
@@ -1908,15 +1936,21 @@ object SparkEntry {
 
     // ===== multimodal ===================================================
     "m1_multimodal_meta" -> ((s, dir) =>
+      // payloads are REAL PGM images (text bytes wrapped at width 16,
+      // zero-padded) and the decode is a genuine Netpbm parse — the
+      // features carry the DECODED dimensions + pixel stats, all
+      // recomputable by the oracle from the text bytes + the encoder
+      // contract (header = 11 + digits(height) bytes)
       Multimodal.features(s, t(s, dir, "documents")).orderBy("doc_id")),
 
     "m2_multimodal_resize" -> ((s, dir) => {
-      // resize (block-average downsample) -> decode features, one
-      // map-only typed pipeline; the byte semantics are exact so DuckDB
-      // recomputes the resized payload and its features from the text
+      // the real image loop: decode PGM → 2-D average-pool (2×2 blocks,
+      // integer div — exact) → re-encode as a smaller PGM → decode
+      // AGAIN for features; one map-only typed pipeline, and DuckDB
+      // recomputes the resized raster from the text bytes
       val media = Multimodal.mediaFromDocs(t(s, dir, "documents"))
-      Multimodal.extractFeatures(Multimodal.asMedia(Multimodal.resize(media, 4))).toDF()
-        .select("doc_id", "n_bytes", "checksum", "n_frames", "first_byte")
+      Multimodal.extractFeatures(Multimodal.asMedia(Multimodal.resize(media, 2))).toDF()
+        .select("doc_id", "width", "height", "n_pixels", "checksum", "first_byte")
         .orderBy("doc_id")
     }),
 
@@ -3869,27 +3903,36 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "m1_multimodal_meta" ->
-      """SELECT doc_id, length(text)::BIGINT AS n_bytes,
-        | (list_sum(list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))::BIGINT)) % 997)::BIGINT AS checksum,
-        | ((length(text) + 15) // 16)::BIGINT AS n_frames,
-        | ascii(substr(text, 1, 1))::BIGINT AS first_byte
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "m2_multimodal_resize" ->
-      """WITH b AS (
-        |  SELECT doc_id,
+      """WITH d AS (
+        |  SELECT doc_id, length(text)::BIGINT AS n,
         |    list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))::BIGINT) AS bytes
         |  FROM documents),
+        |p AS (SELECT doc_id, bytes, ((n + 15) // 16)::BIGINT AS h FROM d)
+        |SELECT doc_id, 16::BIGINT AS width, h AS height, (16 * h)::BIGINT AS n_pixels,
+        |  (11 + length(h::VARCHAR) + 16 * h)::BIGINT AS payload_bytes,
+        |  (coalesce(list_sum(bytes), 0) % 997)::BIGINT AS checksum,
+        |  h AS n_frames,
+        |  coalesce(bytes[1], -1)::BIGINT AS first_byte
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "m2_multimodal_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id, length(text)::BIGINT AS n,
+        |    list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))::BIGINT) AS tb
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, ((n + 15) // 16)::BIGINT AS h,
+        |    [ coalesce(tb[i+1], 0) for i in range(0, 16 * ((n + 15) // 16)) ] AS px
+        |  FROM d),
         |r AS (
-        |  SELECT doc_id,
-        |    [ list_sum(bytes[4*blk+1 : least(4*blk+4, len(bytes))])::BIGINT
-        |        // (least(4*blk+4, len(bytes)) - 4*blk)
-        |      for blk in range(0, (len(bytes)+3)//4) ] AS rb
-        |  FROM b)
-        |SELECT doc_id, len(rb)::BIGINT AS n_bytes,
-        |  (list_sum(rb) % 997)::BIGINT AS checksum,
-        |  ((len(rb)+15)//16)::BIGINT AS n_frames,
-        |  rb[1]::BIGINT AS first_byte
+        |  SELECT doc_id, (h // 2)::BIGINT AS h2,
+        |    [ (px[32*(i//8) + 2*(i%8) + 1] + px[32*(i//8) + 2*(i%8) + 2]
+        |       + px[32*(i//8) + 16 + 2*(i%8) + 1] + px[32*(i//8) + 16 + 2*(i%8) + 2]) // 4
+        |      for i in range(0, 8 * (h // 2)) ] AS rp
+        |  FROM p)
+        |SELECT doc_id, 8::BIGINT AS width, h2 AS height, (8 * h2)::BIGINT AS n_pixels,
+        |  (coalesce(list_sum(rp), 0) % 997)::BIGINT AS checksum,
+        |  coalesce(rp[1], -1)::BIGINT AS first_byte
         |FROM r ORDER BY doc_id""".stripMargin,
 
     "m3_multimodal_ann" ->
@@ -4225,6 +4268,71 @@ object SparkEntry {
         |  CASE WHEN ('0x' || substr(md5('lsplit:' || cluster_id), 1, 8))::BIGINT < 858993459
         |       THEN 'holdout' ELSE 'train' END AS split
         |FROM rep ORDER BY doc_id""".stripMargin,
+
+    "p25_split_drift" ->
+      """WITH RECURSIVE batch AS (
+        |  SELECT d.doc_id, d2.text
+        |  FROM documents d JOIN documents d2 ON d2.doc_id = d.doc_id + 200
+        |  WHERE d.doc_id < 20
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 400),
+        |standing AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+        |words_s AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), w -> w <> '') AS ws
+        |  FROM standing),
+        |sh_s AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[t.i:t.i+2], ' ') AS s
+        |  FROM words_s, unnest(range(1, len(ws)-1)) AS t(i)),
+        |sz_s AS (SELECT doc_id, count(*) AS sz FROM sh_s GROUP BY 1),
+        |pr_s AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+        |         FROM sh_s a JOIN sh_s b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs_s AS (
+        |  SELECT a, b FROM pr_s JOIN sz_s sa ON pr_s.a = sa.doc_id JOIN sz_s sb ON pr_s.b = sb.doc_id
+        |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.8),
+        |edges_s AS (SELECT a, b FROM pairs_s UNION SELECT b, a FROM pairs_s),
+        |r_s(src, dst) AS (
+        |  SELECT a, b FROM edges_s
+        |  UNION
+        |  SELECT r_s.src, e.b FROM r_s JOIN edges_s e ON r_s.dst = e.a),
+        |cl_s AS (SELECT src AS id, least(src, min(dst)) AS cluster_id FROM r_s GROUP BY src),
+        |rep_s AS (
+        |  SELECT s.doc_id, coalesce(cl_s.cluster_id, s.doc_id) AS cluster_id
+        |  FROM standing s LEFT JOIN cl_s ON s.doc_id = cl_s.id),
+        |splits AS (
+        |  SELECT DISTINCT cluster_id,
+        |    CASE WHEN ('0x' || substr(md5('lsplit:' || cluster_id), 1, 8))::BIGINT < 858993459
+        |         THEN 'holdout' ELSE 'train' END AS split
+        |  FROM rep_s),
+        |eff AS (
+        |  SELECT doc_id, text FROM standing WHERE doc_id NOT IN (SELECT doc_id FROM batch)
+        |  UNION ALL SELECT doc_id, text FROM batch),
+        |words_e AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), w -> w <> '') AS ws
+        |  FROM eff),
+        |sh_e AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[t.i:t.i+2], ' ') AS s
+        |  FROM words_e, unnest(range(1, len(ws)-1)) AS t(i)),
+        |sz_e AS (SELECT doc_id, count(*) AS sz FROM sh_e GROUP BY 1),
+        |pr_e AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+        |         FROM sh_e a JOIN sh_e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs_e AS (
+        |  SELECT a, b FROM pr_e JOIN sz_e sa ON pr_e.a = sa.doc_id JOIN sz_e sb ON pr_e.b = sb.doc_id
+        |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.8),
+        |bpairs AS (
+        |  SELECT a, b FROM pairs_e
+        |  WHERE a IN (SELECT doc_id FROM batch) OR b IN (SELECT doc_id FROM batch)),
+        |br AS (
+        |  SELECT a, b, coalesce(ca.cluster_id, a) AS cluster_a, coalesce(cb.cluster_id, b) AS cluster_b
+        |  FROM bpairs LEFT JOIN cl_s ca ON bpairs.a = ca.id LEFT JOIN cl_s cb ON bpairs.b = cb.id
+        |  WHERE coalesce(ca.cluster_id, a) <> coalesce(cb.cluster_id, b))
+        |SELECT br.a, br.b, br.cluster_a, br.cluster_b, sa.split AS split_a, sb.split AS split_b,
+        |  CASE WHEN sa.split IS NOT NULL AND sb.split IS NOT NULL
+        |       THEN (sa.split <> sb.split)::INT END AS crosses_split_boundary
+        |FROM br LEFT JOIN splits sa ON br.cluster_a = sa.cluster_id
+        |        LEFT JOIN splits sb ON br.cluster_b = sb.cluster_id
+        |ORDER BY br.a, br.b""".stripMargin,
 
     "d6_dedup_clusters" ->
       """WITH RECURSIVE words AS (

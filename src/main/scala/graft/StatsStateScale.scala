@@ -8,13 +8,24 @@ import graft.text.StatsState
 /** The standing-stats ABSORB marginal measured against a growing
   * standing corpus (the SplitScale/PackScale discipline): build the
   * state on n docs (untimed — the once-per-snapshot cost), then time
-  * ONE `absorbIntoStatsState` of a FIXED 5000-doc batch of new ids,
-  * and the post-absorb read-outs. The claim under test is x18's
-  * 100 TB story: the absorb is O(batch) — batch tokenize + a
-  * roster-probe semi-join (doc-count-sized) + appends — so its cost
-  * must stay ~FLAT as the standing corpus grows 100×, while the
-  * read-out grows only with the vocabulary-sized log, never the
-  * corpus. A single timed pass per size: absorb mutates state, so a
+  * ONE `absorbIntoStatsState` each of
+  *
+  *  - a FIXED 5000-doc batch of NEW ids (the append-style ingest fast
+  *    path: batch tokenize + roster probe + appends);
+  *  - a FIXED 5000-doc OVERLAPPING batch of CONTIGUOUS standing ids,
+  *    re-ingested with appended text (the change-log re-ingest
+  *    regime): the supersede negation leg must read ONLY the batch's
+  *    touched shard partitions — O(touched shards · shardSize), so
+  *    this row must stay ~FLAT as the standing corpus grows 100×;
+  *  - a FIXED 5000-doc overlapping batch of ids SPREAD uniformly
+  *    across the corpus — the documented worst case: the batch
+  *    touches ~every shard, so the negation leg degrades to
+  *    min(batch, shards)·shardSize docs' contributions read, which
+  *    GROWS with the corpus until every shard is touched. Measured
+  *    deliberately so the bound is a number, not prose;
+  *
+  * and the post-absorb read-outs (vocabulary-sized, never a corpus
+  * pass). A single timed pass per size: absorb mutates state, so a
   * min-of-3 would be three different operations (the reason the
   * SteadyState probe prices only the read-out).
   *
@@ -33,6 +44,16 @@ object StatsStateScale {
     spark.sparkContext.setLogLevel("ERROR")
     val all = spark.read.parquet(docsPath).select(col("doc_id"), col("lang"), col("text"))
     val batchN = 5000L
+    // shardSize trades supersede granularity against file count: a
+    // deployment sizes it so the partition count stays filesystem-
+    // friendly (the PackIndex guidance). 100k docs/shard = 50
+    // partitions at the 5M fixture; the supersede bound is
+    // O(touched shards · shardSize) either way — corpus-independent.
+    // (A 10k-shard first cut put 500 partitions × 32 bucket files ×
+    // per-absorb appends on disk and the read-out paid 24× in file
+    // opens/listing: 154 s vs 6.4 s at 5M — layout matters as much as
+    // pruning; see PERF.md round-15.)
+    val shardSize = 100000L
     sizes.foreach { n =>
       val staged = java.nio.file.Files.createTempDirectory(s"graft_sss_$n")
       try {
@@ -40,17 +61,35 @@ object StatsStateScale {
           .write.mode("overwrite").parquet(staged.toString)
         val base = spark.read.parquet(staged.toString)
         StatsState.buildStatsState(base.filter(col("doc_id") < n),
-          "text", "lang", "doc_id", "sss_state")
+          "text", "lang", "doc_id", "sss_state", shardSize = shardSize)
         val batch = base.filter(col("doc_id") >= n) // fixed-size, new ids
         val t0 = System.nanoTime()
         StatsState.absorbIntoStatsState(spark, batch, "text", "lang", "doc_id",
           "sss_state", batchId = 1L)
         val tAbsorb = (System.nanoTime() - t0) / 1e9
+        // contiguous overlap: re-ingest standing ids [0, batchN) with
+        // appended text — one touched shard, the prunable regime
+        val contig = base.filter(col("doc_id") < batchN)
+          .withColumn("text", concat(col("text"), lit(" graftre graftre2")))
         val t1 = System.nanoTime()
+        StatsState.absorbIntoStatsState(spark, contig, "text", "lang", "doc_id",
+          "sss_state", batchId = 2L)
+        val tContig = (System.nanoTime() - t1) / 1e9
+        // spread overlap: ids ≡ 0 (mod n/batchN) — touches ~every shard
+        val step = math.max(1L, n / batchN)
+        val spread = base.filter(col("doc_id") < n && col("doc_id") % step === 0L)
+          .withColumn("text", concat(col("text"), lit(" graftsp")))
+        val t2 = System.nanoTime()
+        StatsState.absorbIntoStatsState(spark, spread, "text", "lang", "doc_id",
+          "sss_state", batchId = 3L)
+        val tSpread = (System.nanoTime() - t2) / 1e9
+        val t3 = System.nanoTime()
         val rows = StatsState.tokenStatsReadout(spark, "sss_state")
           .join(StatsState.kmvReadout(spark, "sss_state"), Seq("group")).count()
-        val tRead = (System.nanoTime() - t1) / 1e9
-        println(f"n=$n%8d  batch=$batchN  absorb=$tAbsorb%6.2f s  readout=$tRead%6.2f s  groups=$rows")
+        val tRead = (System.nanoTime() - t3) / 1e9
+        println(f"n=$n%8d  batch=$batchN  absorb_new=$tAbsorb%6.2f s  " +
+          f"absorb_overlap_contig=$tContig%6.2f s  absorb_overlap_spread=$tSpread%6.2f s  " +
+          f"readout=$tRead%6.2f s  groups=$rows")
       } finally {
         org.apache.commons.io.FileUtils.deleteQuietly(staged.toFile)
         ()

@@ -1168,6 +1168,75 @@ object Dedup {
       .drop("__lps_id")
   }
 
+  /** BRIDGE-DRIFT monitor for the one-shot split —
+    * [[leakProofSplit]] is one-shot BY DESIGN (a later batch can pair
+    * a train doc with a holdout doc, bridging two clusters across the
+    * boundary, and no incremental rule preserves both the leak-proof
+    * property and side stability), so a deployment needs to KNOW when
+    * a re-split is due. This probe turns that documented limitation
+    * into an operational signal (the reference analog is the
+    * dependency-tracking MultiSource shape — changed upstream
+    * entities trigger downstream re-evaluation): feed it each delta
+    * batch's near-dup pairs and it emits every pair that BRIDGES two
+    * distinct effective clusters of the standing assignment, with
+    * each side's standing split verdict —
+    * (a, b, cluster_a, cluster_b, split_a, split_b,
+    * crosses_split_boundary). `crosses_split_boundary` is true when
+    * both sides carry KNOWN verdicts on opposite sides (a leak has
+    * materialized — re-split before the next training run), false
+    * when both are known and same-side (cluster growth only), and
+    * NULL when either side's cluster was never seen by the standing
+    * split (a new-doc singleton or new cluster — structure growth,
+    * no standing side to violate). Re-split when any `true` rows
+    * appear; the count of bridge rows overall is the staleness gauge.
+    *
+    * Inputs: `batchPairs` (a, b) from any pair generator's delta
+    * ([[ngramJaccardDelta]], [[simhashDelta]], …); `clusterAssign`
+    * (id, cluster_id) — the persisted standing assignment, unpaired
+    * docs implicitly their own singleton rep (the
+    * [[leakProofSplitAssigned]] coalesce); `splits`
+    * (cluster_id, split) — the persisted verdicts the pipeline
+    * actually trained on (NOT re-derived from the hash rule, so the
+    * probe also monitors exact-count or manual splits).
+    *
+    * Shape: bounded by the BATCH's pairs end to end — the standing
+    * assignment and verdict tables are sliced by broadcast semi-joins
+    * on the pair endpoints / their reps before anything joins, so the
+    * corpus-sized tables are scanned once each and never shuffled. */
+  def splitDriftProbe(batchPairs: DataFrame, clusterAssign: DataFrame,
+                      splits: DataFrame): DataFrame = {
+    val pairs = batchPairs.select(col("a"), col("b"))
+    val ids = pairs.select(col("a").as("id"))
+      .unionByName(pairs.select(col("b").as("id"))).distinct()
+    // assignment slice: the endpoints' rows only (batch-bounded)
+    val slice = clusterAssign.select(col("id"), col("cluster_id"))
+      .join(broadcast(ids), Seq("id"), "leftsemi")
+    val bridged = pairs
+      .join(broadcast(slice.select(col("id").as("a"), col("cluster_id").as("cluster_a"))),
+        Seq("a"), "left")
+      .join(broadcast(slice.select(col("id").as("b"), col("cluster_id").as("cluster_b"))),
+        Seq("b"), "left")
+      .withColumn("cluster_a", coalesce(col("cluster_a"), col("a")))
+      .withColumn("cluster_b", coalesce(col("cluster_b"), col("b")))
+      .filter(col("cluster_a") =!= col("cluster_b"))
+    // verdict slice: the bridged reps only (assigned reps ∪ singleton
+    // endpoints — still batch-bounded)
+    val reps = slice.select(col("cluster_id").as("rid"))
+      .unionByName(ids.select(col("id").as("rid"))).distinct()
+    val sp = splits.select(col("cluster_id"), col("split"))
+      .join(broadcast(reps.withColumnRenamed("rid", "cluster_id")),
+        Seq("cluster_id"), "leftsemi")
+    bridged
+      .join(broadcast(sp.select(col("cluster_id").as("cluster_a"),
+        col("split").as("split_a"))), Seq("cluster_a"), "left")
+      .join(broadcast(sp.select(col("cluster_id").as("cluster_b"),
+        col("split").as("split_b"))), Seq("cluster_b"), "left")
+      .select(col("a"), col("b"), col("cluster_a"), col("cluster_b"),
+        col("split_a"), col("split_b"),
+        when(col("split_a").isNotNull && col("split_b").isNotNull,
+          col("split_a") =!= col("split_b")).as("crosses_split_boundary"))
+  }
+
   /** Apply a dedup decision: keep each cluster's canonical doc (the
     * smallest id = the cluster label) and every unpaired doc. The final
     * step of the near-dup pipeline: pairs → components → one survivor

@@ -6,14 +6,20 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns: media payloads as opaque `binary` columns with a
   * typed metadata struct, processed by a per-partition typed pipeline.
   *
-  * The decode step is a STUB (image/audio codecs are not in this
-  * container): `decodeStub` stands in for e.g. a JPEG decode and is a
-  * deterministic byte-level computation, so the full Spark plumbing —
-  * binary column, partition-wise batch iteration, typed output schema —
-  * is real and verified end-to-end. A production build swaps ONLY the
-  * body of `decodeStub` for the codec call; the distributed shape
-  * (map-only `mapPartitions` over binary payloads, no shuffle, no
-  * driver involvement) is exactly what runs at 100 TB.
+  * The decode step is a REAL codec: payloads are Netpbm raster images
+  * (P5 grayscale / P6 RGB — the public netpbm format spec: ASCII
+  * header `P5\n<w> <h>\n<maxval>\n` with whitespace/#-comment
+  * tolerance, then w·h·channels raw bytes after exactly one
+  * whitespace), and [[decodeNetpbm]] is a genuine header-validating
+  * parser, not a stand-in. The container has no JPEG/PNG libraries, so
+  * the ENCODER side manufactures PGM payloads from document text bytes
+  * (deterministic, so every downstream feature is SQL-recomputable and
+  * oracle-checked end-to-end); a production build swaps the payload
+  * source for real camera/scan bytes and, for compressed formats, only
+  * the body of [[decodeNetpbm]] — the distributed shape (map-only
+  * `mapPartitions` over binary payloads, no shuffle, no driver
+  * involvement, decode-once-then-feature) is exactly what runs at
+  * 100 TB.
   */
 object Multimodal {
 
@@ -21,33 +27,105 @@ object Multimodal {
     * arbitrary props next to entity ids the same way). */
   final case class Media(doc_id: Long, payload: Array[Byte], meta_source: String, meta_len: Long)
 
-  /** Features a decoder would emit: size, a deterministic checksum, and
-    * frame-sample stats (every `stride`-th byte = "frame"). */
-  final case class MediaFeatures(doc_id: Long, n_bytes: Long, checksum: Long, n_frames: Long, first_byte: Long)
+  /** A decoded raster: dimensions + sample depth + channel count +
+    * row-major samples (1 byte per sample — maxval ≤ 255). */
+  final case class RasterImage(width: Int, height: Int, maxval: Int,
+                               channels: Int, pixels: Array[Byte])
+
+  /** Features a decoder emits: REAL decoded dimensions, pixel count,
+    * the encoded payload size, a deterministic pixel checksum, and
+    * frame-sample stats (every `FrameStride`-th pixel = "frame"). */
+  final case class MediaFeatures(doc_id: Long, width: Long, height: Long,
+                                 n_pixels: Long, payload_bytes: Long,
+                                 checksum: Long, n_frames: Long, first_byte: Long)
 
   val FrameStride = 16
 
-  /** decode STUB — byte-level stand-in for a real image/audio decode. */
-  def decodeStub(m: Media): MediaFeatures = {
-    val bytes = m.payload
-    var checksum = 0L
-    var i = 0
-    while (i < bytes.length) { checksum = (checksum + (bytes(i) & 0xffL)) % 997L; i += 1 }
-    val nFrames = (bytes.length + FrameStride - 1) / FrameStride
-    MediaFeatures(m.doc_id, bytes.length.toLong, checksum, nFrames.toLong,
-      if (bytes.nonEmpty) (bytes(0) & 0xffL) else -1L)
+  /** Pixel columns per manufactured image row (the encoder contract:
+    * text bytes wrap at this width, zero-padded to fill the last
+    * row). */
+  val Width = 16
+
+  /** Encode a grayscale raster as a binary PGM (P5) payload — the
+    * netpbm spec's minimal writer: `P5\n<w> <h>\n255\n` + row-major
+    * bytes. */
+  def encodePgm(pixels: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    require(width >= 0 && height >= 0 && pixels.length == width * height,
+      s"pixel buffer ${pixels.length} != $width x $height")
+    s"P5\n$width $height\n255\n".getBytes("US-ASCII") ++ pixels
   }
 
-  /** Documents → media table: payload = UTF-8 bytes standing in for an
-    * encoded image; metadata stays a typed column. */
+  /** Parse a binary Netpbm payload (P5 grayscale or P6 RGB): validates
+    * the magic, reads the ASCII header tokens with full
+    * whitespace-run and `#`-comment tolerance (the spec allows both),
+    * requires 1-byte samples (maxval ≤ 255) and a complete raster
+    * after the single post-maxval whitespace. LOUD on malformed
+    * input — a decoder that guesses past a bad header corrupts every
+    * feature downstream. */
+  def decodeNetpbm(bytes: Array[Byte]): RasterImage = {
+    require(bytes.length >= 2 && bytes(0) == 'P',
+      s"not a Netpbm payload (${bytes.length} bytes)")
+    val channels = bytes(1).toChar match {
+      case '5' => 1
+      case '6' => 3
+      case m => throw new IllegalArgumentException(s"unsupported Netpbm magic P$m")
+    }
+    var i = 2
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    def nextInt(): Int = {
+      while (i < bytes.length && (isWs(bytes(i)) || bytes(i) == '#')) {
+        if (bytes(i) == '#') while (i < bytes.length && bytes(i) != '\n') i += 1
+        else i += 1
+      }
+      require(i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9',
+        s"malformed Netpbm header at byte $i")
+      var v = 0
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); i += 1
+      }
+      v
+    }
+    val w = nextInt()
+    val h = nextInt()
+    val maxval = nextInt()
+    require(maxval > 0 && maxval <= 255, s"unsupported maxval $maxval (1-byte samples only)")
+    require(i < bytes.length && isWs(bytes(i)),
+      "missing single whitespace between maxval and raster")
+    i += 1
+    val n = w * h * channels
+    require(bytes.length - i >= n,
+      s"truncated raster: need $n bytes after the header, have ${bytes.length - i}")
+    RasterImage(w, h, maxval, channels, java.util.Arrays.copyOfRange(bytes, i, i + n))
+  }
+
+  /** Documents → media table: each doc's UTF-8 bytes wrap into a
+    * [[Width]]-column grayscale image (zero-padded final row) and
+    * encode as a REAL PGM payload; metadata stays a typed column. */
   def mediaFromDocs(docs: DataFrame): Dataset[Media] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(
-      col("doc_id").cast("long").as("doc_id"),
-      encode(col("text"), "UTF-8").as("payload"),
-      col("source").as("meta_source"),
-      length(col("text")).cast("long").as("meta_len")).as[Media]
+    docs.select(col("doc_id").cast("long"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, text, source) =>
+        val tb = text.getBytes("UTF-8")
+        val h = (tb.length + Width - 1) / Width
+        Media(id, encodePgm(java.util.Arrays.copyOf(tb, Width * h), Width, h),
+          source, text.length.toLong)
+      })
+  }
+
+  /** Decode one payload into its features: REAL parse first, then
+    * deterministic pixel statistics. */
+  def decodeFeatures(m: Media): MediaFeatures = {
+    val img = decodeNetpbm(m.payload)
+    val px = img.pixels
+    var checksum = 0L
+    var i = 0
+    while (i < px.length) { checksum = (checksum + (px(i) & 0xffL)) % 997L; i += 1 }
+    MediaFeatures(m.doc_id, img.width.toLong, img.height.toLong, px.length.toLong,
+      m.payload.length.toLong, checksum,
+      ((px.length + FrameStride - 1) / FrameStride).toLong,
+      if (px.nonEmpty) (px(0) & 0xffL) else -1L)
   }
 
   /** The typed feature-extraction pipeline: batch-shaped partition-wise
@@ -55,40 +133,54 @@ object Multimodal {
   def extractFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions(_.map(decodeStub))
+    media.mapPartitions(_.map(decodeFeatures))
   }
 
   def features(spark: SparkSession, docs: DataFrame): DataFrame =
     extractFeatures(mediaFromDocs(docs)).toDF()
 
-  final case class ResizedMedia(doc_id: Long, payload: Array[Byte],
-                                meta_source: String, orig_bytes: Long, new_bytes: Long)
+  final case class ResizedMedia(doc_id: Long, payload: Array[Byte], meta_source: String,
+                                orig_w: Long, orig_h: Long, new_w: Long, new_h: Long)
 
-  /** Resize STUB — stand-in for an image resize / audio resample:
-    * block-average the payload by `factor` (the byte-level analog of
-    * average-pool downsampling), emitting a NEW smaller binary payload
-    * so resized media flows through the same decode/feature/frame
-    * operators. Map-only, no shuffle, payload never leaves the
-    * executor; a production build swaps only the block loop for the
-    * codec's resampler. */
+  /** 2-D average-pool downsample: decode the PGM, average each
+    * `factor`×`factor` pixel block (integer division — exact, engine ≡
+    * oracle), re-encode the smaller raster as a NEW PGM payload so
+    * resized media flows through the same decode/feature/frame
+    * operators. Trailing rows/columns that do not fill a block drop
+    * (truncating `div` on both dimensions). Map-only, no shuffle, the
+    * payload never leaves the executor; a production build swaps only
+    * the block loop for the codec's resampler. */
   def resize(media: Dataset[Media], factor: Int): Dataset[ResizedMedia] = {
     require(factor >= 1, "resize factor must be >= 1")
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.map { m =>
-      val bytes = m.payload
-      val out = new Array[Byte]((bytes.length + factor - 1) / factor)
-      var b = 0
-      while (b < out.length) {
-        val start = b * factor
-        val end = math.min(start + factor, bytes.length)
-        var sum = 0L
-        var j = start
-        while (j < end) { sum += bytes(j) & 0xffL; j += 1 }
-        out(b) = (sum / (end - start)).toByte
-        b += 1
+      val img = decodeNetpbm(m.payload)
+      require(img.channels == 1, s"resize expects grayscale (P5), got ${img.channels} channels")
+      val w2 = img.width / factor
+      val h2 = img.height / factor
+      val out = new Array[Byte](w2 * h2)
+      var r = 0
+      while (r < h2) {
+        var c = 0
+        while (c < w2) {
+          var sum = 0L
+          var dr = 0
+          while (dr < factor) {
+            var dc = 0
+            while (dc < factor) {
+              sum += img.pixels((r * factor + dr) * img.width + c * factor + dc) & 0xffL
+              dc += 1
+            }
+            dr += 1
+          }
+          out(r * w2 + c) = (sum / (factor.toLong * factor)).toByte
+          c += 1
+        }
+        r += 1
       }
-      ResizedMedia(m.doc_id, out, m.meta_source, bytes.length.toLong, out.length.toLong)
+      ResizedMedia(m.doc_id, encodePgm(out, w2, h2), m.meta_source,
+        img.width.toLong, img.height.toLong, w2.toLong, h2.toLong)
     })
   }
 
@@ -97,30 +189,31 @@ object Multimodal {
   def asMedia(resized: Dataset[ResizedMedia]): Dataset[Media] = {
     val spark = resized.sparkSession
     import spark.implicits._
-    resized.map(r => Media(r.doc_id, r.payload, r.meta_source, r.new_bytes))
+    resized.map(r => Media(r.doc_id, r.payload, r.meta_source, r.new_w * r.new_h))
   }
 
   final case class MediaEmbedding(doc_id: Long, embedding: Array[Float])
 
-  /** Embed STUB — stand-in for an image/audio embedding model: dims
-    * frame-window byte sums as floats (exact: sums stay far below
-    * 2^24), zero-padded. Deterministic and SQL-recomputable, so the
-    * full binary → embed → ANN pipeline is oracle-checkable; a
-    * production build swaps only this body for the model call. The
-    * shape is the thing: one map-only typed pass emits the
-    * `Array[Float]` column every `graft.ann` operator consumes. */
+  /** Embed stand-in for an image/audio embedding model over the
+    * DECODED raster: dims frame-window pixel sums as floats (exact:
+    * sums stay far below 2^24), zero-padded. Deterministic and
+    * SQL-recomputable, so the full binary → decode → embed → ANN
+    * pipeline is oracle-checkable; a production build swaps only this
+    * body for the model call. The shape is the thing: one map-only
+    * typed pass emits the `Array[Float]` column every `graft.ann`
+    * operator consumes. */
   def embed(media: Dataset[Media], dims: Int = 16): Dataset[MediaEmbedding] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.map { m =>
-      val bytes = m.payload
+      val px = decodeNetpbm(m.payload).pixels
       val emb = new Array[Float](dims)
       var d = 0
       while (d < dims) {
         val start = d * FrameStride
         var sum = 0L
         var j = start
-        while (j < math.min(start + FrameStride, bytes.length)) { sum += bytes(j) & 0xffL; j += 1 }
+        while (j < math.min(start + FrameStride, px.length)) { sum += px(j) & 0xffL; j += 1 }
         emb(d) = sum.toFloat
         d += 1
       }
@@ -128,7 +221,7 @@ object Multimodal {
     })
   }
 
-  /** One decoded "frame": sampled position + byte value + a windowed
+  /** One decoded "frame": sampled position + pixel value + a windowed
     * stat over the following stride (a stand-in for per-frame features
     * like pixel means or audio chunk energy). */
   final case class Frame(idx: Int, offset: Long, value: Long, window_sum: Long)
@@ -137,18 +230,19 @@ object Multimodal {
 
   /** Frame-level extraction with a NESTED output column
     * (array<struct>) — the schema shape real per-frame features
-    * (embeddings, pixel stats) come back in. Map-only like the scalar
-    * path; downstream ops explode or index the array lazily. */
+    * (embeddings, pixel stats) come back in — over the DECODED
+    * raster. Map-only like the scalar path; downstream ops explode or
+    * index the array lazily. */
   def extractFrames(media: Dataset[Media]): Dataset[MediaFrames] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.map { m =>
-      val bytes = m.payload
-      val frames = bytes.indices.by(FrameStride).zipWithIndex.map { case (off, i) =>
+      val px = decodeNetpbm(m.payload).pixels
+      val frames = px.indices.by(FrameStride).zipWithIndex.map { case (off, i) =>
         var sum = 0L
         var j = off
-        while (j < math.min(off + FrameStride, bytes.length)) { sum += bytes(j) & 0xffL; j += 1 }
-        Frame(i, off.toLong, bytes(off) & 0xffL, sum)
+        while (j < math.min(off + FrameStride, px.length)) { sum += px(j) & 0xffL; j += 1 }
+        Frame(i, off.toLong, px(off) & 0xffL, sum)
       }
       MediaFrames(m.doc_id, frames.length.toLong, frames)
     })

@@ -527,6 +527,45 @@ object OnChange {
     spark.catalog.refreshTable(table)
   }
 
+  /** STREAMING corpus statistics — the operational ingest loop for the
+    * standing stats state (x18), the same foreachBatch closure
+    * discipline as the five dedup loops and the pack/recipe loops:
+    * each micro-batch of docs absorbs into the standing state
+    * ([[graft.text.StatsState.absorbIntoStatsState]] — O(batch +
+    * touched shards), supersede on re-emitted ids), and later batches
+    * see this one through the standing state alone. Replay contract:
+    * absorb is marker-guarded AND crash-recovering by itself (every
+    * log row carries its batch id, so a redelivery after a mid-absorb
+    * crash nets the partial rows out — the StatsState at-least-once
+    * contract), so this loop needs no wrapper guard; streaming batch
+    * ids start at 0 and shift by +1 into the positive user range
+    * (0/−1 are the build/compaction tags). Each micro-batch must
+    * carry ONE version per id (absorb refuses multi-version batches —
+    * collapse re-emits upstream with `ChangeLog.latestOnly`). After
+    * the drain the read-outs equal the one-shot statistics over
+    * everything streamed — batch ≡ streaming ≡ one-shot. */
+  def streamingStats(spark: SparkSession, docsDir: String, textCol: String,
+                     groupCol: String, idCol: String, table: String,
+                     checkpointDir: String, n: Int = 3, k: Int = 256): Unit = {
+    val schema = spark.read.parquet(docsDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.text.StatsState.absorbIntoStatsState(batch.sparkSession, batch,
+          textCol, groupCol, idCol, table, batchId = batchId + 1L, n = n, k = k)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Seq(s"${table}_freq", s"${table}_kmv", s"${table}_docs", s"${table}_batches")
+      .filter(spark.catalog.tableExists)
+      .foreach(spark.catalog.refreshTable)
+  }
+
   /** STREAMING incremental SIMHASH dedup — the operational loop for
     * the fingerprint family (d4/d22), giving ALL FIVE dedup index
     * families streaming closure: each micro-batch fingerprints itself

@@ -337,6 +337,54 @@ object StatsState {
       .agg(graft.functions.KmvMinima.kmvMinima(col("__h"), k).as("minima"))
       .select(col("group"), TextAnalysis.kmvEstimate("minima", k).as("kmv_est"))
 
+  /** The stats state's MAINTENANCE as a reference-shaped CRON JOB —
+    * the statistics-updater cadence (reference
+    * internal/service/scheduler/scheduler.go:21, statistics_update
+    * .go:43: statistics are a SCHEDULED artifact), the same jobs
+    * discipline as [[graft.jobs.Maintenance.statsJob]] and
+    * [[graft.jobs.Recipe.modelRefreshJob]]: each firing nets the
+    * append-only log ([[compactStatsState]] — the log stops growing
+    * with batch count; unmarked in-flight batches stay raw) and
+    * rebuilds the KMV companion from the EFFECTIVE corpus
+    * ([[refreshKmvState]] over `latestOnly` of the doc log — the
+    * valve that restores sketch ≡ one-shot after gram-removing
+    * re-ingests, which no absorb can do incrementally). Between
+    * firings, absorbs keep paying O(batch); the firing pays the
+    * vocabulary-sized net + one corpus pass, on the schedule. The
+    * stored token records the doc log's watermark the refresh saw. */
+  def statsStateJob(registry: graft.jobs.DatasetRegistry, docsName: String,
+                    idCol: String, recordedCol: String, textCol: String,
+                    groupCol: String, table: String, n: Int = 3, k: Int = 256,
+                    cron: String = "0 2 * * *"): graft.jobs.CronJob = {
+    import graft.jobs._
+    val jobId = s"stats_maintain_$table"
+    CronJob(
+      id = jobId,
+      cron = Cron.parse(cron),
+      makeJob = _ => Job(
+        id = jobId,
+        source = FunctionSource { _ =>
+          graft.ops.ChangeLog.latestOnly(registry.get(docsName), idCol, recordedCol)
+        },
+        transform = eff0 => {
+          val spark = eff0.sparkSession
+          // pin the effective-corpus snapshot (the modelRefreshJob
+          // discipline): the compact and the sketch rebuild must see
+          // one snapshot of the doc log
+          val eff = graft.core.Checkpoints.truncate(
+            eff0.select(col(idCol), col(groupCol), col(textCol)))
+          compactStatsState(spark, table, k)
+          refreshKmvState(eff, textCol, groupCol, table, n, k)
+          kmvReadout(spark, table, k)
+        },
+        sink = DevNullSink,
+        sourceName = docsName, sinkName = s"${table}_kmv"),
+      nextToken = () => {
+        val mx = registry.get(docsName).agg(max(col(recordedCol))).collect()(0)
+        if (mx.isNullAt(0)) None else Some(mx.getLong(0))
+      })
+  }
+
   /** Replace `table` with `df` under the table's OWN catalog
     * partition/bucket/sort spec and graft.* table properties (write
     * beside, drop, rename — the Tables.compactByKey rewrite

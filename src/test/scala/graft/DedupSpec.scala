@@ -716,6 +716,32 @@ class DedupSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("split drift probe: bridging pairs classify as crossed / same-side / unknown; non-bridges drop") {
+    val s = spark
+    import s.implicits._
+    // standing assignment: cluster {1,2} (rep 1) and {3,4} (rep 3);
+    // persisted verdicts: rep 1 → train, rep 3 → holdout, singleton 5 → train
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)).toDF("id", "cluster_id")
+    val splits = Seq((1L, "train"), (3L, "holdout"), (5L, "train")).toDF("cluster_id", "split")
+    // planted batch pairs: (2,4) BRIDGES train-cluster 1 to holdout-
+    // cluster 3 → crossed (re-split due); (2,5) bridges two train-side
+    // clusters → same-side growth; (4,9) bridges to a NEW singleton the
+    // standing split never saw → unknown side; (1,2) is intra-cluster →
+    // not a bridge, must drop
+    val pairs = Seq((2L, 4L), (2L, 5L), (4L, 9L), (1L, 2L)).toDF("a", "b")
+    val got = Dedup.splitDriftProbe(pairs, assign, splits)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getString(4)).orNull, Option(r.getString(5)).orNull,
+        if (r.isNullAt(6)) null else java.lang.Boolean.valueOf(r.getBoolean(6)))).toSet
+    assert(got == Set(
+      (2L, 4L, 1L, 3L, "train", "holdout", java.lang.Boolean.TRUE),
+      (2L, 5L, 1L, 5L, "train", "train", java.lang.Boolean.FALSE),
+      (4L, 9L, 3L, 9L, "holdout", null, null)), s"$got")
+    // the monitoring rule: re-split exactly when crossed rows exist
+    assert(Dedup.splitDriftProbe(pairs, assign, splits)
+      .filter(col("crosses_split_boundary") === true).count() == 1L)
+  }
+
   test("truncateCounted: the leg-pick count rides the checkpoint job — no extra driver action") {
     import spark.implicits._
     def jobsDuring(body: => Unit): Int = {

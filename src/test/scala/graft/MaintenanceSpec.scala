@@ -90,6 +90,61 @@ class MaintenanceSpec extends SparkSpec {
     assert(reg.get("log").count() == nPost, "GC is idempotent at a fixed watermark")
   }
 
+  test("stats-state maintenance job: off-schedule no-op; firing compacts + restores sketch ≡ one-shot; refiring idempotent") {
+    val s = spark
+    import s.implicits._
+    import graft.text.{StatsState, TextAnalysis}
+    val tbl = "sst_maint"
+    // doc log: v1 of docs 1-3, then a gram-REMOVING re-ingest of doc 1
+    // (recorded 4) — the one edit class no absorb can keep the sketch
+    // exact under (distinct union is not invertible)
+    val v1 = Seq((1L, "a", "alpha beta gamma delta", 1L),
+      (2L, "a", "epsilon zeta eta kappa", 2L), (3L, "b", "mu nu xi omicron", 3L))
+    val re = Seq((1L, "a", "alpha beta zzz", 4L))
+    val log = (v1 ++ re).toDF("doc_id", "lang", "text", "recorded")
+    val reg = new DatasetRegistry
+    reg.put("doclog", log)
+    def docs(rows: Seq[(Long, String, String, Long)]) =
+      rows.map { case (i, g, t, _) => (i, g, t) }.toDF("doc_id", "lang", "text")
+    StatsState.buildStatsState(docs(v1), "text", "lang", "doc_id", tbl,
+      n = 3, k = 8, buckets = 4, shardSize = 2L)
+    assert(StatsState.absorbIntoStatsState(s, docs(re), "text", "lang", "doc_id",
+      tbl, 1L, 3, 8))
+    val effective = docs(Seq((1L, "a", "alpha beta zzz", 0L)) ++ v1.drop(1))
+    def kmvMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def freqRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.toSeq.drop(1))).sortBy(_._1).toSeq
+    val wantKmv = kmvMap(TextAnalysis.ngramKmv(effective, "text", "lang", 3, 8)
+      .select(col("lang"), col("kmv_est")))
+    val wantStats = freqRows(TextAnalysis.tokenFrequencyStats(effective, "text", "lang", 10))
+    // pre-fire: freq leg already exact, sketch STRICTLY over-approximates
+    assert(freqRows(StatsState.tokenStatsReadout(s, tbl, 10)) == wantStats)
+    assert(kmvMap(StatsState.kmvReadout(s, tbl, 8))("a") > wantKmv("a"),
+      "a gram-removing re-ingest must leave the sketch over-approximating")
+    val jobId = s"stats_maintain_$tbl"
+    val sched = new CronScheduler(Seq(StatsState.statsStateJob(reg, "doclog",
+      "doc_id", "recorded", "text", "lang", tbl, 3, 8)))
+    // off-schedule minute: nothing fires, nothing changes
+    assert(sched.tick(spark, reg, LocalDateTime.of(2026, 8, 15, 3, 7)).isEmpty)
+    assert(kmvMap(StatsState.kmvReadout(s, tbl, 8))("a") > wantKmv("a"))
+    // 02:00 firing: the log nets (no negative cells, one row per live
+    // cell) and the scheduled refresh restores sketch ≡ one-shot
+    assert(sched.tick(spark, reg, LocalDateTime.of(2026, 8, 16, 2, 0)) == Seq(jobId))
+    assert(kmvMap(StatsState.kmvReadout(s, tbl, 8)) == wantKmv)
+    assert(freqRows(StatsState.tokenStatsReadout(s, tbl, 10)) == wantStats)
+    val lg = s.table(s"${tbl}_freq")
+    assert(lg.filter(col("c") <= 0L).isEmpty)
+    assert(lg.groupBy("id", "group", "token").count().filter(col("count") > 1L).isEmpty)
+    assert(sched.token(jobId).contains(4L), "token must record the log watermark the refresh saw")
+    // idempotent refiring: same readouts, replay markers intact
+    assert(sched.tick(spark, reg, LocalDateTime.of(2026, 8, 17, 2, 0)) == Seq(jobId))
+    assert(kmvMap(StatsState.kmvReadout(s, tbl, 8)) == wantKmv)
+    assert(freqRows(StatsState.tokenStatsReadout(s, tbl, 10)) == wantStats)
+    assert(!StatsState.absorbIntoStatsState(s, docs(re), "text", "lang", "doc_id",
+      tbl, 1L, 3, 8), "maintenance must not re-open replay")
+  }
+
   test("stats job reports footer-level bytes for path-backed targets; all-rollup sums") {
     val reg = new DatasetRegistry
     reg.put("log", mkLog())

@@ -504,6 +504,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming stats: micro-batches absorb into the standing state; supersede on re-emit; replay idempotent") {
+    val s = spark
+    import s.implicits._
+    import graft.text.{StatsState, TextAnalysis}
+    def mk(rows: Seq[(Long, String, String)]) = rows.toDF("doc_id", "lang", "text")
+    val base = Seq((1L, "a", "x y z x"), (2L, "b", "m n o"))
+    val b1 = Seq((3L, "a", "p q r s"), (4L, "b", "u v w"))
+    // batch 2 RE-EMITS doc 1 with an append edit (grams only grow —
+    // the sketch stays exact) and brings a new doc
+    val b2 = Seq((1L, "a", "x y z x new tail"), (5L, "b", "k k j"))
+    val table = "sst_stream"
+    StatsState.buildStatsState(mk(base), "text", "lang", "doc_id", table,
+      n = 3, k = 8, buckets = 4, shardSize = 2L)
+    val chunks = java.nio.file.Files.createTempDirectory("graft_sstm_chunks_").toString
+    def chunk(df: org.apache.spark.sql.DataFrame, name: String, order: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sstm_tmp_").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(chunks, name)
+      java.nio.file.Files.copy(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + order * 10000L))
+    }
+    chunk(mk(b1), "a.parquet", 0)
+    chunk(mk(b2), "b.parquet", 1)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sstm_ckpt_").toString
+    OnChange.streamingStats(s, chunks, "text", "lang", "doc_id", table, ckpt, n = 3, k = 8)
+    // batch ≡ streaming ≡ one-shot over the EFFECTIVE corpus
+    val effective = mk(Seq((1L, "a", "x y z x new tail"), (2L, "b", "m n o"),
+      (3L, "a", "p q r s"), (4L, "b", "u v w"), (5L, "b", "k k j")))
+    def freqRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.toSeq.drop(1))).sortBy(_._1).toSeq
+    def kmvMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wantStats = freqRows(TextAnalysis.tokenFrequencyStats(effective, "text", "lang", 10))
+    val wantKmv = kmvMap(TextAnalysis.ngramKmv(effective, "text", "lang", 3, 8)
+      .select(col("lang"), col("kmv_est")))
+    assert(freqRows(StatsState.tokenStatsReadout(s, table, 10)) == wantStats)
+    assert(kmvMap(StatsState.kmvReadout(s, table, 8)) == wantKmv)
+    // replaying the whole drain (fresh checkpoint, same marker table)
+    // is idempotent: absorbed batches are marker-refused
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_sstm_ckpt2_").toString
+    OnChange.streamingStats(s, chunks, "text", "lang", "doc_id", table, ckpt2, n = 3, k = 8)
+    assert(freqRows(StatsState.tokenStatsReadout(s, table, 10)) == wantStats)
+    assert(kmvMap(StatsState.kmvReadout(s, table, 8)) == wantKmv)
+  }
+
   test("streamed incremental agg equals batch agg") {
     val path = s"$sfDir/events.parquet"
     val streamed = OnChange.aggregateEvents(spark, path)

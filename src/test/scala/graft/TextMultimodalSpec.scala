@@ -38,15 +38,47 @@ class TextMultimodalSpec extends SparkSpec {
     assert(r.getDouble(3) == 3.66) // (3+3+5)*100 div 3 = 366 -> 3.66
   }
 
-  test("multimodal features are deterministic byte stats over the payload") {
-    val text = "abcdefghijklmnopqr" // 18 bytes -> 2 frames at stride 16
+  test("Netpbm codec: PGM roundtrip, comment/whitespace tolerance, P6 channels, loud on malformed") {
+    // encode → decode roundtrip preserves dimensions and pixels
+    val px = Array.tabulate(32)(i => (i * 7 % 251).toByte)
+    val img = Multimodal.decodeNetpbm(Multimodal.encodePgm(px, 16, 2))
+    assert(img.width == 16 && img.height == 2 && img.maxval == 255 && img.channels == 1)
+    assert(img.pixels.toSeq == px.toSeq)
+    // a header written by another tool: comments + whitespace runs
+    // (both legal per the netpbm spec) parse to the same raster
+    val foreign = "P5\n# made elsewhere\n 16\t2 # dims\n255\n".getBytes("US-ASCII") ++ px
+    val img2 = Multimodal.decodeNetpbm(foreign)
+    assert(img2.width == 16 && img2.height == 2 && img2.pixels.toSeq == px.toSeq)
+    // P6 = RGB: 3 channels, raster is w*h*3 bytes
+    val rgb = Array.tabulate(24)(_.toByte)
+    val img3 = Multimodal.decodeNetpbm("P6\n4 2\n255\n".getBytes("US-ASCII") ++ rgb)
+    assert(img3.channels == 3 && img3.width == 4 && img3.height == 2
+      && img3.pixels.toSeq == rgb.toSeq)
+    // malformed inputs fail loudly, never decode garbage
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeNetpbm("P4\n4 2\n255\n".getBytes("US-ASCII") ++ rgb) // bitmap unsupported
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeNetpbm(Multimodal.encodePgm(px, 16, 2).dropRight(1)) // truncated raster
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeNetpbm("P5\n16 2\n70000\n".getBytes("US-ASCII") ++ px) // 2-byte samples
+    }
+  }
+
+  test("multimodal features carry the REAL decoded dimensions and pixel stats") {
+    val text = "abcdefghijklmnopqr" // 18 bytes -> 16x2 raster, last row zero-padded
     val feats = Multimodal.features(spark, df1(text).withColumn("source", lit("s")))
       .collect()(0)
-    assert(feats.getLong(1) == 18L)
+    assert(feats.getLong(1) == 16L, "width")
+    assert(feats.getLong(2) == 2L, "height")
+    assert(feats.getLong(3) == 32L, "n_pixels (padded to full rows)")
+    assert(feats.getLong(4) == (11 + 1 + 32).toLong, "payload = header(11+digits(h)) + raster")
+    // zero padding does not move the checksum off the text bytes
     val expectSum = text.getBytes("UTF-8").foldLeft(0L)((a, b) => (a + (b & 0xff)) % 997L)
-    assert(feats.getLong(2) == expectSum)
-    assert(feats.getLong(3) == 2L)
-    assert(feats.getLong(4) == 'a'.toLong)
+    assert(feats.getLong(5) == expectSum)
+    assert(feats.getLong(6) == 2L, "n_frames")
+    assert(feats.getLong(7) == 'a'.toLong, "first_byte")
   }
 
   test("frame extraction emits a nested array<struct> with consistent stats") {
@@ -67,18 +99,22 @@ class TextMultimodalSpec extends SparkSpec {
     assert(n == 3L)
   }
 
-  test("resize block-averages the payload and composes with decode in one map-only plan") {
-    val text = "abcdefghijklmnopqrstuvwxyz0123456789" // 36 bytes
+  test("resize 2-D average-pools the decoded raster, re-encodes, and composes decode→resize→decode map-only") {
+    val text = "abcdefghijklmnopqrstuvwxyz0123456789" // 36 bytes -> 16x3 raster
     val media = Multimodal.mediaFromDocs(df1(text).withColumn("source", lit("s")))
-    val resized = Multimodal.resize(media, factor = 4)
+    val resized = Multimodal.resize(media, factor = 2)
     val row = resized.collect()(0)
-    assert(row.orig_bytes == 36L && row.new_bytes == 9L)
-    // block 0 = mean of 'a'..'d'
-    assert((row.payload(0) & 0xff) == ('a' + 'b' + 'c' + 'd') / 4)
+    assert(row.orig_w == 16L && row.orig_h == 3L, "decoded dims")
+    assert(row.new_w == 8L && row.new_h == 1L, "odd trailing row drops (truncating div)")
+    // the new payload is itself a valid PGM whose pixel (0,0) is the
+    // 2x2 block mean of rows 0-1, cols 0-1: a,b / q,r
+    val out = Multimodal.decodeNetpbm(row.payload)
+    assert(out.width == 8 && out.height == 1)
+    assert((out.pixels(0) & 0xff) == ('a' + 'b' + 'q' + 'r') / 4)
     // resized media re-enters the same feature pipeline
     val feats = Multimodal.extractFeatures(Multimodal.asMedia(resized)).collect()(0)
-    assert(feats.n_bytes == 9L)
-    // the composed resize -> decode plan stays shuffle-free
+    assert(feats.width == 8L && feats.height == 1L && feats.n_pixels == 8L)
+    // the composed decode -> resize -> re-encode -> decode plan stays shuffle-free
     val plan = planOf(Multimodal.extractFeatures(Multimodal.asMedia(resized)).toDF())
     assert(!plan.contains("Exchange"), plan)
   }
