@@ -55,13 +55,26 @@ object SteadyState {
     // Tables.drop first: a leftover warehouse directory from a PREVIOUS
     // session is unknown to this catalog and saveAsTable then refuses
     // the name (LOCATION_ALREADY_EXISTS — bit the r14 bench re-capture)
-    Seq("ss_clusters", "ss_scores").foreach(graft.core.Tables.drop(spark, _))
+    Seq("ss_clusters", "ss_scores", "ss_splits", "ss_bpairs")
+      .foreach(graft.core.Tables.drop(spark, _))
     graft.dedup.Dedup.clusters(
         graft.dedup.Dedup.ngramJaccard(docs, "text", "doc_id", 3, 0.8))
       .write.mode("overwrite").saveAsTable("ss_clusters")
     graft.text.TextAnalysis.qualityScore(docs, "text", "doc_id")
       .select(col("doc_id"), col("quality"))
       .write.mode("overwrite").saveAsTable("ss_scores")
+    // p25's standing artifacts: the persisted split verdicts and ONE
+    // delta batch's pairs (the d8 delta over the tail batch) — both
+    // built untimed so the probe prices ONLY splitDriftProbe's
+    // broadcast-sliced joins, not the pair generation it monitors
+    graft.dedup.Dedup.leakProofSplitAssigned(docs, "doc_id",
+        spark.table("ss_clusters"), holdBp = 2000)
+      .select(col("cluster_id"), col("split")).distinct()
+      .write.mode("overwrite").saveAsTable("ss_splits")
+    graft.dedup.Dedup.ngramJaccardDelta(spark,
+        docs.filter(col("doc_id") >= cut), "text", "doc_id", 3, 0.8, "ss_shingle")
+      .select(col("a"), col("b"))
+      .write.mode("overwrite").saveAsTable("ss_bpairs")
     // the standing corpus-stats state (x18's deployment shape): built
     // once untimed; the probe prices the READ-OUT marginal (the
     // mutating absorb is priced by StatsStateScale, which a repeatable
@@ -124,6 +137,15 @@ object SteadyState {
       "d25_keepbest_probe" ->
         (() => graft.dedup.Dedup.keepBest(spark.table("ss_clusters"),
           spark.table("ss_scores"), "doc_id", "quality").count()),
+      // p25's deployment marginal: the bridge-drift classification of
+      // ONE delta batch's pairs against the standing assignment +
+      // persisted verdicts — broadcast-sliced joins, bounded by the
+      // batch's pairs; the pair generation it monitors is priced by
+      // d8_jaccard_delta and the Bench p25 figure prices the inline
+      // once-per-snapshot chain
+      "p25_drift_probe" ->
+        (() => graft.dedup.Dedup.splitDriftProbe(spark.table("ss_bpairs"),
+          spark.table("ss_clusters"), spark.table("ss_splits")).count()),
       // the standing-stats read-out marginal: net the contribution log
       // (riding its token buckets) + merge the sketch rows — what a
       // corpus-health dashboard pays per refresh against standing state
