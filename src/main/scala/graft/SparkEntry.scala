@@ -1977,6 +1977,16 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "m6_multimodal_rgb" -> ((s, dir) => {
+      // the codec's COLOR branch end to end: text-byte triples become
+      // RGB pixels in a real PPM (P6) payload, the decoder validates
+      // channels and emits exact per-channel sums — zero padding is
+      // sum-neutral, so DuckDB recomputes each channel from the text
+      // bytes by stride-3 positions
+      Multimodal.rgbFeatures(Multimodal.mediaFromDocsRgb(t(s, dir, "documents")))
+        .toDF().orderBy("doc_id")
+    }),
+
     "m5_frame_stats" -> ((s, dir) => {
       // frame-LEVEL extraction with the NESTED output column
       // (array<struct> — the schema shape real per-frame features come
@@ -3934,6 +3944,21 @@ object SparkEntry {
         |  (coalesce(list_sum(rp), 0) % 997)::BIGINT AS checksum,
         |  coalesce(rp[1], -1)::BIGINT AS first_byte
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "m6_multimodal_rgb" ->
+      """WITH d AS (
+        |  SELECT doc_id, length(text)::BIGINT AS n,
+        |    list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))::BIGINT) AS tb
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n, tb,
+        |    (((n + 2) // 3 + 15) // 16)::BIGINT AS h
+        |  FROM d)
+        |SELECT doc_id, 16::BIGINT AS width, h AS height, (16 * h)::BIGINT AS n_pixels,
+        |  coalesce(list_sum([tb[i+1] for i in range(0, n) if i % 3 = 0]), 0)::BIGINT AS r_sum,
+        |  coalesce(list_sum([tb[i+1] for i in range(0, n) if i % 3 = 1]), 0)::BIGINT AS g_sum,
+        |  coalesce(list_sum([tb[i+1] for i in range(0, n) if i % 3 = 2]), 0)::BIGINT AS b_sum
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "m3_multimodal_ann" ->
       """WITH b AS (

@@ -221,6 +221,62 @@ object Multimodal {
     })
   }
 
+  /** Encode an RGB raster as a binary PPM (P6) payload — same header
+    * grammar as P5, three bytes per pixel. */
+  def encodePpm(pixels: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    require(width >= 0 && height >= 0 && pixels.length == width * height * 3,
+      s"pixel buffer ${pixels.length} != $width x $height x 3")
+    s"P6\n$width $height\n255\n".getBytes("US-ASCII") ++ pixels
+  }
+
+  /** Documents → RGB media: consecutive text-byte TRIPLES become
+    * (r, g, b) pixels, wrapped at [[Width]] columns (zero-padded final
+    * pixels/row) and encoded as a REAL PPM payload — the color branch
+    * of the codec exercised end to end. */
+  def mediaFromDocsRgb(docs: DataFrame): Dataset[Media] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, text, source) =>
+        val tb = text.getBytes("UTF-8")
+        val nPix = (tb.length + 2) / 3
+        val h = (nPix + Width - 1) / Width
+        Media(id, encodePpm(java.util.Arrays.copyOf(tb, Width * h * 3), Width, h),
+          source, text.length.toLong)
+      })
+  }
+
+  /** Per-channel statistics a color decoder emits: decoded geometry +
+    * exact per-channel byte sums (zero padding is sum-neutral, so the
+    * oracle recomputes each channel from the text bytes by stride). */
+  final case class RgbFeatures(doc_id: Long, width: Long, height: Long,
+                               n_pixels: Long, r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** Decode P6 payloads and emit per-channel sums — map-only, same
+    * batch shape as the grayscale path; refuses non-RGB payloads
+    * loudly (a channel-blind sum over grayscale would silently
+    * triple-count). */
+  def rgbFeatures(media: Dataset[Media]): Dataset[RgbFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val img = decodeNetpbm(m.payload)
+      require(img.channels == 3, s"rgbFeatures expects P6 (RGB), got ${img.channels} channel(s)")
+      val px = img.pixels
+      var r = 0L; var g = 0L; var b = 0L
+      var i = 0
+      while (i < px.length) {
+        r += px(i) & 0xffL
+        g += px(i + 1) & 0xffL
+        b += px(i + 2) & 0xffL
+        i += 3
+      }
+      RgbFeatures(m.doc_id, img.width.toLong, img.height.toLong,
+        (px.length / 3).toLong, r, g, b)
+    })
+  }
+
   /** One decoded "frame": sampled position + pixel value + a windowed
     * stat over the following stride (a stand-in for per-frame features
     * like pixel means or audio chunk energy). */

@@ -99,6 +99,28 @@ class TextMultimodalSpec extends SparkSpec {
     assert(n == 3L)
   }
 
+  test("RGB media: text-byte triples become P6 pixels; channel sums exact; grayscale refused") {
+    val s = spark
+    import s.implicits._
+    val text = "abcdefgh" // 8 bytes -> 3 pixels (last blue byte padded), 16x1 raster
+    val media = Multimodal.mediaFromDocsRgb(df1(text).withColumn("source", lit("s")))
+    val row = Multimodal.rgbFeatures(media).collect()(0)
+    assert(row.width == 16L && row.height == 1L && row.n_pixels == 16L)
+    assert(row.r_sum == ('a' + 'd' + 'g').toLong, "bytes 0,3,6")
+    assert(row.g_sum == ('b' + 'e' + 'h').toLong, "bytes 1,4,7")
+    assert(row.b_sum == ('c' + 'f').toLong, "bytes 2,5 (+ zero pad)")
+    // the payload is a genuine P6 the parser round-trips
+    val img = Multimodal.decodeNetpbm(media.collect()(0).payload)
+    assert(img.channels == 3 && img.width == 16 && img.height == 1
+      && img.pixels.length == 48)
+    // channel-blind misuse is refused, not silently triple-counted
+    val gray = Multimodal.mediaFromDocs(df1(text).withColumn("source", lit("s")))
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.rgbFeatures(gray).collect()
+    }
+    assert(ex.getMessage.contains("P6") || Option(ex.getCause).exists(_.getMessage.contains("P6")))
+  }
+
   test("resize 2-D average-pools the decoded raster, re-encodes, and composes decode→resize→decode map-only") {
     val text = "abcdefghijklmnopqrstuvwxyz0123456789" // 36 bytes -> 16x3 raster
     val media = Multimodal.mediaFromDocs(df1(text).withColumn("source", lit("s")))
