@@ -1433,6 +1433,22 @@ object SparkEntry {
           Seq("p50_iq" -> 5000, "p90_iq" -> 9000, "p99_iq" -> 9900))
         .orderBy("lang")),
 
+    "x20_bigram_surprisal" -> ((s, dir) => {
+      // context-sensitive LM quality scoring (CCNet's reference-corpus
+      // deployment shape): the bigram model trains on the English
+      // slice ONLY, the whole corpus is scored under it — in-domain
+      // docs ride cheap seen-pair conditional bits, out-of-domain docs
+      // pay the backoff (+1 bit through the unigram leg, worst-case
+      // 1+bits(total) for vocabulary the reference corpus never saw);
+      // all model legs broadcast (bounded pair table), the corpus pays
+      // one map-only pair pass + one doc-keyed aggregate
+      val docs = t(s, dir, "documents")
+      val model = TextAnalysis.trainBigramModel(
+        docs.filter(col("lang") === "en"), "text")
+      TextAnalysis.bigramSurprisal(docs, "text", "doc_id", model)
+        .orderBy("id")
+    }),
+
     "p2_weighted_sample" -> ((s, dir) =>
       // training-mix sampling: downweight the dominant language,
       // lightly trim fr, pass the rest — decided per row by the
@@ -2649,6 +2665,39 @@ object SparkEntry {
         |  min(CASE WHEN rn = (n * 9000 + 9999) // 10000 THEN iq END)::BIGINT AS p90_iq,
         |  min(CASE WHEN rn = (n * 9900 + 9999) // 10000 THEN iq END)::BIGINT AS p99_iq
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // from-scratch bigram-LM recompute: the (prev,cur) hashed pair
+    // stream with the -1 BOS context, the model trained on the en
+    // slice only, and the three surprisal legs (seen-pair conditional
+    // bits, +1-bit unigram backoff, 1+bits(total) worst case) via the
+    // identical length(bin(..)) integer log2 both engines expose
+    "x20_bigram_surprisal" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |pr AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN t.i = 1 THEN -1
+        |         ELSE ('0x' || substr(md5(ws[t.i-1]), 1, 8))::BIGINT % 1024 END AS pb,
+        |    ('0x' || substr(md5(ws[t.i]), 1, 8))::BIGINT % 1024 AS cb
+        |  FROM w, unnest(range(1, len(ws)+1)) AS t(i)),
+        |pair AS (SELECT pb, cb, count(*)::BIGINT AS cnt FROM pr WHERE lang = 'en' GROUP BY 1, 2),
+        |ctx AS (SELECT pb, sum(cnt)::BIGINT AS ctx_cnt FROM pair GROUP BY 1),
+        |uni AS (SELECT cb, sum(cnt)::BIGINT AS ucnt FROM pair GROUP BY 1),
+        |tot AS (SELECT coalesce(sum(cnt), 0)::BIGINT AS total FROM pair),
+        |pbits AS (SELECT pair.pb, pair.cb, length(bin(ctx_cnt // cnt))::BIGINT AS pair_bits
+        |          FROM pair JOIN ctx USING (pb)),
+        |ubits AS (SELECT cb, (1 + length(bin(total // ucnt)))::BIGINT AS uni_bits FROM uni, tot),
+        |sc AS (SELECT pr.doc_id AS id, count(*)::BIGINT AS n_tokens,
+        |         sum(coalesce(pair_bits, coalesce(uni_bits, 1 + length(bin(total)))))::BIGINT AS sum_bits
+        |       FROM pr LEFT JOIN pbits USING (pb, cb) LEFT JOIN ubits USING (cb), tot
+        |       GROUP BY 1),
+        |ids AS (SELECT DISTINCT doc_id AS id FROM documents)
+        |SELECT ids.id, coalesce(sc.n_tokens, 0)::BIGINT AS n_tokens,
+        |       coalesce(sc.sum_bits, 0)::BIGINT AS sum_bits,
+        |       (coalesce(sc.sum_bits, 0) * 1000000 // greatest(coalesce(sc.n_tokens, 0), 1))::BIGINT AS mean_bits_fp
+        |FROM ids LEFT JOIN sc USING (id) ORDER BY id""".stripMargin,
 
     // the naive sort the engine never runs: rn over the md5 order,
     // keep rn <= quota per named group (zh's quota exceeds n → whole

@@ -1442,4 +1442,116 @@ object TextAnalysis {
       .select(col("id"), col("n_tokens"), col("sum_bits"),
         expr(s"sum_bits * $QmScale div greatest(n_tokens, 1)").as("mean_bits_fp"))
   }
+
+  // --- bigram-LM surprisal (x20) ------------------------------------------
+
+  /** Consecutive (prev, cur) token pairs of a staged `__ws` word array,
+    * BOS included: position 0 pairs the first token with a NULL
+    * context (bucketed to the −1 BOS sentinel at the call site), every
+    * later position pairs a token with its predecessor. One per-row
+    * higher-order transform — map-only, the pair stream never
+    * re-tokenizes (the `__ws` staging idiom). Shared by train and
+    * score so the two sides see the identical pair space. */
+  private def bucketPairs: Column =
+    // (x, i) -> (prev = __ws[i-1] or NULL at i=0, cur = x); element_at
+    // is 1-based so element_at(__ws, i) IS the 0-based predecessor of x
+    expr(
+      "transform(__ws, (x, i) -> struct(" +
+        "CASE WHEN i = 0 THEN CAST(NULL AS STRING) ELSE element_at(__ws, i) END AS prev, " +
+        "x AS cur))")
+
+  /** Train the bigram language model behind the contextual surprisal
+    * filter (CCNet's reference-corpus LM scoring, Wenzek 2019, reduced
+    * to its deterministic core — KenLM's n-gram conditioning without
+    * the float arithmetic): per (context bucket, token bucket) hashed
+    * pair, the corpus co-occurrence count, with −1 as the BOS context
+    * so the first token of every document is conditioned too. Feature
+    * hashing (the x9/x10 trick) bounds the model at ≤ buckets²+buckets
+    * rows whatever the real vocabulary — one pair-bucket aggregate,
+    * broadcastable at any corpus size (≤ ~1M rows at the default
+    * 1024). The unigram backoff model is CONTAINED in the pair table
+    * (a token's unigram count = Σ over its contexts; the corpus total
+    * = Σ over all pairs), so one DataFrame carries the whole model. */
+  def trainBigramModel(docs: DataFrame, textCol: String,
+                       buckets: Int = 1024): DataFrame = {
+    docs.select(words(col(textCol)).as("__ws"))
+      .select(explode(bucketPairs).as("p"))
+      .select(
+        coalesce(tokenBucket(col("p.prev"), buckets), lit(-1L)).as("pb"),
+        tokenBucket(col("p.cur"), buckets).as("cb"))
+      .groupBy("pb", "cb").agg(count(lit(1)).as("cnt"))
+      .withColumn("buckets", lit(buckets))
+  }
+
+  /** Score docs by mean token surprisal under the trained BIGRAM model
+    * — the context-sensitive upgrade of [[surprisalScore]], integerized
+    * so both engines agree bit-for-bit. A token's surprisal given its
+    * predecessor:
+    *
+    *   - seen pair:      bits(ctx_cnt div cnt)   — the conditional
+    *     inverse frequency P(cur|prev)⁻¹, integer log2
+    *   - unseen pair:    1 + bits(total div ucnt) — Katz-style backoff
+    *     to the unigram leg, the +1 bit the discount
+    *   - unseen token:   1 + bits(total)          — the worst case
+    *
+    * with bits(x) = floor(log2 x)+1 = `length(bin(x))` on either
+    * engine — no float log anywhere. Trained on a REFERENCE slice and
+    * scored corpus-wide (the CCNet deployment shape: in-domain text
+    * rides cheap seen-pair bits, out-of-domain text pays the backoff),
+    * this is the gate a data team tunes by `mean_bits_fp` exactly as
+    * CCNet gates on LM perplexity. All model legs (pair bits, unigram
+    * backoff, worst case) are tiny aggregates of the bounded pair
+    * table, broadcast-joined — the corpus pays one map-only pair pass
+    * and one doc-keyed aggregate, the 100 TB shape. Zero-token docs
+    * get an all-zero row: a corpus filter must rule on every doc. */
+  def bigramSurprisal(docs: DataFrame, textCol: String, idCol: String,
+                      model: DataFrame): DataFrame = {
+    // model-carried feature space (the x10 contract): scoring derives
+    // the bucket count FROM the model — a 1-row driver read of the
+    // bounded table, the codebook-collect class
+    val head = model.select(col("buckets")).limit(1).collect()
+    val buckets = if (head.isEmpty) 1 else head(0).getInt(0)
+    val pair = model.select(col("pb"), col("cb"), col("cnt"))
+    val ctx = pair.groupBy("pb").agg(sum(col("cnt")).as("ctx_cnt"))
+    val uni = pair.groupBy("cb").agg(sum(col("cnt")).as("ucnt"))
+    val tot = pair.agg(coalesce(sum(col("cnt")), lit(0L)).as("total"))
+    val pairBits = pair.join(ctx, Seq("pb"))
+      .select(col("pb"), col("cb"),
+        length(bin(expr("ctx_cnt div cnt"))).cast("long").as("__pair_bits"))
+    val uniBits = uni.crossJoin(broadcast(tot))
+      .select(col("cb"),
+        (lit(1L) + length(bin(expr("total div ucnt"))).cast("long")).as("__uni_bits"))
+    // worst case + the empty-model flag ride ONE broadcast row: an
+    // empty reference corpus has no vocabulary and no total — every
+    // token scores 0 bits and the gate still rules on every doc
+    val worst = tot.select(
+      when(col("total") > 0L,
+        lit(1L) + length(bin(col("total"))).cast("long"))
+        .otherwise(lit(0L)).as("__worst_bits"),
+      (col("total") === 0L).as("__empty"))
+    val toks = docs
+      .select(col(idCol).as("id"), words(col(textCol)).as("__ws"))
+      .select(col("id"), explode(bucketPairs).as("p"))
+      .select(col("id"),
+        coalesce(tokenBucket(col("p.prev"), buckets), lit(-1L)).as("pb"),
+        tokenBucket(col("p.cur"), buckets).as("cb"))
+    val scored = toks
+      .join(broadcast(pairBits), Seq("pb", "cb"), "left")
+      .join(broadcast(uniBits), Seq("cb"), "left")
+      .crossJoin(broadcast(worst))
+      .withColumn("__b",
+        when(col("__empty"), lit(0L))
+          .otherwise(coalesce(col("__pair_bits"), col("__uni_bits"),
+            col("__worst_bits"))))
+      .groupBy("id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("__b")).as("sum_bits"))
+    docs.select(col(idCol).as("id")).distinct()
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_bits"), lit(0L)).as("sum_bits"))
+      .select(col("id"), col("n_tokens"), col("sum_bits"),
+        expr(s"sum_bits * $QmScale div greatest(n_tokens, 1)").as("mean_bits_fp"))
+  }
 }

@@ -522,6 +522,46 @@ class TextMultimodalSpec extends SparkSpec {
       s"empty-quality-model verdicts ${eq.mkString(",")}")
   }
 
+  test("bigram surprisal: conditional bits, BOS context, +1-bit backoff legs, zero-token and empty-model rows") {
+    val s = spark
+    import s.implicits._
+    // reference corpus "a b a b": pairs (BOS,a)=1, (a,b)=2, (b,a)=1 →
+    // total 4; ctx BOS=1/a=2/b=1; unigram a=2/b=2 (derived FROM the
+    // pair table). Hand-checked bits below assume a/b/zzz land in
+    // distinct hash buckets (441/1022/107 of 1024 — verified).
+    val ref = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val model = TextAnalysis.trainBigramModel(ref, "text")
+    assert(model.count() == 3, "three distinct pairs")
+    val docs = Seq(
+      (1L, "a b"),     // all seen pairs: bits(1/1)+bits(2/2) = 1+1
+      (2L, "b a b"),   // (BOS,b) unseen → backoff 1+bits(4/2)=3; +1+1
+      (3L, "zzz"),     // unseen token → worst 1+bits(4)=4
+      (4L, "???")      // zero tokens → all-zero row
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramSurprisal(docs, "text", "doc_id", model)
+      .orderBy("id").collect()
+    assert(got(0).getLong(1) == 2 && got(0).getLong(2) == 2, s"doc1 ${got(0)}")
+    assert(got(1).getLong(1) == 3 && got(1).getLong(2) == 5, s"doc2 ${got(1)}")
+    assert(got(2).getLong(1) == 1 && got(2).getLong(2) == 4, s"doc3 ${got(2)}")
+    assert(got(3).getLong(1) == 0 && got(3).getLong(2) == 0 &&
+      got(3).getLong(3) == 0, s"doc4 ${got(3)}")
+    // the CCNet ranking property: in-domain < backoff < unseen mean bits
+    assert(got(0).getLong(3) < got(1).getLong(3) &&
+      got(1).getLong(3) < got(2).getLong(3),
+      s"means ${got.map(_.getLong(3)).mkString(",")}")
+    // fixed-point means exact: 2e6/2, 5e6 div 3, 4e6/1
+    assert(got(0).getLong(3) == 1000000L && got(1).getLong(3) == 1666666L &&
+      got(2).getLong(3) == 4000000L)
+    // an EMPTY reference corpus must still rule on every doc — zero
+    // bits, not a crash (the x10 empty-model contract)
+    val emptyModel = TextAnalysis.trainBigramModel(
+      Seq((1L, "???")).toDF("doc_id", "text"), "text")
+    val em = TextAnalysis.bigramSurprisal(docs, "text", "doc_id", emptyModel)
+      .orderBy("id").collect()
+    assert(em.length == 4 && em.forall(_.getLong(2) == 0L),
+      s"empty-model scores ${em.mkString(",")}")
+  }
+
   test("top-q gate: histogram shape equals the sort-window semantics, ties and edges included") {
     val s = spark
     import s.implicits._
