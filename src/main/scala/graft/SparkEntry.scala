@@ -1449,6 +1449,15 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "x21_chunk_windows" -> ((s, dir) =>
+      // long-document handling: 64-token windows every 48 tokens (the
+      // context-window slicing an embedding/indexing pipeline feeds on)
+      // — every token covered, last window clipped, chunk text re-joined
+      // in token space; one higher-order transform + explode, map-only
+      TextAnalysis.chunkWindows(t(s, dir, "documents"), "text", "doc_id",
+          window = 64, stride = 48)
+        .orderBy("id", "chunk_idx")),
+
     "p2_weighted_sample" -> ((s, dir) =>
       // training-mix sampling: downweight the dominant language,
       // lightly trim fr, pass the rest — decided per row by the
@@ -1620,6 +1629,21 @@ object SparkEntry {
           targetTokens = 30000L)
         .select("doc_id", "lang", "ws_tokens", "copy")
         .orderBy("doc_id", "copy")
+    }),
+
+    "p26_length_buckets" -> ((s, dir) => {
+      // padding-minimizing length-bucketed batching (the seq2seq
+      // bucketing step): 16-token-wide length buckets, batches of 8,
+      // ranks sharded per 256-doc id range (the packSequences
+      // discipline — no global per-bucket sort exists in the plan);
+      // each batch row carries the padding account a team sizes
+      // bucketWidth by
+      val docs = t(s, dir, "documents")
+      val lens = docs.select(col("doc_id"),
+        size(TextAnalysis.words(col("text"))).cast("long").as("n_tok"))
+      TextAnalysis.lengthBucketBatches(lens, "doc_id", "n_tok",
+          bucketWidth = 16L, batchSize = 8L, shardSize = 256L)
+        .orderBy("bucket", "shard", "batch")
     }),
 
     "p10_pack_sequences" -> ((s, dir) => {
@@ -2698,6 +2722,41 @@ object SparkEntry {
         |       coalesce(sc.sum_bits, 0)::BIGINT AS sum_bits,
         |       (coalesce(sc.sum_bits, 0) * 1000000 // greatest(coalesce(sc.n_tokens, 0), 1))::BIGINT AS mean_bits_fp
         |FROM ids LEFT JOIN sc USING (id) ORDER BY id""".stripMargin,
+
+    // from-scratch recompute of the sharded bucket ranks: the same
+    // (bucket, shard)-partitioned row_number (tie-broken len desc, id)
+    // and the per-batch padding account in integer fixed point
+    "p26_length_buckets" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |l AS (SELECT doc_id, len(ws)::BIGINT AS n_tok FROM w WHERE len(ws) > 0),
+        |b AS (SELECT doc_id, n_tok, (n_tok - 1) // 16 AS bucket, doc_id // 256 AS shard FROM l),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY bucket, shard ORDER BY n_tok DESC, doc_id) AS rn FROM b),
+        |g AS (SELECT bucket, shard, (rn - 1) // 8 AS batch, count(*)::BIGINT AS n_seqs,
+        |        max(n_tok)::BIGINT AS max_len, sum(n_tok)::BIGINT AS sum_len
+        |      FROM r GROUP BY 1, 2, 3)
+        |SELECT bucket, shard, batch, n_seqs, max_len, sum_len,
+        |  (max_len * n_seqs)::BIGINT AS padded_tokens,
+        |  ((max_len * n_seqs - sum_len) * 1000000 // (max_len * n_seqs))::BIGINT AS waste_fp
+        |FROM g ORDER BY bucket, shard, batch""".stripMargin,
+
+    // sliding-window recompute: chunk count 1 + max(0, ceil((n-64)/48)),
+    // 1-based inclusive list slice re-joined on spaces
+    "x21_chunk_windows" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |k AS (SELECT doc_id, ws, len(ws)::BIGINT AS n,
+        |        CASE WHEN len(ws) <= 64 THEN 0 ELSE (len(ws) - 64 + 47) // 48 END AS kmax
+        |      FROM w WHERE len(ws) > 0)
+        |SELECT doc_id AS id, t.i AS chunk_idx, (t.i * 48)::BIGINT AS start_tok,
+        |  least(64, n - t.i * 48)::BIGINT AS n_tok,
+        |  array_to_string(ws[(t.i * 48 + 1):(t.i * 48 + 64)], ' ') AS chunk_text
+        |FROM k, unnest(range(0, kmax + 1)) AS t(i)
+        |ORDER BY id, chunk_idx""".stripMargin,
 
     // the naive sort the engine never runs: rn over the md5 order,
     // keep rn <= quota per named group (zh's quota exceeds n → whole

@@ -1443,6 +1443,95 @@ object TextAnalysis {
         expr(s"sum_bits * $QmScale div greatest(n_tokens, 1)").as("mean_bits_fp"))
   }
 
+  // --- length-bucketed batching (p26) --------------------------------------
+
+  /** Padding-minimizing LENGTH-BUCKETED batching (the classic seq2seq
+    * "bucketing" / dynamic-batching step, public since Sutskever-era
+    * trainers): sequences are grouped by length bucket so a batch pads
+    * every member only to its own longest sequence, not the corpus
+    * max. bucket = (len−1) div bucketWidth; within a bucket, sequences
+    * rank by (len desc, id) and every `batchSize` consecutive ranks
+    * form a batch. Emits one row per batch with its padding account:
+    * `n_seqs`, `max_len`, `sum_len`, `padded_tokens` = max_len·n_seqs
+    * (what the trainer allocates), and `waste_fp` = the padded-but-
+    * empty fraction in ·10⁶ fixed point — the number a team compares
+    * against the unbucketed baseline to size `bucketWidth`.
+    *
+    * The rank is SHARDED, not global (the [[packSequences]]
+    * discipline): shard = id div shardSize, the window partitions on
+    * (bucket, shard) — so every sort is bounded by shardSize docs
+    * regardless of corpus size and shards batch in parallel after one
+    * uniform shuffle; the global per-bucket rank a single window would
+    * need (one task, 100 TB through it) never exists. The boundary
+    * cost is at most one partly-filled batch per (bucket, shard) —
+    * amortized exactly like the packer's partly-empty final bin.
+    * Non-positive lengths drop (a batcher feeds a trainer; there is
+    * nothing to pad), documented rather than padded. The per-batch
+    * aggregate is map-side combinable on the window's own
+    * partitioning, so it adds no second shuffle. */
+  def lengthBucketBatches(docs: DataFrame, idCol: String, lenCol: String,
+                          bucketWidth: Long, batchSize: Long,
+                          shardSize: Long): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0 && shardSize > 0)
+    requireFresh(docs, "bucket", "shard", "batch")
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = docs
+      .filter(col(lenCol) > 0L)
+      .select(col(idCol).as("__id"), col(lenCol).cast("long").as("__len"))
+      .withColumn("bucket", expr(s"(__len - 1) div $bucketWidth").cast("long"))
+      .withColumn("shard", expr(s"__id div $shardSize").cast("long"))
+    val rn = row_number().over(
+      Window.partitionBy(col("bucket"), col("shard"))
+        .orderBy(col("__len").desc, col("__id")))
+    bucketed
+      .withColumn("__rn", rn.cast("long"))
+      .withColumn("batch", expr(s"(__rn - 1) div $batchSize").cast("long"))
+      .groupBy("bucket", "shard", "batch").agg(
+        count(lit(1)).as("n_seqs"),
+        max(col("__len")).as("max_len"),
+        sum(col("__len")).as("sum_len"))
+      .select(col("bucket"), col("shard"), col("batch"),
+        col("n_seqs"), col("max_len"), col("sum_len"),
+        (col("max_len") * col("n_seqs")).as("padded_tokens"))
+      .withColumn("waste_fp",
+        expr(s"(padded_tokens - sum_len) * $QmScale div padded_tokens"))
+  }
+
+  // --- sliding-window chunking (x21) ----------------------------------------
+
+  /** Sliding token-WINDOW chunking of long documents (the standard
+    * long-document handling step — context-window slicing with overlap
+    * for embedding/indexing pipelines): windows of `window` tokens
+    * starting every `stride` tokens, the last window clipped to the
+    * document end, and no start past the end — a doc with n tokens
+    * yields 1 + max(0, ceil((n−window)/stride)) chunks, so every token
+    * is covered and no chunk is a strict suffix-duplicate of its
+    * predecessor. Emits (id, chunk_idx, start_tok, n_tok, chunk_text)
+    * with chunk_text re-joined on single spaces (the [[words]]
+    * normalization — chunk text is in TOKEN space, the form the
+    * embedder consumes). Zero-token docs yield no chunks (chunking is
+    * an expansion, not a filter — the corpus-must-rule contract
+    * belongs to the gates that run before it). One higher-order
+    * transform + explode over the staged `__ws` — map-only, no
+    * shuffle: the 100 TB shape is the scan itself. */
+  def chunkWindows(docs: DataFrame, textCol: String, idCol: String,
+                   window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    docs
+      .select(col(idCol).as("id"), words(col(textCol)).as("__ws"))
+      .withColumn("__n", size(col("__ws")).cast("long"))
+      .filter(col("__n") > 0L)
+      .select(col("id"), col("__ws"), col("__n"),
+        explode(expr(
+          s"sequence(0L, (CASE WHEN __n <= $window THEN 0L " +
+            s"ELSE (__n - $window + $stride - 1) div $stride END))")).as("chunk_idx"))
+      .select(col("id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_tok"),
+        least(lit(window).cast("long"), col("__n") - col("chunk_idx") * stride).as("n_tok"),
+        expr(s"concat_ws(' ', slice(__ws, chunk_idx * $stride + 1, $window))").as("chunk_text"))
+  }
+
   // --- bigram-LM surprisal (x20) ------------------------------------------
 
   /** Consecutive (prev, cur) token pairs of a staged `__ws` word array,

@@ -562,6 +562,84 @@ class TextMultimodalSpec extends SparkSpec {
       s"empty-model scores ${em.mkString(",")}")
   }
 
+  test("length-bucket batching: bucket edges, rank order, batch split, shard bound, padding account") {
+    val s = spark
+    import s.implicits._
+    // widths 16: len 16 lands in bucket 0 (edge (16-1)//16), 17 in 1
+    val lens = Seq((1L, 5L), (2L, 16L), (3L, 17L), (4L, 20L), (5L, 33L))
+      .toDF("doc_id", "n_tok")
+    val got = TextAnalysis.lengthBucketBatches(lens, "doc_id", "n_tok",
+        bucketWidth = 16L, batchSize = 8L, shardSize = 100L)
+      .orderBy("bucket", "shard", "batch").collect()
+    assert(got.length == 3, s"3 batches, got ${got.mkString(";")}")
+    // bucket 0 = {16, 5}: padded 2·16=32, waste (32-21)·1e6//32
+    assert(got(0).getLong(0) == 0 && got(0).getLong(3) == 2 &&
+      got(0).getLong(4) == 16 && got(0).getLong(5) == 21 &&
+      got(0).getLong(6) == 32 && got(0).getLong(7) == 343750L, s"${got(0)}")
+    // bucket 1 = {20, 17}: padded 40, waste 75000; bucket 2 singleton, waste 0
+    assert(got(1).getLong(4) == 20 && got(1).getLong(5) == 37 &&
+      got(1).getLong(7) == 75000L, s"${got(1)}")
+    assert(got(2).getLong(3) == 1 && got(2).getLong(7) == 0L, s"${got(2)}")
+    // batchSize 1 → every sequence its own batch, zero waste everywhere
+    val solo = TextAnalysis.lengthBucketBatches(lens, "doc_id", "n_tok",
+      bucketWidth = 16L, batchSize = 1L, shardSize = 100L).collect()
+    assert(solo.length == 5 && solo.forall(_.getLong(7) == 0L))
+    // shardSize 2 splits bucket 0's pair across id-range shards: ranks
+    // are LOCAL to (bucket, shard) — two singleton batches, no
+    // cross-shard batch ever forms
+    val sharded = TextAnalysis.lengthBucketBatches(lens, "doc_id", "n_tok",
+        bucketWidth = 16L, batchSize = 8L, shardSize = 2L)
+      .filter(col("bucket") === 0L).orderBy("shard").collect()
+    assert(sharded.length == 2 && sharded.forall(_.getLong(3) == 1),
+      s"sharded ${sharded.mkString(";")}")
+    // zero-length rows drop; batch ids are dense per (bucket, shard)
+    val withZero = lens.union(Seq((6L, 0L)).toDF("doc_id", "n_tok"))
+    assert(TextAnalysis.lengthBucketBatches(withZero, "doc_id", "n_tok",
+      16L, 8L, 100L).agg(sum("n_seqs")).collect()(0).getLong(0) == 5L)
+    // rank order inside a batch is (len desc, id): with batchSize 2 and
+    // four same-bucket lens, the two longest share batch 0
+    val four = Seq((1L, 10L), (2L, 12L), (3L, 14L), (4L, 16L)).toDF("doc_id", "n_tok")
+    val b0 = TextAnalysis.lengthBucketBatches(four, "doc_id", "n_tok",
+        16L, 2L, 100L).orderBy("batch").collect()
+    assert(b0(0).getLong(4) == 16 && b0(0).getLong(5) == 30, s"${b0(0)}") // 16+14
+    assert(b0(1).getLong(4) == 12 && b0(1).getLong(5) == 22, s"${b0(1)}") // 12+10
+  }
+
+  test("chunk windows: coverage, clipping, stride geometry, token-space text, zero-token docs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens
+      (2L, "a b c d"),                        // exactly one window
+      (3L, "a b c d e"),                      // one full + one clipped
+      (4L, "solo"),
+      (5L, "???")                              // zero tokens → no rows
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkWindows(docs, "text", "doc_id", window = 4, stride = 3)
+      .orderBy("id", "chunk_idx").collect()
+    val byId = got.groupBy(_.getLong(0))
+    // doc1: kmax = ceil((10-4)/3) = 2 → 3 chunks at 0/3/6, all 4-token
+    assert(byId(1L).length == 3)
+    assert(byId(1L).map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 4L), (3L, 4L), (6L, 4L)))
+    assert(byId(1L)(2).getString(4) == "t7 t8 t9 t10")
+    // every token covered: last chunk reaches the end
+    assert(byId(1L).last.getLong(2) + byId(1L).last.getLong(3) == 10L)
+    // doc2: n == window → exactly 1 chunk, no trailing duplicate
+    assert(byId(2L).length == 1 && byId(2L)(0).getString(4) == "a b c d")
+    // doc3: clipped second chunk of 2 tokens starting at 3
+    assert(byId(3L).map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 4L), (3L, 2L)))
+    assert(byId(3L)(1).getString(4) == "d e")
+    // doc4 singleton; doc5 absent
+    assert(byId(4L).length == 1 && byId(4L)(0).getLong(3) == 1L)
+    assert(!byId.contains(5L))
+    // stride > window is refused (holes in coverage)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkWindows(docs, "text", "doc_id", window = 4, stride = 5)
+    }
+  }
+
   test("top-q gate: histogram shape equals the sort-window semantics, ties and edges included") {
     val s = spark
     import s.implicits._
