@@ -2027,6 +2027,19 @@ object SparkEntry {
         .toDF().orderBy("doc_id")
     }),
 
+    "m7_audio_energy" -> ((s, dir) => {
+      // the codec family's AUDIO branch end to end: text bytes
+      // delta-encode into PCM16 samples in a real RIFF/WAV payload (chunk-walking
+      // parser, not a fixed-offset read), the decoder emits the
+      // waveform statistics an audio front-end gates on — duration,
+      // absolute energy, peak, zero crossings — all integer, all
+      // recomputable by DuckDB from the text bytes; full-scale signed
+      // samples mean an endianness or width bug in the codec shifts
+      // every statistic
+      Multimodal.audioFeatures(Multimodal.audioFromDocs(t(s, dir, "documents")))
+        .toDF().orderBy("doc_id")
+    }),
+
     "m5_frame_stats" -> ((s, dir) => {
       // frame-LEVEL extraction with the NESTED output column
       // (array<struct> — the schema shape real per-frame features come
@@ -4067,6 +4080,24 @@ object SparkEntry {
         |  coalesce(list_sum([tb[i+1] for i in range(0, n) if i % 3 = 1]), 0)::BIGINT AS g_sum,
         |  coalesce(list_sum([tb[i+1] for i in range(0, n) if i % 3 = 2]), 0)::BIGINT AS b_sum
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // the waveform recompute from text bytes: delta samples
+    // (b[i]-b[i-1])·256 with b[0]=0, abs/peak/sign-change statistics
+    // over the sample list, payload = 44-byte canonical header + 2
+    // bytes per sample
+    "m7_audio_energy" ->
+      """WITH d AS (
+        |  SELECT doc_id, length(text)::BIGINT AS n,
+        |    list_transform(range(1, length(text)+1),
+        |      i -> (ascii(substr(text, i, 1)) - CASE WHEN i = 1 THEN 0 ELSE ascii(substr(text, i-1, 1)) END) * 256) AS s
+        |  FROM documents)
+        |SELECT doc_id, n AS n_samples, 8000::BIGINT AS sample_rate,
+        |  (n * 1000 // 8000)::BIGINT AS duration_ms,
+        |  (44 + 2 * n)::BIGINT AS payload_bytes,
+        |  coalesce(list_sum(list_transform(s, x -> abs(x))), 0)::BIGINT AS sum_abs,
+        |  coalesce(list_max(list_transform(s, x -> abs(x))), 0)::BIGINT AS peak,
+        |  coalesce(len(list_filter(range(2, n+1), i -> (s[i] < 0) <> (s[i-1] < 0))), 0)::BIGINT AS zero_crossings
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "m3_multimodal_ann" ->
       """WITH b AS (

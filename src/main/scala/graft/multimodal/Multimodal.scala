@@ -6,12 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns: media payloads as opaque `binary` columns with a
   * typed metadata struct, processed by a per-partition typed pipeline.
   *
-  * The decode step is a REAL codec: payloads are Netpbm raster images
+  * The decode step is a REAL codec: image payloads are Netpbm rasters
   * (P5 grayscale / P6 RGB — the public netpbm format spec: ASCII
   * header `P5\n<w> <h>\n<maxval>\n` with whitespace/#-comment
   * tolerance, then w·h·channels raw bytes after exactly one
-  * whitespace), and [[decodeNetpbm]] is a genuine header-validating
-  * parser, not a stand-in. The container has no JPEG/PNG libraries, so
+  * whitespace), audio payloads are RIFF/WAV PCM16 (chunk-walking
+  * parser — [[decodeWav]]), and both parsers genuinely validate, not
+  * stand in. The container has no JPEG/PNG libraries, so
   * the ENCODER side manufactures PGM payloads from document text bytes
   * (deterministic, so every downstream feature is SQL-recomputable and
   * oracle-checked end-to-end); a production build swaps the payload
@@ -274,6 +275,145 @@ object Multimodal {
       }
       RgbFeatures(m.doc_id, img.width.toLong, img.height.toLong,
         (px.length / 3).toLong, r, g, b)
+    })
+  }
+
+  // --- audio branch (m7): RIFF/WAV PCM16 ---------------------------------
+
+  /** A decoded audio clip: sample rate + mono 16-bit samples. */
+  final case class AudioClip(sampleRate: Int, samples: Array[Short])
+
+  /** Encode mono PCM16 samples as a canonical RIFF/WAV payload (the
+    * public WAVE spec: `RIFF<size>WAVE` + a 16-byte `fmt ` chunk
+    * (PCM=1, mono, 16-bit) + a `data` chunk of little-endian int16
+    * samples). */
+  def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    require(sampleRate > 0, s"bad sample rate $sampleRate")
+    val n = samples.length
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(2 * n)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Parse a RIFF/WAV payload: validates the RIFF/WAVE magic, then
+    * WALKS the chunk list (4-byte id, LE size, odd-size pad — the spec
+    * allows any chunk order and foreign chunks like LIST/INFO between
+    * fmt and data), requires PCM (format 1), mono, 16-bit, and a
+    * complete data chunk. LOUD on malformed input — same contract as
+    * [[decodeNetpbm]]: a decoder that guesses corrupts every feature
+    * downstream. A fixed-offset 44-byte "parser" would break on the
+    * first real-world file with an INFO chunk; this one doesn't. */
+  def decodeWav(bytes: Array[Byte]): AudioClip = {
+    require(bytes.length >= 12 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE",
+      s"not a RIFF/WAVE payload (${bytes.length} bytes)")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 12
+    var sampleRate = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (i + 8 <= bytes.length && (sampleRate < 0 || dataOff < 0)) {
+      val id = new String(bytes, i, 4, "US-ASCII")
+      val size = bb.getInt(i + 4)
+      require(size >= 0 && i + 8 + size <= bytes.length,
+        s"truncated chunk '$id' at byte $i: size $size, have ${bytes.length - i - 8}")
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"fmt chunk too short ($size bytes)")
+          val fmt = bb.getShort(i + 8)
+          val channels = bb.getShort(i + 10)
+          val bits = bb.getShort(i + 22)
+          require(fmt == 1, s"unsupported WAV format $fmt (PCM only)")
+          require(channels == 1, s"unsupported channel count $channels (mono only)")
+          require(bits == 16, s"unsupported sample width $bits (16-bit only)")
+          sampleRate = bb.getInt(i + 12)
+          require(sampleRate > 0, s"bad sample rate $sampleRate")
+        case "data" =>
+          require(size % 2 == 0, s"odd data chunk size $size for 16-bit samples")
+          dataOff = i + 8; dataLen = size
+        case _ => // foreign chunk (LIST, INFO, fact, ...): skip
+      }
+      i += 8 + size + (size & 1) // chunks pad to even offsets
+    }
+    require(sampleRate > 0, "missing fmt chunk")
+    require(dataOff >= 0, "missing data chunk")
+    val samples = new Array[Short](dataLen / 2)
+    var j = 0
+    while (j < samples.length) { samples(j) = bb.getShort(dataOff + 2 * j); j += 1 }
+    AudioClip(sampleRate, samples)
+  }
+
+  /** Synthesis sample rate for manufactured clips (8 kHz telephony). */
+  val SampleRate = 8000
+
+  /** Documents → audio media: text bytes DELTA-encode into PCM16
+    * samples (sᵢ = (bᵢ − bᵢ₋₁)·256, b₋₁ = 0) — a sign-oscillating,
+    * full-scale waveform (plain (b−128) would leave every ASCII sample
+    * negative and the zero-crossing statistic degenerate), so an
+    * endianness or width bug in the codec shifts every downstream
+    * statistic. Same contract as [[mediaFromDocs]]: deterministic, so
+    * every feature is SQL-recomputable from the text bytes; a
+    * production build swaps the payload source for real microphone
+    * bytes. */
+  def audioFromDocs(docs: DataFrame): Dataset[Media] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, text, source) =>
+        val tb = text.getBytes("UTF-8")
+        val samples = new Array[Short](tb.length)
+        var prev = 0
+        var i = 0
+        while (i < tb.length) {
+          val b = tb(i) & 0xff
+          samples(i) = ((b - prev) * 256).toShort // |delta| ≤ 127 → fits
+          prev = b
+          i += 1
+        }
+        Media(id, encodeWav(samples, SampleRate), source, tb.length.toLong)
+      })
+  }
+
+  /** Waveform statistics a real audio front-end computes before any
+    * model sees the clip (all integer, engine ≡ oracle): duration,
+    * total absolute amplitude (energy), peak, and the zero-crossing
+    * count (sign(x) = x < 0 — a silence/noisiness signal; zero counts
+    * as non-negative, deterministically). */
+  final case class AudioFeatures(doc_id: Long, n_samples: Long, sample_rate: Long,
+                                 duration_ms: Long, payload_bytes: Long,
+                                 sum_abs: Long, peak: Long, zero_crossings: Long)
+
+  /** Decode WAV payloads and emit waveform statistics — map-only, the
+    * payload never leaves the executor; the same batch shape as every
+    * other decoder in the family. */
+  def audioFeatures(media: Dataset[Media]): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val clip = decodeWav(m.payload)
+      val s = clip.samples
+      var sumAbs = 0L; var peak = 0L; var zc = 0L
+      var i = 0
+      while (i < s.length) {
+        val a = math.abs(s(i).toLong)
+        sumAbs += a
+        if (a > peak) peak = a
+        if (i > 0 && (s(i) < 0) != (s(i - 1) < 0)) zc += 1
+        i += 1
+      }
+      AudioFeatures(m.doc_id, s.length.toLong, clip.sampleRate.toLong,
+        s.length.toLong * 1000L / clip.sampleRate, m.payload.length.toLong,
+        sumAbs, peak, zc)
     })
   }
 

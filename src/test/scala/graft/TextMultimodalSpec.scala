@@ -66,6 +66,54 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WAV codec: PCM16 roundtrip, chunk walking over foreign chunks, loud on malformed, delta waveform stats") {
+    val s = spark
+    import s.implicits._
+    // encode → decode roundtrip preserves rate and samples exactly
+    val samples = Array.tabulate(37)(i => ((i - 18) * 911).toShort)
+    val clip = Multimodal.decodeWav(Multimodal.encodeWav(samples, 8000))
+    assert(clip.sampleRate == 8000 && clip.samples.toSeq == samples.toSeq)
+    // a file written by another tool: a foreign odd-sized LIST chunk
+    // between fmt and data (legal RIFF — chunks pad to even offsets);
+    // a fixed-offset 44-byte reader would misparse, a chunk walker
+    // must not
+    val base = Multimodal.encodeWav(samples, 8000)
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ "INFOx".getBytes("US-ASCII") ++ Array[Byte](0) // pad
+    val spliced = base.take(36) ++ listChunk ++ base.drop(36)
+    // RIFF size field must grow by the spliced bytes
+    val bb = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, bb.getInt(4) + listChunk.length)
+    val clip2 = Multimodal.decodeWav(spliced)
+    assert(clip2.sampleRate == 8000 && clip2.samples.toSeq == samples.toSeq)
+    // malformed inputs fail loudly, never decode garbage
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav("RIFFxxxxMP3 ".getBytes("US-ASCII")) // wrong container type
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(base.dropRight(1)) // truncated data chunk
+    }
+    val stereo = Multimodal.encodeWav(samples, 8000).clone()
+    stereo(22) = 2 // channels field
+    intercept[IllegalArgumentException] { Multimodal.decodeWav(stereo) }
+    val eightBit = Multimodal.encodeWav(samples, 8000).clone()
+    eightBit(34) = 8 // bits/sample field
+    intercept[IllegalArgumentException] { Multimodal.decodeWav(eightBit) }
+    // waveform stats over the delta synthesis: "ba" → bytes 98, 97 →
+    // samples 98·256 = 25088 and (97−98)·256 = −256: one sign change
+    val docs = Seq((1L, "ba", "src"), (2L, "", "src"))
+      .toDF("doc_id", "text", "source")
+    val got = Multimodal.audioFeatures(Multimodal.audioFromDocs(docs))
+      .toDF().orderBy("doc_id").collect()
+    assert(got(0).getLong(1) == 2 && got(0).getLong(2) == 8000L, s"${got(0)}")
+    assert(got(0).getLong(4) == 44 + 4, "canonical header + 2 bytes/sample")
+    assert(got(0).getLong(5) == 25088L + 256L && got(0).getLong(6) == 25088L &&
+      got(0).getLong(7) == 1L, s"${got(0)}")
+    // empty doc: zero samples, zero everything, still a row
+    assert(got(1).getLong(1) == 0 && got(1).getLong(5) == 0 &&
+      got(1).getLong(6) == 0 && got(1).getLong(7) == 0, s"${got(1)}")
+  }
+
   test("multimodal features carry the REAL decoded dimensions and pixel stats") {
     val text = "abcdefghijklmnopqr" // 18 bytes -> 16x2 raster, last row zero-padded
     val feats = Multimodal.features(spark, df1(text).withColumn("source", lit("s")))
@@ -638,6 +686,41 @@ class TextMultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextAnalysis.chunkWindows(docs, "text", "doc_id", window = 4, stride = 5)
     }
+  }
+
+  test("plan pins: x20 corpus leg broadcast-only, p26 single exchange, x21 shuffle-free") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // executedPlan (post-EnsureRequirements) is where implicit
+    // exchanges live; AQE off so the tree is concrete, not staged
+    val aqe = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = Seq((1L, "a b c"), (2L, "b c d"), (3L, "x y")).toDF("doc_id", "text")
+      // x20: the CORPUS side must never sort-merge — every model leg is
+      // a broadcast join, and the only exchanges downstream of a corpus
+      // join are the doc-keyed aggregate + the rule-on-every-doc outer
+      // join back (model-side exchanges shuffle bounded tables and
+      // don't count against the shape)
+      val model = TextAnalysis.trainBigramModel(docs, "text")
+      val x20 = TextAnalysis.bigramSurprisal(docs, "text", "doc_id", model)
+      val x20Plan = x20.queryExecution.executedPlan
+      assert(!x20Plan.toString.contains("SortMergeJoin"), x20Plan.toString)
+      assert(x20Plan.toString.contains("BroadcastHashJoin"), x20Plan.toString)
+      // p26: the (bucket, shard) window exchange is the ONLY shuffle —
+      // the per-batch aggregate rides the window's partitioning (its
+      // grouping keys are a superset), so no second exchange may appear
+      val lens = Seq((1L, 5L), (2L, 16L), (3L, 17L)).toDF("doc_id", "n_tok")
+      val p26 = TextAnalysis.lengthBucketBatches(lens, "doc_id", "n_tok", 16L, 8L, 100L)
+      val p26Ex = p26.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      assert(p26Ex.length == 1,
+        s"p26 must have exactly one exchange:\n${p26.queryExecution.executedPlan}")
+      // x21: map-only — the 100 TB shape is the scan itself
+      val x21 = TextAnalysis.chunkWindows(docs, "text", "doc_id", 4, 3)
+      val x21Ex = x21.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      assert(x21Ex.isEmpty, s"x21 must be shuffle-free:\n${x21.queryExecution.executedPlan}")
+    } finally s.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
   test("top-q gate: histogram shape equals the sort-window semantics, ties and edges included") {
