@@ -769,6 +769,15 @@ object SparkEntry {
       OnChange.streamingSessionize(s, s"$dir/events.parquet", gapUs = 7200000000L)
         .orderBy("user_id", "session_start_us")),
 
+    "e6_funnel" -> ((s, dir) =>
+      // ordered view → click → purchase funnel, 24 h horizon from
+      // first touch: per entered user the three step timestamps (NULL
+      // past the drop-out point) + depth; type filter pushed to the
+      // scan, then two user-keyed join+min rounds — no per-user sort
+      Events.funnel(events(s, dir), "ts", "user_id", "event_type",
+          Seq("view", "click", "purchase"), horizonUs = 86400000000L)
+        .orderBy("user_id")),
+
     // ===== dedup =========================================================
     "d1_exact_dedup" -> ((s, dir) => {
       // two overlapping ingest sources -> exact content-hash dedup
@@ -2550,6 +2559,24 @@ object SparkEntry {
       """SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP))::BIGINT AS window_start,
         | event_type, count(*) AS n, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the same first-touch min-chain, written as correlated CTEs: t1 =
+    // earliest view; t2 = earliest click after t1 within 24 h of t1;
+    // t3 = earliest purchase after t2 within the same horizon
+    "e6_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, t1,
+        |         min(CASE WHEN e.us > t1 AND e.us <= t1 + 86400000000 THEN e.us END) AS t2
+        |       FROM s1 LEFT JOIN e ON e.user_id = s1.user_id AND e.event_type = 'click'
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT s2.user_id, t1, t2,
+        |         min(CASE WHEN e.us > t2 AND e.us <= t1 + 86400000000 THEN e.us END) AS t3
+        |       FROM s2 LEFT JOIN e ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |       GROUP BY 1, 2, 3)
+        |SELECT user_id, t1, t2, t3,
+        |  (CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END)::BIGINT AS depth
+        |FROM s3 ORDER BY user_id""".stripMargin,
 
     "e4_sliding_window" ->
       """WITH b AS (

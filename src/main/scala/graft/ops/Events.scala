@@ -72,4 +72,52 @@ object Events {
       .groupBy(session_window(col("__ts"), gap).as("w"), col(userCol))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
       .select(col(userCol), unix_micros(col("w.start")).as("session_start_us"), col("n_events"), col("sum_value"))
+
+  /** Ordered event FUNNEL (the product-analytics staple: of the users
+    * who did step 1, how many went on to do step 2, then 3, … in
+    * order, within `horizonUs` of entering): per user, t1 = the
+    * earliest step-1 event; tₖ = the earliest step-k event STRICTLY
+    * after tₖ₋₁ and within the horizon of t1 (first-touch semantics —
+    * the standard funnel definition). Emits one row per entered user
+    * (users with no step-1 event are not in the funnel) with every
+    * step timestamp (NULL once the user drops out — NULLs propagate
+    * monotonically, tₖ is only ever computed from a non-NULL tₖ₋₁) and
+    * `depth` = steps completed.
+    *
+    * Shape: the scan filters to the funnel's event types FIRST (the
+    * predicate reaches the parquet scan — at 100 TB the log is mostly
+    * other types), then k−1 rounds of user-keyed join + min-aggregate,
+    * each a single hash shuffle with map-side partial min, no window
+    * and no per-user event sort anywhere. k is the funnel length (2–5
+    * in practice) — a constant number of passes over the type-filtered
+    * slice, each pass strictly smaller (only users still in the
+    * funnel's entry set carry forward). */
+  def funnel(events: DataFrame, nsCol: String, userCol: String, typeCol: String,
+             steps: Seq[String], horizonUs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.length == steps.length, "funnel steps must be distinct")
+    require(horizonUs > 0, s"bad horizon $horizonUs")
+    val ev = events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol).as("user_id"),
+        tsMicros(events, nsCol).as("__us"), col(typeCol).as("__et"))
+    var cur = ev.filter(col("__et") === steps.head)
+      .groupBy("user_id").agg(min(col("__us")).as("t1"))
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val prev = s"t$i"
+      val tk = s"t${i + 1}"
+      val stepEv = ev.filter(col("__et") === st).select(col("user_id"), col("__us"))
+      val carried = (1 to i).map(j => s"t$j").map(col)
+      cur = cur.join(stepEv, Seq("user_id"), "left")
+        .groupBy((col("user_id") +: carried): _*)
+        .agg(min(when(col("__us") > col(prev) &&
+          col("__us") <= col("t1") + horizonUs, col("__us"))).as(tk))
+    }
+    // NULLs are monotone (t_k derives from t_{k-1}), so depth = the
+    // count of non-NULL step times
+    val depth = steps.indices
+      .map(i => when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    cur.withColumn("depth", depth)
+  }
 }

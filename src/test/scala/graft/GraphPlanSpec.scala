@@ -85,6 +85,44 @@ class GraphPlanSpec extends SparkSpec {
     assert(sess == Set((1L, 0L, 2L), (1L, 10000L * 1000000L, 1L), (2L, 50L * 1000000L, 1L)))
   }
 
+  test("funnel: first-touch order, horizon cut, monotone drop-out, entry-only rows") {
+    val s = spark
+    import s.implicits._
+    def ns(sec: Long) = sec * 1000000000L
+    def us(sec: Long) = sec * 1000000L
+    val H = 3600000000L // 1 h horizon in µs
+    val ev = Seq(
+      // user 1 completes in order: view@10, click@20, purchase@30
+      (1L, ns(10), "view"), (1L, ns(20), "click"), (1L, ns(30), "purchase"),
+      // user 2: click BEFORE the first view never counts (order matters);
+      // the click after the view does
+      (2L, ns(5), "click"), (2L, ns(10), "view"), (2L, ns(40), "click"),
+      // user 3: purchase outside the 1 h horizon of first touch -> depth 2
+      (3L, ns(0), "view"), (3L, ns(100), "click"), (3L, ns(4000), "purchase"),
+      // user 4: never viewed -> not in the funnel at all
+      (4L, ns(10), "click"), (4L, ns(20), "purchase"),
+      // user 5: two views — t1 is the EARLIEST (first touch), and the
+      // click between them still counts (it follows the first view)
+      (5L, ns(0), "view"), (5L, ns(50), "click"), (5L, ns(60), "view")
+    ).map { case (u, t, e) => (u, t, e, 1.0) }.toDF("user_id", "ts", "event_type", "value")
+    val got = Events.funnel(ev, "ts", "user_id", "event_type",
+        Seq("view", "click", "purchase"), horizonUs = H)
+      .orderBy("user_id").collect()
+    assert(got.length == 4, s"entered users only: ${got.mkString(";")}")
+    assert(got(0).getLong(0) == 1 && got(0).getLong(4) == 3 &&
+      got(0).getLong(1) == us(10) && got(0).getLong(2) == us(20) && got(0).getLong(3) == us(30))
+    assert(got(1).getLong(0) == 2 && got(1).getLong(4) == 2 &&
+      got(1).getLong(2) == us(40), s"pre-view click must not count: ${got(1)}")
+    assert(got(2).getLong(0) == 3 && got(2).getLong(4) == 2 &&
+      got(2).isNullAt(3), s"horizon cut: ${got(2)}")
+    assert(got(3).getLong(0) == 5 && got(3).getLong(1) == us(0) &&
+      got(3).getLong(2) == us(50), s"first touch: ${got(3)}")
+    // distinct steps + positive horizon are contract
+    intercept[IllegalArgumentException] {
+      Events.funnel(ev, "ts", "user_id", "event_type", Seq("view", "view"), H)
+    }
+  }
+
   test("paged traversal: pages partition the full traversal, keyset-resumable") {
     val page1 = g.outPaged("customer", Tpch.pNation, None, 30)
       .select("start_key").collect().map(_.getLong(0))
