@@ -1467,6 +1467,21 @@ object SparkEntry {
           window = 64, stride = 48)
         .orderBy("id", "chunk_idx")),
 
+    "x22_cross_entropy_diff" -> ((s, dir) => {
+      // Moore–Lewis data selection: in-domain LM = the en slice,
+      // out-of-domain LM = the whole pool; each doc's diff_bits =
+      // surprisal under the pool model minus under the target model —
+      // positive = reads more like the target domain than the pool —
+      // and selected is the threshold-0 gate. Both models' legs
+      // broadcast onto ONE pair pass (six bounded joins + one doc agg)
+      val docs = t(s, dir, "documents")
+      val inM = TextAnalysis.trainBigramModel(
+        docs.filter(col("lang") === "en"), "text")
+      val outM = TextAnalysis.trainBigramModel(docs, "text")
+      TextAnalysis.crossEntropyDiff(docs, "text", "doc_id", inM, outM)
+        .orderBy("id")
+    }),
+
     "p2_weighted_sample" -> ((s, dir) =>
       // training-mix sampling: downweight the dominant language,
       // lightly trim fr, pass the rest — decided per row by the
@@ -2781,6 +2796,53 @@ object SparkEntry {
         |  (max_len * n_seqs)::BIGINT AS padded_tokens,
         |  ((max_len * n_seqs - sum_len) * 1000000 // (max_len * n_seqs))::BIGINT AS waste_fp
         |FROM g ORDER BY bucket, shard, batch""".stripMargin,
+
+    // the x20 chain twice from ONE pair stream: the en-trained
+    // in-domain model and the whole-pool out-of-domain model, each
+    // expanded into its three surprisal legs; diff = out − in
+    "x22_cross_entropy_diff" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |pr AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN t.i = 1 THEN -1
+        |         ELSE ('0x' || substr(md5(ws[t.i-1]), 1, 8))::BIGINT % 1024 END AS pb,
+        |    ('0x' || substr(md5(ws[t.i]), 1, 8))::BIGINT % 1024 AS cb
+        |  FROM w, unnest(range(1, len(ws)+1)) AS t(i)),
+        |pairI AS (SELECT pb, cb, count(*)::BIGINT AS cnt FROM pr WHERE lang = 'en' GROUP BY 1, 2),
+        |ctxI AS (SELECT pb, sum(cnt)::BIGINT AS ctx_cnt FROM pairI GROUP BY 1),
+        |uniI AS (SELECT cb, sum(cnt)::BIGINT AS ucnt FROM pairI GROUP BY 1),
+        |totI AS (SELECT coalesce(sum(cnt), 0)::BIGINT AS total FROM pairI),
+        |pbI AS (SELECT pairI.pb, pairI.cb, length(bin(ctx_cnt // cnt))::BIGINT AS pair_bits
+        |        FROM pairI JOIN ctxI USING (pb)),
+        |ubI AS (SELECT cb, (1 + length(bin(total // ucnt)))::BIGINT AS uni_bits FROM uniI, totI),
+        |pairO AS (SELECT pb, cb, count(*)::BIGINT AS cnt FROM pr GROUP BY 1, 2),
+        |ctxO AS (SELECT pb, sum(cnt)::BIGINT AS ctx_cnt FROM pairO GROUP BY 1),
+        |uniO AS (SELECT cb, sum(cnt)::BIGINT AS ucnt FROM pairO GROUP BY 1),
+        |totO AS (SELECT coalesce(sum(cnt), 0)::BIGINT AS total FROM pairO),
+        |pbO AS (SELECT pairO.pb, pairO.cb, length(bin(ctx_cnt // cnt))::BIGINT AS pair_bits
+        |        FROM pairO JOIN ctxO USING (pb)),
+        |ubO AS (SELECT cb, (1 + length(bin(total // ucnt)))::BIGINT AS uni_bits FROM uniO, totO),
+        |sc AS (SELECT pr.doc_id AS id, count(*)::BIGINT AS n_tokens,
+        |         sum(coalesce(pbI.pair_bits, coalesce(ubI.uni_bits, 1 + length(bin(totI.total)))))::BIGINT AS in_bits,
+        |         sum(coalesce(pbO.pair_bits, coalesce(ubO.uni_bits, 1 + length(bin(totO.total)))))::BIGINT AS out_bits
+        |       FROM pr
+        |       LEFT JOIN pbI ON pbI.pb = pr.pb AND pbI.cb = pr.cb
+        |       LEFT JOIN ubI ON ubI.cb = pr.cb
+        |       LEFT JOIN pbO ON pbO.pb = pr.pb AND pbO.cb = pr.cb
+        |       LEFT JOIN ubO ON ubO.cb = pr.cb, totI, totO
+        |       GROUP BY 1),
+        |ids AS (SELECT DISTINCT doc_id AS id FROM documents)
+        |SELECT ids.id, coalesce(sc.n_tokens, 0)::BIGINT AS n_tokens,
+        |       coalesce(sc.in_bits, 0)::BIGINT AS in_bits,
+        |       coalesce(sc.out_bits, 0)::BIGINT AS out_bits,
+        |       (coalesce(sc.out_bits, 0) - coalesce(sc.in_bits, 0))::BIGINT AS diff_bits,
+        |       ((coalesce(sc.out_bits, 0) - coalesce(sc.in_bits, 0)) * 1000000
+        |         // greatest(coalesce(sc.n_tokens, 0), 1))::BIGINT AS diff_fp,
+        |       (coalesce(sc.out_bits, 0) - coalesce(sc.in_bits, 0)) > 0 AS selected
+        |FROM ids LEFT JOIN sc USING (id) ORDER BY id""".stripMargin,
 
     // sliding-window recompute: chunk count 1 + max(0, ceil((n-64)/48)),
     // 1-based inclusive list slice re-joined on spaces

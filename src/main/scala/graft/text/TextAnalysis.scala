@@ -1593,11 +1593,16 @@ object TextAnalysis {
     * table, broadcast-joined — the corpus pays one map-only pair pass
     * and one doc-keyed aggregate, the 100 TB shape. Zero-token docs
     * get an all-zero row: a corpus filter must rule on every doc. */
-  def bigramSurprisal(docs: DataFrame, textCol: String, idCol: String,
-                      model: DataFrame): DataFrame = {
-    // model-carried feature space (the x10 contract): scoring derives
-    // the bucket count FROM the model — a 1-row driver read of the
-    // bounded table, the codebook-collect class
+  /** The three broadcastable scoring legs a trained bigram model
+    * expands into (all tiny aggregates of the bounded pair table):
+    * per-pair conditional bits, per-token unigram backoff bits, and
+    * the 1-row worst-case/empty flag. `suffix` disambiguates columns
+    * when two models join onto ONE pair stream ([[crossEntropyDiff]]).
+    * Returns (buckets, pairBits, uniBits, worst) — buckets read from
+    * the model (the x10 model-carried-feature-space contract; a 1-row
+    * driver read, the codebook-collect class). */
+  private def bigramModelLegs(model: DataFrame, suffix: String)
+      : (Int, DataFrame, DataFrame, DataFrame) = {
     val head = model.select(col("buckets")).limit(1).collect()
     val buckets = if (head.isEmpty) 1 else head(0).getInt(0)
     val pair = model.select(col("pb"), col("cb"), col("cnt"))
@@ -1606,18 +1611,24 @@ object TextAnalysis {
     val tot = pair.agg(coalesce(sum(col("cnt")), lit(0L)).as("total"))
     val pairBits = pair.join(ctx, Seq("pb"))
       .select(col("pb"), col("cb"),
-        length(bin(expr("ctx_cnt div cnt"))).cast("long").as("__pair_bits"))
+        length(bin(expr("ctx_cnt div cnt"))).cast("long").as(s"__pair_bits$suffix"))
     val uniBits = uni.crossJoin(broadcast(tot))
       .select(col("cb"),
-        (lit(1L) + length(bin(expr("total div ucnt"))).cast("long")).as("__uni_bits"))
+        (lit(1L) + length(bin(expr("total div ucnt"))).cast("long")).as(s"__uni_bits$suffix"))
     // worst case + the empty-model flag ride ONE broadcast row: an
     // empty reference corpus has no vocabulary and no total — every
     // token scores 0 bits and the gate still rules on every doc
     val worst = tot.select(
       when(col("total") > 0L,
         lit(1L) + length(bin(col("total"))).cast("long"))
-        .otherwise(lit(0L)).as("__worst_bits"),
-      (col("total") === 0L).as("__empty"))
+        .otherwise(lit(0L)).as(s"__worst_bits$suffix"),
+      (col("total") === 0L).as(s"__empty$suffix"))
+    (buckets, pairBits, uniBits, worst)
+  }
+
+  def bigramSurprisal(docs: DataFrame, textCol: String, idCol: String,
+                      model: DataFrame): DataFrame = {
+    val (buckets, pairBits, uniBits, worst) = bigramModelLegs(model, "")
     val toks = docs
       .select(col(idCol).as("id"), words(col(textCol)).as("__ws"))
       .select(col("id"), explode(bucketPairs).as("p"))
@@ -1642,5 +1653,70 @@ object TextAnalysis {
         coalesce(col("sum_bits"), lit(0L)).as("sum_bits"))
       .select(col("id"), col("n_tokens"), col("sum_bits"),
         expr(s"sum_bits * $QmScale div greatest(n_tokens, 1)").as("mean_bits_fp"))
+  }
+
+  /** CROSS-ENTROPY DIFFERENCE data selection (Moore–Lewis 2010 —
+    * "Intelligent Selection of Language Model Training Data" — the
+    * log-likelihood-ratio scorer modern hashed-feature selectors like
+    * DSIR, Xie 2023, reduce to): every doc scores
+    *
+    *   diff_bits = H_out(doc) − H_in(doc)
+    *
+    * — its total surprisal under the OUT-of-domain (general/raw) LM
+    * minus under the IN-domain (target) LM, both the integerized
+    * bigram models of [[trainBigramModel]]. A doc the in-domain model
+    * predicts more cheaply than the general model scores positive —
+    * text that looks like the target domain relative to the pool —
+    * and `selected` = (diff_bits > 0) is the Moore–Lewis gate
+    * (threshold 0 = "more in-domain than out"; a deployment tunes the
+    * cut on `diff_fp`, the per-token fixed-point mean).
+    *
+    * ONE pair pass over the corpus: both models' legs broadcast onto
+    * the same token-pair stream (six bounded-table joins), then one
+    * doc-keyed aggregate — the same 100 TB shape as
+    * [[bigramSurprisal]], paid once, not twice. Both models must share
+    * the feature space (equal `buckets` — required loudly). Zero-token
+    * docs rule as NOT selected with all-zero scores. */
+  def crossEntropyDiff(docs: DataFrame, textCol: String, idCol: String,
+                       inModel: DataFrame, outModel: DataFrame): DataFrame = {
+    val (bIn, pIn, uIn, wIn) = bigramModelLegs(inModel, "_in")
+    val (bOut, pOut, uOut, wOut) = bigramModelLegs(outModel, "_out")
+    require(bIn == bOut,
+      s"models trained in different feature spaces: $bIn vs $bOut buckets")
+    val toks = docs
+      .select(col(idCol).as("id"), words(col(textCol)).as("__ws"))
+      .select(col("id"), explode(bucketPairs).as("p"))
+      .select(col("id"),
+        coalesce(tokenBucket(col("p.prev"), bIn), lit(-1L)).as("pb"),
+        tokenBucket(col("p.cur"), bIn).as("cb"))
+    val scored = toks
+      .join(broadcast(pIn), Seq("pb", "cb"), "left")
+      .join(broadcast(uIn), Seq("cb"), "left")
+      .crossJoin(broadcast(wIn))
+      .join(broadcast(pOut), Seq("pb", "cb"), "left")
+      .join(broadcast(uOut), Seq("cb"), "left")
+      .crossJoin(broadcast(wOut))
+      .withColumn("__bi",
+        when(col("__empty_in"), lit(0L))
+          .otherwise(coalesce(col("__pair_bits_in"), col("__uni_bits_in"),
+            col("__worst_bits_in"))))
+      .withColumn("__bo",
+        when(col("__empty_out"), lit(0L))
+          .otherwise(coalesce(col("__pair_bits_out"), col("__uni_bits_out"),
+            col("__worst_bits_out"))))
+      .groupBy("id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("__bi")).as("in_bits"),
+        sum(col("__bo")).as("out_bits"))
+    docs.select(col(idCol).as("id")).distinct()
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("in_bits"), lit(0L)).as("in_bits"),
+        coalesce(col("out_bits"), lit(0L)).as("out_bits"))
+      .withColumn("diff_bits", col("out_bits") - col("in_bits"))
+      .withColumn("diff_fp",
+        expr(s"diff_bits * $QmScale div greatest(n_tokens, 1)"))
+      .withColumn("selected", col("diff_bits") > 0L)
   }
 }

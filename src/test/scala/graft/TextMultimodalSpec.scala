@@ -610,6 +610,39 @@ class TextMultimodalSpec extends SparkSpec {
       s"empty-model scores ${em.mkString(",")}")
   }
 
+  test("cross-entropy difference: in-domain positive, out-of-domain negative, zero-token rows, feature-space guard") {
+    val s = spark
+    import s.implicits._
+    // in-domain LM: "a b a b" (pairs (BOS,a)=1,(a,b)=2,(b,a)=1, total 4)
+    // out-of-domain LM: that plus "x y x y" (total 8, ctx BOS=2)
+    val inDocs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val pool = Seq((1L, "a b a b"), (2L, "x y x y")).toDF("doc_id", "text")
+    val inM = TextAnalysis.trainBigramModel(inDocs, "text")
+    val outM = TextAnalysis.trainBigramModel(pool, "text")
+    val docs = Seq((1L, "a b"), (2L, "x y"), (3L, "???")).toDF("doc_id", "text")
+    val got = TextAnalysis.crossEntropyDiff(docs, "text", "doc_id", inM, outM)
+      .orderBy("id").collect()
+    // "a b": in = bits(1/1)+bits(2/2) = 2; out = bits(2/1)+bits(2/2) = 3
+    // → diff +1, selected (the target model predicts it more cheaply)
+    assert(got(0).getLong(2) == 2 && got(0).getLong(3) == 3 &&
+      got(0).getLong(4) == 1 && got(0).getBoolean(6), s"${got(0)}")
+    // "x y": in = two unseen tokens (1+bits(4))·2 = 8; out = bits(2/1)
+    // + bits(2/2) = 3 → diff −5, not selected
+    assert(got(1).getLong(2) == 8 && got(1).getLong(3) == 3 &&
+      got(1).getLong(4) == -5 && !got(1).getBoolean(6), s"${got(1)}")
+    // diff_fp truncates toward zero identically on both engines
+    assert(got(1).getLong(5) == -5L * 1000000L / 2L, s"${got(1)}")
+    // zero-token doc: all-zero scores, NOT selected — a gate must rule
+    assert(got(2).getLong(1) == 0 && got(2).getLong(4) == 0 &&
+      !got(2).getBoolean(6), s"${got(2)}")
+    // different feature spaces are refused loudly (bits would silently
+    // compare incomparable hash buckets)
+    val small = TextAnalysis.trainBigramModel(inDocs, "text", buckets = 512)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.crossEntropyDiff(docs, "text", "doc_id", small, outM)
+    }
+  }
+
   test("length-bucket batching: bucket edges, rank order, batch split, shard bound, padding account") {
     val s = spark
     import s.implicits._
