@@ -66,11 +66,20 @@ object BigramScale {
         val (tScore, scored) = time(
           TextAnalysis.bigramSurprisal(base, "text", "doc_id", model)
             .agg(sum(col("sum_bits"))).collect()(0).getLong(0))
+        // x22's pay-once claim: scoring under TWO models (six broadcast
+        // legs on one pair stream) must cost ~one bigramSurprisal, not
+        // two — the pair pass dominates, the extra legs are bounded
+        val outModel = TextAnalysis.trainBigramModel(base, "text").cache()
+        outModel.count()
+        val (tDiff, _) = time(
+          TextAnalysis.crossEntropyDiff(base, "text", "doc_id", model, outModel)
+            .agg(sum(col("diff_bits"))).collect()(0).getLong(0))
+        outModel.unpersist()
         val vocab = base.withColumn("__ws", TextAnalysis.words(col("text")))
           .select(explode(col("__ws")).as("t")).distinct().count()
         model.unpersist()
         println(f"n=$n%8d  distinct_tokens=$vocab%9d  model_rows=$modelRows%8d  " +
-          f"train=$tTrain%6.2f s  score=$tScore%6.2f s  corpus_bits=$scored%12d")
+          f"train=$tTrain%6.2f s  score=$tScore%6.2f s  xediff=$tDiff%6.2f s  corpus_bits=$scored%12d")
       } finally {
         org.apache.commons.io.FileUtils.deleteQuietly(basePath.toFile)
         ()

@@ -2064,6 +2064,19 @@ object SparkEntry {
         .toDF().orderBy("doc_id")
     }),
 
+    "m8_scene_cuts" -> ((s, dir) => {
+      // temporal segmentation over the decoded frame stream (the
+      // shot-boundary step before per-segment sampling): a cut opens a
+      // new segment where the inter-frame window-sum jumps > 150;
+      // map-only decode + ONE doc-keyed shuffle (lag + running cut
+      // count + the per-segment agg all ride one window partitioning);
+      // 1-in-20 docs keeps the frame fan-out oracle-sized
+      val media = Multimodal.mediaFromDocs(
+        t(s, dir, "documents").filter(col("doc_id") % 20 === 0))
+      Multimodal.sceneCuts(media, threshold = 150L)
+        .orderBy("doc_id", "seg_idx")
+    }),
+
     "m5_frame_stats" -> ((s, dir) => {
       // frame-LEVEL extraction with the NESTED output column
       // (array<struct> — the schema shape real per-frame features come
@@ -4215,6 +4228,33 @@ object SparkEntry {
     // probing) — one parameter, the rest is s3/s5's proven construction
     "m4_multimodal_ann_indexed" -> Ann.ivfKmeansOracleSql(k = 3, queryPred = "id < 5",
       source = "SELECT doc_id AS id, [ coalesce(list_sum(bytes[16*d+1 : least(16*d+16, len(bytes))]), 0)::DOUBLE for d in range(0, 16) ] AS v FROM (SELECT doc_id, list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))::BIGINT) AS bytes FROM documents)"),
+
+    // the m5 frame construction + SQL windows: lag-delta cut flags,
+    // running cut count = segment id, then the per-segment rollup
+    "m8_scene_cuts" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))::BIGINT) AS bytes
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |fr AS (
+        |  SELECT doc_id, unnest(range(0, (len(bytes)+15)//16)) AS fi, bytes
+        |  FROM b),
+        |wsum AS (
+        |  SELECT doc_id, fi,
+        |    list_sum(bytes[fi*16 + 1 : least(fi*16 + 16, len(bytes))])::BIGINT AS ws
+        |  FROM fr),
+        |c AS (
+        |  SELECT doc_id, fi, ws,
+        |    CASE WHEN abs(ws - lag(ws) OVER (PARTITION BY doc_id ORDER BY fi)) > 150
+        |         THEN 1 ELSE 0 END AS cut
+        |  FROM wsum),
+        |s AS (
+        |  SELECT doc_id, fi, ws,
+        |    sum(cut) OVER (PARTITION BY doc_id ORDER BY fi)::BIGINT AS seg_idx
+        |  FROM c)
+        |SELECT doc_id, seg_idx, min(fi)::BIGINT AS first_frame,
+        |  count(*)::BIGINT AS n_frames, sum(ws)::BIGINT AS seg_sum
+        |FROM s GROUP BY 1, 2 ORDER BY doc_id, seg_idx""".stripMargin,
 
     "m5_frame_stats" ->
       """WITH b AS (

@@ -424,6 +424,39 @@ object Multimodal {
 
   final case class MediaFrames(doc_id: Long, n_frames: Long, frames: Seq[Frame])
 
+  /** Temporal segmentation over the decoded frame stream — the
+    * shot/scene-cut detection step a video pipeline runs before
+    * per-segment sampling (public practice: threshold the inter-frame
+    * signal delta; here the deterministic window-sum stands in for the
+    * histogram/SSIM delta a production build plugs in). A CUT opens a
+    * new segment wherever |signal(i) − signal(i−1)| > threshold; each
+    * segment emits (doc_id, seg_idx, first_frame, n_frames, seg_sum).
+    * The first frame never cuts (lag is NULL → no jump), so segment 0
+    * always exists and segments partition the frame stream exactly.
+    *
+    * Shape: map-only decode + explode, then ONE doc-keyed shuffle —
+    * lag and the running cut count share the same window partitioning,
+    * and the per-segment aggregate's keys are a superset of it (the
+    * p26 proof pattern: no second exchange). Frames per doc are
+    * bounded by payload size, so the window sort is bounded like the
+    * packer's shards. */
+  def sceneCuts(media: Dataset[Media], threshold: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("idx")
+    extractFrames(media).toDF()
+      .select(col("doc_id"), explode(col("frames")).as("f"))
+      .select(col("doc_id"), col("f.idx").as("idx"), col("f.window_sum").as("ws"))
+      .withColumn("__cut",
+        when(abs(col("ws") - lag(col("ws"), 1).over(byDoc)) > threshold, 1L)
+          .otherwise(0L))
+      .withColumn("seg_idx", sum(col("__cut")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "seg_idx").agg(
+        min(col("idx")).cast("long").as("first_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("ws")).as("seg_sum"))
+  }
+
   /** Frame-level extraction with a NESTED output column
     * (array<struct>) — the schema shape real per-frame features
     * (embeddings, pixel stats) come back in — over the DECODED

@@ -114,6 +114,47 @@ class TextMultimodalSpec extends SparkSpec {
       got(1).getLong(6) == 0 && got(1).getLong(7) == 0, s"${got(1)}")
   }
 
+  test("scene cuts: threshold segmentation, first frame never cuts, partition exactness, one shuffle") {
+    val s = spark
+    import s.implicits._
+    // 16-wide rows ARE the frames (stride 16): row sums 100, 120, 400,
+    // 390 with threshold 50 → a cut only at frame 2 (delta 280)
+    def row(sum: Int): Array[Byte] = {
+      val r = new Array[Byte](16)
+      var left = sum; var i = 0
+      while (left > 0) { val v = math.min(left, 255); r(i) = v.toByte; left -= v; i += 1 }
+      r
+    }
+    val px = row(100) ++ row(120) ++ row(400) ++ row(390)
+    val media = Seq(
+      Multimodal.Media(1L, Multimodal.encodePgm(px, 16, 4), "src", 64L),
+      Multimodal.Media(2L, Multimodal.encodePgm(row(7), 16, 1), "src", 16L))
+      .toDS()
+    val got = Multimodal.sceneCuts(media, threshold = 50L)
+      .orderBy("doc_id", "seg_idx").collect()
+    assert(got.length == 3, s"${got.mkString(";")}")
+    assert(got(0).getLong(0) == 1 && got(0).getLong(1) == 0 &&
+      got(0).getLong(2) == 0 && got(0).getLong(3) == 2 && got(0).getLong(4) == 220,
+      s"${got(0)}")
+    assert(got(1).getLong(1) == 1 && got(1).getLong(2) == 2 &&
+      got(1).getLong(3) == 2 && got(1).getLong(4) == 790, s"${got(1)}")
+    // a single-frame doc is one whole segment (the first frame never cuts)
+    assert(got(2).getLong(0) == 2 && got(2).getLong(1) == 0 &&
+      got(2).getLong(3) == 1 && got(2).getLong(4) == 7, s"${got(2)}")
+    // segments PARTITION the frame stream: n_frames sums to the total
+    assert(got.filter(_.getLong(0) == 1).map(_.getLong(3)).sum == 4)
+    // one doc-keyed shuffle total: lag + running cut count + the
+    // per-segment agg all ride the same window partitioning
+    val aqe = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ex = Multimodal.sceneCuts(media, 50L).queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(ex.length == 1, s"m8 must have exactly one exchange, got ${ex.length}")
+    } finally s.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("multimodal features carry the REAL decoded dimensions and pixel stats") {
     val text = "abcdefghijklmnopqr" // 18 bytes -> 16x2 raster, last row zero-padded
     val feats = Multimodal.features(spark, df1(text).withColumn("source", lit("s")))
