@@ -796,6 +796,16 @@ object SparkEntry {
           numHashes = 128, bandRows = 4, threshold = 0.8)
         .orderBy("a", "b")),
 
+    "d27_containment" -> ((s, dir) =>
+      // asymmetric containment over the same shingle index: catches
+      // the partial-copy class (short doc quoted inside a long one)
+      // that symmetric Jaccard structurally misses — c(a→b) = 1 while
+      // jac ≈ |a|/|b|; both directions emitted so a caller tells
+      // "a inside b" from "mutual"
+      Dedup.ngramContainment(t(s, dir, "documents"), "text", "doc_id", 3,
+          threshold = 0.9)
+        .orderBy("a", "b")),
+
     "d4_simhash" -> ((s, dir) =>
       // maxDist 10: SimHash proximity is probabilistic, and the planted
       // jaccard>=0.95 pairs in the fixtures reach Hamming 9 — 10 keeps a
@@ -3763,6 +3773,24 @@ object SparkEntry {
     "d2_ngram_jaccard" -> ngramJaccardSql,
 
     "d3_minhash_lsh" -> ngramJaccardSql,
+
+    // the d2 chain with the containment tail: per-direction
+    // inter/|S(side)| ratios, gate on the max of the two
+    "d27_containment" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[t.i:t.i+2], ' ') AS s
+        |  FROM words, unnest(range(1, len(ws)-1)) AS t(i)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a, b, inter::BIGINT AS inter,
+        |  round(inter / sa.sz, 3) AS cont_ab, round(inter / sb.sz, 3) AS cont_ba
+        |FROM pr JOIN sz sa ON pr.a = sa.doc_id JOIN sz sb ON pr.b = sb.doc_id
+        |WHERE greatest(inter / sa.sz, inter / sb.sz) >= 0.9 ORDER BY a, b""".stripMargin,
 
     // SimHash is md5-based precisely so DuckDB can recompute the whole
     // fingerprint: per-(doc, bit) sign sums from the 4x16-bit words of

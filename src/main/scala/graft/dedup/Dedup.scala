@@ -336,6 +336,33 @@ object Dedup {
     jaccardScore(pairIntersections(sh), sizes, threshold)
   }
 
+  /** CONTAINMENT near-dup detection (Broder 1997's resemblance-vs-
+    * containment distinction): c(a→b) = |S(a)∩S(b)| / |S(a)| — the
+    * fraction of a's shingles that also appear in b. Catches the
+    * partial-copy class symmetric Jaccard structurally MISSES: a short
+    * doc wholly quoted inside a long one has jac ≈ |S(a)|/|S(b)|
+    * (arbitrarily small as b grows) but c(a→b) = 1 — quotes, excerpts,
+    * and boilerplate-wrapped copies all live here. Pairs form in the
+    * same bucket-local inverted-index join as [[ngramJaccard]] (shared
+    * shingle stream, same df cap — no all-pairs anywhere); each
+    * unordered pair passing max(c_ab, c_ba) ≥ threshold emits BOTH
+    * directions plus the raw intersection, so the caller can tell
+    * "a inside b" from "b inside a" from "mutual". */
+  def ngramContainment(docs: DataFrame, textCol: String, idCol: String, n: Int,
+                       threshold: Double, maxDf: Int = 10000): DataFrame = {
+    val sh = capDf(graft.core.Checkpoints.truncate(
+      shingles(docs, textCol, idCol, n)), maxDf)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val cab = col("inter").cast("double") / col("sa.sz").cast("double")
+    val cba = col("inter").cast("double") / col("sb.sz").cast("double")
+    pairIntersections(sh)
+      .join(sizes.as("sa"), col("a") === col("sa.id"))
+      .join(sizes.as("sb"), col("b") === col("sb.id"))
+      .filter(greatest(cab, cba) >= threshold)
+      .select(col("a"), col("b"), col("inter"),
+        round(cab, 3).as("cont_ab"), round(cba, 3).as("cont_ba"))
+  }
+
   /** MinHash signatures (k hash functions = xxhash64 with k salts) +
     * LSH banding: docs agreeing on any band are candidates; candidates
     * are then verified with EXACT Jaccard. Banding (b bands × r rows)

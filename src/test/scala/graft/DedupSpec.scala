@@ -27,6 +27,36 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact, s"LSH candidates+verify must equal exact pairs; missed=${exact -- lsh} extra=${lsh -- exact}")
   }
 
+  test("containment catches the partial-copy class symmetric Jaccard misses") {
+    val s = spark
+    import s.implicits._
+    // doc 1 (5 words, 3 shingles) is wholly quoted inside doc 2
+    // (14 words, 12 shingles): jac = 3/12 = 0.25 — invisible at any
+    // dedup-grade Jaccard threshold — but c(1→2) = 1.0
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "intro words here alpha beta gamma delta epsilon and a long closing tail follows"),
+      (3L, "totally unrelated content with nothing shared at all")
+    ).toDF("doc_id", "text")
+    val jac = Dedup.ngramJaccard(df, "text", "doc_id", 3, 0.8).collect()
+    assert(jac.isEmpty, s"Jaccard at 0.8 must miss the quote: ${jac.mkString(";")}")
+    val got = Dedup.ngramContainment(df, "text", "doc_id", 3, 0.9).collect()
+    assert(got.length == 1, s"${got.mkString(";")}")
+    val r = got(0)
+    assert(r.getLong(0) == 1 && r.getLong(1) == 2 && r.getLong(2) == 3)
+    assert(r.getDouble(3) == 1.0, s"c(1->2) = ${r.getDouble(3)}") // a fully inside b
+    assert(r.getDouble(4) == 0.25, s"c(2->1) = ${r.getDouble(4)}")
+    // direction carries the asymmetry: the short doc is the contained one
+    assert(r.getDouble(3) > r.getDouble(4))
+    // mutual containment = the classic near-dup case still surfaces
+    val twins = Seq(
+      (1L, "one two three four five six"),
+      (2L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val tw = Dedup.ngramContainment(twins, "text", "doc_id", 3, 0.9).collect()
+    assert(tw.length == 1 && tw(0).getDouble(3) == 1.0 && tw(0).getDouble(4) == 1.0)
+  }
+
   test("simhash pairs cover the planted near-duplicates") {
     val planted = Dedup.ngramJaccard(docs, "text", "doc_id", 3, 0.95)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
