@@ -778,6 +778,14 @@ object SparkEntry {
           Seq("view", "click", "purchase"), horizonUs = 86400000000L)
         .orderBy("user_id")),
 
+    "e7_retention_cohorts" -> ((s, dir) =>
+      // weekly retention triangle: cohort = epoch-week of first event,
+      // each (cohort, offset) cell = cohort members active that many
+      // weeks later; user-keyed min + join + distinct, no window
+      Events.retentionCohorts(events(s, dir), "ts", "user_id",
+          periodUs = 604800000000L)
+        .orderBy("cohort", "period_offset")),
+
     // ===== dedup =========================================================
     "d1_exact_dedup" -> ((s, dir) => {
       // two overlapping ingest sources -> exact content-hash dedup
@@ -2615,6 +2623,20 @@ object SparkEntry {
         |SELECT user_id, t1, t2, t3,
         |  (CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END)::BIGINT AS depth
         |FROM s3 ORDER BY user_id""".stripMargin,
+
+    // epoch-anchored integer weeks: first-seen min per user → cohort,
+    // distinct (cohort, offset, user) → cell counts, cohort sizes from
+    // the first-seen table
+    "e7_retention_cohorts" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS p FROM events),
+        |f AS (SELECT user_id, min(p) AS cohort FROM e GROUP BY 1),
+        |act AS (SELECT DISTINCT e.user_id, f.cohort, e.p - f.cohort AS period_offset
+        |        FROM e JOIN f ON e.user_id = f.user_id),
+        |sz AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY 1)
+        |SELECT act.cohort, act.period_offset, count(*)::BIGINT AS n_active,
+        |  sz.cohort_size::BIGINT AS cohort_size
+        |FROM act JOIN sz ON act.cohort = sz.cohort
+        |GROUP BY 1, 2, sz.cohort_size ORDER BY act.cohort, period_offset""".stripMargin,
 
     "e4_sliding_window" ->
       """WITH b AS (

@@ -120,4 +120,43 @@ object Events {
       .reduce(_ + _)
     cur.withColumn("depth", depth)
   }
+
+  /** COHORT RETENTION (the other product-analytics staple next to
+    * [[funnel]]): users bucket into cohorts by their first-seen
+    * period, and each (cohort, offset) cell counts the cohort members
+    * still active `offset` periods later — the retention triangle a
+    * team reads week-over-week. Periods are integer event-time
+    * buckets: period(t) = t div periodUs (epoch-anchored — stable
+    * under reprocessing, no calendar arithmetic to diverge between
+    * engines); cohort = period(first event), offset = period(event) −
+    * cohort ≥ 0. Every cohort emits its offset-0 cell (a user is
+    * active in their own first period by definition), so
+    * `n_active / cohort_size` at offset 0 is exactly 1 and the
+    * triangle normalizes row-wise.
+    *
+    * Shape: one user-keyed min-aggregate (first touch), one user-keyed
+    * join back (map-side combinable distinct on (cohort, offset, user)
+    * first — the count-distinct never sees raw event volume), then the
+    * cell count: three hash shuffles, none keyed by anything
+    * corpus-sized beyond the user space, no window, no sort. The
+    * cohort-size join rides broadcast when cohorts are few (they are:
+    * one per period). */
+  def retentionCohorts(events: DataFrame, nsCol: String, userCol: String,
+                       periodUs: Long): DataFrame = {
+    require(periodUs > 0, s"bad period $periodUs")
+    // integer `div`, not `/`: Column `/` on longs is DOUBLE division
+    // (the tsFromNanos lesson — epoch-µs exceeds double's exact range)
+    val ev = events.select(col(userCol).as("user_id"),
+        tsMicros(events, nsCol).as("__us"))
+      .select(col("user_id"), expr(s"__us div $periodUs").as("__p"))
+    val first = ev.groupBy("user_id").agg(min(col("__p")).as("cohort"))
+    val active = ev.join(first, Seq("user_id"))
+      .select(col("user_id"), col("cohort"),
+        (col("__p") - col("cohort")).as("period_offset"))
+      .distinct()
+    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+    active.groupBy("cohort", "period_offset").agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort"))
+      .select(col("cohort"), col("period_offset"), col("n_active"), col("cohort_size"))
+  }
 }

@@ -123,6 +123,33 @@ class GraphPlanSpec extends SparkSpec {
     }
   }
 
+  test("retention cohorts: first-seen bucketing, offset cells, offset-0 completeness, sizes") {
+    val s = spark
+    import s.implicits._
+    def ns(period: Long, within: Long) = (period * 100 + within) * 1000000000L
+    // period = 100 s buckets (periodUs = 1e8): users 1,2 start in
+    // period 0; user 3 starts in period 1. User 1 active in periods
+    // 0,1,2; user 2 only 0; user 3 in 1 and 3.
+    val ev = Seq(
+      (1L, ns(0, 10)), (1L, ns(1, 5)), (1L, ns(2, 7)), (1L, ns(2, 8)),
+      (2L, ns(0, 50)),
+      (3L, ns(1, 0)), (3L, ns(3, 99))
+    ).map { case (u, t) => (u, t, "view", 1.0) }
+      .toDF("user_id", "ts", "event_type", "value")
+    val got = Events.retentionCohorts(ev, "ts", "user_id", periodUs = 100000000L)
+      .orderBy("cohort", "period_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 2L, 2L), // cohort 0: both members at offset 0
+      (0L, 1L, 1L, 2L), // user 1 returns in week 1
+      (0L, 2L, 1L, 2L), // and week 2 (two events, ONE active row)
+      (1L, 0L, 1L, 1L), // cohort 1: user 3
+      (1L, 2L, 1L, 1L)  // user 3 skips a period, returns at offset 2
+    ), got.mkString(";"))
+    // offset-0 exactness: every cohort's first cell equals its size
+    assert(got.filter(_._2 == 0L).forall(c => c._3 == c._4))
+  }
+
   test("paged traversal: pages partition the full traversal, keyset-resumable") {
     val page1 = g.outPaged("customer", Tpch.pNation, None, 30)
       .select("start_key").collect().map(_.getLong(0))
