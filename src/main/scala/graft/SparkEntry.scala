@@ -965,6 +965,22 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    "d28_containment_delta" -> ((s, dir) => {
+      // d27's deployment shape — the quote/excerpt screen run per
+      // ingest batch: the standing corpus (doc_id < 400) is indexed
+      // once (the d8 index; `_sizes` already holds the |S|
+      // denominators containment needs); the batch's partial-copy
+      // pairs come from the bucket-riding batch×corpus join + the
+      // batch self-join — the corpus never re-tokenizes. MinHash can't
+      // estimate containment (the sketch is symmetric), so this exact
+      // indexed delta IS the scale path, verified by the one-shot d27
+      val docs = t(s, dir, "documents")
+      val table = "shingle_idx_cont_delta"
+      Dedup.buildShingleIndex(docs.filter(col("doc_id") < 400), "text", "doc_id", 3, table, buckets = 16)
+      Dedup.containmentDelta(s, docs.filter(col("doc_id") >= 400), "text", "doc_id", 3, 0.9, table)
+        .orderBy("a", "b")
+    }),
+
     "d10_stream_dedup" -> ((s, dir) => {
       // streaming incremental dedup: the batch stream dedups against the
       // standing index and is absorbed into it batch by batch — the
@@ -2308,6 +2324,27 @@ object SparkEntry {
     * optional single-line `prefixCtes` — single-line so stripMargin
     * can't eat a `||` at a continuation-line start) and the pair
     * scope (`pairPred`, ANDed after the Hamming cut). */
+  /** The containment oracle chain shared by d27 (one-shot) and d28
+    * (indexed delta) — ONE definition of the shingle CTEs, the
+    * per-direction ratios, and the max-gate, so the verifier and the
+    * deployment shape cannot drift; `pairPred` (ANDed after the gate)
+    * restricts d28 to batch-touching pairs, the d8 identity. */
+  private def containmentOracleSql(pairPred: String = ""): String =
+    s"""WITH words AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), w -> w <> '') AS ws
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(ws[t.i:t.i+2], ' ') AS s
+       |  FROM words, unnest(range(1, len(ws)-1)) AS t(i)),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |pr AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+       |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT a, b, inter::BIGINT AS inter,
+       |  round(inter / sa.sz, 3) AS cont_ab, round(inter / sb.sz, 3) AS cont_ba
+       |FROM pr JOIN sz sa ON pr.a = sa.doc_id JOIN sz sb ON pr.b = sb.doc_id
+       |WHERE greatest(inter / sa.sz, inter / sb.sz) >= 0.9$pairPred ORDER BY a, b""".stripMargin
+
   private def simhashOracleSql(pairPred: String = "", prefixCtes: String = "",
                                docsFrom: String = "documents"): String =
     s"""WITH ${prefixCtes}w AS (
@@ -3797,22 +3834,22 @@ object SparkEntry {
     "d3_minhash_lsh" -> ngramJaccardSql,
 
     // the d2 chain with the containment tail: per-direction
-    // inter/|S(side)| ratios, gate on the max of the two
-    "d27_containment" ->
-      """WITH words AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), w -> w <> '') AS ws
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, array_to_string(ws[t.i:t.i+2], ' ') AS s
-        |  FROM words, unnest(range(1, len(ws)-1)) AS t(i)),
-        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        |pr AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
-        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT a, b, inter::BIGINT AS inter,
-        |  round(inter / sa.sz, 3) AS cont_ab, round(inter / sb.sz, 3) AS cont_ba
-        |FROM pr JOIN sz sa ON pr.a = sa.doc_id JOIN sz sb ON pr.b = sb.doc_id
-        |WHERE greatest(inter / sa.sz, inter / sb.sz) >= 0.9 ORDER BY a, b""".stripMargin,
+    // inter/|S(side)| ratios, gate on the max of the two.
+    // Cap assumption (shared with the d2/d3/d8 oracles): the SQL omits
+    // the engine's maxDf=10000 stop-shingle cap, so it is exact only
+    // while no fixture shingle's document frequency exceeds the cap —
+    // true at every shipped SF (max df ≈ corpus size · shared-phrase
+    // rate ≪ 10000), and containment is MORE cap-sensitive than
+    // Jaccard (each direction's denominator shrinks independently), so
+    // a future fixture crossing the cap must mirror it here (HAVING
+    // count(*) <= 10000 on a df CTE) rather than widen the engine cap
+    "d27_containment" -> containmentOracleSql(),
+
+    // full-recompute ground truth restricted to pairs touching the
+    // batch — the d8 identity applied to the containment tail: values
+    // identical to the one-shot proves the indexed delta loses nothing
+    "d28_containment_delta" -> containmentOracleSql(
+      pairPred = " AND (a >= 400 OR b >= 400)"),
 
     // SimHash is md5-based precisely so DuckDB can recompute the whole
     // fingerprint: per-(doc, bit) sign sums from the 4x16-bit words of

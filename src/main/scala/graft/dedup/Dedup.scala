@@ -174,6 +174,19 @@ object Dedup {
   def ngramJaccardDelta(spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
                         textCol: String, idCol: String, n: Int, threshold: Double,
                         indexTable: String, maxDf: Int = 10000): DataFrame = {
+    val (inter, sizes) = deltaInterSizes(spark, newDocs, textCol, idCol, n, indexTable, maxDf)
+    jaccardScore(inter, sizes, threshold)
+  }
+
+  /** The batch×index pair machinery shared by [[ngramJaccardDelta]] and
+    * [[containmentDelta]]: per batch-touching pair the intersection
+    * count, plus the set-size table (batch sizes from the capped batch
+    * stream, corpus sizes from the `_sizes` companion). ONE definition
+    * so the two delta operators cannot diverge on supersede, cap, or
+    * join-shape semantics. */
+  private def deltaInterSizes(spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
+                              textCol: String, idCol: String, n: Int,
+                              indexTable: String, maxDf: Int): (DataFrame, DataFrame) = {
     // tokenize the batch ONCE; everything below (hot aggregate, both
     // self-join sides, the cross join, the batch sizes) re-reads the
     // materialized stream instead of re-running the tokenizer
@@ -215,7 +228,7 @@ object Dedup {
       .join(broadcast(batchIds), Seq("id"), "left_anti")
     val sizes = newSh.groupBy("id").agg(count(lit(1)).as("sz"))
       .unionByName(corpusSizes)
-    jaccardScore(inter, sizes, threshold)
+    (inter, sizes)
   }
 
   /** Absorb a NEW-ID batch into the standing shingle index: its
@@ -353,14 +366,65 @@ object Dedup {
     val sh = capDf(graft.core.Checkpoints.truncate(
       shingles(docs, textCol, idCol, n)), maxDf)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    containmentScore(pairIntersections(sh), sizes, threshold)
+  }
+
+  /** The containment scoring tail shared by the recompute / indexed /
+    * delta paths — the [[jaccardScore]] twin, ONE definition so the
+    * per-direction ratio, the max-gate, and the rounding cannot drift
+    * between deployment shapes. */
+  private[dedup] def containmentScore(inter: DataFrame, sizes: DataFrame,
+                                      threshold: Double): DataFrame = {
     val cab = col("inter").cast("double") / col("sa.sz").cast("double")
     val cba = col("inter").cast("double") / col("sb.sz").cast("double")
-    pairIntersections(sh)
+    inter
       .join(sizes.as("sa"), col("a") === col("sa.id"))
       .join(sizes.as("sb"), col("b") === col("sb.id"))
       .filter(greatest(cab, cba) >= threshold)
       .select(col("a"), col("b"), col("inter"),
         round(cab, 3).as("cont_ab"), round(cba, 3).as("cont_ba"))
+  }
+
+  /** [[ngramContainment]] against a pre-built bucketed shingle index —
+    * the one-shot screen without the corpus re-tokenize: pairs ride the
+    * co-bucketed s=s self-join (no Exchange), the |S| denominators come
+    * from the persisted `_sizes` companion. Same cap semantics as
+    * [[ngramJaccardIndexed]]: index rows already carry the build-time
+    * df cap; pass `maxDf` only to TIGHTEN at query time. */
+  def containmentIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+                         threshold: Double, maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh = capDf(spark.table(table), maxDf)
+    val sizes =
+      if (maxDf == Int.MaxValue) spark.table(s"${table}_sizes")
+      else sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    containmentScore(pairIntersections(sh), sizes, threshold)
+  }
+
+  /** INCREMENTAL containment — the quote/excerpt screen in d8's
+    * operational shape: a new ingest batch is checked for partial-copy
+    * relationships against the standing corpus (and itself) WITHOUT a
+    * corpus re-tokenize or re-join — the same bucket-riding
+    * batch×corpus machinery as [[ngramJaccardDelta]] (shared via
+    * [[deltaInterSizes]]), with the containment tail on top. This is
+    * the only scale path for containment: unlike resemblance, MinHash
+    * signatures do NOT estimate containment (the sketch is symmetric;
+    * Broder 1997 §4 needs the set sizes), so the standing exact index
+    * + delta join is the deployment form, and the one-shot
+    * [[ngramContainment]] is its verifier (the d2/d8 pattern).
+    *
+    * Delta identity (oracle-pinned by d28): equals the full recompute
+    * restricted to pairs touching the batch. Cap caveat as d8 — the
+    * standing `_sizes` are as-of-build, so a batch-hot shingle shrinks
+    * only the batch side's denominator; containment is MORE sensitive
+    * to this than Jaccard (each direction's denominator shrinks
+    * independently), and like d8 the deviation is conservative on the
+    * corpus side (standing denominators never shrink → cont_corpus
+    * never inflates) and absent when nothing crosses the cap. */
+  def containmentDelta(spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
+                       textCol: String, idCol: String, n: Int, threshold: Double,
+                       indexTable: String, maxDf: Int = 10000): DataFrame = {
+    val (inter, sizes) = deltaInterSizes(spark, newDocs, textCol, idCol, n, indexTable, maxDf)
+    containmentScore(inter, sizes, threshold)
   }
 
   /** MinHash signatures (k hash functions = xxhash64 with k salts) +

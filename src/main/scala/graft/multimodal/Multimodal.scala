@@ -375,8 +375,16 @@ object Multimodal {
         var prev = 0
         var i = 0
         while (i < tb.length) {
+          // ASCII-only synthesis contract (shared with the m7 oracle,
+          // which reads CODEPOINTS via ascii(substr)): bytes ≥ 0x80
+          // give |delta| up to 255, and delta·256 would silently wrap
+          // past Short range — loud here, like every codec in the file
+          require(tb(i) >= 0,
+            s"audioFromDocs synthesizes from ASCII text only (doc $id has " +
+              f"byte 0x${tb(i) & 0xff}%02x at offset $i); real audio enters " +
+              "via decodeWav, not this synthesis stub")
           val b = tb(i) & 0xff
-          samples(i) = ((b - prev) * 256).toShort // |delta| ≤ 127 → fits
+          samples(i) = ((b - prev) * 256).toShort // ASCII ⇒ |delta| ≤ 127 ⇒ |sample| ≤ 32512 fits
           prev = b
           i += 1
         }

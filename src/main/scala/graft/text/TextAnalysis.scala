@@ -1602,9 +1602,14 @@ object TextAnalysis {
     * the model (the x10 model-carried-feature-space contract; a 1-row
     * driver read, the codebook-collect class). */
   private def bigramModelLegs(model: DataFrame, suffix: String)
-      : (Int, DataFrame, DataFrame, DataFrame) = {
+      : (Option[Int], DataFrame, DataFrame, DataFrame) = {
     val head = model.select(col("buckets")).limit(1).collect()
-    val buckets = if (head.isEmpty) 1 else head(0).getInt(0)
+    // an EMPTY model (zero-row reference corpus) has no rows to carry
+    // its feature space — return None so callers can resolve buckets
+    // from elsewhere (the OTHER model in crossEntropyDiff) instead of
+    // tripping a spurious feature-space mismatch; the scoring legs are
+    // all-empty either way and every token rides the __empty flag
+    val buckets = if (head.isEmpty) None else Some(head(0).getInt(0))
     val pair = model.select(col("pb"), col("cb"), col("cnt"))
     val ctx = pair.groupBy("pb").agg(sum(col("cnt")).as("ctx_cnt"))
     val uni = pair.groupBy("cb").agg(sum(col("cnt")).as("ucnt"))
@@ -1628,7 +1633,10 @@ object TextAnalysis {
 
   def bigramSurprisal(docs: DataFrame, textCol: String, idCol: String,
                       model: DataFrame): DataFrame = {
-    val (buckets, pairBits, uniBits, worst) = bigramModelLegs(model, "")
+    val (bOpt, pairBits, uniBits, worst) = bigramModelLegs(model, "")
+    // empty model: bucket choice is immaterial (every token scores 0
+    // via the __empty flag) — any positive value tokenizes validly
+    val buckets = bOpt.getOrElse(1)
     val toks = docs
       .select(col(idCol).as("id"), words(col(textCol)).as("__ws"))
       .select(col("id"), explode(bucketPairs).as("p"))
@@ -1679,10 +1687,14 @@ object TextAnalysis {
     * docs rule as NOT selected with all-zero scores. */
   def crossEntropyDiff(docs: DataFrame, textCol: String, idCol: String,
                        inModel: DataFrame, outModel: DataFrame): DataFrame = {
-    val (bIn, pIn, uIn, wIn) = bigramModelLegs(inModel, "_in")
-    val (bOut, pOut, uOut, wOut) = bigramModelLegs(outModel, "_out")
-    require(bIn == bOut,
-      s"models trained in different feature spaces: $bIn vs $bOut buckets")
+    val (bInOpt, pIn, uIn, wIn) = bigramModelLegs(inModel, "_in")
+    val (bOutOpt, pOut, uOut, wOut) = bigramModelLegs(outModel, "_out")
+    // an empty model rules every token 0 bits in ANY feature space, so
+    // it adopts the other side's buckets; the mismatch guard fires only
+    // on two genuinely incompatible trainings
+    require(bInOpt.isEmpty || bOutOpt.isEmpty || bInOpt == bOutOpt,
+      s"models trained in different feature spaces: ${bInOpt.get} vs ${bOutOpt.get} buckets")
+    val bIn = bInOpt.orElse(bOutOpt).getOrElse(1)
     val toks = docs
       .select(col(idCol).as("id"), words(col(textCol)).as("__ws"))
       .select(col("id"), explode(bucketPairs).as("p"))

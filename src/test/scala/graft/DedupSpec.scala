@@ -315,6 +315,65 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((101L, 102L)), got.toString)
   }
 
+  test("containment delta = one-shot recompute on batch-touching pairs; never rescans the standing index") {
+    val table = "shingle_idx_cont_delta_spec"
+    val corpus = docs.filter(col("doc_id") < 350)
+    val batch = docs.filter(col("doc_id") >= 350)
+    Dedup.buildShingleIndex(corpus, "text", "doc_id", 3, table, buckets = 8)
+    val delta = Dedup.containmentDelta(spark, batch, "text", "doc_id", 3, 0.9, table)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSet
+    val full = Dedup.ngramContainment(docs, "text", "doc_id", 3, 0.9, maxDf = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .filter { case (a, b, _, _, _) => a >= 350 || b >= 350 }.toSet
+    assert(delta == full, s"missed=${full -- delta} extra=${delta -- full}")
+    assert(delta.nonEmpty, "fixture should have containment pairs touching the batch")
+    // deployment shape (the d8 plan pin): the ONLY standing-index read
+    // is the bucket-riding pair join; |S| denominators come from the
+    // `_sizes` companion, never a per-batch full-index aggregate
+    val plan = planOf(Dedup.containmentDelta(spark, batch, "text", "doc_id", 3, 0.9, table))
+    def scans(t: String) = plan.sliding(s"Scan parquet spark_catalog.default.$t\n".length)
+      .count(_ == s"Scan parquet spark_catalog.default.$t\n")
+    assert(scans(table) == 1, s"index scanned ${scans(table)}× (pairs leg only expected):\n$plan")
+    assert(scans(s"${table}_sizes") >= 1, s"corpus sizes must come from the companion table:\n$plan")
+  }
+
+  test("containment delta: asymmetric directions; absorb chains batches; re-emitted ids supersede") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp"), // 14 shingles
+      (2L, "zz yy xx ww vv uu ts sr rq qp")                    // unrelated
+    ).toDF("doc_id", "text")
+    val table = "shingle_idx_cont_absorb_spec"
+    Dedup.buildShingleIndex(corpus, "text", "doc_id", 3, table, buckets = 4)
+    // batch 1: a 4-word excerpt of doc 1 — c(10→1) = 1.0 while
+    // jac = 2/14 is invisible to any resemblance screen; the delta
+    // must carry the DIRECTION (the short new doc is the contained one)
+    val batch1 = Seq((10L, "cc dd ee ff")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4))).toSet
+    assert(rows(Dedup.containmentDelta(s, batch1, "text", "doc_id", 3, 0.9, table)) ==
+      Set((1L, 10L, 0.143, 1.0)))
+    // absorb batch 1: batch 2 (a copy of doc 10) must pair against it
+    // through the index ALONE, alongside the standing corpus pair
+    Dedup.absorbIntoShingleIndex(s, batch1, "text", "doc_id", 3, table)
+    val batch2 = Seq((20L, "cc dd ee ff")).toDF("doc_id", "text")
+    assert(rows(Dedup.containmentDelta(s, batch2, "text", "doc_id", 3, 0.9, table)) ==
+      Set((1L, 20L, 0.143, 1.0), (10L, 20L, 1.0, 1.0)))
+    Dedup.absorbIntoShingleIndex(s, batch2, "text", "doc_id", 3, table)
+    // supersede: doc 10 re-emits as a LONGER excerpt (3 shingles) — its
+    // standing rows and size leave the join, so (1,10) re-scores at
+    // 3/14 and (10,20) at 2-of-3; stale doc-10 rows would inflate both
+    val reemit = Seq((10L, "cc dd ee ff gg")).toDF("doc_id", "text")
+    assert(rows(Dedup.containmentDelta(s, reemit, "text", "doc_id", 3, 0.9, table)) ==
+      Set((1L, 10L, 0.214, 1.0), (10L, 20L, 0.667, 1.0)))
+    // the indexed one-shot over the standing corpus matches the
+    // recompute — containmentIndexed is the verifier-grade read
+    val allDocs = corpus.unionByName(batch1).unionByName(batch2)
+    assert(rows(Dedup.containmentIndexed(s, table, 0.9)) ==
+      rows(Dedup.ngramContainment(allDocs, "text", "doc_id", 3, 0.9)))
+  }
+
   test("contamination: exact copy scores 1.0, disjoint scores 0.0, partial in between") {
     val s = spark
     import s.implicits._

@@ -112,6 +112,16 @@ class TextMultimodalSpec extends SparkSpec {
     // empty doc: zero samples, zero everything, still a row
     assert(got(1).getLong(1) == 0 && got(1).getLong(5) == 0 &&
       got(1).getLong(6) == 0 && got(1).getLong(7) == 0, s"${got(1)}")
+    // non-ASCII text is REFUSED loudly: 'é' = 0xC3 0xA9 gives a byte
+    // delta up to 195 → ·256 wraps past Short range, silently
+    // corrupting sum_abs/peak/zero_crossings (and the oracle reads
+    // codepoints, not UTF-8 bytes — a wrapping engine can never match)
+    val acc = Seq((3L, "é", "src")).toDF("doc_id", "text", "source")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.audioFeatures(Multimodal.audioFromDocs(acc)).collect()
+    }
+    assert(ex.getMessage.contains("ASCII") ||
+      Option(ex.getCause).exists(_.getMessage.contains("ASCII")), ex.getMessage)
   }
 
   test("scene cuts: threshold segmentation, first frame never cuts, partition exactness, one shuffle") {
@@ -682,6 +692,16 @@ class TextMultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextAnalysis.crossEntropyDiff(docs, "text", "doc_id", small, outM)
     }
+    // an EMPTY reference slice is NOT a feature-space mismatch: it
+    // adopts the other model's buckets and scores 0 bits on every
+    // token (the x10 empty-model contract) — so diff = out_bits and
+    // everything with out-model mass selects
+    val emptyM = TextAnalysis.trainBigramModel(
+      Seq((9L, "???")).toDF("doc_id", "text"), "text")
+    val ed = TextAnalysis.crossEntropyDiff(docs, "text", "doc_id", emptyM, outM)
+      .orderBy("id").collect()
+    assert(ed(0).getLong(2) == 0 && ed(0).getLong(3) == 3 &&
+      ed(0).getLong(4) == 3 && ed(0).getBoolean(6), s"${ed(0)}")
   }
 
   test("length-bucket batching: bucket edges, rank order, batch split, shard bound, padding account") {
