@@ -332,6 +332,25 @@ object SparkEntry {
     chunks
   }
 
+  /** Stage `df` into one flat parquet chunk file per predicate, mtimes
+    * increasing in predicate order — the generic sibling of
+    * [[stageMicroBatches]] for streams whose batch boundary is not an
+    * id range (e8 splits the event log by TIME, the change-log arrival
+    * order). */
+  private def stagePredChunks(df: DataFrame, preds: Seq[Column], prefix: String): String = {
+    val chunks = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_chunks_").toString
+    preds.zipWithIndex.foreach { case (p, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_tmp_").toString
+      df.filter(p).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(chunks, f"c$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+    }
+    chunks
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -785,6 +804,25 @@ object SparkEntry {
       Events.retentionCohorts(events(s, dir), "ts", "user_id",
           periodUs = 604800000000L)
         .orderBy("cohort", "period_offset")),
+
+    "e8_stream_funnel" -> ((s, dir) => {
+      // e6's operational closure: the event log arrives as TIME-ordered
+      // micro-batches (split at the midpoint timestamp — users' steps
+      // genuinely span the boundary); per-user step state advances
+      // across batches and each COMPLETED funnel emits exactly once,
+      // in the batch where the purchase lands — the log is never
+      // re-scanned per refresh. Mid-funnel users stay in the state
+      // store (e5's open-tail discipline), so the oracle is the batch
+      // funnel restricted to depth = 3
+      val ev = events(s, dir)
+      val tus = Events.tsMicros(ev, "ts")
+      val mm = ev.agg(min(tus).as("mn"), max(tus).as("mx")).head // 1-row agg
+      val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+      val chunks = stagePredChunks(ev, Seq(tus <= mid, tus > mid), "ef")
+      OnChange.streamingFunnelDir(s, chunks, Seq("view", "click", "purchase"),
+          horizonUs = 86400000000L)
+        .orderBy("user_id")
+    }),
 
     // ===== dedup =========================================================
     "d1_exact_dedup" -> ((s, dir) => {
@@ -2098,6 +2136,21 @@ object SparkEntry {
         .toDF().orderBy("doc_id")
     }),
 
+    "m9_audio_ann_indexed" -> ((s, dir) => {
+      // the AUDIO branch's media-similarity loop in the deployment
+      // shape (what m4 is to the image branch): WAV payloads decode,
+      // the per-window energy profile embeds, and the vectors feed a
+      // standing trained-IVF inverted file — probes ride the bucketed
+      // cells, no exact all-pairs join anywhere. Pure composition:
+      // audioEmbed + buildIvfIndex + ivfTopKIndexed, zero new
+      // index machinery
+      val emb = Multimodal.audioEmbed(Multimodal.audioFromDocs(t(s, dir, "documents"))).toDF()
+      val table = "ivf_idx_m9"
+      Ann.buildIvfIndex(emb, "embedding", "doc_id", table)
+      Ann.ivfTopKIndexed(s, table, queryFilter = col("id") < 5, k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
     "m8_scene_cuts" -> ((s, dir) => {
       // temporal segmentation over the decoded frame stream (the
       // shot-boundary step before per-segment sampling): a cut opens a
@@ -2660,6 +2713,22 @@ object SparkEntry {
         |SELECT user_id, t1, t2, t3,
         |  (CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END)::BIGINT AS depth
         |FROM s3 ORDER BY user_id""".stripMargin,
+
+    // the e6 chain restricted to COMPLETED funnels — the streamed
+    // per-batch emissions must union to exactly the batch funnel's
+    // depth-3 rows (mid-funnel users stay in the state store)
+    "e8_stream_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, t1,
+        |         min(CASE WHEN e.us > t1 AND e.us <= t1 + 86400000000 THEN e.us END) AS t2
+        |       FROM s1 LEFT JOIN e ON e.user_id = s1.user_id AND e.event_type = 'click'
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT s2.user_id, t1, t2,
+        |         min(CASE WHEN e.us > t2 AND e.us <= t1 + 86400000000 THEN e.us END) AS t3
+        |       FROM s2 LEFT JOIN e ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |       GROUP BY 1, 2, 3)
+        |SELECT user_id, t1, t2, t3 FROM s3 WHERE t3 IS NOT NULL ORDER BY user_id""".stripMargin,
 
     // epoch-anchored integer weeks: first-seen min per user → cohort,
     // distinct (cohort, offset, user) → cell counts, cohort sizes from
@@ -4315,6 +4384,12 @@ object SparkEntry {
     // probing) — one parameter, the rest is s3/s5's proven construction
     "m4_multimodal_ann_indexed" -> Ann.ivfKmeansOracleSql(k = 3, queryPred = "id < 5",
       source = "SELECT doc_id AS id, [ coalesce(list_sum(bytes[16*d+1 : least(16*d+16, len(bytes))]), 0)::DOUBLE for d in range(0, 16) ] AS v FROM (SELECT doc_id, list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))::BIGINT) AS bytes FROM documents)"),
+
+    // m7's delta-waveform derivation + the per-window |s| sums swapped
+    // in as the vector source of the FULL trained-IVF oracle chain —
+    // the m4 parameterization applied to the audio branch
+    "m9_audio_ann_indexed" -> Ann.ivfKmeansOracleSql(k = 3, queryPred = "id < 5",
+      source = "SELECT doc_id AS id, [ coalesce(list_sum(list_transform(s[16*d+1 : least(16*d+16, len(s))], x -> abs(x))), 0)::DOUBLE for d in range(0, 16) ] AS v FROM (SELECT doc_id, list_transform(range(1, length(text)+1), i -> (ascii(substr(text, i, 1)) - CASE WHEN i = 1 THEN 0 ELSE ascii(substr(text, i-1, 1)) END) * 256) AS s FROM documents)"),
 
     // the m5 frame construction + SQL windows: lag-delta cut flags,
     // running cut count = segment id, then the per-segment rollup

@@ -29,9 +29,18 @@ import graft.text.StatsState
   * min-of-3 would be three different operations (the reason the
   * SteadyState probe prices only the read-out).
   *
-  * `runMain graft.StatsStateScale [docsParquet] [sizes...]` */
+  * `runMain graft.StatsStateScale [docsParquet] [sizes...]`
+  *
+  * CURVE mode (`runMain graft.StatsStateScale curve [docsParquet] [n]
+  * [shardSizes...]`): the READ-OUT cost vs the shard-count layout knob
+  * at a FIXED corpus — r15 measured the 10k-vs-100k shardSize cliff at
+  * one point; this sweeps partitions (e.g. 50/500/5000 at 500k docs),
+  * counts physical files before/after `compactStatsState`, and times
+  * the read-out in both states — so the layout knob has a measured
+  * curve AND the compact valve's effect is a number. */
 object StatsStateScale {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("curve")) return curve(args.drop(1))
     val docsPath = args.headOption.getOrElse("/tmp/sf100docs/documents.parquet")
     val sizes = if (args.length > 1) args.drop(1).map(_.toLong).toSeq
                 else Seq(50000L, 500000L, 5000000L)
@@ -94,6 +103,62 @@ object StatsStateScale {
         org.apache.commons.io.FileUtils.deleteQuietly(staged.toFile)
         ()
       }
+    }
+    spark.stop()
+  }
+
+  /** Read-out vs shard count at fixed corpus (see the object doc). */
+  private def curve(args: Array[String]): Unit = {
+    val docsPath = args.headOption.getOrElse("/tmp/sf10docs/documents.parquet")
+    val n = if (args.length > 1) args(1).toLong else 500000L
+    val shardSizes = if (args.length > 2) args.drop(2).map(_.toLong).toSeq
+                     else Seq(10000L, 1000L, 100L) // 50 / 500 / 5000 partitions at 500k
+    val wh = java.nio.file.Files.createTempDirectory("graft_sssc_wh_").toString
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", wh)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val batchN = 5000L
+    val all = spark.read.parquet(docsPath)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .filter(col("doc_id") < n + 3 * batchN)
+    all.persist()
+    def freqFiles(table: String): Long = {
+      val root = new java.io.File(new java.net.URI(wh).getPath, s"${table}_freq")
+      root.listFiles().filter(_.isDirectory)
+        .map(_.listFiles().count(f => f.isFile && !f.getName.startsWith("."))).sum.toLong
+    }
+    def timeReadout(table: String): Double = {
+      // min-of-2: the read-out is pure, unlike the absorb rows above
+      (0 until 2).map { _ =>
+        val t = System.nanoTime()
+        StatsState.tokenStatsReadout(spark, table).count()
+        (System.nanoTime() - t) / 1e9
+      }.min
+    }
+    shardSizes.foreach { ss =>
+      val table = s"sss_curve_$ss"
+      StatsState.buildStatsState(all.filter(col("doc_id") < n),
+        "text", "lang", "doc_id", table, shardSize = ss)
+      // three absorb cadences — each appends a file per touched
+      // (partition × bucket); the read-out then prices the LAYOUT
+      (0 until 3).foreach { i =>
+        val lo = n + i * batchN
+        StatsState.absorbIntoStatsState(spark,
+          all.filter(col("doc_id") >= lo && col("doc_id") < lo + batchN),
+          "text", "lang", "doc_id", table, batchId = i + 1L)
+      }
+      val partitions = (n + ss - 1) / ss
+      val filesBefore = freqFiles(table)
+      val readBefore = timeReadout(table)
+      StatsState.compactStatsState(spark, table)
+      val filesAfter = freqFiles(table)
+      val readAfter = timeReadout(table)
+      println(f"n=$n%8d  shardSize=$ss%7d  partitions=$partitions%5d  " +
+        f"files_before=$filesBefore%6d  readout_before=$readBefore%6.2f s  " +
+        f"files_after=$filesAfter%6d  readout_after=$readAfter%6.2f s")
     }
     spark.stop()
   }

@@ -182,6 +182,72 @@ case class WsWords(child: Expression)
     copy(child = newChild)
 }
 
+/** Native hashed BIGRAM-bucket pair builder — the bigram-LM family's
+  * hot loop (x20/x22: train + both scorers walk every (prev, cur)
+  * token pair of the corpus). The declarative route paid, per pair
+  * position, a struct-building lambda transform PLUS two full
+  * `tokenBucket` chains — md5 → 32-char HEX STRING → substring → conv
+  * → mod — hashing every token TWICE (once as `cur`, once as the next
+  * position's `prev`). This expression hashes each token ONCE
+  * (binary digest head, no hex round-trip — the Md5Head32 lesson) and
+  * carries the previous bucket forward in a register, emitting the
+  * same array<struct<pb, cb>> the explode consumes.
+  *
+  * Bit-exact equivalence (property-spec-pinned): `tokenBucket` =
+  * `conv(substring(md5(tok), 1, 8), 16, 10) % buckets` — the first 8
+  * hex chars ARE the digest's first 4 bytes as an unsigned 32-bit
+  * value, exactly [[Md5Head32]]'s packing; both sides are
+  * non-negative so `%` agrees. Position 0 gets pb = −1, the BOS
+  * context `coalesce(tokenBucket(NULL), −1)` produced. */
+case class BigramBuckets(child: Expression, buckets: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(buckets >= 1, s"bigram_buckets needs buckets >= 1, got $buckets")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pb", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cb", org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "bigram_buckets"
+
+  @transient private lazy val digests =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** codegen + interpreted entry point */
+  def evalArr(a: ArrayData): ArrayData = {
+    val m = a.numElements()
+    val md = digests.get()
+    val out = new Array[AnyRef](m)
+    var prev = -1L
+    var i = 0
+    while (i < m) {
+      md.reset()
+      val d = md.digest(a.getUTF8String(i).getBytes)
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val cb = h % buckets
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](prev, cb))
+      prev = cb
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = evalArr(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bigramBuckets", this, classOf[BigramBuckets].getName)
+    nullSafeCodeGen(ctx, ev,
+      v => s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.evalArr($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextKernels {
 
   /** Whitespace-token array ≡ `regexp_extract_all(text, '\S+')`, one
@@ -198,4 +264,10 @@ object TextKernels {
     * formulation, one pass (see [[NgramsJoin]]). */
   def ngramsJoin(ws: Column, n: Int): Column =
     ColumnBridge.column(NgramsJoin(ColumnBridge.expr(ws), n))
+
+  /** Hashed (prev, cur) bigram-bucket pairs ≡ the declarative
+    * transform + double-tokenBucket formulation, one hash per token
+    * (see [[BigramBuckets]]). */
+  def bigramBuckets(ws: Column, buckets: Int): Column =
+    ColumnBridge.column(BigramBuckets(ColumnBridge.expr(ws), buckets))
 }

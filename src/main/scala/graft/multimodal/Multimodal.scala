@@ -425,6 +425,37 @@ object Multimodal {
     })
   }
 
+  /** Audio embed stub — the AUDIO branch's entry into the standing
+    * vector indexes, closing the media-similarity loop the image
+    * branch has via [[embed]]→m4 (until round 15 the waveform
+    * features terminated at statistics): dim d = the absolute-
+    * amplitude sum over the d-th [[FrameStride]]-sample window of the
+    * DECODED PCM16 waveform — the per-window energy profile an audio
+    * front-end banks before any model sees the clip. Deterministic
+    * and SQL-recomputable from the text bytes (each window sum ≤
+    * 16·65280 < 2²⁴, exact in Float), so the full binary → decodeWav
+    * → embed → trained-IVF pipeline is oracle-checkable; a production
+    * build swaps ONLY this body for the audio-model call. Map-only;
+    * payloads never leave the executor. */
+  def audioEmbed(media: Dataset[Media], dims: Int = 16): Dataset[MediaEmbedding] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val s = decodeWav(m.payload).samples
+      val emb = new Array[Float](dims)
+      var d = 0
+      while (d < dims) {
+        var sum = 0L
+        var j = d * FrameStride
+        val end = math.min(j + FrameStride, s.length)
+        while (j < end) { sum += math.abs(s(j).toLong); j += 1 }
+        emb(d) = sum.toFloat
+        d += 1
+      }
+      MediaEmbedding(m.doc_id, emb)
+    })
+  }
+
   /** One decoded "frame": sampled position + pixel value + a windowed
     * stat over the following stride (a stand-in for per-frame features
     * like pixel means or audio chunk energy). */

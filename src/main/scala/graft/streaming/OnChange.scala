@@ -155,6 +155,84 @@ object OnChange {
         round(col("raw_sum"), 2).as("sum_value"))
   }
 
+  final case class StepEvent(user_id: Long, tus: Long, step: Int)
+  final case class FunnelProgress(times: Seq[Long], done: Boolean)
+  final case class CompletedFunnel(user_id: Long, times: Seq[Long])
+
+  /** Streaming funnel — e6's operational closure (the reference analog
+    * is the onchange trigger, internal/jobs/scheduler.go
+    * TriggerTypeOnChange): per-user step state advances as events
+    * arrive, and a user emits their COMPLETED funnel row (all k step
+    * times) exactly once, in the micro-batch where the last step
+    * lands — the e5 flatMapGroupsWithState pattern, so the event log
+    * is never re-scanned per refresh. Users mid-funnel stay in the
+    * state store (the open tail, e5's discipline); state per key is
+    * ≤ k longs + a flag, bounded regardless of history.
+    *
+    * Streaming ≡ batch (spec-pinned on a steps-span-batches fixture):
+    * under the change-log contract — chunk files arrive in event-time
+    * order (streamingSessionizeDir's contract) — each "first
+    * qualifying step event" the sequential state machine locks equals
+    * the batch funnel's min-aggregate, so the emitted set is EXACTLY
+    * [[graft.ops.Events.funnel]] restricted to depth = k. An event for
+    * step d+1 seen while the user sits at depth < d+1 is dropped, and
+    * the batch side rejects it too: in-order arrival means its
+    * timestamp is ≤ the eventual t_d, failing the strict > t_d gate. */
+  def streamingFunnelDir(spark: SparkSession, dir: String, steps: Seq[String],
+                         horizonUs: Long): DataFrame = {
+    import spark.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.length == steps.length, "funnel steps must be distinct")
+    require(horizonUs > 0, s"bad horizon $horizonUs")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val k = steps.length
+    val stepIdx = steps.zipWithIndex.foldLeft(lit(-1)) { case (acc, (st, i)) =>
+      when(col("event_type") === st, lit(i)).otherwise(acc)
+    }
+    val completed = raw
+      // the type filter reaches the stream scan — at 100 TB the log is
+      // mostly other event types (the e6 pushdown, streaming edition)
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"),
+        graft.ops.Events.tsMicros(raw, "ts").as("tus"), stepIdx.as("step"))
+      .as[StepEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, CompletedFunnel](
+        org.apache.spark.sql.streaming.OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid, events, state) =>
+          var st = state.getOption.getOrElse(FunnelProgress(Seq.empty, done = false))
+          val out = Seq.newBuilder[CompletedFunnel]
+          events.toSeq.sortBy(_.tus).foreach { e =>
+            if (!st.done) {
+              val d = st.times.length
+              if (e.step == d && d < k &&
+                  (d == 0 ||
+                    (e.tus > st.times.last && e.tus <= st.times.head + horizonUs))) {
+                val times = st.times :+ e.tus
+                st = FunnelProgress(times, done = times.length == k)
+                if (st.done) out += CompletedFunnel(uid, times)
+              }
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+    val name = "onchange_funnel_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = completed.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).select(
+      col("user_id") +:
+        (1 to k).map(i => element_at(col("times"), i).as(s"t$i")): _*)
+  }
+
   /** Streaming fullsync — the reference's fullsync JOB MODE
     * (internal/jobs/job.go:99 isFullSync) composed with the streaming
     * source: the complete entity set arrives as a STREAM of chunk files;

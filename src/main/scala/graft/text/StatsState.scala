@@ -290,7 +290,13 @@ object StatsState {
       .filter(col("c") =!= 0L)
       .select(col("id"), col("group"), col("token"), col("c"),
         lit(-1L).as("batch_id"), col("shard"))
-    swapInto(spark, freq, netted.unionByName(inflight))
+    // one shuffle keyed by the partition column: every (shard, bucket)
+    // cell's rows land in ONE task, so the bucketed write emits exactly
+    // one file per (partition, bucket) — compaction is the valve that
+    // undoes the per-absorb small-file accumulation (each absorb
+    // appends a file per touched (partition × bucket); read-out cost
+    // rises with batch count between compacts, spec-pinned census)
+    swapInto(spark, freq, netted.unionByName(inflight).repartition(col("shard")))
     val merged = spark.table(s"${table}_kmv")
       .select(col("group"), explode(col("minima")).as("__h"))
       .groupBy(col("group"))

@@ -1549,6 +1549,40 @@ object TextAnalysis {
         "CASE WHEN i = 0 THEN CAST(NULL AS STRING) ELSE element_at(__ws, i) END AS prev, " +
         "x AS cur))")
 
+  /** The hashed (pb, cb) pair stream every bigram-LM leg consumes (exposed private[graft] for the equivalence spec) —
+    * kernelized ([[graft.functions.BigramBuckets]]: one md5 per token,
+    * binary digest head, prev bucket carried in a register; the
+    * declarative transform+double-tokenBucket route paid two hex-string
+    * hash chains per pair position). `idCol` None = train shape (no
+    * doc key). */
+  private[graft] def pairStreamKernel(docs: DataFrame, textCol: String, idCol: Option[String],
+                                      buckets: Int): DataFrame = {
+    val base = idCol match {
+      case Some(c) => docs.select(col(c).as("id"), words(col(textCol)).as("__ws"))
+      case None    => docs.select(words(col(textCol)).as("__ws"))
+    }
+    val keep = idCol.map(_ => col("id")).toSeq
+    base.select(keep :+
+        explode(graft.functions.TextKernels.bigramBuckets(col("__ws"), buckets)).as("p"): _*)
+      .select(keep ++ Seq(col("p.pb").as("pb"), col("p.cb").as("cb")): _*)
+  }
+
+  /** The declarative twin of [[pairStreamKernel]] — kept ONLY as the
+    * equivalence oracle for the kernel's property spec (the
+    * wordsRegex/ngramsRegex discipline). */
+  private[graft] def pairStreamDeclarative(docs: DataFrame, textCol: String,
+                                           idCol: Option[String], buckets: Int): DataFrame = {
+    val base = idCol match {
+      case Some(c) => docs.select(col(c).as("id"), words(col(textCol)).as("__ws"))
+      case None    => docs.select(words(col(textCol)).as("__ws"))
+    }
+    val keep = idCol.map(_ => col("id")).toSeq
+    base.select(keep :+ explode(bucketPairs).as("p"): _*)
+      .select(keep ++ Seq(
+        coalesce(tokenBucket(col("p.prev"), buckets), lit(-1L)).as("pb"),
+        tokenBucket(col("p.cur"), buckets).as("cb")): _*)
+  }
+
   /** Train the bigram language model behind the contextual surprisal
     * filter (CCNet's reference-corpus LM scoring, Wenzek 2019, reduced
     * to its deterministic core — KenLM's n-gram conditioning without
@@ -1563,11 +1597,7 @@ object TextAnalysis {
     * = Σ over all pairs), so one DataFrame carries the whole model. */
   def trainBigramModel(docs: DataFrame, textCol: String,
                        buckets: Int = 1024): DataFrame = {
-    docs.select(words(col(textCol)).as("__ws"))
-      .select(explode(bucketPairs).as("p"))
-      .select(
-        coalesce(tokenBucket(col("p.prev"), buckets), lit(-1L)).as("pb"),
-        tokenBucket(col("p.cur"), buckets).as("cb"))
+    pairStreamKernel(docs, textCol, None, buckets)
       .groupBy("pb", "cb").agg(count(lit(1)).as("cnt"))
       .withColumn("buckets", lit(buckets))
   }
@@ -1637,12 +1667,7 @@ object TextAnalysis {
     // empty model: bucket choice is immaterial (every token scores 0
     // via the __empty flag) — any positive value tokenizes validly
     val buckets = bOpt.getOrElse(1)
-    val toks = docs
-      .select(col(idCol).as("id"), words(col(textCol)).as("__ws"))
-      .select(col("id"), explode(bucketPairs).as("p"))
-      .select(col("id"),
-        coalesce(tokenBucket(col("p.prev"), buckets), lit(-1L)).as("pb"),
-        tokenBucket(col("p.cur"), buckets).as("cb"))
+    val toks = pairStreamKernel(docs, textCol, Some(idCol), buckets)
     val scored = toks
       .join(broadcast(pairBits), Seq("pb", "cb"), "left")
       .join(broadcast(uniBits), Seq("cb"), "left")
@@ -1695,12 +1720,7 @@ object TextAnalysis {
     require(bInOpt.isEmpty || bOutOpt.isEmpty || bInOpt == bOutOpt,
       s"models trained in different feature spaces: ${bInOpt.get} vs ${bOutOpt.get} buckets")
     val bIn = bInOpt.orElse(bOutOpt).getOrElse(1)
-    val toks = docs
-      .select(col(idCol).as("id"), words(col(textCol)).as("__ws"))
-      .select(col("id"), explode(bucketPairs).as("p"))
-      .select(col("id"),
-        coalesce(tokenBucket(col("p.prev"), bIn), lit(-1L)).as("pb"),
-        tokenBucket(col("p.cur"), bIn).as("cb"))
+    val toks = pairStreamKernel(docs, textCol, Some(idCol), bIn)
     val scored = toks
       .join(broadcast(pIn), Seq("pb", "cb"), "left")
       .join(broadcast(uIn), Seq("cb"), "left")

@@ -457,4 +457,31 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("BigramBuckets kernel ≡ the declarative transform + double-tokenBucket pair stream") {
+    val s = spark
+    import s.implicits._
+    // adversarial alphabet (the AlnumWords generator): multi-byte
+    // chars, uppercase, punctuation — the hash must agree on every
+    // token the shared tokenizer can emit, at several bucket counts
+    // including 1 (all-zero cb) and a non-power-of-two
+    val anyText: Gen[String] = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.const(' '), 2 -> Gen.oneOf('.', ',', '!', '"'),
+      2 -> Gen.oneOf('A', 'Z', 'Q'), 2 -> Gen.oneOf('é', '中', 'ß'),
+      1 -> Gen.oneOf('\n', '\t'))).map(_.mkString)
+    Seq(1, 7, 1024).foreach { buckets =>
+      forAllSeeded(Gen.listOfN(16, anyText), trials = 4) { texts =>
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        def pairs(p: org.apache.spark.sql.DataFrame) = p.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .groupBy(identity).map { case (key, v) => key -> v.length }
+        val kernel = pairs(
+          graft.text.TextAnalysis.pairStreamKernel(df, "text", Some("doc_id"), buckets))
+        val declarative = pairs(
+          graft.text.TextAnalysis.pairStreamDeclarative(df, "text", Some("doc_id"), buckets))
+        assert(kernel == declarative,
+          s"buckets=$buckets kernel=$kernel declarative=$declarative")
+      }
+    }
+  }
 }

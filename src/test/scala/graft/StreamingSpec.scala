@@ -151,6 +151,56 @@ class StreamingSpec extends SparkSpec {
       (2L, us(100), 1L, 6.0)), got.toString)
   }
 
+  test("streaming funnel: completed rows emit once, steps span batches, open tails stay in state, = batch funnel at depth k") {
+    val s = spark
+    import s.implicits._
+    def us(min: Long) = min * 60L * 1000000L
+    def ns(min: Long) = us(min) * 1000L
+    val horizon = us(600)
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_mb_").toString
+    def chunk(name: String, order: Int, rows: Seq[(Long, Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_funnel_tmp_").toString
+      rows.toDF("user_id", "ts", "event_type").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val dest = java.nio.file.Paths.get(dir, name)
+      java.nio.file.Files.copy(
+        new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + order * 10000L))
+    }
+    // user 1: steps SPAN the batch boundary (view in a; click+purchase in b)
+    // user 2: completes inside batch a; later batch-b events must not re-emit
+    // user 3: view+click only — open tail, stays in state, never emitted
+    // user 4: purchase BEYOND the 600-min horizon — not completed
+    // user 5: click arrives BEFORE its view (dropped; batch agrees: its
+    //         time is ≤ t1, failing the strict > gate), then a
+    //         qualifying click + purchase in batch b
+    chunk("a.parquet", 0, Seq(
+      (1L, ns(0), "view"),
+      (2L, ns(1), "view"), (2L, ns(2), "click"), (2L, ns(3), "purchase"),
+      (3L, ns(4), "view"), (3L, ns(5), "click"),
+      (4L, ns(6), "view"), (4L, ns(7), "click"),
+      (5L, ns(8), "click"), (5L, ns(9), "view")))
+    chunk("b.parquet", 1, Seq(
+      (1L, ns(100), "click"), (1L, ns(200), "purchase"),
+      (2L, ns(150), "view"), (2L, ns(151), "purchase"),
+      (4L, ns(7 + 601), "purchase"),
+      (5L, ns(120), "click"), (5L, ns(130), "purchase")))
+    val steps = Seq("view", "click", "purchase")
+    val got = OnChange.streamingFunnelDir(s, dir, steps, horizon)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, us(0), us(100), us(200)),
+      (2L, us(1), us(2), us(3)),
+      (5L, us(9), us(120), us(130))), got.toString)
+    // streaming ≡ batch: the emitted set is exactly the one-shot funnel
+    // over the union of all chunks, restricted to depth = k
+    val all = s.read.parquet(dir)
+    val batch = graft.ops.Events.funnel(all, "ts", "user_id", "event_type", steps, horizon)
+      .filter(col("depth") === 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == batch, s"stream=$got batch=$batch")
+  }
+
   test("streaming substring dedup: as-of-arrival spans, absorb chains batches, replay idempotent") {
     val s = spark
     import s.implicits._

@@ -112,6 +112,15 @@ class TextMultimodalSpec extends SparkSpec {
     // empty doc: zero samples, zero everything, still a row
     assert(got(1).getLong(1) == 0 && got(1).getLong(5) == 0 &&
       got(1).getLong(6) == 0 && got(1).getLong(7) == 0, s"${got(1)}")
+    // audio embed: dim d = Σ|s| over the d-th 16-sample window of the
+    // DECODED waveform — "ba" decodes to samples (25088, −256), so
+    // dim 0 = 25344 and every other dim is 0; the empty doc embeds as
+    // the zero vector (row still present: the index must rule on it)
+    val ae = Multimodal.audioEmbed(Multimodal.audioFromDocs(docs))
+      .toDF().orderBy("doc_id").collect()
+    assert(ae(0).getSeq[Float](1).head == 25344f &&
+      ae(0).getSeq[Float](1).tail.forall(_ == 0f), s"${ae(0)}")
+    assert(ae(1).getSeq[Float](1).forall(_ == 0f), s"${ae(1)}")
     // non-ASCII text is REFUSED loudly: 'é' = 0xC3 0xA9 gives a byte
     // delta up to 195 → ·256 wraps past Short range, silently
     // corrupting sum_abs/peak/zero_crossings (and the oracle reads
@@ -1294,6 +1303,47 @@ class TextMultimodalSpec extends SparkSpec {
     // the scheduled-refresh valve restores sketch ≡ one-shot exactly
     StatsState.refreshKmvState(mk(effective), "text", "grp", tbl, 3, 8)
     assert(kmvMap(StatsState.kmvReadout(s, tbl, 8)) == oneShotKmv)
+  }
+
+  test("StatsState compact coalesces the freq log to ONE file per (partition, bucket)") {
+    import graft.text.StatsState
+    val s = spark
+    import s.implicits._
+    def mk(rows: Seq[(Long, String, String)]) = rows.toDF("id", "grp", "text")
+    val tbl = "sst_census_spec"
+    // shardSize 2 → ids 1..5 span shards 0..2; buckets 4
+    StatsState.buildStatsState(mk(Seq(
+      (1L, "a", "x y z w q"), (2L, "a", "p q r s t"), (4L, "b", "m n o p"))),
+      "text", "grp", "id", tbl, n = 3, k = 8, buckets = 4, shardSize = 2L)
+    // two absorbs touching the same shards → per-absorb appended files
+    assert(StatsState.absorbIntoStatsState(s, mk(Seq((3L, "a", "x y q w"))),
+      "text", "grp", "id", tbl, 1L, 3, 8))
+    assert(StatsState.absorbIntoStatsState(s, mk(Seq((5L, "b", "p q m x"))),
+      "text", "grp", "id", tbl, 2L, 3, 8))
+    // census: (shard dir, bucket id from the file name) → file count
+    def census(): Map[(String, Int), Int] = {
+      val root = new java.io.File(
+        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath,
+        s"${tbl}_freq")
+      val bucketRe = "_(\\d+)\\.c".r
+      root.listFiles().filter(d => d.isDirectory && d.getName.startsWith("shard="))
+        .flatMap { d =>
+          d.listFiles().filter(f => f.isFile && !f.getName.startsWith("."))
+            .map(f => (d.getName,
+              bucketRe.findFirstMatchIn(f.getName).get.group(1).toInt))
+        }
+        .groupBy(identity).map { case (key, v) => key -> v.length }
+    }
+    val before = census()
+    assert(before.exists(_._2 > 1),
+      s"absorbs should accumulate multiple files per (partition, bucket): $before")
+    val reads = graft.text.StatsState.tokenStatsReadout(s, tbl, 10).collect().toSeq
+    StatsState.compactStatsState(s, tbl, 8)
+    val after = census()
+    assert(after.nonEmpty && after.forall(_._2 == 1),
+      s"compact must coalesce to one file per (partition, bucket): $after")
+    // and the read-out is unchanged by the rewrite
+    assert(graft.text.StatsState.tokenStatsReadout(s, tbl, 10).collect().toSeq == reads)
   }
 
   test("StatsState: supersede leg prunes to the touched shard partitions; broadcast path identical") {
