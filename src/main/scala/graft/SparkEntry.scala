@@ -5,7 +5,7 @@ import graft.core.{EntityGraph, Tpch}
 import graft.dedup.Dedup
 import graft.jobs.{DatasetRegistry, DatasetSink, DatasetSource, FunctionSource, Job, MultiSource, RegistrySource, Transaction, Transforms, VirtualDataset}
 import graft.multimodal.Multimodal
-import graft.ops.{ChangeLog, Events, TimeTravel}
+import graft.ops.{ChangeLog, Events, Retention, TimeTravel}
 import graft.streaming.OnChange
 import graft.text.{PackIndex, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -804,6 +804,27 @@ object SparkEntry {
       Events.retentionCohorts(events(s, dir), "ts", "user_id",
           periodUs = 604800000000L)
         .orderBy("cohort", "period_offset")),
+
+    "e9_retention_delta" -> ((s, dir) => {
+      // e7's operational closure (the standing-state pattern, not a
+      // per-refresh log re-scan): the standing event log builds the
+      // cohort roster + distinct activity cells once; the new batch
+      // (the later half of the log) absorbs in O(batch + matched
+      // rows) — new users insert their cohort, cells dedup against
+      // the standing set — and the read-out equals the one-shot e7
+      // triangle over the union (the d8 identity for retention)
+      val ev = events(s, dir)
+      val tus = Events.tsMicros(ev, "ts")
+      val mm = ev.agg(min(tus).as("mn"), max(tus).as("mx")).head // 1-row agg
+      val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+      val table = "retention_state_e9"
+      Retention.buildRetentionState(ev.filter(tus <= mid), "ts", "user_id",
+        periodUs = 604800000000L, table)
+      Retention.absorbIntoRetentionState(s, ev.filter(tus > mid), "ts", "user_id",
+        table, batchId = 1L)
+      Retention.retentionReadout(s, table)
+        .orderBy("cohort", "period_offset")
+    }),
 
     "e8_stream_funnel" -> ((s, dir) => {
       // e6's operational closure: the event log arrives as TIME-ordered
@@ -2713,6 +2734,20 @@ object SparkEntry {
         |SELECT user_id, t1, t2, t3,
         |  (CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END)::BIGINT AS depth
         |FROM s3 ORDER BY user_id""".stripMargin,
+
+    // the e7 chain verbatim: the absorbed standing state's read-out
+    // must equal the one-shot triangle over the full log (the d8
+    // identity applied to retention)
+    "e9_retention_delta" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS p FROM events),
+        |f AS (SELECT user_id, min(p) AS cohort FROM e GROUP BY 1),
+        |act AS (SELECT DISTINCT e.user_id, f.cohort, e.p - f.cohort AS period_offset
+        |        FROM e JOIN f ON e.user_id = f.user_id),
+        |sz AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY 1)
+        |SELECT act.cohort, act.period_offset, count(*)::BIGINT AS n_active,
+        |  sz.cohort_size::BIGINT AS cohort_size
+        |FROM act JOIN sz ON act.cohort = sz.cohort
+        |GROUP BY 1, 2, sz.cohort_size ORDER BY act.cohort, period_offset""".stripMargin,
 
     // the e6 chain restricted to COMPLETED funnels — the streamed
     // per-batch emissions must union to exactly the batch funnel's

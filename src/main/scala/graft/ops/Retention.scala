@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** STANDING cohort-retention state — e7's operational closure (the
+  * reference analog is the scheduled statistics artifact the dataset
+  * stats family mirrors: refresh per ingest batch, never a log
+  * re-scan). [[graft.ops.Events.retentionCohorts]] is the one-shot
+  * verifier; at 100 TB the retention triangle a team reads weekly must
+  * cost O(batch) per refresh.
+  *
+  * State, for prefix `table`:
+  *  - `{table}_first` (user_id, cohort): first-seen period per user.
+  *    `periodUs` is pinned in the `graft.periodUs` table property at
+  *    build (the StatsState shardSize lesson — an absorb deriving
+  *    periods under a different size would silently mis-cohort).
+  *  - `{table}_active` (cohort, period_offset, user_id): the DISTINCT
+  *    activity cells — bounded by users × live periods, never raw
+  *    event volume (e7's distinct-before-count discipline, persisted).
+  *  - `{table}_batches` (batch_id): replay markers.
+  *
+  * Contract (the change-log in-order arrival contract every streaming
+  * loop in the repo shares): batches arrive in event-time order, so a
+  * standing user's first-seen period never decreases and their cohort
+  * is stable. A batch that violates it (an event EARLIER than a
+  * standing user's cohort) would need a negative offset — refused
+  * LOUDLY, because silently clamping would corrupt the triangle; the
+  * re-anchor valve is a rebuild (`buildRetentionState`), the
+  * refreshKmvState discipline.
+  *
+  * At-least-once: both appends are anti-joined against the standing
+  * set (the `_docs` roster idiom — set-union state is monotone, no
+  * batch tagging needed), so a crashed absorb's retry cannot duplicate
+  * a user or a cell; the marker, written LAST, refuses replays of
+  * COMPLETED absorbs.
+  *
+  * Shapes at scale: the batch side is always the small side — the
+  * standing `_first` and `_active` tables are only ever scanned with a
+  * broadcast semi/anti-join against batch-derived sets (map-only, no
+  * corpus shuffle, no corpus-side hash build). */
+object Retention {
+
+  val PeriodProp = "graft.periodUs"
+
+  private def periods(events: DataFrame, nsCol: String, userCol: String,
+                      periodUs: Long): DataFrame =
+    events.select(col(userCol).cast("long").as("user_id"),
+        Events.tsMicros(events, nsCol).as("__us"))
+      .select(col("user_id"), expr(s"__us div $periodUs").as("p"))
+      .distinct()
+
+  /** Build the standing state from an event-log snapshot (drops prior
+    * state including markers — the family build discipline). */
+  def buildRetentionState(events: DataFrame, nsCol: String, userCol: String,
+                          periodUs: Long, table: String): String = {
+    require(periodUs > 0, s"bad period $periodUs")
+    val spark = events.sparkSession
+    Seq(s"${table}_first", s"${table}_active", s"${table}_batches")
+      .foreach(graft.core.Tables.drop(spark, _))
+    val ev = graft.core.Checkpoints.truncate(
+      periods(events, nsCol, userCol, periodUs))
+    ev.groupBy("user_id").agg(min(col("p")).as("cohort"))
+      .write.mode("overwrite").saveAsTable(s"${table}_first")
+    spark.sql(s"ALTER TABLE `${table}_first` SET TBLPROPERTIES " +
+      s"('$PeriodProp' = '$periodUs')")
+    ev.join(spark.table(s"${table}_first"), Seq("user_id"))
+      .select(col("cohort"), (col("p") - col("cohort")).as("period_offset"),
+        col("user_id"))
+      .distinct()
+      .write.mode("overwrite").saveAsTable(s"${table}_active")
+    table
+  }
+
+  /** The pinned period size — LOUD on a missing property (the
+    * freqLayout discipline: a guessed period mis-buckets silently). */
+  private def periodOf(spark: SparkSession, table: String): Long = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_first"))
+    require(meta.properties.contains(PeriodProp),
+      s"${table}_first carries no $PeriodProp table property — absorb derives " +
+        "periods from it, and a guessed size would silently mis-cohort")
+    meta.properties(PeriodProp).toLong
+  }
+
+  /** Absorb an event batch: O(batch + matched standing rows) marginal.
+    * New users insert their first-seen cohort; every batch (user,
+    * period) becomes an activity cell against the (updated) cohort
+    * roster; both appends dedup against the standing set. Returns
+    * whether the batch was absorbed (false = replay). */
+  def absorbIntoRetentionState(spark: SparkSession, batch: DataFrame, nsCol: String,
+                               userCol: String, table: String, batchId: Long): Boolean = {
+    import spark.implicits._
+    require(batchId > 0L, s"batchId must be positive, got $batchId")
+    val markers = s"${table}_batches"
+    if (spark.catalog.tableExists(markers) &&
+        !spark.table(markers).filter(col("batch_id") === batchId).isEmpty) return false
+    val periodUs = periodOf(spark, table)
+    val bev = graft.core.Checkpoints.truncate(
+      periods(batch, nsCol, userCol, periodUs))
+    val users = bev.select("user_id").distinct()
+    // new users first: their cohort = min over the batch (in-order
+    // arrival makes this the global min); anti-join = the roster idiom
+    bev.groupBy("user_id").agg(min(col("p")).as("cohort"))
+      .join(spark.table(s"${table}_first"), Seq("user_id"), "left_anti")
+      .write.mode("append").saveAsTable(s"${table}_first")
+    spark.catalog.refreshTable(s"${table}_first")
+    // activity cells against the updated roster: the standing side is
+    // sliced map-only by the broadcast batch-user set before any join
+    val firstSlice = spark.table(s"${table}_first")
+      .join(broadcast(users), Seq("user_id"), "leftsemi")
+    val cells = graft.core.Checkpoints.truncate(
+      bev.join(firstSlice, Seq("user_id"))
+        .select(col("cohort"), (col("p") - col("cohort")).as("period_offset"),
+          col("user_id"))
+        .distinct())
+    // contract check, cheap (cells are batch-bounded): an event before
+    // a standing user's cohort means out-of-order delivery — refuse
+    require(cells.filter(col("period_offset") < 0L).isEmpty,
+      s"batch $batchId carries events BEFORE a standing user's cohort — " +
+        "out-of-order delivery violates the change-log arrival contract; " +
+        "re-anchor with buildRetentionState")
+    val activeSlice = spark.table(s"${table}_active")
+      .join(broadcast(users), Seq("user_id"), "leftsemi")
+    cells.join(activeSlice,
+        Seq("cohort", "period_offset", "user_id"), "left_anti")
+      .select("cohort", "period_offset", "user_id")
+      .write.mode("append").saveAsTable(s"${table}_active")
+    Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(markers)
+    Seq(s"${table}_active", markers).foreach(spark.catalog.refreshTable)
+    true
+  }
+
+  /** The retention triangle from the standing state — identical output
+    * to [[Events.retentionCohorts]] over the absorbed event union
+    * (spec- and oracle-pinned): cell counts over `_active`, cohort
+    * sizes broadcast from `_first`. Never touches event volume. */
+  def retentionReadout(spark: SparkSession, table: String): DataFrame = {
+    val sizes = spark.table(s"${table}_first")
+      .groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+    spark.table(s"${table}_active")
+      .groupBy("cohort", "period_offset").agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort"))
+      .select(col("cohort"), col("period_offset"), col("n_active"), col("cohort_size"))
+  }
+}

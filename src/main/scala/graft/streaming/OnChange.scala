@@ -644,6 +644,39 @@ object OnChange {
       .foreach(spark.catalog.refreshTable)
   }
 
+  /** The retention family's STREAMING closure (the streamingStats
+    * pattern): each micro-batch of events absorbs into the standing
+    * cohort/activity state ([[graft.ops.Retention]] — O(batch +
+    * matched rows), roster-anti-joined appends), so the triangle
+    * read-out is refreshable per batch with the event log never
+    * re-scanned. Absorb is marker-guarded and its appends are
+    * set-monotone (anti-joined), so replays and crashed retries are
+    * no-ops / exact — no wrapper guard needed. Chunk files must
+    * arrive in event-time order (the change-log contract;
+    * out-of-order batches refuse loudly inside absorb). */
+  def streamingRetention(spark: SparkSession, eventsDir: String, nsCol: String,
+                         userCol: String, table: String,
+                         checkpointDir: String): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(eventsDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Retention.absorbIntoRetentionState(batch.sparkSession, batch,
+          nsCol, userCol, table, batchId = batchId + 1L)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Seq(s"${table}_first", s"${table}_active", s"${table}_batches")
+      .filter(spark.catalog.tableExists)
+      .foreach(spark.catalog.refreshTable)
+  }
+
   /** STREAMING incremental SIMHASH dedup — the operational loop for
     * the fingerprint family (d4/d22), giving ALL FIVE dedup index
     * families streaming closure: each micro-batch fingerprints itself

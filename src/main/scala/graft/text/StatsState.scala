@@ -118,9 +118,16 @@ object StatsState {
     val spark = docs.sparkSession
     Seq(s"${table}_freq", s"${table}_kmv", s"${table}_docs", s"${table}_batches")
       .foreach(graft.core.Tables.drop(spark, _))
+    // repartition by the partition column before the bucketed write:
+    // each (shard, bucket) cell's rows land in ONE task → ONE file —
+    // without it every one of the 32 shuffle tasks writes its own file
+    // per touched cell and the build alone puts tasks×partitions×
+    // buckets files on disk (the r15 10k-shardSize read-out cliff was
+    // mostly THIS, not the partition count per se)
     docContrib(docs, textCol, groupCol, idCol)
       .withColumn("batch_id", lit(0L))
       .withColumn("shard", shardOf(shardSize))
+      .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard")
       .bucketBy(buckets, "token").sortBy("token")
       .saveAsTable(s"${table}_freq")
@@ -241,6 +248,11 @@ object StatsState {
                                 rows: DataFrame): Unit =
     rows.select(col("id"), col("group"), col("token"), col("c"),
         col("batch_id"), col("shard"))
+      // one file per touched (partition, bucket) per absorb, not one
+      // per task per cell (see the build-write comment) — the append
+      // accumulation the compact valve nets is batch COUNT, not
+      // batch count × task count
+      .repartition(col("shard"))
       .write.mode("append").partitionBy("shard")
       .bucketBy(buckets, "token").sortBy("token")
       .saveAsTable(s"${table}_freq")

@@ -150,6 +150,41 @@ class GraphPlanSpec extends SparkSpec {
     assert(got.filter(_._2 == 0L).forall(c => c._3 == c._4))
   }
 
+  test("retention state: absorb ≡ one-shot, cells never double, chaining, replay no-op, out-of-order refused") {
+    val s = spark
+    import s.implicits._
+    val R = graft.ops.Retention
+    def ns(period: Long, within: Long) = (period * 100 + within) * 1000000000L
+    def mk(rows: Seq[(Long, Long)]) = rows.map { case (u, t) => (u, t, "view", 1.0) }
+      .toDF("user_id", "ts", "event_type", "value")
+    val standing = mk(Seq((1L, ns(0, 10)), (1L, ns(1, 5)), (2L, ns(0, 50)), (3L, ns(1, 0))))
+    val table = "retention_state_spec"
+    R.buildRetentionState(standing, "ts", "user_id", 100000000L, table)
+    def triangle(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("cohort", "period_offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // batch 1: standing user 1 returns (period 2 = NEW cell; period 1 =
+    // already-counted cell, must not double), user 3 skips to period 3,
+    // NEW user 4 starts in period 2 (cohort inserted from the batch)
+    val b1 = mk(Seq((1L, ns(2, 7)), (1L, ns(1, 80)), (3L, ns(3, 99)), (4L, ns(2, 1))))
+    assert(R.absorbIntoRetentionState(s, b1, "ts", "user_id", table, 1L))
+    assert(!R.absorbIntoRetentionState(s, b1, "ts", "user_id", table, 1L),
+      "replaying a seen batch_id must be refused")
+    assert(triangle(R.retentionReadout(s, table)) ==
+      triangle(Events.retentionCohorts(standing.unionByName(b1), "ts", "user_id", 100000000L)))
+    // chaining: batch 2 sees batch 1's user 4 through the state alone
+    val b2 = mk(Seq((4L, ns(3, 5)), (2L, ns(2, 9))))
+    assert(R.absorbIntoRetentionState(s, b2, "ts", "user_id", table, 2L))
+    val all = standing.unionByName(b1).unionByName(b2)
+    assert(triangle(R.retentionReadout(s, table)) ==
+      triangle(Events.retentionCohorts(all, "ts", "user_id", 100000000L)))
+    // out-of-order delivery (an event BEFORE a standing user's cohort)
+    // refuses loudly: silently clamping would corrupt the triangle
+    intercept[IllegalArgumentException] {
+      R.absorbIntoRetentionState(s, mk(Seq((3L, ns(0, 1)))), "ts", "user_id", table, 3L)
+    }
+  }
+
   test("paged traversal: pages partition the full traversal, keyset-resumable") {
     val page1 = g.outPaged("customer", Tpch.pNation, None, 30)
       .select("start_key").collect().map(_.getLong(0))

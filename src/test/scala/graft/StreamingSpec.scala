@@ -151,6 +151,38 @@ class StreamingSpec extends SparkSpec {
       (2L, us(100), 1L, 6.0)), got.toString)
   }
 
+  test("streaming retention: per-batch absorbs drain to the one-shot triangle; state carries across batches") {
+    val s = spark
+    import s.implicits._
+    def ns(period: Long, within: Long) = (period * 100 + within) * 1000000000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_ret_mb_").toString
+    def chunk(name: String, order: Int, rows: Seq[(Long, Long)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ret_tmp_").toString
+      rows.toDF("user_id", "ts").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val dest = java.nio.file.Paths.get(dir, name)
+      java.nio.file.Files.copy(
+        new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + order * 10000L))
+    }
+    // user 1 spans all three chunks; user 2 appears in chunk b as new
+    chunk("a.parquet", 0, Seq((1L, ns(0, 10))))
+    chunk("b.parquet", 1, Seq((1L, ns(1, 5)), (2L, ns(1, 20))))
+    chunk("c.parquet", 2, Seq((1L, ns(3, 0)), (2L, ns(2, 1)), (2L, ns(2, 2))))
+    val table = "retention_stream_spec"
+    // empty build (state starts empty; the stream is the whole log)
+    graft.ops.Retention.buildRetentionState(
+      Seq.empty[(Long, Long)].toDF("user_id", "ts"), "ts", "user_id", 100000000L, table)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ret_ckpt_").toString
+    OnChange.streamingRetention(s, dir, "ts", "user_id", table, ckpt)
+    def triangle(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("cohort", "period_offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val oneShot = graft.ops.Events.retentionCohorts(
+      s.read.parquet(dir), "ts", "user_id", 100000000L)
+    assert(triangle(graft.ops.Retention.retentionReadout(s, table)) == triangle(oneShot))
+  }
+
   test("streaming funnel: completed rows emit once, steps span batches, open tails stay in state, = batch funnel at depth k") {
     val s = spark
     import s.implicits._
