@@ -80,6 +80,14 @@ object SteadyState {
     // mutating absorb is priced by StatsStateScale, which a repeatable
     // min-of-3 probe cannot do honestly)
     graft.text.StatsState.buildStatsState(docs, "text", "lang", "doc_id", "ss_stats")
+    // the standing retention state (e9's deployment shape): built once
+    // untimed; the probe prices the triangle READ-OUT marginal (the
+    // mutating absorb is replay-guarded, so a repeatable min-of-3
+    // cannot price it honestly — the x18 discipline)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    graft.ops.Retention.buildRetentionState(ev, "ts", "user_id",
+      604800000000L, "ss_retention")
 
     Seq(
       // data-independent CPU-bound kernel, timed exactly like the
@@ -114,6 +122,12 @@ object SteadyState {
       "d8_jaccard_delta" ->
         (() => graft.dedup.Dedup.ngramJaccardDelta(spark,
           docs.filter(col("doc_id") >= cut), "text", "doc_id", 3, 0.8, "ss_shingle").count()),
+      // d28's deployment marginal: the per-ingest-batch quote/excerpt
+      // screen against the standing shingle index — the same
+      // bucket-riding join as d8 with the containment tail
+      "d28_containment_probe" ->
+        (() => graft.dedup.Dedup.containmentDelta(spark,
+          docs.filter(col("doc_id") >= cut), "text", "doc_id", 3, 0.9, "ss_shingle").count()),
       "d18_substring_delta" ->
         (() => graft.dedup.Dedup.substringSpansDelta(spark,
           docs.filter(col("doc_id") >= cut), "text", "doc_id", 15, "ss_gram").count()),
@@ -153,14 +167,16 @@ object SteadyState {
         (() => graft.text.StatsState.tokenStatsReadout(spark, "ss_stats")
           .join(graft.text.StatsState.kmvReadout(spark, "ss_stats"), Seq("group"))
           .count()),
+      // e9's deployment marginal: the retention-triangle refresh a
+      // dashboard pays against standing state — cell counts over
+      // `_active` + broadcast cohort sizes, never the event log
+      "e9_retention_probe" ->
+        (() => graft.ops.Retention.retentionReadout(spark, "ss_retention").count()),
       // event-time probe (r8 postmortem: the e-family broke on a testdata
       // re-encode and no gate noticed) — batch sessionize over the events
       // log, the same single session_window hash-agg shuffle e2/e5 share
-      "e2_sessionize" -> {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val ev = spark.read.parquet(s"$sfDir/events.parquet")
-        () => graft.ops.Events.sessionize(ev, "ts", "user_id", "2 hours").count()
-      }
+      "e2_sessionize" ->
+        (() => graft.ops.Events.sessionize(ev, "ts", "user_id", "2 hours").count())
     )
   }
 
