@@ -1040,6 +1040,27 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    "d29_stream_containment" -> ((s, dir) => {
+      // streaming containment screening — the d10 loop with the
+      // quote/excerpt screen as the per-batch pair generator: docs
+      // [400, 600) arrive as two micro-batches over the standing
+      // shingle index; each batch's containment pairs are judged
+      // AS-OF-ARRIVAL (corpus so far + own batch), then the batch
+      // absorbs so batch b screens against batch a through the index
+      // alone — the containment family's streaming closure
+      val docs = t(s, dir, "documents")
+      val table = "shingle_idx_cont_stream"
+      Dedup.buildShingleIndex(docs.filter(col("doc_id") < 400 || col("doc_id") >= 600),
+        "text", "doc_id", 3, table, buckets = 16)
+      val chunks = stageMicroBatches(docs, "doc_id",
+        Seq((400L, 500L, "a"), (500L, 600L, "b")), "ct")
+      val pairs = java.nio.file.Files.createTempDirectory("graft_ct_pairs_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ct_ckpt_").toString
+      OnChange.streamingContainment(s, chunks, "text", "doc_id", 3, 0.9, table, pairs, ckpt)
+      s.read.parquet(pairs).select("a", "b", "inter", "cont_ab", "cont_ba")
+        .orderBy("a", "b")
+    }),
+
     "d10_stream_dedup" -> ((s, dir) => {
       // streaming incremental dedup: the batch stream dedups against the
       // standing index and is absorbed into it batch by batch — the
@@ -3954,6 +3975,13 @@ object SparkEntry {
     // identical to the one-shot proves the indexed delta loses nothing
     "d28_containment_delta" -> containmentOracleSql(
       pairPred = " AND (a >= 400 OR b >= 400)"),
+
+    // as-of-arrival ground truth (the d10 shape for containment): each
+    // pair touching the stream region surfaces exactly once, in the
+    // later doc's batch, so the union of per-batch outputs = all
+    // containment pairs with an endpoint in [400, 600)
+    "d29_stream_containment" -> containmentOracleSql(
+      pairPred = " AND ((a >= 400 AND a < 600) OR (b >= 400 AND b < 600))"),
 
     // SimHash is md5-based precisely so DuckDB can recompute the whole
     // fingerprint: per-(doc, bit) sign sums from the 4x16-bit words of

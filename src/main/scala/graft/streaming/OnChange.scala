@@ -304,7 +304,36 @@ object OnChange {
   def streamingDedupDelta(spark: SparkSession, docsDir: String, textCol: String,
                           idCol: String, n: Int, threshold: Double, indexTable: String,
                           pairsPath: String, checkpointDir: String,
-                          maxDf: Int = 10000): Unit = {
+                          maxDf: Int = 10000): Unit =
+    streamingShingleLoop(spark, docsDir, textCol, idCol, n, indexTable, pairsPath,
+      checkpointDir,
+      (bs, batch) => graft.dedup.Dedup
+        .ngramJaccardDelta(bs, batch, textCol, idCol, n, threshold, indexTable, maxDf))
+
+  /** `streamingDedupDelta`'s loop with the CONTAINMENT screen as the
+    * per-batch pair generator — the sixth standing family's streaming
+    * closure (quote/excerpt screening on every ingest batch): same
+    * index, same absorb/supersede/replay contract, same as-of-arrival
+    * pair semantics; only the scoring tail differs (the engine-side
+    * sharing is literal — both loops ride `streamingShingleLoop` and
+    * `Dedup.deltaInterSizes`). */
+  def streamingContainment(spark: SparkSession, docsDir: String, textCol: String,
+                           idCol: String, n: Int, threshold: Double, indexTable: String,
+                           pairsPath: String, checkpointDir: String,
+                           maxDf: Int = 10000): Unit =
+    streamingShingleLoop(spark, docsDir, textCol, idCol, n, indexTable, pairsPath,
+      checkpointDir,
+      (bs, batch) => graft.dedup.Dedup
+        .containmentDelta(bs, batch, textCol, idCol, n, threshold, indexTable, maxDf))
+
+  /** The shingle-index streaming loop shared by the Jaccard and
+    * containment screens — ONE definition of the per-batch replay
+    * guard, supersede-before-absorb, and session-clone refresh, so the
+    * two loops cannot drift on operational semantics. */
+  private def streamingShingleLoop(spark: SparkSession, docsDir: String, textCol: String,
+                                   idCol: String, n: Int, indexTable: String,
+                                   pairsPath: String, checkpointDir: String,
+                                   pairFn: (SparkSession, DataFrame) => DataFrame): Unit = {
     val schema = spark.read.parquet(docsDir).schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
@@ -320,8 +349,7 @@ object OnChange {
         val markers = s"${indexTable}_batches"
         if (!bs.catalog.tableExists(markers) ||
             bs.table(markers).filter(col("batch_id") === batchId).isEmpty) {
-          graft.dedup.Dedup
-            .ngramJaccardDelta(bs, batch, textCol, idCol, n, threshold, indexTable, maxDf)
+          pairFn(bs, batch)
             .write.mode("overwrite").parquet(s"$pairsPath/batch_id=$batchId")
           // supersede before absorb: ids this batch re-emits leave the
           // standing index first, so the append below cannot double

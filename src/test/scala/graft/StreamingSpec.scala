@@ -151,6 +151,41 @@ class StreamingSpec extends SparkSpec {
       (2L, us(100), 1L, 6.0)), got.toString)
   }
 
+  test("streaming containment: cross-batch excerpt surfaces as-of-arrival through the absorbed index") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp"),
+      (2L, "zz yy xx ww vv uu ts sr")
+    ).toDF("doc_id", "text")
+    val table = "shingle_idx_cont_stream_spec"
+    graft.dedup.Dedup.buildShingleIndex(corpus, "text", "doc_id", 3, table, buckets = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cts_mb_").toString
+    def chunk(name: String, order: Int, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cts_tmp_").toString
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val dest = java.nio.file.Paths.get(dir, name)
+      java.nio.file.Files.copy(
+        new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + order * 10000L))
+    }
+    // batch a: doc 10 introduces FRESH content (shares nothing with the
+    // standing corpus); batch b: doc 20 is an excerpt of doc 10 — the
+    // pair is detectable only because batch a was absorbed, and it
+    // surfaces exactly once, in batch b (as-of-arrival)
+    chunk("a.parquet", 0, Seq((10L, "q1 q2 q3 q4 q5 q6 q7 q8")))
+    chunk("b.parquet", 1, Seq((20L, "q3 q4 q5 q6")))
+    val pairs = java.nio.file.Files.createTempDirectory("graft_cts_pairs_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cts_ckpt_").toString
+    OnChange.streamingContainment(s, dir, "text", "doc_id", 3, 0.9, table, pairs, ckpt)
+    val got = s.read.parquet(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4))).toSet
+    // one pair: doc 20 (2 shingles) wholly inside doc 10 (6 shingles),
+    // surfacing in batch b — c(20→10) = 1.0, c(10→20) = 2/6
+    assert(got == Set((10L, 20L, 0.333, 1.0)), got.toString)
+  }
+
   test("streaming retention: per-batch absorbs drain to the one-shot triangle; state carries across batches") {
     val s = spark
     import s.implicits._
