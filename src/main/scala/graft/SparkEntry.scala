@@ -2193,6 +2193,27 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "m10_segment_ann_indexed" -> ((s, dir) => {
+      // the VIDEO branch's similarity loop, completing the media-
+      // similarity story across all three branches (image m4, audio
+      // m9, video here): m8's scene segments each embed as the
+      // fixed-length head profile of their frame window-sums
+      // (seg_id = doc_id·1000 + seg_idx) and feed the standing
+      // trained-IVF index — "find similar shots" in the same
+      // deployment shape; 1-in-20 docs bounds the frame fan-out as
+      // m5/m8 do
+      val media = Multimodal.mediaFromDocs(
+        t(s, dir, "documents").filter(col("doc_id") % 20 === 0))
+      val emb = Multimodal.segmentEmbed(media, threshold = 150L).toDF()
+      val table = "ivf_idx_m10"
+      Ann.buildIvfIndex(emb, "embedding", "seg_id", table)
+      // queries = segment 0 of the first five sampled docs (seg_id
+      // packing makes that id % 1000 = 0 below 100000)
+      Ann.ivfTopKIndexed(s, table,
+          queryFilter = col("id") % 1000 === 0 && col("id") < 100000, k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
     "m8_scene_cuts" -> ((s, dir) => {
       // temporal segmentation over the decoded frame stream (the
       // shot-boundary step before per-segment sampling): a cut opens a
@@ -4453,6 +4474,16 @@ object SparkEntry {
     // the m4 parameterization applied to the audio branch
     "m9_audio_ann_indexed" -> Ann.ivfKmeansOracleSql(k = 3, queryPred = "id < 5",
       source = "SELECT doc_id AS id, [ coalesce(list_sum(list_transform(s[16*d+1 : least(16*d+16, len(s))], x -> abs(x))), 0)::DOUBLE for d in range(0, 16) ] AS v FROM (SELECT doc_id, list_transform(range(1, length(text)+1), i -> (ascii(substr(text, i, 1)) - CASE WHEN i = 1 THEN 0 ELSE ascii(substr(text, i-1, 1)) END) * 256) AS s FROM documents)"),
+
+    // the m8 segmentation chain (frame window-sums, lag-delta cut
+    // flags, running cut count) grouped into per-segment frame lists,
+    // head-profiled to 16 dims, swapped in as the vector source of the
+    // trained-IVF oracle chain — the m4/m9 parameterization applied to
+    // the video branch; the zero-pad tail of the raster is sum-neutral
+    // so frames derive from the raw text bytes exactly as m8's oracle
+    "m10_segment_ann_indexed" -> Ann.ivfKmeansOracleSql(k = 3,
+      queryPred = "id % 1000 = 0 AND id < 100000",
+      source = "SELECT doc_id*1000 + sg AS id, [ coalesce(fl[i+1], 0)::DOUBLE for i in range(0, 16) ] AS v FROM (SELECT doc_id, sg, list(ws ORDER BY fi) AS fl FROM (SELECT doc_id, fi, ws, sum(cut) OVER (PARTITION BY doc_id ORDER BY fi ROWS UNBOUNDED PRECEDING) AS sg FROM (SELECT doc_id, fi, ws, CASE WHEN abs(ws - lag(ws) OVER (PARTITION BY doc_id ORDER BY fi)) > 150 THEN 1 ELSE 0 END AS cut FROM (SELECT doc_id, fi, list_sum(b[fi*16+1 : least(fi*16+16, len(b))])::BIGINT AS ws FROM (SELECT doc_id, unnest(range(0, (length(text)+15)//16)) AS fi, list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))::BIGINT) AS b FROM documents WHERE doc_id % 20 = 0)))) GROUP BY 1, 2)"),
 
     // the m5 frame construction + SQL windows: lag-delta cut flags,
     // running cut count = segment id, then the per-segment rollup

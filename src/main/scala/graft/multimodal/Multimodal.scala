@@ -456,6 +456,67 @@ object Multimodal {
     })
   }
 
+  final case class SegmentEmbedding(seg_id: Long, embedding: Array[Float])
+
+  /** Per-SEGMENT embed stub — the VIDEO branch's entry into the
+    * standing vector indexes ([[sceneCuts]] emits the segments; this
+    * gives each one a fixed-dim feature so "find similar shots" rides
+    * the same trained IVF as the image (m4) and audio (m9) branches):
+    * dim d = the window-sum of the segment's d-th frame, 0 past the
+    * segment's end — the fixed-length head profile a real per-shot
+    * embedding replaces (every sum ≤ 16·255, exact in Float).
+    * Segmentation is the EXACT sceneCuts rule (|Δwindow-sum| >
+    * threshold opens a segment; the first frame never cuts), applied
+    * per doc sequentially — map-only, no window shuffle: a doc's
+    * frames never leave its row. seg_id = doc_id·1000 + seg_idx —
+    * LOUD past 1000 segments, because the packing is also the
+    * oracle's contract. Empty payloads emit no segments. */
+  def segmentEmbed(media: Dataset[Media], threshold: Long,
+                   dims: Int = 16): Dataset[SegmentEmbedding] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val px = decodeNetpbm(m.payload).pixels
+      val n = (px.length + FrameStride - 1) / FrameStride
+      val ws = new Array[Long](n)
+      var f = 0
+      while (f < n) {
+        var s = 0L
+        var j = f * FrameStride
+        val end = math.min(j + FrameStride, px.length)
+        while (j < end) { s += px(j) & 0xffL; j += 1 }
+        ws(f) = s
+        f += 1
+      }
+      val segOf = new Array[Int](n)
+      var seg = 0
+      var i = 1
+      while (i < n) {
+        if (math.abs(ws(i) - ws(i - 1)) > threshold) seg += 1
+        segOf(i) = seg
+        i += 1
+      }
+      require(seg < 1000,
+        s"doc ${m.doc_id}: ${seg + 1} segments exceed the seg_id packing (doc_id*1000 + seg)")
+      val out = Seq.newBuilder[SegmentEmbedding]
+      var start = 0
+      var g = 0
+      var k = 1
+      while (k <= n) {
+        if (k == n || segOf(k) != g) {
+          val emb = new Array[Float](dims)
+          var d = 0
+          while (d < dims && start + d < k) { emb(d) = ws(start + d).toFloat; d += 1 }
+          out += SegmentEmbedding(m.doc_id * 1000L + g, emb)
+          start = k
+          g += 1
+        }
+        k += 1
+      }
+      out.result()
+    })
+  }
+
   /** One decoded "frame": sampled position + pixel value + a windowed
     * stat over the following stride (a stand-in for per-frame features
     * like pixel means or audio chunk energy). */

@@ -172,6 +172,17 @@ class TextMultimodalSpec extends SparkSpec {
       }
       assert(ex.length == 1, s"m8 must have exactly one exchange, got ${ex.length}")
     } finally s.conf.set("spark.sql.adaptive.enabled", aqe)
+    // segment embed: the SAME segmentation rule, per-segment head
+    // profile of frame window-sums (0 past the segment end), packed
+    // seg ids — doc 1 splits into frames {0,1} and {2,3}, doc 2 is
+    // one single-frame segment
+    val se = Multimodal.segmentEmbed(media, threshold = 50L)
+      .toDF().orderBy("seg_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toList))
+    assert(se.length == 3, se.mkString(";"))
+    assert(se(0) == (1000L, List(100f, 120f) ++ List.fill(14)(0f)), s"${se(0)}")
+    assert(se(1) == (1001L, List(400f, 390f) ++ List.fill(14)(0f)), s"${se(1)}")
+    assert(se(2) == (2000L, List(7f) ++ List.fill(15)(0f)), s"${se(2)}")
   }
 
   test("multimodal features carry the REAL decoded dimensions and pixel stats") {
