@@ -317,20 +317,9 @@ object SparkEntry {
     * mtime, so each slice arrives as its own batch, in `ranges` order.
     * Returns the chunks dir to pass as the stream source path. */
   private[graft] def stageMicroBatches(df: DataFrame, idCol: String,
-      ranges: Seq[(Long, Long, String)], prefix: String): String = {
-    val chunks = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_chunks_").toString
-    ranges.zipWithIndex.foreach { case ((lo, hi, name), i) =>
-      val tmp = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_tmp_").toString
-      df.filter(col(idCol) >= lo && col(idCol) < hi)
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
-      val dest = java.nio.file.Paths.get(chunks, s"$name.parquet")
-      java.nio.file.Files.copy(part.toPath, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
-    }
-    chunks
-  }
+      ranges: Seq[(Long, Long, String)], prefix: String): String =
+    stagePredChunks(df,
+      ranges.map { case (lo, hi, _) => col(idCol) >= lo && col(idCol) < hi }, prefix)
 
   /** Stage `df` into one flat parquet chunk file per predicate, mtimes
     * increasing in predicate order — the generic sibling of
@@ -2422,24 +2411,6 @@ object SparkEntry {
 
   /** The oracle map with every sf-dir-dependent entry interpolated for
     * `dir` (see `j6OracleSql`); identical to `oracleSql` elsewhere. */
-  /** The simhash fingerprint + Hamming oracle chain shared by
-    * d4/d21/d22/d23 — ONE definition of the md5 tokenization, the
-    * per-(doc, bit) sign sums, the PACKED 64-bit fingerprint (one
-    * BIGINT per doc: bits sum UNSIGNED into a HUGEINT, then an
-    * explicit two's-complement wrap — h − 2⁶⁴ when h ≥ 2⁶³ — lands it
-    * in BIGINT, since DuckDB rejects `1::BIGINT << 63` and a signed
-    * bit-63 term can't be shifted into place directly), and the
-    * `bit_count(xor)` pair scan — so the
-    * four oracles cannot drift (the `chunkPairKeys` discipline on the
-    * SQL side). Packing is what makes the full-corpus oracle feasible
-    * at sf1: the earlier per-(doc, bit) equi-join materialized
-    * C(n,2)·64 rows through a GROUP BY (disk-infeasible at 50k docs —
-    * it exhausted 76 GB of spill); the packed scan streams C(n,2)
-    * single rows through one xor+popcount filter (~82 s at sf1).
-    * Callers differ only in the doc source (`docsFrom`, fed by
-    * optional single-line `prefixCtes` — single-line so stripMargin
-    * can't eat a `||` at a continuation-line start) and the pair
-    * scope (`pairPred`, ANDed after the Hamming cut). */
   /** The containment oracle chain shared by d27 (one-shot) and d28
     * (indexed delta) — ONE definition of the shingle CTEs, the
     * per-direction ratios, and the max-gate, so the verifier and the
@@ -2461,6 +2432,24 @@ object SparkEntry {
        |FROM pr JOIN sz sa ON pr.a = sa.doc_id JOIN sz sb ON pr.b = sb.doc_id
        |WHERE greatest(inter / sa.sz, inter / sb.sz) >= 0.9$pairPred ORDER BY a, b""".stripMargin
 
+  /** The simhash fingerprint + Hamming oracle chain shared by
+    * d4/d21/d22/d23 — ONE definition of the md5 tokenization, the
+    * per-(doc, bit) sign sums, the PACKED 64-bit fingerprint (one
+    * BIGINT per doc: bits sum UNSIGNED into a HUGEINT, then an
+    * explicit two's-complement wrap — h − 2⁶⁴ when h ≥ 2⁶³ — lands it
+    * in BIGINT, since DuckDB rejects `1::BIGINT << 63` and a signed
+    * bit-63 term can't be shifted into place directly), and the
+    * `bit_count(xor)` pair scan — so the
+    * four oracles cannot drift (the `chunkPairKeys` discipline on the
+    * SQL side). Packing is what makes the full-corpus oracle feasible
+    * at sf1: the earlier per-(doc, bit) equi-join materialized
+    * C(n,2)·64 rows through a GROUP BY (disk-infeasible at 50k docs —
+    * it exhausted 76 GB of spill); the packed scan streams C(n,2)
+    * single rows through one xor+popcount filter (~82 s at sf1).
+    * Callers differ only in the doc source (`docsFrom`, fed by
+    * optional single-line `prefixCtes` — single-line so stripMargin
+    * can't eat a `||` at a continuation-line start) and the pair
+    * scope (`pairPred`, ANDed after the Hamming cut). */
   private def simhashOracleSql(pairPred: String = "", prefixCtes: String = "",
                                docsFrom: String = "documents"): String =
     s"""WITH ${prefixCtes}w AS (

@@ -223,6 +223,12 @@ case class BigramBuckets(child: Expression, buckets: Int)
     var prev = -1L
     var i = 0
     while (i < m) {
+      // non-null-element contract, LOUD: the feeds are words()/wsWords
+      // arrays (containsNull = false); the declarative twin maps a null
+      // token to a NULL bucket, a semantics nothing downstream wants —
+      // silently diverging here would break the spec-pinned equivalence
+      require(!a.isNullAt(i),
+        s"bigram_buckets requires a null-free token array (null at $i)")
       md.reset()
       val d = md.digest(a.getUTF8String(i).getBytes)
       val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |

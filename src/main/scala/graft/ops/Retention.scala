@@ -99,33 +99,44 @@ object Retention {
     val bev = graft.core.Checkpoints.truncate(
       periods(batch, nsCol, userCol, periodUs))
     val users = bev.select("user_id").distinct()
-    // new users first: their cohort = min over the batch (in-order
-    // arrival makes this the global min); anti-join = the roster idiom
-    bev.groupBy("user_id").agg(min(col("p")).as("cohort"))
-      .join(spark.table(s"${table}_first"), Seq("user_id"), "left_anti")
-      .write.mode("append").saveAsTable(s"${table}_first")
-    spark.catalog.refreshTable(s"${table}_first")
-    // activity cells against the updated roster: the standing side is
-    // sliced map-only by the broadcast batch-user set before any join
-    val firstSlice = spark.table(s"${table}_first")
-      .join(broadcast(users), Seq("user_id"), "leftsemi")
-    val cells = graft.core.Checkpoints.truncate(
-      bev.join(firstSlice, Seq("user_id"))
-        .select(col("cohort"), (col("p") - col("cohort")).as("period_offset"),
-          col("user_id"))
-        .distinct())
-    // contract check, cheap (cells are batch-bounded): an event before
-    // a standing user's cohort means out-of-order delivery — refuse
-    require(cells.filter(col("period_offset") < 0L).isEmpty,
+    // the batch's slice of the standing roster — the ONLY read of
+    // `_first`, map-only under the broadcast batch-user semi-join and
+    // batch-bounded from here on (every later join keeps the standing
+    // side to this slice, never the full table)
+    val standingFirst = graft.core.Checkpoints.truncate(
+      spark.table(s"${table}_first")
+        .join(broadcast(users), Seq("user_id"), "leftsemi"))
+    // contract check BEFORE any write (a refused batch must leave the
+    // state untouched): an event before a standing user's cohort means
+    // out-of-order delivery — refuse; silently clamping (or mutating
+    // first and then throwing) would corrupt the triangle
+    require(bev.join(standingFirst, Seq("user_id"))
+        .filter(col("p") < col("cohort")).isEmpty,
       s"batch $batchId carries events BEFORE a standing user's cohort — " +
         "out-of-order delivery violates the change-log arrival contract; " +
         "re-anchor with buildRetentionState")
+    // new users: cohort = min over the batch (in-order arrival makes
+    // this the global min); the anti-join's build side is the
+    // batch-bounded slice, not the corpus-sized roster
+    val newFirst = graft.core.Checkpoints.truncate(
+      bev.groupBy("user_id").agg(min(col("p")).as("cohort"))
+        .join(broadcast(standingFirst.select("user_id")), Seq("user_id"), "left_anti"))
+    newFirst.write.mode("append").saveAsTable(s"${table}_first")
+    // activity cells against the updated roster = standing slice ∪ the
+    // rows just appended — both batch-bounded, no table re-read
+    val roster = standingFirst.unionByName(newFirst)
+    val cells = graft.core.Checkpoints.truncate(
+      bev.join(roster, Seq("user_id"))
+        .select(col("cohort"), (col("p") - col("cohort")).as("period_offset"),
+          col("user_id"))
+        .distinct())
     val activeSlice = spark.table(s"${table}_active")
       .join(broadcast(users), Seq("user_id"), "leftsemi")
     cells.join(activeSlice,
         Seq("cohort", "period_offset", "user_id"), "left_anti")
       .select("cohort", "period_offset", "user_id")
       .write.mode("append").saveAsTable(s"${table}_active")
+    spark.catalog.refreshTable(s"${table}_first")
     Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(markers)
     Seq(s"${table}_active", markers).foreach(spark.catalog.refreshTable)
     true

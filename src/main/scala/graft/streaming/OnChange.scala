@@ -179,7 +179,9 @@ object OnChange {
     * the batch side rejects it too: in-order arrival means its
     * timestamp is ≤ the eventual t_d, failing the strict > t_d gate. */
   def streamingFunnelDir(spark: SparkSession, dir: String, steps: Seq[String],
-                         horizonUs: Long): DataFrame = {
+                         horizonUs: Long, nsCol: String = "ts",
+                         userCol: String = "user_id",
+                         typeCol: String = "event_type"): DataFrame = {
     import spark.implicits._
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.length == steps.length, "funnel steps must be distinct")
@@ -191,14 +193,14 @@ object OnChange {
       .parquet(dir)
     val k = steps.length
     val stepIdx = steps.zipWithIndex.foldLeft(lit(-1)) { case (acc, (st, i)) =>
-      when(col("event_type") === st, lit(i)).otherwise(acc)
+      when(col(typeCol) === st, lit(i)).otherwise(acc)
     }
     val completed = raw
       // the type filter reaches the stream scan — at 100 TB the log is
       // mostly other event types (the e6 pushdown, streaming edition)
-      .filter(col("event_type").isin(steps: _*))
-      .select(col("user_id"),
-        graft.ops.Events.tsMicros(raw, "ts").as("tus"), stepIdx.as("step"))
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol).cast("long").as("user_id"),
+        graft.ops.Events.tsMicros(raw, nsCol).as("tus"), stepIdx.as("step"))
       .as[StepEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelProgress, CompletedFunnel](

@@ -179,10 +179,20 @@ class GraphPlanSpec extends SparkSpec {
     assert(triangle(R.retentionReadout(s, table)) ==
       triangle(Events.retentionCohorts(all, "ts", "user_id", 100000000L)))
     // out-of-order delivery (an event BEFORE a standing user's cohort)
-    // refuses loudly: silently clamping would corrupt the triangle
+    // refuses loudly: silently clamping would corrupt the triangle.
+    // The refused batch also carries a NEW user — the check must run
+    // BEFORE any write (validate-before-mutate), so the refusal leaves
+    // the state byte-identical: no phantom `_first` row breaking the
+    // offset-0 = cohort-size invariant
+    val pre = triangle(R.retentionReadout(s, table))
     intercept[IllegalArgumentException] {
-      R.absorbIntoRetentionState(s, mk(Seq((3L, ns(0, 1)))), "ts", "user_id", table, 3L)
+      R.absorbIntoRetentionState(s,
+        mk(Seq((3L, ns(0, 1)), (9L, ns(4, 2)))), "ts", "user_id", table, 3L)
     }
+    assert(triangle(R.retentionReadout(s, table)) == pre,
+      "a refused batch must leave the standing state untouched")
+    assert(s.table(s"${table}_first").filter(col("user_id") === 9L).isEmpty,
+      "the refused batch's new user must not linger in the roster")
   }
 
   test("paged traversal: pages partition the full traversal, keyset-resumable") {

@@ -7,6 +7,21 @@ import org.apache.spark.sql.functions._
   * must equal the batch aggregation over the same change log. */
 class StreamingSpec extends SparkSpec {
 
+  /** Stage `df` as one flat parquet chunk file in `dir`, mtime pinned
+    * by `order` so the file source drains chunks in change-log order —
+    * the ONE staging definition every streaming test shares (the
+    * stagePredChunks mechanics, test-side). */
+  private def stageChunk(dir: String, df: org.apache.spark.sql.DataFrame,
+                         name: String, order: Int): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chunk_tmp_").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val dest = java.nio.file.Paths.get(dir, name)
+    java.nio.file.Files.copy(
+      new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get.toPath, dest)
+    java.nio.file.Files.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L + order * 10000L))
+  }
+
   test("mapGroupsWithState latestOnly carries state across micro-batches (at-least-once redelivery)") {
     val path = s"$sfDir/events.parquet"
     val streamed = OnChange.streamingLatestOnly(spark, path, batches = 3)
@@ -126,16 +141,8 @@ class StreamingSpec extends SparkSpec {
     def us(min: Long) = min * 60L * 1000000L
     def ns(min: Long) = us(min) * 1000L
     val dir = java.nio.file.Files.createTempDirectory("graft_sess_mb_").toString
-    def chunk(name: String, order: Int, rows: Seq[(Long, Long, Double)]): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sess_tmp_").toString
-      rows.toDF("user_id", "ts", "value").coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
-      val dest = java.nio.file.Paths.get(dir, name)
-      java.nio.file.Files.copy(part.toPath, dest)
-      // pin mtimes so the file source drains chunks in change-log order
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + order * 10000L))
-    }
+    def chunk(name: String, order: Int, rows: Seq[(Long, Long, Double)]): Unit =
+      stageChunk(dir, rows.toDF("user_id", "ts", "value"), name, order)
     chunk("a.parquet", 0, Seq((1L, ns(0), 1.0), (1L, ns(10), 2.0), (2L, ns(0), 5.0)))
     chunk("b.parquet", 1, Seq((1L, ns(20), 3.0), (2L, ns(100), 6.0)))
     chunk("c.parquet", 2, Seq((1L, ns(70), 4.0), (2L, ns(200), 7.0)))
@@ -161,15 +168,8 @@ class StreamingSpec extends SparkSpec {
     val table = "shingle_idx_cont_stream_spec"
     graft.dedup.Dedup.buildShingleIndex(corpus, "text", "doc_id", 3, table, buckets = 4)
     val dir = java.nio.file.Files.createTempDirectory("graft_cts_mb_").toString
-    def chunk(name: String, order: Int, rows: Seq[(Long, String)]): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_cts_tmp_").toString
-      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
-      val dest = java.nio.file.Paths.get(dir, name)
-      java.nio.file.Files.copy(
-        new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get.toPath, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + order * 10000L))
-    }
+    def chunk(name: String, order: Int, rows: Seq[(Long, String)]): Unit =
+      stageChunk(dir, rows.toDF("doc_id", "text"), name, order)
     // batch a: doc 10 introduces FRESH content (shares nothing with the
     // standing corpus); batch b: doc 20 is an excerpt of doc 10 — the
     // pair is detectable only because batch a was absorbed, and it
@@ -191,15 +191,8 @@ class StreamingSpec extends SparkSpec {
     import s.implicits._
     def ns(period: Long, within: Long) = (period * 100 + within) * 1000000000L
     val dir = java.nio.file.Files.createTempDirectory("graft_ret_mb_").toString
-    def chunk(name: String, order: Int, rows: Seq[(Long, Long)]): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ret_tmp_").toString
-      rows.toDF("user_id", "ts").coalesce(1).write.mode("overwrite").parquet(tmp)
-      val dest = java.nio.file.Paths.get(dir, name)
-      java.nio.file.Files.copy(
-        new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get.toPath, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + order * 10000L))
-    }
+    def chunk(name: String, order: Int, rows: Seq[(Long, Long)]): Unit =
+      stageChunk(dir, rows.toDF("user_id", "ts"), name, order)
     // user 1 spans all three chunks; user 2 appears in chunk b as new
     chunk("a.parquet", 0, Seq((1L, ns(0, 10))))
     chunk("b.parquet", 1, Seq((1L, ns(1, 5)), (2L, ns(1, 20))))
@@ -225,15 +218,8 @@ class StreamingSpec extends SparkSpec {
     def ns(min: Long) = us(min) * 1000L
     val horizon = us(600)
     val dir = java.nio.file.Files.createTempDirectory("graft_funnel_mb_").toString
-    def chunk(name: String, order: Int, rows: Seq[(Long, Long, String)]): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_funnel_tmp_").toString
-      rows.toDF("user_id", "ts", "event_type").coalesce(1).write.mode("overwrite").parquet(tmp)
-      val dest = java.nio.file.Paths.get(dir, name)
-      java.nio.file.Files.copy(
-        new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get.toPath, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + order * 10000L))
-    }
+    def chunk(name: String, order: Int, rows: Seq[(Long, Long, String)]): Unit =
+      stageChunk(dir, rows.toDF("user_id", "ts", "event_type"), name, order)
     // user 1: steps SPAN the batch boundary (view in a; click+purchase in b)
     // user 2: completes inside batch a; later batch-b events must not re-emit
     // user 3: view+click only — open tail, stays in state, never emitted
@@ -293,15 +279,8 @@ class StreamingSpec extends SparkSpec {
     // local staging (not stageMicroBatches): the re-emitted id means the
     // same id carries two different texts across chunks, which a
     // range-filter over one frame cannot express
-    def chunk(df: org.apache.spark.sql.DataFrame, name: String, order: Int): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sgd_tmp_").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
-      val dest = java.nio.file.Paths.get(chunks, name)
-      java.nio.file.Files.copy(part.toPath, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + order * 10000L))
-    }
+    def chunk(df: org.apache.spark.sql.DataFrame, name: String, order: Int): Unit =
+      stageChunk(chunks, df, name, order)
     chunk(b1, "a.parquet", 0)
     chunk(b2, "b.parquet", 1)
     chunk(b3, "c.parquet", 2)
@@ -364,15 +343,8 @@ class StreamingSpec extends SparkSpec {
     val table = "simhash_idx_streamspec"
     graft.dedup.Dedup.buildSimhashIndex(corpus, "text", "doc_id", 10, table, buckets = 4)
     val chunks = java.nio.file.Files.createTempDirectory("graft_ssh_chunks_").toString
-    def chunk(df: org.apache.spark.sql.DataFrame, name: String, order: Int): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ssh_tmp_").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
-      val dest = java.nio.file.Paths.get(chunks, name)
-      java.nio.file.Files.copy(part.toPath, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + order * 10000L))
-    }
+    def chunk(df: org.apache.spark.sql.DataFrame, name: String, order: Int): Unit =
+      stageChunk(chunks, df, name, order)
     chunk(b1, "a.parquet", 0)
     chunk(b2, "b.parquet", 1)
     chunk(b3, "c.parquet", 2)
@@ -419,15 +391,8 @@ class StreamingSpec extends SparkSpec {
     val table = "shingle_idx_streamspec"
     graft.dedup.Dedup.buildShingleIndex(corpus, "text", "doc_id", 3, table, buckets = 4)
     val chunks = java.nio.file.Files.createTempDirectory("graft_sdd_chunks_").toString
-    def chunk(df: org.apache.spark.sql.DataFrame, name: String, order: Int): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sdd_tmp_").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
-      val dest = java.nio.file.Paths.get(chunks, name)
-      java.nio.file.Files.copy(part.toPath, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + order * 10000L))
-    }
+    def chunk(df: org.apache.spark.sql.DataFrame, name: String, order: Int): Unit =
+      stageChunk(chunks, df, name, order)
     chunk(b1, "a.parquet", 0)
     chunk(b2, "b.parquet", 1)
     val pairs = java.nio.file.Files.createTempDirectory("graft_sdd_pairs_").toString
@@ -471,15 +436,8 @@ class StreamingSpec extends SparkSpec {
     val table = "shingle_idx_reemit"
     graft.dedup.Dedup.buildShingleIndex(corpus, "text", "doc_id", 3, table, buckets = 4)
     val chunks = java.nio.file.Files.createTempDirectory("graft_sre_chunks_").toString
-    def chunk(df: org.apache.spark.sql.DataFrame, name: String, order: Int): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sre_tmp_").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
-      val dest = java.nio.file.Paths.get(chunks, name)
-      java.nio.file.Files.copy(part.toPath, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + order * 10000L))
-    }
+    def chunk(df: org.apache.spark.sql.DataFrame, name: String, order: Int): Unit =
+      stageChunk(chunks, df, name, order)
     chunk(b1, "a.parquet", 0)
     chunk(b2, "b.parquet", 1)
     val pairs = java.nio.file.Files.createTempDirectory("graft_sre_pairs_").toString
@@ -528,15 +486,8 @@ class StreamingSpec extends SparkSpec {
     val table = "ann_idx_vstreamspec"
     graft.ann.Ann.buildAnnIndex(corpus, "embedding", "vec_id", 64, table, bits = 8, buckets = 4)
     val chunks = java.nio.file.Files.createTempDirectory("graft_vsd_chunks_").toString
-    def chunk(df: org.apache.spark.sql.DataFrame, name: String, order: Int): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_vsd_tmp_").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
-      val dest = java.nio.file.Paths.get(chunks, name)
-      java.nio.file.Files.copy(part.toPath, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + order * 10000L))
-    }
+    def chunk(df: org.apache.spark.sql.DataFrame, name: String, order: Int): Unit =
+      stageChunk(chunks, df, name, order)
     chunk(b1, "a.parquet", 0)
     chunk(b2, "b.parquet", 1)
     val pairs = java.nio.file.Files.createTempDirectory("graft_vsd_pairs_").toString
@@ -577,15 +528,8 @@ class StreamingSpec extends SparkSpec {
     val table = "ivf_idx_sstreamspec"
     graft.ann.Ann.buildIvfIndex(corpus, "embedding", "vec_id", table, nlist = 2, buckets = 4)
     val chunks = java.nio.file.Files.createTempDirectory("graft_ssd_chunks_").toString
-    def chunk(df: org.apache.spark.sql.DataFrame, name: String, order: Int): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ssd_tmp_").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
-      val dest = java.nio.file.Paths.get(chunks, name)
-      java.nio.file.Files.copy(part.toPath, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + order * 10000L))
-    }
+    def chunk(df: org.apache.spark.sql.DataFrame, name: String, order: Int): Unit =
+      stageChunk(chunks, df, name, order)
     chunk(b1, "a.parquet", 0)
     chunk(b2, "b.parquet", 1)
     val pairs = java.nio.file.Files.createTempDirectory("graft_ssd_pairs_").toString
@@ -635,15 +579,8 @@ class StreamingSpec extends SparkSpec {
     StatsState.buildStatsState(mk(base), "text", "lang", "doc_id", table,
       n = 3, k = 8, buckets = 4, shardSize = 2L)
     val chunks = java.nio.file.Files.createTempDirectory("graft_sstm_chunks_").toString
-    def chunk(df: org.apache.spark.sql.DataFrame, name: String, order: Int): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sstm_tmp_").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
-      val dest = java.nio.file.Paths.get(chunks, name)
-      java.nio.file.Files.copy(part.toPath, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + order * 10000L))
-    }
+    def chunk(df: org.apache.spark.sql.DataFrame, name: String, order: Int): Unit =
+      stageChunk(chunks, df, name, order)
     chunk(mk(b1), "a.parquet", 0)
     chunk(mk(b2), "b.parquet", 1)
     val ckpt = java.nio.file.Files.createTempDirectory("graft_sstm_ckpt_").toString
