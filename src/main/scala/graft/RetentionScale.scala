@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Events, Retention}
+
+/** e9's absorb marginal measured against a growing standing event log
+  * (the StatsStateScale discipline): build the retention state on the
+  * slice's earlier events (untimed — the once-per-snapshot cost), then
+  * time ONE `absorbIntoRetentionState` of the FIXED ~10k latest-by-time
+  * events (the in-order arrival contract makes the time-split the only
+  * valid batch shape), a REPLAY of the same batch (must be a marker
+  * no-op, ~0), and the triangle read-out (min-of-2 — the read-out is
+  * pure, unlike the mutating absorb).
+  *
+  * What must hold at 100×: the absorb carries NO shuffle or hash build
+  * keyed by the standing corpus — its standing reads are map-only
+  * column-pruned scans of the user roster and the cells table under
+  * broadcast semi-joins, so the timed row may grow only with the
+  * roster SCAN (users), never event volume; the read-out is bounded by
+  * users × live periods (cells), never events.
+  *
+  * `runMain graft.RetentionScale [eventsParquet] [sizes...]` */
+object RetentionScale {
+  def main(args: Array[String]): Unit = {
+    val eventsPath = args.headOption.getOrElse("/tmp/sf100ev/events.parquet")
+    val sizes = if (args.length > 1) args.drop(1).map(_.toLong).toSeq
+                else Seq(100000L, 1000000L, 10000000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_rsc_wh_").toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val all = spark.read.parquet(eventsPath).select("event_id", "ts", "user_id")
+    val batchN = 10000
+    sizes.foreach { n =>
+      val staged = java.nio.file.Files.createTempDirectory(s"graft_rsc_$n")
+      try {
+        all.filter(col("event_id") < n).repartition(32)
+          .write.mode("overwrite").parquet(staged.toString)
+        val ev = spark.read.parquet(staged.toString)
+        val tus = Events.tsMicros(ev, "ts")
+        // fixed-size batch = the globally latest ~10k events (ties at
+        // the cutoff stay in the batch), standing = everything earlier
+        val cutoff = ev.select(tus.as("t")).orderBy(desc("t")).limit(batchN)
+          .agg(min(col("t"))).head.getLong(0)
+        val standing = ev.filter(tus < cutoff)
+        val batch = ev.filter(tus >= cutoff)
+        val table = "rsc_state"
+        Retention.buildRetentionState(standing, "ts", "user_id",
+          periodUs = 86400000000L, table) // daily periods over the ~30-day log
+        val t0 = System.nanoTime()
+        Retention.absorbIntoRetentionState(spark, batch, "ts", "user_id", table, 1L)
+        val tAbsorb = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        Retention.absorbIntoRetentionState(spark, batch, "ts", "user_id", table, 1L)
+        val tReplay = (System.nanoTime() - t1) / 1e9
+        def readOnce(): (Double, Long) = {
+          val t = System.nanoTime()
+          val c = Retention.retentionReadout(spark, table).count()
+          ((System.nanoTime() - t) / 1e9, c)
+        }
+        val (ra, cells) = readOnce()
+        val (rb, _) = readOnce()
+        val users = spark.table(s"${table}_first").count()
+        println(f"n=$n%9d  users=$users%7d  batch~$batchN  absorb=$tAbsorb%6.2f s  " +
+          f"replay=$tReplay%5.2f s  readout=${math.min(ra, rb)}%6.2f s  triangle_cells=$cells")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(staged.toFile)
+        ()
+      }
+    }
+    spark.stop()
+  }
+}

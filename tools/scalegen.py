@@ -28,6 +28,7 @@ Usage: python3 tools/scalegen.py <srcDir> <dstDir> <factor> [tables]
 import sys, os
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute  # registers pa.compute (not implicit on newer pyarrow)
 import pyarrow.parquet as pq
 
 src, dst, F = sys.argv[1], sys.argv[2], int(sys.argv[3])
