@@ -25,6 +25,10 @@ object Bench {
       // core on the scan stage (default left alone for the driver)
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAXPART", "134217728"))
+      // run-scoped warehouse (same rationale as Verify): no concurrent
+      // or stale process shares this run's standing tables
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_bench_wh_").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

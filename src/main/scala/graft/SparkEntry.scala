@@ -806,7 +806,7 @@ object SparkEntry {
       val tus = Events.tsMicros(ev, "ts")
       val mm = ev.agg(min(tus).as("mn"), max(tus).as("mx")).head // 1-row agg
       val mid = (mm.getLong(0) + mm.getLong(1)) / 2
-      val table = "retention_state_e9"
+      val table = graft.core.Tables.scoped("retention_state_e9")
       Retention.buildRetentionState(ev.filter(tus <= mid), "ts", "user_id",
         periodUs = 604800000000L, table)
       Retention.absorbIntoRetentionState(s, ev.filter(tus > mid), "ts", "user_id",
@@ -879,7 +879,7 @@ object SparkEntry {
       // absorbs so batch b pairs against batch a through the index
       // alone — the fifth dedup family's streaming closure
       val docs = t(s, dir, "documents")
-      val table = "simhash_idx_stream"
+      val table = graft.core.Tables.scoped("simhash_idx_stream")
       Dedup.buildSimhashIndex(docs.filter(col("doc_id") < 400 || col("doc_id") >= 600),
         "text", "doc_id", maxDist = 10, table, buckets = 16)
       val chunks = stageMicroBatches(docs, "doc_id",
@@ -898,7 +898,7 @@ object SparkEntry {
       // within-radius pair touching it (batch-internal + batch×corpus)
       // without the corpus re-fingerprinting or reshuffling
       val docs = t(s, dir, "documents")
-      val table = "simhash_idx_delta"
+      val table = graft.core.Tables.scoped("simhash_idx_delta")
       Dedup.buildSimhashIndex(docs.filter(col("doc_id") < 400), "text", "doc_id",
         maxDist = 10, table, buckets = 16)
       Dedup.simhashPairsDelta(s, docs.filter(col("doc_id") >= 400), "text", "doc_id",
@@ -987,7 +987,7 @@ object SparkEntry {
       // split never saw (new cluster)
       val docs = t(s, dir, "documents")
       val standing = docs.filter(col("doc_id") < 400)
-      val table = "shingle_idx_drift"
+      val table = graft.core.Tables.scoped("shingle_idx_drift")
       Dedup.buildShingleIndex(standing, "text", "doc_id", 3, table, buckets = 16)
       val assign = Dedup.clusters(Dedup.ngramJaccard(standing, "text", "doc_id", 3, 0.8))
       val splits = Dedup.leakProofSplitAssigned(standing, "doc_id", assign, holdBp = 2000)
@@ -1007,7 +1007,7 @@ object SparkEntry {
       // indexed once; the new batch dedups against the index + itself —
       // corpus × corpus never re-runs
       val docs = t(s, dir, "documents")
-      val table = "shingle_idx_delta"
+      val table = graft.core.Tables.scoped("shingle_idx_delta")
       Dedup.buildShingleIndex(docs.filter(col("doc_id") < 400), "text", "doc_id", 3, table, buckets = 16)
       Dedup.ngramJaccardDelta(s, docs.filter(col("doc_id") >= 400), "text", "doc_id", 3, 0.8, table)
         .orderBy("a", "b")
@@ -1023,7 +1023,7 @@ object SparkEntry {
       // estimate containment (the sketch is symmetric), so this exact
       // indexed delta IS the scale path, verified by the one-shot d27
       val docs = t(s, dir, "documents")
-      val table = "shingle_idx_cont_delta"
+      val table = graft.core.Tables.scoped("shingle_idx_cont_delta")
       Dedup.buildShingleIndex(docs.filter(col("doc_id") < 400), "text", "doc_id", 3, table, buckets = 16)
       Dedup.containmentDelta(s, docs.filter(col("doc_id") >= 400), "text", "doc_id", 3, 0.9, table)
         .orderBy("a", "b")
@@ -1038,7 +1038,7 @@ object SparkEntry {
       // absorbs so batch b screens against batch a through the index
       // alone — the containment family's streaming closure
       val docs = t(s, dir, "documents")
-      val table = "shingle_idx_cont_stream"
+      val table = graft.core.Tables.scoped("shingle_idx_cont_stream")
       Dedup.buildShingleIndex(docs.filter(col("doc_id") < 400 || col("doc_id") >= 600),
         "text", "doc_id", 3, table, buckets = 16)
       val chunks = stageMicroBatches(docs, "doc_id",
@@ -1058,7 +1058,7 @@ object SparkEntry {
       // streamed region = docs [400, 600): batches stay small next to
       // the corpus (the operational regime) at every SF
       val docs = t(s, dir, "documents")
-      val table = "shingle_idx_stream"
+      val table = graft.core.Tables.scoped("shingle_idx_stream")
       Dedup.buildShingleIndex(docs.filter(col("doc_id") < 400 || col("doc_id") >= 600),
         "text", "doc_id", 3, table, buckets = 16)
       val chunks = stageMicroBatches(docs, "doc_id",
@@ -1080,7 +1080,7 @@ object SparkEntry {
         .select((col("vec_id") + 10000).as("vec_id"),
           transform(col("embedding"), (x, i) =>
             when(i === 0, (x.cast("double") + lit(0.1d)).cast("float")).otherwise(x)).as("embedding"))
-      val table = "ann_idx_stream_d11"
+      val table = graft.core.Tables.scoped("ann_idx_stream_d11")
       Ann.buildAnnIndex(e, "embedding", "vec_id", dims = 64, table, tables = 8, bits = 8, buckets = 16)
       val chunks = stageMicroBatches(perturbed, "vec_id",
         Seq((10000L, 10050L, "a"), (10050L, 10100L, "b")), "vd")
@@ -1123,7 +1123,7 @@ object SparkEntry {
       // land on every 10th doc, so cross (batch gram duplicated only in
       // the corpus) and batch-internal duplication both provably exist
       val docs = plantSpan(t(s, dir, "documents"))
-      val table = "gram_idx_delta"
+      val table = graft.core.Tables.scoped("gram_idx_delta")
       Dedup.buildGramIndex(docs.filter(col("doc_id") < 400), "text", "doc_id", 15,
         table, buckets = 16)
       Dedup.substringSpansDelta(s, docs.filter(col("doc_id") >= 400), "text", "doc_id", 15, table)
@@ -1163,7 +1163,7 @@ object SparkEntry {
       // batch absorbs so batch b counts batch a's grams through the
       // index alone. Planted spans guarantee cross-batch duplication
       val docs = plantSpan(t(s, dir, "documents"))
-      val table = "gram_idx_stream"
+      val table = graft.core.Tables.scoped("gram_idx_stream")
       Dedup.buildGramIndex(docs.filter(col("doc_id") < 400 || col("doc_id") >= 600),
         "text", "doc_id", 15, table, buckets = 16)
       val chunks = stageMicroBatches(docs, "doc_id",
@@ -1183,7 +1183,7 @@ object SparkEntry {
       // never runs, nothing re-trains
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
       val batch = graft.ann.SemDedup.perturbedBatch(e, "embedding", "vec_id")
-      val table = "ivf_idx_d14"
+      val table = graft.core.Tables.scoped("ivf_idx_d14")
       Ann.buildIvfIndex(e, "embedding", "vec_id", table)
       graft.ann.SemDedup.semanticDedupDelta(s, batch, "embedding", "vec_id", table, 0.9)
         .orderBy("a", "b")
@@ -1201,7 +1201,7 @@ object SparkEntry {
       // train corpus never reshuffles or re-trains
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
       val eval = graft.ann.SemDedup.perturbedBatch(e, "embedding", "vec_id")
-      val table = "ivf_idx_d26"
+      val table = graft.core.Tables.scoped("ivf_idx_d26")
       Ann.buildIvfIndex(e, "embedding", "vec_id", table)
       graft.ann.SemDedup.semanticDecontaminate(s, eval, "embedding", "vec_id", table, 0.9,
           nprobe = 2)
@@ -1218,7 +1218,7 @@ object SparkEntry {
       // (d14's oracle)
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
       val batch = graft.ann.SemDedup.perturbedBatch(e, "embedding", "vec_id")
-      val table = "ivf_idx_d17"
+      val table = graft.core.Tables.scoped("ivf_idx_d17")
       Ann.buildIvfIndex(e, "embedding", "vec_id", table)
       val chunks = stageMicroBatches(batch, "vec_id",
         Seq((10000L, 10050L, "a"), (10050L, 10100L, "b")), "sd")
@@ -1232,7 +1232,7 @@ object SparkEntry {
       // d12 against the standing inverted file (deployment shape):
       // same trained quantizer → identical output, so it shares d12's
       // oracle; the bucketed cid self-join runs shuffle-free
-      val table = "ivf_idx_d15"
+      val table = graft.core.Tables.scoped("ivf_idx_d15")
       Ann.buildIvfIndex(t(s, dir, "embeddings"), "embedding", "vec_id", table)
       graft.ann.SemDedup.semanticDedupIndexed(s, table, 0.4)
         .orderBy("id")
@@ -1264,7 +1264,7 @@ object SparkEntry {
       // ANN against the standing sketch index (deployment shape):
       // result must equal s2's recompute-everything path, so it shares
       // s2's end-to-end oracle
-      val table = "ann_idx_s4"
+      val table = graft.core.Tables.scoped("ann_idx_s4")
       Ann.buildAnnIndex(t(s, dir, "embeddings"), "embedding", "vec_id", dims = 64, table)
       Ann.lshTopKIndexed(s, table, queryFilter = col("id") < 10, k = 5)
         .orderBy("query_id", "rnk")
@@ -1287,7 +1287,7 @@ object SparkEntry {
       // IVF×PQ: the billion-vector layout — trained cells route the
       // probe, PQ codes inside each cell carry the ADC scan, full
       // vectors only surface for the shortlist rerank
-      val table = "ivfpq_idx_s9"
+      val table = graft.core.Tables.scoped("ivfpq_idx_s9")
       graft.ann.IvfPq.buildIvfPqIndex(t(s, dir, "embeddings"), "embedding", "vec_id",
         table, dims = 64)
       graft.ann.IvfPq.ivfPqTopKIndexed(s, table, t(s, dir, "embeddings"), "embedding", "vec_id",
@@ -1300,7 +1300,7 @@ object SparkEntry {
       // the codes table; non-qualifying codes are cut map-side BEFORE
       // the ADC stage, so they are never decoded and cannot starve the
       // shortlist or the final k
-      val table = "ivfpq_idx_s11"
+      val table = graft.core.Tables.scoped("ivfpq_idx_s11")
       graft.ann.IvfPq.buildIvfPqIndex(t(s, dir, "embeddings"), "embedding", "vec_id",
         table, dims = 64, keep = Seq("label"))
       graft.ann.IvfPq.ivfPqTopKIndexed(s, table, t(s, dir, "embeddings"), "embedding", "vec_id",
@@ -1313,7 +1313,7 @@ object SparkEntry {
       // label column is stored INLINE in the inverted file, so the
       // attribute predicate is a map-side filter on the bucketed scan
       // (pre-filtering — the top-k ranks only qualifying neighbors)
-      val table = "ivf_idx_s10"
+      val table = graft.core.Tables.scoped("ivf_idx_s10")
       Ann.buildIvfIndex(t(s, dir, "embeddings"), "embedding", "vec_id", table,
         keep = Seq("label"))
       Ann.ivfTopKIndexed(s, table, queryFilter = col("id") < 10, k = 5,
@@ -1326,7 +1326,7 @@ object SparkEntry {
       // codebook companion are built once; the probe ADC-scans stored
       // codes and reranks the shortlist — identical output to s7, so it
       // shares s7's from-scratch oracle
-      val table = "pq_idx_s8"
+      val table = graft.core.Tables.scoped("pq_idx_s8")
       graft.ann.Pq.buildPqIndex(t(s, dir, "embeddings"), "embedding", "vec_id", table, dims = 64)
       graft.ann.Pq.pqTopKIndexed(s, table, t(s, dir, "embeddings"), "embedding", "vec_id",
           queryFilter = col("id") < 10, k = 5)
@@ -1450,7 +1450,7 @@ object SparkEntry {
       // (the d8 delta identity; append-edits keep the sketch exact
       // too — grams are only ever added, see StatsState's contract)
       val docs = t(s, dir, "documents")
-      val tbl = "x18_stats"
+      val tbl = graft.core.Tables.scoped("x18_stats")
       graft.text.StatsState.buildStatsState(docs.filter(col("doc_id") % 2 === 0),
         "text", "lang", "doc_id", tbl)
       val odd = docs.filter(col("doc_id") % 2 === 1)
@@ -1721,7 +1721,7 @@ object SparkEntry {
       val st = graft.jobs.Recipe.buildStanding(s,
         std.withColumn("label", col("doc_id") % 4 =!= 1), evalS,
         "text", "doc_id", "lang", "label", k = 15,
-        graft.text.Bpe.DefaultMerges, prefix = "p12rd", buckets = 16)
+        graft.text.Bpe.DefaultMerges, prefix = graft.core.Tables.scoped("p12rd"), buckets = 16)
       graft.jobs.Recipe.processBatch(s, st, batch, "text", "doc_id", "lang",
           Map("en" -> 30000L, "fr" -> 800L), k = 15, graft.text.Bpe.DefaultMerges)
         .emission
@@ -1875,7 +1875,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val counts = docs.select(col("doc_id"), col("source"),
         TextAnalysis.wsTokens(col("text")).as("ws_tokens"))
-      val table = "pack_state_p15"
+      val table = graft.core.Tables.scoped("pack_state_p15")
       PackIndex.buildPackState(counts.filter(col("doc_id") < 400),
         "doc_id", "source", "ws_tokens", capacity = 512L, shardSize = 300L, table)
       val delta = PackIndex.packDelta(s, counts.filter(col("doc_id") >= 400),
@@ -1904,7 +1904,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val counts = docs.select(col("doc_id"), col("source"),
         TextAnalysis.wsTokens(col("text")).as("ws_tokens"))
-      val table = "pack_state_p17"
+      val table = graft.core.Tables.scoped("pack_state_p17")
       PackIndex.buildPackState(counts.filter(col("doc_id") < 400 || col("doc_id") >= 600),
         "doc_id", "source", "ws_tokens", capacity = 512L, shardSize = 300L, table)
       val chunks = stageMicroBatches(counts, "doc_id",
@@ -1954,7 +1954,7 @@ object SparkEntry {
       val st = graft.jobs.Recipe.buildStanding(s,
         std.withColumn("label", col("doc_id") % 4 =!= 1), evalS,
         "text", "doc_id", "lang", "label", k = 15,
-        graft.text.Bpe.DefaultMerges, prefix = "p18rc", buckets = 16)
+        graft.text.Bpe.DefaultMerges, prefix = graft.core.Tables.scoped("p18rc"), buckets = 16)
       // bootstrap: the standing corpus's own one-shot emission masses
       // seed the token log and the pack state (recorded 0 — before any
       // window; ungated standing docs seed zero mass)
@@ -1971,8 +1971,9 @@ object SparkEntry {
       val reg = new DatasetRegistry
       reg.put("rawlog", w1)
       reg.put("toklog", toklog0)
+      val packTbl = graft.core.Tables.scoped("p18_pack")
       PackIndex.buildPackState(toklog0, "doc_id", "lang", "emitted_tokens",
-        capacity = 512L, shardSize = 300L, "p18_pack")
+        capacity = 512L, shardSize = 300L, packTbl)
       val sched = new CronScheduler(Seq(
         graft.jobs.Recipe.recipeJob(reg, st, "rawlog", "doc_id", "recorded",
           "text", "lang", budgets, k = 15, graft.text.Bpe.DefaultMerges,
@@ -1980,7 +1981,7 @@ object SparkEntry {
         graft.jobs.Recipe.emissionRollupJob(reg, "rawlog", "emission", "toklog",
           "doc_id", "lang", "recorded", cron = "30 3 * * *"),
         PackIndex.packJob(reg, "toklog", "doc_id", "lang", "emitted_tokens",
-          "recorded", capacity = 512L, shardSize = 300L, "p18_pack",
+          "recorded", capacity = 512L, shardSize = 300L, packTbl,
           "placements", cron = "0 4 * * *")))
       def day(d: Int): Unit = {
         sched.tick(s, reg, LocalDateTime.of(2026, 8, d, 3, 0))
@@ -1991,7 +1992,7 @@ object SparkEntry {
       reg.put("rawlog", w1.unionByName(w2))
       day(15)
       day(16) // nothing recorded past the tokens: every link no-ops
-      s.table("p18_pack")
+      s.table(packTbl)
         .select(col("id").as("doc_id"), col("grp").as("lang"),
           col("tok").as("emitted_tokens"), col("shard"),
           col("bin_first"), col("bin_last"), col("offset_in_bin"))
@@ -2138,7 +2139,7 @@ object SparkEntry {
       // like the s5/s9 vector indexes. Pure composition: zero new
       // machinery, buildIvfIndex + ivfTopKIndexed over embed()
       val emb = Multimodal.embed(Multimodal.mediaFromDocs(t(s, dir, "documents"))).toDF()
-      val table = "ivf_idx_m4"
+      val table = graft.core.Tables.scoped("ivf_idx_m4")
       Ann.buildIvfIndex(emb, "embedding", "doc_id", table)
       Ann.ivfTopKIndexed(s, table, queryFilter = col("id") < 5, k = 3)
         .orderBy("query_id", "rnk")
@@ -2176,7 +2177,7 @@ object SparkEntry {
       // audioEmbed + buildIvfIndex + ivfTopKIndexed, zero new
       // index machinery
       val emb = Multimodal.audioEmbed(Multimodal.audioFromDocs(t(s, dir, "documents"))).toDF()
-      val table = "ivf_idx_m9"
+      val table = graft.core.Tables.scoped("ivf_idx_m9")
       Ann.buildIvfIndex(emb, "embedding", "doc_id", table)
       Ann.ivfTopKIndexed(s, table, queryFilter = col("id") < 5, k = 3)
         .orderBy("query_id", "rnk")
@@ -2194,7 +2195,7 @@ object SparkEntry {
       val media = Multimodal.mediaFromDocs(
         t(s, dir, "documents").filter(col("doc_id") % 20 === 0))
       val emb = Multimodal.segmentEmbed(media, threshold = 150L).toDF()
-      val table = "ivf_idx_m10"
+      val table = graft.core.Tables.scoped("ivf_idx_m10")
       Ann.buildIvfIndex(emb, "embedding", "seg_id", table)
       // queries = segment 0 of the first five sampled docs (seg_id
       // packing makes that id % 1000 = 0 below 100000)
@@ -2291,7 +2292,7 @@ object SparkEntry {
     "s5_ivf_indexed" -> ((s, dir) => {
       // IVF against the standing inverted file — shares s3's oracle
       // (identical output by construction)
-      val table = "ivf_idx_s5"
+      val table = graft.core.Tables.scoped("ivf_idx_s5")
       Ann.buildIvfIndex(t(s, dir, "embeddings"), "embedding", "vec_id", table)
       Ann.ivfTopKIndexed(s, table, queryFilter = col("id") < 10, k = 5)
         .orderBy("query_id", "rnk")

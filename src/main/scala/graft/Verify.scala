@@ -22,6 +22,12 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // run-scoped warehouse: standing tables (already uniquely named
+      // via Tables.scoped) additionally live in a per-run directory, so
+      // no concurrent or stale process's warehouse state can ever feed
+      // this gate (the r16 m10 hash-mismatch hazard, closed twice over)
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft_verify_wh_").toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAXPART", "134217728"))

@@ -6,6 +6,24 @@ import org.apache.spark.sql.SparkSession
   * (Dedup.buildShingleIndex, Ann.buildAnnIndex/buildIvfIndex). */
 object Tables {
 
+  /** Per-JVM unique table-name prefix. Every standing table a
+    * SparkEntry query builds goes through [[scoped]], so two Verify /
+    * Bench / judge processes sharing one `spark-warehouse` directory
+    * can NEVER read or clobber each other's state: names collide only
+    * within a single JVM, where the catalog is session-scoped anyway.
+    * Stable for the JVM's lifetime so build→absorb→probe chains and
+    * cross-query standing reuse inside one run still resolve. The r16
+    * driver gate had exactly one red row (m10, hash-only, five clean
+    * independent reruns) whose only plausible mechanism was a stale or
+    * concurrent run's `ivf_idx_m10` feeding the probe — this closes
+    * that hazard by construction. */
+  private val runPrefix: String =
+    "g" + java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+
+  /** Run-scoped standing-table name (or prefix, for the multi-table
+    * builders that derive `prefix_counts` etc. from it). */
+  def scoped(name: String): String = s"${runPrefix}_$name"
+
   /** Drop a managed table AND clear any leftover warehouse directory: a
     * location written by a PREVIOUS session is unknown to this catalog,
     * and `saveAsTable` then refuses the name. */
