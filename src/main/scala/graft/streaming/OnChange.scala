@@ -112,7 +112,46 @@ object OnChange {
     * must close exactly once, with the full event count). Files must
     * arrive in event-time order (the reference's change log appends in
     * token order, so this is the contract, not an assumption). */
-  def streamingSessionizeDir(spark: SparkSession, dir: String, gapUs: Long): DataFrame = {
+  def streamingSessionizeDir(spark: SparkSession, dir: String, gapUs: Long): DataFrame =
+    streamingSessionizeDrain(spark, dir, gapUs).out
+
+  /** A drained stream's output plus the state-store row count after the
+    * final micro-batch — the observable the state-bounding specs pin. */
+  final case class DrainResult(out: DataFrame, stateRows: Long)
+
+  private def finalStateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.flatMap(_.stateOperators).lastOption.map(_.numRowsTotal).getOrElse(-1L)
+
+  /** Run `body` with trailing no-data micro-batches disabled. The
+    * eviction timeouts fire on DATA batches only: a drain would
+    * otherwise append one empty batch that flushes every
+    * watermark-closed tail at whatever point the drain happens to stop,
+    * making the emitted set depend on the drain boundary instead of the
+    * data (the gate's oracle is event-driven closure). Live deployments
+    * run continuous data batches, so eviction timing is unaffected. */
+  private def withoutNoDataBatches[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** `streamingSessionizeDir` exposing the final state-store row count.
+    *
+    * State bounding (EventTimeTimeout): an open tail whose gap the
+    * watermark has provably passed (`last_us + gap ≤ watermark`) is
+    * emitted CLOSED and evicted — closing it is semantics-free because
+    * under the in-order arrival contract any future event for that user
+    * has event time past the watermark, so it would close this exact
+    * session and start a new one anyway. State is therefore bounded by
+    * users active within one gap of the watermark, not by history.
+    * (With a watermark defined, Spark also drops input rows older than
+    * the watermark — under the in-order contract no such rows exist.) */
+  def streamingSessionizeDrain(spark: SparkSession, dir: String, gapUs: Long): DrainResult = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir).schema
@@ -121,38 +160,60 @@ object OnChange {
       .parquet(dir)
     val sessions = raw
       .select(col("user_id"), graft.ops.Events.tsMicros(raw, "ts").as("tus"), col("value"))
+      .withColumn("ets", timestamp_micros(col("tus")))
+      .withWatermark("ets", "0 seconds")
       .as[SessionEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, ClosedSession](
-        org.apache.spark.sql.streaming.OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        org.apache.spark.sql.streaming.OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
         (uid, events, state) =>
-          val sorted = events.toSeq.sortBy(_.tus)
-          var open = state.getOption
-          val closed = Seq.newBuilder[ClosedSession]
-          sorted.foreach { e =>
-            open match {
-              case Some(o) if e.tus - o.last_us < gapUs =>
-                open = Some(OpenSession(o.start_us, e.tus, o.n + 1, o.sum + e.value))
-              case Some(o) =>
-                closed += ClosedSession(uid, o.start_us, o.n, o.sum)
-                open = Some(OpenSession(e.tus, e.tus, 1, e.value))
-              case None =>
-                open = Some(OpenSession(e.tus, e.tus, 1, e.value))
+          if (state.hasTimedOut) {
+            // the watermark passed last_us + gap: no future event can
+            // extend this session — emit it closed, free the key
+            val o = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, o.start_us, o.n, o.sum))
+          } else {
+            val sorted = events.toSeq.sortBy(_.tus)
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { e =>
+              open match {
+                case Some(o) if e.tus - o.last_us < gapUs =>
+                  open = Some(OpenSession(o.start_us, e.tus, o.n + 1, o.sum + e.value))
+                case Some(o) =>
+                  closed += ClosedSession(uid, o.start_us, o.n, o.sum)
+                  open = Some(OpenSession(e.tus, e.tus, 1, e.value))
+                case None =>
+                  open = Some(OpenSession(e.tus, e.tus, 1, e.value))
+              }
             }
+            open.foreach { o =>
+              state.update(o)
+              // re-arm each invocation (Spark clears the timeout when
+              // the function runs); clamp above the current watermark
+              // (setTimeoutTimestamp refuses timestamps ≤ watermark)
+              state.setTimeoutTimestamp(math.max(
+                (o.last_us + gapUs) / 1000 + 1, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
           }
-          open.foreach(state.update)
-          closed.result().iterator
       }
     val name = "onchange_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = sessions.writeStream
-      .format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
-      .select(col("user_id"), col("session_start_us"), col("n_events"),
-        round(col("raw_sum"), 2).as("sum_value"))
+    val q = withoutNoDataBatches(spark) {
+      val q0 = sessions.writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q0.awaitTermination()
+      q0
+    }
+    DrainResult(
+      spark.table(name)
+        .select(col("user_id"), col("session_start_us"), col("n_events"),
+          round(col("raw_sum"), 2).as("sum_value")),
+      finalStateRows(q))
   }
 
   final case class StepEvent(user_id: Long, tus: Long, step: Int)
@@ -181,7 +242,37 @@ object OnChange {
   def streamingFunnelDir(spark: SparkSession, dir: String, steps: Seq[String],
                          horizonUs: Long, nsCol: String = "ts",
                          userCol: String = "user_id",
-                         typeCol: String = "event_type"): DataFrame = {
+                         typeCol: String = "event_type",
+                         tombstoneTtlUs: Option[Long] = None): DataFrame =
+    streamingFunnelDrain(spark, dir, steps, horizonUs, nsCol, userCol,
+      typeCol, tombstoneTtlUs).out
+
+  /** `streamingFunnelDir` exposing the final state-store row count.
+    *
+    * State bounding (EventTimeTimeout): an open tail whose horizon the
+    * watermark has provably passed (`t1 + horizon ≤ watermark`) can
+    * never complete — under the in-order contract every future step
+    * event is past the watermark, failing the `≤ t1 + horizon` gate —
+    * so its step-times payload is DROPPED and only a compact done
+    * tombstone remains. The tombstone itself must stay (batch funnel
+    * semantics anchor at the user's FIRST step-0 event ever, so a later
+    * chain must not re-anchor — the events fixtures have hundreds of
+    * users whose later chains would otherwise re-complete); users that
+    * never lock step 0 are never stored at all. State is therefore
+    * bounded at O(one flag per user that ever entered the funnel), with
+    * the k-step payload only for users inside their live horizon.
+    *
+    * `tombstoneTtlUs` (deployment opt-in): ALSO evict tombstones once
+    * the watermark passes their completion/expiry by the TTL — the
+    * episode semantics real funnel analytics use (a user re-entering
+    * after the TTL converts again). That mode deliberately diverges
+    * from the first-touch-anchored batch oracle, so the gate query
+    * leaves it None; FunnelEvictionSpec pins the re-entry behavior. */
+  def streamingFunnelDrain(spark: SparkSession, dir: String, steps: Seq[String],
+                           horizonUs: Long, nsCol: String = "ts",
+                           userCol: String = "user_id",
+                           typeCol: String = "event_type",
+                           tombstoneTtlUs: Option[Long] = None): DrainResult = {
     import spark.implicits._
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.length == steps.length, "funnel steps must be distinct")
@@ -201,38 +292,69 @@ object OnChange {
       .filter(col(typeCol).isin(steps: _*))
       .select(col(userCol).cast("long").as("user_id"),
         graft.ops.Events.tsMicros(raw, nsCol).as("tus"), stepIdx.as("step"))
+      .withColumn("ets", timestamp_micros(col("tus")))
+      .withWatermark("ets", "0 seconds")
       .as[StepEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelProgress, CompletedFunnel](
-        org.apache.spark.sql.streaming.OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        org.apache.spark.sql.streaming.OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
         (uid, events, state) =>
-          var st = state.getOption.getOrElse(FunnelProgress(Seq.empty, done = false))
-          val out = Seq.newBuilder[CompletedFunnel]
-          events.toSeq.sortBy(_.tus).foreach { e =>
-            if (!st.done) {
-              val d = st.times.length
-              if (e.step == d && d < k &&
-                  (d == 0 ||
-                    (e.tus > st.times.last && e.tus <= st.times.head + horizonUs))) {
-                val times = st.times :+ e.tus
-                st = FunnelProgress(times, done = times.length == k)
-                if (st.done) out += CompletedFunnel(uid, times)
+          val wmMs = state.getCurrentWatermarkMs()
+          // re-armed every invocation (Spark clears the timeout when the
+          // function runs); clamped above the watermark, which
+          // setTimeoutTimestamp refuses to be at or below
+          def arm(atUs: Long): Unit =
+            state.setTimeoutTimestamp(math.max(atUs / 1000 + 1, wmMs + 1))
+          if (state.hasTimedOut) {
+            if (!state.get.done) {
+              // expired open tail: drop the payload, keep the tombstone
+              state.update(FunnelProgress(Seq.empty, done = true))
+              tombstoneTtlUs.foreach(ttl => arm(wmMs * 1000 + ttl))
+            } else state.remove() // TTL-expired tombstone (episode mode)
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(FunnelProgress(Seq.empty, done = false))
+            val out = Seq.newBuilder[CompletedFunnel]
+            events.toSeq.sortBy(_.tus).foreach { e =>
+              if (!st.done) {
+                val d = st.times.length
+                if (e.step == d && d < k &&
+                    (d == 0 ||
+                      (e.tus > st.times.last && e.tus <= st.times.head + horizonUs))) {
+                  val times = st.times :+ e.tus
+                  st = FunnelProgress(times, done = times.length == k)
+                  if (st.done) out += CompletedFunnel(uid, times)
+                }
               }
             }
+            if (st.done) {
+              // completion time before the payload drops to a tombstone
+              val tk = st.times.lastOption.getOrElse(wmMs * 1000)
+              state.update(FunnelProgress(Seq.empty, done = true))
+              tombstoneTtlUs.foreach(ttl => arm(tk + ttl))
+            } else if (st.times.nonEmpty) {
+              state.update(st)
+              arm(st.times.head + horizonUs)
+            }
+            // never entered the funnel → never occupies the store
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
       }
     val name = "onchange_funnel_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = completed.writeStream
-      .format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name).select(
-      col("user_id") +:
-        (1 to k).map(i => element_at(col("times"), i).as(s"t$i")): _*)
+    val q = withoutNoDataBatches(spark) {
+      val q0 = completed.writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q0.awaitTermination()
+      q0
+    }
+    DrainResult(
+      spark.table(name).select(
+        col("user_id") +:
+          (1 to k).map(i => element_at(col("times"), i).as(s"t$i")): _*),
+      finalStateRows(q))
   }
 
   /** Streaming fullsync — the reference's fullsync JOB MODE

@@ -143,19 +143,22 @@ class StreamingSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_sess_mb_").toString
     def chunk(name: String, order: Int, rows: Seq[(Long, Long, Double)]): Unit =
       stageChunk(dir, rows.toDF("user_id", "ts", "value"), name, order)
-    chunk("a.parquet", 0, Seq((1L, ns(0), 1.0), (1L, ns(10), 2.0), (2L, ns(0), 5.0)))
-    chunk("b.parquet", 1, Seq((1L, ns(20), 3.0), (2L, ns(100), 6.0)))
-    chunk("c.parquet", 2, Seq((1L, ns(70), 4.0), (2L, ns(200), 7.0)))
+    // minute 1, not 0: with an event-time watermark, rows at or below
+    // the current watermark (0 on the first batch) are dropped as late
+    chunk("a.parquet", 0, Seq((1L, ns(1), 1.0), (1L, ns(11), 2.0), (2L, ns(1), 5.0)))
+    chunk("b.parquet", 1, Seq((1L, ns(21), 3.0), (2L, ns(101), 6.0)))
+    chunk("c.parquet", 2, Seq((1L, ns(171), 4.0), (2L, ns(201), 7.0)))
     val got = OnChange.streamingSessionizeDir(s, dir, gapUs = us(30))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     // user 1's first session spans chunks a and b (open state carried
     // across the micro-batch boundary), then closes exactly once — with
-    // the merged event count — when chunk c's minute-70 event arrives;
-    // each user's open tail stays in the state store (not emitted)
+    // the merged event count — when chunk c's minute-171 event arrives
+    // (chunk files honor the in-order contract: c's events are past b's);
+    // each user's final open tail stays in the state store (not emitted)
     assert(got == Set(
-      (1L, us(0), 3L, 6.0),
-      (2L, us(0), 1L, 5.0),
-      (2L, us(100), 1L, 6.0)), got.toString)
+      (1L, us(1), 3L, 6.0),
+      (2L, us(1), 1L, 5.0),
+      (2L, us(101), 1L, 6.0)), got.toString)
   }
 
   test("streaming containment: cross-batch excerpt surfaces as-of-arrival through the absorbed index") {
@@ -211,6 +214,101 @@ class StreamingSpec extends SparkSpec {
     assert(triangle(graft.ops.Retention.retentionReadout(s, table)) == triangle(oneShot))
   }
 
+  test("streaming sessionize evicts gap-passed tails by emitting them closed; state key count drops") {
+    val s = spark
+    import s.implicits._
+    def us(min: Long) = min * 60L * 1000000L
+    def ns(min: Long) = us(min) * 1000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_evict_").toString
+    def chunk(name: String, order: Int, rows: Seq[(Long, Long, Double)]): Unit =
+      stageChunk(dir, rows.toDF("user_id", "ts", "value"), name, order)
+    // user 1 goes quiet after minute 0; user 2 keeps producing. Batch c's
+    // watermark (minute 100, from chunk b) passes user 1's gap — their
+    // session must emit CLOSED with no further user-1 event, and their
+    // key must leave the state store (only user 2's open tail remains).
+    chunk("a.parquet", 0, Seq((1L, ns(1), 1.0), (2L, ns(1), 5.0)))
+    chunk("b.parquet", 1, Seq((2L, ns(101), 6.0)))
+    chunk("c.parquet", 2, Seq((2L, ns(301), 7.0)))
+    val r = OnChange.streamingSessionizeDrain(s, dir, gapUs = us(30))
+    val got = r.out.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3))).toSet
+    assert(got == Set(
+      (1L, us(1), 1L, 1.0),    // timeout-closed: no later user-1 event exists
+      (2L, us(1), 1L, 5.0),
+      (2L, us(101), 1L, 6.0)), got.toString)
+    assert(r.stateRows == 1L, s"state rows ${r.stateRows}: only user 2's open tail should remain")
+  }
+
+  test("streaming funnel eviction: expired tails shrink to tombstones, re-entry blocked (= batch), never-entered users unstored") {
+    val s = spark
+    import s.implicits._
+    def us(min: Long) = min * 60L * 1000000L
+    def ns(min: Long) = us(min) * 1000L
+    val horizon = us(10)
+    val steps = Seq("view", "click", "purchase")
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_evict_").toString
+    def chunk(name: String, order: Int, rows: Seq[(Long, Long, String)]): Unit =
+      stageChunk(dir, rows.toDF("user_id", "ts", "event_type"), name, order)
+    // u1: view at 0, never completes within the 10-min horizon — batch
+    //     b2's watermark (minute 1000, far past 10) fires u1's timeout
+    //     while u1 is silent, downgrading the tail to a tombstone; u1's
+    //     LATER full chain (2100…2102) must then NOT re-anchor (batch
+    //     funnel anchors at the first view ever)
+    // u2: completes in chunk a → emits once, tombstone thereafter
+    // u6: click only (never locks step 0) → never occupies the store
+    // u3: open tail at drain end → stays, with payload
+    chunk("a.parquet", 0, Seq(
+      (1L, ns(1), "view"),
+      (2L, ns(2), "view"), (2L, ns(3), "click"), (2L, ns(4), "purchase"),
+      (6L, ns(5), "click")))
+    chunk("b.parquet", 1, Seq((3L, ns(1000), "view")))
+    chunk("b2.parquet", 2, Seq((3L, ns(1500), "view")))
+    chunk("c.parquet", 3, Seq(
+      (1L, ns(2100), "view"), (1L, ns(2101), "click"), (1L, ns(2102), "purchase"),
+      (3L, ns(2103), "view")))
+    val r = OnChange.streamingFunnelDrain(s, dir, steps, horizon)
+    val got = r.out.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == Set((2L, us(2))), got.toString)
+    // streaming ≡ batch at depth k on the same union (re-entry blocked)
+    val batch = graft.ops.Events.funnel(s.read.parquet(dir), "ts", "user_id",
+        "event_type", steps, horizon)
+      .filter(col("depth") === 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == batch, s"stream=$got batch=$batch")
+    // state: u1 tombstone + u2 tombstone + u3 fresh tail = 3 keys (u6 never stored)
+    assert(r.stateRows == 3L, s"state rows ${r.stateRows}")
+  }
+
+  test("streaming funnel tombstone TTL (episode mode): tombstones evict, users re-enter and convert again") {
+    val s = spark
+    import s.implicits._
+    def us(min: Long) = min * 60L * 1000000L
+    def ns(min: Long) = us(min) * 1000L
+    val horizon = us(10)
+    val steps = Seq("view", "click", "purchase")
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_ttl_").toString
+    def chunk(name: String, order: Int, rows: Seq[(Long, Long, String)]): Unit =
+      stageChunk(dir, rows.toDF("user_id", "ts", "event_type"), name, order)
+    // u2 completes at minute 3; with a 5-min tombstone TTL, batch b2's
+    // watermark (minute 1000 > 8) fires the tombstone's timeout while
+    // u2 is silent, freeing the key — u2's second chain (2100…) then
+    // converts AGAIN, the episode semantics deployments opt into
+    chunk("a.parquet", 0, Seq(
+      (2L, ns(1), "view"), (2L, ns(2), "click"), (2L, ns(3), "purchase")))
+    chunk("b.parquet", 1, Seq((3L, ns(1000), "view")))
+    chunk("b2.parquet", 2, Seq((3L, ns(1500), "view")))
+    chunk("c.parquet", 3, Seq(
+      (2L, ns(2100), "view"), (2L, ns(2101), "click"), (2L, ns(2102), "purchase"),
+      (3L, ns(2103), "view")))
+    val r = OnChange.streamingFunnelDrain(s, dir, steps, horizon,
+      tombstoneTtlUs = Some(us(5)))
+    val got = r.out.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == Set((2L, us(1)), (2L, us(2100))), got.toString)
+    // the re-converted user's fresh tombstone is the only surviving u2
+    // state; u3's open tail also stands
+    assert(r.stateRows == 2L, s"state rows ${r.stateRows}")
+  }
+
   test("streaming funnel: completed rows emit once, steps span batches, open tails stay in state, = batch funnel at depth k") {
     val s = spark
     import s.implicits._
@@ -228,23 +326,23 @@ class StreamingSpec extends SparkSpec {
     //         time is ≤ t1, failing the strict > gate), then a
     //         qualifying click + purchase in batch b
     chunk("a.parquet", 0, Seq(
-      (1L, ns(0), "view"),
-      (2L, ns(1), "view"), (2L, ns(2), "click"), (2L, ns(3), "purchase"),
-      (3L, ns(4), "view"), (3L, ns(5), "click"),
-      (4L, ns(6), "view"), (4L, ns(7), "click"),
-      (5L, ns(8), "click"), (5L, ns(9), "view")))
+      (1L, ns(1), "view"),
+      (2L, ns(2), "view"), (2L, ns(3), "click"), (2L, ns(4), "purchase"),
+      (3L, ns(5), "view"), (3L, ns(6), "click"),
+      (4L, ns(7), "view"), (4L, ns(8), "click"),
+      (5L, ns(9), "click"), (5L, ns(10), "view")))
     chunk("b.parquet", 1, Seq(
       (1L, ns(100), "click"), (1L, ns(200), "purchase"),
       (2L, ns(150), "view"), (2L, ns(151), "purchase"),
-      (4L, ns(7 + 601), "purchase"),
+      (4L, ns(8 + 601), "purchase"),
       (5L, ns(120), "click"), (5L, ns(130), "purchase")))
     val steps = Seq("view", "click", "purchase")
     val got = OnChange.streamingFunnelDir(s, dir, steps, horizon)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == Set(
-      (1L, us(0), us(100), us(200)),
-      (2L, us(1), us(2), us(3)),
-      (5L, us(9), us(120), us(130))), got.toString)
+      (1L, us(1), us(100), us(200)),
+      (2L, us(2), us(3), us(4)),
+      (5L, us(10), us(120), us(130))), got.toString)
     // streaming ≡ batch: the emitted set is exactly the one-shot funnel
     // over the union of all chunks, restricted to depth = k
     val all = s.read.parquet(dir)
