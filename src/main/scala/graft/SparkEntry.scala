@@ -700,6 +700,53 @@ object SparkEntry {
         .orderBy("category", "rank")
     }),
 
+    "j20_job_history" -> ((s, dir) => {
+      // the reference's job run history (internal/jobs/job.go:40
+      // jobResult, scheduler.go:368 GetJobHistory, `mim jobs history`):
+      // every firing of a simulated three-day schedule appends a
+      // history row — job id, firing seq, tick instant, processed
+      // count, last error — and the read is the LATEST run per job
+      // with firing/failure counts. Day 14: rollup-b FAILS loudly (its
+      // source dataset doesn't exist yet — the reference
+      // pipeline_test.go:2010 fixture) and the failure is recorded
+      // without starving copy-a; day 15 the dataset lands and the
+      // SAME job succeeds; weekly-c fires only on the 16th. The
+      // history log is append-only (success overwrites nothing) and
+      // bounded by firings, never data volume.
+      import graft.jobs._
+      import java.time.LocalDateTime
+      val docs = t(s, dir, "documents")
+      val reg = new DatasetRegistry
+      reg.put("raw_a", docs.filter(col("doc_id") % 2 === 0))
+      val sched = new CronScheduler(Seq(
+        CronJob("copy-a", Cron.parse("0 3 * * *"),
+          _ => Job(id = "copy-a", source = RegistrySource(reg, "raw_a"),
+            sink = DatasetSink(reg, "out_a")), () => None),
+        CronJob("rollup-b", Cron.parse("0 3 * * *"),
+          _ => Job(id = "rollup-b",
+            source = FunctionSource { _ =>
+              if (!reg.names.contains("raw_b"))
+                sys.error("dataset does not exist: raw_b")
+              reg.get("raw_b")
+            },
+            sink = DatasetSink(reg, "out_b")), () => None),
+        CronJob("weekly-c", Cron.parse("0 4 16 * *"),
+          _ => Job(id = "weekly-c",
+            source = RegistrySource(reg, "raw_c"),
+            sink = DatasetSink(reg, "out_c")), () => None)),
+        historyTo = Some(JobHistory.DefaultDataset))
+      reg.put("raw_c", docs.filter(col("doc_id") % 5 === 0))
+      def day(d: Int): Unit = {
+        sched.tick(s, reg, LocalDateTime.of(2026, 8, d, 3, 0))
+        sched.tick(s, reg, LocalDateTime.of(2026, 8, d, 4, 0))
+      }
+      day(14)
+      reg.put("raw_b", docs.filter(col("doc_id") % 3 === 0))
+      day(15)
+      day(16)
+      JobHistory.latest(reg).orderBy("job_id")
+    }),
+
     "j6_stats" -> ((s, dir) => {
       // /statistics analog: row counts + storage bytes per dataset; the
       // bytes come from parquet footers (Statistics.parquetDataBytes) —
@@ -2704,6 +2751,31 @@ object SparkEntry {
         |  FROM s)
         |SELECT category, dataset, value, rank::INT AS rank FROM r
         |WHERE rank <= 3 ORDER BY category, rank""".stripMargin,
+
+    // the deterministic replay of the j20 schedule: the firing seqs and
+    // tick instants are fixed by the cron simulation (id-ordered firing
+    // within a tick), the processed counts recompute from documents
+    "j20_job_history" ->
+      """WITH c AS (
+        |  SELECT
+        |    (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)::BIGINT AS n_a,
+        |    (SELECT count(*) FROM documents WHERE doc_id % 3 = 0)::BIGINT AS n_b,
+        |    (SELECT count(*) FROM documents WHERE doc_id % 5 = 0)::BIGINT AS n_c)
+        |SELECT * FROM (
+        |  SELECT 'copy-a' AS job_id, 5::BIGINT AS seq,
+        |    epoch_us(TIMESTAMP '2026-08-16 03:00:00') AS start_us,
+        |    epoch_us(TIMESTAMP '2026-08-16 03:00:00') AS end_us,
+        |    n_a AS processed, '' AS last_error,
+        |    3::BIGINT AS n_runs, 0::BIGINT AS n_failed FROM c
+        |  UNION ALL SELECT 'rollup-b', 6::BIGINT,
+        |    epoch_us(TIMESTAMP '2026-08-16 03:00:00'),
+        |    epoch_us(TIMESTAMP '2026-08-16 03:00:00'),
+        |    n_b, '', 3::BIGINT, 1::BIGINT FROM c
+        |  UNION ALL SELECT 'weekly-c', 7::BIGINT,
+        |    epoch_us(TIMESTAMP '2026-08-16 04:00:00'),
+        |    epoch_us(TIMESTAMP '2026-08-16 04:00:00'),
+        |    n_c, '', 1::BIGINT, 0::BIGINT FROM c)
+        |ORDER BY job_id""".stripMargin,
 
     // per-dataset counts plus the generated `all` rollup row
     "j18_stats_rollup" ->

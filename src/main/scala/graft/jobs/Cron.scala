@@ -102,9 +102,11 @@ final case class CronJob(
   * driving tick explicitly also makes schedules simulatable in specs.
   * Token state lives here, keyed by job id, exactly one advance per
   * successful firing. */
-final class CronScheduler(jobs: Seq[CronJob], maxRetries: Int = 0) {
+final class CronScheduler(jobs: Seq[CronJob], maxRetries: Int = 0,
+                          historyTo: Option[String] = None) {
 
   private val tokens = TrieMap.empty[String, Long]
+  private val firingSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** The stored continuation token for a job (None before first run). */
   def token(id: String): Option[Long] = tokens.get(id)
@@ -113,22 +115,41 @@ final class CronScheduler(jobs: Seq[CronJob], maxRetries: Int = 0) {
     * that exhausts its retries is recorded as failed and the remaining
     * due jobs still run this minute (the reference scheduler isolates
     * per-job panics the same way; one broken job must not starve the
-    * rest of the schedule). The token only advances on success. */
+    * rest of the schedule). The token only advances on success.
+    *
+    * With `historyTo` set, every firing appends a [[JobHistory]] row
+    * (job id, firing seq, tick instant, processed count, last error) —
+    * the reference writes its `jobResult` at the end of every
+    * `job.Run()` the same way, success or failure
+    * (internal/jobs/job.go:156). */
   def tickOutcomes(spark: SparkSession, registry: DatasetRegistry,
                    now: LocalDateTime): Seq[(String, Option[Throwable])] =
     jobs.filter(_.cron.matches(now)).sortBy(_.id).map { cj =>
-      try {
-        // capture the next token BEFORE the run: rows appended while
-        // the job executes stay past the stored token and surface next
-        // tick (at-least-once; latestOnly sinks dedup) — reading it
-        // after the run would skip that window's appends forever
-        val next = cj.nextToken()
-        Scheduler.runWithRetry(spark, registry, cj.makeJob(tokens.get(cj.id)), maxRetries)
-        next.foreach(t => tokens.put(cj.id, t))
-        cj.id -> None
-      } catch {
-        case scala.util.control.NonFatal(e) => cj.id -> Some(e)
+      val (err, processed) =
+        try {
+          // capture the next token BEFORE the run: rows appended while
+          // the job executes stay past the stored token and surface next
+          // tick (at-least-once; latestOnly sinks dedup) — reading it
+          // after the run would skip that window's appends forever
+          val next = cj.nextToken()
+          val job = cj.makeJob(tokens.get(cj.id))
+          val n =
+            if (historyTo.isDefined)
+              Scheduler.runWithRetryCounted(spark, registry, job, maxRetries)
+            else { Scheduler.runWithRetry(spark, registry, job, maxRetries); 0L }
+          next.foreach(t => tokens.put(cj.id, t))
+          (None: Option[Throwable], n)
+        } catch {
+          case scala.util.control.NonFatal(e) => (Some(e), 0L)
+        }
+      historyTo.foreach { ds =>
+        val tUs = now.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          now.getNano / 1000L
+        JobHistory.record(spark, registry, ds, cj.id, firingSeq.incrementAndGet(),
+          tUs, tUs, processed,
+          err.map(e => Option(e.getMessage).getOrElse(e.getClass.getName)))
       }
+      cj.id -> err
     }
 
   /** Run all jobs due at `now`; returns the ids that ran successfully

@@ -254,11 +254,22 @@ final case class Job(
 ) {
   def run(spark: SparkSession, registry: Option[DatasetRegistry] = None): Unit = {
     Metrics.timing(s"job.$id")
-    try runInner(spark, registry)
+    try { runInner(spark, registry, counted = false); () }
     finally Metrics.timing(s"job.$id", send = true)
   }
 
-  private def runInner(spark: SparkSession, registry: Option[DatasetRegistry]): Unit = {
+  /** `run`, returning the number of rows written to the sink — the
+    * reference's per-run `processed` count (internal/jobs/job.go:40
+    * `jobResult.Processed`). The sink input is pinned first so the
+    * count and the write observe the same rows. */
+  def runCounted(spark: SparkSession, registry: Option[DatasetRegistry] = None): Long = {
+    Metrics.timing(s"job.$id")
+    try runInner(spark, registry, counted = true)
+    finally Metrics.timing(s"job.$id", send = true)
+  }
+
+  private def runInner(spark: SparkSession, registry: Option[DatasetRegistry],
+                       counted: Boolean): Long = {
     val out0 = transform(source.read(spark))
     // with a re-queue configured the relation is written TWICE (fail
     // side + pass side): pin it first, or a nondeterministic transform
@@ -272,7 +283,9 @@ final case class Job(
     // precisely to capture such entities)
     val fail = !coalesce(validate, lit(false))
     requeueTo.foreach(_.write(out.filter(fail)))
-    sink.write(requeueTo.map(_ => out.filter(!fail)).getOrElse(out))
+    val pass0 = requeueTo.map(_ => out.filter(!fail)).getOrElse(out)
+    val pass = if (counted) graft.core.Checkpoints.truncate(pass0) else pass0
+    sink.write(pass)
     registry.foreach { r =>
       if (sourceName.nonEmpty && sinkName.nonEmpty) {
         val kind = if (transform eq Transforms.noop) "copy" else "transform"
@@ -280,6 +293,7 @@ final case class Job(
         hops.foreach(h => r.recordEdge(h, sinkName, "transform-hop"))
       }
     }
+    if (counted) pass.count() else 0L
   }
 }
 

@@ -80,4 +80,18 @@ object Scheduler {
       }
     }
   }
+
+  /** `runWithRetry` returning the firing's processed count (the
+    * reference's `jobResult.Processed`) — the history-recording path. */
+  def runWithRetryCounted(spark: SparkSession, registry: DatasetRegistry,
+                          job: Job, maxRetries: Int): Long = {
+    var attempt = 0
+    while (true) {
+      try return job.runCounted(spark, Some(registry))
+      catch {
+        case scala.util.control.NonFatal(_) if attempt < maxRetries => attempt += 1
+      }
+    }
+    0L // unreachable
+  }
 }

@@ -638,4 +638,52 @@ class JobsSpec extends SparkSpec {
         _.getPath.getName.stripPrefix("__shard=").toLong).toSet
     (0L until 96L).filterNot(present).foreach(sh => assert(m(sh) == ((0L, 0L))))
   }
+
+  test("job history: every firing appends (failure recorded, success overwrites nothing), ordered, latest view per job") {
+    val s = spark
+    import s.implicits._
+    import java.time.LocalDateTime
+    val reg = new DatasetRegistry
+    reg.put("src", Seq(1, 2, 3).toDF("x"))
+    val sched = new CronScheduler(Seq(
+      CronJob("good", Cron.parse("0 3 * * *"),
+        _ => Job(id = "good", source = RegistrySource(reg, "src"),
+          sink = DatasetSink(reg, "out")), () => None),
+      CronJob("flaky", Cron.parse("0 3 * * *"),
+        _ => Job(id = "flaky",
+          source = FunctionSource { _ =>
+            if (!reg.names.contains("late")) sys.error("dataset does not exist: late")
+            reg.get("late")
+          },
+          sink = DatasetSink(reg, "out2")), () => None)),
+      historyTo = Some(JobHistory.DefaultDataset))
+    sched.tick(s, reg, LocalDateTime.of(2026, 8, 14, 3, 0))
+    // day-14 failure is already on record BEFORE the fix lands
+    val afterDay1 = JobHistory.history(reg).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4), r.getString(5)))
+    assert(afterDay1.toSeq == Seq(
+      ("flaky", 1L, 0L, "dataset does not exist: late"),
+      ("good", 2L, 3L, "")), afterDay1.mkString(", "))
+    reg.put("late", Seq(7, 8).toDF("y"))
+    sched.tick(s, reg, LocalDateTime.of(2026, 8, 15, 3, 0))
+    // append-only: the day-15 success did NOT overwrite the day-14
+    // failure row; seq gives the firing total order
+    val hist = JobHistory.history(reg).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getString(5)))
+    def us(d: Int) = LocalDateTime.of(2026, 8, d, 3, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    assert(hist.toSeq == Seq(
+      ("flaky", 1L, us(14), 0L, "dataset does not exist: late"),
+      ("good", 2L, us(14), 3L, ""),
+      ("flaky", 3L, us(15), 2L, ""),
+      ("good", 4L, us(15), 3L, "")), hist.mkString(", "))
+    assert(hist.map(_._2).toSeq == hist.map(_._2).sorted.toSeq) // ordered
+    // the reference GetJobHistory view: latest run per job + counters
+    val latest = JobHistory.latest(reg).orderBy("job_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4), r.getString(5),
+        r.getLong(6), r.getLong(7)))
+    assert(latest.toSeq == Seq(
+      ("flaky", 3L, 2L, "", 2L, 1L),
+      ("good", 4L, 3L, "", 2L, 0L)), latest.mkString(", "))
+  }
 }
