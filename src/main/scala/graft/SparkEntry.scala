@@ -594,6 +594,24 @@ object SparkEntry {
           min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type")),
 
+    "c10_partitioned_changes" -> ((s, dir) => {
+      // writePartitionedLog promoted to the oracle gate (r17): the log
+      // lands partitioned by coarse token buckets (the 100 TB
+      // /changes?since= storage layout — planning-time directory
+      // pruning on top of row-group min/max pruning), the incremental
+      // read goes THROUGH the partitioned layout, and the rows equal
+      // plain changesSince exactly (the c1 oracle). Bucket size scales
+      // with the log's token range (a footer-level max, not a scan)
+      val ev = events(s, dir)
+      val mx = ev.agg(max("event_id")).head.getLong(0)
+      val bucket = math.max(1L, mx / 8)
+      val path = java.nio.file.Files.createTempDirectory("graft_plog_c10_").toString
+      ChangeLog.writePartitionedLog(ev, "event_id", path, bucket)
+      val changed = ChangeLog.readChangesSince(s, path, "event_id", 500, bucket)
+      changed.select(col("event_id"), graft.ops.Events.tsMicros(changed, "ts").as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+    }),
+
     "c9_retention_gc" -> ((s, dir) =>
       // GC/retention (garbagecollector.go): drop versions older than
       // token 9000, keep each entity's latest at-or-before-9000 version
@@ -2606,6 +2624,12 @@ object SparkEntry {
          |) ORDER BY property""".stripMargin,
 
     "c1_changes_since" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM events WHERE event_id > 500 ORDER BY event_id""".stripMargin,
+
+    // the partitioned layout must be invisible to the read: same rows
+    // as plain changes-since over the unpartitioned log
+    "c10_partitioned_changes" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
         |FROM events WHERE event_id > 500 ORDER BY event_id""".stripMargin,
 
