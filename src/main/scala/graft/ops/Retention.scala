@@ -26,8 +26,9 @@ import org.apache.spark.sql.functions._
   * is stable. A batch that violates it (an event EARLIER than a
   * standing user's cohort) would need a negative offset — refused
   * LOUDLY, because silently clamping would corrupt the triangle; the
-  * re-anchor valve is a rebuild (`buildRetentionState`), the
-  * refreshKmvState discipline.
+  * re-anchor valves are [[reanchorRetentionState]] (affected-slice
+  * recompute, the surgical path for a legitimate backfill) or a full
+  * rebuild (`buildRetentionState`), the refreshKmvState discipline.
   *
   * At-least-once: both appends are anti-joined against the standing
   * set (the `_docs` roster idiom — set-union state is monotone, no
@@ -139,6 +140,63 @@ object Retention {
     spark.catalog.refreshTable(s"${table}_first")
     Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(markers)
     Seq(s"${table}_active", markers).foreach(spark.catalog.refreshTable)
+    true
+  }
+
+  /** Re-anchor the AFFECTED SLICE after an out-of-order batch — the
+    * surgical alternative to the full-rebuild valve: recompute `_first`
+    * and `_active` rows ONLY for the batch's users, from the event
+    * log's slice for those users (a broadcast semi-join — map-only
+    * over the log scan, no corpus shuffle), leaving every other user's
+    * state rows untouched. The loud refusal in
+    * [[absorbIntoRetentionState]] stays the DEFAULT path; this is the
+    * operator a deployment runs when an out-of-order batch is
+    * legitimate (a backfill): an earlier first-seen shifts the user's
+    * cohort and re-bases ALL their offsets, so their cells must be
+    * recomputed from history, not patched.
+    *
+    * `log` = the complete event history absorbed so far (the batch is
+    * unioned in here). Deterministic recompute + the replay marker make
+    * a crashed re-anchor retryable: the compact drops exactly the
+    * affected users' rows (including a previous attempt's partial
+    * append) and the append re-derives them. Returns false on replay
+    * of a COMPLETED re-anchor. */
+  def reanchorRetentionState(spark: SparkSession, log: DataFrame, batch: DataFrame,
+                             nsCol: String, userCol: String, table: String,
+                             batchId: Long): Boolean = {
+    import spark.implicits._
+    require(batchId > 0L, s"batchId must be positive, got $batchId")
+    val markers = s"${table}_batches"
+    if (spark.catalog.tableExists(markers) &&
+        !spark.table(markers).filter(col("batch_id") === batchId).isEmpty) return false
+    val periodUs = periodOf(spark, table)
+    val users = graft.core.Checkpoints.truncate(
+      batch.select(col(userCol).cast("long").as("__u")).distinct())
+    val logSlice = log.join(broadcast(users),
+      col(userCol).cast("long") === col("__u"), "leftsemi")
+    val ev = graft.core.Checkpoints.truncate(
+      periods(logSlice.unionByName(batch), nsCol, userCol, periodUs))
+    val newFirst = graft.core.Checkpoints.truncate(
+      ev.groupBy("user_id").agg(min(col("p")).as("cohort")))
+    val newCells = graft.core.Checkpoints.truncate(
+      ev.join(newFirst, Seq("user_id"))
+        .select(col("cohort"), (col("p") - col("cohort")).as("period_offset"),
+          col("user_id"))
+        .distinct())
+    // surgical: drop exactly the affected users' rows, append the
+    // recomputed slice — every other user's rows pass through the
+    // rewrite untouched
+    graft.core.Tables.compactByKey(spark, s"${table}_first", users, "user_id")
+    // the compact swaps in a fresh table: re-pin the period property
+    // (absorb refuses to run without it)
+    spark.sql(s"ALTER TABLE `${table}_first` SET TBLPROPERTIES " +
+      s"('$PeriodProp' = '$periodUs')")
+    graft.core.Tables.compactByKey(spark, s"${table}_active", users, "user_id")
+    newFirst.write.mode("append").saveAsTable(s"${table}_first")
+    newCells.write.mode("append").saveAsTable(s"${table}_active")
+    Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(markers)
+    Seq(s"${table}_first", s"${table}_active", markers)
+      .foreach(spark.catalog.refreshTable)
     true
   }
 

@@ -195,6 +195,59 @@ class GraphPlanSpec extends SparkSpec {
       "the refused batch's new user must not linger in the roster")
   }
 
+  test("retention re-anchor: affected-slice recompute ≡ full rebuild; untouched users byte-identical; replay refused") {
+    val s = spark
+    import s.implicits._
+    val R = graft.ops.Retention
+    def ns(period: Long, within: Long) = (period * 100 + within) * 1000000000L
+    def mk(rows: Seq[(Long, Long)]) = rows.map { case (u, t) => (u, t, "view", 1.0) }
+      .toDF("user_id", "ts", "event_type", "value")
+    val standing = mk(Seq((1L, ns(1, 10)), (1L, ns(2, 5)), (2L, ns(1, 50)), (3L, ns(2, 0))))
+    val b1 = mk(Seq((1L, ns(3, 7)), (3L, ns(4, 99)), (4L, ns(3, 1))))
+    val table = "retention_reanchor_spec"
+    R.buildRetentionState(standing, "ts", "user_id", 100000000L, table)
+    assert(R.absorbIntoRetentionState(s, b1, "ts", "user_id", table, 1L))
+    val log = standing.unionByName(b1)
+    // the backfill: user 3's event BEFORE their standing cohort (shifts
+    // their cohort AND re-bases all their offsets) + a brand-new user 9
+    val oo = mk(Seq((3L, ns(0, 1)), (9L, ns(4, 2))))
+    // the default path refuses it loudly
+    intercept[IllegalArgumentException] {
+      R.absorbIntoRetentionState(s, oo, "ts", "user_id", table, 2L)
+    }
+    // untouched users = everyone but {3, 9}
+    def stateRows(t: String) = (
+      s.table(s"${t}_first").filter(!col("user_id").isin(3L, 9L))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      s.table(s"${t}_active").filter(!col("user_id").isin(3L, 9L))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    val before = stateRows(table)
+    assert(R.reanchorRetentionState(s, log, oo, "ts", "user_id", table, 2L))
+    assert(stateRows(table) == before,
+      "re-anchor must leave every non-affected user's state rows identical")
+    // ≡ full rebuild over the complete history including the backfill
+    val rebuilt = "retention_reanchor_full"
+    R.buildRetentionState(log.unionByName(oo), "ts", "user_id", 100000000L, rebuilt)
+    def allRows(t: String) = (
+      s.table(s"${t}_first").collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      s.table(s"${t}_active").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    assert(allRows(table) == allRows(rebuilt), "re-anchor must equal the full rebuild")
+    def triangle(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("cohort", "period_offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(triangle(R.retentionReadout(s, table)) ==
+      triangle(Events.retentionCohorts(log.unionByName(oo), "ts", "user_id", 100000000L)))
+    // replay of a completed re-anchor is refused
+    assert(!R.reanchorRetentionState(s, log, oo, "ts", "user_id", table, 2L))
+    // the period property survived the compact swap: a later in-order
+    // absorb still runs and stays ≡ one-shot
+    val b3 = mk(Seq((9L, ns(5, 5)), (2L, ns(3, 9))))
+    assert(R.absorbIntoRetentionState(s, b3, "ts", "user_id", table, 3L))
+    assert(triangle(R.retentionReadout(s, table)) ==
+      triangle(Events.retentionCohorts(log.unionByName(oo).unionByName(b3),
+        "ts", "user_id", 100000000L)))
+  }
+
   test("paged traversal: pages partition the full traversal, keyset-resumable") {
     val page1 = g.outPaged("customer", Tpch.pNation, None, 30)
       .select("start_key").collect().map(_.getLong(0))
