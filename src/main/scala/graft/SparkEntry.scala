@@ -1011,6 +1011,34 @@ object SparkEntry {
       Dedup.clusters(Dedup.ngramJaccard(t(s, dir, "documents"), "text", "doc_id", 3, 0.8))
         .orderBy("id")),
 
+    "d30_media_neardup" -> ((s, dir) => {
+      // near-dup media removal at ingest — PURE COMPOSITION, zero new
+      // machinery (the point): m4's media embeddings feed a standing
+      // IVF index; a re-ingest batch (perturbed variants of the first
+      // 100 docs' rasters — the d5/d14 construction, offset past any
+      // doc id) screens through d14's semantic-dedup delta against
+      // that index; the surfaced pairs cluster (d6's components) and
+      // each near-dup cluster keeps its best variant by a media
+      // quality stat (d25's policy; the first window-sum dim — the
+      // perturbed re-encode scores fractionally higher, so keep-best
+      // genuinely decides, not just tie-breaks). 0.9999 cosine: raster
+      // window-sums of same-length text are correlated, so the
+      // near-dup bar sits above the background (measured ~0.999)
+      val emb = Multimodal.embed(Multimodal.mediaFromDocs(t(s, dir, "documents"))).toDF()
+      val table = graft.core.Tables.scoped("ivf_idx_d30")
+      Ann.buildIvfIndex(emb, "embedding", "doc_id", table)
+      val batch = graft.ann.SemDedup.perturbedBatch(emb, "embedding", "doc_id",
+        offset = 10000000L)
+      val pairs = graft.ann.SemDedup.semanticDedupDelta(
+        s, batch, "embedding", "doc_id", table, 0.9999)
+      val quality = emb.select(col("doc_id").as("id"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("quality"))
+        .unionByName(batch.select(col("doc_id").as("id"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("quality")))
+      Dedup.keepBest(Dedup.clusters(pairs), quality, "id", "quality")
+        .orderBy("cluster_id")
+    }),
+
     "d25_keep_best" -> ((s, dir) => {
       // dedup DECISION by quality: near-dup clusters (d6's components)
       // ranked by the x2 heuristic score — keep each cluster's best
@@ -4240,6 +4268,13 @@ object SparkEntry {
 
     "d14_semantic_delta" ->
       graft.ann.SemDedup.deltaOracleSql(nlist = 16, rounds = 2, threshold = 0.9),
+
+    // the d14 batch×cell construction over the m4 media derivation,
+    // pairs clustered (d6) and keep-best decided (d25) — all in SQL
+    "d30_media_neardup" ->
+      graft.ann.SemDedup.mediaNeardupOracleSql(nlist = 16, rounds = 2,
+        threshold = 0.9999,
+        source = "SELECT doc_id AS id, [ coalesce(list_sum(bytes[16*d+1 : least(16*d+16, len(bytes))]), 0)::DOUBLE for d in range(0, 16) ] AS v FROM (SELECT doc_id, list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))::BIGINT) AS bytes FROM documents)"),
 
     "d26_semantic_decon" ->
       graft.ann.SemDedup.deconOracleSql(nlist = 16, rounds = 2, threshold = 0.9, nprobe = 2),

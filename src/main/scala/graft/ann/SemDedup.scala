@@ -221,6 +221,51 @@ object SemDedup {
        |u AS (SELECT * FROM bb UNION ALL SELECT * FROM bc)
        |SELECT a, b, round(s, 4) AS sim FROM u WHERE s >= $threshold ORDER BY a, b""".stripMargin
 
+  /** DuckDB SQL re-deriving the d30 media-neardup composition: the
+    * [[deltaOracleSql]] batch×cell construction over an arbitrary
+    * vector `source` (the m4 media derivation), its surviving pairs
+    * clustered by the d6 recursive component closure, each cluster
+    * keeping its best member by the first-dim media stat (the d25
+    * keep-best policy — the perturbed re-ingest scores fractionally
+    * higher, so the decision is real, not a tie-break). */
+  def mediaNeardupOracleSql(nlist: Int = 16, rounds: Int = 2,
+                            threshold: Double, batchN: Int = 100,
+                            offset: Long = 10000000L,
+                            source: String): String =
+    s"""WITH RECURSIVE ${Ann.kmeansAssignCtes(nlist, rounds, source)},
+       |bat AS (
+       |  SELECT id + $offset AS id, bv AS v, sqrt(list_inner_product(bv, bv)) AS nrm
+       |  FROM (SELECT id, [CASE WHEN i = 1 THEN ((v[i] + 0.1)::FLOAT)::DOUBLE ELSE v[i] END
+       |         for i in range(1, len(v)+1)] AS bv FROM e WHERE id < $batchN)),
+       |basgr AS (
+       |  SELECT b.id, b.v, b.nrm, c.cid,
+       |         row_number() OVER (PARTITION BY b.id
+       |           ORDER BY list_inner_product(b.v, c.cfd) / (b.nrm * c.cfn) DESC, c.cid) AS rn
+       |  FROM bat b, cdnF c),
+       |basg AS (SELECT id, v, nrm, cid FROM basgr WHERE rn <= 1),
+       |bb AS (
+       |  SELECT x.id AS a, y.id AS b, list_inner_product(x.v, y.v) / (x.nrm * y.nrm) AS s
+       |  FROM basg x JOIN basg y ON x.cid = y.cid AND x.id < y.id),
+       |bc AS (
+       |  SELECT least(x.id, y.id) AS a, greatest(x.id, y.id) AS b,
+       |         list_inner_product(x.v, y.v) / (x.nrm * y.nrm) AS s
+       |  FROM basg x JOIN assign y ON x.cid = y.cid AND x.id <> y.id),
+       |prs AS (SELECT a, b FROM (SELECT * FROM bb UNION ALL SELECT * FROM bc) WHERE s >= $threshold),
+       |edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT reach.src, e2.b FROM reach JOIN edges e2 ON reach.dst = e2.a),
+       |cl AS (SELECT src AS id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src),
+       |q AS (SELECT id, round(v[1], 4) AS quality FROM n
+       |      UNION ALL SELECT id, round(v[1], 4) AS quality FROM bat),
+       |j AS (SELECT cl.cluster_id, cl.id, q.quality FROM cl JOIN q USING (id)),
+       |rk AS (SELECT cluster_id, id, quality,
+       |       row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, id) AS rk,
+       |       count(*) OVER (PARTITION BY cluster_id) AS n_members FROM j)
+       |SELECT cluster_id, id AS kept_id, quality AS kept_score, n_members
+       |FROM rk WHERE rk = 1 ORDER BY cluster_id""".stripMargin
+
   /** DuckDB SQL re-deriving [[semanticDecontaminate]] under the
     * planted-eval construction (the rephrase analog: eval = perturbed
     * copies of train vectors): k-means trained on the train corpus,

@@ -291,6 +291,37 @@ class TextMultimodalSpec extends SparkSpec {
     assert(direct.nonEmpty && direct == indexed, s"direct $direct != indexed $indexed")
   }
 
+  test("d30 media neardup: planted near-dup variants collapse to ONE survivor, the better re-encode wins") {
+    val s = spark
+    import s.implicits._
+    // standing media corpus + a re-ingest of doc 0's raster perturbed
+    // on the first window-sum dim (the d14 planted-batch construction)
+    val docs = s.read.parquet(s"$sfDir/documents.parquet").limit(40)
+    val emb = graft.multimodal.Multimodal.embed(
+      graft.multimodal.Multimodal.mediaFromDocs(docs)).toDF()
+    val table = "ivf_idx_d30spec"
+    graft.ann.Ann.buildIvfIndex(emb, "embedding", "doc_id", table)
+    val batch = graft.ann.SemDedup.perturbedBatch(emb, "embedding", "doc_id",
+      n = 1, offset = 10000000L)
+    val pairs = graft.ann.SemDedup.semanticDedupDelta(
+      s, batch, "embedding", "doc_id", table, 0.9999)
+    // the planted variant surfaces against its original
+    assert(pairs.filter(col("a") === 0L && col("b") === 10000000L).count() == 1L,
+      pairs.collect().mkString(", "))
+    val quality = emb.select(col("doc_id").as("id"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("quality"))
+      .unionByName(batch.select(col("doc_id").as("id"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("quality")))
+    val kept = graft.dedup.Dedup.keepBest(
+      graft.dedup.Dedup.clusters(pairs), quality, "id", "quality")
+    val home = kept.filter(col("cluster_id") === 0L).collect()
+    // ONE survivor per cluster, and the fractionally-sharper re-encode
+    // (embedding[0] + 0.1) beats the original
+    assert(home.length == 1, home.mkString(", "))
+    assert(home.head.getLong(1) == 10000000L, s"kept ${home.head}")
+    assert(home.head.getLong(3) >= 2L) // original + variant share the cluster
+  }
+
   test("text ops are map-only: no shuffle in the plan") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = planOf(TextAnalysis.qualityScore(docs, "text", "doc_id"))
