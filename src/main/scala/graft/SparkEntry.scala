@@ -311,15 +311,15 @@ object SparkEntry {
        |  LEFT JOIN (SELECT doc_id, array_agg(wd ORDER BY pos) AS ws FROM ${p}tkf GROUP BY doc_id) a USING (doc_id))""".stripMargin
 
   /** Stages each `[lo, hi)` slice of `df` (on `idCol`) as one parquet
-    * file `<name>.parquet` in a fresh chunks dir with STRICTLY
-    * INCREASING mtimes — the replay contract every streaming query
-    * (d10/d11/d17) relies on: FileStreamSource orders micro-batches by
-    * mtime, so each slice arrives as its own batch, in `ranges` order.
-    * Returns the chunks dir to pass as the stream source path. */
+    * chunk file in a fresh chunks dir with STRICTLY INCREASING
+    * mtimes — the replay contract every streaming query (d10/d11/d17)
+    * relies on: FileStreamSource orders micro-batches by mtime, so
+    * each slice arrives as its own batch, in `ranges` order. Returns
+    * the chunks dir to pass as the stream source path. */
   private[graft] def stageMicroBatches(df: DataFrame, idCol: String,
-      ranges: Seq[(Long, Long, String)], prefix: String): String =
+      ranges: Seq[(Long, Long)], prefix: String): String =
     stagePredChunks(df,
-      ranges.map { case (lo, hi, _) => col(idCol) >= lo && col(idCol) < hi }, prefix)
+      ranges.map { case (lo, hi) => col(idCol) >= lo && col(idCol) < hi }, prefix)
 
   /** Stage `df` into one flat parquet chunk file per predicate, mtimes
     * increasing in predicate order — the generic sibling of
@@ -948,7 +948,7 @@ object SparkEntry {
       Dedup.buildSimhashIndex(docs.filter(col("doc_id") < 400 || col("doc_id") >= 600),
         "text", "doc_id", maxDist = 10, table, buckets = 16)
       val chunks = stageMicroBatches(docs, "doc_id",
-        Seq((400L, 500L, "a"), (500L, 600L, "b")), "sh")
+        Seq((400L, 500L), (500L, 600L)), "sh")
       val pairs = java.nio.file.Files.createTempDirectory("graft_sh_pairs_").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft_sh_ckpt_").toString
       OnChange.streamingSimhashDedup(s, chunks, "text", "doc_id", 10, table, pairs, ckpt)
@@ -1135,7 +1135,7 @@ object SparkEntry {
       Dedup.buildShingleIndex(docs.filter(col("doc_id") < 400 || col("doc_id") >= 600),
         "text", "doc_id", 3, table, buckets = 16)
       val chunks = stageMicroBatches(docs, "doc_id",
-        Seq((400L, 500L, "a"), (500L, 600L, "b")), "ct")
+        Seq((400L, 500L), (500L, 600L)), "ct")
       val pairs = java.nio.file.Files.createTempDirectory("graft_ct_pairs_").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft_ct_ckpt_").toString
       OnChange.streamingContainment(s, chunks, "text", "doc_id", 3, 0.9, table, pairs, ckpt)
@@ -1155,7 +1155,7 @@ object SparkEntry {
       Dedup.buildShingleIndex(docs.filter(col("doc_id") < 400 || col("doc_id") >= 600),
         "text", "doc_id", 3, table, buckets = 16)
       val chunks = stageMicroBatches(docs, "doc_id",
-        Seq((400L, 500L, "a"), (500L, 600L, "b")), "dd")
+        Seq((400L, 500L), (500L, 600L)), "dd")
       val pairs = java.nio.file.Files.createTempDirectory("graft_dd_pairs_").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft_dd_ckpt_").toString
       OnChange.streamingDedupDelta(s, chunks, "text", "doc_id", 3, 0.8, table, pairs, ckpt)
@@ -1176,7 +1176,7 @@ object SparkEntry {
       val table = graft.core.Tables.scoped("ann_idx_stream_d11")
       Ann.buildAnnIndex(e, "embedding", "vec_id", dims = 64, table, tables = 8, bits = 8, buckets = 16)
       val chunks = stageMicroBatches(perturbed, "vec_id",
-        Seq((10000L, 10050L, "a"), (10050L, 10100L, "b")), "vd")
+        Seq((10000L, 10050L), (10050L, 10100L)), "vd")
       val pairs = java.nio.file.Files.createTempDirectory("graft_vd_pairs_").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft_vd_ckpt_").toString
       OnChange.streamingVectorDedup(s, chunks, "embedding", "vec_id", table, 0.9, pairs, ckpt)
@@ -1260,7 +1260,7 @@ object SparkEntry {
       Dedup.buildGramIndex(docs.filter(col("doc_id") < 400 || col("doc_id") >= 600),
         "text", "doc_id", 15, table, buckets = 16)
       val chunks = stageMicroBatches(docs, "doc_id",
-        Seq((400L, 500L, "a"), (500L, 600L, "b")), "sg")
+        Seq((400L, 500L), (500L, 600L)), "sg")
       val spans = java.nio.file.Files.createTempDirectory("graft_sg_spans_").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft_sg_ckpt_").toString
       OnChange.streamingSubstringDedup(s, chunks, "text", "doc_id", 15, table, spans, ckpt)
@@ -1314,7 +1314,7 @@ object SparkEntry {
       val table = graft.core.Tables.scoped("ivf_idx_d17")
       Ann.buildIvfIndex(e, "embedding", "vec_id", table)
       val chunks = stageMicroBatches(batch, "vec_id",
-        Seq((10000L, 10050L, "a"), (10050L, 10100L, "b")), "sd")
+        Seq((10000L, 10050L), (10050L, 10100L)), "sd")
       val pairs = java.nio.file.Files.createTempDirectory("graft_sd_pairs_").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft_sd_ckpt_").toString
       OnChange.streamingSemanticDedup(s, chunks, "embedding", "vec_id", table, 0.9, pairs, ckpt)
@@ -2001,7 +2001,7 @@ object SparkEntry {
       PackIndex.buildPackState(counts.filter(col("doc_id") < 400 || col("doc_id") >= 600),
         "doc_id", "source", "ws_tokens", capacity = 512L, shardSize = 300L, table)
       val chunks = stageMicroBatches(counts, "doc_id",
-        Seq((400L, 500L, "a"), (500L, 600L, "b")), "pk")
+        Seq((400L, 500L), (500L, 600L)), "pk")
       val out = java.nio.file.Files.createTempDirectory("graft_pk_out_").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft_pk_ckpt_").toString
       OnChange.streamingPackDelta(s, chunks, "doc_id", "source", "ws_tokens",

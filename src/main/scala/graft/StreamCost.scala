@@ -37,8 +37,8 @@ object StreamCost {
     // different counts probe the same index size
     val docLo = nDocs - maxBatches * batchSize
     val vecLo = nVecs - maxBatches * batchSize
-    def ranges(lo: Long, c: Int): Seq[(Long, Long, String)] =
-      (0 until c).map(i => (lo + i * batchSize, lo + (i + 1) * batchSize, f"b$i%03d"))
+    def ranges(lo: Long, c: Int): Seq[(Long, Long)] =
+      (0 until c).map(i => (lo + i * batchSize, lo + (i + 1) * batchSize))
 
     def run(family: String, c: Int, build: () => Unit,
             stream: (String, String, String) => Unit, lo: Long, src: DataFrame,

@@ -364,10 +364,19 @@ object Multimodal {
     * every feature is SQL-recomputable from the text bytes; a
     * production build swaps the payload source for real microphone
     * bytes. */
-  def audioFromDocs(docs: DataFrame): Dataset[Media] = {
+  def audioFromDocs(docs: DataFrame, skipNonAscii: Boolean = false): Dataset[Media] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"), col("source"))
+    // boundary valve for real corpora (one UTF-8 doc must not abort a
+    // whole ingest): skipNonAscii drops non-ASCII docs DECLARATIVELY at
+    // the synthesis boundary (the predicate reaches the scan), so the
+    // loud per-byte contract below only ever fires on contract bugs,
+    // not on data. Default stays loud — silently narrowing a corpus is
+    // the worse failure for the oracle-checked fixtures.
+    val base =
+      if (skipNonAscii) docs.filter(col("text").rlike("^[\\x00-\\x7F]*$"))
+      else docs
+    base.select(col("doc_id").cast("long"), col("text"), col("source"))
       .as[(Long, String, String)]
       .mapPartitions(_.map { case (id, text, source) =>
         val tb = text.getBytes("UTF-8")

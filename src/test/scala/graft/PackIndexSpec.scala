@@ -161,7 +161,7 @@ class PackIndexSpec extends SparkSpec {
     PackIndex.buildPackState(df(standing), "id", "src", "tok", Cap, ShardSize, "pk_str")
     val staged = df(b1 ++ b2 ++ b3)
     val docsDir = SparkEntry.stageMicroBatches(staged, "id",
-      Seq((100L, 110L, "a"), (110L, 120L, "b"), (70L, 71L, "c")), "pks")
+      Seq((100L, 110L), (110L, 120L), (70L, 71L)), "pks")
     val out = java.nio.file.Files.createTempDirectory("graft_pks_out_").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_pks_ckpt_").toString
     graft.streaming.OnChange.streamingPackDelta(spark, docsDir, "id", "src", "tok",

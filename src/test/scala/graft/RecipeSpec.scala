@@ -338,7 +338,7 @@ class RecipeSpec extends SparkSpec {
     val staged = batch1.withColumn("seq", lit(0L))
       .unionByName(batch2.withColumn("seq", lit(1L)))
     val docsDir = SparkEntry.stageMicroBatches(staged, "seq",
-      Seq((0L, 1L, "a"), (1L, 2L, "b")), "rcp")
+      Seq((0L, 1L), (1L, 2L)), "rcp")
     val out = java.nio.file.Files.createTempDirectory("graft_rcp_out_").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_rcp_ckpt_").toString
     graft.streaming.OnChange.streamingRecipe(spark, docsDir, st, "text", "id", "grp",

@@ -131,6 +131,14 @@ class TextMultimodalSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("ASCII") ||
       Option(ex.getCause).exists(_.getMessage.contains("ASCII")), ex.getMessage)
+    // the boundary valve for real corpora: skipNonAscii drops the UTF-8
+    // doc declaratively at the synthesis boundary — the rest of the
+    // ingest proceeds instead of the whole job aborting mid-task
+    val mixed = Seq((1L, "ba", "src"), (3L, "é", "src")).toDF("doc_id", "text", "source")
+    val kept = Multimodal.audioFeatures(
+        Multimodal.audioFromDocs(mixed, skipNonAscii = true))
+      .toDF().select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L), kept.toString)
   }
 
   test("scene cuts: threshold segmentation, first frame never cuts, partition exactness, one shuffle") {
