@@ -48,6 +48,39 @@ object SparkEntry {
       when(col("doc_id") % 3 === 0,
         concat(lit(" from host 10.1.2."), col("doc_id") % 256)).otherwise(lit(""))))
 
+  /** Deterministic URL planting shared by d31 — four surface forms of
+    * the same logical resource per base (doc_id div 4; host from
+    * base % 7): uppercased scheme/host + www + default port + tracking
+    * params, plain form with swapped param order, an https twin (a
+    * DIFFERENT resource — scheme is semantic), and a trailing-slash +
+    * fragment form. MUST stay in lockstep with `plantUrlSql`. */
+  private def plantUrl(docs: DataFrame): DataFrame = {
+    val base = expr("doc_id div 4")
+    val h = base % 7
+    docs.withColumn("url",
+      when(col("doc_id") % 4 === 0,
+        concat(lit("HTTP://WWW.SITE"), h, lit(".EXAMPLE.COM:80/articles/item"),
+          base, lit("/?utm_source=feed&b=2&a=1")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("http://site"), h, lit(".example.com/articles/item"),
+          base, lit("?b=2&a=1")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://site"), h, lit(".example.com/articles/item"),
+          base, lit("?a=1&b=2")))
+      .otherwise(
+        concat(lit("http://site"), h, lit(".example.com/articles/item"),
+          base, lit("/?a=1&b=2#frag"))))
+  }
+
+  /** `plantUrl` as a SQL expression over `documents.doc_id` —
+    * single-line by the plantPiiSql contract. */
+  private val plantUrlSql: String =
+    "CASE doc_id % 4" +
+      " WHEN 0 THEN 'HTTP://WWW.SITE' || ((doc_id // 4) % 7) || '.EXAMPLE.COM:80/articles/item' || (doc_id // 4) || '/?utm_source=feed&b=2&a=1'" +
+      " WHEN 1 THEN 'http://site' || ((doc_id // 4) % 7) || '.example.com/articles/item' || (doc_id // 4) || '?b=2&a=1'" +
+      " WHEN 2 THEN 'https://site' || ((doc_id // 4) % 7) || '.example.com/articles/item' || (doc_id // 4) || '?a=1&b=2'" +
+      " ELSE 'http://site' || ((doc_id // 4) % 7) || '.example.com/articles/item' || (doc_id // 4) || '/?a=1&b=2#frag' END"
+
   /** `plantPii` as a SQL expression over `documents`' (doc_id, text).
     * Single-line ON PURPOSE: a multi-line fragment interpolated into a
     * stripMargin template would lose one `|` of every leading `||`. */
@@ -1010,6 +1043,17 @@ object SparkEntry {
     "d6_dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(Dedup.ngramJaccard(t(s, dir, "documents"), "text", "doc_id", 3, 0.8))
         .orderBy("id")),
+
+    "d31_url_dedup" -> ((s, dir) =>
+      // key-level dedup BEFORE content dedup — the step real web
+      // pipelines (CCNet lineage) run first: canonicalize the planted
+      // URL surface forms (case, www, default port, fragment, tracking
+      // params, param order, trailing slash — all transport noise;
+      // scheme is SEMANTIC, so the https twin stays distinct) and
+      // keep-first per canonical key. Map-only normalization (pure
+      // built-ins, full codegen) + ONE hash-agg shuffle
+      Dedup.urlDedup(plantUrl(t(s, dir, "documents")), "url", "doc_id")
+        .orderBy("canonical_url")),
 
     "d30_media_neardup" -> ((s, dir) => {
       // near-dup media removal at ingest — PURE COMPOSITION, zero new
@@ -4268,6 +4312,39 @@ object SparkEntry {
 
     "d14_semantic_delta" ->
       graft.ann.SemDedup.deltaOracleSql(nlist = 16, rounds = 2, threshold = 0.9),
+
+    // the canonicalization pipeline mirrored step for step: fragment →
+    // query split → scheme/authority lowering → www/default-port strip →
+    // trailing-slash strip → tracking-param filter + param sort
+    "d31_url_dedup" ->
+      s"""WITH u AS (SELECT doc_id, $plantUrlSql AS url FROM documents),
+         |c1 AS (SELECT doc_id, str_split(url, '#')[1] AS nofrag FROM u),
+         |c2 AS (SELECT doc_id, str_split(nofrag, '?')[1] AS pre,
+         |         CASE WHEN contains(nofrag, '?')
+         |              THEN regexp_extract(nofrag, '\\?(.*)$$', 1) ELSE '' END AS q
+         |       FROM c1),
+         |c3 AS (SELECT doc_id,
+         |         lower(regexp_extract(pre, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |         regexp_replace(pre, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest, q
+         |       FROM c2),
+         |c4 AS (SELECT doc_id, scheme, q,
+         |         regexp_replace(lower(str_split(rest, '/')[1]), '^www\\.', '') AS auth0,
+         |         regexp_replace(regexp_extract(rest, '^[^/]*(/.*)$$', 1), '/+$$', '') AS path
+         |       FROM c3),
+         |c5 AS (SELECT doc_id, scheme, path,
+         |         CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$$', '')
+         |              WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$$', '')
+         |              ELSE auth0 END AS auth,
+         |         array_to_string(list_sort(list_filter(str_split(q, '&'),
+         |           p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid=')
+         |                     OR starts_with(p, 'gclid=') OR p = ''))), '&') AS qs
+         |       FROM c4),
+         |canon AS (SELECT doc_id,
+         |            scheme || '://' || auth || path ||
+         |            CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical_url
+         |          FROM c5)
+         |SELECT canonical_url, min(doc_id) AS kept_id, count(*)::BIGINT AS n_copies
+         |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the d14 batch×cell construction over the m4 media derivation,
     // pairs clustered (d6) and keep-best decided (d25) — all in SQL

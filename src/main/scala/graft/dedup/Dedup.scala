@@ -22,6 +22,43 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
 
+  /** URL canonicalization — the key-level normalization every web
+    * pipeline runs BEFORE content dedup (CCNet and friends dedup by
+    * normalized URL first; public practice): lowercase scheme and
+    * authority, strip a leading `www.`, drop the scheme's default port
+    * (`:80` http / `:443` https), drop the fragment, drop tracking
+    * query params (`utm_*`, `fbclid`, `gclid`), SORT the surviving
+    * params (param order is transport noise), and strip the path's
+    * trailing slashes. Pure built-in string/array functions — zero
+    * UDFs, full codegen, map-only. Adds `canonical_url`. */
+  def withCanonicalUrl(df: DataFrame, urlCol: String): DataFrame = {
+    val noFrag = substring_index(col(urlCol), "#", 1)
+    val pre = substring_index(noFrag, "?", 1)
+    val q = when(noFrag.contains("?"), regexp_extract(noFrag, "\\?(.*)$", 1))
+      .otherwise(lit(""))
+    val scheme = lower(regexp_extract(pre, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(pre, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val auth0 = regexp_replace(lower(substring_index(rest, "/", 1)), "^www\\.", "")
+    val auth = when(scheme === "http", regexp_replace(auth0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth0, ":443$", ""))
+      .otherwise(auth0)
+    val path = regexp_replace(regexp_extract(rest, "^[^/]*(/.*)$", 1), "/+$", "")
+    val params = filter(split(q, "&"), p =>
+      !(p.startsWith("utm_") || p.startsWith("fbclid=") ||
+        p.startsWith("gclid=") || p === ""))
+    val qs = array_join(array_sort(params), "&")
+    df.withColumn("canonical_url", concat(scheme, lit("://"), auth, path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs))))
+  }
+
+  /** Key-level URL dedup: one hash-aggregate shuffle on the canonical
+    * URL (map-side partial agg) — keep-first per canonical key with the
+    * copy count, the d1 policy applied to the URL key. */
+  def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame =
+    withCanonicalUrl(df, urlCol)
+      .groupBy("canonical_url")
+      .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
+
   /** Word n-gram shingle set per document: (id, shingle) rows, unique
     * per doc. The exploded layout IS the inverted index — grouping by
     * shingle gives the posting list.

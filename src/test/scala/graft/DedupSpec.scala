@@ -18,6 +18,39 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L), (3L, 1L))) // (kept_id, n_copies)
   }
 
+  test("url canonicalization: transport noise collapses, semantics survive; keep-first dedup; map-only plan") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "HTTP://WWW.News.Example.COM:80/A/b/?utm_source=x&b=2&a=1#top"),
+      (2L, "http://news.example.com/A/b?a=1&b=2"),        // = 1 after canon
+      (3L, "https://news.example.com/A/b?a=1&b=2"),       // scheme differs: distinct
+      (4L, "http://news.example.com/A/B?a=1&b=2"),        // path case is semantic: distinct
+      (5L, "http://news.example.com/A/b?a=1&b=2&fbclid=xyz&gclid=q"), // = 1
+      (6L, "https://shop.example.com:443/"),              // default port + root slash
+      (7L, "https://shop.example.com")                    // = 6
+    ).toDF("doc_id", "url")
+    val canon = Dedup.withCanonicalUrl(df, "url")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(canon(1L) == "http://news.example.com/A/b?a=1&b=2", canon(1L))
+    assert(canon(2L) == canon(1L) && canon(5L) == canon(1L))
+    assert(canon(3L) == "https://news.example.com/A/b?a=1&b=2")
+    assert(canon(4L) != canon(1L))
+    assert(canon(6L) == "https://shop.example.com" && canon(7L) == canon(6L))
+    val kept = Dedup.urlDedup(df, "url", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(kept == Set(
+      ("http://news.example.com/A/b?a=1&b=2", 1L, 3L),
+      ("https://news.example.com/A/b?a=1&b=2", 3L, 1L),
+      ("http://news.example.com/A/B?a=1&b=2", 4L, 1L),
+      ("https://shop.example.com", 6L, 2L)), kept.toString)
+    // normalization is map-only: the only exchange is the final hash-agg
+    // ("Exchange (" counts tree nodes; the detail section repeats the
+    // word in "(n) Exchange" form)
+    val plan = planOf(Dedup.urlDedup(df, "url", "doc_id"))
+    assert(plan.split("Exchange \\(").length - 1 == 1, plan)
+  }
+
   test("minhash-LSH finds the same pairs as exact jaccard at threshold 0.8 (recall 1 here)") {
     val exact = Dedup.ngramJaccard(docs, "text", "doc_id", 3, 0.8)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
