@@ -32,7 +32,7 @@ PATTERNS = {
     "internal-import": r"^\s*import\s+(?!org\.apache\.|scala\.|java\.|javax\.|graft\.|org\.scalatest|org\.scalacheck|org\.slf4j|com\.fasterxml|\w{1,8}\.implicits|pyarrow|pandas|duckdb|numpy|json\b|os\b|re\b|sys\b|time\b|math\b|subprocess|threading|argparse|pathlib|random\b|struct\b|hashlib)[a-z][\w.]*\.[A-Za-z]",
     # non-localhost URLs that are not apache/github/arxiv/doc cites;
     # dotless hosts (http://x, http://t1) are synthetic test URIs
-    "internal-url": r"https?://(?!localhost|127\.0\.0\.1|[\w-]+(?:[/\"')\s]|$)|www\.w3\.org|github\.com|arxiv\.org|spark\.apache\.org|duckdb\.org|en\.wikipedia\.org|doi\.org|aclanthology\.org|dl\.acm\.org|example\.(?:com|org|io)|schema\.org|purl\.org|xmlns\.com|data\.mimiro\.io|ns\.mimiro\.io|docs\.oracle\.com|openproceedings\.org|static\.googleusercontent\.com|research\.google|\w+\.samplesource\.org|graft\.io)[\w.-]+",
+    "internal-url": r"https?://(?!localhost|127\.0\.0\.1|[\w-]+(?:[/\"')\s]|$)|www\.w3\.org|github\.com|arxiv\.org|spark\.apache\.org|duckdb\.org|en\.wikipedia\.org|doi\.org|aclanthology\.org|dl\.acm\.org|(?:[\w-]+\.)*example\.(?:com|org|io)|schema\.org|purl\.org|xmlns\.com|data\.mimiro\.io|ns\.mimiro\.io|docs\.oracle\.com|openproceedings\.org|static\.googleusercontent\.com|research\.google|\w+\.samplesource\.org|graft\.io)[\w.-]+",
     # cloud bucket or object-store coordinates
     "internal-bucket": r"(?:s3a?|gs|abfss?|wasbs?)://[\w.-]+",
     # slack workspace links or channel shortcodes
