@@ -67,8 +67,36 @@ object RetentionScale {
         val (ra, cells) = readOnce()
         val (rb, _) = readOnce()
         val users = spark.table(s"${table}_first").count()
+        // the r17 re-anchor valve priced against its alternative: an
+        // out-of-order backfill for a FIXED ~100 users (one synthetic
+        // pre-cohort event each) re-anchors the affected slice vs a
+        // full buildRetentionState over the complete log. The
+        // re-anchor's standing reads are the compact rewrite (linear
+        // in state size, not event volume) + a broadcast semi-join
+        // SLICE of the log; the rebuild re-aggregates every event.
+        val mn = ev.agg(min(tus)).head.getLong(0)
+        val someUsers = ev.select(col("user_id")).distinct()
+          .orderBy("user_id").limit(100)
+        // the backfill's ts must ride the LOG'S OWN encoding (long
+        // nanos under nanosAsLong, or a real timestamp) — tsMicros
+        // adapts per schema, and a mixed-type union would be wrong
+        val backTs =
+          if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            lit((mn - 86400000000L) * 1000L)
+          else timestamp_micros(lit(mn - 86400000000L))
+        val backfill = someUsers.select(col("user_id"), backTs.as("ts"))
+        val log = ev.select(col("user_id"), col("ts"))
+        val t2 = System.nanoTime()
+        Retention.reanchorRetentionState(spark, log, backfill,
+          "ts", "user_id", table, 99L)
+        val tReanchor = (System.nanoTime() - t2) / 1e9
+        val t3 = System.nanoTime()
+        Retention.buildRetentionState(log.unionByName(backfill), "ts", "user_id",
+          periodUs = 86400000000L, "rsc_rebuild")
+        val tRebuild = (System.nanoTime() - t3) / 1e9
         println(f"n=$n%9d  users=$users%7d  batch~$batchN  absorb=$tAbsorb%6.2f s  " +
-          f"replay=$tReplay%5.2f s  readout=${math.min(ra, rb)}%6.2f s  triangle_cells=$cells")
+          f"replay=$tReplay%5.2f s  readout=${math.min(ra, rb)}%6.2f s  triangle_cells=$cells  " +
+          f"reanchor(100u)=$tReanchor%6.2f s  rebuild=$tRebuild%6.2f s")
       } finally {
         org.apache.commons.io.FileUtils.deleteQuietly(staged.toFile)
         ()
