@@ -359,7 +359,7 @@ object SparkEntry {
     * [[stageMicroBatches]] for streams whose batch boundary is not an
     * id range (e8 splits the event log by TIME, the change-log arrival
     * order). */
-  private def stagePredChunks(df: DataFrame, preds: Seq[Column], prefix: String): String = {
+  private[graft] def stagePredChunks(df: DataFrame, preds: Seq[Column], prefix: String): String = {
     val chunks = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_chunks_").toString
     preds.zipWithIndex.foreach { case (p, i) =>
       val tmp = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_tmp_").toString
