@@ -685,5 +685,10 @@ class JobsSpec extends SparkSpec {
     assert(latest.toSeq == Seq(
       ("flaky", 3L, 2L, "", 2L, 1L),
       ("good", 4L, 3L, "", 2L, 0L)), latest.mkString(", "))
+    // the history is an ORDINARY dataset: `seq` is its monotone change
+    // token, so incremental consumers ride changesSince unchanged
+    val incr = graft.ops.ChangeLog.changesSince(reg.get(JobHistory.DefaultDataset),
+        "seq", since = 2L).collect().map(_.getLong(1)).toSeq
+    assert(incr == Seq(3L, 4L), incr.toString)
   }
 }
