@@ -88,6 +88,16 @@ object SteadyState {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     graft.ops.Retention.buildRetentionState(ev, "ts", "user_id",
       604800000000L, "ss_retention")
+    // d30's standing media index (built once per corpus snapshot,
+    // untimed): the probe prices the per-ingest-batch marginal — embed
+    // the re-ingest batch + the cell-routed delta screen (cluster +
+    // keep-best ride the surfaced pairs, batch-bounded)
+    val mediaEmb = graft.multimodal.Multimodal.embed(
+      graft.multimodal.Multimodal.mediaFromDocs(docs)).toDF()
+    graft.ann.Ann.buildIvfIndex(mediaEmb, "embedding", "doc_id", "ss_mivf")
+    val mediaBatch = graft.core.Checkpoints.truncate(
+      graft.ann.SemDedup.perturbedBatch(mediaEmb, "embedding", "doc_id",
+        offset = 10000000L))
 
     Seq(
       // data-independent CPU-bound kernel, timed exactly like the
@@ -172,6 +182,12 @@ object SteadyState {
       // `_active` + broadcast cohort sizes, never the event log
       "e9_retention_probe" ->
         (() => graft.ops.Retention.retentionReadout(spark, "ss_retention").count()),
+      // d30's deployment marginal: the per-ingest media-batch near-dup
+      // screen against the standing media index (the pairs feed the
+      // batch-bounded cluster/keep-best tail)
+      "d30_media_probe" ->
+        (() => graft.ann.SemDedup.semanticDedupDelta(spark, mediaBatch,
+          "embedding", "doc_id", "ss_mivf", 0.9999).count()),
       // event-time probe (r8 postmortem: the e-family broke on a testdata
       // re-encode and no gate noticed) — batch sessionize over the events
       // log, the same single session_window hash-agg shuffle e2/e5 share
