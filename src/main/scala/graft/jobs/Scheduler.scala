@@ -54,18 +54,28 @@ object Scheduler {
     order.toSeq
   }
 
-  private val running = scala.collection.concurrent.TrieMap.empty[String, Unit]
+  private val running = scala.collection.concurrent.TrieMap.empty[String, Long]
 
   /** Single-flight guard — reference internal/jobs/raffle.go: only one
     * run of a given job id at a time; a concurrent attempt loses the
     * raffle and returns false instead of double-running. */
   def runSingleFlight(spark: SparkSession, registry: DatasetRegistry, job: Job,
                       maxRetries: Int = 0): Boolean = {
-    if (running.putIfAbsent(job.id, ()).isDefined) false
+    if (running.putIfAbsent(job.id, System.currentTimeMillis()).isDefined) false
     else
       try { runWithRetry(spark, registry, job, maxRetries); true }
       finally running.remove(job.id)
   }
+
+  /** The live raffle tickets — reference scheduler.go:337
+    * `GetRunningJobs` / :352 `GetRunningJob` (JobStatus{JobID,
+    * Started}; the cli follows a run with it): (job id, started-ms)
+    * for every job currently holding a ticket, id-ordered. */
+  def runningJobs: Seq[(String, Long)] = running.toSeq.sortBy(_._1)
+
+  /** Status of one running job (None = not running) — the "is it still
+    * going" poll the reference cli uses. */
+  def runningJob(id: String): Option[Long] = running.get(id)
 
   /** Reference: runner.go retries a failed job run. Only NonFatal
     * failures retry — an OOM or an interrupt must propagate, not

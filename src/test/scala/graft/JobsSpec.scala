@@ -116,8 +116,13 @@ class JobsSpec extends SparkSpec {
     first.start()
     started.await()
     assert(!Scheduler.runSingleFlight(s, reg, job)) // loses while first holds the slot
+    // the GetRunningJobs view: the held ticket is visible while live
+    assert(Scheduler.runningJobs.map(_._1) == Seq("only_once"))
+    assert(Scheduler.runningJob("only_once").isDefined &&
+      Scheduler.runningJob("absent").isEmpty)
     gate.countDown()
     first.join()
+    assert(Scheduler.runningJobs.isEmpty && Scheduler.runningJob("only_once").isEmpty)
     assert(Scheduler.runSingleFlight(s, reg, job)) // free again after completion
   }
 
