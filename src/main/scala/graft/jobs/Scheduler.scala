@@ -77,30 +77,61 @@ object Scheduler {
     * going" poll the reference cli uses. */
   def runningJob(id: String): Option[Long] = running.get(id)
 
+  private def jobGroup(id: String) = s"graft-job-$id"
+
+  /** Reference: `mim jobs operate <id> -o kill` (DOCUMENTATION.md
+    * "Stopping a Job", scheduler.go:400 KillJob) — stop a RUNNING job.
+    * Spark-native: every graft job run executes under a job group
+    * keyed by its id, so kill cancels the group (interrupt-on-cancel)
+    * and aborts its active stages cluster-wide; the raffle ticket
+    * releases when the aborted run unwinds. A job that is not running
+    * is a no-op, like the reference. */
+  def kill(spark: SparkSession, id: String): Unit =
+    spark.sparkContext.cancelJobGroup(jobGroup(id))
+
+  /** A cancellation anywhere in the cause chain: a KILLED job must
+    * propagate immediately, never burn retries re-running work the
+    * operator just asked to stop. */
+  private def isCancelled(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists { t =>
+      val m = Option(t.getMessage).getOrElse("")
+      m.contains("cancelled") || t.isInstanceOf[InterruptedException]
+    }
+
   /** Reference: runner.go retries a failed job run. Only NonFatal
     * failures retry — an OOM or an interrupt must propagate, not
-    * re-run on a broken JVM (`tickOutcomes` follows the same rule). */
+    * re-run on a broken JVM (`tickOutcomes` follows the same rule);
+    * a kill propagates too (`isCancelled`). */
   def runWithRetry(spark: SparkSession, registry: DatasetRegistry, job: Job, maxRetries: Int): Unit = {
     var attempt = 0
     var done = false
     while (!done) {
+      spark.sparkContext.setJobGroup(jobGroup(job.id),
+        s"graft job ${job.id}", interruptOnCancel = true)
       try { job.run(spark, Some(registry)); done = true }
       catch {
+        case e: Throwable if isCancelled(e) => throw e
         case scala.util.control.NonFatal(_) if attempt < maxRetries => attempt += 1
       }
+      finally spark.sparkContext.clearJobGroup()
     }
   }
 
   /** `runWithRetry` returning the firing's processed count (the
-    * reference's `jobResult.Processed`) — the history-recording path. */
+    * reference's `jobResult.Processed`) — the history-recording path.
+    * Same job-group/kill discipline as `runWithRetry`. */
   def runWithRetryCounted(spark: SparkSession, registry: DatasetRegistry,
                           job: Job, maxRetries: Int): Long = {
     var attempt = 0
     while (true) {
+      spark.sparkContext.setJobGroup(jobGroup(job.id),
+        s"graft job ${job.id}", interruptOnCancel = true)
       try return job.runCounted(spark, Some(registry))
       catch {
+        case e: Throwable if isCancelled(e) => throw e
         case scala.util.control.NonFatal(_) if attempt < maxRetries => attempt += 1
       }
+      finally spark.sparkContext.clearJobGroup()
     }
     0L // unreachable
   }

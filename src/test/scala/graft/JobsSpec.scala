@@ -126,6 +126,33 @@ class JobsSpec extends SparkSpec {
     assert(Scheduler.runSingleFlight(s, reg, job)) // free again after completion
   }
 
+  test("kill stops a running job: active stages abort, the failure propagates un-retried, the raffle frees") {
+    val s = spark
+    val reg = new DatasetRegistry
+    val out = java.nio.file.Files.createTempDirectory("graft_kill_out_").toString
+    // SlowSource pays its sleep INSIDE the scan, so the write action has
+    // a genuinely running Spark stage to cancel
+    val job = Job("kill_me", SlowSource(4, 30000L), sink = ParquetSink(s"$out/p"),
+      sourceName = "s", sinkName = "out")
+    @volatile var outcome: Option[Throwable] = None
+    val t = new Thread(() => {
+      try { Scheduler.runSingleFlight(s, reg, job, maxRetries = 5); () }
+      catch { case e: Throwable => outcome = Some(e) }
+    })
+    t.start()
+    // wait for the job group's Spark job to actually be live
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (s.sparkContext.statusTracker.getJobIdsForGroup("graft-job-kill_me").isEmpty
+           && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(s.sparkContext.statusTracker.getJobIdsForGroup("graft-job-kill_me").nonEmpty,
+      "the slow job never started a Spark job")
+    Scheduler.kill(s, "kill_me")
+    t.join(60000)
+    assert(!t.isAlive, "the killed job should unwind promptly, not retry for 5x30s")
+    assert(outcome.isDefined, "the kill must surface as a failure, not silent success")
+    assert(Scheduler.runningJob("kill_me").isEmpty, "the raffle ticket must release")
+  }
+
   test("runWithRetry retries a transiently failing job") {
     val s = spark
     import s.implicits._
