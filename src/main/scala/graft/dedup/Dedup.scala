@@ -651,17 +651,22 @@ object Dedup {
     * at maxDist = 10) across C(k,2) tables: ~200× the key cardinality
     * for 6× the replication, and the same ~log-corpus headroom lever
     * as the LSH paths (narrower radius → wider keys). */
-  def simhashPairs(docs: DataFrame, textCol: String, idCol: String, maxDist: Int): DataFrame = {
-    val fps = simhash(docs, textCol, idCol)
-    val cand = simhashCandidates(fps, maxDist)
-    // filter BEFORE distinct: the Hamming cut happens map-side inside the
-    // bucket join's output projection, so the dedup Exchange carries only
-    // surviving pairs (~0.5% of candidates here), not the full candidate
-    // stream
-    cand
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String, maxDist: Int): DataFrame =
+    hammingPairs(simhash(docs, textCol, idCol), "id", "simhash", maxDist)
+
+  /** Hamming near-dup pairs over ANY 64-bit fingerprint column — the
+    * d4 chunk-pair machinery made fingerprint-source-agnostic (d32's
+    * perceptual image hashes ride it unchanged): exact recall at the
+    * radius via the Manku pigeonhole (any pair within `maxDist` agrees
+    * on at least one C(k,2) chunk-pair bucket), pairs only ever form
+    * inside shared buckets. The Hamming cut happens map-side inside the
+    * bucket join's output projection, so the dedup Exchange carries
+    * only surviving pairs (~0.5% of candidates on the text fixture),
+    * not the full candidate stream. */
+  def hammingPairs(fps: DataFrame, idCol: String, fpCol: String, maxDist: Int): DataFrame =
+    simhashCandidates(fps.select(col(idCol).as("id"), col(fpCol).as("simhash")), maxDist)
       .filter(col("hamming") <= maxDist)
       .distinct()
-  }
 
   /** The candidate stage of `simhashPairs`, pre-Hamming-filter (exposed
     * for candidate-volume assertions): (a, b, hamming) rows, one per

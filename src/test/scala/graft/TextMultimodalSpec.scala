@@ -330,6 +330,37 @@ class TextMultimodalSpec extends SparkSpec {
     assert(home.head.getLong(3) >= 2L) // original + variant share the cluster
   }
 
+  test("dHash: uniform brightness shift leaves the fingerprint bit-identical; hammingPairs = brute force at the radius") {
+    val s = spark
+    import s.implicits._
+    val M = graft.multimodal.Multimodal
+    // pad-free rasters (length % 16 == 0) make the shift invariance
+    // EXACT: gradient bits compare sumA·nB vs sumB·nA, and a uniform +1
+    // adds n_A·n_B to both sides
+    val base = ("the quick brown fox jumped over the lazy dogs! " * 4) + "gold" // 192 chars
+    val shifted = base.map(c => (c + 1).toChar)
+    assert(base.length % 16 == 0)
+    val docs = Seq((1L, base, "src"), (2L, shifted, "src"),
+      (3L, base.reverse, "src")).toDF("doc_id", "text", "source")
+    val fps = M.dHash(M.mediaFromDocs(docs)).toDF()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fps(1L) == fps(2L),
+      s"brightness shift changed the fingerprint: ${fps(1L)} vs ${fps(2L)}")
+    assert(fps(1L) != fps(3L), "distinct content should not collide here")
+    // exact recall at the radius: the chunk-bucket pairs equal the
+    // brute-force Hamming pairs over the corpus fingerprints
+    val corpus = s.read.parquet(s"$sfDir/documents.parquet").limit(120)
+    val cf = M.dHash(M.mediaFromDocs(corpus)).toDF()
+    val got = graft.dedup.Dedup.hammingPairs(cf, "doc_id", "phash", maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val local = cf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, fa) <- local; (b, fb) <- local if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 6
+    } yield (a, b, h)).toSet
+    assert(got == brute, s"missed=${brute -- got} extra=${got -- brute}")
+  }
+
   test("text ops are map-only: no shuffle in the plan") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = planOf(TextAnalysis.qualityScore(docs, "text", "doc_id"))
