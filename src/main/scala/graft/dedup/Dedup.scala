@@ -775,14 +775,25 @@ object Dedup {
     * passes the SAME maxDist at build and probe time (the shingle
     * index's `n` contract). */
   def buildSimhashIndex(docs: DataFrame, textCol: String, idCol: String,
-                        maxDist: Int, table: String, buckets: Int = 32): String = {
-    val spark = docs.sparkSession
+                        maxDist: Int, table: String, buckets: Int = 32): String =
+    buildFingerprintIndex(simhash(docs, textCol, idCol), "id", "simhash",
+      maxDist, table, buckets)
+
+  /** [[buildSimhashIndex]] over ANY 64-bit fingerprint relation —
+    * fingerprint-source-agnostic like [[hammingPairs]], so d32's
+    * perceptual image hashes get the same standing-index deployment
+    * shape (build once per corpus snapshot, batch probes ride the
+    * chunk buckets, the corpus never re-fingerprints or reshuffles). */
+  def buildFingerprintIndex(fps0: DataFrame, idCol: String, fpCol: String,
+                            maxDist: Int, table: String, buckets: Int = 32): String = {
+    val spark = fps0.sparkSession
     // _batches too: a rebuild must reset the streaming loop's replay
     // markers or the next stream run trips over the stale location
     Seq(table, s"${table}_fps", s"${table}_batches")
       .foreach(graft.core.Tables.drop(spark, _))
     // fingerprint ONCE; the key explosion and the companion both read it
-    val fps = graft.core.Checkpoints.truncate(simhash(docs, textCol, idCol))
+    val fps = graft.core.Checkpoints.truncate(
+      fps0.select(col(idCol).as("id"), col(fpCol).as("simhash")))
     fps.select(col("id"), col("simhash"),
         explode(chunkPairKeys(col("simhash"), maxDist)).as("bk"))
       .write.mode("overwrite").bucketBy(buckets, "bk").sortBy("bk").saveAsTable(table)
@@ -806,15 +817,27 @@ object Dedup {
 
   def simhashPairsDelta(spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
                         textCol: String, idCol: String, maxDist: Int,
-                        indexTable: String): DataFrame = {
-    // fingerprint the batch ONCE: the self-join's two sides and the
-    // index probe all read the materialized (id, simhash) batch; the
-    // leg-picking size rides the SAME materialization job as an
-    // observed metric — one driver action per batch, the processBatch
-    // / packDelta discipline
-    val (bfps, nBatch) =
-      graft.core.Checkpoints.truncateCounted(simhash(newDocs, textCol, idCol))
-    val batchIds = newDocs.select(col(idCol).as("id")).distinct()
+                        indexTable: String): DataFrame =
+    fingerprintPairsDelta(spark, simhash(newDocs, textCol, idCol),
+      "id", "simhash", maxDist, indexTable)
+
+  /** [[simhashPairsDelta]] over ANY pre-fingerprinted batch — the
+    * incremental leg of the fingerprint-agnostic family (d33 probes
+    * perceptual image hashes through it): batch-internal pairs plus
+    * batch×corpus via the standing index's chunk buckets, identical to
+    * the one-shot pairs over (corpus ∪ batch) restricted to pairs with
+    * a batch endpoint (the d8 identity). */
+  def fingerprintPairsDelta(spark: org.apache.spark.sql.SparkSession, batchFps: DataFrame,
+                            idCol: String, fpCol: String, maxDist: Int,
+                            indexTable: String): DataFrame = {
+    // materialize the batch fingerprints ONCE: the self-join's two
+    // sides and the index probe all read the materialized (id,
+    // simhash) batch; the leg-picking size rides the SAME
+    // materialization job as an observed metric — one driver action
+    // per batch, the processBatch / packDelta discipline
+    val (bfps, nBatch) = graft.core.Checkpoints.truncateCounted(
+      batchFps.select(col(idCol).as("id"), col(fpCol).as("simhash")))
+    val batchIds = bfps.select(col("id")).distinct()
     // the PROBE side carries the combo index for the exact-once
     // filter; the stored index keeps its plain fused keys
     val bkeys = bfps.select(col("id"), col("simhash"),
@@ -866,11 +889,21 @@ object Dedup {
     * by all five families. */
   def absorbIntoSimhashIndex(spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
                              textCol: String, idCol: String, maxDist: Int,
-                             table: String): Unit = {
+                             table: String): Unit =
+    absorbIntoFingerprintIndex(spark, simhash(batch, textCol, idCol),
+      "id", "simhash", maxDist, table)
+
+  /** [[absorbIntoSimhashIndex]] over ANY pre-fingerprinted batch — the
+    * absorb leg of the fingerprint-agnostic family (d33's perceptual
+    * hashes chain batches through it). */
+  def absorbIntoFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
+                                 batchFps: DataFrame, idCol: String, fpCol: String,
+                                 maxDist: Int, table: String): Unit = {
     val buckets = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec.map(_.numBuckets).getOrElse(32)
-    val fps = graft.core.Checkpoints.truncate(simhash(batch, textCol, idCol))
+    val fps = graft.core.Checkpoints.truncate(
+      batchFps.select(col(idCol).as("id"), col(fpCol).as("simhash")))
     fps.select(col("id"), col("simhash"),
         explode(chunkPairKeys(col("simhash"), maxDist)).as("bk"))
       .write.mode("append").bucketBy(buckets, "bk").sortBy("bk").saveAsTable(table)

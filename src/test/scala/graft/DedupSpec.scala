@@ -51,6 +51,46 @@ class DedupSpec extends SparkSpec {
     assert(plan.split("Exchange \\(").length - 1 == 1, plan)
   }
 
+  test("phash delta: batch probes the standing fingerprint index ≡ one-shot restricted; absorb chains batches") {
+    val s = spark
+    import s.implicits._
+    val M = graft.multimodal.Multimodal
+    def fps(df: org.apache.spark.sql.DataFrame) =
+      M.dHash(M.mediaFromDocs(df)).toDF()
+    val corpus = docs.limit(100)
+    val table = "phash_idx_spec"
+    Dedup.buildFingerprintIndex(fps(corpus), "doc_id", "phash", maxDist = 6, table)
+    // batch 1 = brightness twins of every 10th doc (ids offset)
+    val from = (32 to 126).map(_.toChar).mkString
+    val to = (33 to 127).map(_.toChar).mkString
+    val b1 = corpus.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000000L)
+      .withColumn("text", translate(col("text"), from, to))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val delta1 = pairs(Dedup.fingerprintPairsDelta(s, fps(b1), "doc_id", "phash", 6, table))
+    // ≡ the one-shot hammingPairs over (corpus ∪ batch), batch-touching only
+    val oneShot1 = pairs(Dedup.hammingPairs(fps(corpus.unionByName(b1)),
+        "doc_id", "phash", 6))
+      .filter { case (_, b, _) => b >= 10000000L }
+    assert(delta1 == oneShot1 && delta1.nonEmpty,
+      s"missed=${oneShot1 -- delta1} extra=${delta1 -- oneShot1}")
+    // every twin surfaces against its original at Hamming 0
+    val twins = b1.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(twins.forall(t => delta1.contains((t - 10000000L, t, 0))), delta1.toString)
+    // absorb, then batch 2 (twins of every 10th+5 doc) sees batch 1
+    // through the standing index alone
+    Dedup.absorbIntoFingerprintIndex(s, fps(b1), "doc_id", "phash", 6, table)
+    val b2 = corpus.filter(col("doc_id") % 10 === 5)
+      .withColumn("doc_id", col("doc_id") + 20000000L)
+      .withColumn("text", translate(col("text"), from, to))
+    val delta2 = pairs(Dedup.fingerprintPairsDelta(s, fps(b2), "doc_id", "phash", 6, table))
+    val oneShot2 = pairs(Dedup.hammingPairs(
+        fps(corpus.unionByName(b1).unionByName(b2)), "doc_id", "phash", 6))
+      .filter { case (_, b, _) => b >= 20000000L }
+    assert(delta2 == oneShot2, s"missed=${oneShot2 -- delta2} extra=${delta2 -- oneShot2}")
+  }
+
   test("minhash-LSH finds the same pairs as exact jaccard at threshold 0.8 (recall 1 here)") {
     val exact = Dedup.ngramJaccard(docs, "text", "doc_id", 3, 0.8)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
