@@ -49,6 +49,13 @@ class DedupSpec extends SparkSpec {
     // word in "(n) Exchange" form)
     val plan = planOf(Dedup.urlDedup(df, "url", "doc_id"))
     assert(plan.split("Exchange \\(").length - 1 == 1, plan)
+    // idempotence: a canonical URL is a fixed point of canonicalization
+    // (nothing left to strip, lower, or re-sort)
+    val once = Dedup.withCanonicalUrl(df, "url")
+      .select(col("doc_id"), col("canonical_url").as("url"))
+    val twice = Dedup.withCanonicalUrl(once, "url")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    twice.foreach { case (id, u, c) => assert(u == c, s"doc $id: $u re-canonicalized to $c") }
   }
 
   test("phash delta: batch probes the standing fingerprint index ≡ one-shot restricted; absorb chains batches") {
