@@ -1089,6 +1089,36 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    "d34_stream_phash" -> ((s, dir) => {
+      // the perceptual-hash family's STREAMING closure (the d23 loop,
+      // fingerprint-agnostic): brightness-shifted re-ingest twins
+      // arrive as two micro-batches over the standing phash index;
+      // each batch's within-radius pairs are judged AS-OF-ARRIVAL,
+      // then the batch absorbs so batch b pairs against batch a
+      // through the index alone. Oracle = the one-shot d32 chain
+      // restricted to twin-touching pairs (the streamed union covers
+      // each such pair exactly once, at its later endpoint's batch)
+      val docs = t(s, dir, "documents")
+      val from = (32 to 126).map(_.toChar).mkString
+      val to = (33 to 127).map(_.toChar).mkString
+      val twins = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+        .withColumn("text", translate(col("text"), from, to))
+      val table = graft.core.Tables.scoped("phash_idx_stream")
+      Dedup.buildFingerprintIndex(
+        Multimodal.dHash(Multimodal.mediaFromDocs(docs)).toDF(),
+        "doc_id", "phash", maxDist = 6, table, buckets = 16)
+      val chunks = stagePredChunks(twins,
+        Seq((col("doc_id") - 10000000L) % 20 === 0,
+          (col("doc_id") - 10000000L) % 20 === 10), "ph")
+      val pairs = java.nio.file.Files.createTempDirectory("graft_ph_pairs_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ph_ckpt_").toString
+      OnChange.streamingFingerprintDedup(s, chunks, "doc_id", "phash", 6,
+        table, pairs, ckpt,
+        b => Multimodal.dHash(Multimodal.mediaFromDocs(b)).toDF())
+      s.read.parquet(pairs).select("a", "b", "hamming").orderBy("a", "b")
+    }),
+
     "d31_url_dedup" -> ((s, dir) =>
       // key-level dedup BEFORE content dedup — the step real web
       // pipelines (CCNet lineage) run first: canonicalize the planted
@@ -2658,6 +2688,41 @@ object SparkEntry {
        |  SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.f, y.f))::INT AS hamming
        |  FROM fp x JOIN fp y ON x.doc_id < y.doc_id)
        |SELECT a, b, hamming FROM ham WHERE hamming <= 10$pairPred ORDER BY a, b""".stripMargin
+
+  /** The d32 one-shot dHash chain restricted to twin-touching pairs
+    * — the shared ground truth of the delta (d33) AND streaming (d34)
+    * closures (the d8 identity: batch ids are offset past every
+    * standing id, so "touches the batch" is exactly b >= offset). */
+  private val d33PhashOracle: String =
+    """WITH tw AS (
+        |  SELECT doc_id + 10000000 AS doc_id,
+        |    translate(text,
+        |      (SELECT string_agg(chr(i.i::INT), '' ORDER BY i.i) FROM unnest(range(32,127)) i(i)),
+        |      (SELECT string_agg(chr(i.i::INT), '' ORDER BY i.i) FROM unnest(range(33,128)) i(i))) AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |d0 AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM tw),
+        |b AS (SELECT doc_id,
+        |        list_transform(range(1, length(text)+1), i -> ascii(substr(text,i,1))::BIGINT) AS bs,
+        |        ((length(text)+15)//16)*16 AS P FROM d0),
+        |cells AS (
+        |  SELECT doc_id, g.g AS g,
+        |    coalesce(list_sum(bs[(g.g*P//72)+1 : ((g.g+1)*P//72)]), 0) AS s,
+        |    ((g.g+1)*P//72) - (g.g*P//72) AS n
+        |  FROM b, unnest(range(0,72)) AS g(g)),
+        |bitrows AS (
+        |  SELECT ca.doc_id, ((ca.g // 9) * 8 + (ca.g % 9))::BIGINT AS j
+        |  FROM cells ca JOIN cells cb ON ca.doc_id = cb.doc_id AND cb.g = ca.g + 1
+        |  WHERE ca.g % 9 < 8 AND ca.s * cb.n > cb.s * ca.n),
+        |fph AS (SELECT doc_id, sum(1::HUGEINT << j)::HUGEINT AS h FROM bitrows GROUP BY 1),
+        |fp AS (SELECT d0.doc_id,
+        |        (CASE WHEN coalesce(h, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+        |              THEN coalesce(h, 0::HUGEINT) - 18446744073709551616::HUGEINT
+        |              ELSE coalesce(h, 0::HUGEINT) END)::BIGINT AS f
+        |       FROM d0 LEFT JOIN fph USING (doc_id)),
+        |ham AS (SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.f, y.f))::INT AS hamming
+        |        FROM fp x JOIN fp y ON x.doc_id < y.doc_id)
+        |SELECT a, b, hamming FROM ham
+        |WHERE hamming <= 6 AND b >= 10000000 ORDER BY a, b""".stripMargin
 
   def oracleSqlFor(dir: String): Map[String, String] =
     oracleSql + ("j6_stats" -> j6OracleSql(dir))
@@ -4398,36 +4463,12 @@ object SparkEntry {
     // the d32 one-shot chain restricted to batch-touching pairs (batch
     // ids are offset past every standing id, so "touches the batch" is
     // exactly b >= offset) — the d8 delta identity for fingerprints
-    "d33_phash_delta" ->
-      """WITH tw AS (
-        |  SELECT doc_id + 10000000 AS doc_id,
-        |    translate(text,
-        |      (SELECT string_agg(chr(i.i::INT), '' ORDER BY i.i) FROM unnest(range(32,127)) i(i)),
-        |      (SELECT string_agg(chr(i.i::INT), '' ORDER BY i.i) FROM unnest(range(33,128)) i(i))) AS text
-        |  FROM documents WHERE doc_id % 10 = 0),
-        |d0 AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM tw),
-        |b AS (SELECT doc_id,
-        |        list_transform(range(1, length(text)+1), i -> ascii(substr(text,i,1))::BIGINT) AS bs,
-        |        ((length(text)+15)//16)*16 AS P FROM d0),
-        |cells AS (
-        |  SELECT doc_id, g.g AS g,
-        |    coalesce(list_sum(bs[(g.g*P//72)+1 : ((g.g+1)*P//72)]), 0) AS s,
-        |    ((g.g+1)*P//72) - (g.g*P//72) AS n
-        |  FROM b, unnest(range(0,72)) AS g(g)),
-        |bitrows AS (
-        |  SELECT ca.doc_id, ((ca.g // 9) * 8 + (ca.g % 9))::BIGINT AS j
-        |  FROM cells ca JOIN cells cb ON ca.doc_id = cb.doc_id AND cb.g = ca.g + 1
-        |  WHERE ca.g % 9 < 8 AND ca.s * cb.n > cb.s * ca.n),
-        |fph AS (SELECT doc_id, sum(1::HUGEINT << j)::HUGEINT AS h FROM bitrows GROUP BY 1),
-        |fp AS (SELECT d0.doc_id,
-        |        (CASE WHEN coalesce(h, 0::HUGEINT) >= 9223372036854775808::HUGEINT
-        |              THEN coalesce(h, 0::HUGEINT) - 18446744073709551616::HUGEINT
-        |              ELSE coalesce(h, 0::HUGEINT) END)::BIGINT AS f
-        |       FROM d0 LEFT JOIN fph USING (doc_id)),
-        |ham AS (SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.f, y.f))::INT AS hamming
-        |        FROM fp x JOIN fp y ON x.doc_id < y.doc_id)
-        |SELECT a, b, hamming FROM ham
-        |WHERE hamming <= 6 AND b >= 10000000 ORDER BY a, b""".stripMargin,
+    "d33_phash_delta" -> d33PhashOracle,
+
+    // the streamed as-of-arrival union equals the one-shot restricted
+    // to twin-touching pairs — the SAME ground truth as d33 (each pair
+    // emits exactly once, at its later endpoint's batch)
+    "d34_stream_phash" -> d33PhashOracle,
 
     // the canonicalization pipeline mirrored step for step: fragment →
     // query split → scheme/authority lowering → www/default-port strip →

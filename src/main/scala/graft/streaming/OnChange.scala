@@ -845,7 +845,24 @@ object OnChange {
     * exactly once, in the later doc's batch. */
   def streamingSimhashDedup(spark: SparkSession, docsDir: String, textCol: String,
                             idCol: String, maxDist: Int, indexTable: String,
-                            pairsPath: String, checkpointDir: String): Unit = {
+                            pairsPath: String, checkpointDir: String): Unit =
+    streamingFingerprintDedup(spark, docsDir, "id", "simhash", maxDist,
+      indexTable, pairsPath, checkpointDir,
+      b => graft.dedup.Dedup.simhash(b, textCol, idCol))
+
+  /** [[streamingSimhashDedup]] over ANY per-batch fingerprinting — the
+    * streaming closure of the fingerprint-agnostic family (d34 streams
+    * perceptual image hashes through it; `fingerprint` maps a raw doc
+    * micro-batch to its (`fpIdCol`, `fpCol`) fingerprint relation and
+    * runs on the DRIVER inside foreachBatch, so any typed decode
+    * pipeline composes). Same replay/supersede discipline as every
+    * streaming loop in the file: a marker refuses replayed batch ids,
+    * a re-emitted id's standing rows compact out before the absorb. */
+  def streamingFingerprintDedup(spark: SparkSession, docsDir: String,
+                                fpIdCol: String, fpCol: String, maxDist: Int,
+                                indexTable: String, pairsPath: String,
+                                checkpointDir: String,
+                                fingerprint: DataFrame => DataFrame): Unit = {
     val schema = spark.read.parquet(docsDir).schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
@@ -857,17 +874,20 @@ object OnChange {
         val markers = s"${indexTable}_batches"
         if (!bs.catalog.tableExists(markers) ||
             bs.table(markers).filter(col("batch_id") === batchId).isEmpty) {
+          // fingerprint ONCE per batch: the delta probe and the absorb
+          // both read the pinned frame
+          val fps = graft.core.Checkpoints.truncate(fingerprint(batch))
           graft.dedup.Dedup
-            .simhashPairsDelta(bs, batch, textCol, idCol, maxDist, indexTable)
+            .fingerprintPairsDelta(bs, fps, fpIdCol, fpCol, maxDist, indexTable)
             .write.mode("overwrite").parquet(s"$pairsPath/batch_id=$batchId")
-          val batchIds = batch.select(col(idCol).as("id")).distinct()
+          val batchIds = fps.select(col(fpIdCol).as("id")).distinct()
           val overlap = bs.table(s"${indexTable}_fps")
             .join(broadcast(batchIds), Seq("id"), "leftsemi")
             .select("id")
           if (!overlap.isEmpty)
             graft.dedup.Dedup.compactSimhashIndex(bs, indexTable, overlap)
-          graft.dedup.Dedup.absorbIntoSimhashIndex(
-            bs, batch, textCol, idCol, maxDist, indexTable)
+          graft.dedup.Dedup.absorbIntoFingerprintIndex(
+            bs, fps, fpIdCol, fpCol, maxDist, indexTable)
           Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(markers)
         }
         ()
