@@ -26,9 +26,13 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAXPART", "134217728"))
       // run-scoped warehouse (same rationale as Verify): no concurrent
-      // or stale process shares this run's standing tables
+      // or stale process shares this run's standing tables.
+      // SPARK_GRAFT_WH pins a fixed location instead — the A/B knob
+      // that adjudicated the r17 x18 drift (PERF.md: warehouse
+      // location measured neutral; /tmp and the repo dir share one fs)
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_bench_wh_").toString)
+        sys.env.getOrElse("SPARK_GRAFT_WH",
+          java.nio.file.Files.createTempDirectory("graft_bench_wh_").toString))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -90,13 +90,42 @@ object RetentionScale {
         Retention.reanchorRetentionState(spark, log, backfill,
           "ts", "user_id", table, 99L)
         val tReanchor = (System.nanoTime() - t2) / 1e9
+        // the r18 deployment shape: the absorbed log MAINTAINED
+        // partitioned by the user shard (Retention.userShard) — the
+        // re-anchor's history read then PRUNES to the affected users'
+        // shard directories at planning time instead of scanning all
+        // events (untimed one-off staging; a deployment pays it
+        // incrementally at absorb time)
+        val shardedDir = java.nio.file.Files.createTempDirectory(s"graft_rsc_sh_$n")
+        log.withColumn("shard", Retention.userShard(col("user_id")))
+          .write.mode("overwrite").partitionBy("shard").parquet(shardedDir.toString)
+        val shardedLog = spark.read.parquet(shardedDir.toString)
+        val t2b = System.nanoTime()
+        Retention.reanchorRetentionState(spark, shardedLog, backfill,
+          "ts", "user_id", table, 100L, shardCol = Some("shard"))
+        val tReanchorSh = (System.nanoTime() - t2b) / 1e9
+        // the case the pruning exists for: a SHARD-LOCAL backfill (one
+        // re-ingested upstream partition — its users share a shard, so
+        // the history read prunes to ~1/64 of the directories; the
+        // 100-spread-users case above touches most shards and measures
+        // the pruning floor, not its value)
+        val localUsers = ev.select(col("user_id")).distinct()
+          .filter(Retention.userShard(col("user_id")) === 0)
+          .orderBy("user_id").limit(100)
+        val localBackfill = localUsers.select(col("user_id"), backTs.as("ts"))
+        val t2c = System.nanoTime()
+        Retention.reanchorRetentionState(spark, shardedLog, localBackfill,
+          "ts", "user_id", table, 101L, shardCol = Some("shard"))
+        val tReanchorShLocal = (System.nanoTime() - t2c) / 1e9
+        org.apache.commons.io.FileUtils.deleteQuietly(shardedDir.toFile)
         val t3 = System.nanoTime()
         Retention.buildRetentionState(log.unionByName(backfill), "ts", "user_id",
           periodUs = 86400000000L, "rsc_rebuild")
         val tRebuild = (System.nanoTime() - t3) / 1e9
         println(f"n=$n%9d  users=$users%7d  batch~$batchN  absorb=$tAbsorb%6.2f s  " +
           f"replay=$tReplay%5.2f s  readout=${math.min(ra, rb)}%6.2f s  triangle_cells=$cells  " +
-          f"reanchor(100u)=$tReanchor%6.2f s  rebuild=$tRebuild%6.2f s")
+          f"reanchor(100u)=$tReanchor%6.2f s  reanchor_sharded=$tReanchorSh%6.2f s  " +
+          f"reanchor_shard_local=$tReanchorShLocal%6.2f s  rebuild=$tRebuild%6.2f s")
       } finally {
         org.apache.commons.io.FileUtils.deleteQuietly(staged.toFile)
         ()

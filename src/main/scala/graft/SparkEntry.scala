@@ -1065,6 +1065,48 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    "d35_audio_phash" -> ((s, dir) => {
+      // perceptual-hash AUDIO dedup — d32's screen applied to the
+      // audio branch (r17 verdict "What's missing #3"): band-energy
+      // gradient hash over the decoded waveform's |amplitude| pooled
+      // into 72 time bands. The planted twins are the d32 byte-shift
+      // re-encodes — the delta synthesis cancels a uniform shift in
+      // every sample except the first, so the twins land at Hamming
+      // ≤ maxDist while exact content-hash dedup sees nothing. Pairs
+      // ride d4's Manku chunk machinery (exact recall at the radius)
+      val docs = t(s, dir, "documents")
+      val from = (32 to 126).map(_.toChar).mkString
+      val to = (33 to 127).map(_.toChar).mkString
+      val twins = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+        .withColumn("text", translate(col("text"), from, to))
+      val fps = Multimodal.audioHash(
+        Multimodal.audioFromDocs(docs.unionByName(twins))).toDF()
+      Dedup.hammingPairs(fps, "doc_id", "phash", maxDist = 6)
+        .orderBy("a", "b")
+    }),
+
+    "d36_video_phash" -> ((s, dir) => {
+      // perceptual-hash VIDEO dedup — the third branch (r17 "What's
+      // missing #3"): temporal-gradient (motion-signature) hash over
+      // the decoded frame stream — bit (r,c) compares a time×position
+      // cell against the SAME position one time-row later, so the 64
+      // bits record what changes ACROSS frames where d32's dHash
+      // records within-image structure. Brightness-shifted re-encodes
+      // (the d32 twins) land at small Hamming; same chunk-pair
+      // machinery, same exact recall at the radius
+      val docs = t(s, dir, "documents")
+      val from = (32 to 126).map(_.toChar).mkString
+      val to = (33 to 127).map(_.toChar).mkString
+      val twins = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+        .withColumn("text", translate(col("text"), from, to))
+      val fps = Multimodal.tHash(
+        Multimodal.mediaFromDocs(docs.unionByName(twins))).toDF()
+      Dedup.hammingPairs(fps, "doc_id", "phash", maxDist = 6)
+        .orderBy("a", "b")
+    }),
+
     "d33_phash_delta" -> ((s, dir) => {
       // d32's DEPLOYMENT shape: the corpus's perceptual hashes feed a
       // standing chunk-bucket index (built once per snapshot — the d4
@@ -2724,8 +2766,55 @@ object SparkEntry {
         |SELECT a, b, hamming FROM ham
         |WHERE hamming <= 6 AND b >= 10000000 ORDER BY a, b""".stripMargin
 
+  // the m-family oracle vector-source derivations, shared by the
+  // correctness oracles, d30's media chain, and the float-ranking
+  // audits (ONE definition each so the audited chain is exactly the
+  // verified chain)
+  private val m4VectorSourceSql = "SELECT doc_id AS id, [ coalesce(list_sum(bytes[16*d+1 : least(16*d+16, len(bytes))]), 0)::DOUBLE for d in range(0, 16) ] AS v FROM (SELECT doc_id, list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))::BIGINT) AS bytes FROM documents)"
+  private val m9VectorSourceSql = "SELECT doc_id AS id, [ coalesce(list_sum(list_transform(s[16*d+1 : least(16*d+16, len(s))], x -> abs(x))), 0)::DOUBLE for d in range(0, 16) ] AS v FROM (SELECT doc_id, list_transform(range(1, length(text)+1), i -> (ascii(substr(text, i, 1)) - CASE WHEN i = 1 THEN 0 ELSE ascii(substr(text, i-1, 1)) END) * 256) AS s FROM documents)"
+  private val m10VectorSourceSql = "SELECT doc_id*1000 + sg AS id, [ coalesce(fl[i+1], 0)::DOUBLE for i in range(0, 16) ] AS v FROM (SELECT doc_id, sg, list(ws ORDER BY fi) AS fl FROM (SELECT doc_id, fi, ws, sum(cut) OVER (PARTITION BY doc_id ORDER BY fi ROWS UNBOUNDED PRECEDING) AS sg FROM (SELECT doc_id, fi, ws, CASE WHEN abs(ws - lag(ws) OVER (PARTITION BY doc_id ORDER BY fi)) > 150 THEN 1 ELSE 0 END AS cut FROM (SELECT doc_id, fi, list_sum(b[fi*16+1 : least(fi*16+16, len(b))])::BIGINT AS ws FROM (SELECT doc_id, unnest(range(0, (length(text)+15)//16)) AS fi, list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))::BIGINT) AS b FROM documents WHERE doc_id % 20 = 0)))) GROUP BY 1, 2)"
+
   def oracleSqlFor(dir: String): Map[String, String] =
     oracleSql + ("j6_stats" -> j6OracleSql(dir))
+
+  /** FLOAT-RANKING AUDITS (the r17 m10 postmortem harness): one DuckDB
+    * probe per ANN-family query whose output depends on ordering or
+    * thresholding doubles. Each emits rows
+    * `(stage, n_ties, min_gap, integer_exact)`; `tools/oracleaudit.py`
+    * FAILS a stage iff it has exact ties or sub-1e-9 gaps AND its
+    * ranking operands are NOT in the integer-exact class — the class
+    * where a local DuckDB green says nothing about the driver's build
+    * (m10 had 32 exactly-tied routing cosines that resolved in
+    * opposite orders on a different `list_inner_product`). `Verify`
+    * dumps these as `audit_sql.json`; the audit runs in the round
+    * gates next to the selfcheck. */
+  def auditSql: Map[String, String] = Map(
+    "s1_ann_bruteforce" -> Ann.bruteAuditSql(k = 5, queryPred = "q.id < 10"),
+    "m3_multimodal_ann" -> Ann.bruteAuditSql(k = 3, queryPred = "q.id < 5",
+      source = m4VectorSourceSql),
+    "s2_ann_lsh" -> Ann.lshAuditSql(dims = 64, k = 5),
+    "s4_ann_indexed" -> Ann.lshAuditSql(dims = 64, k = 5),
+    "s3_ann_ivf" -> Ann.ivfAuditSql(k = 5),
+    "s5_ivf_indexed" -> Ann.ivfAuditSql(k = 5),
+    "s10_filtered_ann" -> Ann.ivfAuditSql(k = 5, neighborPred = "label = 1"),
+    "m4_multimodal_ann_indexed" -> Ann.ivfAuditSql(k = 3, queryPred = "id < 5",
+      source = m4VectorSourceSql),
+    "m9_audio_ann_indexed" -> Ann.ivfAuditSql(k = 3, queryPred = "id < 5",
+      source = m9VectorSourceSql),
+    "m10_segment_ann_indexed" -> Ann.ivfAuditSql(k = 3,
+      queryPred = "id % 1000 = 0 AND id < 100000", source = m10VectorSourceSql),
+    "s7_ann_pq" -> graft.ann.Pq.auditSql(k = 5),
+    "s8_ann_pq_indexed" -> graft.ann.Pq.auditSql(k = 5),
+    "s9_ivfpq_indexed" -> graft.ann.IvfPq.auditSql(k = 5),
+    "s11_filtered_ivfpq" -> graft.ann.IvfPq.auditSql(k = 5, neighborPred = "label = 1"),
+    "d12_semantic_dedup" -> graft.ann.SemDedup.auditSql(nlist = 16, rounds = 2, threshold = 0.4),
+    "d15_semantic_indexed" -> graft.ann.SemDedup.auditSql(nlist = 16, rounds = 2, threshold = 0.4),
+    "d14_semantic_delta" -> graft.ann.SemDedup.deltaAuditSql(nlist = 16, rounds = 2, threshold = 0.9),
+    "d17_stream_semantic" -> graft.ann.SemDedup.deltaAuditSql(nlist = 16, rounds = 2, threshold = 0.9),
+    "d26_semantic_decon" -> graft.ann.SemDedup.deconAuditSql(nlist = 16, rounds = 2,
+      threshold = 0.9, nprobe = 2),
+    "d30_media_neardup" -> graft.ann.SemDedup.mediaNeardupAuditSql(nlist = 16, rounds = 2,
+      threshold = 0.9999, source = m4VectorSourceSql))
 
   def oracleSql: Map[String, String] = Map(
 
@@ -4460,6 +4549,74 @@ object SparkEntry {
         |        FROM fp x JOIN fp y ON x.doc_id < y.doc_id)
         |SELECT a, b, hamming FROM ham WHERE hamming <= 6 ORDER BY a, b""".stripMargin,
 
+    // d32's chain with the band-energy source: |sample| = |byte delta|
+    // · 256 (audioFromDocs' synthesis), P = the exact sample count, and
+    // the same 72-cell/right-neighbor gradient bits
+    "d35_audio_phash" ->
+      """WITH tw AS (
+        |  SELECT doc_id + 10000000 AS doc_id,
+        |    translate(text,
+        |      (SELECT string_agg(chr(i.i::INT), '' ORDER BY i.i) FROM unnest(range(32,127)) i(i)),
+        |      (SELECT string_agg(chr(i.i::INT), '' ORDER BY i.i) FROM unnest(range(33,128)) i(i))) AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |d0 AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM tw),
+        |b AS (SELECT doc_id,
+        |        list_transform(range(1, length(text)+1),
+        |          i -> abs((ascii(substr(text,i,1)) -
+        |                    CASE WHEN i = 1 THEN 0 ELSE ascii(substr(text,i-1,1)) END) * 256)::BIGINT) AS bs,
+        |        length(text) AS P FROM d0),
+        |cells AS (
+        |  SELECT doc_id, g.g AS g,
+        |    coalesce(list_sum(bs[(g.g*P//72)+1 : ((g.g+1)*P//72)]), 0) AS s,
+        |    ((g.g+1)*P//72) - (g.g*P//72) AS n
+        |  FROM b, unnest(range(0,72)) AS g(g)),
+        |bitrows AS (
+        |  SELECT ca.doc_id, ((ca.g // 9) * 8 + (ca.g % 9))::BIGINT AS j
+        |  FROM cells ca JOIN cells cb ON ca.doc_id = cb.doc_id AND cb.g = ca.g + 1
+        |  WHERE ca.g % 9 < 8 AND ca.s * cb.n > cb.s * ca.n),
+        |fph AS (SELECT doc_id, sum(1::HUGEINT << j)::HUGEINT AS h FROM bitrows GROUP BY 1),
+        |fp AS (SELECT d0.doc_id,
+        |        (CASE WHEN coalesce(h, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+        |              THEN coalesce(h, 0::HUGEINT) - 18446744073709551616::HUGEINT
+        |              ELSE coalesce(h, 0::HUGEINT) END)::BIGINT AS f
+        |       FROM d0 LEFT JOIN fph USING (doc_id)),
+        |ham AS (SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.f, y.f))::INT AS hamming
+        |        FROM fp x JOIN fp y ON x.doc_id < y.doc_id)
+        |SELECT a, b, hamming FROM ham WHERE hamming <= 6 ORDER BY a, b""".stripMargin,
+
+    // d32's chain with the TEMPORAL comparison: same cells over the
+    // padded pixel stream, bit j = cell j vs cell j+8 (9 time-rows ×
+    // 8 position columns — across-frame gradients)
+    "d36_video_phash" ->
+      """WITH tw AS (
+        |  SELECT doc_id + 10000000 AS doc_id,
+        |    translate(text,
+        |      (SELECT string_agg(chr(i.i::INT), '' ORDER BY i.i) FROM unnest(range(32,127)) i(i)),
+        |      (SELECT string_agg(chr(i.i::INT), '' ORDER BY i.i) FROM unnest(range(33,128)) i(i))) AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |d0 AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM tw),
+        |b AS (SELECT doc_id,
+        |        list_transform(range(1, length(text)+1), i -> ascii(substr(text,i,1))::BIGINT) AS bs,
+        |        ((length(text)+15)//16)*16 AS P FROM d0),
+        |cells AS (
+        |  SELECT doc_id, g.g AS g,
+        |    coalesce(list_sum(bs[(g.g*P//72)+1 : ((g.g+1)*P//72)]), 0) AS s,
+        |    ((g.g+1)*P//72) - (g.g*P//72) AS n
+        |  FROM b, unnest(range(0,72)) AS g(g)),
+        |bitrows AS (
+        |  SELECT ca.doc_id, ca.g::BIGINT AS j
+        |  FROM cells ca JOIN cells cb ON ca.doc_id = cb.doc_id AND cb.g = ca.g + 8
+        |  WHERE ca.g < 64 AND ca.s * cb.n > cb.s * ca.n),
+        |fph AS (SELECT doc_id, sum(1::HUGEINT << j)::HUGEINT AS h FROM bitrows GROUP BY 1),
+        |fp AS (SELECT d0.doc_id,
+        |        (CASE WHEN coalesce(h, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+        |              THEN coalesce(h, 0::HUGEINT) - 18446744073709551616::HUGEINT
+        |              ELSE coalesce(h, 0::HUGEINT) END)::BIGINT AS f
+        |       FROM d0 LEFT JOIN fph USING (doc_id)),
+        |ham AS (SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.f, y.f))::INT AS hamming
+        |        FROM fp x JOIN fp y ON x.doc_id < y.doc_id)
+        |SELECT a, b, hamming FROM ham WHERE hamming <= 6 ORDER BY a, b""".stripMargin,
+
     // the d32 one-shot chain restricted to batch-touching pairs (batch
     // ids are offset past every standing id, so "touches the batch" is
     // exactly b >= offset) — the d8 delta identity for fingerprints
@@ -4484,17 +4641,23 @@ object SparkEntry {
          |         lower(regexp_extract(pre, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
          |         regexp_replace(pre, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest, q
          |       FROM c2),
-         |c4 AS (SELECT doc_id, scheme, q,
-         |         regexp_replace(lower(str_split(rest, '/')[1]), '^www\\.', '') AS auth0,
-         |         regexp_replace(regexp_extract(rest, '^[^/]*(/.*)$$', 1), '/+$$', '') AS path
-         |       FROM c3),
+         |c4a AS (SELECT doc_id, scheme, q, str_split(rest, '/')[1] AS ar,
+         |          regexp_replace(regexp_extract(rest, '^[^/]*(/.*)$$', 1), '/+$$', '') AS path
+         |        FROM c3),
+         |c4 AS (SELECT doc_id, scheme, q, path,
+         |         CASE WHEN regexp_extract(ar, '^(.*)@[^@]*$$', 1) = ''
+         |              THEN regexp_replace(lower(str_split(ar, '@')[-1]), '^www\\.', '')
+         |              ELSE regexp_extract(ar, '^(.*)@[^@]*$$', 1) || '@' ||
+         |                   regexp_replace(lower(str_split(ar, '@')[-1]), '^www\\.', '')
+         |         END AS auth0
+         |       FROM c4a),
          |c5 AS (SELECT doc_id, scheme, path,
          |         CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$$', '')
          |              WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$$', '')
          |              ELSE auth0 END AS auth,
          |         array_to_string(list_sort(list_filter(str_split(q, '&'),
-         |           p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid=')
-         |                     OR starts_with(p, 'gclid=') OR p = ''))), '&') AS qs
+         |           p -> NOT (starts_with(p, 'utm_') OR str_split(p, '=')[1] = 'fbclid'
+         |                     OR str_split(p, '=')[1] = 'gclid' OR p = ''))), '&') AS qs
          |       FROM c4),
          |canon AS (SELECT doc_id,
          |            scheme || '://' || auth || path ||
@@ -4508,7 +4671,7 @@ object SparkEntry {
     "d30_media_neardup" ->
       graft.ann.SemDedup.mediaNeardupOracleSql(nlist = 16, rounds = 2,
         threshold = 0.9999,
-        source = "SELECT doc_id AS id, [ coalesce(list_sum(bytes[16*d+1 : least(16*d+16, len(bytes))]), 0)::DOUBLE for d in range(0, 16) ] AS v FROM (SELECT doc_id, list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))::BIGINT) AS bytes FROM documents)"),
+        source = m4VectorSourceSql),
 
     "d26_semantic_decon" ->
       graft.ann.SemDedup.deconOracleSql(nlist = 16, rounds = 2, threshold = 0.9, nprobe = 2),
@@ -4822,13 +4985,13 @@ object SparkEntry {
     // FULL trained-IVF oracle chain (seed, Lloyd rounds, routing, nprobe
     // probing) — one parameter, the rest is s3/s5's proven construction
     "m4_multimodal_ann_indexed" -> Ann.ivfKmeansOracleSql(k = 3, queryPred = "id < 5",
-      source = "SELECT doc_id AS id, [ coalesce(list_sum(bytes[16*d+1 : least(16*d+16, len(bytes))]), 0)::DOUBLE for d in range(0, 16) ] AS v FROM (SELECT doc_id, list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))::BIGINT) AS bytes FROM documents)"),
+      source = m4VectorSourceSql),
 
     // m7's delta-waveform derivation + the per-window |s| sums swapped
     // in as the vector source of the FULL trained-IVF oracle chain —
     // the m4 parameterization applied to the audio branch
     "m9_audio_ann_indexed" -> Ann.ivfKmeansOracleSql(k = 3, queryPred = "id < 5",
-      source = "SELECT doc_id AS id, [ coalesce(list_sum(list_transform(s[16*d+1 : least(16*d+16, len(s))], x -> abs(x))), 0)::DOUBLE for d in range(0, 16) ] AS v FROM (SELECT doc_id, list_transform(range(1, length(text)+1), i -> (ascii(substr(text, i, 1)) - CASE WHEN i = 1 THEN 0 ELSE ascii(substr(text, i-1, 1)) END) * 256) AS s FROM documents)"),
+      source = m9VectorSourceSql),
 
     // the m8 segmentation chain (frame window-sums, lag-delta cut
     // flags, running cut count) grouped into per-segment frame lists,
@@ -4838,7 +5001,7 @@ object SparkEntry {
     // so frames derive from the raw text bytes exactly as m8's oracle
     "m10_segment_ann_indexed" -> Ann.ivfKmeansOracleSql(k = 3,
       queryPred = "id % 1000 = 0 AND id < 100000",
-      source = "SELECT doc_id*1000 + sg AS id, [ coalesce(fl[i+1], 0)::DOUBLE for i in range(0, 16) ] AS v FROM (SELECT doc_id, sg, list(ws ORDER BY fi) AS fl FROM (SELECT doc_id, fi, ws, sum(cut) OVER (PARTITION BY doc_id ORDER BY fi ROWS UNBOUNDED PRECEDING) AS sg FROM (SELECT doc_id, fi, ws, CASE WHEN abs(ws - lag(ws) OVER (PARTITION BY doc_id ORDER BY fi)) > 150 THEN 1 ELSE 0 END AS cut FROM (SELECT doc_id, fi, list_sum(b[fi*16+1 : least(fi*16+16, len(b))])::BIGINT AS ws FROM (SELECT doc_id, unnest(range(0, (length(text)+15)//16)) AS fi, list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))::BIGINT) AS b FROM documents WHERE doc_id % 20 = 0)))) GROUP BY 1, 2)"),
+      source = m10VectorSourceSql),
 
     // the m5 frame construction + SQL windows: lag-delta cut flags,
     // running cut count = segment id, then the per-segment rollup

@@ -67,6 +67,10 @@ object Verify {
     val json = SparkEntry.oracleSqlFor(sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // float-ranking audits (SparkEntry.auditSql): oracle-side tie/gap
+    // probes run by tools/oracleaudit.py — the m10-class detector
+    Files.writeString(Paths.get(s"$outDir/audit_sql.json"),
+      SparkEntry.auditSql.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     Files.writeString(Paths.get(s"$outDir/expected_queries.json"),
       selected.keys.map(q).mkString("[", ",", "]"))
     Files.writeString(Paths.get(s"$outDir/errors.json"),

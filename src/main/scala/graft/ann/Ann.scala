@@ -19,21 +19,41 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  import graft.functions.VectorFunctions.{dot, l2norm}
+  import graft.functions.VectorFunctions.{dot, fixedUnit, l2norm}
 
+  /** (id, v, norm) plus the ∞-normalized fixed-point projection
+    * `fu`/`fnorm` every ordering-deciding cosine in the k-means family
+    * consumes (`graft.functions.FixedUnitProject` — |fu_i| ≤ 2²⁰, so
+    * dots are exact in double under ANY accumulation order and both
+    * engines derive bit-identical similarities). `v`/`norm` stay for
+    * the LSH/brute-force family and for value emission that reads raw
+    * coordinates. */
   private[ann] def normed(emb: DataFrame, vecCol: String, idCol: String): DataFrame =
-    emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("norm", l2norm(col("v")))
+    withFixedUnit(emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("norm", l2norm(col("v"))))
+
+  /** Attach `fu`/`fnorm` to rows that already carry a raw vector `v`
+    * (e.g. a standing index scan — the projection is deterministic, so
+    * recomputing beats storing it). fnorm = √(exact-integer dot):
+    * deterministic single-op IEEE. */
+  private[ann] def withFixedUnit(df: DataFrame): DataFrame =
+    df.withColumn("fu", fixedUnit(col("v")))
+      .withColumn("fnorm", l2norm(col("fu")))
 
   private[ann] def cosine(xv: Column, yv: Column, xn: Column, yn: Column): Column =
     dot(xv, yv) / (xn * yn)
 
   /** Cells of the broadcast centroid array ranked best-first for the
-    * current row's (v, norm): negated cosine sorts ascending, cid
+    * current row's (fu, fnorm): negated cosine sorts ascending, cid
     * breaks ties low. Element 0 = the row's cell; elements 0..nprobe-1
-    * = its probe set. */
+    * = its probe set. The cosine consumes the fixed-point projection
+    * on BOTH sides (fu ≤ 2²⁰, centroid coordinates ≤ 2²⁰ by
+    * construction), so the argmax — including any exact tie and its
+    * cid break — is bit-identical on every engine build (the r17 m10
+    * driver red row was a float routing tie resolving differently on
+    * the driver's DuckDB build). */
   private[ann] def sortedCells: Column = array_sort(transform(col("cents"), c =>
-    struct((-cosine(col("v"), c.getField("cv"), col("norm"), c.getField("cnorm"))).as("negsim"),
+    struct((-cosine(col("fu"), c.getField("cv"), col("fnorm"), c.getField("cnorm"))).as("negsim"),
       c.getField("cid").as("cid"))))
 
   /** Exact cosine top-k for each query vector (queries = `queryFilter`
@@ -80,16 +100,21 @@ object Ann {
     ColumnBridge.column(graft.functions.HyperplaneSketch(ColumnBridge.expr(v), signs))
   }
 
-  /** 2^20 — the integer fixed-point scale the k-means trainer runs on.
-    * `floor(x·2^20)` per coordinate: integer SUMS are order-independent
-    * (so training is deterministic across partitionings, runs, and
+  /** 2^20 — the integer fixed-point scale the k-means trainer AND all
+    * k-means-family similarity comparisons run on, applied to the
+    * ∞-NORMALIZED vector: `f_i = floor(x_i / max_j|x_j| · 2^20)`
+    * (`FixedUnitProject`). Integer SUMS are order-independent (so
+    * training is deterministic across partitionings, runs, and
     * engines — floating sums are not), `floor` rounds identically
-    * everywhere (`round` half-breaks differ between engines), and cosine
-    * routing is scale-invariant so the scale never needs unwinding. */
-  private val FixedScale = 1048576.0d
+    * everywhere (`round` half-breaks differ between engines), cosine
+    * routing is scale-invariant so neither the per-vector scale nor
+    * 2^20 ever needs unwinding — and because |f_i| ≤ 2^20, every
+    * similarity dot is EXACT in double under any accumulation order,
+    * making the ranking doubles bit-identical across engine builds
+    * (the property the r17 m10 driver red row proved float cosines
+    * lack). */
+  private[ann] val FixedScale = 1048576.0d
 
-  private def fixed(v: Column): Column =
-    transform(v, x => floor(x.cast("double") * lit(FixedScale)).cast("long"))
   private def fixedD(f: Column): Column = transform(f, _.cast("double"))
 
   /** Lloyd-trained IVF centroids (k-means behind the SAME broadcast
@@ -120,7 +145,8 @@ object Ann {
         graft.text.TextAnalysis.sampleHash(col(idCol), "trainsample") <
           lit(graft.text.TextAnalysis.sampleThreshold(sampleFrac)))
     val e = normed(base, vecCol, idCol)
-    val pts = e.select(col("id"), col("v"), col("norm"), fixed(col("v")).as("f"))
+    val pts = e.select(col("id"), col("fu"), col("fnorm"),
+      transform(col("fu"), _.cast("long")).as("f"))
     // rank the nlist seed rows WITHOUT a window: an unpartitioned
     // row_number window (even over a literal partition key — the
     // optimizer folds it away) makes every index build log the
@@ -140,7 +166,7 @@ object Ann {
         fixedD(col("f")).as("cv"),
         sqrt(dot(fixedD(col("f")), fixedD(col("f")))).as("cnorm"))).as("cents"))
       val best = array_sort(transform(col("cents"), c =>
-        struct((-cosine(col("v"), c.getField("cv"), col("norm"), c.getField("cnorm"))).as("negsim"),
+        struct((-cosine(col("fu"), c.getField("cv"), col("fnorm"), c.getField("cnorm"))).as("negsim"),
           c.getField("cid").as("cid")))).getItem(0).getField("cid")
       val assigned = pts.join(broadcast(centArr)).select(col("f"), best.as("cid"))
       val newCents = assigned
@@ -164,7 +190,7 @@ object Ann {
   def sampleCentroids(emb: DataFrame, vecCol: String, idCol: String, nlist: Int = 16): DataFrame = {
     val e = normed(emb, vecCol, idCol)
     e.orderBy(md5(concat(lit("cent:"), col("id"))), col("id")).limit(nlist)
-      .agg(collect_list(struct(col("id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))).as("cents"))
+      .agg(collect_list(struct(col("id").as("cid"), col("fu").as("cv"), col("fnorm").as("cnorm"))).as("cents"))
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
@@ -195,14 +221,14 @@ object Ann {
     val withCells = e.join(broadcast(cent)) // 1-row side: stays a map-side projection
       .withColumn("cells", sortedCells)
     val assign = withCells // corpus: nearest cell only
-      .select(col("id"), col("v"), col("norm"), col("cells").getItem(0).getField("cid").as("cid"))
+      .select(col("id"), col("fu"), col("fnorm"), col("cells").getItem(0).getField("cid").as("cid"))
     val probes = withCells.filter(queryFilter) // queries: nprobe cells
-      .select(col("id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"),
+      .select(col("id").as("query_id"), col("fu").as("qfu"), col("fnorm").as("qfnorm"),
         explode(transform(slice(col("cells"), 1, nprobe), c => c.getField("cid"))).as("cid"))
     val scored = assign.join(broadcast(probes),
         assign("cid") === probes("cid") && col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
-        cosine(col("v"), col("qv"), col("norm"), col("qnorm")).as("sim"))
+        cosine(col("fu"), col("qfu"), col("fnorm"), col("qfnorm")).as("sim"))
     topKPerQuery(scored, k, salts = 32)
   }
 
@@ -214,7 +240,14 @@ object Ann {
     * sequential ±x sums, and sign/ordering comparisons see identical
     * doubles. */
   def lshOracleSql(dims: Int, k: Int, tables: Int = 8, bits: Int = 4,
-                   queryPred: String = "q.id < 10"): String = {
+                   queryPred: String = "q.id < 10"): String =
+    s"""WITH ${lshCtes(dims, tables, bits, queryPred)}
+       |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rnk
+       |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+
+  /** The sketch→bucket→score→rank CTE chain shared by [[lshOracleSql]]
+    * and [[lshAuditSql]] — ends in `r`. */
+  private def lshCtes(dims: Int, tables: Int, bits: Int, queryPred: String): String = {
     val tableSelects = (0 until tables).map { t =>
       val bitTerms = (0 until bits).map { p =>
         val signs = (0 until dims).map(d => if (planeSign(t, p, d) > 0) "1" else "-1").mkString(",")
@@ -222,7 +255,7 @@ object Ann {
       }.mkString(" + ")
       s"SELECT id, $t AS t, $bitTerms AS sk FROM n"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
        |b AS (
        |  $tableSelects),
@@ -237,10 +270,70 @@ object Ann {
        |r AS (
        |  SELECT query_id, neighbor_id, sim,
        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
-       |  FROM sc)
-       |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rnk
-       |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+       |  FROM sc)""".stripMargin
   }
+
+  /** Float-ranking audit for the LSH chain (s2/s4): this family's
+    * ordering operands stay RAW floats (the projections and cosines are
+    * accumulation-order-sensitive), so its pin is TIE-FREEDOM — (a) the
+    * sketch sign margins (a hyperplane projection within 1e-9 of zero
+    * could flip a bucket bit on a different engine build) and (b) the
+    * top-k boundary gaps must be comfortably nonzero. `integer_exact`
+    * is 0 by construction: any tie/sub-1e-9 margin here is a real
+    * red flag, the m10 class in a family without the fixed-point
+    * armor. */
+  def lshAuditSql(dims: Int, k: Int, tables: Int = 8, bits: Int = 4,
+                  queryPred: String = "q.id < 10"): String = {
+    val projSelects = (0 until tables).flatMap { t =>
+      (0 until bits).map { p =>
+        val signs = (0 until dims).map(d => if (planeSign(t, p, d) > 0) "1" else "-1").mkString(",")
+        s"SELECT abs(list_inner_product(v, [$signs]::DOUBLE[])) AS a FROM n"
+      }
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ${lshCtes(dims, tables, bits, queryPred)},
+       |proj AS (
+       |  $projSelects),
+       |kg AS (
+       |  SELECT query_id, sim - lead(sim) OVER
+       |           (PARTITION BY query_id ORDER BY rnk) AS g
+       |  FROM r WHERE rnk <= ${k + 1}),
+       |kgap AS (SELECT query_id, g FROM kg WHERE g IS NOT NULL)
+       |SELECT 'sketch_sign' AS stage,
+       |       (SELECT count(*) FROM proj WHERE a = 0)::BIGINT AS n_ties,
+       |       coalesce((SELECT min(a) FROM proj), 1.0) AS min_gap,
+       |       0 AS integer_exact
+       |UNION ALL
+       |SELECT 'topk',
+       |       (SELECT count(*) FROM kgap WHERE g = 0)::BIGINT,
+       |       coalesce((SELECT min(g) FROM kgap), 1.0),
+       |       0""".stripMargin
+  }
+
+  /** Float-ranking audit for an exact brute-force top-k over an
+    * arbitrary vector `source` (s1/m3): adjacent-sim gaps within
+    * rnk ≤ k+1 must be nonzero — raw-float ranking has no fixed-point
+    * armor, so a tie here is engine-build-divergent. */
+  def bruteAuditSql(k: Int, queryPred: String,
+                    source: String = DefaultVectorSourceSql): String =
+    s"""WITH e AS ($source),
+       |n AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       |sc AS (
+       |  SELECT q.id AS query_id, x.id AS neighbor_id,
+       |         list_inner_product(x.v, q.v) / (x.nrm * q.nrm) AS sim
+       |  FROM n q JOIN n x ON x.id <> q.id WHERE $queryPred),
+       |r AS (
+       |  SELECT query_id, sim,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+       |  FROM sc),
+       |kg AS (
+       |  SELECT query_id, sim - lead(sim) OVER
+       |           (PARTITION BY query_id ORDER BY rnk) AS g
+       |  FROM r WHERE rnk <= ${k + 1}),
+       |kgap AS (SELECT query_id, g FROM kg WHERE g IS NOT NULL)
+       |SELECT 'topk' AS stage,
+       |       (SELECT count(*) FROM kgap WHERE g = 0)::BIGINT AS n_ties,
+       |       coalesce((SELECT min(g) FROM kgap), 1.0) AS min_gap,
+       |       0 AS integer_exact""".stripMargin
 
   /** DuckDB SQL reproducing the TRAINED `ivfTopK` end-to-end: the
     * fixed-point seed, every unrolled Lloyd round (argmax assignment +
@@ -248,15 +341,31 @@ object Ann {
     * empty cells keeping their centroid), the final per-row argmax
     * assignment, nprobe probing, and the exact top-k. Engine-exact
     * because training arithmetic is integer (order-independent sums,
-    * `floor`, `//` ≡ Spark `div`) and every cosine consumes identical
-    * doubles sequentially on both engines. */
+    * `floor`, `//` ≡ Spark `div`) and every ordering-deciding cosine
+    * consumes the ∞-normalized fixed-point projection (|f_i| ≤ 2²⁰ →
+    * dots exact in double under ANY accumulation order), so both
+    * engines derive BIT-IDENTICAL similarity doubles regardless of
+    * build/SIMD/threading — the r17 driver falsified the previous
+    * claim that two engines' float accumulations of the same operands
+    * agree (m10: equal-by-construction routing cosines resolved in
+    * opposite orders on the driver's DuckDB build). */
   def ivfKmeansOracleSql(k: Int, nlist: Int = 16, nprobe: Int = 4, rounds: Int = 2,
                          queryPred: String = "id < 10",
                          neighborPred: String = "TRUE",
-                         source: String = DefaultVectorSourceSql): String = {
+                         source: String = DefaultVectorSourceSql): String =
+    s"""WITH ${ivfTopKCtes(nlist, nprobe, rounds, queryPred, neighborPred, source)}
+       |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rnk
+       |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+
+  /** The probe→score→rank CTE chain shared by [[ivfKmeansOracleSql]]
+    * and [[ivfAuditSql]] — ends in `r` (all scored candidates ranked
+    * per query). */
+  private def ivfTopKCtes(nlist: Int, nprobe: Int, rounds: Int,
+                          queryPred: String, neighborPred: String,
+                          source: String): String = {
     val nfilter = if (neighborPred == "TRUE") ""
       else s"\n  WHERE a.id IN (SELECT vec_id FROM embeddings WHERE $neighborPred)"
-    s"""WITH ${kmeansAssignCtes(nlist, rounds, source)},
+    s"""${kmeansAssignCtes(nlist, rounds, source)},
        |probes AS (SELECT id AS query_id, v AS qv, nrm AS qnorm, cid
        |           FROM rankedF WHERE $queryPred AND crn <= $nprobe),
        |sc AS (
@@ -266,10 +375,56 @@ object Ann {
        |r AS (
        |  SELECT query_id, neighbor_id, sim,
        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
-       |  FROM sc)
-       |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rnk
-       |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+       |  FROM sc)""".stripMargin
   }
+
+  /** SQL fragment: 1 when every element of every `listCol` in `rel` is
+    * an integer-valued double with |x| ≤ 2²⁰ (and ≤ 4096 dims) — the
+    * accumulation-order-proof operand class — else 0. */
+  private[ann] def integerExactCheck(rel: String, listCol: String): String =
+    s"""(SELECT CASE WHEN count(*) = 0 THEN 1 ELSE 0 END FROM $rel
+       | WHERE len($listCol) > 4096
+       |    OR list_max([CASE WHEN x <> floor(x) OR abs(x) > ${FixedScale} THEN 1.0
+       |                 ELSE 0.0 END FOR x IN $listCol]) > 0)""".stripMargin
+
+  /** ORACLE-SIDE float-ranking AUDIT for the trained-IVF chain — the
+    * harness the r17 verdict asked for after the m10 driver red row:
+    * a local green is only evidence when the ordering-deciding doubles
+    * are engine-build-stable, so this probe measures (a) the routing
+    * argmax tie census (crn 1 vs 2 gap per corpus row), (b) the top-k
+    * emission boundary (adjacent-sim gaps within rnk ≤ k+1), and
+    * (c) whether the ranking operands are in the integer-exact class
+    * (`integerExactCheck` — ties are then BENIGN: both engines derive
+    * bit-identical doubles and break them on cid/neighbor_id
+    * identically). `tools/oracleaudit.py` fails a query iff it has
+    * ties/sub-1e-9 gaps AND its operands are NOT integer-exact —
+    * exactly the class that made m10 pass locally and fail on the
+    * driver's DuckDB build. */
+  def ivfAuditSql(k: Int, nlist: Int = 16, nprobe: Int = 4, rounds: Int = 2,
+                  queryPred: String = "id < 10",
+                  neighborPred: String = "TRUE",
+                  source: String = DefaultVectorSourceSql): String =
+    s"""WITH ${ivfTopKCtes(nlist, nprobe, rounds, queryPred, neighborPred, source)},
+       |agap AS (
+       |  SELECT id, max(CASE WHEN crn = 1 THEN csim END)
+       |           - max(CASE WHEN crn = 2 THEN csim END) AS g
+       |  FROM rankedF WHERE crn <= 2 GROUP BY id HAVING count(*) = 2),
+       |kg AS (
+       |  SELECT query_id, sim - lead(sim) OVER
+       |           (PARTITION BY query_id ORDER BY rnk) AS g
+       |  FROM r WHERE rnk <= ${k + 1}),
+       |kgap AS (SELECT query_id, g FROM kg WHERE g IS NOT NULL),
+       |xc AS (SELECT LEAST(${integerExactCheck("pn", "v")},
+       |              ${integerExactCheck("cdnF", "cfd")})::INTEGER AS ok)
+       |SELECT 'routing' AS stage,
+       |       (SELECT count(*) FROM agap WHERE g = 0)::BIGINT AS n_ties,
+       |       coalesce((SELECT min(g) FROM agap), 1.0) AS min_gap,
+       |       (SELECT ok FROM xc) AS integer_exact
+       |UNION ALL
+       |SELECT 'topk',
+       |       (SELECT count(*) FROM kgap WHERE g = 0)::BIGINT,
+       |       coalesce((SELECT min(g) FROM kgap), 1.0),
+       |       (SELECT ok FROM xc)""".stripMargin
 
   /** The k-means derivation CTE chain shared by `ivfKmeansOracleSql` and
     * `SemDedup.oracleSql`: seed, unrolled Lloyd rounds, and the final
@@ -306,17 +461,21 @@ object Ann {
     }.mkString(",\n")
     s"""e AS ($source),
        |n AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
-       |fx AS (SELECT id, [floor(x * ${FixedScale})::BIGINT FOR x IN v] AS f FROM e),
-       |pn AS (SELECT n.id, n.v, n.nrm, fx.f FROM n JOIN fx USING (id)),
+       |fm AS (SELECT id, v, list_max([abs(x::DOUBLE) FOR x IN v]) AS mx FROM e),
+       |fx AS (SELECT id, CASE WHEN mx = 0 THEN [0::BIGINT FOR x IN v]
+       |                  ELSE [floor(x::DOUBLE / mx * ${FixedScale})::BIGINT FOR x IN v] END AS f
+       |       FROM fm),
+       |pn AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm, f
+       |       FROM (SELECT id, [x::DOUBLE FOR x IN f] AS v, f FROM fx)),
        |c0 AS (SELECT row_number() OVER (ORDER BY md5('cent:' || id), id) - 1 AS cid, f
        |       FROM (SELECT id, f FROM fx ORDER BY md5('cent:' || id), id LIMIT $nlist)),
        |$roundCtes,
        |cdnF AS (SELECT cid, cfd, sqrt(list_inner_product(cfd, cfd)) AS cfn
        |         FROM (SELECT cid, [x::DOUBLE FOR x IN f] AS cfd FROM c$rounds)),
        |simsF AS (
-       |  SELECT n.id, n.v, n.nrm, c.cid,
-       |         list_inner_product(n.v, c.cfd) / (n.nrm * c.cfn) AS csim
-       |  FROM n, cdnF c),
+       |  SELECT p.id, p.v, p.nrm, c.cid,
+       |         list_inner_product(p.v, c.cfd) / (p.nrm * c.cfn) AS csim
+       |  FROM pn p, cdnF c),
        |rankedF AS (
        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS crn
        |  FROM simsF),
@@ -422,8 +581,9 @@ object Ann {
     // `keep`: filterable metadata stored INLINE with the vectors (the
     // filtered-search layout) — a probe-time attribute predicate is
     // then a map-side filter on the bucketed scan, not a join
-    val e = emb.select(col(idCol).as("id") +: col(vecCol).as("v") +: keep.map(col): _*)
-      .withColumn("norm", l2norm(col("v")))
+    val e = withFixedUnit(
+      emb.select(col(idCol).as("id") +: col(vecCol).as("v") +: keep.map(col): _*)
+        .withColumn("norm", l2norm(col("v"))))
     (if (rounds > 0) trainCentroids(emb, vecCol, idCol, nlist, rounds, trainFrac)
      else sampleCentroids(emb, vecCol, idCol, nlist))
       .write.mode("overwrite").saveAsTable(s"${table}_cent")
@@ -490,16 +650,19 @@ object Ann {
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
                      queryFilter: Column, k: Int, nprobe: Int = 4,
                      neighborPred: Column = lit(true)): DataFrame = {
-    val assign = spark.table(table)
+    // fu/fnorm recompute map-side from the stored raw vectors (the
+    // projection is deterministic — recomputing beats widening the
+    // stored index schema); the bucketed scan stays Exchange-free
+    val assign = withFixedUnit(spark.table(table))
     val cent = spark.table(s"${table}_cent")
     val probes = assign.drop("cid").filter(queryFilter).join(broadcast(cent))
-      .select(col("id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"),
+      .select(col("id").as("query_id"), col("fu").as("qfu"), col("fnorm").as("qfnorm"),
         explode(transform(slice(sortedCells, 1, nprobe), c => c.getField("cid"))).as("cid"))
     val cand = assign.filter(neighborPred)
     val scored = cand.join(broadcast(probes),
         cand("cid") === probes("cid") && col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
-        cosine(col("v"), col("qv"), col("norm"), col("qnorm")).as("sim"))
+        cosine(col("fu"), col("qfu"), col("fnorm"), col("qfnorm")).as("sim"))
     topKPerQuery(scored, k, salts = 32)
   }
 

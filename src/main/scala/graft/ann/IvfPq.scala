@@ -81,13 +81,14 @@ object IvfPq {
     val e = Ann.normed(emb, vecCol, idCol)
     val cent = spark.table(s"${table}_cent")
     // ONE filter-pruned scan extracts the query set; cell ranking and
-    // the rerank both derive from it
-    val q = e.filter(queryFilter)
-      .select(col("id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
-    val probes = q.withColumnRenamed("qv", "v").withColumnRenamed("qnorm", "norm")
-      .join(broadcast(cent))
-      .select(col("query_id"), col("v").as("qv"), col("norm").as("qnorm"),
+    // the rerank both derive from it. Cell ranking rides the fu/fnorm
+    // fixed-point projection (engine-build-deterministic routing);
+    // ADC and the exact rerank keep the RAW query vector.
+    val q0 = e.filter(queryFilter)
+    val probes = q0.join(broadcast(cent))
+      .select(col("id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"),
         explode(transform(slice(Ann.sortedCells, 1, nprobe), c => c.getField("cid"))).as("cid"))
+    val q = q0.select(col("id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     val codes = spark.table(table).filter(neighborPred)
     val cand = codes.join(broadcast(probes),
       codes("cid") === probes("cid") && col("id") =!= col("query_id"))
@@ -149,7 +150,20 @@ object IvfPq {
   def oracleSql(k: Int, nlist: Int = 16, nprobe: Int = 4, ivfRounds: Int = 2,
                 m: Int = 8, dsub: Int = 8, ksub: Int = 16, pqRounds: Int = 1,
                 shortlist: Int = 50, queryPred: String = "id < 10",
-                neighborPred: String = "TRUE"): String = {
+                neighborPred: String = "TRUE"): String =
+    s"""WITH ${ivfPqCtes(nlist, nprobe, ivfRounds, m, dsub, ksub, pqRounds,
+                         shortlist, queryPred, neighborPred)}
+       |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rnk
+       |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+
+  /** The composed IVF×PQ CTE chain shared by [[oracleSql]] and
+    * [[auditSql]] — ends in `r`; `irankedF` (integer-exact routing),
+    * `scr` (ADC ranked) and `r` (rerank ranked) stay open for the
+    * audit's per-stage gap probes. */
+  private def ivfPqCtes(nlist: Int, nprobe: Int, ivfRounds: Int,
+                        m: Int, dsub: Int, ksub: Int, pqRounds: Int,
+                        shortlist: Int, queryPred: String,
+                        neighborPred: String): String = {
     val nfilter = if (neighborPred == "TRUE") ""
       else s"\n       WHERE a.id IN (SELECT vec_id FROM embeddings WHERE $neighborPred)"
     val ivfRoundCtes = (1 to ivfRounds).map { r =>
@@ -158,7 +172,7 @@ object IvfPq {
          |           FROM (SELECT cid, [x::DOUBLE FOR x IN f] AS cfd FROM $prev)),
          |isims$r AS (
          |  SELECT p.id, p.f, c.cid,
-         |         list_inner_product(p.v, c.cfd) / (p.nrm * c.cfn) AS csim
+         |         list_inner_product(p.fv, c.cfd) / (p.fn * c.cfn) AS csim
          |  FROM ipn p, icdn$r c),
          |iasg$r AS (
          |  SELECT id, f, cid FROM (
@@ -185,10 +199,14 @@ object IvfPq {
          |pb$r AS (SELECT p.sub, p.code, coalesce(nw.cw, p.cw) AS cw
          |         FROM $prev p LEFT JOIN pnw$r nw USING (sub, code))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
-       |ifx AS (SELECT id, [floor(x * 1048576.0)::BIGINT FOR x IN v] AS f FROM e),
-       |ipn AS (SELECT n.id, n.v, n.nrm, ifx.f FROM n JOIN ifx USING (id)),
+       |ifm AS (SELECT id, v, list_max([abs(x::DOUBLE) FOR x IN v]) AS mx FROM e),
+       |ifx AS (SELECT id, CASE WHEN mx = 0 THEN [0::BIGINT FOR x IN v]
+       |                   ELSE [floor(x::DOUBLE / mx * 1048576.0)::BIGINT FOR x IN v] END AS f
+       |        FROM ifm),
+       |ipn AS (SELECT id, fv, sqrt(list_inner_product(fv, fv)) AS fn, f
+       |        FROM (SELECT id, [x::DOUBLE FOR x IN f] AS fv, f FROM ifx)),
        |ic0 AS (SELECT row_number() OVER (ORDER BY md5('cent:' || id), id) - 1 AS cid, f
        |        FROM (SELECT id, f FROM ifx ORDER BY md5('cent:' || id), id LIMIT $nlist)),
        |$ivfRoundCtes,
@@ -196,8 +214,8 @@ object IvfPq {
        |          FROM (SELECT cid, [x::DOUBLE FOR x IN f] AS cfd FROM ic$ivfRounds)),
        |isimsF AS (
        |  SELECT n.id, n.v, n.nrm, c.cid,
-       |         list_inner_product(n.v, c.cfd) / (n.nrm * c.cfn) AS csim
-       |  FROM n, icdnF c),
+       |         list_inner_product(p.fv, c.cfd) / (p.fn * c.cfn) AS csim
+       |  FROM n JOIN ipn p ON n.id = p.id, icdnF c),
        |irankedF AS (
        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS crn
        |  FROM isimsF),
@@ -224,17 +242,54 @@ object IvfPq {
        |              list_inner_product(p.qv, x.rv) / (p.qnorm * x.rnorm) AS sim
        |       FROM iassign a JOIN iprobes p ON a.cid = p.cid AND a.id <> p.query_id
        |       JOIN prcn x ON x.id = a.id$nfilter),
-       |shortl AS (SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id,
-       |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS srn
-       |    FROM sc) WHERE srn <= $shortlist),
+       |scr AS (SELECT query_id, neighbor_id, sim,
+       |               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS srn
+       |        FROM sc),
+       |shortl AS (SELECT query_id, neighbor_id FROM scr WHERE srn <= $shortlist),
        |ex AS (SELECT s.query_id, s.neighbor_id,
        |              list_inner_product(q.v, x.v) / (q.nrm * x.nrm) AS sim
        |       FROM shortl s JOIN n q ON q.id = s.query_id JOIN n x ON x.id = s.neighbor_id),
        |r AS (SELECT query_id, neighbor_id, sim,
        |             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
-       |      FROM ex)
-       |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rnk
-       |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+       |      FROM ex)""".stripMargin
   }
+
+  /** Per-stage float-ranking audit for the IVF×PQ chain (s9/s11): the
+    * coarse routing rides the fixed-point projection (integer-exact —
+    * ties benign), the ADC shortlist cut and the exact rerank rank
+    * RAW-float cosines and are pinned tie-free. */
+  def auditSql(k: Int, nlist: Int = 16, nprobe: Int = 4, ivfRounds: Int = 2,
+               m: Int = 8, dsub: Int = 8, ksub: Int = 16, pqRounds: Int = 1,
+               shortlist: Int = 50, queryPred: String = "id < 10",
+               neighborPred: String = "TRUE"): String =
+    s"""WITH ${ivfPqCtes(nlist, nprobe, ivfRounds, m, dsub, ksub, pqRounds,
+                         shortlist, queryPred, neighborPred)},
+       |agap AS (
+       |  SELECT id, max(CASE WHEN crn = 1 THEN csim END)
+       |           - max(CASE WHEN crn = 2 THEN csim END) AS g
+       |  FROM irankedF WHERE crn <= 2 GROUP BY id HAVING count(*) = 2),
+       |sg0 AS (
+       |  SELECT query_id, sim - lead(sim) OVER
+       |           (PARTITION BY query_id ORDER BY srn) AS g
+       |  FROM scr WHERE srn <= ${shortlist + 1}),
+       |sg AS (SELECT query_id, g FROM sg0 WHERE g IS NOT NULL),
+       |kg0 AS (
+       |  SELECT query_id, sim - lead(sim) OVER
+       |           (PARTITION BY query_id ORDER BY rnk) AS g
+       |  FROM r WHERE rnk <= ${k + 1}),
+       |kg AS (SELECT query_id, g FROM kg0 WHERE g IS NOT NULL)
+       |SELECT 'routing' AS stage,
+       |       (SELECT count(*) FROM agap WHERE g = 0)::BIGINT AS n_ties,
+       |       coalesce((SELECT min(g) FROM agap), 1.0) AS min_gap,
+       |       1 AS integer_exact
+       |UNION ALL
+       |SELECT 'adc_shortlist',
+       |       (SELECT count(*) FROM sg WHERE g = 0)::BIGINT,
+       |       coalesce((SELECT min(g) FROM sg), 1.0),
+       |       0
+       |UNION ALL
+       |SELECT 'rerank',
+       |       (SELECT count(*) FROM kg WHERE g = 0)::BIGINT,
+       |       coalesce((SELECT min(g) FROM kg), 1.0),
+       |       0""".stripMargin
 }

@@ -252,7 +252,18 @@ object Pq {
     * round per subspace, encoding, reconstruction, and the exact
     * top-k. */
   def oracleSql(k: Int, m: Int = 8, dsub: Int = 8, ksub: Int = 16, rounds: Int = 1,
-                shortlist: Int = 50, queryPred: String = "q.id < 10"): String = {
+                shortlist: Int = 50, queryPred: String = "q.id < 10"): String =
+    s"""WITH ${pqCtes(m, dsub, ksub, rounds, shortlist, queryPred)}
+       |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rnk
+       |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+
+  /** The train→encode→ADC→rerank CTE chain shared by [[oracleSql]] and
+    * [[auditSql]] — ends in `r` (exact-reranked shortlist, ranked); the
+    * ranked intermediates `encr` (per-subspace code argmin with its
+    * integer L2) and `scr` (ADC scores ranked per query) stay open for
+    * the audit's gap probes. */
+  private def pqCtes(m: Int, dsub: Int, ksub: Int, rounds: Int,
+                     shortlist: Int, queryPred: String): String = {
     def l2 = "(list_inner_product(s.xd, s.xd) - 2*list_inner_product(s.xd, b.cd) + list_inner_product(b.cd, b.cd))"
     val roundCtes = (1 to rounds).map { r =>
       val prev = s"b${r - 1}"
@@ -267,7 +278,7 @@ object Pq {
          |b$r AS (SELECT p.sub, p.code, coalesce(nw.cw, p.cw) AS cw
          |        FROM $prev p LEFT JOIN nw$r nw USING (sub, code))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
        |fu AS (SELECT id, [floor(x / nrm * 1048576.0)::BIGINT FOR x IN v] AS f FROM n),
        |su AS (SELECT id, s.s AS sub, f[s.s*$dsub+1 : s.s*$dsub+$dsub] AS x
@@ -278,27 +289,63 @@ object Pq {
        |b0 AS (SELECT su.sub, ord.code, su.x AS cw FROM ord JOIN su USING (id)),
        |$roundCtes,
        |bdF AS (SELECT sub, code, cw, [c::DOUBLE FOR c IN cw] AS cd FROM b$rounds),
-       |enc AS (SELECT id, sub, code FROM (
-       |    SELECT s.id, s.sub, b.code,
+       |encr AS (
+       |    SELECT s.id, s.sub, b.code, $l2 AS d2,
        |           row_number() OVER (PARTITION BY s.id, s.sub ORDER BY $l2, b.code) AS rn
-       |    FROM sud s JOIN bdF b USING (sub)) WHERE rn = 1),
+       |    FROM sud s JOIN bdF b USING (sub)),
+       |enc AS (SELECT id, sub, code FROM encr WHERE rn = 1),
        |recon AS (SELECT enc.id, flatten(list(b.cd ORDER BY enc.sub)) AS rv
        |          FROM enc JOIN bdF b ON enc.sub = b.sub AND enc.code = b.code GROUP BY enc.id),
        |rcn AS (SELECT id, rv, sqrt(list_inner_product(rv, rv)) AS rnorm FROM recon),
        |sc AS (SELECT q.id AS query_id, x.id AS neighbor_id,
        |              list_inner_product(q.v, x.rv) / (q.nrm * x.rnorm) AS sim
        |       FROM n q JOIN rcn x ON x.id <> q.id WHERE $queryPred),
-       |shortl AS (SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id,
-       |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS srn
-       |    FROM sc) WHERE srn <= $shortlist),
+       |scr AS (SELECT query_id, neighbor_id, sim,
+       |               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS srn
+       |        FROM sc),
+       |shortl AS (SELECT query_id, neighbor_id FROM scr WHERE srn <= $shortlist),
        |ex AS (SELECT s.query_id, s.neighbor_id,
        |              list_inner_product(q.v, x.v) / (q.nrm * x.nrm) AS sim
        |       FROM shortl s JOIN n q ON q.id = s.query_id JOIN n x ON x.id = s.neighbor_id),
        |r AS (SELECT query_id, neighbor_id, sim,
        |             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
-       |      FROM ex)
-       |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rnk
-       |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+       |      FROM ex)""".stripMargin
   }
+
+  /** Float-ranking audit for the PQ chain (s7/s8): the per-subspace
+    * encode argmin is INTEGER-exact (fixed-point unit vectors, L2 in
+    * exact integer range — ties break to the low code identically on
+    * both engines), but the ADC shortlist cut and the exact rerank
+    * rank RAW-float cosines, so those stages are pinned tie-free. */
+  def auditSql(k: Int, m: Int = 8, dsub: Int = 8, ksub: Int = 16, rounds: Int = 1,
+               shortlist: Int = 50, queryPred: String = "q.id < 10"): String =
+    s"""WITH ${pqCtes(m, dsub, ksub, rounds, shortlist, queryPred)},
+       |eg AS (
+       |  SELECT id, sub, max(CASE WHEN rn = 2 THEN d2 END)
+       |            - max(CASE WHEN rn = 1 THEN d2 END) AS g
+       |  FROM encr WHERE rn <= 2 GROUP BY id, sub HAVING count(*) = 2),
+       |sg0 AS (
+       |  SELECT query_id, sim - lead(sim) OVER
+       |           (PARTITION BY query_id ORDER BY srn) AS g
+       |  FROM scr WHERE srn <= ${shortlist + 1}),
+       |sg AS (SELECT query_id, g FROM sg0 WHERE g IS NOT NULL),
+       |kg0 AS (
+       |  SELECT query_id, sim - lead(sim) OVER
+       |           (PARTITION BY query_id ORDER BY rnk) AS g
+       |  FROM r WHERE rnk <= ${k + 1}),
+       |kg AS (SELECT query_id, g FROM kg0 WHERE g IS NOT NULL)
+       |SELECT 'encode' AS stage,
+       |       (SELECT count(*) FROM eg WHERE g = 0)::BIGINT AS n_ties,
+       |       coalesce((SELECT min(g)::DOUBLE FROM eg), 1.0) AS min_gap,
+       |       1 AS integer_exact
+       |UNION ALL
+       |SELECT 'adc_shortlist',
+       |       (SELECT count(*) FROM sg WHERE g = 0)::BIGINT,
+       |       coalesce((SELECT min(g) FROM sg), 1.0),
+       |       0
+       |UNION ALL
+       |SELECT 'rerank',
+       |       (SELECT count(*) FROM kg WHERE g = 0)::BIGINT,
+       |       coalesce((SELECT min(g) FROM kg), 1.0),
+       |       0""".stripMargin
 }

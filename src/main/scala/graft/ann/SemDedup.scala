@@ -27,9 +27,12 @@ import org.apache.spark.sql.functions._
   *
   * Engine-exactness for the oracle: training is integer fixed-point
   * (deterministic across engines — Ann.scala FixedScale notes), and
-  * both the assignment argmax and the pair threshold compare identical
-  * sequentially-computed doubles, so `oracleSql` re-derives the whole
-  * thing from scratch in DuckDB.
+  * the assignment argmax AND the pair threshold both consume the
+  * ∞-normalized fixed-point projection (|f_i| ≤ 2²⁰ → dots exact in
+  * double under any accumulation order), so the similarity doubles are
+  * BIT-IDENTICAL across engine builds — not merely "the same operands
+  * sequentially", the assumption the r17 m10 driver red row falsified.
+  * `oracleSql` re-derives the whole thing from scratch in DuckDB.
   */
 object SemDedup {
 
@@ -49,10 +52,10 @@ object SemDedup {
     val assign = graft.core.Checkpoints.truncate(
       e.join(broadcast(cent)) // map-side: nearest cell per row
         .withColumn("cid", Ann.sortedCells.getItem(0).getField("cid"))
-        .select(col("id"), col("v"), col("norm"), col("cid")))
+        .select(col("id"), col("fu"), col("fnorm"), col("cid")))
     val dropped = assign.as("a").join(assign.as("b"), // cluster-local pairs only
         col("a.cid") === col("b.cid") && col("a.id") > col("b.id"))
-      .filter(Ann.cosine(col("a.v"), col("b.v"), col("a.norm"), col("b.norm")) >= threshold)
+      .filter(Ann.cosine(col("a.fu"), col("b.fu"), col("a.fnorm"), col("b.fnorm")) >= threshold)
       .select(col("a.id").as("id")).distinct()
     assign.join(dropped.withColumn("__d", lit(1)), Seq("id"), "left")
       .select(col("id"), col("cid"),
@@ -81,10 +84,10 @@ object SemDedup {
     * dedup roster (and d14 deltas) against it. */
   def semanticDedupIndexed(spark: org.apache.spark.sql.SparkSession,
                            indexTable: String, threshold: Double): DataFrame = {
-    val assign = spark.table(indexTable)
+    val assign = Ann.withFixedUnit(spark.table(indexTable))
     val dropped = assign.as("a").join(assign.as("b"),
         col("a.cid") === col("b.cid") && col("a.id") > col("b.id"))
-      .filter(Ann.cosine(col("a.v"), col("b.v"), col("a.norm"), col("b.norm")) >= threshold)
+      .filter(Ann.cosine(col("a.fu"), col("b.fu"), col("a.fnorm"), col("b.fnorm")) >= threshold)
       .select(col("a.id").as("id")).distinct()
     assign.join(dropped.withColumn("__d", lit(1)), Seq("id"), "left")
       .select(col("id"), col("cid"),
@@ -108,10 +111,12 @@ object SemDedup {
     val cent = spark.table(s"${indexTable}_cent")
     val nb = Ann.normed(batch, vecCol, idCol).join(broadcast(cent))
       .withColumn("cid", Ann.sortedCells.getItem(0).getField("cid"))
-      .select(col("id"), col("v"), col("norm"), col("cid"))
+      .select(col("id"), col("fu"), col("fnorm"), col("cid"))
     val batchIds = batch.select(col(idCol).as("id")).distinct()
-    val corpus = spark.table(indexTable).join(broadcast(batchIds), Seq("id"), "left_anti")
-    val sim = Ann.cosine(col("x.v"), col("y.v"), col("x.norm"), col("y.norm"))
+    val corpus = Ann.withFixedUnit(
+        spark.table(indexTable).join(broadcast(batchIds), Seq("id"), "left_anti"))
+      .select(col("id"), col("fu"), col("fnorm"), col("cid"))
+    val sim = Ann.cosine(col("x.fu"), col("y.fu"), col("x.fnorm"), col("y.fnorm"))
     val newPairs = nb.as("x").join(nb.as("y"),
         col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"), sim.as("simraw"))
@@ -153,12 +158,12 @@ object SemDedup {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cent = spark.table(s"${indexTable}_cent")
     val ev = Ann.normed(eval, vecCol, idCol).join(broadcast(cent))
-      .select(col("id"), col("v"), col("norm"),
+      .select(col("id"), col("fu"), col("fnorm"),
         explode(slice(Ann.sortedCells, 1, nprobe)).as("__c"))
       .withColumn("cid", col("__c").getField("cid"))
-      .select(col("id"), col("v"), col("norm"), col("cid"))
-    val corpus = spark.table(indexTable)
-    val sim = Ann.cosine(col("x.v"), col("y.v"), col("x.norm"), col("y.norm"))
+      .select(col("id"), col("fu"), col("fnorm"), col("cid"))
+    val corpus = Ann.withFixedUnit(spark.table(indexTable))
+    val sim = Ann.cosine(col("x.fu"), col("y.fu"), col("x.fnorm"), col("y.fnorm"))
     ev.as("x").join(corpus.as("y"), col("x.cid") === col("y.cid"))
       .select(col("y.id").as("id"), sim.as("simraw"))
       .filter(col("simraw") >= threshold)
@@ -197,18 +202,26 @@ object SemDedup {
        |    [CASE WHEN i = 1 THEN ((embedding[i]::DOUBLE + 0.1)::FLOAT) ELSE embedding[i] END
        |     for i in range(1, len(embedding)+1)] AS fv
        |  FROM embeddings WHERE vec_id < $batchN),
-       |bat AS (SELECT id, fv::DOUBLE[] AS v,
-       |               sqrt(list_inner_product(fv::DOUBLE[], fv::DOUBLE[])) AS nrm FROM bat0),
-       |basgr AS (
+       |batm AS (SELECT id, fv, list_max([abs(x::DOUBLE) FOR x IN fv]) AS mx FROM bat0),
+       |batf AS (SELECT id, CASE WHEN mx = 0 THEN [0::BIGINT FOR x IN fv]
+       |                    ELSE [floor(x::DOUBLE / mx * ${Ann.FixedScale})::BIGINT FOR x IN fv] END AS f
+       |         FROM batm),
+       |bat AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm
+       |        FROM (SELECT id, [x::DOUBLE FOR x IN f] AS v FROM batf)),
+       |basgs AS (
        |  SELECT b.id, b.v, b.nrm, c.cid,
-       |         row_number() OVER (PARTITION BY b.id
-       |           ORDER BY list_inner_product(b.v, c.cfd) / (b.nrm * c.cfn) DESC, c.cid) AS rn
+       |         list_inner_product(b.v, c.cfd) / (b.nrm * c.cfn) AS csim
        |  FROM bat b, cdnF c),
+       |basgr AS (
+       |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn
+       |  FROM basgs),
        |basg AS (SELECT id, v, nrm, cid FROM basgr WHERE rn <= $nprobe)""".stripMargin
 
-  def deltaOracleSql(nlist: Int = 16, rounds: Int = 2, threshold: Double = 0.9,
-                     batchN: Int = 100): String =
-    s"""WITH ${Ann.kmeansAssignCtes(nlist, rounds)},
+  /** The k-means + batch-routing + cell-local pair CTE block shared by
+    * [[deltaOracleSql]] and [[deltaAuditSql]] — ends in `u` (all
+    * candidate pairs with raw sim `s`). */
+  private def deltaPairCtes(nlist: Int, rounds: Int, batchN: Int): String =
+    s"""${Ann.kmeansAssignCtes(nlist, rounds)},
        |${batchRouteCtes(batchN)},
        |bb AS (
        |  SELECT x.id AS a, y.id AS b,
@@ -218,8 +231,76 @@ object SemDedup {
        |  SELECT least(x.id, y.id) AS a, greatest(x.id, y.id) AS b,
        |         list_inner_product(x.v, y.v) / (x.nrm * y.nrm) AS s
        |  FROM basg x JOIN assign y ON x.cid = y.cid AND x.id <> y.id),
-       |u AS (SELECT * FROM bb UNION ALL SELECT * FROM bc)
+       |u AS (SELECT * FROM bb UNION ALL SELECT * FROM bc)""".stripMargin
+
+  def deltaOracleSql(nlist: Int = 16, rounds: Int = 2, threshold: Double = 0.9,
+                     batchN: Int = 100): String =
+    s"""WITH ${deltaPairCtes(nlist, rounds, batchN)}
        |SELECT a, b, round(s, 4) AS sim FROM u WHERE s >= $threshold ORDER BY a, b""".stripMargin
+
+  /** The routing-argmax tie census over corpus (`rankedF`) and batch
+    * (`basgr`) chains plus the threshold margin — the audit columns
+    * every `tools/oracleaudit.py` verdict consumes (see
+    * [[Ann.ivfAuditSql]] for the class being policed). */
+  private def pairAuditSelect(threshold: Double, pairRel: String,
+                              exactRels: Seq[(String, String)],
+                              withBatch: Boolean = true): String = {
+    val exact = exactRels.map { case (rel, c) => Ann.integerExactCheck(rel, c) }
+      .mkString("LEAST(", ",\n        ", ")")
+    val bgapCte = if (withBatch)
+      s"""bgap AS (
+         |  SELECT id, max(CASE WHEN rn = 1 THEN csim END)
+         |           - max(CASE WHEN rn = 2 THEN csim END) AS g
+         |  FROM basgr WHERE rn <= 2 GROUP BY id HAVING count(*) = 2),
+         |""".stripMargin
+    else "bgap AS (SELECT 0 AS id, 1.0 AS g WHERE FALSE),\n"
+    s"""agap AS (
+       |  SELECT id, max(CASE WHEN crn = 1 THEN csim END)
+       |           - max(CASE WHEN crn = 2 THEN csim END) AS g
+       |  FROM rankedF WHERE crn <= 2 GROUP BY id HAVING count(*) = 2),
+       |${bgapCte}xc AS (SELECT $exact::INTEGER AS ok)
+       |SELECT 'routing' AS stage,
+       |       ((SELECT count(*) FROM agap WHERE g = 0)
+       |        + (SELECT count(*) FROM bgap WHERE g = 0))::BIGINT AS n_ties,
+       |       LEAST(coalesce((SELECT min(g) FROM agap), 1.0),
+       |             coalesce((SELECT min(g) FROM bgap), 1.0)) AS min_gap,
+       |       (SELECT ok FROM xc) AS integer_exact
+       |UNION ALL
+       |SELECT 'threshold',
+       |       (SELECT count(*) FROM $pairRel WHERE s = $threshold)::BIGINT,
+       |       coalesce((SELECT min(abs(s - $threshold)) FROM $pairRel), 1.0),
+       |       (SELECT ok FROM xc)""".stripMargin
+  }
+
+  /** Audit for [[oracleSql]]'s chain (d12/d15): routing ties plus the
+    * intra-cell pair-threshold margin. */
+  def auditSql(nlist: Int = 16, rounds: Int = 2, threshold: Double = 0.9): String =
+    s"""WITH ${Ann.kmeansAssignCtes(nlist, rounds)},
+       |prs AS (
+       |  SELECT list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS s
+       |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.id > b.id),
+       |${pairAuditSelect(threshold, "prs", Seq("pn" -> "v", "cdnF" -> "cfd"),
+            withBatch = false)}""".stripMargin
+
+  /** Audit for [[deconOracleSql]]'s chain (d26): both routing argmaxes
+    * plus the hit-threshold margin. */
+  def deconAuditSql(nlist: Int = 16, rounds: Int = 2, threshold: Double = 0.9,
+                    batchN: Int = 100, nprobe: Int = 1): String =
+    s"""WITH ${Ann.kmeansAssignCtes(nlist, rounds)},
+       |${batchRouteCtes(batchN, nprobe)},
+       |hit AS (
+       |  SELECT y.id, list_inner_product(x.v, y.v) / (x.nrm * y.nrm) AS s
+       |  FROM basg x JOIN assign y ON x.cid = y.cid),
+       |${pairAuditSelect(threshold, "hit", Seq("pn" -> "v", "cdnF" -> "cfd", "bat" -> "v"))}""".stripMargin
+
+  /** Audit for [[deltaOracleSql]]'s chain (d14/d17): routing ties on
+    * both the corpus and batch argmaxes, the pair-threshold margin,
+    * and the operand exactness class. */
+  def deltaAuditSql(nlist: Int = 16, rounds: Int = 2, threshold: Double = 0.9,
+                    batchN: Int = 100): String =
+    s"""WITH ${deltaPairCtes(nlist, rounds, batchN)},
+       |${pairAuditSelect(threshold, "u",
+            Seq("pn" -> "v", "cdnF" -> "cfd", "bat" -> "v"))}""".stripMargin
 
   /** DuckDB SQL re-deriving the d30 media-neardup composition: the
     * [[deltaOracleSql]] batch×cell construction over an arbitrary
@@ -228,20 +309,28 @@ object SemDedup {
     * keeping its best member by the first-dim media stat (the d25
     * keep-best policy — the perturbed re-ingest scores fractionally
     * higher, so the decision is real, not a tie-break). */
-  def mediaNeardupOracleSql(nlist: Int = 16, rounds: Int = 2,
-                            threshold: Double, batchN: Int = 100,
-                            offset: Long = 10000000L,
-                            source: String): String =
-    s"""WITH RECURSIVE ${Ann.kmeansAssignCtes(nlist, rounds, source)},
-       |bat AS (
-       |  SELECT id + $offset AS id, bv AS v, sqrt(list_inner_product(bv, bv)) AS nrm
+  /** The media-batch routing + cell-local pair CTE block shared by
+    * [[mediaNeardupOracleSql]] and [[mediaNeardupAuditSql]] — ends in
+    * `u` (all candidate pairs with raw sim `s`). */
+  private def mediaPairCtes(nlist: Int, rounds: Int, batchN: Int,
+                            offset: Long, source: String): String =
+    s"""${Ann.kmeansAssignCtes(nlist, rounds, source)},
+       |bat0m AS (
+       |  SELECT id + $offset AS id, bv, list_max([abs(x) FOR x IN bv]) AS mx
        |  FROM (SELECT id, [CASE WHEN i = 1 THEN ((v[i] + 0.1)::FLOAT)::DOUBLE ELSE v[i] END
        |         for i in range(1, len(v)+1)] AS bv FROM e WHERE id < $batchN)),
-       |basgr AS (
+       |batf AS (SELECT id, bv, CASE WHEN mx = 0 THEN [0::BIGINT FOR x IN bv]
+       |                        ELSE [floor(x / mx * ${Ann.FixedScale})::BIGINT FOR x IN bv] END AS f
+       |         FROM bat0m),
+       |bat AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm, bv
+       |        FROM (SELECT id, [x::DOUBLE FOR x IN f] AS v, bv FROM batf)),
+       |basgs AS (
        |  SELECT b.id, b.v, b.nrm, c.cid,
-       |         row_number() OVER (PARTITION BY b.id
-       |           ORDER BY list_inner_product(b.v, c.cfd) / (b.nrm * c.cfn) DESC, c.cid) AS rn
+       |         list_inner_product(b.v, c.cfd) / (b.nrm * c.cfn) AS csim
        |  FROM bat b, cdnF c),
+       |basgr AS (
+       |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn
+       |  FROM basgs),
        |basg AS (SELECT id, v, nrm, cid FROM basgr WHERE rn <= 1),
        |bb AS (
        |  SELECT x.id AS a, y.id AS b, list_inner_product(x.v, y.v) / (x.nrm * y.nrm) AS s
@@ -250,7 +339,23 @@ object SemDedup {
        |  SELECT least(x.id, y.id) AS a, greatest(x.id, y.id) AS b,
        |         list_inner_product(x.v, y.v) / (x.nrm * y.nrm) AS s
        |  FROM basg x JOIN assign y ON x.cid = y.cid AND x.id <> y.id),
-       |prs AS (SELECT a, b FROM (SELECT * FROM bb UNION ALL SELECT * FROM bc) WHERE s >= $threshold),
+       |u AS (SELECT * FROM bb UNION ALL SELECT * FROM bc)""".stripMargin
+
+  /** Audit for [[mediaNeardupOracleSql]]'s chain (d30). */
+  def mediaNeardupAuditSql(nlist: Int = 16, rounds: Int = 2,
+                           threshold: Double, batchN: Int = 100,
+                           offset: Long = 10000000L,
+                           source: String): String =
+    s"""WITH ${mediaPairCtes(nlist, rounds, batchN, offset, source)},
+       |${pairAuditSelect(threshold, "u",
+            Seq("pn" -> "v", "cdnF" -> "cfd", "bat" -> "v"))}""".stripMargin
+
+  def mediaNeardupOracleSql(nlist: Int = 16, rounds: Int = 2,
+                            threshold: Double, batchN: Int = 100,
+                            offset: Long = 10000000L,
+                            source: String): String =
+    s"""WITH RECURSIVE ${mediaPairCtes(nlist, rounds, batchN, offset, source)},
+       |prs AS (SELECT a, b FROM u WHERE s >= $threshold),
        |edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
        |reach(src, dst) AS (
        |  SELECT a, b FROM edges
@@ -258,7 +363,7 @@ object SemDedup {
        |  SELECT reach.src, e2.b FROM reach JOIN edges e2 ON reach.dst = e2.a),
        |cl AS (SELECT src AS id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src),
        |q AS (SELECT id, round(v[1], 4) AS quality FROM n
-       |      UNION ALL SELECT id, round(v[1], 4) AS quality FROM bat),
+       |      UNION ALL SELECT id, round(bv[1], 4) AS quality FROM bat),
        |j AS (SELECT cl.cluster_id, cl.id, q.quality FROM cl JOIN q USING (id)),
        |rk AS (SELECT cluster_id, id, quality,
        |       row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, id) AS rk,

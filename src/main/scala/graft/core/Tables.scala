@@ -54,9 +54,17 @@ object Tables {
                    keys: org.apache.spark.sql.DataFrame, keyCol: String): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val drop = broadcast(keys.select(col(keys.columns.head).as(keyCol)).distinct())
-    val bucketSpec = spark.sessionState.catalog
+    val meta = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .bucketSpec
+    val bucketSpec = meta.bucketSpec
+    // graft-namespaced table properties (e.g. the retention state's
+    // graft.periodUs pin) ride the swap ATOMICALLY: they are set on the
+    // tmp table BEFORE it takes the index's name. The previous shape —
+    // compact, then a separate ALTER TABLE re-pin at the call site —
+    // left a crash window where the swapped table existed without its
+    // properties and every subsequent absorb failed loudly until a
+    // full rebuild (r17 ADVICE).
+    val graftProps = meta.properties.filter { case (k, _) => k.startsWith("graft.") }
     val cols = spark.table(table).columns
     val tmp = table + "__compact"
     Tables.drop(spark, tmp)
@@ -71,6 +79,10 @@ object Tables {
            b.sortBy(bs.sortColumnNames.head, bs.sortColumnNames.tail: _*)
          else b).saveAsTable(tmp)
       case None => writer.saveAsTable(tmp)
+    }
+    if (graftProps.nonEmpty) {
+      val kv = graftProps.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
+      spark.sql(s"ALTER TABLE `$tmp` SET TBLPROPERTIES ($kv)")
     }
     Tables.drop(spark, table)
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")

@@ -27,10 +27,16 @@ object Dedup {
     * normalized URL first; public practice): lowercase scheme and
     * authority, strip a leading `www.`, drop the scheme's default port
     * (`:80` http / `:443` https), drop the fragment, drop tracking
-    * query params (`utm_*`, `fbclid`, `gclid`), SORT the surviving
+    * query params (`utm_*` by prefix; `fbclid`/`gclid` by NAME — a
+    * bare `fbclid` with no `=` is dropped too), SORT the surviving
     * params (param order is transport noise), and strip the path's
-    * trailing slashes. Pure built-in string/array functions — zero
-    * UDFs, full codegen, map-only. Adds `canonical_url`. */
+    * trailing slashes. A userinfo authority (`user:pw@host`) keeps its
+    * userinfo case-SENSITIVE and un-stripped while the host part alone
+    * is lowercased and `www.`-stripped (the r17 ADVICE edges: `^www\.`
+    * on the full authority was defeated by `user@www.host`, and
+    * lowercasing userinfo would merge distinct identities). Pure
+    * built-in string/array functions — zero UDFs, full codegen,
+    * map-only. Adds `canonical_url`. */
   def withCanonicalUrl(df: DataFrame, urlCol: String): DataFrame = {
     val noFrag = substring_index(col(urlCol), "#", 1)
     val pre = substring_index(noFrag, "?", 1)
@@ -38,14 +44,19 @@ object Dedup {
       .otherwise(lit(""))
     val scheme = lower(regexp_extract(pre, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val rest = regexp_replace(pre, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    val auth0 = regexp_replace(lower(substring_index(rest, "/", 1)), "^www\\.", "")
+    val authRaw = substring_index(rest, "/", 1)
+    // host: after the LAST '@' (none → the whole authority); userinfo
+    // (everything before it) passes through case-preserved
+    val host = regexp_replace(lower(substring_index(authRaw, "@", -1)), "^www\\.", "")
+    val userinfo = regexp_extract(authRaw, "^(.*)@[^@]*$", 1)
+    val auth0 = when(userinfo === "", host).otherwise(concat(userinfo, lit("@"), host))
     val auth = when(scheme === "http", regexp_replace(auth0, ":80$", ""))
       .when(scheme === "https", regexp_replace(auth0, ":443$", ""))
       .otherwise(auth0)
     val path = regexp_replace(regexp_extract(rest, "^[^/]*(/.*)$", 1), "/+$", "")
     val params = filter(split(q, "&"), p =>
-      !(p.startsWith("utm_") || p.startsWith("fbclid=") ||
-        p.startsWith("gclid=") || p === ""))
+      !(p.startsWith("utm_") || substring_index(p, "=", 1) === "fbclid" ||
+        substring_index(p, "=", 1) === "gclid" || p === ""))
     val qs = array_join(array_sort(params), "&")
     df.withColumn("canonical_url", concat(scheme, lit("://"), auth, path,
       when(qs === "", lit("")).otherwise(concat(lit("?"), qs))))

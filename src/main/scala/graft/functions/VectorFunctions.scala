@@ -228,6 +228,76 @@ case class Md5Head32(child: Expression)
     copy(child = newChild)
 }
 
+/** The ∞-normalized fixed-point similarity projection: f_i =
+  * floor(x_i / max_j|x_j| · 2²⁰), emitted as integer-VALUED doubles
+  * (an all-zero vector maps to zeros).
+  *
+  * This is the projection every ordering-deciding cosine in the IVF /
+  * k-means family consumes (routing argmax, pair thresholds, top-k
+  * ranks). The point is ENGINE-BUILD determinism: |f_i| ≤ 2²⁰, so a
+  * dot product's terms are ≤ 2⁴⁰ and every PARTIAL sum is an integer
+  * ≤ dims·2⁴⁰ < 2⁵³ (dims ≤ 4096) — exactly representable in double
+  * no matter the accumulation order. A float cosine's value depends
+  * on its summation order (SIMD/threading/version of the other
+  * engine's kernel), and the r16/r17 m10 driver failure was exactly
+  * two equal-by-construction routing cosines resolving in opposite
+  * orders on a different DuckDB build. Every step here is a SINGLE
+  * correctly-rounded IEEE op on exact operands (max is exact, x/m one
+  * division, ·2²⁰ a pure exponent shift, floor exact), so Spark and
+  * any DuckDB build derive bit-identical projections — and therefore
+  * bit-identical cosines, argmaxes, and ranks. Cosine is invariant
+  * under per-vector scaling, so the ∞-normalization changes only the
+  * quantization granularity, not the semantics. */
+case class FixedUnitProject(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "fixed_unit"
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(s"fixed_unit needs array<float|double>, got $t")
+  }
+
+  /** codegen + interpreted entry point */
+  def evalArray(v: ArrayData): ArrayData = {
+    val isF = elemIsFloat
+    val n = v.numElements()
+    require(n <= 4096,
+      s"fixed_unit: $n dims exceed the 2^53 exact-dot budget (dims·2^40 must stay < 2^53)")
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+      val a = math.abs(x)
+      if (a > m) m = a
+      i += 1
+    }
+    val out = new Array[Double](n)
+    if (m > 0.0) {
+      i = 0
+      while (i < n) {
+        val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+        out(i) = math.floor(x / m * 1048576.0)
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = evalArray(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("fixedUnit", this, classOf[FixedUnitProject].getName)
+    nullSafeCodeGen(ctx, ev,
+      v => s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.evalArray($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native PQ encoder: raw vector → m sub-codes in ONE per-row pass —
   * norm, fixed-point unit projection, and the per-subspace argmin over
   * the (driver-collected, metadata-sized) codebook all fused, so corpus
@@ -326,6 +396,11 @@ object VectorFunctions {
 
   /** L2 norm via the same codegen'd kernel. */
   def l2norm(v: Column): Column = org.apache.spark.sql.functions.sqrt(dot(v, v))
+
+  /** ∞-normalized fixed-point similarity projection (engine-build-
+    * deterministic cosine operands — see [[FixedUnitProject]]). */
+  def fixedUnit(v: Column): Column =
+    ColumnBridge.column(FixedUnitProject(ColumnBridge.expr(v)))
 
   /** 32-bit md5 head (≡ `conv(substring(md5(x), 1, 8), 16, 10)`),
     * without the hex round-trip. */

@@ -107,6 +107,27 @@ final class CronScheduler(jobs: Seq[CronJob], maxRetries: Int = 0,
 
   private val tokens = TrieMap.empty[String, Long]
   private val firingSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  @volatile private var seqSeeded = false
+
+  /** The history dataset is SHARED, APPEND-ONLY state; `seq` is its
+    * monotone change token (`JobHistory.changesSince` pages on it,
+    * `latest` takes max-seq per job). A fresh AtomicLong starting at 0
+    * would duplicate earlier tokens whenever a scheduler is recreated
+    * (restart, second instance on the same dataset), silently breaking
+    * both consumers (r17 ADVICE) — so before the FIRST append this
+    * instance makes, the counter seeds from max(seq) already in the
+    * dataset. Lazy because the scheduler is constructed without a
+    * session; idempotent under the per-instance flag. */
+  private def seedSeqOnce(registry: DatasetRegistry, ds: String): Unit =
+    if (!seqSeeded) synchronized {
+      if (!seqSeeded) {
+        scala.util.Try(registry.get(ds)).toOption.foreach { df =>
+          val m = df.agg(org.apache.spark.sql.functions.max("seq")).head()
+          if (!m.isNullAt(0)) firingSeq.set(m.getLong(0))
+        }
+        seqSeeded = true
+      }
+    }
 
   /** The stored continuation token for a job (None before first run). */
   def token(id: String): Option[Long] = tokens.get(id)
@@ -143,6 +164,7 @@ final class CronScheduler(jobs: Seq[CronJob], maxRetries: Int = 0,
           case scala.util.control.NonFatal(e) => (Some(e), 0L)
         }
       historyTo.foreach { ds =>
+        seedSeqOnce(registry, ds)
         val tUs = now.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
           now.getNano / 1000L
         JobHistory.record(spark, registry, ds, cj.id, firingSeq.incrementAndGet(),

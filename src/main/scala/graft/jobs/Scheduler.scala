@@ -86,17 +86,32 @@ object Scheduler {
     * and aborts its active stages cluster-wide; the raffle ticket
     * releases when the aborted run unwinds. A job that is not running
     * is a no-op, like the reference. */
-  def kill(spark: SparkSession, id: String): Unit =
+  def kill(spark: SparkSession, id: String): Unit = {
+    // flag BEFORE the cancel: the retry loop consults it on the very
+    // failure the cancellation is about to cause
+    killRequested.add(id)
     spark.sparkContext.cancelJobGroup(jobGroup(id))
+  }
 
-  /** A cancellation anywhere in the cause chain: a KILLED job must
-    * propagate immediately, never burn retries re-running work the
-    * operator just asked to stop. */
-  private def isCancelled(e: Throwable): Boolean =
-    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists { t =>
-      val m = Option(t.getMessage).getOrElse("")
-      m.contains("cancelled") || t.isInstanceOf[InterruptedException]
-    }
+  /** Per-job kill flags, set by [[kill]] and consumed (removed) by the
+    * retry loops. Typed, not textual: the previous detector substring-
+    * matched "cancelled" in cause messages, so an ordinary failure
+    * whose message happened to contain the word (an HTTP client error,
+    * a user exception) skipped its retries and masqueraded as an
+    * operator kill (r17 ADVICE). A failure is a kill iff the operator
+    * actually asked for THIS job's group to die — which only kill()
+    * knows — or the JVM interrupted the runner thread (Spark's
+    * interrupt-on-cancel mechanism, also not a retryable state). */
+  private val killRequested =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** A kill of `id` was requested (flag consumed), or an interrupt is
+    * in the cause chain. Must propagate immediately, never burn
+    * retries re-running work the operator just asked to stop. */
+  private def isCancelled(id: String, e: Throwable): Boolean =
+    killRequested.remove(id) ||
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(_.isInstanceOf[InterruptedException])
 
   /** Reference: runner.go retries a failed job run. Only NonFatal
     * failures retry — an OOM or an interrupt must propagate, not
@@ -110,7 +125,7 @@ object Scheduler {
         s"graft job ${job.id}", interruptOnCancel = true)
       try { job.run(spark, Some(registry)); done = true }
       catch {
-        case e: Throwable if isCancelled(e) => throw e
+        case e: Throwable if isCancelled(job.id, e) => throw e
         case scala.util.control.NonFatal(_) if attempt < maxRetries => attempt += 1
       }
       finally spark.sparkContext.clearJobGroup()
@@ -128,7 +143,7 @@ object Scheduler {
         s"graft job ${job.id}", interruptOnCancel = true)
       try return job.runCounted(spark, Some(registry))
       catch {
-        case e: Throwable if isCancelled(e) => throw e
+        case e: Throwable if isCancelled(job.id, e) => throw e
         case scala.util.control.NonFatal(_) if attempt < maxRetries => attempt += 1
       }
       finally spark.sparkContext.clearJobGroup()

@@ -148,19 +148,10 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions(_.map { m =>
       val px = decodeNetpbm(m.payload).pixels
-      val P = px.length
-      val sums = new Array[Long](72)
-      val cnts = new Array[Long](72)
-      var g = 0
-      while (g < 72) {
-        val lo = (g.toLong * P / 72).toInt
-        val hi = ((g + 1).toLong * P / 72).toInt
-        var s = 0L
-        var i = lo
-        while (i < hi) { s += (px(i) & 0xff); i += 1 }
-        sums(g) = s; cnts(g) = (hi - lo).toLong
-        g += 1
-      }
+      val vals = new Array[Long](px.length)
+      var i = 0
+      while (i < px.length) { vals(i) = (px(i) & 0xffL); i += 1 }
+      val (sums, cnts) = gradientCells(vals)
       var bits = 0L
       var r = 0
       while (r < 8) {
@@ -168,6 +159,100 @@ object Multimodal {
         while (c < 8) {
           val a = r * 9 + c
           if (sums(a) * cnts(a + 1) > sums(a + 1) * cnts(a))
+            bits |= (1L << (r * 8 + c))
+          c += 1
+        }
+        r += 1
+      }
+      PerceptualHash(m.doc_id, bits)
+    })
+  }
+
+  /** The 72-cell integer pooling every perceptual fingerprint in the
+    * file shares (dHash image grid, audioHash band energies, tHash
+    * time×position cells): integer cell boundaries `⌊g·P/72⌋` over the
+    * value array, per-cell (sum, count). Unequal cell widths compare
+    * downstream by integer cross-multiply — exact, engine ≡ oracle. */
+  private def gradientCells(vals: Array[Long]): (Array[Long], Array[Long]) = {
+    val P = vals.length
+    val sums = new Array[Long](72)
+    val cnts = new Array[Long](72)
+    var g = 0
+    while (g < 72) {
+      val lo = (g.toLong * P / 72).toInt
+      val hi = ((g + 1).toLong * P / 72).toInt
+      var s = 0L
+      var i = lo
+      while (i < hi) { s += vals(i); i += 1 }
+      sums(g) = s; cnts(g) = (hi - lo).toLong
+      g += 1
+    }
+    (sums, cnts)
+  }
+
+  /** Band-energy gradient hash — the AUDIO sibling of [[dHash]] (the
+    * d35 screen; the key-level audio dedup a media pipeline runs
+    * before any model): the decoded waveform's ABSOLUTE amplitudes
+    * pool into the shared 72 cells (here: time-band energies) and bit
+    * (r,c) records whether band (r,c) is louder than its right
+    * neighbor — 64 bits of ENERGY GRADIENTS. Uniform gain scales every
+    * band equally, and (for the delta-encoded synthesis) a uniform
+    * byte shift cancels in the deltas entirely except at sample 0 —
+    * both land re-ingest twins within a small Hamming radius where
+    * exact content-hash dedup sees nothing. Integer-exact end to end
+    * (cross-multiply comparisons), map-only decode. */
+  def audioHash(media: Dataset[Media]): Dataset[PerceptualHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val sm = decodeWav(m.payload).samples
+      val vals = new Array[Long](sm.length)
+      var i = 0
+      while (i < sm.length) { vals(i) = math.abs(sm(i).toLong); i += 1 }
+      val (sums, cnts) = gradientCells(vals)
+      var bits = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          val a = r * 9 + c
+          if (sums(a) * cnts(a + 1) > sums(a + 1) * cnts(a))
+            bits |= (1L << (r * 8 + c))
+          c += 1
+        }
+        r += 1
+      }
+      PerceptualHash(m.doc_id, bits)
+    })
+  }
+
+  /** Temporal-gradient (motion-signature) hash — the VIDEO sibling of
+    * [[dHash]] (the d36 screen): the decoded frame stream's pixels
+    * pool into the shared 72 cells read as a 9×8 TIME × position grid,
+    * and bit (r,c) records whether cell (r,c) is brighter than the
+    * SAME position one time-row later — 64 bits of ACROSS-FRAME
+    * gradients (what changes over time), where dHash's bits are
+    * within-image gradients. A uniform exposure shift cancels in the
+    * equal-count cross-multiplies, so brightness-shifted re-encodes of
+    * the same footage land within a small Hamming radius. Integer-
+    * exact end to end, map-only decode. */
+  def tHash(media: Dataset[Media]): Dataset[PerceptualHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val px = decodeNetpbm(m.payload).pixels
+      val vals = new Array[Long](px.length)
+      var i = 0
+      while (i < px.length) { vals(i) = (px(i) & 0xffL); i += 1 }
+      val (sums, cnts) = gradientCells(vals)
+      var bits = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          val a = r * 8 + c // 9 time-rows × 8 position columns
+          val b = a + 8     // same position, next time-row
+          if (sums(a) * cnts(b) > sums(b) * cnts(a))
             bits |= (1L << (r * 8 + c))
           c += 1
         }

@@ -143,6 +143,15 @@ object Retention {
     true
   }
 
+  /** The user-derived shard column a deployment partitions its
+    * absorbed event log by (`.withColumn("shard", userShard(col(u), S))
+    * .write.partitionBy("shard")`) so [[reanchorRetentionState]] can
+    * prune its history read to the affected users' directories. Same
+    * derivation on both sides (Spark murmur3 `hash` — stable across
+    * sessions), non-negative via pmod. */
+  def userShard(user: org.apache.spark.sql.Column, shards: Int = 64): org.apache.spark.sql.Column =
+    pmod(hash(user.cast("long")), lit(shards))
+
   /** Re-anchor the AFFECTED SLICE after an out-of-order batch — the
     * surgical alternative to the full-rebuild valve: recompute `_first`
     * and `_active` rows ONLY for the batch's users, from the event
@@ -160,10 +169,23 @@ object Retention {
     * a crashed re-anchor retryable: the compact drops exactly the
     * affected users' rows (including a previous attempt's partial
     * append) and the append re-derives them. Returns false on replay
-    * of a COMPLETED re-anchor. */
+    * of a COMPLETED re-anchor.
+    *
+    * `shardCol`/`shards`: when the absorbed log is MAINTAINED
+    * partitioned by the user shard `pmod(hash(user), shards)` (write
+    * it with [[userShard]] + `partitionBy` — the StatsState shard
+    * discipline), pass the partition column's name and modulus and the
+    * re-anchor's log read PRUNES to the affected users' shard
+    * directories at planning time: the scan touches ~|affected shards|
+    * / shards of the log instead of all of it, which is what makes the
+    * re-anchor beat a full rebuild on wall-clock (ReanchorScale,
+    * PERF.md) instead of only on shuffle shape. The pruning values are
+    * derived from the (batch-bounded) affected-user set — a driver
+    * collect of at most that many shard ids. */
   def reanchorRetentionState(spark: SparkSession, log: DataFrame, batch: DataFrame,
                              nsCol: String, userCol: String, table: String,
-                             batchId: Long): Boolean = {
+                             batchId: Long, shardCol: Option[String] = None,
+                             shards: Int = 64): Boolean = {
     import spark.implicits._
     require(batchId > 0L, s"batchId must be positive, got $batchId")
     val markers = s"${table}_batches"
@@ -172,7 +194,16 @@ object Retention {
     val periodUs = periodOf(spark, table)
     val users = graft.core.Checkpoints.truncate(
       batch.select(col(userCol).cast("long").as("__u")).distinct())
-    val logSlice = log.join(broadcast(users),
+    val prunedLog = shardCol.fold(log) { sc =>
+      // batch-bounded driver action: one shard id per affected user max
+      val shardVals = users
+        .select(userShard(col("__u"), shards).as("__s")).distinct()
+        .as[Int].collect().toSeq
+      // the shard column is a storage-layout artifact: drop it after
+      // pruning so the slice unions cleanly with the (unsharded) batch
+      log.filter(col(sc).isin(shardVals: _*)).drop(sc)
+    }
+    val logSlice = prunedLog.join(broadcast(users),
       col(userCol).cast("long") === col("__u"), "leftsemi")
     val ev = graft.core.Checkpoints.truncate(
       periods(logSlice.unionByName(batch), nsCol, userCol, periodUs))
@@ -186,11 +217,11 @@ object Retention {
     // surgical: drop exactly the affected users' rows, append the
     // recomputed slice — every other user's rows pass through the
     // rewrite untouched
+    // compactByKey carries graft.* table properties (the period pin)
+    // onto the swap table BEFORE the rename — a crash anywhere in this
+    // sequence leaves `_first` either whole or absent, never pinless,
+    // so the retry contract in the scaladoc actually holds
     graft.core.Tables.compactByKey(spark, s"${table}_first", users, "user_id")
-    // the compact swaps in a fresh table: re-pin the period property
-    // (absorb refuses to run without it)
-    spark.sql(s"ALTER TABLE `${table}_first` SET TBLPROPERTIES " +
-      s"('$PeriodProp' = '$periodUs')")
     graft.core.Tables.compactByKey(spark, s"${table}_active", users, "user_id")
     newFirst.write.mode("append").saveAsTable(s"${table}_first")
     newCells.write.mode("append").saveAsTable(s"${table}_active")

@@ -122,6 +122,24 @@ object OnChange {
   private def finalStateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
     q.recentProgress.flatMap(_.stateOperators).lastOption.map(_.numRowsTotal).getOrElse(-1L)
 
+  /** The in-order arrival contract, ASSERTED rather than assumed: a
+    * watermark makes Spark silently drop input rows at or below the
+    * previous batch's high-water mark, and the contract is NON-strict
+    * (equal timestamps across chunk files are legal), so the stateful
+    * drains run a 1-microsecond watermark delay (an equal-timestamp
+    * event survives; eviction shifts by an immaterial 1 µs) AND fail
+    * loudly here if Spark reports any watermark-dropped rows — a
+    * silent drop would surface as a wrong-but-plausible session/funnel
+    * set downstream. */
+  private def assertNoWatermarkDrops(q: org.apache.spark.sql.streaming.StreamingQuery,
+                                     where: String): Unit = {
+    val dropped = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsDroppedByWatermark).sum
+    require(dropped == 0,
+      s"$where: $dropped input rows silently dropped by the watermark — " +
+        "the stream violated the in-order (non-strict) arrival contract")
+  }
+
   /** Run `body` with trailing no-data micro-batches disabled. The
     * eviction timeouts fire on DATA batches only: a drain would
     * otherwise append one empty batch that flushes every
@@ -161,7 +179,10 @@ object OnChange {
     val sessions = raw
       .select(col("user_id"), graft.ops.Events.tsMicros(raw, "ts").as("tus"), col("value"))
       .withColumn("ets", timestamp_micros(col("tus")))
-      .withWatermark("ets", "0 seconds")
+      // 1 µs delay, not 0: equal event times across micro-batches are
+      // legal under the non-strict in-order contract, and a 0-delay
+      // watermark silently drops a row equal to the prior batch's max
+      .withWatermark("ets", "1 microsecond")
       .as[SessionEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, ClosedSession](
@@ -209,6 +230,7 @@ object OnChange {
       q0.awaitTermination()
       q0
     }
+    assertNoWatermarkDrops(q, "streamingSessionizeDrain")
     DrainResult(
       spark.table(name)
         .select(col("user_id"), col("session_start_us"), col("n_events"),
@@ -293,7 +315,8 @@ object OnChange {
       .select(col(userCol).cast("long").as("user_id"),
         graft.ops.Events.tsMicros(raw, nsCol).as("tus"), stepIdx.as("step"))
       .withColumn("ets", timestamp_micros(col("tus")))
-      .withWatermark("ets", "0 seconds")
+      // 1 µs delay — same rationale as the sessionize drain
+      .withWatermark("ets", "1 microsecond")
       .as[StepEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelProgress, CompletedFunnel](
@@ -350,6 +373,7 @@ object OnChange {
       q0.awaitTermination()
       q0
     }
+    assertNoWatermarkDrops(q, "streamingFunnelDrain")
     DrainResult(
       spark.table(name).select(
         col("user_id") +:

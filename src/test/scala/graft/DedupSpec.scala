@@ -28,7 +28,12 @@ class DedupSpec extends SparkSpec {
       (4L, "http://news.example.com/A/B?a=1&b=2"),        // path case is semantic: distinct
       (5L, "http://news.example.com/A/b?a=1&b=2&fbclid=xyz&gclid=q"), // = 1
       (6L, "https://shop.example.com:443/"),              // default port + root slash
-      (7L, "https://shop.example.com")                    // = 6
+      (7L, "https://shop.example.com"),                   // = 6
+      // r17 ADVICE edges: a BARE fbclid (no '=') must drop like
+      // fbclid=..., and a userinfo authority must not defeat the
+      // www-strip (host lowers/strips; userinfo stays case-sensitive)
+      (8L, "http://news.example.com/A/b?a=1&b=2&fbclid"), // = 1
+      (9L, "http://" + "User@WWW.News.Example.com/A/b?a=1&b=2")
     ).toDF("doc_id", "url")
     val canon = Dedup.withCanonicalUrl(df, "url")
       .collect().map(r => (r.getLong(0), r.getString(2))).toMap
@@ -37,13 +42,16 @@ class DedupSpec extends SparkSpec {
     assert(canon(3L) == "https://news.example.com/A/b?a=1&b=2")
     assert(canon(4L) != canon(1L))
     assert(canon(6L) == "https://shop.example.com" && canon(7L) == canon(6L))
+    assert(canon(8L) == canon(1L), s"bare fbclid survived: ${canon(8L)}")
+    assert(canon(9L) == "http://" + "User@news.example.com/A/b?a=1&b=2", canon(9L))
     val kept = Dedup.urlDedup(df, "url", "doc_id")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(kept == Set(
-      ("http://news.example.com/A/b?a=1&b=2", 1L, 3L),
+      ("http://news.example.com/A/b?a=1&b=2", 1L, 4L),
       ("https://news.example.com/A/b?a=1&b=2", 3L, 1L),
       ("http://news.example.com/A/B?a=1&b=2", 4L, 1L),
-      ("https://shop.example.com", 6L, 2L)), kept.toString)
+      ("https://shop.example.com", 6L, 2L),
+      ("http://" + "User@news.example.com/A/b?a=1&b=2", 9L, 1L)), kept.toString)
     // normalization is map-only: the only exchange is the final hash-agg
     // ("Exchange (" counts tree nodes; the detail section repeats the
     // word in "(n) Exchange" form)

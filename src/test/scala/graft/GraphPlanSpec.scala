@@ -248,6 +248,41 @@ class GraphPlanSpec extends SparkSpec {
         "ts", "user_id", 100000000L)))
   }
 
+  test("sharded re-anchor: shard-pruned history read, output identical to unsharded") {
+    val s = spark
+    import s.implicits._
+    val R = graft.ops.Retention
+    def ns(period: Long, within: Long) = (period * 100 + within) * 1000000000L
+    def mk(rows: Seq[(Long, Long)]) = rows.map { case (u, t) => (u, t, "view", 1.0) }
+      .toDF("user_id", "ts", "event_type", "value")
+    val standing = mk((1L to 40L).map(u => (u, ns(u % 5 + 1, u))))
+    val table = "retention_reanchor_shard_spec"
+    R.buildRetentionState(standing, "ts", "user_id", 100000000L, table)
+    val oo = mk(Seq((7L, ns(0, 1)), (23L, ns(0, 2))))
+    // the deployment shape: the absorbed log partitioned by user shard
+    val dir = java.nio.file.Files.createTempDirectory("graft_shard_reanchor_").toString
+    standing.withColumn("shard", R.userShard(col("user_id"), 8))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    val shardedLog = s.read.parquet(dir)
+    // the pruned read reaches the scan as a PARTITION filter (planning-
+    // time directory pruning — the property that makes re-anchor beat
+    // a rebuild at scale), not a post-scan filter
+    val shardVals = oo.select(R.userShard(col("user_id"), 8).as("sv"))
+      .distinct().as[Int].collect().toSeq
+    val plan = planOf(shardedLog.filter(col("shard").isin(shardVals: _*)))
+    assert(plan.contains("PartitionFilters: [shard"), plan)
+    assert(R.reanchorRetentionState(s, shardedLog, oo, "ts", "user_id", table,
+      2L, shardCol = Some("shard"), shards = 8))
+    // ≡ the full rebuild over the complete history including the backfill
+    val rebuilt = "retention_reanchor_shard_full"
+    R.buildRetentionState(standing.unionByName(oo), "ts", "user_id", 100000000L, rebuilt)
+    def allRows(t: String) = (
+      s.table(s"${t}_first").collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      s.table(s"${t}_active").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    assert(allRows(table) == allRows(rebuilt),
+      "sharded re-anchor must equal the full rebuild")
+  }
+
   test("paged traversal: pages partition the full traversal, keyset-resumable") {
     val page1 = g.outPaged("customer", Tpch.pNation, None, 30)
       .select("start_key").collect().map(_.getLong(0))

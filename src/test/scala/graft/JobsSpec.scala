@@ -723,4 +723,41 @@ class JobsSpec extends SparkSpec {
         "seq", since = 2L).collect().map(_.getLong(1)).toSeq
     assert(incr == Seq(3L, 4L), incr.toString)
   }
+  test("a RECREATED scheduler over the same history dataset continues the monotone seq") {
+    // seq is the history dataset's change token (changesSince pages on
+    // it; latest takes max-seq per job): a fresh scheduler restarting
+    // at 0 would duplicate earlier tokens (r17 ADVICE) — the counter
+    // seeds from max(seq) already in the shared dataset
+    val s = spark
+    import s.implicits._
+    import java.time.LocalDateTime
+    val reg = new DatasetRegistry
+    reg.put("src", Seq(1, 2).toDF("x"))
+    def mkSched() = new CronScheduler(Seq(
+      CronJob("j", Cron.parse("0 3 * * *"),
+        _ => Job(id = "j", source = RegistrySource(reg, "src"),
+          sink = DatasetSink(reg, "out")), () => None)),
+      historyTo = Some(JobHistory.DefaultDataset))
+    mkSched().tick(s, reg, LocalDateTime.of(2026, 8, 14, 3, 0))
+    mkSched().tick(s, reg, LocalDateTime.of(2026, 8, 15, 3, 0)) // RESTART
+    val seqs = JobHistory.history(reg).collect().map(_.getLong(1)).toSeq
+    assert(seqs == Seq(1L, 2L), s"duplicate/non-monotone seq after restart: $seqs")
+  }
+
+  test("a failure whose message merely CONTAINS 'cancelled' still burns retries (not a kill)") {
+    // kill detection is a typed per-job flag set by Scheduler.kill, not
+    // message text: an HTTP-client error saying "request cancelled"
+    // must retry like any NonFatal failure (r17 ADVICE)
+    val s = spark
+    val reg = new DatasetRegistry
+    var attempts = 0
+    val job = Job(id = "textual", source = FunctionSource { sp =>
+      attempts += 1
+      if (attempts < 3) sys.error("upstream request cancelled by peer")
+      import sp.implicits._
+      Seq(1).toDF("x")
+    }, sink = DatasetSink(reg, "out_txt"))
+    Scheduler.runWithRetry(s, reg, job, maxRetries = 5)
+    assert(attempts == 3, s"expected 3 attempts (2 retries), got $attempts")
+  }
 }

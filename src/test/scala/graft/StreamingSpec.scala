@@ -161,6 +161,31 @@ class StreamingSpec extends SparkSpec {
       (2L, us(101), 1L, 6.0)), got.toString)
   }
 
+  test("an event sharing the PREVIOUS micro-batch's max timestamp is processed, not dropped") {
+    // the in-order arrival contract is NON-strict: equal event times
+    // across chunk files are legal. A 0-delay watermark silently drops
+    // a row at the prior batch's high-water mark (r17 ADVICE — this
+    // suite once moved fixture data to dodge exactly that); the drains
+    // now run a 1 µs delay AND assert numRowsDroppedByWatermark == 0.
+    val s = spark
+    import s.implicits._
+    def us(min: Long) = min * 60L * 1000000L
+    def ns(min: Long) = us(min) * 1000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_eq_").toString
+    def chunk(name: String, order: Int, rows: Seq[(Long, Long, Double)]): Unit =
+      stageChunk(dir, rows.toDF("user_id", "ts", "value"), name, order)
+    chunk("a.parquet", 0, Seq((1L, ns(1), 1.0), (1L, ns(11), 2.0)))
+    // chunk b's first event ties chunk a's max (minute 11) exactly
+    chunk("b.parquet", 1, Seq((2L, ns(11), 5.0), (2L, ns(101), 6.0)))
+    chunk("c.parquet", 2, Seq((1L, ns(171), 4.0), (2L, ns(201), 7.0)))
+    val got = OnChange.streamingSessionizeDir(s, dir, gapUs = us(30))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // user 2's minute-11 event MUST be in the output: it opens their
+    // first session (closed by the minute-101 gap). Losing it would
+    // shift the session start to minute 101 — the silent-drop shape.
+    assert(got.contains((2L, us(11), 1L, 5.0)), got.toString)
+  }
+
   test("streaming containment: cross-batch excerpt surfaces as-of-arrival through the absorbed index") {
     val s = spark
     import s.implicits._

@@ -53,4 +53,20 @@ class TablesSpec extends SparkSpec {
       Seq(t, s"${t}_cent", s"${t}_batches").foreach(Tables.drop(spark, _))
     }
   }
+  test("compactByKey carries graft.* TBLPROPERTIES onto the swap table atomically") {
+    // the retention state's graft.periodUs pin must survive the
+    // drop+rename swap WITHOUT a separate post-hoc ALTER — a crash
+    // between compact and re-pin previously left the table pinless and
+    // every subsequent absorb failing until a full rebuild (r17 ADVICE)
+    import spark.implicits._
+    val t = graft.core.Tables.scoped("props_carry")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("user_id", "x")
+      .write.saveAsTable(t)
+    spark.sql(s"ALTER TABLE `$t` SET TBLPROPERTIES ('graft.periodUs' = '86400000000')")
+    Tables.compactByKey(spark, t, Seq(2L).toDF("user_id"), "user_id")
+    val props = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t)).properties
+    assert(props.get("graft.periodUs").contains("86400000000"), props.toString)
+    assert(spark.table(t).select("user_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
 }

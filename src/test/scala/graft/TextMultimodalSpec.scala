@@ -361,6 +361,36 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got == brute, s"missed=${brute -- got} extra=${got -- brute}")
   }
 
+  test("audioHash / tHash: shift-robust like dHash, mutually distinct fingerprint families") {
+    val s = spark
+    import s.implicits._
+    val M = graft.multimodal.Multimodal
+    val base = ("the quick brown fox jumped over the lazy dogs! " * 4) + "gold" // 192 chars
+    val shifted = base.map(c => (c + 1).toChar)
+    val docs = Seq((1L, base, "src"), (2L, shifted, "src"),
+      (3L, base.reverse, "src")).toDF("doc_id", "text", "source")
+    // AUDIO: the delta synthesis cancels a uniform byte shift in every
+    // sample except the first — the twin lands within a tiny radius
+    val af = M.audioHash(M.audioFromDocs(docs)).toDF()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(java.lang.Long.bitCount(af(1L) ^ af(2L)) <= 2,
+      s"audio twin too far: ${java.lang.Long.bitCount(af(1L) ^ af(2L))}")
+    assert(af(1L) != af(3L), "distinct audio content should not collide here")
+    // VIDEO: pad-free raster → the shift is EXACTLY invariant for the
+    // temporal gradients too (equal-count cross-multiplies)
+    val vf = M.tHash(M.mediaFromDocs(docs)).toDF()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(vf(1L) == vf(2L),
+      s"brightness shift changed the temporal hash: ${vf(1L)} vs ${vf(2L)}")
+    assert(vf(1L) != vf(3L))
+    // the three families fingerprint DIFFERENT structure of the same
+    // doc — none may degenerate into another
+    val df1 = M.dHash(M.mediaFromDocs(docs)).toDF()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(df1(1L) != vf(1L) && df1(1L) != af(1L) && vf(1L) != af(1L),
+      s"fingerprint families collapsed: dhash=${df1(1L)} thash=${vf(1L)} ahash=${af(1L)}")
+  }
+
   test("text ops are map-only: no shuffle in the plan") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = planOf(TextAnalysis.qualityScore(docs, "text", "doc_id"))
