@@ -1107,6 +1107,48 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    "d37_audio_phash_delta" -> ((s, dir) => {
+      // d35's DEPLOYMENT shape — the d33 discipline on the audio
+      // fingerprint: the corpus's band-energy hashes feed the standing
+      // chunk-bucket index (fingerprint-source-agnostic machinery,
+      // unchanged); the byte-shift twin batch probes incrementally —
+      // batch-internal + batch×corpus pairs only, the corpus never
+      // re-decodes or re-fingerprints
+      val docs = t(s, dir, "documents")
+      val from = (32 to 126).map(_.toChar).mkString
+      val to = (33 to 127).map(_.toChar).mkString
+      val twins = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+        .withColumn("text", translate(col("text"), from, to))
+      val table = graft.core.Tables.scoped("aphash_idx_d37")
+      Dedup.buildFingerprintIndex(
+        Multimodal.audioHash(Multimodal.audioFromDocs(docs)).toDF(),
+        "doc_id", "phash", maxDist = 6, table)
+      Dedup.fingerprintPairsDelta(s,
+          Multimodal.audioHash(Multimodal.audioFromDocs(twins)).toDF(),
+          "doc_id", "phash", maxDist = 6, table)
+        .orderBy("a", "b")
+    }),
+
+    "d38_video_phash_delta" -> ((s, dir) => {
+      // d36's deployment shape — the d33 discipline on the temporal-
+      // gradient video fingerprint, same agnostic index machinery
+      val docs = t(s, dir, "documents")
+      val from = (32 to 126).map(_.toChar).mkString
+      val to = (33 to 127).map(_.toChar).mkString
+      val twins = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+        .withColumn("text", translate(col("text"), from, to))
+      val table = graft.core.Tables.scoped("vphash_idx_d38")
+      Dedup.buildFingerprintIndex(
+        Multimodal.tHash(Multimodal.mediaFromDocs(docs)).toDF(),
+        "doc_id", "phash", maxDist = 6, table)
+      Dedup.fingerprintPairsDelta(s,
+          Multimodal.tHash(Multimodal.mediaFromDocs(twins)).toDF(),
+          "doc_id", "phash", maxDist = 6, table)
+        .orderBy("a", "b")
+    }),
+
     "d33_phash_delta" -> ((s, dir) => {
       // d32's DEPLOYMENT shape: the corpus's perceptual hashes feed a
       // standing chunk-bucket index (built once per snapshot — the d4
@@ -2730,6 +2772,73 @@ object SparkEntry {
        |  SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.f, y.f))::INT AS hamming
        |  FROM fp x JOIN fp y ON x.doc_id < y.doc_id)
        |SELECT a, b, hamming FROM ham WHERE hamming <= 10$pairPred ORDER BY a, b""".stripMargin
+
+  /** The d35 one-shot band-energy chain; `pairPred` (ANDed after the
+    * radius gate) restricts the delta variant to batch-touching pairs
+    * — the d33 identity applied to the audio fingerprint. */
+  private def d35AudioOracle(pairPred: String = ""): String =
+    s"""WITH tw AS (
+        |  SELECT doc_id + 10000000 AS doc_id,
+        |    translate(text,
+        |      (SELECT string_agg(chr(i.i::INT), '' ORDER BY i.i) FROM unnest(range(32,127)) i(i)),
+        |      (SELECT string_agg(chr(i.i::INT), '' ORDER BY i.i) FROM unnest(range(33,128)) i(i))) AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |d0 AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM tw),
+        |b AS (SELECT doc_id,
+        |        list_transform(range(1, length(text)+1),
+        |          i -> abs((ascii(substr(text,i,1)) -
+        |                    CASE WHEN i = 1 THEN 0 ELSE ascii(substr(text,i-1,1)) END) * 256)::BIGINT) AS bs,
+        |        length(text) AS P FROM d0),
+        |cells AS (
+        |  SELECT doc_id, g.g AS g,
+        |    coalesce(list_sum(bs[(g.g*P//72)+1 : ((g.g+1)*P//72)]), 0) AS s,
+        |    ((g.g+1)*P//72) - (g.g*P//72) AS n
+        |  FROM b, unnest(range(0,72)) AS g(g)),
+        |bitrows AS (
+        |  SELECT ca.doc_id, ((ca.g // 9) * 8 + (ca.g % 9))::BIGINT AS j
+        |  FROM cells ca JOIN cells cb ON ca.doc_id = cb.doc_id AND cb.g = ca.g + 1
+        |  WHERE ca.g % 9 < 8 AND ca.s * cb.n > cb.s * ca.n),
+        |fph AS (SELECT doc_id, sum(1::HUGEINT << j)::HUGEINT AS h FROM bitrows GROUP BY 1),
+        |fp AS (SELECT d0.doc_id,
+        |        (CASE WHEN coalesce(h, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+        |              THEN coalesce(h, 0::HUGEINT) - 18446744073709551616::HUGEINT
+        |              ELSE coalesce(h, 0::HUGEINT) END)::BIGINT AS f
+        |       FROM d0 LEFT JOIN fph USING (doc_id)),
+        |ham AS (SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.f, y.f))::INT AS hamming
+        |        FROM fp x JOIN fp y ON x.doc_id < y.doc_id)
+        |SELECT a, b, hamming FROM ham WHERE hamming <= 6$pairPred ORDER BY a, b""".stripMargin
+
+  /** The d36 one-shot temporal-gradient chain; same `pairPred`
+    * contract. */
+  private def d36VideoOracle(pairPred: String = ""): String =
+    s"""WITH tw AS (
+        |  SELECT doc_id + 10000000 AS doc_id,
+        |    translate(text,
+        |      (SELECT string_agg(chr(i.i::INT), '' ORDER BY i.i) FROM unnest(range(32,127)) i(i)),
+        |      (SELECT string_agg(chr(i.i::INT), '' ORDER BY i.i) FROM unnest(range(33,128)) i(i))) AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |d0 AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM tw),
+        |b AS (SELECT doc_id,
+        |        list_transform(range(1, length(text)+1), i -> ascii(substr(text,i,1))::BIGINT) AS bs,
+        |        ((length(text)+15)//16)*16 AS P FROM d0),
+        |cells AS (
+        |  SELECT doc_id, g.g AS g,
+        |    coalesce(list_sum(bs[(g.g*P//72)+1 : ((g.g+1)*P//72)]), 0) AS s,
+        |    ((g.g+1)*P//72) - (g.g*P//72) AS n
+        |  FROM b, unnest(range(0,72)) AS g(g)),
+        |bitrows AS (
+        |  SELECT ca.doc_id, ca.g::BIGINT AS j
+        |  FROM cells ca JOIN cells cb ON ca.doc_id = cb.doc_id AND cb.g = ca.g + 8
+        |  WHERE ca.g < 64 AND ca.s * cb.n > cb.s * ca.n),
+        |fph AS (SELECT doc_id, sum(1::HUGEINT << j)::HUGEINT AS h FROM bitrows GROUP BY 1),
+        |fp AS (SELECT d0.doc_id,
+        |        (CASE WHEN coalesce(h, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+        |              THEN coalesce(h, 0::HUGEINT) - 18446744073709551616::HUGEINT
+        |              ELSE coalesce(h, 0::HUGEINT) END)::BIGINT AS f
+        |       FROM d0 LEFT JOIN fph USING (doc_id)),
+        |ham AS (SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.f, y.f))::INT AS hamming
+        |        FROM fp x JOIN fp y ON x.doc_id < y.doc_id)
+        |SELECT a, b, hamming FROM ham WHERE hamming <= 6$pairPred ORDER BY a, b""".stripMargin
 
   /** The d32 one-shot dHash chain restricted to twin-touching pairs
     * — the shared ground truth of the delta (d33) AND streaming (d34)
@@ -4552,70 +4661,17 @@ object SparkEntry {
     // d32's chain with the band-energy source: |sample| = |byte delta|
     // · 256 (audioFromDocs' synthesis), P = the exact sample count, and
     // the same 72-cell/right-neighbor gradient bits
-    "d35_audio_phash" ->
-      """WITH tw AS (
-        |  SELECT doc_id + 10000000 AS doc_id,
-        |    translate(text,
-        |      (SELECT string_agg(chr(i.i::INT), '' ORDER BY i.i) FROM unnest(range(32,127)) i(i)),
-        |      (SELECT string_agg(chr(i.i::INT), '' ORDER BY i.i) FROM unnest(range(33,128)) i(i))) AS text
-        |  FROM documents WHERE doc_id % 10 = 0),
-        |d0 AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM tw),
-        |b AS (SELECT doc_id,
-        |        list_transform(range(1, length(text)+1),
-        |          i -> abs((ascii(substr(text,i,1)) -
-        |                    CASE WHEN i = 1 THEN 0 ELSE ascii(substr(text,i-1,1)) END) * 256)::BIGINT) AS bs,
-        |        length(text) AS P FROM d0),
-        |cells AS (
-        |  SELECT doc_id, g.g AS g,
-        |    coalesce(list_sum(bs[(g.g*P//72)+1 : ((g.g+1)*P//72)]), 0) AS s,
-        |    ((g.g+1)*P//72) - (g.g*P//72) AS n
-        |  FROM b, unnest(range(0,72)) AS g(g)),
-        |bitrows AS (
-        |  SELECT ca.doc_id, ((ca.g // 9) * 8 + (ca.g % 9))::BIGINT AS j
-        |  FROM cells ca JOIN cells cb ON ca.doc_id = cb.doc_id AND cb.g = ca.g + 1
-        |  WHERE ca.g % 9 < 8 AND ca.s * cb.n > cb.s * ca.n),
-        |fph AS (SELECT doc_id, sum(1::HUGEINT << j)::HUGEINT AS h FROM bitrows GROUP BY 1),
-        |fp AS (SELECT d0.doc_id,
-        |        (CASE WHEN coalesce(h, 0::HUGEINT) >= 9223372036854775808::HUGEINT
-        |              THEN coalesce(h, 0::HUGEINT) - 18446744073709551616::HUGEINT
-        |              ELSE coalesce(h, 0::HUGEINT) END)::BIGINT AS f
-        |       FROM d0 LEFT JOIN fph USING (doc_id)),
-        |ham AS (SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.f, y.f))::INT AS hamming
-        |        FROM fp x JOIN fp y ON x.doc_id < y.doc_id)
-        |SELECT a, b, hamming FROM ham WHERE hamming <= 6 ORDER BY a, b""".stripMargin,
+    "d35_audio_phash" -> d35AudioOracle(),
 
     // d32's chain with the TEMPORAL comparison: same cells over the
     // padded pixel stream, bit j = cell j vs cell j+8 (9 time-rows ×
     // 8 position columns — across-frame gradients)
-    "d36_video_phash" ->
-      """WITH tw AS (
-        |  SELECT doc_id + 10000000 AS doc_id,
-        |    translate(text,
-        |      (SELECT string_agg(chr(i.i::INT), '' ORDER BY i.i) FROM unnest(range(32,127)) i(i)),
-        |      (SELECT string_agg(chr(i.i::INT), '' ORDER BY i.i) FROM unnest(range(33,128)) i(i))) AS text
-        |  FROM documents WHERE doc_id % 10 = 0),
-        |d0 AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM tw),
-        |b AS (SELECT doc_id,
-        |        list_transform(range(1, length(text)+1), i -> ascii(substr(text,i,1))::BIGINT) AS bs,
-        |        ((length(text)+15)//16)*16 AS P FROM d0),
-        |cells AS (
-        |  SELECT doc_id, g.g AS g,
-        |    coalesce(list_sum(bs[(g.g*P//72)+1 : ((g.g+1)*P//72)]), 0) AS s,
-        |    ((g.g+1)*P//72) - (g.g*P//72) AS n
-        |  FROM b, unnest(range(0,72)) AS g(g)),
-        |bitrows AS (
-        |  SELECT ca.doc_id, ca.g::BIGINT AS j
-        |  FROM cells ca JOIN cells cb ON ca.doc_id = cb.doc_id AND cb.g = ca.g + 8
-        |  WHERE ca.g < 64 AND ca.s * cb.n > cb.s * ca.n),
-        |fph AS (SELECT doc_id, sum(1::HUGEINT << j)::HUGEINT AS h FROM bitrows GROUP BY 1),
-        |fp AS (SELECT d0.doc_id,
-        |        (CASE WHEN coalesce(h, 0::HUGEINT) >= 9223372036854775808::HUGEINT
-        |              THEN coalesce(h, 0::HUGEINT) - 18446744073709551616::HUGEINT
-        |              ELSE coalesce(h, 0::HUGEINT) END)::BIGINT AS f
-        |       FROM d0 LEFT JOIN fph USING (doc_id)),
-        |ham AS (SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.f, y.f))::INT AS hamming
-        |        FROM fp x JOIN fp y ON x.doc_id < y.doc_id)
-        |SELECT a, b, hamming FROM ham WHERE hamming <= 6 ORDER BY a, b""".stripMargin,
+    "d36_video_phash" -> d36VideoOracle(),
+
+    // the d35/d36 one-shot chains restricted to batch-touching pairs —
+    // the d33 identity applied to the audio / video fingerprints
+    "d37_audio_phash_delta" -> d35AudioOracle(" AND b >= 10000000"),
+    "d38_video_phash_delta" -> d36VideoOracle(" AND b >= 10000000"),
 
     // the d32 one-shot chain restricted to batch-touching pairs (batch
     // ids are offset past every standing id, so "touches the batch" is
