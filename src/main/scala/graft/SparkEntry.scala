@@ -2897,8 +2897,44 @@ object SparkEntry {
     * opposite orders on a different `list_inner_product`). `Verify`
     * dumps these as `audit_sql.json`; the audit runs in the round
     * gates next to the selfcheck. */
+  /** Threshold-margin audit for the embedding pair-dedup chains
+    * (d5/d7/d11): min |sim − threshold| over the EXACT all-pairs set
+    * plus the operand exactness class — the same verdict contract as
+    * the rest of `auditSql`. `uCte` must end in a relation `u`
+    * (vec_id, embedding); `pairPred` is ANDed onto the pair join. */
+  private def embPairAuditSql(threshold: Double, uCte: String,
+                              pairPred: String = ""): String =
+    s"""WITH $uCte,
+       |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM u),
+       |fm AS (SELECT id, v, list_max([abs(x::DOUBLE) FOR x IN v]) AS mx FROM e),
+       |fx AS (SELECT id, [floor(x::DOUBLE / mx * 1048576.0)::BIGINT FOR x IN v] AS f FROM fm),
+       |pn AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm
+       |       FROM (SELECT id, [x::DOUBLE FOR x IN f] AS v FROM fx)),
+       |prs AS (SELECT list_inner_product(x.v, y.v) / (x.nrm * y.nrm) AS s
+       |        FROM pn x JOIN pn y ON x.id < y.id$pairPred),
+       |xc AS (SELECT ${graft.ann.Ann.integerExactCheck("pn", "v")}::INTEGER AS ok)
+       |SELECT 'threshold' AS stage,
+       |       (SELECT count(*) FROM prs WHERE s = $threshold)::BIGINT AS n_ties,
+       |       coalesce((SELECT min(abs(s - $threshold)) FROM prs), 1.0) AS min_gap,
+       |       (SELECT ok FROM xc) AS integer_exact""".stripMargin
+
   def auditSql: Map[String, String] = Map(
     "s1_ann_bruteforce" -> Ann.bruteAuditSql(k = 5, queryPred = "q.id < 10"),
+    "d7_embedding_simjoin" -> embPairAuditSql(0.4,
+      "u AS (SELECT vec_id, embedding FROM embeddings)"),
+    "d5_embedding_neardup" -> embPairAuditSql(0.9,
+      """e0 AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (SELECT vec_id + 10000 AS vec_id,
+        |        [CASE WHEN i = 1 THEN ((embedding[i]::DOUBLE + 0.1)::FLOAT) ELSE embedding[i] END
+        |         for i in range(1, len(embedding)+1)] AS embedding FROM e0),
+        |u AS (SELECT * FROM e0 UNION ALL SELECT * FROM p)""".stripMargin),
+    "d11_stream_embed_dedup" -> embPairAuditSql(0.9,
+      """e0 AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (SELECT vec_id + 10000 AS vec_id,
+        |        [CASE WHEN i = 1 THEN ((embedding[i]::DOUBLE + 0.1)::FLOAT) ELSE embedding[i] END
+        |         for i in range(1, len(embedding)+1)] AS embedding FROM e0 WHERE vec_id < 100),
+        |u AS (SELECT * FROM e0 UNION ALL SELECT * FROM p)""".stripMargin,
+      pairPred = " AND y.id >= 10000"),
     "m3_multimodal_ann" -> Ann.bruteAuditSql(k = 3, queryPred = "q.id < 5",
       source = m4VectorSourceSql),
     "s2_ann_lsh" -> Ann.lshAuditSql(dims = 64, k = 5),
@@ -4552,25 +4588,37 @@ object SparkEntry {
         |       (n_hit * 1000 // n_shingles) / 1000.0 AS containment
         |FROM per ORDER BY id""".stripMargin,
 
+    // fixed-projection pair sims since r18 (the exactness sweep): the
+    // threshold compares bit-identical doubles on any engine build
     "d7_embedding_simjoin" ->
-      """SELECT a.vec_id AS a, b.vec_id AS b,
-        | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |fm AS (SELECT id, v, list_max([abs(x::DOUBLE) FOR x IN v]) AS mx FROM e),
+        |fx AS (SELECT id, [floor(x::DOUBLE / mx * 1048576.0)::BIGINT FOR x IN v] AS f FROM fm),
+        |pn AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm
+        |       FROM (SELECT id, [x::DOUBLE FOR x IN f] AS v FROM fx))
+        |SELECT x.id AS a, y.id AS b,
+        | round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 4) AS sim
+        |FROM pn x JOIN pn y ON x.id < y.id
+        |WHERE list_inner_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4
         |ORDER BY a, b""".stripMargin,
 
     // exact all-pairs ground truth: the Spark side runs LSH candidates →
     // exact verify, so a hash match here proves candidate recall = 1
     "d5_embedding_neardup" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      """WITH e0 AS (SELECT vec_id, embedding FROM embeddings),
         |p AS (SELECT vec_id + 10000 AS vec_id,
         |        [CASE WHEN i = 1 THEN ((embedding[i]::DOUBLE + 0.1)::FLOAT) ELSE embedding[i] END
-        |         for i in range(1, len(embedding)+1)] AS embedding FROM e),
-        |u AS (SELECT * FROM e UNION ALL SELECT * FROM p)
-        |SELECT a.vec_id AS a, b.vec_id AS b,
-        | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
-        |FROM u a JOIN u b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
+        |         for i in range(1, len(embedding)+1)] AS embedding FROM e0),
+        |u AS (SELECT * FROM e0 UNION ALL SELECT * FROM p),
+        |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM u),
+        |fm AS (SELECT id, v, list_max([abs(x::DOUBLE) FOR x IN v]) AS mx FROM e),
+        |fx AS (SELECT id, [floor(x::DOUBLE / mx * 1048576.0)::BIGINT FOR x IN v] AS f FROM fm),
+        |pn AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm
+        |       FROM (SELECT id, [x::DOUBLE FOR x IN f] AS v FROM fx))
+        |SELECT x.id AS a, y.id AS b,
+        | round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 4) AS sim
+        |FROM pn x JOIN pn y ON x.id < y.id
+        |WHERE list_inner_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.9
         |ORDER BY a, b""".stripMargin,
 
     // the one-shot exact pair set involving at least one streamed id
@@ -4578,29 +4626,26 @@ object SparkEntry {
     // covers every such pair); cross-batch + batch×corpus + batch-local
     // pairs each surface exactly once across the per-batch outputs
     "d11_stream_embed_dedup" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      """WITH e0 AS (SELECT vec_id, embedding FROM embeddings),
         |p AS (SELECT vec_id + 10000 AS vec_id,
         |        [CASE WHEN i = 1 THEN ((embedding[i]::DOUBLE + 0.1)::FLOAT) ELSE embedding[i] END
-        |         for i in range(1, len(embedding)+1)] AS embedding FROM e WHERE vec_id < 100),
-        |u AS (SELECT * FROM e UNION ALL SELECT * FROM p)
-        |SELECT a.vec_id AS a, b.vec_id AS b,
-        | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
-        |FROM u a JOIN u b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
-        |  AND b.vec_id >= 10000
+        |         for i in range(1, len(embedding)+1)] AS embedding FROM e0 WHERE vec_id < 100),
+        |u AS (SELECT * FROM e0 UNION ALL SELECT * FROM p),
+        |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM u),
+        |fm AS (SELECT id, v, list_max([abs(x::DOUBLE) FOR x IN v]) AS mx FROM e),
+        |fx AS (SELECT id, [floor(x::DOUBLE / mx * 1048576.0)::BIGINT FOR x IN v] AS f FROM fm),
+        |pn AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm
+        |       FROM (SELECT id, [x::DOUBLE FOR x IN f] AS v FROM fx))
+        |SELECT x.id AS a, y.id AS b,
+        | round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 4) AS sim
+        |FROM pn x JOIN pn y ON x.id < y.id
+        |WHERE list_inner_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.9
+        |  AND y.id >= 10000
         |ORDER BY a, b""".stripMargin,
 
-    "s1_ann_bruteforce" ->
-      """WITH s AS (
-        |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
-        |         list_cosine_similarity(x.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS sim
-        |  FROM embeddings q JOIN embeddings x ON q.vec_id < 10 AND x.vec_id <> q.vec_id),
-        |r AS (
-        |  SELECT query_id, neighbor_id, sim,
-        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
-        |  FROM s)
-        |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rnk
-        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // fixed-projection ranking since r18 (the exactness sweep): the
+    // engine and the oracle rank bit-identical doubles on any build
+    "s1_ann_bruteforce" -> Ann.bruteOracleSql(k = 5, queryPred = "q.id < 10"),
 
     "s2_ann_lsh" -> Ann.lshOracleSql(dims = 64, k = 5),
 
@@ -5015,27 +5060,10 @@ object SparkEntry {
         |  coalesce(len(list_filter(range(2, n+1), i -> (s[i] < 0) <> (s[i-1] < 0))), 0)::BIGINT AS zero_crossings
         |FROM d ORDER BY doc_id""".stripMargin,
 
-    "m3_multimodal_ann" ->
-      """WITH b AS (
-        |  SELECT doc_id,
-        |    list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))::BIGINT) AS bytes
-        |  FROM documents),
-        |e AS (
-        |  SELECT doc_id,
-        |    [ coalesce(list_sum(bytes[16*d+1 : least(16*d+16, len(bytes))]), 0)::DOUBLE
-        |      for d in range(0, 16) ] AS v
-        |  FROM b),
-        |n AS (SELECT doc_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
-        |sc AS (
-        |  SELECT q.doc_id AS query_id, x.doc_id AS neighbor_id,
-        |         list_inner_product(x.v, q.v) / (x.nrm * q.nrm) AS sim
-        |  FROM n q JOIN n x ON q.doc_id < 5 AND x.doc_id <> q.doc_id),
-        |r AS (
-        |  SELECT query_id, neighbor_id, sim,
-        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
-        |  FROM sc)
-        |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rnk
-        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // the m4 embed-stub derivation through the shared fixed-projection
+    // brute-force chain (one definition with s1 and the audit)
+    "m3_multimodal_ann" -> Ann.bruteOracleSql(k = 3, queryPred = "q.id < 5",
+      source = m4VectorSourceSql),
 
     // m3's embed-stub derivation swapped in as the vector source of the
     // FULL trained-IVF oracle chain (seed, Lloyd rounds, routing, nprobe

@@ -36,7 +36,7 @@ object Ann {
     * (e.g. a standing index scan — the projection is deterministic, so
     * recomputing beats storing it). fnorm = √(exact-integer dot):
     * deterministic single-op IEEE. */
-  private[ann] def withFixedUnit(df: DataFrame): DataFrame =
+  private[graft] def withFixedUnit(df: DataFrame): DataFrame =
     df.withColumn("fu", fixedUnit(col("v")))
       .withColumn("fnorm", l2norm(col("fu")))
 
@@ -58,14 +58,17 @@ object Ann {
 
   /** Exact cosine top-k for each query vector (queries = `queryFilter`
     * rows of the corpus, self excluded). Deterministic tie-break on
-    * neighbor id. */
+    * neighbor id; the ranking cosine consumes the fu/fnorm fixed-point
+    * projection (bit-identical across engine builds — the r18
+    * exactness sweep), so even an exact tie resolves identically on
+    * both sides of the oracle. */
   def bruteForceTopK(emb: DataFrame, vecCol: String, idCol: String,
                      queryFilter: Column, k: Int, salts: Int = 32): DataFrame = {
     val e = normed(emb, vecCol, idCol)
     val q = e.filter(queryFilter)
     val scored = e.as("x").join(broadcast(q.as("y")), col("x.id") =!= col("y.id"))
       .select(col("y.id").as("query_id"), col("x.id").as("neighbor_id"),
-        cosine(col("x.v"), col("y.v"), col("x.norm"), col("y.norm")).as("sim"))
+        cosine(col("x.fu"), col("y.fu"), col("x.fnorm"), col("y.fnorm")).as("sim"))
     topKPerQuery(scored, k, salts)
   }
 
@@ -93,7 +96,12 @@ object Ann {
   /** Sketch column: for table `t`, an integer whose bit p is
     * sign(v · plane_{t,p}) — one codegen'd two-level loop over all
     * planes (graft.functions.HyperplaneSketch; the per-bit higher-order
-    * fold it replaces was the measured hot spot of the candidate pass). */
+    * fold it replaces was the measured hot spot of the candidate pass).
+    * Since r18 the operand is the fu fixed-point projection: every
+    * ±fu_i partial sum is an exact integer, so the sign — and therefore
+    * every bucket key — is bit-identical on any engine build (a raw
+    * float projection within 1 ulp of zero could flip a bucket on a
+    * different build). */
   private[graft] def sketch(v: Column, dims: Int, t: Int, bits: Int): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     val signs = Array.tabulate(bits, dims)((p, d) => planeSign(t, p, d))
@@ -246,17 +254,25 @@ object Ann {
        |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
 
   /** The sketch→bucket→score→rank CTE chain shared by [[lshOracleSql]]
-    * and [[lshAuditSql]] — ends in `r`. */
+    * and [[lshAuditSql]] — ends in `r`. Since r18 both the sketch
+    * projections and the candidate cosines consume the fixed-point
+    * `pn` rows (exact-integer partial sums — bit-identical signs,
+    * buckets and ranks on any engine build). */
   private def lshCtes(dims: Int, tables: Int, bits: Int, queryPred: String): String = {
     val tableSelects = (0 until tables).map { t =>
       val bitTerms = (0 until bits).map { p =>
         val signs = (0 until dims).map(d => if (planeSign(t, p, d) > 0) "1" else "-1").mkString(",")
         s"(CASE WHEN list_inner_product(v, [$signs]::DOUBLE[]) > 0 THEN ${1 << p} ELSE 0 END)"
       }.mkString(" + ")
-      s"SELECT id, $t AS t, $bitTerms AS sk FROM n"
+      s"SELECT id, $t AS t, $bitTerms AS sk FROM pn"
     }.mkString("\n  UNION ALL\n  ")
     s"""e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-       |n AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       |fm AS (SELECT id, v, list_max([abs(x::DOUBLE) FOR x IN v]) AS mx FROM e),
+       |fx AS (SELECT id, CASE WHEN mx = 0 THEN [0::BIGINT FOR x IN v]
+       |                  ELSE [floor(x::DOUBLE / mx * ${FixedScale})::BIGINT FOR x IN v] END AS f
+       |       FROM fm),
+       |pn AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm
+       |       FROM (SELECT id, [x::DOUBLE FOR x IN f] AS v FROM fx)),
        |b AS (
        |  $tableSelects),
        |cand AS (
@@ -266,28 +282,25 @@ object Ann {
        |sc AS (
        |  SELECT c.query_id, c.neighbor_id,
        |         list_inner_product(x.v, q.v) / (x.nrm * q.nrm) AS sim
-       |  FROM cand c JOIN n x ON x.id = c.neighbor_id JOIN n q ON q.id = c.query_id),
+       |  FROM cand c JOIN pn x ON x.id = c.neighbor_id JOIN pn q ON q.id = c.query_id),
        |r AS (
        |  SELECT query_id, neighbor_id, sim,
        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
        |  FROM sc)""".stripMargin
   }
 
-  /** Float-ranking audit for the LSH chain (s2/s4): this family's
-    * ordering operands stay RAW floats (the projections and cosines are
-    * accumulation-order-sensitive), so its pin is TIE-FREEDOM — (a) the
-    * sketch sign margins (a hyperplane projection within 1e-9 of zero
-    * could flip a bucket bit on a different engine build) and (b) the
-    * top-k boundary gaps must be comfortably nonzero. `integer_exact`
-    * is 0 by construction: any tie/sub-1e-9 margin here is a real
-    * red flag, the m10 class in a family without the fixed-point
-    * armor. */
+  /** Float-ranking audit for the LSH chain (s2/s4): measures the
+    * sketch sign margins and the top-k boundary gaps. Since the r18
+    * sweep the chain's operands are the fixed-point projection, so the
+    * audit reports `integer_exact = 1` and even an exactly-zero
+    * projection or rank tie is benign (identical on every build); the
+    * probes stay live to catch a regression back to raw floats. */
   def lshAuditSql(dims: Int, k: Int, tables: Int = 8, bits: Int = 4,
                   queryPred: String = "q.id < 10"): String = {
     val projSelects = (0 until tables).flatMap { t =>
       (0 until bits).map { p =>
         val signs = (0 until dims).map(d => if (planeSign(t, p, d) > 0) "1" else "-1").mkString(",")
-        s"SELECT abs(list_inner_product(v, [$signs]::DOUBLE[])) AS a FROM n"
+        s"SELECT abs(list_inner_product(v, [$signs]::DOUBLE[])) AS a FROM pn"
       }
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH ${lshCtes(dims, tables, bits, queryPred)},
@@ -297,34 +310,26 @@ object Ann {
        |  SELECT query_id, sim - lead(sim) OVER
        |           (PARTITION BY query_id ORDER BY rnk) AS g
        |  FROM r WHERE rnk <= ${k + 1}),
-       |kgap AS (SELECT query_id, g FROM kg WHERE g IS NOT NULL)
+       |kgap AS (SELECT query_id, g FROM kg WHERE g IS NOT NULL),
+       |xc AS (SELECT ${integerExactCheck("pn", "v")}::INTEGER AS ok)
        |SELECT 'sketch_sign' AS stage,
        |       (SELECT count(*) FROM proj WHERE a = 0)::BIGINT AS n_ties,
        |       coalesce((SELECT min(a) FROM proj), 1.0) AS min_gap,
-       |       0 AS integer_exact
+       |       (SELECT ok FROM xc) AS integer_exact
        |UNION ALL
        |SELECT 'topk',
        |       (SELECT count(*) FROM kgap WHERE g = 0)::BIGINT,
        |       coalesce((SELECT min(g) FROM kgap), 1.0),
-       |       0""".stripMargin
+       |       (SELECT ok FROM xc)""".stripMargin
   }
 
-  /** Float-ranking audit for an exact brute-force top-k over an
-    * arbitrary vector `source` (s1/m3): adjacent-sim gaps within
-    * rnk ≤ k+1 must be nonzero — raw-float ranking has no fixed-point
-    * armor, so a tie here is engine-build-divergent. */
+  /** Ranking audit for the brute-force top-k over an arbitrary vector
+    * `source` (s1/m3) — fixed-projection operands since r18, so gaps
+    * report with `integer_exact = 1` (ties benign); the probe stays
+    * live against a raw-float regression. */
   def bruteAuditSql(k: Int, queryPred: String,
                     source: String = DefaultVectorSourceSql): String =
-    s"""WITH e AS ($source),
-       |n AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
-       |sc AS (
-       |  SELECT q.id AS query_id, x.id AS neighbor_id,
-       |         list_inner_product(x.v, q.v) / (x.nrm * q.nrm) AS sim
-       |  FROM n q JOIN n x ON x.id <> q.id WHERE $queryPred),
-       |r AS (
-       |  SELECT query_id, sim,
-       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
-       |  FROM sc),
+    s"""WITH ${bruteCtes(queryPred, source)},
        |kg AS (
        |  SELECT query_id, sim - lead(sim) OVER
        |           (PARTITION BY query_id ORDER BY rnk) AS g
@@ -333,7 +338,34 @@ object Ann {
        |SELECT 'topk' AS stage,
        |       (SELECT count(*) FROM kgap WHERE g = 0)::BIGINT AS n_ties,
        |       coalesce((SELECT min(g) FROM kgap), 1.0) AS min_gap,
-       |       0 AS integer_exact""".stripMargin
+       |       ${integerExactCheck("pn", "v")}::INTEGER AS integer_exact""".stripMargin
+
+  /** The brute-force fixed-projection score→rank chain shared by the
+    * s1/m3 oracles and [[bruteAuditSql]] — ends in `r`. */
+  private[ann] def bruteCtes(queryPred: String,
+                             source: String = DefaultVectorSourceSql): String =
+    s"""e AS ($source),
+       |fm AS (SELECT id, v, list_max([abs(x::DOUBLE) FOR x IN v]) AS mx FROM e),
+       |fx AS (SELECT id, CASE WHEN mx = 0 THEN [0::BIGINT FOR x IN v]
+       |                  ELSE [floor(x::DOUBLE / mx * ${FixedScale})::BIGINT FOR x IN v] END AS f
+       |       FROM fm),
+       |pn AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm
+       |       FROM (SELECT id, [x::DOUBLE FOR x IN f] AS v FROM fx)),
+       |sc AS (
+       |  SELECT q.id AS query_id, x.id AS neighbor_id,
+       |         list_inner_product(x.v, q.v) / (x.nrm * q.nrm) AS sim
+       |  FROM pn q JOIN pn x ON x.id <> q.id WHERE $queryPred),
+       |r AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+       |  FROM sc)""".stripMargin
+
+  /** The s1/m3 brute-force oracle on the fixed projection. */
+  def bruteOracleSql(k: Int, queryPred: String,
+                     source: String = DefaultVectorSourceSql): String =
+    s"""WITH ${bruteCtes(queryPred, source)}
+       |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rnk
+       |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
 
   /** DuckDB SQL reproducing the TRAINED `ivfTopK` end-to-end: the
     * fixed-point seed, every unrolled Lloyd round (argmax assignment +
@@ -381,7 +413,7 @@ object Ann {
   /** SQL fragment: 1 when every element of every `listCol` in `rel` is
     * an integer-valued double with |x| ≤ 2²⁰ (and ≤ 4096 dims) — the
     * accumulation-order-proof operand class — else 0. */
-  private[ann] def integerExactCheck(rel: String, listCol: String): String =
+  private[graft] def integerExactCheck(rel: String, listCol: String): String =
     s"""(SELECT CASE WHEN count(*) = 0 THEN 1 ELSE 0 END FROM $rel
        | WHERE len($listCol) > 4096
        |    OR list_max([CASE WHEN x <> floor(x) OR abs(x) > ${FixedScale} THEN 1.0
@@ -488,10 +520,11 @@ object Ann {
     * index/absorb/probe contract to hold, so there is exactly one
     * definition of the projection. */
   private[graft] def sketchRows(e: DataFrame, dims: Int, tables: Int, bits: Int): DataFrame =
-    e.select(col("id"), col("v"), col("norm"),
+    e.select(col("id"), col("v"), col("norm"), col("fu"), col("fnorm"),
         explode(array((0 until tables).map(t =>
-          struct(lit(t).as("t"), sketch(col("v"), dims, t, bits).as("sk"))): _*)).as("b"))
-      .select(col("id"), col("v"), col("norm"), col("b.t").as("t"), col("b.sk").as("sk"))
+          struct(lit(t).as("t"), sketch(col("fu"), dims, t, bits).as("sk"))): _*)).as("b"))
+      .select(col("id"), col("v"), col("norm"), col("fu"), col("fnorm"),
+        col("b.t").as("t"), col("b.sk").as("sk"))
 
   /** Materialize the LSH sketch index as a BUCKETED table keyed by the
     * (table, sketch) bucket — the ANN deployment shape mirroring
@@ -507,7 +540,10 @@ object Ann {
     import spark.implicits._
     Seq(table, s"${table}_meta", s"${table}_batches")
       .foreach(graft.core.Tables.drop(spark, _))
+    // fu/fnorm are deterministic recomputes — store only the raw
+    // vectors (probing re-derives the projection map-side)
     sketchRows(normed(emb, vecCol, idCol), dims, tables, bits)
+      .select("id", "v", "norm", "t", "sk")
       .write.mode("overwrite")
       .bucketBy(buckets, "t", "sk").sortBy("t", "sk")
       .saveAsTable(table)
@@ -535,6 +571,7 @@ object Ann {
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec.map(_.numBuckets).getOrElse(32)
     sketchRows(normed(batch, vecCol, idCol), dims, tables, bits)
+      .select("id", "v", "norm", "t", "sk")
       .write.mode("append").bucketBy(buckets, "t", "sk").sortBy("t", "sk")
       .saveAsTable(table)
     spark.catalog.refreshTable(table)
@@ -554,12 +591,12 @@ object Ann {
     * recompute, no Exchange of the corpus. */
   def lshTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
                      queryFilter: Column, k: Int): DataFrame = {
-    val buckets = spark.table(table)
+    val buckets = withFixedUnit(spark.table(table))
     val qb = buckets.filter(queryFilter)
     val cand = buckets.as("x").join(broadcast(qb.as("y")),
         col("x.t") === col("y.t") && col("x.sk") === col("y.sk") && col("x.id") =!= col("y.id"))
       .select(col("y.id").as("query_id"), col("x.id").as("neighbor_id"),
-        cosine(col("x.v"), col("y.v"), col("x.norm"), col("y.norm")).as("sim"))
+        cosine(col("x.fu"), col("y.fu"), col("x.fnorm"), col("y.fnorm")).as("sim"))
       .distinct()
     topKPerQuery(cand, k, salts = 32)
   }
@@ -675,7 +712,7 @@ object Ann {
     val cand = buckets.as("x").join(broadcast(qb.as("y")),
         col("x.t") === col("y.t") && col("x.sk") === col("y.sk") && col("x.id") =!= col("y.id"))
       .select(col("y.id").as("query_id"), col("x.id").as("neighbor_id"),
-        cosine(col("x.v"), col("y.v"), col("x.norm"), col("y.norm")).as("sim"))
+        cosine(col("x.fu"), col("y.fu"), col("x.fnorm"), col("y.fnorm")).as("sim"))
       .distinct()
     topKPerQuery(cand, k, salts = 32)
   }

@@ -222,7 +222,8 @@ object IvfPq {
        |iassign AS (SELECT id, cid FROM irankedF WHERE crn = 1),
        |iprobes AS (SELECT id AS query_id, v AS qv, nrm AS qnorm, cid
        |            FROM irankedF WHERE $queryPred AND crn <= $nprobe),
-       |pfu AS (SELECT id, [floor(x / nrm * 1048576.0)::BIGINT FOR x IN v] AS f FROM n),
+       |pfm AS (SELECT id, v, list_max([abs(x::DOUBLE) FOR x IN v]) AS mx FROM e),
+       |pfu AS (SELECT id, [floor(x::DOUBLE / mx * 1048576.0)::BIGINT FOR x IN v] AS f FROM pfm),
        |psu AS (SELECT id, s.s AS sub, f[s.s*$dsub+1 : s.s*$dsub+$dsub] AS x
        |        FROM pfu, unnest(range(0, $m)) AS s(s)),
        |psud AS (SELECT id, sub, x, [xx::DOUBLE FOR xx IN x] AS xd FROM psu),

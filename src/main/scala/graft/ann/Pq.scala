@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
   * extreme scale is IVF cells routing + PQ codes inside each cell.
   *
   * Engine-exact by the same discipline as `Ann.trainCentroids`: vectors
-  * are L2-normalized then snapped to integer fixed point
-  * (floor(u·2^20)), per-subspace codebooks are k-means-trained with
+  * snap to the shared ∞-normalized integer fixed point
+  * (floor(x/max|x|·2^20) — Ann.normed's `fu`), per-subspace codebooks are k-means-trained with
   * integer-exact averaging, and every distance/score consumes identical
   * int-valued doubles sequentially on both engines — so the DuckDB
   * oracle (`oracleSql`) re-derives codebooks, codes, reconstructions
@@ -31,11 +31,15 @@ object Pq {
 
   private def fixedD(f: Column): Column = transform(f, _.cast("double"))
 
-  /** floor((x / |v|) · 2^20) per coordinate: the fixed-point image of
-    * the UNIT vector (PQ on unit vectors makes L2 codebooks cosine-
-    * faithful). */
-  private def unitFixed(v: Column, norm: Column): Column =
-    transform(v, x => floor(x.cast("double") / norm * lit(1048576.0d)).cast("long"))
+  // the fixed-point projection is Ann.normed's shared `fu`
+  // (∞-normalized — graft.functions.FixedUnitProject): max is exact
+  // and order-independent, so the projection is engine-build-stable
+  // where the previous L2-unit division (a float accumulation feeding
+  // floor) was not — a single-nonzero-coordinate vector sat EXACTLY on
+  // a floor boundary there. Cosine is per-vector-scale-invariant, so
+  // the ADC/rerank semantics are unchanged; only the codebook
+  // geometry's quantization grid moves (recall re-measured in
+  // PERF.md's Recall table).
 
   /** Exact squared L2 between int-valued double arrays, written as
     * |x|² − 2·x·c + |c|² so both engines evaluate the identical exact
@@ -52,7 +56,7 @@ object Pq {
       if (dims > 0) lit(dims / m)
       else floor(size(col("fu")) / lit(m)).cast("int")
     val rows = e.select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
-        unitFixed(col("v"), col("norm")).as("fu"))
+        transform(col("fu"), _.cast("long")).as("fu"))
     // the derived-width path must fail loudly on indivisible vectors —
     // floor() would silently drop the trailing dims from every subspace
     // (the encode kernel already throws; training has to match)
@@ -280,7 +284,8 @@ object Pq {
     }.mkString(",\n")
     s"""e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
-       |fu AS (SELECT id, [floor(x / nrm * 1048576.0)::BIGINT FOR x IN v] AS f FROM n),
+       |fm AS (SELECT id, v, list_max([abs(x::DOUBLE) FOR x IN v]) AS mx FROM e),
+       |fu AS (SELECT id, [floor(x::DOUBLE / mx * 1048576.0)::BIGINT FOR x IN v] AS f FROM fm),
        |su AS (SELECT id, s.s AS sub, f[s.s*$dsub+1 : s.s*$dsub+$dsub] AS x
        |       FROM fu, unnest(range(0, $m)) AS s(s)),
        |sud AS (SELECT id, sub, x, [xx::DOUBLE FOR xx IN x] AS xd FROM su),

@@ -1216,9 +1216,12 @@ object Dedup {
     * targetPartitionBytes. */
   def embeddingSimJoin(emb: DataFrame, vecCol: String, idCol: String, threshold: Double,
                        blocks: Int = 8): DataFrame = {
-    import graft.functions.VectorFunctions.{dot, l2norm}
+    import graft.functions.VectorFunctions.{dot, fixedUnit, l2norm}
+    // fu/fnorm: the fixed-point similarity projection (r18 exactness
+    // sweep — threshold comparisons are bit-identical on any build)
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("norm", l2norm(col("v")))
+      .withColumn("fu", fixedUnit(col("v")))
+      .withColumn("fnorm", l2norm(col("fu")))
       .withColumn("blk", pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
     // pair key (i,j), i <= j: a row of block b sits on the LEFT of the
     // keys where b is the smaller block {(b,j): j >= b} and on the
@@ -1227,11 +1230,11 @@ object Dedup {
     // smaller-block row on the left); a same-block pair meets twice at
     // the diagonal key (both orientations) — least/greatest + distinct
     // collapse that.
-    val left = e.select(col("id"), col("v"), col("norm"),
+    val left = e.select(col("id"), col("fu"), col("fnorm"),
       explode(sequence(col("blk"), lit(blocks - 1))).as("pj"), col("blk").as("pi"))
-    val right = e.select(col("id"), col("v"), col("norm"),
+    val right = e.select(col("id"), col("fu"), col("fnorm"),
       explode(sequence(lit(0), col("blk"))).as("pi"), col("blk").as("pj"))
-    val sim = dot(col("x.v"), col("y.v")) / (col("x.norm") * col("y.norm"))
+    val sim = dot(col("x.fu"), col("y.fu")) / (col("x.fnorm") * col("y.fnorm"))
     left.as("x").join(right.as("y"),
         col("x.pi") === col("y.pi") && col("x.pj") === col("y.pj") && col("x.id") =!= col("y.id"))
       .select(least(col("x.id"), col("y.id")).as("a"),
@@ -1471,11 +1474,13 @@ object Dedup {
     * ground-truth verifier. */
   def embeddingNearDup(emb: DataFrame, vecCol: String, idCol: String, threshold: Double,
                        dims: Int, tables: Int = 8, bits: Int = 8): DataFrame = {
-    import graft.functions.VectorFunctions.{dot, l2norm}
+    import graft.functions.VectorFunctions.{dot, fixedUnit, l2norm}
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("norm", l2norm(col("v")))
+      .withColumn("fu", fixedUnit(col("v")))
+      .withColumn("fnorm", l2norm(col("fu")))
     val buckets = graft.ann.Ann.sketchRows(e, dims, tables, bits)
-    val sim = dot(col("x.v"), col("y.v")) / (col("x.norm") * col("y.norm"))
+    val sim = dot(col("x.fu"), col("y.fu")) / (col("x.fnorm") * col("y.fnorm"))
     // verify map-side right out of the bucket join; only surviving pairs
     // (already >= threshold) ride the final distinct's shuffle
     buckets.as("x").join(buckets.as("y"),
@@ -1499,15 +1504,18 @@ object Dedup {
   def embeddingNearDupDelta(spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
                             vecCol: String, idCol: String, indexTable: String,
                             threshold: Double): DataFrame = {
-    import graft.functions.VectorFunctions.{dot, l2norm}
+    import graft.functions.VectorFunctions.{dot, fixedUnit, l2norm}
     val meta = spark.table(s"${indexTable}_meta").head()
     val (tables, bits, dims) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     val e = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("norm", l2norm(col("v")))
+      .withColumn("fu", fixedUnit(col("v")))
+      .withColumn("fnorm", l2norm(col("fu")))
     val nb = graft.ann.Ann.sketchRows(e, dims, tables, bits)
     val batchIds = batch.select(col(idCol).as("id")).distinct()
-    val corpus = spark.table(indexTable).join(broadcast(batchIds), Seq("id"), "left_anti")
-    val sim = dot(col("x.v"), col("y.v")) / (col("x.norm") * col("y.norm"))
+    val corpus = graft.ann.Ann.withFixedUnit(
+      spark.table(indexTable).join(broadcast(batchIds), Seq("id"), "left_anti"))
+    val sim = dot(col("x.fu"), col("y.fu")) / (col("x.fnorm") * col("y.fnorm"))
     val newPairs = nb.as("x").join(nb.as("y"),
         col("x.t") === col("y.t") && col("x.sk") === col("y.sk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"), sim.as("simraw"))
@@ -1530,10 +1538,11 @@ object Dedup {
     * `embeddingNearDup` (LSH candidates → this same DotProduct verify)
     * is. Use directly only for corpora that fit a broadcast. */
   def embeddingNearDupExact(emb: DataFrame, vecCol: String, idCol: String, threshold: Double): DataFrame = {
-    import graft.functions.VectorFunctions.{dot, l2norm}
+    import graft.functions.VectorFunctions.{dot, fixedUnit, l2norm}
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("norm", l2norm(col("v")))
-    val sim = dot(col("x.v"), col("y.v")) / (col("x.norm") * col("y.norm"))
+      .withColumn("fu", fixedUnit(col("v")))
+      .withColumn("fnorm", l2norm(col("fu")))
+    val sim = dot(col("x.fu"), col("y.fu")) / (col("x.fnorm") * col("y.fnorm"))
     e.as("x").join(broadcast(e.as("y")), col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"), sim.as("sim"))
       .filter(col("sim") >= threshold)

@@ -306,7 +306,7 @@ case class FixedUnitProject(child: Expression)
   * corpus-keyed Exchanges).
   *
   * Engine-exact vs the DuckDB oracle: every quantity is an INTEGER in
-  * exact double range — fu = floor(x/‖v‖·2^20) reproduces `unitFixed`
+  * exact double range — fu = floor(x/max|x|·2^20) reproduces the shared fixed-unit projection
   * including evaluation order; Σ(fu−cw)² in long equals the oracle's
   * double ‖x‖²−2x·c+‖c‖² algebraically (all terms ≤ 2^45, exact in
   * both arithmetics); ties break to the lowest code, matching the
@@ -327,21 +327,29 @@ case class PqEncode(child: Expression, books: Array[Array[Long]], m: Int, ksub: 
   def evalArray(v: ArrayData): ArrayData = {
     val isF = elemIsFloat
     val n = v.numElements()
-    var s = 0.0
+    // ∞-normalization, NOT L2 (changed with the r18 exactness sweep):
+    // max is exact and order-independent where an L2 norm is a float
+    // ACCUMULATION — a 1-ulp norm divergence on another engine build
+    // flips floor() whenever x/‖v‖·2²⁰ sits on an integer, and it
+    // sits EXACTLY on one for any single-nonzero-coordinate vector
+    // (x/‖x‖ = 1.0) — the media head-profile populations are full of
+    // those. x/max = 1.0 is a single exact division: no divergence.
+    var mx = 0.0
     var d = 0
     while (d < n) {
       val x = if (isF) v.getFloat(d).toDouble else v.getDouble(d)
-      s += x * x; d += 1
+      val a = math.abs(x)
+      if (a > mx) mx = a
+      d += 1
     }
-    val norm = math.sqrt(s)
-    if (norm == 0.0) throw new IllegalArgumentException(
-      "pq_encode: zero-norm vector cannot be encoded (x/||v|| is undefined) — " +
-        "filter dead/all-zero embeddings before PQ indexing")
+    if (mx == 0.0) throw new IllegalArgumentException(
+      "pq_encode: all-zero vector cannot be encoded (x/max|x| is undefined) — " +
+        "filter dead embeddings before PQ indexing")
     val fu = new Array[Long](n)
     d = 0
     while (d < n) {
       val x = if (isF) v.getFloat(d).toDouble else v.getDouble(d)
-      fu(d) = math.floor(x / norm * 1048576.0).toLong; d += 1
+      fu(d) = math.floor(x / mx * 1048576.0).toLong; d += 1
     }
     val dsub = n / m
     // the vector must tile the codebook exactly: a dimension mismatch

@@ -100,6 +100,7 @@ class ExactRankingSpec extends SparkSpec {
       "s10_filtered_ann", "s11_filtered_ivfpq",
       "m3_multimodal_ann", "m4_multimodal_ann_indexed", "m9_audio_ann_indexed",
       "m10_segment_ann_indexed",
+      "d5_embedding_neardup", "d7_embedding_simjoin", "d11_stream_embed_dedup",
       "d12_semantic_dedup", "d14_semantic_delta", "d15_semantic_indexed",
       "d17_stream_semantic", "d26_semantic_decon", "d30_media_neardup")
     assert(SparkEntry.auditSql.keySet == annFamily,
