@@ -178,7 +178,11 @@ object Dedup {
   /** (a, b, inter) per candidate pair from a (id, s) shingle stream —
     * the s = s self-join every jaccard variant shares. */
   private def pairIntersections(sh: DataFrame): DataFrame =
-    sh.as("x").join(sh.as("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+    // merge hint: see simhashCandidates — a broadcast self-join would
+    // collect the whole exploded shingle stream to the driver and
+    // compute it twice; sort-merge reuses ONE exchange for both sides,
+    // and at corpus scale it is the only feasible plan anyway
+    sh.as("x").join(sh.as("y").hint("merge"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("inter"))
 
@@ -520,7 +524,10 @@ object Dedup {
     // evaluated the signature pass ~10× through the unmaterialized DAG,
     // doubling its bench time)
     val cand = graft.core.Checkpoints.truncate(
-      buckets.as("x").join(buckets.as("y"),
+      // merge hint: see simhashCandidates — don't broadcast-build the
+      // corpus-sized band-key stream (and re-run the signature pass) on
+      // the driver; one reused exchange serves both self-join sides
+      buckets.as("x").join(buckets.as("y").hint("merge"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
         .select(col("x.id").as("a"), col("y.id").as("b"))
         .distinct())
@@ -535,7 +542,7 @@ object Dedup {
     // shingles of every candidate doc — so aggregate the (much smaller)
     // candidate slice instead of re-running a full shingle pass
     val sizes = shC.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = shC.as("x").join(shC.as("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+    val inter = shC.as("x").join(shC.as("y").hint("merge"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("inter"))
       .join(cand, Seq("a", "b"), "leftsemi")
@@ -767,7 +774,15 @@ object Dedup {
     val chunks = fps.select(col("id"), col("simhash"),
         explode(chunkPairKeysIdx(col("simhash"), maxDist)).as("k"))
       .select(col("id"), col("simhash"), col("k.ci").as("ci"), col("k.bk").as("bk"))
-    chunks.as("x").join(chunks.as("y"),
+    // MERGE hint: the planner's size estimate picks a broadcast join on
+    // small corpora, which (a) computes the 64-lane aggregate TWICE (a
+    // BroadcastExchange subtree never reuses the stream side's shuffle
+    // exchange) and (b) collects and hash-builds every exploded key row
+    // single-threaded on the driver — measured 2.8× slower than the
+    // sort-merge self-join, which reuses ONE exchange for both sides.
+    // At corpus scale both sides are corpus-sized and sort-merge is the
+    // only plan anyway, so the hint pins the at-scale shape everywhere.
+    chunks.as("x").join(chunks.as("y").hint("merge"),
         col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
       .withColumn("__z", col("x.simhash").bitwiseXOR(col("y.simhash")))
       .filter(col("x.ci") === firstAgreeingCombo(col("__z"), maxDist))
