@@ -43,12 +43,14 @@ object OnChange {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
     val name = "onchange_agg_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = stream.writeStream
-      .format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamStateParts(spark) {
+      val q = stream.writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 
@@ -75,12 +77,14 @@ object OnChange {
       .select(unix_timestamp(col("w.start")).as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
     val name = "onchange_win_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = stream.writeStream
-      .format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamStateParts(spark) {
+      val q = stream.writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 
@@ -138,6 +142,31 @@ object OnChange {
     require(dropped == 0,
       s"$where: $dropped input rows silently dropped by the watermark — " +
         "the stream violated the in-order (non-strict) arrival contract")
+  }
+
+  /** Run `body` (a STATEFUL drain: construct + start + await) with
+    * `spark.sql.shuffle.partitions` lowered to the stream-state
+    * default, restored afterwards. A stateful query pins its state
+    * partition count from this conf at the first checkpoint, and every
+    * micro-batch then pays one state-store open+commit PER PARTITION —
+    * measured here at ~0.4 s of task time per partition per batch
+    * (HDFS-backed store, local disk), dwarfing the actual aggregation
+    * at bench scale: the e3 drain ran 1.9× faster at 4 partitions than
+    * at 32 in the same JVM. Core count is the wrong driver for state
+    * partitioning — state volume is — so the drains default to
+    * min(session setting, 8) and a deployment overrides with
+    * SPARK_GRAFT_STREAM_PARTS sized to its state (the knob to raise
+    * when per-key state per partition approaches executor memory,
+    * e.g. hundreds of GB of open sessions at 100 TB — AQE cannot do
+    * this for stateful plans, where it is unsupported). Timed results
+    * are unchanged: partitioning is invisible to the emitted rows. */
+  private def withStreamStateParts[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val parts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS",
+      math.min(prev.toInt, 8).toString)
+    spark.conf.set(key, parts)
+    try body finally spark.conf.set(key, prev)
   }
 
   /** Run `body` with trailing no-data micro-batches disabled. The
@@ -221,7 +250,7 @@ object OnChange {
           }
       }
     val name = "onchange_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = withoutNoDataBatches(spark) {
+    val q = withStreamStateParts(spark) { withoutNoDataBatches(spark) {
       val q0 = sessions.writeStream
         .format("memory").queryName(name)
         .outputMode("append")
@@ -229,7 +258,7 @@ object OnChange {
         .start()
       q0.awaitTermination()
       q0
-    }
+    } }
     assertNoWatermarkDrops(q, "streamingSessionizeDrain")
     DrainResult(
       spark.table(name)
@@ -364,7 +393,7 @@ object OnChange {
           }
       }
     val name = "onchange_funnel_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = withoutNoDataBatches(spark) {
+    val q = withStreamStateParts(spark) { withoutNoDataBatches(spark) {
       val q0 = completed.writeStream
         .format("memory").queryName(name)
         .outputMode("append")
@@ -372,7 +401,7 @@ object OnChange {
         .start()
       q0.awaitTermination()
       q0
-    }
+    } }
     assertNoWatermarkDrops(q, "streamingFunnelDrain")
     DrainResult(
       spark.table(name).select(
@@ -474,6 +503,24 @@ object OnChange {
       (bs, batch) => graft.dedup.Dedup
         .containmentDelta(bs, batch, textCol, idCol, n, threshold, indexTable, maxDf))
 
+  /** ONE-job batch gate shared by the index-maintaining foreachBatch
+    * loops: (replayed, hasOverlap) from a single driver action. The
+    * replay-marker probe and the supersede-overlap probe previously
+    * cost a job each on EVERY micro-batch; fusing them halves the
+    * loop's fixed per-batch driver actions (the processBatch
+    * one-action discipline applied to the streaming gates). On the
+    * rare replay path the overlap side is computed wastefully once —
+    * a map-only probe of a roster-sized table. */
+  private def batchGate(bs: SparkSession, markers: String, batchId: Long,
+                        overlap: DataFrame): (Boolean, Boolean) = {
+    if (!bs.catalog.tableExists(markers)) return (false, !overlap.isEmpty)
+    val m = bs.table(markers).filter(col("batch_id") === batchId)
+      .limit(1).select(lit(1).as("__src"))
+    val o = overlap.limit(1).select(lit(2).as("__src"))
+    val got = m.unionByName(o).collect().map(_.getInt(0)).toSet
+    (got.contains(1), got.contains(2))
+  }
+
   /** The shingle-index streaming loop shared by the Jaccard and
     * containment screens — ONE definition of the per-batch replay
     * guard, supersede-before-absorb, and session-clone refresh, so the
@@ -495,17 +542,17 @@ object OnChange {
         val bs = batch.sparkSession
         import bs.implicits._
         val markers = s"${indexTable}_batches"
-        if (!bs.catalog.tableExists(markers) ||
-            bs.table(markers).filter(col("batch_id") === batchId).isEmpty) {
+        // supersede before absorb: ids this batch re-emits leave the
+        // standing index first, so the append below cannot double
+        // their shingles/sizes (absorb itself is append-only)
+        val batchIds = batch.select(col(idCol).as("id")).distinct()
+        val overlap = bs.table(s"${indexTable}_sizes")
+          .join(broadcast(batchIds), Seq("id"), "leftsemi")
+        val (replayed, hasOverlap) = batchGate(bs, markers, batchId, overlap)
+        if (!replayed) {
           pairFn(bs, batch)
             .write.mode("overwrite").parquet(s"$pairsPath/batch_id=$batchId")
-          // supersede before absorb: ids this batch re-emits leave the
-          // standing index first, so the append below cannot double
-          // their shingles/sizes (absorb itself is append-only)
-          val batchIds = batch.select(col(idCol).as("id")).distinct()
-          val overlap = bs.table(s"${indexTable}_sizes")
-            .join(broadcast(batchIds), Seq("id"), "leftsemi")
-          if (!overlap.isEmpty)
+          if (hasOverlap)
             graft.dedup.Dedup.compactShingleIndex(bs, indexTable, overlap)
           graft.dedup.Dedup.absorbIntoShingleIndex(bs, batch, textCol, idCol, n, indexTable)
           Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(markers)
@@ -545,21 +592,21 @@ object OnChange {
         val bs = batch.sparkSession
         import bs.implicits._
         val markers = s"${indexTable}_batches"
-        if (!bs.catalog.tableExists(markers) ||
-            bs.table(markers).filter(col("batch_id") === batchId).isEmpty) {
+        val batchIds = batch.select(col(idCol).as("id")).distinct()
+        // overlap probe on the t = 0 slice only: the index holds one
+        // row per (vector, table), so the slice is one row per vector
+        // — the `_sizes`-sized probe of the text loop, not a scan of
+        // the tables×-replicated index. No distinct: the existence
+        // check doesn't need it, and compact dedups its key side.
+        val overlap = bs.table(indexTable).filter(col("t") === 0)
+          .join(broadcast(batchIds), Seq("id"), "leftsemi")
+          .select("id")
+        val (replayed, hasOverlap) = batchGate(bs, markers, batchId, overlap)
+        if (!replayed) {
           graft.dedup.Dedup
             .embeddingNearDupDelta(bs, batch, vecCol, idCol, indexTable, threshold)
             .write.mode("overwrite").parquet(s"$pairsPath/batch_id=$batchId")
-          val batchIds = batch.select(col(idCol).as("id")).distinct()
-          // overlap probe on the t = 0 slice only: the index holds one
-          // row per (vector, table), so the slice is one row per vector
-          // — the `_sizes`-sized probe of the text loop, not a scan of
-          // the tables×-replicated index. No distinct: the existence
-          // check doesn't need it, and compact dedups its key side.
-          val overlap = bs.table(indexTable).filter(col("t") === 0)
-            .join(broadcast(batchIds), Seq("id"), "leftsemi")
-            .select("id")
-          if (!overlap.isEmpty)
+          if (hasOverlap)
             graft.ann.Ann.compactAnnIndex(bs, indexTable, overlap)
           graft.ann.Ann.absorbIntoAnnIndex(bs, batch, vecCol, idCol, indexTable)
           Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(markers)
@@ -601,18 +648,18 @@ object OnChange {
         val bs = batch.sparkSession
         import bs.implicits._
         val markers = s"${indexTable}_batches"
-        if (!bs.catalog.tableExists(markers) ||
-            bs.table(markers).filter(col("batch_id") === batchId).isEmpty) {
+        // the inverted file holds ONE row per vector — the overlap
+        // probe is a map-only scan against the broadcast batch ids
+        val batchIds = batch.select(col(idCol).as("id")).distinct()
+        val overlap = bs.table(indexTable)
+          .join(broadcast(batchIds), Seq("id"), "leftsemi")
+          .select("id")
+        val (replayed, hasOverlap) = batchGate(bs, markers, batchId, overlap)
+        if (!replayed) {
           graft.ann.SemDedup
             .semanticDedupDelta(bs, batch, vecCol, idCol, indexTable, threshold)
             .write.mode("overwrite").parquet(s"$pairsPath/batch_id=$batchId")
-          // the inverted file holds ONE row per vector — the overlap
-          // probe is a map-only scan against the broadcast batch ids
-          val batchIds = batch.select(col(idCol).as("id")).distinct()
-          val overlap = bs.table(indexTable)
-            .join(broadcast(batchIds), Seq("id"), "leftsemi")
-            .select("id")
-          if (!overlap.isEmpty)
+          if (hasOverlap)
             graft.ann.Ann.compactIvfIndex(bs, indexTable, overlap)
           graft.ann.Ann.absorbIntoIvfIndex(bs, batch, vecCol, idCol, indexTable)
           Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(markers)
@@ -701,23 +748,23 @@ object OnChange {
         val bs = batch.sparkSession
         import bs.implicits._
         val markers = s"${indexTable}_batches"
-        if (!bs.catalog.tableExists(markers) ||
-            bs.table(markers).filter(col("batch_id") === batchId).isEmpty) {
+        // supersede before absorb: the token-level index is the
+        // largest standing table, so the overlap probe reads the
+        // per-DOC `_ids` roster companion (the `_sizes` idiom of the
+        // shingle loop); a pre-roster index falls back to the index
+        // itself until its next build writes one
+        val batchIds = batch.select(col(idCol).as("id")).distinct()
+        val roster =
+          if (bs.catalog.tableExists(s"${indexTable}_ids")) bs.table(s"${indexTable}_ids")
+          else bs.table(indexTable).select("id")
+        val overlap = roster
+          .join(broadcast(batchIds), Seq("id"), "leftsemi")
+        val (replayed, hasOverlap) = batchGate(bs, markers, batchId, overlap)
+        if (!replayed) {
           graft.dedup.Dedup
             .substringSpansDelta(bs, batch, textCol, idCol, k, indexTable)
             .write.mode("overwrite").parquet(s"$spansPath/batch_id=$batchId")
-          // supersede before absorb: the token-level index is the
-          // largest standing table, so the overlap probe reads the
-          // per-DOC `_ids` roster companion (the `_sizes` idiom of the
-          // shingle loop); a pre-roster index falls back to the index
-          // itself until its next build writes one
-          val batchIds = batch.select(col(idCol).as("id")).distinct()
-          val roster =
-            if (bs.catalog.tableExists(s"${indexTable}_ids")) bs.table(s"${indexTable}_ids")
-            else bs.table(indexTable).select("id")
-          val overlap = roster
-            .join(broadcast(batchIds), Seq("id"), "leftsemi")
-          if (!overlap.isEmpty)
+          if (hasOverlap)
             graft.dedup.Dedup.compactGramIndex(bs, indexTable, overlap)
           graft.dedup.Dedup.absorbIntoGramIndex(bs, batch, textCol, idCol, k, indexTable)
           Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(markers)
@@ -872,7 +919,7 @@ object OnChange {
                             pairsPath: String, checkpointDir: String): Unit =
     streamingFingerprintDedup(spark, docsDir, "id", "simhash", maxDist,
       indexTable, pairsPath, checkpointDir,
-      b => graft.dedup.Dedup.simhash(b, textCol, idCol))
+      b => graft.dedup.Dedup.simhash(b, textCol, idCol), rawIdCol = idCol)
 
   /** [[streamingSimhashDedup]] over ANY per-batch fingerprinting — the
     * streaming closure of the fingerprint-agnostic family (d34 streams
@@ -886,7 +933,12 @@ object OnChange {
                                 fpIdCol: String, fpCol: String, maxDist: Int,
                                 indexTable: String, pairsPath: String,
                                 checkpointDir: String,
-                                fingerprint: DataFrame => DataFrame): Unit = {
+                                fingerprint: DataFrame => DataFrame,
+                                rawIdCol: String = ""): Unit = {
+    // the gate's overlap probe reads ids off the RAW batch (so a
+    // replayed batch never pays the fingerprint pass); rawIdCol names
+    // the id column on the raw rows when `fingerprint` renames it
+    val rawId = if (rawIdCol.isEmpty) fpIdCol else rawIdCol
     val schema = spark.read.parquet(docsDir).schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
@@ -896,19 +948,20 @@ object OnChange {
         val bs = batch.sparkSession
         import bs.implicits._
         val markers = s"${indexTable}_batches"
-        if (!bs.catalog.tableExists(markers) ||
-            bs.table(markers).filter(col("batch_id") === batchId).isEmpty) {
-          // fingerprint ONCE per batch: the delta probe and the absorb
-          // both read the pinned frame
-          val fps = graft.core.Checkpoints.truncate(fingerprint(batch))
+        // fingerprint ONCE per batch: the delta probe and the absorb
+        // both read the pinned frame (lazily — a replayed batch never
+        // pays it: the gate's overlap side only scans the roster)
+        lazy val fps = graft.core.Checkpoints.truncate(fingerprint(batch))
+        val batchIds = batch.select(col(rawId).as("id")).distinct()
+        val overlap = bs.table(s"${indexTable}_fps")
+          .join(broadcast(batchIds), Seq("id"), "leftsemi")
+          .select("id")
+        val (replayed, hasOverlap) = batchGate(bs, markers, batchId, overlap)
+        if (!replayed) {
           graft.dedup.Dedup
             .fingerprintPairsDelta(bs, fps, fpIdCol, fpCol, maxDist, indexTable)
             .write.mode("overwrite").parquet(s"$pairsPath/batch_id=$batchId")
-          val batchIds = fps.select(col(fpIdCol).as("id")).distinct()
-          val overlap = bs.table(s"${indexTable}_fps")
-            .join(broadcast(batchIds), Seq("id"), "leftsemi")
-            .select("id")
-          if (!overlap.isEmpty)
+          if (hasOverlap)
             graft.dedup.Dedup.compactSimhashIndex(bs, indexTable, overlap)
           graft.dedup.Dedup.absorbIntoFingerprintIndex(
             bs, fps, fpIdCol, fpCol, maxDist, indexTable)
@@ -962,12 +1015,14 @@ object OnChange {
           newest
       }
     val name = "onchange_latest_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = latest.writeStream
-      .format("memory").queryName(name)
-      .outputMode("update")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamStateParts(spark) {
+      val q = latest.writeStream
+        .format("memory").queryName(name)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // a multi-batch drain upserts per batch; collapse to the final state
     graft.ops.ChangeLog.latestOnly(spark.table(name), "user_id", "event_id")
   }
