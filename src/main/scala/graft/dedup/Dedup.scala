@@ -1400,12 +1400,22 @@ object Dedup {
     * corpus-sized tables are scanned once each and never shuffled. */
   def splitDriftProbe(batchPairs: DataFrame, clusterAssign: DataFrame,
                       splits: DataFrame): DataFrame = {
-    val pairs = batchPairs.select(col("a"), col("b"))
+    // pin the batch pairs ONCE: the probe references them through five
+    // derived legs (ids twice, the two bridged attach joins, the rep
+    // roster), and an unpinned delta-pair plan INLINES its whole
+    // upstream (index probe + batch self-join) into every reference —
+    // measured: p25's final plan carried 696 Exchange nodes (~17
+    // copies of the 40-exchange delta subtree), most of the query's
+    // cost was the driver planning it. Batch-bounded, the usual
+    // truncate contract.
+    val pairs = graft.core.Checkpoints.truncate(batchPairs.select(col("a"), col("b")))
     val ids = pairs.select(col("a").as("id"))
       .unionByName(pairs.select(col("b").as("id"))).distinct()
-    // assignment slice: the endpoints' rows only (batch-bounded)
-    val slice = clusterAssign.select(col("id"), col("cluster_id"))
-      .join(broadcast(ids), Seq("id"), "leftsemi")
+    // assignment slice: the endpoints' rows only (batch-bounded);
+    // pinned — it feeds both bridged attach joins and the rep roster
+    val slice = graft.core.Checkpoints.truncate(
+      clusterAssign.select(col("id"), col("cluster_id"))
+        .join(broadcast(ids), Seq("id"), "leftsemi"))
     val bridged = pairs
       .join(broadcast(slice.select(col("id").as("a"), col("cluster_id").as("cluster_a"))),
         Seq("a"), "left")
