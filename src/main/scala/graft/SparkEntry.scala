@@ -2500,6 +2500,22 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "m10_stage_digest" -> ((s, dir) => {
+      // the r18 verdict's m10 localization harness: the SAME chain as
+      // m10_segment_ann_indexed, but emitting one exact-integer digest
+      // row per stage (index, centroids, routing, shortlist, top-k) —
+      // all-BIGINT output, so a driver-side representation difference
+      // cannot red it; a red row here names the first diverging stage
+      val media = Multimodal.mediaFromDocs(
+        t(s, dir, "documents").filter(col("doc_id") % 20 === 0))
+      val emb = Multimodal.segmentEmbed(media, threshold = 150L).toDF()
+      val table = graft.core.Tables.scoped("ivf_idx_m10d")
+      Ann.buildIvfIndex(emb, "embedding", "seg_id", table)
+      Ann.ivfStageDigests(s, table,
+          queryFilter = col("id") % 1000 === 0 && col("id") < 100000, k = 3)
+        .orderBy("stage")
+    }),
+
     "m8_scene_cuts" -> ((s, dir) => {
       // temporal segmentation over the decoded frame stream (the
       // shot-boundary step before per-segment sampling): a cut opens a
@@ -2881,7 +2897,15 @@ object SparkEntry {
   // verified chain)
   private val m4VectorSourceSql = "SELECT doc_id AS id, [ coalesce(list_sum(bytes[16*d+1 : least(16*d+16, len(bytes))]), 0)::DOUBLE for d in range(0, 16) ] AS v FROM (SELECT doc_id, list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))::BIGINT) AS bytes FROM documents)"
   private val m9VectorSourceSql = "SELECT doc_id AS id, [ coalesce(list_sum(list_transform(s[16*d+1 : least(16*d+16, len(s))], x -> abs(x))), 0)::DOUBLE for d in range(0, 16) ] AS v FROM (SELECT doc_id, list_transform(range(1, length(text)+1), i -> (ascii(substr(text, i, 1)) - CASE WHEN i = 1 THEN 0 ELSE ascii(substr(text, i-1, 1)) END) * 256) AS s FROM documents)"
-  private val m10VectorSourceSql = "SELECT doc_id*1000 + sg AS id, [ coalesce(fl[i+1], 0)::DOUBLE for i in range(0, 16) ] AS v FROM (SELECT doc_id, sg, list(ws ORDER BY fi) AS fl FROM (SELECT doc_id, fi, ws, sum(cut) OVER (PARTITION BY doc_id ORDER BY fi ROWS UNBOUNDED PRECEDING) AS sg FROM (SELECT doc_id, fi, ws, CASE WHEN abs(ws - lag(ws) OVER (PARTITION BY doc_id ORDER BY fi)) > 150 THEN 1 ELSE 0 END AS cut FROM (SELECT doc_id, fi, list_sum(b[fi*16+1 : least(fi*16+16, len(b))])::BIGINT AS ws FROM (SELECT doc_id, unnest(range(0, (length(text)+15)//16)) AS fi, list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))::BIGINT) AS b FROM documents WHERE doc_id % 20 = 0)))) GROUP BY 1, 2)"
+  // `sg` is a window SUM, which DuckDB types HUGEINT — so the composite
+  // id must be cast back to BIGINT: a HUGEINT output column reaches
+  // pandas as float64 (140000.0 vs Spark's int64 140000), which is
+  // value-equal under the local selfcheck's check_dtype=False compare
+  // but hash-DIFFERENT under the driver's canonicalization. This was
+  // the r16–r18 m10 red row: the only oracle emitting HUGEINT ids, and
+  // the only persistent hash_match=false — representation, not numerics
+  // (the fixed-point exactness sweep was chasing the wrong class).
+  private val m10VectorSourceSql = "SELECT (doc_id*1000 + sg)::BIGINT AS id, [ coalesce(fl[i+1], 0)::DOUBLE for i in range(0, 16) ] AS v FROM (SELECT doc_id, sg, list(ws ORDER BY fi) AS fl FROM (SELECT doc_id, fi, ws, sum(cut) OVER (PARTITION BY doc_id ORDER BY fi ROWS UNBOUNDED PRECEDING) AS sg FROM (SELECT doc_id, fi, ws, CASE WHEN abs(ws - lag(ws) OVER (PARTITION BY doc_id ORDER BY fi)) > 150 THEN 1 ELSE 0 END AS cut FROM (SELECT doc_id, fi, list_sum(b[fi*16+1 : least(fi*16+16, len(b))])::BIGINT AS ws FROM (SELECT doc_id, unnest(range(0, (length(text)+15)//16)) AS fi, list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))::BIGINT) AS b FROM documents WHERE doc_id % 20 = 0)))) GROUP BY 1, 2)"
 
   def oracleSqlFor(dir: String): Map[String, String] =
     oracleSql + ("j6_stats" -> j6OracleSql(dir))
@@ -5084,6 +5108,13 @@ object SparkEntry {
     // the video branch; the zero-pad tail of the raster is sum-neutral
     // so frames derive from the raw text bytes exactly as m8's oracle
     "m10_segment_ann_indexed" -> Ann.ivfKmeansOracleSql(k = 3,
+      queryPred = "id % 1000 = 0 AND id < 100000",
+      source = m10VectorSourceSql),
+
+    // the same chain as per-stage integer digests (r18 verdict 1a): an
+    // all-BIGINT localization probe the driver's compare adjudicates
+    // stage by stage — immune to representation/rounding divergence
+    "m10_stage_digest" -> Ann.ivfStageDigestSql(k = 3,
       queryPred = "id % 1000 = 0 AND id < 100000",
       source = m10VectorSourceSql),
 

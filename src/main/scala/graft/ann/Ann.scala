@@ -703,6 +703,75 @@ object Ann {
     topKPerQuery(scored, k, salts = 32)
   }
 
+  /** Per-stage INTEGER digests of the indexed-IVF chain (the r18
+    * verdict's m10 localization harness): one row per stage — index
+    * rows, trained centroids, cell routing, probe shortlist, final
+    * top-k — each an order-independent exact-integer checksum plus a
+    * term count. Every output column is BIGINT: a digest can never
+    * diverge through float representation, HUGEINT→float64 widening, or
+    * library rounding, so when the FULL query reds on the driver while
+    * local compares are green, the digest rows name the first stage
+    * whose VALUES (not representation) diverge — or prove all stages
+    * agree and pin the divergence on value emission. Term magnitudes
+    * are bounded (< 2³⁰ per term), so the BIGINT sums are exact and
+    * order-independent on any engine. */
+  def ivfStageDigests(spark: org.apache.spark.sql.SparkSession, table: String,
+                      queryFilter: Column, k: Int, nprobe: Int = 4): DataFrame = {
+    val assign = withFixedUnit(spark.table(table))
+    val cent = spark.table(s"${table}_cent")
+    def row(stage: String, terms: DataFrame): DataFrame =
+      terms.agg(coalesce(sum(col("t")), lit(0L)).as("digest"), count(lit(1)).as("n"))
+        .select(lit(stage).as("stage"), col("digest"), col("n"))
+    val idxTerms = assign.select(col("id"), posexplode(col("fu")).as(Seq("i", "x")))
+      .select(((col("x").cast("long") % 1000003L) *
+        ((col("id") * 16 + col("i")) % 997 + 1)).as("t"))
+    val centTerms = cent.select(explode(col("cents")).as("c"))
+      .select(col("c.cid").as("cid"), posexplode(col("c.cv")).as(Seq("i", "x")))
+      .select(((col("x").cast("long") % 1000003L) *
+        ((col("cid") * 16 + col("i")) % 997 + 1)).as("t"))
+    val routeTerms = assign.select(
+      ((col("id") % 1000003L + 1) * (col("cid") + 7)).as("t"))
+    val probes = assign.drop("cid").filter(queryFilter).join(broadcast(cent))
+      .select(col("id").as("query_id"), col("fu").as("qfu"), col("fnorm").as("qfnorm"),
+        explode(transform(slice(sortedCells, 1, nprobe), c => c.getField("cid"))).as("cid"))
+    val scored = assign.join(broadcast(probes),
+        assign("cid") === probes("cid") && col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine(col("fu"), col("qfu"), col("fnorm"), col("qfnorm")).as("sim"))
+    val shortTerms = scored.select(
+      ((col("query_id") % 9973L + 1) * (col("neighbor_id") % 9973L + 3)).as("t"))
+    val topTerms = topKPerQuery(scored, k, salts = 32).select(
+      ((col("query_id") % 9973L + 1) * (col("neighbor_id") % 9973L + 3) * col("rnk")).as("t"))
+    Seq(row("1_index", idxTerms), row("2_centroids", centTerms),
+      row("3_routing", routeTerms), row("4_shortlist", shortTerms),
+      row("5_topk", topTerms)).reduce(_ unionByName _)
+  }
+
+  /** DuckDB SQL reproducing [[ivfStageDigests]] stage for stage over the
+    * shared k-means CTE chain — same checksum formulas, every output
+    * cast ::BIGINT (never HUGEINT: the r16–r18 m10 red row was a
+    * HUGEINT id column reaching the driver's compare as float64). */
+  def ivfStageDigestSql(k: Int, nlist: Int = 16, nprobe: Int = 4, rounds: Int = 2,
+                        queryPred: String = "id < 10",
+                        source: String = DefaultVectorSourceSql): String =
+    s"""WITH ${ivfTopKCtes(nlist, nprobe, rounds, queryPred, "TRUE", source)},
+       |idxt AS (
+       |  SELECT ((f[t.i]::BIGINT % 1000003) * ((p.id*16 + (t.i-1)) % 997 + 1))::BIGINT AS t
+       |  FROM pn p, unnest(range(1, len(p.f)+1)) AS t(i)),
+       |centt AS (
+       |  SELECT ((cfd[t.i]::BIGINT % 1000003) * ((c.cid*16 + (t.i-1)) % 997 + 1))::BIGINT AS t
+       |  FROM cdnF c, unnest(range(1, len(c.cfd)+1)) AS t(i)),
+       |routet AS (SELECT ((id % 1000003 + 1) * (cid + 7))::BIGINT AS t FROM assign),
+       |shortt AS (SELECT ((query_id % 9973 + 1) * (neighbor_id % 9973 + 3))::BIGINT AS t FROM sc),
+       |topt AS (SELECT ((query_id % 9973 + 1) * (neighbor_id % 9973 + 3) * rnk)::BIGINT AS t
+       |         FROM r WHERE rnk <= $k)
+       |SELECT '1_index' AS stage, coalesce(sum(t), 0)::BIGINT AS digest, count(*)::BIGINT AS n FROM idxt
+       |UNION ALL SELECT '2_centroids', coalesce(sum(t), 0)::BIGINT, count(*)::BIGINT FROM centt
+       |UNION ALL SELECT '3_routing', coalesce(sum(t), 0)::BIGINT, count(*)::BIGINT FROM routet
+       |UNION ALL SELECT '4_shortlist', coalesce(sum(t), 0)::BIGINT, count(*)::BIGINT FROM shortt
+       |UNION ALL SELECT '5_topk', coalesce(sum(t), 0)::BIGINT, count(*)::BIGINT FROM topt
+       |ORDER BY stage""".stripMargin
+
   /** LSH-bucketed ANN: candidates = same (table, sketch) bucket in any of
     * the L tables; exact cosine only on candidates; two-phase top-k. */
   def lshTopK(emb: DataFrame, vecCol: String, idCol: String, dims: Int,

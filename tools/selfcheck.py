@@ -201,6 +201,22 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: columns duck={list(duck.columns)} spark={list(spark.columns)}"); fail += 1; continue
     if len(duck) != len(spark):
         print(f"FAIL {name}: rows duck={len(duck)} spark={len(spark)}"); fail += 1; continue
+    # dtype-KIND gate: check_dtype=False below treats 140000.0 (float64)
+    # as equal to 140000 (int64), but the driver's hash canonicalization
+    # does not — a DuckDB HUGEINT output column (e.g. a window-SUM-derived
+    # id) lands in pandas as float64 and reds the driver while every
+    # local compare stays green (the r16–r18 m10 signature). Integer
+    # width differences (int32 vs int64) stay tolerated; float-vs-int is
+    # the hazard.
+    kind_bad = [c for c in duck.columns
+                if {duck[c].dtype.kind, spark[c].dtype.kind} == {"i", "f"}
+                or {duck[c].dtype.kind, spark[c].dtype.kind} == {"u", "f"}]
+    if kind_bad:
+        print(f"FAIL {name}: float-vs-int column kind mismatch {kind_bad} "
+              f"(duck {[str(duck[c].dtype) for c in kind_bad]} vs "
+              f"spark {[str(spark[c].dtype) for c in kind_bad]}) — "
+              "driver hash distinguishes these even when values are equal")
+        fail += 1; continue
     # row-order-insensitive compare (sort by all columns), like a hash over sorted values
     duck_s = duck.sort_values(by=list(duck.columns)).reset_index(drop=True)
     spark_s = spark.sort_values(by=list(spark.columns)).reset_index(drop=True)
