@@ -39,7 +39,11 @@ object Profile {
                  else s"bcast [$ops]".take(110)
       val t = info.taskMetrics
       if (t != null) {
-        taskTimeMs += t.executorCpuTime / 1000000L
+        // ONE metric (executorRunTime) for both the headline total and
+        // the per-stage attribution, so the table's rows sum to the
+        // headline (r18 advice: mixing cpuTime/runTime made them
+        // inconsistent under fetch wait / IO)
+        taskTimeMs += t.executorRunTime
         shuffleReadB += t.shuffleReadMetrics.totalBytesRead
         shuffleWriteB += t.shuffleWriteMetrics.bytesWritten
         stageTime(name) = stageTime.getOrElse(name, 0L) + t.executorRunTime
@@ -74,8 +78,15 @@ object Profile {
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
-      // listener events are async; give the bus a moment to drain
-      Thread.sleep(300)
+      // listener events are async: poll until the aggregate stops
+      // moving (two consecutive quiet polls) instead of a fixed sleep —
+      // a slow bus no longer truncates the numbers (r18 advice)
+      var last = (-1, -1, -1L); var quiet = 0; var waited = 0
+      while (quiet < 2 && waited < 5000) {
+        Thread.sleep(100); waited += 100
+        val now = (agg.jobs, agg.stages, agg.taskTimeMs)
+        if (now == last) quiet += 1 else { quiet = 0; last = now }
+      }
       spark.sparkContext.removeSparkListener(agg)
       val taskSec = agg.taskTimeMs / 1e3
       println(f"[profile] $n wall=$wall%7.2f s  jobs=${agg.jobs}%4d stages=${agg.stages}%4d " +

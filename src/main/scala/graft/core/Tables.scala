@@ -44,6 +44,30 @@ object Tables {
     * index's name — the same rewrite-not-delete-in-place discipline as
     * the reference's log compaction. Companions keyed by id are
     * compacted by calling this on them too. */
+  /** Run two INDEPENDENT write actions concurrently (guide §2.6:
+    * Spark happily runs several jobs at once — actions are only
+    * sequential because the driver calls them sequentially). For the
+    * absorb legs that append a batch's rows to a standing table AND a
+    * derived companion (different tables, shared pinned input), the
+    * two jobs' tasks interleave on the executor pool and the absorb
+    * pays ONE job-latency slot instead of two — the r18-verdict #3
+    * per-batch floor cut. Both sides are always awaited (a failure in
+    * one does not abandon the other mid-write); the first failure
+    * rethrows. Crash contract unchanged: either write may exist
+    * without the other exactly as a crash between the previous
+    * sequential appends could leave, and the replay/marker discipline
+    * nets both cases. */
+  def inParallel(a: => Unit, b: => Unit): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(a)
+    val fb = Future(b)
+    val ra = scala.util.Try(Await.result(fa, Duration.Inf))
+    val rb = scala.util.Try(Await.result(fb, Duration.Inf))
+    ra.get; rb.get
+  }
+
   def compactById(spark: SparkSession, table: String,
                   ids: org.apache.spark.sql.DataFrame): Unit =
     compactByKey(spark, table, ids, "id")

@@ -298,21 +298,29 @@ object Dedup {
   def absorbIntoShingleIndex(spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
                              textCol: String, idCol: String, n: Int, table: String): Unit = {
     import spark.implicits._
-    val capped = shingles(batch, textCol, idCol, n)
-      .join(broadcast(spark.table(s"${table}_hot")), Seq("s"), "left_anti")
-      .transform(graft.core.Checkpoints.truncate)
+    // truncateCounted: the drift-ledger row count rides the pin's own
+    // materialization job as an observed metric — the separate
+    // capped.count() job this replaces was one of the per-batch jobs
+    // the r18 verdict flagged (#3, the foreachBatch job floor)
+    val (capped, nRows) = graft.core.Checkpoints.truncateCounted(
+      shingles(batch, textCol, idCol, n)
+        .join(broadcast(spark.table(s"${table}_hot")), Seq("s"), "left_anti"))
     val buckets = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec.map(_.numBuckets).getOrElse(32)
-    // the anti-join puts the join key first — restore the index's
-    // canonical column order before appending
-    capped.select("id", "s")
-      .write.mode("append").bucketBy(buckets, "s").sortBy("s").saveAsTable(table)
-    capped.groupBy("id").agg(count(lit(1)).as("sz"))
-      .write.mode("append").saveAsTable(s"${table}_sizes")
+    // index append and the sizes companion are independent writes off
+    // the same pinned stream — run them as concurrent jobs (one
+    // job-latency slot, guide §2.6; see Tables.inParallel for the
+    // crash-contract argument). The anti-join puts the join key first —
+    // restore the index's canonical column order before appending.
+    graft.core.Tables.inParallel(
+      capped.select("id", "s")
+        .write.mode("append").bucketBy(buckets, "s").sortBy("s").saveAsTable(table),
+      capped.groupBy("id").agg(count(lit(1)).as("sz"))
+        .write.mode("append").saveAsTable(s"${table}_sizes"))
     // drift ledger: absorbed shingle-row volume since the last hot-list
     // refresh (or build) — `maybeRefreshHotList` reads its sum
-    Seq(capped.count()).toDF("n_rows")
+    Seq(nRows).toDF("n_rows")
       .write.mode("append").saveAsTable(s"${table}_absorbed")
     // drop any cached file listing so the caller's next read (possibly
     // through a different session clone) sees the appended files
@@ -930,10 +938,13 @@ object Dedup {
       .bucketSpec.map(_.numBuckets).getOrElse(32)
     val fps = graft.core.Checkpoints.truncate(
       batchFps.select(col(idCol).as("id"), col(fpCol).as("simhash")))
-    fps.select(col("id"), col("simhash"),
-        explode(chunkPairKeys(col("simhash"), maxDist)).as("bk"))
-      .write.mode("append").bucketBy(buckets, "bk").sortBy("bk").saveAsTable(table)
-    fps.write.mode("append").saveAsTable(s"${table}_fps")
+    // independent writes off the pinned fingerprints → concurrent jobs
+    // (one job-latency slot; Tables.inParallel, guide §2.6)
+    graft.core.Tables.inParallel(
+      fps.select(col("id"), col("simhash"),
+          explode(chunkPairKeys(col("simhash"), maxDist)).as("bk"))
+        .write.mode("append").bucketBy(buckets, "bk").sortBy("bk").saveAsTable(table),
+      fps.write.mode("append").saveAsTable(s"${table}_fps"))
     spark.catalog.refreshTable(table)
     spark.catalog.refreshTable(s"${table}_fps")
   }
@@ -1099,9 +1110,12 @@ object Dedup {
     // a re-emit of a gram-less doc never triggers a pointless compact)
     val g = graft.core.Checkpoints.truncate(
       positionalGrams(batch, textCol, idCol, k))
-    g.write.mode("append").bucketBy(buckets, "gh").sortBy("gh").saveAsTable(table)
-    g.select("id").distinct()
-      .write.mode("append").saveAsTable(s"${table}_ids")
+    // independent writes off the pinned gram stream → concurrent jobs
+    // (one job-latency slot; Tables.inParallel, guide §2.6)
+    graft.core.Tables.inParallel(
+      g.write.mode("append").bucketBy(buckets, "gh").sortBy("gh").saveAsTable(table),
+      g.select("id").distinct()
+        .write.mode("append").saveAsTable(s"${table}_ids"))
     spark.catalog.refreshTable(table)
     spark.catalog.refreshTable(s"${table}_ids")
   }

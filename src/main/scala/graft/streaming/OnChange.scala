@@ -160,14 +160,29 @@ object OnChange {
     * e.g. hundreds of GB of open sessions at 100 TB — AQE cannot do
     * this for stateful plans, where it is unsupported). Timed results
     * are unchanged: partitioning is invisible to the emitted rows. */
-  private def withStreamStateParts[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    val parts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS",
-      math.min(prev.toInt, 8).toString)
-    spark.conf.set(key, parts)
-    try body finally spark.conf.set(key, prev)
-  }
+  /** The state-partition decision, pure and spec-pinned: a deployment
+    * override (`SPARK_GRAFT_STREAM_PARTS`) wins verbatim; otherwise
+    * min(session shuffle partitions, 8); a non-numeric session value
+    * degrades to the default instead of throwing. */
+  private[graft] def streamStateParts(prev: String, envOverride: Option[String]): String =
+    envOverride.getOrElse(
+      scala.util.Try(math.min(prev.trim.toInt, 8)).getOrElse(8).toString)
+
+  private val streamPartsLock = new Object
+  private def withStreamStateParts[T](spark: SparkSession)(body: => T): T =
+    // the conf is session-global and the save/restore non-atomic: two
+    // concurrent drains on one session could race it and leave the
+    // session pinned low (r18 advice). Drains are sequential in every
+    // graft path, but the lock makes the contract explicit; the parse
+    // is defensive so a non-numeric session value degrades to the
+    // default instead of throwing mid-drain.
+    streamPartsLock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      val parts = streamStateParts(prev, sys.env.get("SPARK_GRAFT_STREAM_PARTS"))
+      spark.conf.set(key, parts)
+      try body finally spark.conf.set(key, prev)
+    }
 
   /** Run `body` with trailing no-data micro-batches disabled. The
     * eviction timeouts fire on DATA batches only: a drain would
@@ -510,7 +525,15 @@ object OnChange {
     * loop's fixed per-batch driver actions (the processBatch
     * one-action discipline applied to the streaming gates). On the
     * rare replay path the overlap side is computed wastefully once —
-    * a map-only probe of a roster-sized table. */
+    * a map-only probe of a roster-sized table.
+    *
+    * Contract (r18 advice): `overlap` must be CONSTRUCTIBLE before the
+    * replay check — the loops build it from the index's roster
+    * companion, so a drain against an index whose build never ran (no
+    * companion table) fails here with an AnalysisException rather than
+    * short-circuiting on the marker: the companions are part of the
+    * index build contract, and a missing one is a broken index the
+    * loop must not silently ride past. */
   private def batchGate(bs: SparkSession, markers: String, batchId: Long,
                         overlap: DataFrame): (Boolean, Boolean) = {
     if (!bs.catalog.tableExists(markers)) return (false, !overlap.isEmpty)
@@ -928,7 +951,17 @@ object OnChange {
     * runs on the DRIVER inside foreachBatch, so any typed decode
     * pipeline composes). Same replay/supersede discipline as every
     * streaming loop in the file: a marker refuses replayed batch ids,
-    * a re-emitted id's standing rows compact out before the absorb. */
+    * a re-emitted id's standing rows compact out before the absorb.
+    *
+    * `fingerprint` must be 1:1 on ids (every raw row yields exactly one
+    * fingerprint row — r18 advice): the supersede overlap is probed off
+    * the RAW batch ids so a replayed batch never pays the fingerprint
+    * pass, which means a fingerprint fn that DROPS rows (e.g. a decoder
+    * rejecting a malformed payload) would compact a re-emitted id's
+    * standing rows out without re-absorbing them — the id would vanish
+    * from the index rather than keep its previous version. Both shipped
+    * fingerprints (Dedup.simhash, the d34 phash decode) emit one row
+    * per input row. */
   def streamingFingerprintDedup(spark: SparkSession, docsDir: String,
                                 fpIdCol: String, fpCol: String, maxDist: Int,
                                 indexTable: String, pairsPath: String,

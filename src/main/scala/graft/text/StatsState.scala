@@ -190,18 +190,35 @@ object StatsState {
       .join(broadcast(ids), Seq("id"), "leftsemi")
     val partial = prunedFreq(spark, table, shards, isinShardMax)
       .filter(col("batch_id") === batchId)
-    if (!overlap.isEmpty || !partial.isEmpty)
-      appendFreq(spark, table, buckets,
-        supersedeNet(spark, table, ids, shards, batchId, isinShardMax))
+    // ONE driver action for both existence probes (the batchGate
+    // fusion, r18 verdict #3): the two isEmpty calls each cost a job
+    // on every absorb — and one of them (the pruned-freq probe) scans
+    // standing partitions
+    val got = overlap.limit(1).select(lit(1).as("__src"))
+      .unionByName(partial.limit(1).select(lit(2).as("__src")))
+      .collect().map(_.getInt(0)).toSet
+    val needNet = got.contains(1) || got.contains(2)
+    val contrib = docContrib(batch, textCol, groupCol, idCol)
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("shard", shardOf(shardSize))
+    // negation + contribution rows land in ONE append (they share the
+    // log schema and the write layout): one commit instead of two jobs;
+    // the crash-recovery contract is tag-based, so a partial write of
+    // the fused job nets out on retry exactly as the two-job windows
+    // did
     appendFreq(spark, table, buckets,
-      docContrib(batch, textCol, groupCol, idCol)
-        .withColumn("batch_id", lit(batchId))
-        .withColumn("shard", shardOf(shardSize)))
-    TextAnalysis.ngramKmvSketch(batch, textCol, groupCol, n, k)
-      .withColumnRenamed(groupCol, "group")
-      .write.mode("append").saveAsTable(s"${table}_kmv")
-    ids.join(overlap, Seq("id"), "left_anti")
-      .write.mode("append").saveAsTable(s"${table}_docs")
+      if (needNet)
+        supersedeNet(spark, table, ids, shards, batchId, isinShardMax)
+          .unionByName(contrib)
+      else contrib)
+    // kmv sketch and roster rows are independent companion writes →
+    // concurrent jobs (one job-latency slot; Tables.inParallel)
+    graft.core.Tables.inParallel(
+      TextAnalysis.ngramKmvSketch(batch, textCol, groupCol, n, k)
+        .withColumnRenamed(groupCol, "group")
+        .write.mode("append").saveAsTable(s"${table}_kmv"),
+      ids.join(overlap, Seq("id"), "left_anti")
+        .write.mode("append").saveAsTable(s"${table}_docs"))
     Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(markers)
     Seq(s"${table}_freq", s"${table}_kmv", s"${table}_docs", markers)
       .foreach(spark.catalog.refreshTable)

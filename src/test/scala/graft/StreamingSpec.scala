@@ -22,6 +22,31 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.attribute.FileTime.fromMillis(1000000000000L + order * 10000L))
   }
 
+  test("stream-state partitions: override wins, session conf lowers to the state default and restores, results partition-invariant") {
+    // the decision function (what withStreamStateParts applies)
+    assert(OnChange.streamStateParts("32", Some("96")) == "96") // deployment override verbatim
+    assert(OnChange.streamStateParts("32", None) == "8")        // lowered to the state default
+    assert(OnChange.streamStateParts("4", None) == "4")         // never raised above the session
+    assert(OnChange.streamStateParts("garbage", None) == "8")   // defensive parse, no throw
+    // integration: a stateful drain under a RAISED session conf emits
+    // the batch-equal rows and restores the conf afterwards
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "13")
+    try {
+      val path = s"$sfDir/events.parquet"
+      val streamed = OnChange.aggregateEvents(spark, path)
+        .select("event_type", "n", "sum_value")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(spark.conf.get(key) == "13", "drain must restore the session conf")
+      val batch = spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("mapGroupsWithState latestOnly carries state across micro-batches (at-least-once redelivery)") {
     val path = s"$sfDir/events.parquet"
     val streamed = OnChange.streamingLatestOnly(spark, path, batches = 3)
