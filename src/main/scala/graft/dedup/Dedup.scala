@@ -308,16 +308,16 @@ object Dedup {
     val buckets = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec.map(_.numBuckets).getOrElse(32)
-    // index append and the sizes companion are independent writes off
-    // the same pinned stream — run them as concurrent jobs (one
-    // job-latency slot, guide §2.6; see Tables.inParallel for the
-    // crash-contract argument). The anti-join puts the join key first —
-    // restore the index's canonical column order before appending.
-    graft.core.Tables.inParallel(
-      capped.select("id", "s")
-        .write.mode("append").bucketBy(buckets, "s").sortBy("s").saveAsTable(table),
-      capped.groupBy("id").agg(count(lit(1)).as("sz"))
-        .write.mode("append").saveAsTable(s"${table}_sizes"))
+    // the anti-join puts the join key first — restore the index's
+    // canonical column order before appending. (Concurrent index +
+    // companion appends were tried here and in the gram/fingerprint
+    // absorbs — Tables.inParallel — and measured a wash to a ~10%
+    // penalty on the small per-batch writes; reverted, numbers in
+    // OPTIMIZATION_r19.md §4.)
+    capped.select("id", "s")
+      .write.mode("append").bucketBy(buckets, "s").sortBy("s").saveAsTable(table)
+    capped.groupBy("id").agg(count(lit(1)).as("sz"))
+      .write.mode("append").saveAsTable(s"${table}_sizes")
     // drift ledger: absorbed shingle-row volume since the last hot-list
     // refresh (or build) — `maybeRefreshHotList` reads its sum
     Seq(nRows).toDF("n_rows")
@@ -938,13 +938,10 @@ object Dedup {
       .bucketSpec.map(_.numBuckets).getOrElse(32)
     val fps = graft.core.Checkpoints.truncate(
       batchFps.select(col(idCol).as("id"), col(fpCol).as("simhash")))
-    // independent writes off the pinned fingerprints → concurrent jobs
-    // (one job-latency slot; Tables.inParallel, guide §2.6)
-    graft.core.Tables.inParallel(
-      fps.select(col("id"), col("simhash"),
-          explode(chunkPairKeys(col("simhash"), maxDist)).as("bk"))
-        .write.mode("append").bucketBy(buckets, "bk").sortBy("bk").saveAsTable(table),
-      fps.write.mode("append").saveAsTable(s"${table}_fps"))
+    fps.select(col("id"), col("simhash"),
+        explode(chunkPairKeys(col("simhash"), maxDist)).as("bk"))
+      .write.mode("append").bucketBy(buckets, "bk").sortBy("bk").saveAsTable(table)
+    fps.write.mode("append").saveAsTable(s"${table}_fps")
     spark.catalog.refreshTable(table)
     spark.catalog.refreshTable(s"${table}_fps")
   }
@@ -1110,12 +1107,9 @@ object Dedup {
     // a re-emit of a gram-less doc never triggers a pointless compact)
     val g = graft.core.Checkpoints.truncate(
       positionalGrams(batch, textCol, idCol, k))
-    // independent writes off the pinned gram stream → concurrent jobs
-    // (one job-latency slot; Tables.inParallel, guide §2.6)
-    graft.core.Tables.inParallel(
-      g.write.mode("append").bucketBy(buckets, "gh").sortBy("gh").saveAsTable(table),
-      g.select("id").distinct()
-        .write.mode("append").saveAsTable(s"${table}_ids"))
+    g.write.mode("append").bucketBy(buckets, "gh").sortBy("gh").saveAsTable(table)
+    g.select("id").distinct()
+      .write.mode("append").saveAsTable(s"${table}_ids")
     spark.catalog.refreshTable(table)
     spark.catalog.refreshTable(s"${table}_ids")
   }

@@ -196,14 +196,18 @@ object Recipe {
         transform = batch0 => {
           val spark = batch0.sparkSession
           // pin the window: the stages and the absorb must see ONE
-          // snapshot even though the log may keep appending under them
-          val batch = graft.core.Checkpoints.truncate(
+          // snapshot even though the log may keep appending under them.
+          // truncateCounted: the empty-window gate below rides the
+          // pin's own job as an observed metric — the separate
+          // batch.isEmpty action was one fixed job per firing (r18
+          // verdict #8, the chain-tick job floor)
+          val (batch, nBatch) = graft.core.Checkpoints.truncateCounted(
             batch0.select(col(idCol), col(groupCol), col(textCol)))
           val res = processBatch(spark, st, batch, textCol, idCol, groupCol,
             budgets, k, merges)
           // materialize the emission BEFORE absorb mutates the state
           val emission = graft.core.Checkpoints.truncate(res.emission)
-          if (!batch.isEmpty)
+          if (nBatch > 0)
             absorbBatch(spark, st, batch, res.gatedCounts, textCol, idCol, k)
           // a batch doc the refinery emits NOTHING for (scrubbed empty
           // or gated out — possibly a re-ingest of a doc that DID emit
@@ -398,13 +402,27 @@ object Recipe {
       if (spark.catalog.tableExists(s"${st.gramIndex}_ids")) spark.table(s"${st.gramIndex}_ids")
       else spark.table(st.gramIndex).select("id")
     val overlap = roster.join(broadcast(batchIds), Seq("id"), "leftsemi")
-    if (!overlap.isEmpty)
-      Dedup.compactGramIndex(spark, st.gramIndex, overlap)
-    Dedup.absorbIntoGramIndex(spark, batch, textCol, idCol, k, st.gramIndex)
-    graft.core.Tables.compactByKey(spark, st.counts,
-      batch.select(col(idCol)).distinct(), idCol)
-    gatedCounts.select(spark.table(st.counts).columns.map(col).toIndexedSeq: _*)
-      .write.mode("append").saveAsTable(st.counts)
+    // the gram-index leg and the budget-ledger leg mutate DISJOINT
+    // state and neither reads the other's tables — the one legal
+    // overlap in the tick (r18 verdict #8): run them as concurrent job
+    // chains (Tables.inParallel). Ordering WITHIN each leg (compact
+    // before absorb; ledger swap before append) is preserved; the
+    // crash windows are the union of the windows the sequential order
+    // already had, and the at-least-once refire recovers both legs
+    // idempotently (gram: compact+re-absorb; ledger: swap+re-append).
+    val countsCols = spark.table(st.counts).columns.toIndexedSeq
+    graft.core.Tables.inParallel(
+      {
+        if (!overlap.isEmpty)
+          Dedup.compactGramIndex(spark, st.gramIndex, overlap)
+        Dedup.absorbIntoGramIndex(spark, batch, textCol, idCol, k, st.gramIndex)
+      },
+      {
+        graft.core.Tables.compactByKey(spark, st.counts,
+          batch.select(col(idCol)).distinct(), idCol)
+        gatedCounts.select(countsCols.map(col): _*)
+          .write.mode("append").saveAsTable(st.counts)
+      })
     spark.catalog.refreshTable(st.counts)
   }
 }

@@ -211,14 +211,11 @@ object StatsState {
         supersedeNet(spark, table, ids, shards, batchId, isinShardMax)
           .unionByName(contrib)
       else contrib)
-    // kmv sketch and roster rows are independent companion writes →
-    // concurrent jobs (one job-latency slot; Tables.inParallel)
-    graft.core.Tables.inParallel(
-      TextAnalysis.ngramKmvSketch(batch, textCol, groupCol, n, k)
-        .withColumnRenamed(groupCol, "group")
-        .write.mode("append").saveAsTable(s"${table}_kmv"),
-      ids.join(overlap, Seq("id"), "left_anti")
-        .write.mode("append").saveAsTable(s"${table}_docs"))
+    TextAnalysis.ngramKmvSketch(batch, textCol, groupCol, n, k)
+      .withColumnRenamed(groupCol, "group")
+      .write.mode("append").saveAsTable(s"${table}_kmv")
+    ids.join(overlap, Seq("id"), "left_anti")
+      .write.mode("append").saveAsTable(s"${table}_docs")
     Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(markers)
     Seq(s"${table}_freq", s"${table}_kmv", s"${table}_docs", markers)
       .foreach(spark.catalog.refreshTable)
